@@ -1,0 +1,191 @@
+"""Snapshot-diff CDC: two table versions -> insert/update/delete events.
+
+Reference semantics (SURVEY.md §2.3; reference app/app.py:119-264):
+
+- the primary key is a single column, compared **as a string**
+  (app/app.py:206-207 builds ``{str(row[key]): row}`` dicts);
+- inserts = keys only in the new snapshot (app/app.py:210-224);
+- updates = keys in both where any shared column differs
+  (app/app.py:225-246), with a per-column change map;
+- deletes = keys only in the previous snapshot (app/app.py:248-262);
+- first load (no previous snapshot) -> every row is an insert
+  (app/app.py:156-174);
+- NaN is normalized to null before comparison (app/app.py:135), so
+  null vs null is NOT a change while null vs value IS.
+
+Spark-first design — scale notes
+--------------------------------
+The reference does three dict passes on a single host.  A naive Spark
+translation would be two anti-joins plus one inner join = the fat
+tables shuffled three times.  Instead ``snapshot_diff`` does **one
+full-outer join** on the stringified key and classifies each joined row
+into insert/update/delete/unchanged, so each snapshot is shuffled
+exactly once (or zero times when both sides are bucketed/co-partitioned
+on the key).  Change detection uses Spark's null-safe equality
+(``<=>``) negated, which reproduces the reference's NaN->null
+normalization exactly.  Everything is a Catalyst-planned expression —
+no Python UDFs, fully codegen'd, safe at 100 TB.
+
+Row payloads are carried as ``map<string,string>`` (the reference keeps
+schemaless dicts — SURVEY.md §1.1) so one event schema serves every
+source table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Columns of the canonical diff output (before the event envelope).
+DIFF_COLUMNS = ["event_type", "key_value", "old_values", "new_values", "changed_cols"]
+
+
+def _string_map(prefix_df: str, cols: list[str]) -> Column:
+    """``map<string,string>`` of column name -> stringified value.
+
+    Mirrors the reference's ``row.to_dict()`` payloads
+    (app/app.py:211-222) while staying a single JVM-side expression.
+    """
+    pairs: list[Column] = []
+    for c in cols:
+        pairs.append(F.lit(c))
+        pairs.append(F.col(f"{prefix_df}.{c}").cast("string"))
+    return F.map_from_arrays(
+        F.array(*pairs[::2]), F.array(*pairs[1::2])
+    )
+
+
+def snapshot_diff(
+    new_df: DataFrame,
+    prev_df: DataFrame | None,
+    key_col: str,
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots of a keyed table into CDC rows.
+
+    Returns a DataFrame with columns
+    ``event_type, key_value, old_values, new_values, changed_cols``
+    containing only rows that changed (inserts/updates/deletes —
+    unchanged keys are dropped, as in the reference).
+
+    ``prev_df=None`` (or empty-schema) is first-load: all inserts
+    (reference app/app.py:156-174).
+
+    Shuffle profile: ONE exchange per side, on ``cast(key as string)``.
+    If both inputs are already hash-partitioned on the key (e.g. read
+    from a table bucketed by key), Catalyst elides the exchanges.
+    """
+    if prev_df is None:
+        return first_load_events(new_df, key_col)
+
+    key_str = F.col(key_col).cast("string")
+    n = new_df.withColumn("__k", key_str).alias("n")
+    p = prev_df.withColumn("__k", key_str).alias("p")
+
+    new_cols = [c for c in new_df.columns]
+    prev_cols = [c for c in prev_df.columns]
+    shared = [c for c in new_cols if c in set(prev_cols) and c != key_col]
+    if compare_cols is not None:
+        shared = [c for c in shared if c in set(compare_cols)]
+
+    joined = n.join(p, F.col("n.__k") == F.col("p.__k"), "full_outer")
+
+    in_new = F.col("n.__k").isNotNull()
+    in_prev = F.col("p.__k").isNotNull()
+    # null-safe inequality per shared column = the reference's
+    # "normalize NaN to null, then dict-compare" (app/app.py:135,230-232)
+    col_changed = [~F.col(f"n.{c}").eqNullSafe(F.col(f"p.{c}")) for c in shared]
+    any_change = F.lit(False)
+    for cc in col_changed:
+        any_change = any_change | cc
+
+    event_type = (
+        F.when(in_new & ~in_prev, F.lit("insert"))
+        .when(~in_new & in_prev, F.lit("delete"))
+        .when(any_change, F.lit("update"))
+    )
+
+    changed_cols = F.filter(
+        F.array(
+            *[F.when(cc, F.lit(c)) for c, cc in zip(shared, col_changed)]
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+    out = joined.select(
+        event_type.alias("event_type"),
+        F.coalesce(F.col("n.__k"), F.col("p.__k")).alias("key_value"),
+        F.when(in_prev, _string_map("p", prev_cols)).alias("old_values"),
+        F.when(in_new, _string_map("n", new_cols)).alias("new_values"),
+        F.when(
+            in_new & in_prev, changed_cols
+        ).otherwise(F.lit(None).cast("array<string>")).alias("changed_cols"),
+    )
+    # unchanged keys (event_type null) are dropped; inserts keep no
+    # old_values and deletes no new_values, matching CDCEvent
+    # (app/app.py:80-89)
+    out = out.filter(F.col("event_type").isNotNull())
+    out = out.withColumn(
+        "old_values", F.when(F.col("event_type") != "insert", F.col("old_values"))
+    ).withColumn(
+        "new_values", F.when(F.col("event_type") != "delete", F.col("new_values"))
+    )
+    return out
+
+
+def first_load_events(new_df: DataFrame, key_col: str) -> DataFrame:
+    """First upload: every row becomes an insert (app/app.py:156-174).
+
+    Narrow (no shuffle): a projection over the scan.
+    """
+    cols = list(new_df.columns)
+    return new_df.select(
+        F.lit("insert").alias("event_type"),
+        F.col(key_col).cast("string").alias("key_value"),
+        F.lit(None).cast("map<string,string>").alias("old_values"),
+        _string_map_self(cols).alias("new_values"),
+        F.lit(None).cast("array<string>").alias("changed_cols"),
+    )
+
+
+def _string_map_self(cols: list[str]) -> Column:
+    pairs_k = [F.lit(c) for c in cols]
+    pairs_v = [F.col(c).cast("string") for c in cols]
+    return F.map_from_arrays(F.array(*pairs_k), F.array(*pairs_v))
+
+
+def to_cdc_events(
+    diff: DataFrame,
+    *,
+    company_id: str,
+    table_name: str,
+    key_column: str,
+    event_time: Column | None = None,
+) -> DataFrame:
+    """Wrap diff rows in the CDC event envelope.
+
+    Reference ``CDCEvent`` (app/app.py:80-89): ``event_id`` (uuid),
+    ``event_type``, ``company_id``, ``table_name``, ``timestamp``,
+    ``key_column``, ``key_value``, ``old_values``, ``new_values``.
+    ``event_time`` defaults to ``current_timestamp()``; pass a literal
+    for reproducible runs.
+
+    The Kafka partition key ``{company}_{table}_{event_type}``
+    (app/app.py:275) is exposed as ``partition_key``.
+    """
+    ts = event_time if event_time is not None else F.current_timestamp()
+    return diff.select(
+        F.expr("uuid()").alias("event_id"),
+        F.col("event_type"),
+        F.lit(company_id).alias("company_id"),
+        F.lit(table_name).alias("table_name"),
+        ts.alias("timestamp"),
+        F.lit(key_column).alias("key_column"),
+        F.col("key_value"),
+        F.col("old_values"),
+        F.col("new_values"),
+        F.concat_ws(
+            "_", F.lit(company_id), F.lit(table_name), F.col("event_type")
+        ).alias("partition_key"),
+    )

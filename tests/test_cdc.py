@@ -1,0 +1,161 @@
+"""CDC diff + SCD2 unit tests on golden reference-shaped cases.
+
+Golden semantics from SURVEY.md §5: 2-row first upload => 2 inserts;
+modify/add/remove => exact insert/update/delete sets; null<->value is a
+change, null<->null is not; SCD2 invariants (one current row per live
+key, contiguous validity, deleted keys have no current row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark.cdc import (
+    apply_scd2,
+    as_of,
+    current_view,
+    dedup_events,
+    first_load_events,
+    snapshot_diff,
+    to_cdc_events,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "key string, dim1 string, val1 double, val2 double")
+
+
+def test_first_load_two_rows_two_inserts(spark):
+    new = _snap(spark, [("1", "a", 1.0, None), ("2", "b", 2.0, 3.0)])
+    ev = first_load_events(new, "key")
+    rows = ev.collect()
+    assert len(rows) == 2
+    assert {r.event_type for r in rows} == {"insert"}
+    assert all(r.old_values is None for r in rows)
+    assert rows[0].new_values["key"] in {"1", "2"}
+
+
+def test_diff_exact_sets(spark):
+    prev = _snap(
+        spark,
+        [
+            ("1", "a", 1.0, None),   # unchanged
+            ("2", "b", 2.0, 3.0),   # update: val1 changes
+            ("3", "c", None, None), # update: val2 null->value
+            ("4", "d", 4.0, 4.0),   # delete
+            ("5", "e", None, 5.0),  # unchanged (null<->null on val1)
+        ],
+    )
+    new = _snap(
+        spark,
+        [
+            ("1", "a", 1.0, None),
+            ("2", "b", 2.5, 3.0),
+            ("3", "c", None, 9.0),
+            ("5", "e", None, 5.0),
+            ("6", "f", 6.0, None),  # insert
+        ],
+    )
+    d = snapshot_diff(new, prev, "key")
+    by_type = {r.key_value: r for r in d.collect()}
+    assert set(by_type) == {"2", "3", "4", "6"}
+    assert by_type["6"].event_type == "insert"
+    assert by_type["6"].new_values["val1"] == "6.0"
+    assert by_type["6"].old_values is None
+    assert by_type["4"].event_type == "delete"
+    assert by_type["4"].new_values is None
+    assert by_type["2"].event_type == "update"
+    assert by_type["2"].changed_cols == ["val1"]
+    assert by_type["3"].changed_cols == ["val2"]  # null->value IS a change
+
+
+def test_diff_string_key_semantics(spark):
+    """Keys compare as strings (app/app.py:206-207): int 1 == str '1'."""
+    prev = spark.createDataFrame([(1, "x")], "k int, v string")
+    new = spark.createDataFrame([("1", "x"), ("2", "y")], "k string, v string")
+    d = snapshot_diff(new, prev, "k")
+    rows = {r.key_value: r.event_type for r in d.collect()}
+    assert rows == {"2": "insert"}
+
+
+def test_envelope_schema(spark):
+    new = _snap(spark, [("1", "a", 1.0, None)])
+    ev = to_cdc_events(
+        first_load_events(new, "key"),
+        company_id="AEP",
+        table_name="Asset",
+        key_column="key",
+        event_time=F.lit("2025-01-01 00:00:00").cast("timestamp"),
+    )
+    r = ev.collect()[0]
+    assert r.company_id == "AEP" and r.table_name == "Asset"
+    assert r.partition_key == "AEP_Asset_insert"
+    assert len(r.event_id) == 36  # uuid
+    assert r.key_column == "key"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id string, event_type string, key_value string, "
+        "timestamp timestamp, new_values map<string,string>",
+    )
+
+
+def test_scd2_invariants(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    ev = _events(
+        spark,
+        [
+            ("e1", "insert", "k1", t("2025-01-01"), {"v": "1"}),
+            ("e2", "update", "k1", t("2025-01-03"), {"v": "2"}),
+            ("e3", "insert", "k2", t("2025-01-02"), {"v": "9"}),
+            ("e4", "delete", "k2", t("2025-01-04"), None),
+            ("e4", "delete", "k2", t("2025-01-04"), None),  # dup event_id
+        ],
+    )
+    hist = apply_scd2(None, ev)
+    rows = sorted(hist.collect(), key=lambda r: (r.key_value, r.valid_from))
+    # k1: two versions, chained; k2: one expired version, no current
+    k1 = [r for r in rows if r.key_value == "k1"]
+    k2 = [r for r in rows if r.key_value == "k2"]
+    assert len(k1) == 2 and len(k2) == 1
+    assert k1[0].valid_to == k1[1].valid_from  # contiguous chain
+    assert not k1[0].is_current and k1[1].is_current
+    assert k1[1].valid_to is None
+    assert not k2[0].is_current and k2[0].valid_to == t("2025-01-04")
+    cur = current_view(hist).collect()
+    assert {r.key_value for r in cur} == {"k1"}
+    # as-of before the update sees v=1
+    aso = as_of(hist, "2025-01-02 12:00:00").collect()
+    assert {(r.key_value, r.data["v"]) for r in aso} == {("k1", "1"), ("k2", "9")}
+
+
+def test_scd2_incremental_apply_expires_history(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    batch1 = _events(spark, [("e1", "insert", "k1", t("2025-01-01"), {"v": "1"})])
+    batch2 = _events(spark, [("e2", "update", "k1", t("2025-02-01"), {"v": "2"})])
+    hist = apply_scd2(apply_scd2(None, batch1), batch2)
+    rows = sorted(hist.collect(), key=lambda r: r.valid_from)
+    assert len(rows) == 2
+    assert rows[0].valid_to == t("2025-02-01") and not rows[0].is_current
+    assert rows[1].is_current and rows[1].data["v"] == "2"
+
+
+def test_dedup_events_deterministic(spark):
+    import datetime as dt
+
+    ev = _events(
+        spark,
+        [
+            ("e1", "insert", "k1", dt.datetime(2025, 1, 2), {"v": "late"}),
+            ("e1", "insert", "k1", dt.datetime(2025, 1, 1), {"v": "early"}),
+        ],
+    )
+    out = dedup_events(ev).collect()
+    assert len(out) == 1
+    assert out[0].new_values["v"] == "early"
