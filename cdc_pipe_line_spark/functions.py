@@ -1,0 +1,74 @@
+"""Scalar-function surface (SURVEY.md §2.8 F1-F13) + projection helpers
+(§2.2 P1-P3).
+
+All JVM-side Catalyst expressions — no Python UDFs.  Spark 4 runs in
+ANSI mode, so the reference's coercing casts (pandas
+``to_numeric(errors='coerce')``, azuredatalake.py:209) map to
+``try_cast``, which yields null on failure exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def coerce_double(col: Column | str) -> Column:
+    """Numeric coercion with invalid->null (F9; azuredatalake.py:209)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.try_cast("double")
+
+
+def sanitize_name(col: Column | str) -> Column:
+    """Metric/path-safe name sanitization as a column expression (R8).
+
+    Reference chain (azuredatalake.py:35-40,190-198): space->_, &->and,
+    /->_, %->pct, strip parens, collapse other non-alnum to _.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"%", "pct")
+    c = F.regexp_replace(c, r"&", "and")
+    c = F.regexp_replace(c, r"[()\[\]]", "")
+    c = F.regexp_replace(c, r"[^A-Za-z0-9]+", "_")
+    return F.regexp_replace(c, r"^_+|_+$", "")
+
+
+def sanitize_name_py(name: str) -> str:
+    """Driver-side twin of :func:`sanitize_name` for column names."""
+    s = name.replace("%", "pct").replace("&", "and")
+    s = re.sub(r"[()\[\]]", "", s)
+    s = re.sub(r"[^A-Za-z0-9]+", "_", s)
+    return s.strip("_")
+
+
+def operational_columns(df: DataFrame, max_fallback: int = 3) -> list[str]:
+    """Operational-column selection (P1; azuredatalake.py:236-252):
+    ``Date`` plus any column whose lowercased name contains id/code/key;
+    if none match, the first ``max_fallback`` columns.
+    """
+    cols = [
+        c
+        for c in df.columns
+        if c == "Date" or any(tok in c.lower() for tok in ("id", "code", "key"))
+    ]
+    return cols if cols else list(df.columns)[:max_fallback]
+
+
+def prune_columns(df: DataFrame, pattern: str = r"Unnamed|\.") -> DataFrame:
+    """Drop columns matching a regex (P2; azuredatalake.py:175)."""
+    rx = re.compile(pattern)
+    return df.drop(*[c for c in df.columns if rx.search(c)])
+
+
+def metric_columns(df: DataFrame) -> list[str]:
+    """Metric columns = names not starting with ``_`` (P3;
+    azuredatalake.py:337)."""
+    return [c for c in df.columns if not c.startswith("_")]
+
+
+def drop_all_null(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Drop rows whose (subset) values are all null (P5;
+    azuredatalake.py:174,253)."""
+    return df.na.drop(how="all", subset=subset)

@@ -1,0 +1,53 @@
+"""Query registry: every SURVEY.md §2 operator as a (spark, sf_dir) ->
+DataFrame callable plus (where SQL-expressible) a DuckDB oracle twin.
+
+Each submodule contributes ``QUERIES`` and ``ORACLE`` dicts; this
+package merges them for ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_pipe_line_spark.queries import cdc_q, relational_q
+
+_MODULES = [cdc_q, relational_q]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        dup = set(out) & set(m.QUERIES)
+        assert not dup, f"duplicate query names: {dup}"
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLE)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table; pin UTC so timestamps match the oracle.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects outright — read nanos as long and floor-divide to
+    micros (integer ``div``: a double division would lose precision at
+    1e18 ns).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df

@@ -1,0 +1,96 @@
+"""CDC-family queries (SURVEY.md §2.3 J1-J5): snapshot diff on a
+deterministic orders-derived snapshot pair (fixtures.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark import fixtures
+from cdc_pipe_line_spark.cdc import diff as cdc_diff
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from cdc_pipe_line_spark.queries import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    v1 = fixtures.orders_snapshot_v1(orders)
+    v2 = fixtures.orders_snapshot_v2(orders)
+    return cdc_diff.snapshot_diff(v2, v1, "o_orderkey")
+
+
+def q_cdc_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts of insert/update/delete between two orders snapshots."""
+    return (
+        _orders_diff(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_cdc_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key diff rows with the changed-column list as a csv string."""
+    d = _orders_diff(spark, sf_dir)
+    return d.select(
+        "event_type",
+        "key_value",
+        F.coalesce(
+            F.array_join(F.array_sort("changed_cols"), ","), F.lit("")
+        ).alias("changed_cols_csv"),
+    )
+
+
+def q_cdc_first_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First upload -> all rows insert events (app/app.py:156-174)."""
+    orders = _t(spark, sf_dir, "orders")
+    ev = cdc_diff.first_load_events(fixtures.orders_snapshot_v1(orders), "o_orderkey")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.col("new_values")["o_orderstatus"]).alias("n_payload_status"),
+    )
+
+
+_DIFF_CTE = (
+    f"WITH v1 AS ({fixtures.V1_SQL}), v2 AS ({fixtures.V2_SQL}), j AS (\n"
+    "SELECT v2.o_orderkey AS nk, v1.o_orderkey AS pk,\n"
+    "  CASE WHEN v1.o_orderkey IS NULL THEN 'insert'\n"
+    "       WHEN v2.o_orderkey IS NULL THEN 'delete'\n"
+    "       WHEN (v2.o_custkey IS DISTINCT FROM v1.o_custkey)\n"
+    "         OR (v2.o_orderstatus IS DISTINCT FROM v1.o_orderstatus)\n"
+    "         OR (v2.o_totalprice IS DISTINCT FROM v1.o_totalprice)\n"
+    "         OR (v2.o_orderdate IS DISTINCT FROM v1.o_orderdate)\n"
+    "         OR (v2.o_orderpriority IS DISTINCT FROM v1.o_orderpriority)\n"
+    "       THEN 'update'\n"
+    "       END AS event_type,\n"
+    "  CONCAT_WS(',',\n"
+    "    CASE WHEN v2.o_custkey IS DISTINCT FROM v1.o_custkey THEN 'o_custkey' END,\n"
+    "    CASE WHEN v2.o_orderdate IS DISTINCT FROM v1.o_orderdate THEN 'o_orderdate' END,\n"
+    "    CASE WHEN v2.o_orderpriority IS DISTINCT FROM v1.o_orderpriority THEN 'o_orderpriority' END,\n"
+    "    CASE WHEN v2.o_orderstatus IS DISTINCT FROM v1.o_orderstatus THEN 'o_orderstatus' END,\n"
+    "    CASE WHEN v2.o_totalprice IS DISTINCT FROM v1.o_totalprice THEN 'o_totalprice' END\n"
+    "  ) AS changed_cols_csv,\n"
+    "  CAST(COALESCE(v2.o_orderkey, v1.o_orderkey) AS VARCHAR) AS key_value\n"
+    "FROM v2 FULL OUTER JOIN v1 ON CAST(v2.o_orderkey AS VARCHAR) = CAST(v1.o_orderkey AS VARCHAR))\n"
+)
+
+QUERIES = {
+    "cdc_diff_summary": q_cdc_diff_summary,
+    "cdc_diff_events": q_cdc_diff_events,
+    "cdc_first_load": q_cdc_first_load,
+}
+
+ORACLE = {
+    "cdc_diff_summary": _DIFF_CTE
+    + "SELECT event_type, count(*) AS n_events FROM j WHERE event_type IS NOT NULL GROUP BY event_type",
+    "cdc_diff_events": _DIFF_CTE
+    + "SELECT event_type, key_value,\n"
+    "  CASE WHEN event_type = 'update' THEN changed_cols_csv ELSE '' END AS changed_cols_csv\n"
+    "FROM j WHERE event_type IS NOT NULL",
+    "cdc_first_load": f"WITH v1 AS ({fixtures.V1_SQL}) "
+    "SELECT 'insert' AS event_type, count(*) AS n_events, "
+    "count(o_orderstatus) AS n_payload_status FROM v1",
+}

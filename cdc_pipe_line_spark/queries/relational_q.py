@@ -1,0 +1,415 @@
+"""Relational surface queries (SURVEY.md §2.2 P*, §2.5 A*, §2.6 W*,
+§2.7 set ops, §2.8 F*).
+
+Scale notes per query are inline.  Aggregate doubles are rounded in
+BOTH engines (sum order differs between Spark and DuckDB; rounding to
+2-6 decimals absorbs the ulp drift while keeping the hash exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_pipe_line_spark.functions import (
+    coerce_double,
+    drop_all_null,
+    operational_columns,
+    sanitize_name,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from cdc_pipe_line_spark.queries import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- A: aggregates
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (A1/A5): map-side partial agg -> one shuffle on
+    the 6-value group key; fully codegen'd."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_rollup_order_status(spark, sf_dir):
+    """ROLLUP subtotals + grand total in one pass (A3)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_daily_distinct_users(spark, sf_dir):
+    """Distinct-agg by day (A2 + distinct surface)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_recent_events_by_type(spark, sf_dir):
+    """A1 + P6: time-range filter relative to max(ts) (no wall clock —
+    deterministic), then count per type.  The max() is a scalar agg
+    broadcast into the filter; the filter pushes to the parquet scan."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- J: joins
+
+def q_revenue_by_region(spark, sf_dir):
+    """TPC-H Q5 shape: fact-to-dim star join.  nation/region/customer
+    are broadcast (dims), lineitem-orders is the only real shuffle;
+    the date filter prunes at the orders scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_customers_with_orders(spark, sf_dir):
+    """Left-semi join (§2.7 family): EXISTS without payload duplication."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Left-anti join (J1/J3 pattern on plain tables)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------- W: windows
+
+def q_top10_orders(spark, sf_dir):
+    """Top-k (W2): TakeOrderedAndProject — no full sort at scale."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_latest_order_per_customer(spark, sf_dir):
+    """W1: newest row per group via row_number (one shuffle on the
+    partition key)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+def q_running_total_per_customer(spark, sf_dir):
+    """Running sum with an explicit ROWS frame (W-surface)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def q_order_price_delta(spark, sf_dir):
+    """lag/lead surface: per-customer price delta between consecutive
+    orders."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("price_delta"),
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+def q_status_custkey_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    x = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(x)
+
+
+def q_status_custkey_except(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    x = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(x)
+
+
+# ---------------------------------------------------------------- P: projections
+
+def q_operational_projection(spark, sf_dir):
+    """P1: Date + id/code/key columns, else first 3 (schema-level —
+    resolved at plan time, zero runtime cost)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(*operational_columns(c))
+
+
+def q_drop_all_null_rows(spark, sf_dir):
+    """P5 + P9: synthesized nullable pair, drop rows all-null."""
+    o = _t(spark, sf_dir, "orders")
+    proj = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_nn"),
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio_nn"),
+    )
+    return drop_all_null(proj, subset=["status_nn", "prio_nn"])
+
+
+# ---------------------------------------------------------------- F: scalars
+
+def q_scalar_showcase(spark, sf_dir):
+    """F1/F2/F6/F10/F11/F13 in one projection over part."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.trim(F.col("p_brand"))).alias("brand_uc"),
+        F.split(F.col("p_brand"), "#").getItem(1).alias("brand_num"),
+        F.md5(F.col("p_name")).alias("name_md5"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        sanitize_name(F.col("p_name")).alias("name_safe"),
+        F.coalesce(F.nullif(F.col("p_type"), F.lit("PROMO")), F.lit("none")).alias(
+            "type_or_none"
+        ),
+    )
+
+
+def q_try_cast_coercion(spark, sf_dir):
+    """F9/F12: to_numeric(errors='coerce') == try_cast in ANSI Spark."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        coerce_double(F.col("p_brand")).alias("brand_as_num"),
+        coerce_double(F.col("p_size").cast("string")).alias("size_as_num"),
+    )
+
+
+def q_date_functions(spark, sf_dir):
+    """F3/F4/F5: parse/format/arithmetic on order dates."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d_str"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "d_plus30"
+        ),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("bigint").alias("days_since_95"),
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """F8: typed JSON payload extraction with from_json."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").getField("k").cast("bigint").alias("prop_k"),
+    )
+
+
+QUERIES = {
+    "agg_pricing_summary": q_pricing_summary,
+    "agg_rollup_order_status": q_rollup_order_status,
+    "agg_daily_distinct_users": q_daily_distinct_users,
+    "agg_recent_events_by_type": q_recent_events_by_type,
+    "join_revenue_by_region": q_revenue_by_region,
+    "join_semi_customers_with_orders": q_customers_with_orders,
+    "join_anti_customers_without_orders": q_customers_without_orders,
+    "window_top10_orders": q_top10_orders,
+    "window_latest_order_per_customer": q_latest_order_per_customer,
+    "window_running_total": q_running_total_per_customer,
+    "window_price_delta": q_order_price_delta,
+    "set_intersect_custkeys": q_status_custkey_intersect,
+    "set_except_custkeys": q_status_custkey_except,
+    "proj_operational_columns": q_operational_projection,
+    "proj_drop_all_null_rows": q_drop_all_null_rows,
+    "scalar_showcase": q_scalar_showcase,
+    "scalar_try_cast": q_try_cast_coercion,
+    "scalar_date_functions": q_date_functions,
+    "scalar_json_extract": q_json_extract,
+}
+
+ORACLE = {
+    "agg_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "agg_rollup_order_status": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "agg_daily_distinct_users": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY 1""",
+    "agg_recent_events_by_type": """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+GROUP BY event_type""",
+    "join_revenue_by_region": """
+SELECT r_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name""",
+    "join_semi_customers_with_orders": """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment""",
+    "join_anti_customers_without_orders": """
+SELECT c_custkey, c_mktsegment
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "window_top10_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "window_latest_order_per_customer": """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) WHERE rn = 1""",
+    "window_running_total": """
+SELECT o_custkey, o_orderkey,
+  round(sum(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders""",
+    "window_price_delta": """
+SELECT o_custkey, o_orderkey,
+  round(o_totalprice - lag(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS price_delta
+FROM orders""",
+    "set_intersect_custkeys": """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "set_except_custkeys": """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "proj_operational_columns": "SELECT c_custkey, c_nationkey FROM customer",
+    "proj_drop_all_null_rows": """
+SELECT o_orderkey,
+  nullif(o_orderstatus, 'O') AS status_nn,
+  nullif(o_orderpriority, '1-URGENT') AS prio_nn
+FROM orders
+WHERE nullif(o_orderstatus, 'O') IS NOT NULL
+   OR nullif(o_orderpriority, '1-URGENT') IS NOT NULL""",
+    "scalar_showcase": """
+SELECT p_partkey,
+  upper(trim(p_brand)) AS brand_uc,
+  string_split(p_brand, '#')[2] AS brand_num,
+  md5(p_name) AS name_md5,
+  concat_ws('-', p_brand, p_type) AS brand_type,
+  length(p_name) AS name_len,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(p_name, '%', 'pct', 'g'),
+      '&', 'and', 'g'),
+    '[()\\[\\]]', '', 'g'),
+  '[^A-Za-z0-9]+', '_', 'g'), '_') AS name_safe,
+  coalesce(nullif(p_type, 'PROMO'), 'none') AS type_or_none
+FROM part""",
+    "scalar_try_cast": """
+SELECT p_partkey,
+  TRY_CAST(p_brand AS DOUBLE) AS brand_as_num,
+  TRY_CAST(CAST(p_size AS VARCHAR) AS DOUBLE) AS size_as_num
+FROM part""",
+    "scalar_date_functions": """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS BIGINT) AS yr,
+  CAST(month(o_orderdate) AS BIGINT) AS mo,
+  strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS d_plus30,
+  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
+FROM orders""",
+    "scalar_json_extract": """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+FROM events""",
+}
