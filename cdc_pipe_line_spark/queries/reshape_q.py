@@ -1,0 +1,118 @@
+"""Reshape queries (SURVEY.md §2.4): pivot/unpivot round-trip on an
+orders-derived wide table, schema-drift union, lineage columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark.reshape import (
+    add_lineage,
+    pivot_to_wide,
+    union_with_drift,
+    unpivot_to_tall,
+)
+
+YEARS = [str(y) for y in range(1995, 2002)]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from cdc_pipe_line_spark.queries import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _tall_orders(spark, sf_dir):
+    """Tall (priority, status, yr, value) frame — the engine's
+    preferred internal form (SURVEY.md §1.1 note 5)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").cast("string").alias("yr"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("value"))
+
+
+def q_pivot_wide(spark, sf_dir):
+    """R9: tall -> wide with a FIXED pivot domain (no distinct job,
+    bounded schema — the 100 TB-safe pivot)."""
+    wide = pivot_to_wide(
+        _tall_orders(spark, sf_dir),
+        ["priority", "status"],
+        "yr",
+        "value",
+        values=YEARS,
+    )
+    return wide.select(
+        "priority", "status", *[F.col(y).alias(f"y{y}") for y in YEARS]
+    )
+
+
+def q_unpivot_roundtrip(spark, sf_dir):
+    """R1: unpivot(pivot(tall)) — null cells from the pivot survive the
+    round trip as explicit null rows (the reference preserved nulls in
+    per-metric frames)."""
+    wide = pivot_to_wide(
+        _tall_orders(spark, sf_dir),
+        ["priority", "status"],
+        "yr",
+        "value",
+        values=YEARS,
+    )
+    return unpivot_to_tall(
+        wide, ["priority", "status"], YEARS, var_name="yr", value_name="value"
+    )
+
+
+def q_union_drift(spark, sf_dir):
+    """R3: unionByName(allowMissingColumns) over drifted projections."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_totalprice")
+    b = o.select("o_orderkey", "o_orderpriority")
+    return union_with_drift([a, b])
+
+
+def q_lineage_columns(spark, sf_dir):
+    """R4: constant lineage columns prepended to a dim join."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+    )
+    return add_lineage(joined, SECTOR="GAS UTILITY", FREQUENCY="TTM")
+
+
+_TALL_SQL = """
+SELECT o_orderpriority AS priority, o_orderstatus AS status,
+  CAST(year(o_orderdate) AS VARCHAR) AS yr,
+  round(sum(o_totalprice), 2) AS value
+FROM orders GROUP BY 1, 2, 3"""
+
+_WIDE_SQL = "SELECT priority, status, " + ", ".join(
+    f"max(CASE WHEN yr = '{y}' THEN value END) AS y{y}" for y in YEARS
+) + f" FROM ({_TALL_SQL}) GROUP BY priority, status"
+
+QUERIES = {
+    "reshape_pivot_wide": q_pivot_wide,
+    "reshape_unpivot_roundtrip": q_unpivot_roundtrip,
+    "reshape_union_drift": q_union_drift,
+    "reshape_lineage_columns": q_lineage_columns,
+}
+
+ORACLE = {
+    "reshape_pivot_wide": _WIDE_SQL,
+    "reshape_unpivot_roundtrip": f"""
+WITH tall AS ({_TALL_SQL}),
+groups AS (SELECT DISTINCT priority, status FROM tall),
+years AS (SELECT unnest(['{"','".join(YEARS)}']) AS yr)
+SELECT g.priority, g.status, y.yr, t.value
+FROM groups g CROSS JOIN years y
+LEFT JOIN tall t ON t.priority = g.priority AND t.status = g.status AND t.yr = y.yr""",
+    "reshape_union_drift": """
+SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority FROM orders
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority FROM orders""",
+    "reshape_lineage_columns": """
+SELECT 'GAS UTILITY' AS SECTOR, 'TTM' AS FREQUENCY, n_name AS nation, r_name AS region
+FROM nation JOIN region ON n_regionkey = r_regionkey""",
+}

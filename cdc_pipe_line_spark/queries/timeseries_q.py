@@ -1,0 +1,145 @@
+"""Time-series queries (SURVEY.md A2/W4/W5 + engine-added as-of join
+and sessionization) over the events table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark.timeseries import (
+    asof_join,
+    daily_counts,
+    gap_fill_daily,
+    rolling_zscore,
+    sessionize,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from cdc_pipe_line_spark.queries import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _gapfilled(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = daily_counts(ev, "ts", ["event_type"])
+    return gap_fill_daily(daily, group_cols=["event_type"])
+
+
+def q_daily_gapfilled(spark, sf_dir):
+    """A2+W4: daily counts per type, zero-filled over the global day
+    spine."""
+    return _gapfilled(spark, sf_dir).select(
+        "event_type", F.date_format("d", "yyyy-MM-dd").alias("d"), "value"
+    )
+
+
+def q_rolling_zscore(spark, sf_dir):
+    """W5: native rolling z-score anomaly scorer (trailing-7 mean /
+    stddev, |z|>3, >=12-point guard) — the Spark-side replacement for
+    the reference's remote anomaly service."""
+    scored = rolling_zscore(
+        _gapfilled(spark, sf_dir), group_cols=["event_type"], lookback=7
+    )
+    return scored.select(
+        "event_type",
+        F.date_format("timestamp", "yyyy-MM-dd").alias("timestamp"),
+        "value",
+        "is_anomaly",
+        F.round("score", 4).alias("score"),
+        F.round("expected_value", 4).alias("expected_value"),
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """Engine-added as-of join: each purchase matched to the user's
+    latest click at-or-before it (union-and-carry, one shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_value"],
+    )
+    return out.select("event_id", "user_id", "click_value")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap), sessions per user."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, key_cols=["user_id"], ts_col="ts", gap="30 minutes")
+    return s.groupBy("user_id").agg(
+        F.max("session_seq").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_DAILY_SQL = """
+daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2),
+rng AS (SELECT min(d) AS s, max(d) AS e FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series((SELECT s FROM rng), (SELECT e FROM rng),
+              INTERVAL 1 DAY)) AS DATE) AS d),
+groups AS (SELECT DISTINCT event_type FROM daily),
+filled AS (
+  SELECT g.event_type, sp.d, COALESCE(dl.value, 0.0) AS value
+  FROM groups g CROSS JOIN spine sp
+  LEFT JOIN daily dl ON dl.event_type = g.event_type AND dl.d = sp.d)"""
+
+QUERIES = {
+    "ts_daily_gapfilled": q_daily_gapfilled,
+    "ts_rolling_zscore": q_rolling_zscore,
+    "ts_asof_join": q_asof_join,
+    "ts_sessionize": q_sessionize,
+}
+
+ORACLE = {
+    "ts_daily_gapfilled": f"""
+WITH {_DAILY_SQL}
+SELECT event_type, strftime(d, '%Y-%m-%d') AS d, value FROM filled""",
+    "ts_rolling_zscore": f"""
+WITH {_DAILY_SQL},
+scored AS (
+  SELECT event_type, d, value,
+    count(*) OVER (PARTITION BY event_type) AS n,
+    avg(value) OVER w AS expected_value,
+    stddev_samp(value) OVER w AS sd
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY d ASC
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, strftime(d, '%Y-%m-%d') AS timestamp, value,
+  COALESCE(abs(CASE WHEN sd > 0 THEN (value - expected_value) / sd END) > 3.0,
+           FALSE) AS is_anomaly,
+  round(CASE WHEN sd > 0 THEN (value - expected_value) / sd END, 4) AS score,
+  round(expected_value, 4) AS expected_value
+FROM scored WHERE n >= 12""",
+    "ts_asof_join": """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, c.click_value
+FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts""",
+    "ts_sessionize": """
+WITH x AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC))
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+  count(*) AS n_events
+FROM x GROUP BY user_id""",
+}

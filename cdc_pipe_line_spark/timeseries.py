@@ -1,0 +1,212 @@
+"""Time-series operators (SURVEY.md §2.5 A2, §2.6 W4-W5, J10-adjacent):
+daily aggregation, date-spine gap fill, rolling anomaly scoring, as-of
+joins, sessionization.
+
+The reference built daily change counts in a Python dict, zero-filled
+gaps in a loop, and outsourced scoring to a remote anomaly service
+(automl_anomaly_detection.py:190-246).  Spark-first: the series is a
+grouped aggregation, the spine is ``sequence()+explode`` (no driver
+loop), and scoring is a rolling-window z-score — all Catalyst
+expressions, per-series parallel, no data leaves the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Reference guard: series shorter than this are not scored
+#: (automl_anomaly_detection.py:112).
+MIN_POINTS = 12
+
+
+def daily_counts(
+    df: DataFrame, ts_col: str = "ts", group_cols: list[str] | None = None
+) -> DataFrame:
+    """Events -> per-day counts (A2; automl_anomaly_detection.py:190-213).
+
+    One shuffle on (group_cols, day); map-side partial counts make the
+    exchange tiny regardless of input size.
+    """
+    group_cols = group_cols or []
+    return (
+        df.groupBy(
+            *group_cols, F.to_date(F.date_trunc("day", ts_col)).alias("d")
+        )
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+
+
+def date_spine(start: Column, end: Column) -> Column:
+    """Array of every date in [start, end] (W4 building block)."""
+    return F.sequence(start, end, F.expr("INTERVAL 1 DAY"))
+
+
+def gap_fill_daily(
+    daily: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    d_col: str = "d",
+    value_col: str = "value",
+    fill: float = 0.0,
+) -> DataFrame:
+    """Zero-fill missing days over each series' [min, max] range — the
+    whole table's range when grouped, so all series share one spine
+    (W4; automl_anomaly_detection.py:215-227).
+
+    Spine = one global [min,max] aggregate (broadcast) x distinct
+    groups, exploded JVM-side; counts join back on (group, day).  The
+    left side of the join is the spine (small relative to the raw
+    events) so this stays cheap at scale.
+    """
+    group_cols = group_cols or []
+    rng = daily.agg(
+        F.min(d_col).alias("__start"), F.max(d_col).alias("__end")
+    )
+    spine = rng.select(
+        F.explode(date_spine(F.col("__start"), F.col("__end"))).alias(d_col)
+    )
+    if group_cols:
+        groups = daily.select(*group_cols).distinct()
+        spine = groups.crossJoin(F.broadcast(spine))
+    filled = spine.join(daily, on=[*group_cols, d_col], how="left")
+    return filled.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(fill)))
+
+
+def rolling_zscore(
+    series: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    d_col: str = "d",
+    value_col: str = "value",
+    lookback: int = 7,
+    threshold: float = 3.0,
+    min_points: int = MIN_POINTS,
+) -> DataFrame:
+    """Native anomaly scorer replacing the reference's remote detector
+    (W5; automl_anomaly_detection.py:112-136,233-246).
+
+    Per point: expected = trailing-``lookback`` mean, score =
+    (value - expected) / stddev, anomaly = |score| > threshold.
+    Series shorter than ``min_points`` are rejected wholesale, like the
+    reference's >=12-point guard.  Output schema mirrors the
+    reference's result rows: ``(..., timestamp, value, is_anomaly,
+    score, expected_value)``.
+
+    One shuffle on group_cols; the rolling frame is a ROWS window —
+    codegen'd, no UDF.
+    """
+    group_cols = group_cols or []
+    w_order = Window.partitionBy(*group_cols).orderBy(F.col(d_col).asc())
+    w_trail = w_order.rowsBetween(-lookback, -1)
+    w_all = Window.partitionBy(*group_cols)
+
+    scored = (
+        series.withColumn("__n", F.count("*").over(w_all))
+        .filter(F.col("__n") >= min_points)
+        .withColumn("expected_value", F.avg(value_col).over(w_trail))
+        .withColumn("__sd", F.stddev_samp(value_col).over(w_trail))
+        .withColumn(
+            "score",
+            F.when(
+                F.col("__sd").isNotNull() & (F.col("__sd") > 0),
+                (F.col(value_col) - F.col("expected_value")) / F.col("__sd"),
+            ),
+        )
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("score")) > threshold, F.lit(False)),
+        )
+    )
+    return scored.select(
+        *group_cols,
+        F.col(d_col).alias("timestamp"),
+        F.col(value_col).alias("value"),
+        "is_anomaly",
+        "score",
+        "expected_value",
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """Distributed as-of join (SURVEY.md §2.3 "engine adds"): for each
+    left row, the latest right row with ``right_ts <= left_ts`` per
+    key (direction='backward'; 'forward' mirrors it).
+
+    Spark has no native as-of join; the scalable pattern is
+    union-and-carry: tag both sides, sort each key's rows by time, and
+    carry the last-seen right values forward with
+    ``last(ignorenulls=True)``.  ONE shuffle total (on the key), vs. a
+    naive range-join + aggregate which shuffles twice and explodes
+    matches.  Right rows at equal timestamps are pre-deduped
+    (greatest-by-ts wins deterministically via max).
+    """
+    assert direction in ("backward", "forward")
+    # dedup right side at (key, ts): deterministic max per value col
+    r = right.groupBy(*on, F.col(right_ts).alias("__ts")).agg(
+        *[F.max(c).alias(c) for c in value_cols]
+    )
+    l_tag = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    r_tag = r.withColumn("__is_left", F.lit(0))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts => inclusive <=
+        order = [F.col("__ts").asc(), F.col("__is_left").asc()]
+        frame = Window.partitionBy(*on).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        carry = {c: F.last(F.when(F.col("__is_left") == 0, F.col(c)), ignorenulls=True).over(frame) for c in value_cols}
+    else:
+        order = [F.col("__ts").desc(), F.col("__is_left").asc()]
+        frame = Window.partitionBy(*on).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        carry = {c: F.last(F.when(F.col("__is_left") == 0, F.col(c)), ignorenulls=True).over(frame) for c in value_cols}
+
+    carried = unioned
+    for c, expr in carry.items():
+        carried = carried.withColumn(f"__asof_{c}", expr)
+    out = carried.filter(F.col("__is_left") == 1).drop("__is_left", "__ts")
+    for c in value_cols:
+        out = out.drop(c).withColumnRenamed(f"__asof_{c}", c)
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the previous event of the key exceeds ``gap``.
+
+    lag + conditional cumsum over one key-partitioned window (the
+    standard batch pattern; streaming uses ``session_window``).
+    Adds ``session_id`` = ``<key>-<n>`` stable within the key.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    new_sess = (
+        F.col(ts_col)
+        > F.lag(F.col(ts_col)).over(w) + gap_expr
+    )
+    return (
+        df.withColumn("__new", F.when(new_sess | F.lag(ts_col).over(w).isNull(), 1).otherwise(0))
+        .withColumn("session_seq", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"))
+        .drop("__new")
+    )

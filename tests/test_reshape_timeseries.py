@@ -1,0 +1,141 @@
+"""Golden-case tests for reshape (R1-R9) and timeseries (W4/W5/as-of)
+semantics per SURVEY.md §5."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark.reshape import (
+    detect_header_pandas,
+    pivot_to_wide,
+    union_with_drift,
+    unpivot_to_tall,
+)
+from cdc_pipe_line_spark.timeseries import (
+    MIN_POINTS,
+    asof_join,
+    daily_counts,
+    gap_fill_daily,
+    rolling_zscore,
+)
+
+
+def test_unpivot_pivot_roundtrip(spark):
+    """Wide financial shape: metrics x dates round-trips exactly
+    (SURVEY §5: unpivot∘pivot on data/Balance-Sheet-TTM.csv shape)."""
+    wide = spark.createDataFrame(
+        [
+            ("AEP", "Cash & Equivalents", 1.5, None),
+            ("AEP", "PE Ratio", 30.1, 28.0),
+            ("DUK", "Cash & Equivalents", 9.9, 8.8),
+        ],
+        ["Company", "METRIC", "2024-12-31", "2024-09-30"],
+    )
+    tall = unpivot_to_tall(
+        wide, ["Company", "METRIC"], var_name="Date", value_name="value"
+    )
+    assert tall.count() == 6  # 3 rows x 2 dates, nulls preserved
+    back = pivot_to_wide(
+        tall,
+        ["Company", "METRIC"],
+        "Date",
+        "value",
+        values=["2024-12-31", "2024-09-30"],
+    )
+    got = {
+        (r["Company"], r["METRIC"]): (r["2024-12-31"], r["2024-09-30"])
+        for r in back.collect()
+    }
+    assert got[("AEP", "Cash & Equivalents")] == (1.5, None)
+    assert got[("DUK", "Cash & Equivalents")] == (9.9, 8.8)
+
+
+def test_unpivot_numeric_coercion(spark):
+    """R1 coerces invalid numerics to null (pd.to_numeric
+    errors='coerce'; azuredatalake.py:209)."""
+    wide = spark.createDataFrame(
+        [("m1", "1.5", "oops")], ["METRIC", "2024-12-31", "2024-09-30"]
+    )
+    tall = unpivot_to_tall(wide, ["METRIC"], var_name="Date", value_name="v")
+    vals = {r.Date: r.v for r in tall.collect()}
+    assert vals == {"2024-12-31": 1.5, "2024-09-30": None}
+
+
+def test_union_drift_positions(spark):
+    a = spark.createDataFrame([(1, "x")], "k int, a string")
+    b = spark.createDataFrame([(2, "y")], "k int, b string")
+    out = union_with_drift([a, b])
+    assert set(out.columns) == {"k", "a", "b"}
+    rows = {r.k: (r.a, r.b) for r in out.collect()}
+    assert rows == {1: ("x", None), 2: (None, "y")}
+
+
+def test_detect_header():
+    """R5: scan first 3 rows for a 'date' cell; first header ->
+    METRIC; rows above dropped (app/app.py:610-619)."""
+    raw = pd.DataFrame(
+        [
+            ["Some Title", None, None],
+            ["Company", "Date", "2024-12-31"],
+            ["AEP", "Cash", "1.5"],
+        ]
+    )
+    out = detect_header_pandas(raw)
+    assert list(out.columns) == ["METRIC", "Date", "2024-12-31"]
+    assert len(out) == 1 and out.iloc[0, 0] == "AEP"
+    assert detect_header_pandas(pd.DataFrame([["a", "b"], ["c", "d"]])) is None
+
+
+def test_gap_fill_and_min_points_guard(spark):
+    rows = [
+        ("A", dt.datetime(2024, 1, d, 12), ) for d in range(1, 16) if d not in (5, 9)
+    ] + [("B", dt.datetime(2024, 1, 2, 1),)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    daily = daily_counts(df, "ts", ["g"])
+    filled = gap_fill_daily(daily, group_cols=["g"])
+    # spine = global [jan1, jan15]; both series get 15 rows
+    assert filled.filter(F.col("g") == "A").count() == 15
+    assert filled.filter(F.col("g") == "B").count() == 15
+    zero_days = filled.filter((F.col("g") == "A") & (F.col("value") == 0.0)).count()
+    assert zero_days == 2  # jan 5, jan 9 zero-filled
+    # B has 1 real point + 14 zeros = 15 >= MIN_POINTS passes; test guard
+    scored = rolling_zscore(filled, group_cols=["g"], min_points=16)
+    assert scored.count() == 0  # both series rejected under a higher guard
+    scored2 = rolling_zscore(filled, group_cols=["g"], min_points=MIN_POINTS)
+    assert scored2.count() == 30
+    cols = scored2.columns
+    assert cols == ["g", "timestamp", "value", "is_anomaly", "score", "expected_value"]
+
+
+def test_rolling_zscore_flags_spike(spark):
+    """FIXTURES.md §4: injected 10x spike must be flagged."""
+    rows = [("s", dt.date(2024, 1, d), 5.0 + (d % 3) * 0.5) for d in range(1, 20)]
+    rows[14] = ("s", dt.date(2024, 1, 15), 60.0)  # spike
+    df = spark.createDataFrame(rows, "g string, d date, value double")
+    scored = rolling_zscore(df, group_cols=["g"])
+    flagged = {r.timestamp for r in scored.filter("is_anomaly").collect()}
+    assert dt.date(2024, 1, 15) in flagged
+    # warm-up rows (no trailing window) are never flagged
+    assert dt.date(2024, 1, 1) not in flagged
+
+
+def test_asof_join_golden(spark):
+    left = spark.createDataFrame(
+        [("p1", 1, dt.datetime(2024, 1, 1, 10)), ("p2", 1, dt.datetime(2024, 1, 1, 12)),
+         ("p3", 2, dt.datetime(2024, 1, 1, 9))],
+        "event_id string, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), 7.0),   # equal ts: inclusive
+         (1, dt.datetime(2024, 1, 1, 11), 8.0),
+         (2, dt.datetime(2024, 1, 2, 0), 9.0)],   # after left: no match
+        "user_id bigint, ts timestamp, v double",
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["v"]
+    )
+    got = {r.event_id: r.v for r in out.collect()}
+    assert got == {"p1": 7.0, "p2": 8.0, "p3": None}
