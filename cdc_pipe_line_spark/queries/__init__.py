@@ -11,9 +11,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cdc_pipe_line_spark.queries import cdc_q, relational_q, reshape_q, timeseries_q
+from cdc_pipe_line_spark.queries import (
+    cdc_q,
+    relational_q,
+    reshape_q,
+    scd2_q,
+    similarity_q,
+    text_q,
+    timeseries_q,
+)
 
-_MODULES = [cdc_q, relational_q, reshape_q, timeseries_q]
+_MODULES = [cdc_q, relational_q, reshape_q, scd2_q, timeseries_q, text_q, similarity_q]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

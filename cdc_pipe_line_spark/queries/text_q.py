@@ -1,0 +1,174 @@
+"""Text-analysis + dedup queries over ``documents`` (north-star ops:
+language-ID, quality scoring, token counting, fingerprinting, exact +
+near dedup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark.text import (
+    LANG_LEXICON,
+    TOKEN_REGEX,
+    dedup_exact,
+    fingerprint,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    text_stats,
+    token_counts,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from cdc_pipe_line_spark.queries import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def q_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_stats(docs).select(
+        "doc_id", "n_words", "avg_word_len", "punct_ratio", "stopword_ratio"
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+def q_language_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup under replay: duplicate every doc at shifted ids;
+    the min-id survivor set must be exactly the original ids."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    replayed = docs.unionByName(shifted)
+    survivors = dedup_exact(replayed)
+    return fingerprint(survivors).select("doc_id", "fp_md5")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by 5-gram Jaccard >= 0.5 (inverted-index
+    candidates, exact verify)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, Jaccard-verified.  No SQL oracle:
+    LSH candidate recall is probabilistic (rows-only check); the
+    Jaccard query above is the SQL-checked ground truth."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=5, threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming<=3 (banded candidates).
+    Rows-only: 64-bit banding is not reasonably SQL-expressible."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+_DOCS_NORM = (
+    "docs AS (SELECT doc_id, lang, "
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t, text "
+    "FROM documents)"
+)
+
+_WORDS = "words AS (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w FROM documents)"
+
+_EN = "', '".join(LANG_LEXICON["en"])
+
+
+def _lang_hits_sql() -> str:
+    cols = []
+    for lang, lex in sorted(LANG_LEXICON.items()):
+        lst = "', '".join(lex)
+        cols.append(
+            f"len(list_filter(lw, x -> list_contains(['{lst}'], x))) AS h_{lang}"
+        )
+    return ", ".join(cols)
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_token_counts": q_token_counts,
+    "text_language_id": q_language_id,
+    "text_exact_dedup": q_exact_dedup,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_simhash": q_simhash,
+}
+
+ORACLE = {
+    "text_stats": f"""
+WITH {_WORDS}
+SELECT d.doc_id,
+  CAST(len(w) AS BIGINT) AS n_words,
+  round(length(regexp_replace(d.text, '\\s+', '', 'g')) / greatest(len(w), 1), 4)
+    AS avg_word_len,
+  round((length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+        / greatest(length(d.text), 1), 4) AS punct_ratio,
+  round(len(list_filter(w, x -> list_contains(['{_EN}'], lower(x))))
+        / greatest(len(w), 1), 4) AS stopword_ratio
+FROM documents d JOIN words w ON d.doc_id = w.doc_id""",
+    "text_token_counts": f"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS bpe_tokens
+FROM documents""",
+    "text_language_id": f"""
+WITH {_WORDS},
+lw_t AS (SELECT doc_id, list_transform(w, x -> lower(x)) AS lw FROM words),
+hits AS (SELECT doc_id, {_lang_hits_sql()} FROM lw_t),
+scored AS (SELECT doc_id, h_de, h_en, h_es, h_fr,
+           greatest(h_de, h_en, h_es, h_fr) AS g FROM hits)
+SELECT d.doc_id, d.lang,
+  CASE WHEN g = 0 THEN 'und'
+       WHEN h_fr = g THEN 'fr'
+       WHEN h_es = g THEN 'es'
+       WHEN h_en = g THEN 'en'
+       ELSE 'de' END AS lang_pred
+FROM documents d JOIN scored s ON d.doc_id = s.doc_id""",
+    "text_exact_dedup": """
+WITH replayed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents),
+keyed AS (
+  SELECT doc_id, text,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM replayed)
+SELECT min(doc_id) AS doc_id, fp AS fp_md5
+FROM keyed GROUP BY fp""",
+    "dedup_ngram_jaccard": """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3),
+                          i -> array_to_string(w[i:i+4], ' '))
+      ELSE [] END) AS sh
+  FROM words),
+sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh),
+ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM sized),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_shared
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b,
+  round(n_shared / (n_a + n_b - n_shared), 4) AS jaccard
+FROM shared
+WHERE round(n_shared / (n_a + n_b - n_shared), 4) >= 0.5""",
+}

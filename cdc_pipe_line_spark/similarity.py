@@ -1,0 +1,180 @@
+"""Embedding similarity search (BASELINE.json north-star): brute-force
+cosine top-k as the exact baseline, LSH-bucketed and IVF variants as
+the 100 TB scale path.
+
+Design: embeddings are ``array<float>`` columns.  All math is done in
+**double** precision with explicit left-to-right folds
+(``zip_with`` + ``aggregate``), so an oracle that sums in the same
+index order reproduces results bit-for-bit.  No UDFs — everything is
+Catalyst higher-order functions, codegen'd JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product (index order 1..d)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query.
+
+    At scale the corpus side stays partitioned; per-partition partial
+    top-k is handled by the window's sort + AQE.  The query set must
+    fit in a broadcast (the usual ANN-serving shape).  Excludes
+    self-matches when ids collide.
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("__cid") != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cos_sim"), F.asc(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic signed-random-projection planes (driver-side,
+    tiny; broadcast as literals into the plan)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).round(6).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from hyperplane projections."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucketing, exact
+    re-rank within the query's bucket.
+
+    The corpus is hashed once (narrow), the join is an equi-join on
+    the bucket id (one small shuffle) instead of a cross join —
+    the scale path when the query set is large.  Recall < 1 by
+    construction; pair with multiple tables for production recall.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    qb = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    cb = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "__bucket")
+        .filter(F.col("__cid") != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, emitted
+    once (id_a < id_b).
+
+    ``block_col`` bounds the candidate space (same-label blocking);
+    pass None for the exact all-pairs sweep (small corpora only).  The
+    production path replaces blocking with :func:`lsh_topk` buckets.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    on = ["blk"] if block_col else None
+    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    return (
+        joined.filter(cond)
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

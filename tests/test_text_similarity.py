@@ -1,0 +1,131 @@
+"""Golden-case tests for dedup, similarity, text analysis, multimodal
+plumbing (the north-star training-data operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark.multimodal import (
+    as_media_table,
+    extract_media_meta,
+    fake_decode_meta,
+    sample_frames,
+)
+from cdc_pipe_line_spark.similarity import brute_force_topk, cosine, lsh_topk
+from cdc_pipe_line_spark.text import (
+    dedup_exact,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    text_stats,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+    (2, "the quick brown fox jumps over the lazy dog again and again ok"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy dog again and again now"),  # near dup
+    (4, "completely different words about spark engines and shuffle planning"),
+    (5, "el gato la casa de los perros y las flores es bonita"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact_min_id_survives(spark):
+    out = dedup_exact(_docs(spark))
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {1, 3, 4, 5}  # doc 2 is an exact dup of 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), n=5, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # identical
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), n=5, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs always collide in every band
+
+
+def test_simhash_identical_distance_zero(spark):
+    pairs = simhash_pairs(_docs(spark), max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 4) not in got
+
+
+def test_language_id_obvious_cases(spark):
+    out = {r.doc_id: r.lang_pred for r in language_id(_docs(spark)).collect()}
+    assert out[1] == "en" and out[5] == "es"
+
+
+def test_text_stats_known_values(spark):
+    df = spark.createDataFrame([(1, "Aa bb, cc!")], "doc_id long, text string")
+    r = text_stats(df).collect()[0]
+    assert r.n_words == 3
+    assert r.punct_ratio == round(2 / 10, 4)
+    assert r.avg_word_len == round(8 / 3, 4)
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_ordering(spark):
+    emb = _vecs(spark)
+    q = emb.filter("vec_id = 1").select(F.col("vec_id").alias("q_id"), "embedding")
+    out = brute_force_topk(q, emb, k=2).collect()
+    ranked = [(r.vec_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [(2, 1), (3, 2)]  # 2 closest, then orthogonal, never self
+
+
+def test_lsh_recall_on_close_vectors(spark):
+    """LSH must keep same-direction vectors in one bucket (hyperplane
+    signs match for near-identical vectors with overwhelming prob at 6
+    planes x this geometry)."""
+    emb = _vecs(spark)
+    q = emb.filter("vec_id = 1").select(F.col("vec_id").alias("q_id"), "embedding")
+    out = lsh_topk(q, emb, k=2, n_planes=4, dim=3).collect()
+    assert any(r.vec_id == 2 for r in out)
+
+
+def test_media_meta_matches_fake_decode(spark):
+    docs = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
+    media = as_media_table(
+        docs, id_col="doc_id", payload_col=F.col("text").cast("binary"),
+        media_type="image/fake",
+    )
+    r = extract_media_meta(media).collect()[0]
+    assert r.n_bytes == 11
+    assert (r.width, r.height) == fake_decode_meta(b"hello world")
+    import hashlib
+
+    assert r.content_md5 == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_sample_frames_bounds(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 5000)], "doc_id long, text string"
+    )
+    media = as_media_table(
+        docs, id_col="doc_id", payload_col=F.col("text").cast("binary"),
+        media_type="video/fake",
+    )
+    out = sample_frames(media, every_n_bytes=1024, max_frames=3)
+    counts = {r[0]: r[1] for r in out.groupBy("media_id").count().collect()}
+    assert counts == {1: 1, 2: 3}  # min 1 frame, capped at max_frames
+    offsets = [r.byte_offset for r in out.filter("media_id = 2").collect()]
+    assert sorted(offsets) == [0, 1024, 2048]
