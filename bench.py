@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line to stdout:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the `noop` sink (full computation,
+no driver-side collect, no optimizer shortcut via count-only plans) —
+the same action profile a cluster write would have.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_pipe_line_spark.queries import all_queries
+from cdc_pipe_line_spark.session import get_spark
+
+# Headline set: one per operator family (SURVEY.md §2), weighted toward
+# the scale-sensitive paths (CDC diff, joins, windows, dedup, ANN).
+HEADLINE = [
+    "cdc_diff_events",  # flagship: snapshot diff via anti/inner joins (J1-J3)
+    "agg_pricing_summary",  # TPC-H Q1-shaped hash aggregate (A1-A5)
+    "join_revenue_by_region",  # multi-way broadcast join + agg (J family)
+    "window_latest_order_per_customer",  # partitioned window top-1 (W1)
+    "reshape_union_drift",  # unionByName w/ drift (R3)
+    "scd2_current_state",  # SCD2 current view (J6/J9)
+    "ts_rolling_zscore",  # window-frame anomaly scoring (W5)
+    "ts_asof_join",  # custom as-of join (range join)
+    "text_stats",  # document quality scoring (north star)
+    "dedup_minhash_lsh",  # MinHash LSH near-dup (north star)
+    "sim_knn_bruteforce",  # cosine top-k over embeddings (north star)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="cdc-pipe-line-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = all_queries()
+
+    # Untimed warmup: JVM/codegen/Python-worker spin-up, table file
+    # listing.  Keeps timings about the queries, not session cold-start.
+    spark.range(1_000_000).selectExpr("sum(id)").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    registry["cdc_diff_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = registry[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

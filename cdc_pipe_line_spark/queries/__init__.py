@@ -58,4 +58,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+    # The synthetic test files are single-row-group parquet, so the scan
+    # is ONE input split and every downstream narrow op runs on one core.
+    # For the text/embedding tables the per-row work (shingling, minhash,
+    # cosine) dwarfs a sub-MB shuffle, so fan out to the session's
+    # parallelism when the scan under-splits.  Relational tables are left
+    # alone: their first shuffle (join/agg) already spreads the work, and
+    # a forced repartition just adds a stage.  At production scale a
+    # table has >> defaultParallelism splits and this is a no-op.
+    if name in ("documents", "embeddings"):
+        parallelism = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
     return df

@@ -134,7 +134,13 @@ def dedup_exact(
 
 
 def shingles(text: Column, n: int = 5) -> Column:
-    """Distinct word n-gram shingles of a document."""
+    """Distinct word n-gram shingles of a document.
+
+    NOTE: prefer :func:`shingle_df` on the hot path — nesting this
+    whole tree in one projection re-evaluates the word split inside
+    every higher-order-function lambda call (Catalyst does no CSE for
+    interpreted lambdas; measured ~6x slower at sf0.1).
+    """
     words = _words(normalize_text(text))
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     grams = F.transform(
@@ -143,6 +149,35 @@ def shingles(text: Column, n: int = 5) -> Column:
     return F.array_distinct(
         F.when(F.size(words) >= n, grams).otherwise(F.array())
     )
+
+
+def shingle_df(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """``(id, sh: array<string>)`` of distinct word n-gram shingles.
+
+    Documents with fewer than ``n`` words are dropped (they have no
+    shingles; every consumer treats them as contributing nothing).
+
+    Materializes the word array in its own projection first so the
+    split/normalize work runs once per row; the shingle lambda then
+    only slices the materialized array.  CollapseProject keeps the two
+    projections separate because the word expression is non-cheap and
+    multiply-referenced.  Do NOT filter on ``size(sh)`` downstream:
+    predicate pushdown substitutes the whole shingle expression into a
+    scan-level filter (measured: the entire corpus re-shingled inside
+    one pre-exchange task) — the word-level filter here is the cheap
+    equivalent.
+    """
+    w = df.select(
+        F.col(id_col).alias("id"),
+        _words(normalize_text(F.col(text_col))).alias("__w"),
+    )
+    wc = F.col("__w")
+    w = w.filter(F.size(wc) >= n)
+    idx = F.sequence(F.lit(0), F.size(wc) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(wc, i + 1, n)))
+    return w.select("id", F.array_distinct(grams).alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -162,9 +197,9 @@ def ngram_jaccard_pairs(
     shared shingles, |A∪B| from the per-doc distinct counts.
     Pairs are emitted once with ``id_a < id_b``.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n).withColumn(
+        "n_sh", F.size("sh")
+    )
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -204,35 +239,40 @@ def minhash_signatures(
     """MinHash signatures over word-shingles.
 
     Permutation family h_i(x) = (a_i * x + b_i) mod p over the
-    xxhash64 of each shingle — deterministic from ``seed``, computed
-    as array expressions (no UDF).  Output: (id, sig: array<bigint>).
+    xxhash64 of each shingle — deterministic from ``seed``.  Shingle
+    hashing stays JVM-side (xxhash64); the permutation/min step is an
+    Arrow-batched numpy UDF: the expression form (num_hashes
+    ``transform`` lambdas per row) is evaluated interpretively by
+    Catalyst and measured ~10x slower at sf0.1.  Output:
+    (id, sig: array<bigint>).
     """
     import random
 
-    rnd = random.Random(seed)
-    # 2^31-1: keeps (x * a) within int64 under ANSI overflow checking
-    # (x, a < 2^31 => product < 2^62); 31-bit minhash space is ample
-    # for banding.
-    p = (1 << 31) - 1
-    coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
+    from pyspark.sql.functions import pandas_udf
 
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    rnd = random.Random(seed)
+    # 2^31-1: keeps (x * a) within int64 (x, a < 2^31 => product
+    # < 2^62); 31-bit minhash space is ample for banding.
+    p = (1 << 31) - 1
+    A = np.array([rnd.randrange(1, p) for _ in range(num_hashes)], dtype=np.int64)
+    B = np.array([rnd.randrange(0, p) for _ in range(num_hashes)], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def minhash_vote(hx: pd.Series) -> pd.Series:
+        out = []
+        for arr in hx:
+            if arr is None or len(arr) == 0:
+                out.append(None)
+                continue
+            x = np.asarray(arr, dtype=np.int64)
+            out.append(((A[:, None] * x[None, :] + B[:, None]) % p).min(axis=1))
+        return pd.Series(out)
+
+    sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n)
     hashed = sh.withColumn(
         "hx", F.transform("sh", lambda g: F.pmod(F.xxhash64(g), F.lit(p)))
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    "hx", lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(p)
-                )
-            )
-            for a, b in coeffs
-        ]
-    )
-    return hashed.select("id", sig.alias("sig"))
+    return hashed.select("id", minhash_vote("hx").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -257,6 +297,7 @@ def minhash_lsh_pairs(
     bounds on collision probability tuned by (bands, rows).
     """
     rows_per_band = num_hashes // bands
+    sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n)
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes, seed=seed
     )
@@ -295,10 +336,26 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(
-        df, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+    # Verify ONLY the LSH candidates: join their shingle sets back on and
+    # compute exact Jaccard via array_intersect.  Candidate count is what
+    # LSH bounds, so this stays O(candidates) — never a full-corpus
+    # inverted-index join.
+    n_shared = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    return (
+        cand.join(sh.alias("a"), F.col("id_a") == F.col("a.id"))
+        .join(sh.alias("b"), F.col("id_b") == F.col("b.id"))
+        .withColumn("n_shared", n_shared)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - F.col("n_shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    return cand.join(verified, ["id_a", "id_b"], "inner")
 
 
 def _simhash_vote_udf():
@@ -335,10 +392,20 @@ def _simhash_vote_udf():
 
 def simhash64(text: Column, n: int = 3) -> Column:
     """64-bit SimHash over word ``n``-grams: JVM-side shingle hashing,
-    Arrow-batched numpy bit voting."""
+    Arrow-batched numpy bit voting.  (Column form — prefer
+    :func:`simhash_df` on the hot path, see :func:`shingle_df`.)"""
     sh = shingles(text, n)
     hx = F.transform(sh, lambda g: F.xxhash64(g))
     return _simhash_vote_udf()(hx)
+
+
+def simhash_df(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """``(id, h: bigint)`` SimHash via the materialized shingle path."""
+    sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n)
+    hx = F.transform("sh", lambda g: F.xxhash64(g))
+    return sh.select("id", _simhash_vote_udf()(hx).alias("h"))
 
 
 def simhash_pairs(
@@ -358,7 +425,7 @@ def simhash_pairs(
     """
     bands = max_hamming + 1
     width = 64 // bands
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), n).alias("h"))
+    sh = simhash_df(df, id_col=id_col, text_col=text_col, n=n)
     banded = sh.select(
         "id",
         "h",
