@@ -17,11 +17,21 @@ from cdc_pipe_line_spark.queries import (
     reshape_q,
     scd2_q,
     similarity_q,
+    streaming_q,
     text_q,
     timeseries_q,
 )
 
-_MODULES = [cdc_q, relational_q, reshape_q, scd2_q, timeseries_q, text_q, similarity_q]
+_MODULES = [
+    cdc_q,
+    relational_q,
+    reshape_q,
+    scd2_q,
+    timeseries_q,
+    text_q,
+    similarity_q,
+    streaming_q,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,223 @@
+"""Streaming queries (SURVEY.md §2.9 T1-T8) run as bounded
+``availableNow`` streams so the DuckDB oracle can check them like any
+batch query.
+
+Each query stages a deterministic JSON-lines copy of the ``events``
+table under ``/tmp/cdc_stream_cache`` (the file source is the local
+stand-in for Kafka — same value shape, same replay semantics), runs a
+real Structured Streaming query (watermarks, stateful dedup, keyed
+state, foreachBatch SCD2), and returns the drained result.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cdc_pipe_line_spark import streaming as st
+from cdc_pipe_line_spark.cdc.scd2 import current_view
+
+#: JSON timestamp format carrying full microseconds — the Spark default
+#: truncates to milliseconds, which would break value-hash parity with
+#: the parquet-fed oracle.
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from cdc_pipe_line_spark.queries import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _stage(spark: SparkSession, sf_dir: str, variant: str) -> str:
+    """Write the deterministic JSON staging for ``variant`` once.
+
+    - ``raw``: one dir of raw events.
+    - ``raw_dup``: the same events twice (at-least-once replay shape).
+    - ``cdc``: CDC-enveloped events in four event-id-quartile buckets
+      (event_id order == time order in this table), one file each, so
+      ``maxFilesPerTrigger=1`` yields four time-ordered micro-batches.
+    """
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = f"/tmp/cdc_stream_cache/{sf_name}/{variant}"
+    marker = os.path.join(base, "_READY")
+    if os.path.exists(marker):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+
+    events = _t(spark, sf_dir, "events")
+    raw = events.select("event_id", "ts", "user_id", "event_type", "value")
+
+    def _write(df: DataFrame, sub: str) -> None:
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("timestampFormat", _TS_FMT)
+            .json(os.path.join(base, sub))
+        )
+
+    if variant == "raw":
+        _write(raw, "d0")
+    elif variant == "raw_dup":
+        _write(raw, "d0")
+        _write(raw, "d1")
+    elif variant == "cdc":
+        max_id = events.agg(F.max("event_id")).first()[0]
+        cdc = events.select(
+            F.col("event_id").cast("string").alias("event_id"),
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("event_type"),
+            F.lit("c1").alias("company_id"),
+            F.lit("events").alias("table_name"),
+            F.col("ts").alias("timestamp"),
+            F.lit("user_id").alias("key_column"),
+            F.col("user_id").cast("string").alias("key_value"),
+            F.when(
+                F.col("event_type") != "error",
+                F.create_map(
+                    F.lit("value"),
+                    F.col("value").cast("string"),
+                    F.lit("props"),
+                    F.col("props"),
+                ),
+            ).alias("new_values"),
+            F.col("event_id").alias("__id"),
+        )
+        for i in range(4):
+            lo, hi = i * (max_id + 1) // 4, (i + 1) * (max_id + 1) // 4
+            _write(
+                cdc.filter((F.col("__id") >= lo) & (F.col("__id") < hi)).drop("__id"),
+                f"b{i}",
+            )
+    else:  # pragma: no cover
+        raise ValueError(variant)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return base
+
+
+def _read_raw(spark: SparkSession, base: str, **kw) -> DataFrame:
+    return (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json")
+        .option("timestampFormat", _TS_FMT)
+        .json(base, **kw)
+    )
+
+
+def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling daily counts per type (T8 + A2)."""
+    base = _stage(spark, sf_dir, "raw")
+    stream = _read_raw(spark, base)
+    counts = st.daily_counts_stream(stream, ts_col="ts", group_cols=["event_type"])
+    out = st.run_to_memory(counts, output_mode="complete")
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "event_type", "n_events"
+    )
+
+
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replayed-twice source -> watermark dedup -> per-type counts
+    (T3): at-least-once made effectively-once."""
+    base = _stage(spark, sf_dir, "raw_dup")
+    stream = _read_raw(spark, base)
+    deduped = st.dedup_within_watermark(stream, ts_col="ts", id_col="event_id")
+    out = st.run_to_memory(deduped, output_mode="append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+def q_stream_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four time-ordered micro-batches foreachBatch-applied as SCD2
+    (T1+T3+T5); returns the current state (one row per live user)."""
+    base = _stage(spark, sf_dir, "cdc")
+    run_dir = f"/tmp/cdc_stream_run/{uuid.uuid4().hex}"
+    stream = (
+        spark.readStream.schema(st.EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json")
+        .option("timestampFormat", _TS_FMT)
+        .option("maxFilesPerTrigger", "1")
+        .json(base)
+    )
+    q = st.run_scd2_stream(
+        stream,
+        os.path.join(run_dir, "history"),
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+    )
+    q.awaitTermination()
+    history = st.read_scd2_history(spark, os.path.join(run_dir, "history"))
+    cur = current_view(history)
+    out = cur.select(
+        F.col("key_value").cast("bigint").alias("user_id"),
+        F.col("valid_from"),
+        F.col("data")["value"].cast("double").alias("value"),
+    )
+    out = out.cache()
+    out.count()  # materialize before the run dir is removed
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return out
+
+
+def q_stream_every_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed every-10th-event trigger via applyInPandasWithState (T6)."""
+    base = _stage(spark, sf_dir, "raw")
+    stream = _read_raw(spark, base)
+    trig = st.every_n_trigger(stream, group_col="event_type", n=10)
+    out = st.run_to_memory(trig, output_mode="update")
+    # one emitted row per (key, batch); the final cumulative row per
+    # key is the answer
+    return out.groupBy("group_key").agg(
+        F.max("events_seen").alias("events_seen"),
+        F.max("triggers_fired").alias("triggers_fired"),
+    )
+
+
+QUERIES = {
+    "stream_daily_counts": q_stream_daily_counts,
+    "stream_dedup_counts": q_stream_dedup_counts,
+    "stream_scd2_current": q_stream_scd2_current,
+    "stream_every_n_trigger": q_stream_every_n,
+}
+
+ORACLE = {
+    "stream_daily_counts": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events
+FROM events GROUP BY ALL""",
+    "stream_dedup_counts": """
+SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type""",
+    "stream_scd2_current": """
+WITH last AS (
+  SELECT user_id, max(ts) AS mt FROM events GROUP BY user_id)
+SELECT e.user_id, e.ts AS valid_from, e.value
+FROM events e JOIN last l ON e.user_id = l.user_id AND e.ts = l.mt
+WHERE e.event_type <> 'error'""",
+    "stream_every_n_trigger": """
+SELECT event_type AS group_key, count(*) AS events_seen,
+       count(*) // 10 AS triggers_fired
+FROM events GROUP BY event_type""",
+}

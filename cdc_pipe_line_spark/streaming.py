@@ -1,0 +1,298 @@
+"""Structured Streaming surface (SURVEY.md §2.9 T1-T8).
+
+The reference consumed Kafka with a blocking ``for message in
+consumer`` loop (consumer.py:377-397), at-least-once with sink-side
+dedup (consumer.py:133), fire-and-forget daemon threads for the Delta
+write (consumer.py:209-220), and a Redis every-10th-event trigger
+(utils.py:73-98).  Spark-first replacements:
+
+- T1/T2: ``readStream`` (file source here, Kafka in production) +
+  checkpointed offsets -> exactly-once into the sink.
+- T3: ``dropDuplicatesWithinWatermark("event_id")`` -> bounded-state
+  dedup instead of an unbounded Postgres conflict table.
+- T5: side-effects folded into ``foreachBatch`` (transactional,
+  ordered) instead of daemon threads.
+- T6: every-N trigger as keyed state (``applyInPandasWithState``)
+  instead of Redis INCR.
+- T8: event-time watermark + tumbling window replaces the reference's
+  processing-time daily batch, so late data lands in its true day.
+
+Scale notes: state stores (dedup, windows, every-N) are per-key and
+partitioned by the shuffle, so they scale horizontally; watermarks
+bound their size.  The foreachBatch SCD2 apply does constant work per
+micro-batch (scd2.apply_scd2 — one window + one broadcast join), not
+per event like the reference's 1.4-19 s/row UPDATE loop.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: CDC event envelope (reference CDCEvent, app/app.py:80-89) as a
+#: streaming schema; payloads are map<string,string> (SURVEY.md §1.1).
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", StringType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("company_id", StringType(), True),
+        StructField("table_name", StringType(), True),
+        StructField("timestamp", TimestampType(), False),
+        StructField("key_column", StringType(), True),
+        StructField("key_value", StringType(), True),
+        StructField("old_values", MapType(StringType(), StringType()), True),
+        StructField("new_values", MapType(StringType(), StringType()), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: StructType = EVENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of JSON-lines CDC events (T1).
+
+    The file source is the local stand-in for Kafka: same JSON value
+    shape, same replay semantics (checkpoint = consumer offsets, T2).
+    """
+    reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def parse_kafka_events(
+    raw: DataFrame, *, schema: StructType = EVENT_SCHEMA
+) -> DataFrame:
+    """Decode a Kafka source DataFrame (key/value binary) into typed
+    events (S9; consumer.py:383 ``json.loads``).
+
+    Use with ``spark.readStream.format("kafka")...``; kept separate so
+    it is unit-testable without a broker.
+    """
+    return raw.select(
+        F.col("key").cast("string").alias("partition_key"),
+        F.from_json(F.col("value").cast("string"), schema).alias("e"),
+    ).select("partition_key", "e.*")
+
+
+def to_kafka_sink_frame(events: DataFrame) -> DataFrame:
+    """Encode events for the Kafka sink (S8; app/app.py:266-287):
+    string key ``{company}_{table}_{event_type}`` (T4 partition
+    affinity), JSON value."""
+    return events.select(
+        F.concat_ws(
+            "_", F.col("company_id"), F.col("table_name"), F.col("event_type")
+        ).alias("key"),
+        F.to_json(F.struct(*events.columns)).alias("value"),
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    *,
+    ts_col: str = "timestamp",
+    id_col: str = "event_id",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """At-least-once -> effectively-once (T3; consumer.py:133).
+
+    State is bounded by the watermark, unlike the reference's
+    ever-growing ``cdc_events`` conflict table.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
+def daily_counts_stream(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Event-time daily counts (T8 + A2).
+
+    The reference aggregated by *processing-time* calendar day
+    (automl_anomaly_detection.py:190-213) so late events silently
+    landed on the wrong day; the watermark + tumbling window is the
+    principled replacement.
+    """
+    group_cols = group_cols or []
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 day").alias("__w"), *group_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("__w.start").cast("date").alias("day"), *group_cols, "n_events")
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    *,
+    output_mode: str,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run a bounded stream to a memory sink and return the result.
+
+    Uses ``availableNow`` so the query drains everything currently in
+    the source and stops — the batch-parity harness for every
+    streaming query in this repo (memory sink is driver-resident:
+    test/driver scale only, never a production sink).
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def run_scd2_stream(
+    events_stream: DataFrame,
+    history_base_dir: str,
+    *,
+    ts_col: str = "timestamp",
+    watermark: str = "1 day",
+    checkpoint_dir: str | None = None,
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+):
+    """Streaming SCD2 apply (T1+T3+T5): watermark-deduped events ->
+    ``foreachBatch`` -> :func:`cdc_pipe_line_spark.cdc.scd2.apply_scd2`
+    against the parquet history table.
+
+    Each micro-batch writes the NEW history to a versioned directory
+    and atomically advances a pointer file — the parquet equivalent of
+    a Delta transaction commit (with delta-spark installed this whole
+    function collapses to one two-phase ``MERGE``).  Returns the
+    StreamingQuery; history lives at ``{history_base_dir}/v{n}`` with
+    the current version in ``{history_base_dir}/_CURRENT``.
+    """
+    from cdc_pipe_line_spark.cdc.scd2 import apply_scd2
+
+    spark = events_stream.sparkSession
+    pointer = os.path.join(history_base_dir, "_CURRENT")
+    os.makedirs(history_base_dir, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        history = None
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                history = spark.read.parquet(fh.read().strip())
+        new_history = apply_scd2(history, batch_df, ts_col=ts_col)
+        out = os.path.join(history_base_dir, f"v{batch_id}")
+        new_history.write.mode("overwrite").parquet(out)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(out)
+        os.replace(tmp, pointer)  # atomic commit
+        if on_batch is not None:
+            on_batch(batch_df, batch_id)
+
+    deduped = dedup_within_watermark(
+        events_stream, ts_col=ts_col, watermark=watermark
+    )
+    writer = (
+        deduped.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_scd2_history(spark: SparkSession, history_base_dir: str) -> DataFrame:
+    """Read the committed history version written by
+    :func:`run_scd2_stream`."""
+    with open(os.path.join(history_base_dir, "_CURRENT")) as fh:
+        return spark.read.parquet(fh.read().strip())
+
+
+#: Output of the every-N trigger: cumulative counts at each firing.
+TRIGGER_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType(), False),
+        StructField("events_seen", LongType(), False),
+        StructField("triggers_fired", LongType(), False),
+    ]
+)
+
+_TRIGGER_STATE = StructType(
+    [
+        StructField("events_seen", LongType(), False),
+        StructField("triggers_fired", LongType(), False),
+    ]
+)
+
+
+def every_n_trigger(
+    stream: DataFrame,
+    *,
+    group_col: str,
+    n: int = 10,
+) -> DataFrame:
+    """Keyed every-``n``-events trigger (T6; utils.py:73-98).
+
+    The reference used Redis ``INCR`` with a 24 h TTL to fire an
+    anomaly run every 10th event per (company, table).  Here the
+    counter is keyed state inside the stream (``applyInPandasWithState``)
+    — partitioned with the shuffle, checkpointed with the query, no
+    external service.  Emits one row per (group, batch) with the
+    cumulative count and how many triggers have fired
+    (``floor(events_seen / n)``).
+    """
+
+    def _fn(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seen, fired = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            seen += len(pdf)
+        fired = seen // n
+        state.update((seen, fired))
+        yield pd.DataFrame(
+            {
+                "group_key": [str(key[0])],
+                "events_seen": [seen],
+                "triggers_fired": [fired],
+            }
+        )
+
+    return (
+        stream.withColumn("group_key", F.col(group_col).cast("string"))
+        .groupBy("group_key")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=TRIGGER_SCHEMA,
+            stateStructType=_TRIGGER_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
