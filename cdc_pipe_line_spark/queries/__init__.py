@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cdc_pipe_line_spark.queries import (
     cdc_q,
+    io_q,
     relational_q,
     reshape_q,
     scd2_q,
@@ -24,6 +25,7 @@ from cdc_pipe_line_spark.queries import (
 
 _MODULES = [
     cdc_q,
+    io_q,
     relational_q,
     reshape_q,
     scd2_q,

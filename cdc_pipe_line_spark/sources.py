@@ -1,0 +1,196 @@
+"""Ingest sources & sinks (SURVEY.md §2.1 S1-S14, §2.4 R5/R6).
+
+The distributed formats (CSV/JSON/parquet, partitioned layouts) are
+Spark readers/writers — pushdown, pruning and parallel scan come from
+Catalyst.  The upload formats the reference normalized driver-side
+(xlsx via pd.read_excel, docx via mammoth — app/app.py:425-465) stay
+driver-side here too (they are small HTTP uploads, not data-path
+files), parsed by the stdlib OOXML reader in :mod:`ooxml` and handed
+to ``spark.createDataFrame``.
+
+Wide financial sheets keep **string-typed dynamic columns** (the
+column set grows with each quarter — SURVEY.md §1.1); numeric coercion
+happens at unpivot time (reshape.unpivot_to_tall), mirroring the
+reference's ``pd.to_numeric(errors='coerce')``.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from cdc_pipe_line_spark import ooxml
+
+# ----------------------------------------------------------- S1: CSV
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    """CSV scan with header + inferred dtypes (S1; app/app.py:129)."""
+    opts = {"header": "true", "inferSchema": "true", **options}
+    return spark.read.options(**opts).csv(path)
+
+
+# ------------------------------------------------- R5: header autodetect
+
+
+def autodetect_header(rows: list[list], *, scan_rows: int = 3) -> list[list]:
+    """Reference header detection (app/app.py:610-619): scan the first
+    ``scan_rows`` rows for a cell containing "date" (case-insensitive);
+    that row becomes the header with its first cell renamed ``METRIC``;
+    rows above are dropped.  Returns [header, *data_rows]; when no
+    header is found the rows pass through unchanged.
+    """
+    for i, row in enumerate(rows[:scan_rows]):
+        if any("date" in str(c).lower() for c in row if c is not None):
+            header = ["METRIC"] + [
+                "" if c is None else str(c) for c in row[1:]
+            ]
+            return [header, *rows[i + 1 :]]
+    return rows
+
+
+def rows_to_df(
+    spark: SparkSession,
+    rows: list[list],
+    *,
+    header: bool = True,
+) -> DataFrame:
+    """Driver-side rows -> all-string DataFrame (dynamic-column tables).
+
+    First row is the header unless ``header=False`` (then c0..cN).
+    Duplicate/empty header names are disambiguated positionally.
+    """
+    if not rows:
+        return spark.createDataFrame([], StructType([]))
+    if header:
+        raw_names, data = rows[0], rows[1:]
+    else:
+        raw_names, data = [f"c{i}" for i in range(len(rows[0]))], rows
+    names: list[str] = []
+    for i, nm in enumerate(raw_names):
+        nm = str(nm).strip() if nm is not None and str(nm).strip() else f"c{i}"
+        while nm in names:
+            nm = f"{nm}_{i}"
+        names.append(nm)
+    schema = StructType([StructField(n, StringType(), True) for n in names])
+    norm = [
+        [None if c is None else str(c) for c in r[: len(names)]]
+        + [None] * (len(names) - len(r))
+        for r in data
+    ]
+    return spark.createDataFrame(norm, schema)
+
+
+# ----------------------------------------------------------- S2: XLSX
+
+
+def read_xlsx(
+    spark: SparkSession,
+    src: str | bytes,
+    *,
+    sheet: int | str = 0,
+    detect_header: bool = True,
+) -> DataFrame:
+    """XLSX worksheet -> DataFrame (S2; app/app.py:425-442)."""
+    data = _read_bytes(src)
+    rows = ooxml.read_xlsx_rows(data, sheet=sheet)
+    if detect_header:
+        rows = autodetect_header(rows)
+    return rows_to_df(spark, rows)
+
+
+# ----------------------------------------------------------- S3: DOCX
+
+
+def read_docx(spark: SparkSession, src: str | bytes) -> DataFrame:
+    """DOCX first table (or tab-split paragraphs) -> DataFrame
+    (S3; app/app.py:290-333)."""
+    rows = ooxml.read_docx_table(_read_bytes(src))
+    return rows_to_df(spark, rows)
+
+
+# ------------------------------------------ S4 + R3/R4/R6: ZIP workbooks
+
+
+def read_zip_workbooks(
+    spark: SparkSession,
+    zip_path: str,
+    *,
+    sector: str = "GAS UTILITY",
+) -> DataFrame:
+    """Consolidate every member workbook's sheets into one wide table
+    (S4; app/app.py:574-646).
+
+    Per sheet: header autodetect (R5), lineage columns
+    ``SECTOR/COMPANY/STATEMENT/FREQUENCY`` (R4) derived from file and
+    sheet names (R6: company = filename before first '-', uppercased;
+    statement/frequency = sheet name split on '-', first/last), then
+    ``unionByName(allowMissingColumns=True)`` across the drifting
+    column sets (R3).
+    """
+    frames: list[DataFrame] = []
+    with zipfile.ZipFile(zip_path) as zf:
+        for member in zf.namelist():
+            if not member.lower().endswith(".xlsx") or "__MACOSX" in member:
+                continue
+            company = (
+                os.path.basename(member).split("-")[0].strip().upper()
+            )
+            data = zf.read(member)
+            for sheet_name in ooxml.xlsx_sheet_names(data):
+                rows = autodetect_header(ooxml.read_xlsx_rows(data, sheet=sheet_name))
+                if len(rows) < 2 or len(rows[0]) < 2:  # app/app.py:606-607
+                    continue
+                parts = sheet_name.split("-")
+                df = rows_to_df(spark, rows).select(
+                    F.lit(sector).alias("SECTOR"),
+                    F.lit(company).alias("COMPANY"),
+                    F.lit(parts[0]).alias("STATEMENT"),
+                    F.lit(parts[-1]).alias("FREQUENCY"),
+                    "*",
+                )
+                frames.append(df)
+    if not frames:
+        return spark.createDataFrame([], StructType([]))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+# ------------------------------------------------ S5/S12-S14: sinks/scans
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], *, mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet layout (S5/S14) — the scalable replacement
+    for the reference's ``{company}/{table}/{metric}_{date}.parquet``
+    path convention (azuredatalake.py:181-214): directory-partition
+    columns give Catalyst partition pruning instead of hand-built
+    paths."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSON sink (S12; azuredatalake.py:287-293)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON scan (S13; app/app.py:699-711)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def _read_bytes(src: str | bytes) -> bytes:
+    if isinstance(src, bytes):
+        return src
+    with open(src, "rb") as fh:
+        return fh.read()

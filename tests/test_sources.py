@@ -1,0 +1,65 @@
+"""Source/sink layer tests (S1-S14): OOXML round trips, header
+autodetect semantics, zip consolidation, and oracle parity for the
+registered io_ queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_pipe_line_spark import ooxml, sources
+from cdc_pipe_line_spark.queries import io_q
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_xlsx_roundtrip_types():
+    rows = [
+        ["name", "qty", "price", "flag"],
+        ["ACME", 3, 1.5, "yes"],
+        ["Zeta & Sons <large>", 0, -2.25, None],
+    ]
+    data = ooxml.write_xlsx({"S1": rows})
+    got = ooxml.read_xlsx_rows(data)
+    assert got[0] == ["name", "qty", "price", "flag"]
+    assert got[1] == ["ACME", 3, 1.5, "yes"]
+    # XML-escaped text survives; trailing None padded
+    assert got[2] == ["Zeta & Sons <large>", 0, -2.25, None]
+
+
+def test_xlsx_multi_sheet_by_name():
+    data = ooxml.write_xlsx({"A-1": [["x"], [1]], "B-2": [["y"], [2]]})
+    assert ooxml.xlsx_sheet_names(data) == ["A-1", "B-2"]
+    assert ooxml.read_xlsx_rows(data, sheet="B-2") == [["y"], [2]]
+
+
+def test_docx_table_roundtrip():
+    rows = [["k", "v"], ["1", "a&b"], ["2", ""]]
+    got = ooxml.read_docx_table(ooxml.write_docx_table(rows))
+    assert got == rows
+
+
+def test_autodetect_header_reference_semantics():
+    # app/app.py:610-619: row with a 'date' cell in the first 3 rows
+    # becomes the header; first cell renamed METRIC; rows above dropped
+    rows = [
+        ["junk", None],
+        ["Metric name", "Date", "2024-03-31"],
+        ["Cash", "x", "1.0"],
+    ]
+    out = sources.autodetect_header(rows)
+    assert out[0] == ["METRIC", "Date", "2024-03-31"]
+    assert out[1:] == [["Cash", "x", "1.0"]]
+    # no date cell -> unchanged
+    plain = [["a", "b"], ["1", "2"]]
+    assert sources.autodetect_header(plain) == plain
+
+
+def test_rows_to_df_dedups_headers(spark):
+    df = sources.rows_to_df(spark, [["a", "a", None], ["1", "2", "3"]])
+    assert df.columns == ["a", "a_1", "c2"]
+    assert df.count() == 1
+
+
+@pytest.mark.parametrize("name", sorted(io_q.QUERIES))
+def test_io_query_matches_oracle(spark, duck, name):
+    df = io_q.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, io_q.ORACLE[name])
