@@ -82,6 +82,30 @@ def q_lineage_columns(spark, sf_dir):
     return add_lineage(joined, SECTOR="GAS UTILITY", FREQUENCY="TTM")
 
 
+def q_event_flatten(spark, sf_dir):
+    """R7 (consumer.py:259-319): update events flattened to rows —
+    envelope + full payload as a JSON ``data`` column + extracted
+    payload columns + ``_date_column``/``_operational`` markers.  The
+    reference built one single-row DataFrame per event; here it is one
+    distributed projection over the diff."""
+    from cdc_pipe_line_spark.queries.cdc_q import _orders_diff
+
+    d = _orders_diff(spark, sf_dir).filter(F.col("event_type") == "update")
+    status = F.col("new_values")["o_orderstatus"]
+    prio = F.col("new_values")["o_orderpriority"]
+    return d.select(
+        "event_type",
+        "key_value",
+        F.to_json(
+            F.struct(status.alias("o_orderstatus"), prio.alias("o_orderpriority"))
+        ).alias("data"),
+        status.alias("o_orderstatus"),
+        prio.alias("o_orderpriority"),
+        F.lit("o_orderdate").alias("_date_column"),
+        F.lit(True).alias("_operational"),
+    )
+
+
 _TALL_SQL = """
 SELECT o_orderpriority AS priority, o_orderstatus AS status,
   CAST(year(o_orderdate) AS VARCHAR) AS yr,
@@ -97,6 +121,7 @@ QUERIES = {
     "reshape_unpivot_roundtrip": q_unpivot_roundtrip,
     "reshape_union_drift": q_union_drift,
     "reshape_lineage_columns": q_lineage_columns,
+    "reshape_event_flatten": q_event_flatten,
 }
 
 ORACLE = {
@@ -116,3 +141,22 @@ SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority FROM orders""",
 SELECT 'GAS UTILITY' AS SECTOR, 'TTM' AS FREQUENCY, n_name AS nation, r_name AS region
 FROM nation JOIN region ON n_regionkey = r_regionkey""",
 }
+
+
+def _event_flatten_oracle() -> str:
+    from cdc_pipe_line_spark.queries.cdc_q import _DIFF_CTE
+
+    return (
+        _DIFF_CTE
+        + """
+SELECT j.event_type, j.key_value,
+  '{"o_orderstatus":"' || v2.o_orderstatus || '","o_orderpriority":"'
+    || v2.o_orderpriority || '"}' AS data,
+  v2.o_orderstatus, v2.o_orderpriority,
+  'o_orderdate' AS _date_column, TRUE AS _operational
+FROM j JOIN v2 ON CAST(v2.o_orderkey AS VARCHAR) = j.key_value
+WHERE j.event_type = 'update'"""
+    )
+
+
+ORACLE["reshape_event_flatten"] = _event_flatten_oracle()

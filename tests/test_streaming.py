@@ -24,6 +24,47 @@ def test_streaming_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(df, duck, streaming_q.ORACLE[name])
 
 
+def test_kafka_codec_roundtrip(spark):
+    """to_kafka_sink_frame -> parse_kafka_events is lossless (S8/S9/T4)
+    and the Kafka key carries the reference's partition affinity
+    ``{company}_{table}_{event_type}`` (app/app.py:275)."""
+    from cdc_pipe_line_spark import streaming as st
+    from cdc_pipe_line_spark.cdc.diff import snapshot_diff, to_cdc_events
+    from cdc_pipe_line_spark.queries import load_table
+
+    from cdc_pipe_line_spark import fixtures
+
+    orders = load_table(spark, SF_DIR, "orders")
+    diff = snapshot_diff(
+        fixtures.orders_snapshot_v2(orders),
+        fixtures.orders_snapshot_v1(orders),
+        "o_orderkey",
+    )
+    events = to_cdc_events(
+        diff,
+        company_id="c1",
+        table_name="orders",
+        key_column="o_orderkey",
+        event_time=F.lit("2024-01-01 00:00:00").cast("timestamp"),
+    ).drop("partition_key")
+
+    wire = st.to_kafka_sink_frame(events).select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+    )
+    back = st.parse_kafka_events(wire)
+
+    keys = {r.partition_key for r in back.select("partition_key").distinct().collect()}
+    assert keys == {"c1_orders_insert", "c1_orders_update", "c1_orders_delete"}
+    orig = events.select(
+        "event_id", "event_type", "key_value", "new_values"
+    ).orderBy("event_id")
+    rt = back.select("event_id", "event_type", "key_value", "new_values").orderBy(
+        "event_id"
+    )
+    assert [r.asDict() for r in orig.collect()] == [r.asDict() for r in rt.collect()]
+
+
 def test_stream_scd2_invariants(spark):
     """Golden SCD2 invariants (SURVEY.md §5) hold on the *streamed*
     history: at most one current row per key; every expired row has a
