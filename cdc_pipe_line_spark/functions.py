@@ -72,3 +72,50 @@ def drop_all_null(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """Drop rows whose (subset) values are all null (P5;
     azuredatalake.py:174,253)."""
     return df.na.drop(how="all", subset=subset)
+
+
+#: Algebraic aggregates that compose across a salted two-stage plan.
+_SALTABLE = {"count", "sum", "min", "max"}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe two-stage aggregation.
+
+    ``aggs`` maps output name -> (function, column) with function in
+    ``{count, sum, min, max}`` (the algebraic set — partials merge with
+    sum/sum/min/max respectively).  Stage 1 groups by
+    ``(group_cols, salt)`` so one hot key spreads over ``buckets``
+    reducers; stage 2 merges the partials on ``group_cols`` alone —
+    at most ``buckets`` rows per key, so the second shuffle is tiny.
+
+    AQE's skew-join splitting does this automatically for *joins*; for
+    aggregations a hot grouping key still funnels into one partial->
+    final task chain, which this operator breaks up.  (With floats,
+    note the reassociation caveat: sums of doubles change bit patterns
+    when regrouped — use decimals or integer-scaled values where exact
+    reproducibility matters.)
+    """
+    unknown = {f for f, _ in aggs.values()} - _SALTABLE
+    if unknown:
+        raise ValueError(f"non-algebraic aggregate(s) for salting: {sorted(unknown)}")
+    salt = F.spark_partition_id() % buckets
+    partial_exprs = []
+    final_exprs = []
+    for out, (fn, col) in aggs.items():
+        p = f"__p_{out}"
+        partial_exprs.append(getattr(F, fn)(col).alias(p))
+        merge_fn = "sum" if fn in ("count", "sum") else fn
+        final_exprs.append(getattr(F, merge_fn)(p).alias(out))
+    return (
+        df.withColumn("__salt", salt)
+        .groupBy(*group_cols, "__salt")
+        .agg(*partial_exprs)
+        .groupBy(*group_cols)
+        .agg(*final_exprs)
+    )

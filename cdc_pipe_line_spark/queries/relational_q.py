@@ -282,8 +282,47 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_cube_status_priority(spark, sf_dir):
+    """Engine-added grouping-sets surface (SURVEY.md §2.5 note): CUBE
+    over (status, priority) — all four grouping combinations in one
+    pass (partial aggregation expands grouping ids map-side; one
+    shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_custkey").alias("sum_cust"))
+    )
+
+
+def q_salted_agg_events(spark, sf_dir):
+    """Skew posture: two-stage salted aggregation over a deliberately
+    skewed key (90% of events collapse to one bucket).  Results must
+    equal the direct groupBy — only the shuffle shape differs (hot key
+    spread over 16 reducers in stage 1, <=16-row merge in stage 2)."""
+    from cdc_pipe_line_spark.functions import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "skew_key",
+        F.when(F.col("user_id") % 10 != 0, F.lit("hot")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    return salted_aggregate(
+        ev,
+        ["skew_key"],
+        {
+            "n_events": ("count", "event_id"),
+            "sum_id": ("sum", "event_id"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
+    "agg_cube_status_priority": q_cube_status_priority,
+    "agg_salted_skewed_events": q_salted_agg_events,
     "agg_rollup_order_status": q_rollup_order_status,
     "agg_daily_distinct_users": q_daily_distinct_users,
     "agg_recent_events_by_type": q_recent_events_by_type,
@@ -305,6 +344,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_cube_status_priority": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "agg_salted_skewed_events": """
+WITH ev AS (
+  SELECT event_id, value,
+    CASE WHEN user_id % 10 != 0 THEN 'hot' ELSE event_type END AS skew_key
+  FROM events)
+SELECT skew_key, count(event_id) AS n_events,
+  CAST(sum(event_id) AS BIGINT) AS sum_id,
+  min(value) AS min_value, max(value) AS max_value
+FROM ev GROUP BY skew_key""",
     "agg_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 2) AS sum_qty,
