@@ -34,6 +34,7 @@ HEADLINE = [
     "text_stats",  # document quality scoring (north star)
     "dedup_minhash_lsh",  # MinHash LSH near-dup (north star)
     "sim_knn_bruteforce",  # cosine top-k over embeddings (north star)
+    "stream_daily_counts",  # bounded stream: watermark + tumbling window (T8)
 ]
 
 

@@ -179,37 +179,60 @@ def run_scd2_stream(
     ts_col: str = "timestamp",
     watermark: str = "1 day",
     checkpoint_dir: str | None = None,
+    n_buckets: int = 32,
     on_batch: Callable[[DataFrame, int], None] | None = None,
 ):
     """Streaming SCD2 apply (T1+T3+T5): watermark-deduped events ->
     ``foreachBatch`` -> :func:`cdc_pipe_line_spark.cdc.scd2.apply_scd2`
-    against the parquet history table.
+    against a **hash-bucket-partitioned** parquet history.
 
-    Each micro-batch writes the NEW history to a versioned directory
-    and atomically advances a pointer file — the parquet equivalent of
-    a Delta transaction commit (with delta-spark installed this whole
-    function collapses to one two-phase ``MERGE``).  Returns the
-    StreamingQuery; history lives at ``{history_base_dir}/v{n}`` with
-    the current version in ``{history_base_dir}/_CURRENT``.
+    Scale design: history is partitioned by
+    ``__bucket = pmod(xxhash64(key_value), n_buckets)``.  A micro-batch
+    reads ONLY the buckets containing its keys (partition pruning),
+    applies the SCD2 expire+insert to that slice, and rewrites ONLY
+    those buckets (dynamic partition overwrite).  Cost per batch is
+    proportional to touched data, not table size — the parquet
+    approximation of a Delta ``MERGE``; with delta-spark installed
+    this collapses to the canonical two-phase MERGE.  At 100 TB,
+    ``n_buckets`` scales with the key space (e.g. 16k) and the same
+    pruning math holds.
+
+    The batch is materialized via ``localCheckpoint`` before the
+    overwrite so Spark never scans the partitions it is replacing.
+    Returns the StreamingQuery; read back with
+    :func:`read_scd2_history`.
     """
     from cdc_pipe_line_spark.cdc.scd2 import apply_scd2
 
     spark = events_stream.sparkSession
-    pointer = os.path.join(history_base_dir, "_CURRENT")
+    data_dir = os.path.join(history_base_dir, "data")
     os.makedirs(history_base_dir, exist_ok=True)
+    bucket_of = F.pmod(F.xxhash64(F.col("key_value")), F.lit(n_buckets))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch_df = batch_df.withColumn("__bucket", bucket_of)
+        touched = [r[0] for r in batch_df.select("__bucket").distinct().collect()]
+        if not touched:
+            return
         history = None
-        if os.path.exists(pointer):
-            with open(pointer) as fh:
-                history = spark.read.parquet(fh.read().strip())
-        new_history = apply_scd2(history, batch_df, ts_col=ts_col)
-        out = os.path.join(history_base_dir, f"v{batch_id}")
-        new_history.write.mode("overwrite").parquet(out)
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(out)
-        os.replace(tmp, pointer)  # atomic commit
+        if os.path.exists(os.path.join(data_dir, "_SUCCESS")):
+            history = (
+                spark.read.parquet(data_dir)
+                .filter(F.col("__bucket").isin(touched))
+                .drop("__bucket")
+            )
+        new_slice = apply_scd2(history, batch_df.drop("__bucket"), ts_col=ts_col)
+        # co-locate each bucket in one task before partitionBy, else
+        # every shuffle partition writes a sliver of every bucket
+        # (num_tasks x num_buckets small files — the reference's
+        # file-per-event anti-pattern reborn)
+        out = (
+            new_slice.withColumn("__bucket", bucket_of)
+            .repartition(len(touched), "__bucket")
+            .localCheckpoint(eager=True)
+        )
+        out.write.mode("overwrite").partitionBy("__bucket").parquet(data_dir)
         if on_batch is not None:
             on_batch(batch_df, batch_id)
 
@@ -227,10 +250,11 @@ def run_scd2_stream(
 
 
 def read_scd2_history(spark: SparkSession, history_base_dir: str) -> DataFrame:
-    """Read the committed history version written by
+    """Read the bucket-partitioned history written by
     :func:`run_scd2_stream`."""
-    with open(os.path.join(history_base_dir, "_CURRENT")) as fh:
-        return spark.read.parquet(fh.read().strip())
+    return spark.read.parquet(os.path.join(history_base_dir, "data")).drop(
+        "__bucket"
+    )
 
 
 #: Output of the every-N trigger: cumulative counts at each firing.
