@@ -19,6 +19,7 @@ from cdc_pipe_line_spark.multimodal import (
 from cdc_pipe_line_spark.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -50,6 +51,14 @@ def q_knn_lsh(spark, sf_dir):
     design (compared explicitly in tests)."""
     q, emb = _queries_and_corpus(spark, sf_dir)
     return lsh_topk(q, emb, k=10, n_planes=6, dim=64)
+
+
+def q_knn_ivf(spark, sf_dir):
+    """IVF (mini-k-means inverted lists, 4-of-16 probes) top-10 — the
+    second ANN scale path.  Rows-only check: probe recall is
+    approximate by design (compared vs. brute force in tests)."""
+    q, emb = _queries_and_corpus(spark, sf_dir)
+    return ivf_topk(q, emb, k=10, n_centroids=16, n_probe=4)
 
 
 def q_cosine_near_dup(spark, sf_dir):
@@ -97,6 +106,7 @@ _COS = (
 QUERIES = {
     "sim_knn_bruteforce": q_knn_bruteforce,
     "sim_knn_lsh": q_knn_lsh,
+    "sim_knn_ivf": q_knn_ivf,
     "sim_cosine_near_dup": q_cosine_near_dup,
     "mm_media_metadata": q_media_metadata,
     "mm_media_frames": q_media_frames,

@@ -144,6 +144,140 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic mini k-means centroids for an IVF index.
+
+    Seeds = the ``n_centroids`` lowest-id vectors at a fixed stride
+    (reproducible, no RNG); refined with ``iters`` Lloyd passes, each
+    pass = one broadcast-argmax assignment + one per-dimension mean
+    (``posexplode`` -> groupBy -> array rebuild).  All distributed —
+    the centroid table itself is tiny (n_centroids x dim) and travels
+    by broadcast.
+    """
+    seeds = (
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("__rn", F.row_number().over(Window.orderBy(F.col("cid").asc())))
+    )
+    stride = seeds.count() // n_centroids or 1
+    cents = (
+        seeds.filter(((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") <= stride * n_centroids))
+        .select(
+            (((F.col("__rn") - 1) / stride).cast("int")).alias("centroid_id"),
+            F.col("cv").alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign(corpus, cents, corpus_id=corpus_id, vec_col=vec_col)
+        cents = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m").cast("float"),
+                ).alias("centroid")
+            )
+        )
+    return cents
+
+
+def _assign(
+    corpus: DataFrame,
+    cents: DataFrame,
+    *,
+    corpus_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid (cosine) assignment via broadcast argmax."""
+    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(corpus_id).orderBy(
+        F.desc("__sim"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", "centroid")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k — the second scale path besides
+    :func:`lsh_topk`.
+
+    Build: centroids (mini k-means) + one assignment pass -> inverted
+    lists keyed by ``centroid_id``.  Search: each query probes its
+    ``n_probe`` nearest centroids and re-ranks exactly within those
+    lists only — cost ~ ``n_probe / n_centroids`` of the corpus per
+    query instead of all of it.  Recall < 1 by construction (tested
+    against the brute-force baseline).
+    """
+    cents = ivf_centroids(
+        corpus,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        iters=iters,
+    )
+    lists = _assign(corpus, cents, corpus_id=corpus_id, vec_col=vec_col).select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        "centroid_id",
+    )
+    qprobe = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine(F.col(vec_col), F.col("centroid")))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(
+                    F.desc("__sim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select(
+            F.col(query_id).alias("__qid"),
+            F.col(vec_col).alias("__qv"),
+            "centroid_id",
+        )
+    )
+    scored = (
+        lists.join(F.broadcast(qprobe), "centroid_id")
+        .filter(F.col("__cid") != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     *,

@@ -102,6 +102,30 @@ def test_lsh_recall_on_close_vectors(spark):
     assert any(r.vec_id == 2 for r in out)
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with a healthy probe budget must recover most of the exact
+    top-k on the real embeddings fixture (>=60% overlap at sf0.001 —
+    probe recall, not exact equality, is the contract)."""
+    from cdc_pipe_line_spark.queries import load_table
+    from cdc_pipe_line_spark.similarity import ivf_topk
+
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r.q_id, r.vec_id) for r in brute_force_topk(q, emb, k=10).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivf_topk(q, emb, k=10, n_centroids=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
+
+
 def test_media_meta_matches_fake_decode(spark):
     docs = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
     media = as_media_table(
