@@ -319,10 +319,30 @@ def q_salted_agg_events(spark, sf_dir):
     )
 
 
+def q_chatbot_historical(spark, sf_dir):
+    """The reference chatbot's one real handler (chatbot.py:147-166)
+    verbatim as ``spark.sql`` over a registered view: count of changes
+    by event type over the trailing 7 days, plus the grand total the
+    handler summed driver-side (chatbot.py:161) — here a ROLLUP row.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("cdc_events")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '__total__') AS event_type,
+               count(*) AS n_changes
+        FROM cdc_events
+        WHERE ts >= (SELECT max(ts) FROM cdc_events) - INTERVAL 7 DAYS
+        GROUP BY ROLLUP(event_type)
+        """
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "agg_cube_status_priority": q_cube_status_priority,
     "agg_salted_skewed_events": q_salted_agg_events,
+    "agg_chatbot_historical": q_chatbot_historical,
     "agg_rollup_order_status": q_rollup_order_status,
     "agg_daily_distinct_users": q_daily_distinct_users,
     "agg_recent_events_by_type": q_recent_events_by_type,
@@ -348,6 +368,11 @@ ORACLE = {
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
   CAST(sum(o_custkey) AS BIGINT) AS sum_cust
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "agg_chatbot_historical": """
+SELECT coalesce(event_type, '__total__') AS event_type, count(*) AS n_changes
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+GROUP BY ROLLUP(event_type)""",
     "agg_salted_skewed_events": """
 WITH ev AS (
   SELECT event_id, value,

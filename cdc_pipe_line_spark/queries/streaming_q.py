@@ -83,6 +83,19 @@ def _stage(spark: SparkSession, sf_dir: str, variant: str) -> str:
     elif variant == "raw_dup":
         _write(raw, "d0")
         _write(raw, "d1")
+    elif variant == "raw_corrupt":
+        # every 97th event's payload is mangled — the poison-message
+        # shape the reference slept-and-skipped on (consumer.py:394)
+        payload = F.to_json(
+            F.struct(*[F.col(c) for c in raw.columns]),
+            {"timestampFormat": _TS_FMT},
+        )
+        lines = raw.select(
+            F.when(F.col("event_id") % 97 == 0, F.concat(F.lit("!!"), payload))
+            .otherwise(payload)
+            .alias("value")
+        )
+        lines.coalesce(1).write.mode("overwrite").text(os.path.join(base, "d0"))
     elif variant == "cdc":
         max_id = events.agg(F.max("event_id")).first()[0]
         cdc = events.select(
@@ -182,6 +195,29 @@ def q_stream_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-message quarantine (T7): a stream with every 97th
+    message mangled keeps flowing; bad raw payloads are retained for
+    replay.  Returns good per-type counts plus a ``__corrupt__`` row."""
+    base = _stage(spark, sf_dir, "raw_corrupt")
+    stream = (
+        spark.readStream.format("text")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.txt")
+        .load(base)
+    )
+    good, bad = st.with_quarantine(
+        stream, RAW_SCHEMA, options={"timestampFormat": _TS_FMT}
+    )
+    good_out = st.run_to_memory(good, output_mode="append")
+    bad_out = st.run_to_memory(bad, output_mode="append")
+    return good_out.groupBy("event_type").agg(F.count("*").alias("n")).unionByName(
+        bad_out.agg(
+            F.lit("__corrupt__").alias("event_type"), F.count("*").alias("n")
+        )
+    )
+
+
 def q_stream_every_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed every-10th-event trigger via applyInPandasWithState (T6)."""
     base = _stage(spark, sf_dir, "raw")
@@ -201,6 +237,7 @@ QUERIES = {
     "stream_dedup_counts": q_stream_dedup_counts,
     "stream_scd2_current": q_stream_scd2_current,
     "stream_every_n_trigger": q_stream_every_n,
+    "stream_corrupt_quarantine": q_stream_quarantine,
 }
 
 ORACLE = {
@@ -220,4 +257,9 @@ WHERE e.event_type <> 'error'""",
 SELECT event_type AS group_key, count(*) AS events_seen,
        count(*) // 10 AS triggers_fired
 FROM events GROUP BY event_type""",
+    "stream_corrupt_quarantine": """
+SELECT event_type, count(*) AS n FROM events
+WHERE event_id % 97 != 0 GROUP BY event_type
+UNION ALL
+SELECT '__corrupt__', count(*) FROM events WHERE event_id % 97 = 0""",
 }

@@ -257,6 +257,37 @@ def read_scd2_history(spark: SparkSession, history_base_dir: str) -> DataFrame:
     )
 
 
+def with_quarantine(
+    raw_lines: DataFrame,
+    schema: StructType,
+    *,
+    value_col: str = "value",
+    options: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Poison-message handling (T7; consumer.py:394-397).
+
+    The reference slept 1 s on a bad Kafka message and skipped it.
+    Here raw message strings are parsed with ``from_json`` (PERMISSIVE:
+    unparseable -> null struct) and split into (good, quarantined) —
+    the quarantine keeps the raw payload for replay after a fix, and
+    the good stream never stalls.  Works identically on batch and
+    streaming DataFrames (one narrow projection, no shuffle).
+    """
+    parsed = raw_lines.withColumn(
+        "__e", F.from_json(F.col(value_col), schema, options or {})
+    )
+    required = [f.name for f in schema.fields if not f.nullable]
+    ok = F.col("__e").isNotNull()
+    for name in required:
+        ok = ok & F.col(f"__e.{name}").isNotNull()
+    good = parsed.filter(ok).select("__e.*")
+    bad = parsed.filter(~ok).select(
+        F.col(value_col).alias("raw"),
+        F.current_timestamp().alias("quarantined_at"),
+    )
+    return good, bad
+
+
 #: Output of the every-N trigger: cumulative counts at each firing.
 TRIGGER_SCHEMA = StructType(
     [

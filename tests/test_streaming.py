@@ -10,15 +10,7 @@ from cdc_pipe_line_spark.queries import streaming_q
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "stream_daily_counts",
-        "stream_dedup_counts",
-        "stream_scd2_current",
-        "stream_every_n_trigger",
-    ],
-)
+@pytest.mark.parametrize("name", sorted(streaming_q.QUERIES))
 def test_streaming_query_matches_oracle(spark, duck, name):
     df = streaming_q.QUERIES[name](spark, SF_DIR)
     assert_matches_oracle(df, duck, streaming_q.ORACLE[name])
