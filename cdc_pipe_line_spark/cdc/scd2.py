@@ -171,18 +171,27 @@ def as_of(history: DataFrame, at: Column | str) -> DataFrame:
 def scd2_from_snapshots(
     snapshots: list[tuple[str, DataFrame]],
     key_col: str,
+    *,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fold an ordered list of ``(timestamp, snapshot)`` into history.
 
     Convenience composition of snapshot_diff + apply_scd2 for backfills
     (the reference replayed snapshots through Kafka one file at a
     time).
+
+    Iterative folds grow the logical plan multiplicatively (each step
+    embeds the previous diff+apply), and Catalyst/codegen compile time
+    quickly dwarfs execution — the classic iterative-algorithm trap.
+    ``localCheckpoint`` truncates lineage every ``checkpoint_every``
+    steps (0 disables; production backfills writing each step to a
+    table don't need it).
     """
     from cdc_pipe_line_spark.cdc.diff import snapshot_diff, to_cdc_events
 
     history: DataFrame | None = None
     prev: DataFrame | None = None
-    for ts, snap in snapshots:
+    for i, (ts, snap) in enumerate(snapshots):
         diff = snapshot_diff(snap, prev, key_col)
         events = to_cdc_events(
             diff,
@@ -192,6 +201,8 @@ def scd2_from_snapshots(
             event_time=F.lit(ts).cast("timestamp"),
         )
         history = apply_scd2(history, events)
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            history = history.localCheckpoint(eager=False)
         prev = snap
     assert history is not None, "need at least one snapshot"
     return history

@@ -146,6 +146,47 @@ def test_scd2_incremental_apply_expires_history(spark):
     assert rows[1].is_current and rows[1].data["v"] == "2"
 
 
+def test_flagship_end_to_end_snapshot_fold(spark):
+    """SURVEY §3.1 flagship path, golden: folding snapshot versions
+    through diff -> events -> SCD2 must make the current view equal
+    the LAST snapshot exactly, and keep expired history for keys that
+    changed."""
+    from cdc_pipe_line_spark import fixtures
+    from cdc_pipe_line_spark.cdc.scd2 import current_view, scd2_from_snapshots
+    from cdc_pipe_line_spark.queries import load_table
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    v1 = fixtures.orders_snapshot_v1(orders)
+    v2 = fixtures.orders_snapshot_v2(orders)
+    history = scd2_from_snapshots(
+        [("2024-01-01 00:00:00", v1), ("2024-02-01 00:00:00", v2)], "o_orderkey"
+    ).cache()
+    cur = current_view(history)
+
+    want = {
+        str(r.o_orderkey): (str(r.o_orderstatus), f"{r.o_totalprice}")
+        for r in v2.collect()
+    }
+    got = {
+        r.key_value: (r.data["o_orderstatus"], r.data["o_totalprice"])
+        for r in cur.collect()
+    }
+    assert got == want
+
+    # updated keys (o_orderkey % 20 == 3) must carry an expired version
+    expired_updated = (
+        history.filter(~F.col("is_current"))
+        .filter(F.col("key_value").cast("bigint") % 20 == 3)
+        .count()
+    )
+    n_updated = v2.filter(F.col("o_orderkey") % 20 == 3).count()
+    assert expired_updated == n_updated
+
+
 def test_dedup_events_deterministic(spark):
     import datetime as dt
 
