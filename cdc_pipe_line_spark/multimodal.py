@@ -19,7 +19,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     LongType,
     StringType,
     StructField,
@@ -107,6 +109,38 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, META_SCHEMA)
+
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def embed_media(media: DataFrame, *, dim: int = 16) -> DataFrame:
+    """Feature-extraction plumbing: binary payload -> ``array<float>``
+    embedding via ``mapInPandas`` (the exact shape a real image/audio
+    encoder runs in — Arrow batches into one python worker per
+    partition, model weights loaded once per worker).
+
+    The "model" is the deterministic stand-in (md5-derived char codes,
+    reproducible in any engine) — swap the lambda for a real encoder
+    at deployment.  Output feeds the similarity operators directly
+    (brute-force/LSH/IVF top-k).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            embs = pdf["payload"].map(
+                lambda b: [float(ord(c)) for c in hashlib.md5(b).hexdigest()[:dim]]
+                if b is not None
+                else None
+            )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
+
+    return media.mapInPandas(batches, EMBED_SCHEMA)
 
 
 def sample_frames(

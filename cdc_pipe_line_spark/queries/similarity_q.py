@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from cdc_pipe_line_spark.multimodal import (
     as_media_table,
+    embed_media,
     extract_media_meta,
     sample_frames,
 )
@@ -94,6 +95,27 @@ def q_media_frames(spark, sf_dir):
     return sample_frames(media, every_n_bytes=1024, max_frames=8)
 
 
+def q_media_embed_knn(spark, sf_dir):
+    """Multimodal -> ANN composition: binary payloads -> mapInPandas
+    feature extraction (16-dim deterministic stand-in encoder) ->
+    exact cosine top-5.  The full pipeline a media dedup/retrieval job
+    runs, end-to-end oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=F.col("text").cast("binary"),
+        media_type="image/fake",
+    )
+    emb = embed_media(media, dim=16)
+    q = emb.filter(F.col("media_id") % 100 == 0).select(
+        F.col("media_id").alias("q_id"), "embedding"
+    )
+    return brute_force_topk(
+        q, emb, query_id="q_id", corpus_id="media_id", k=5
+    )
+
+
 _COS = (
     "round(list_sum(list_transform(range(1, 65), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
@@ -110,6 +132,7 @@ QUERIES = {
     "sim_cosine_near_dup": q_cosine_near_dup,
     "mm_media_metadata": q_media_metadata,
     "mm_media_frames": q_media_frames,
+    "mm_media_embed_knn": q_media_embed_knn,
 }
 
 ORACLE = {
@@ -128,6 +151,24 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.35""",
+    "mm_media_embed_knn": """
+WITH emb AS (
+  SELECT doc_id AS media_id,
+    list_transform(range(1, 17),
+      i -> CAST(ascii(substr(md5(text), CAST(i AS INT), 1)) AS DOUBLE)) AS v
+  FROM documents),
+q AS (SELECT media_id AS q_id, v AS qv FROM emb WHERE media_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, e.media_id,
+    round(list_sum(list_transform(range(1, 17), i -> qv[i] * e.v[i])) /
+      (sqrt(list_sum(list_transform(range(1, 17), i -> qv[i] * qv[i]))) *
+       sqrt(list_sum(list_transform(range(1, 17), i -> e.v[i] * e.v[i])))), 4)
+      AS cos_sim
+  FROM emb e CROSS JOIN q WHERE e.media_id != q.q_id)
+SELECT q_id, media_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos_sim DESC, media_id ASC) AS rank
+  FROM scored) WHERE rank <= 5""",
     "mm_media_metadata": """
 SELECT doc_id AS media_id, 'image/fake' AS media_type,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
