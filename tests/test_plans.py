@@ -1,0 +1,89 @@
+"""Physical-plan regression tests (the 100 TB posture, enforced).
+
+Correctness tests prove WHAT each operator returns; these prove HOW —
+broadcast where intended, pushdown reaching the scan, top-k never
+globally sorting, the diff shuffling each side exactly once.  A
+refactor that silently turns a broadcast star join into four
+sort-merge joins still passes the oracle; it fails here.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from cdc_pipe_line_spark.queries import all_queries
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cdc_diff_single_join_two_exchanges(spark):
+    plan = _plan(spark, "cdc_diff_events")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    # payload maps must be pruned: no map_from_arrays survives projection
+    assert "map_from_arrays" not in plan
+
+
+def test_star_join_all_broadcast(spark):
+    plan = _plan(spark, "join_revenue_by_region")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    # the date range predicate must reach the orders scan
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan)
+
+
+def test_topk_never_global_sorts(spark):
+    plan = _plan(spark, "window_top10_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_per_key_topk_uses_group_limit(spark):
+    plan = _plan(spark, "window_latest_order_per_customer")
+    assert "WindowGroupLimit" in plan
+
+
+def test_pricing_scan_prunes_columns(spark):
+    plan = _plan(spark, "agg_pricing_summary")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 5, f"scan too wide: {m.group(1)}"
+
+
+def test_current_view_pushes_predicate_at_rest(spark, tmp_path):
+    """The current-state view over MATERIALIZED history must reach the
+    scan as a pushed filter (row-group skipping at scale), not a
+    post-scan filter."""
+    from cdc_pipe_line_spark.cdc.scd2 import current_view, scd2_from_upserts
+    from cdc_pipe_line_spark.queries import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    hist = scd2_from_upserts(ev, "user_id", "ts", ["value"])
+    path = str(tmp_path / "hist")
+    hist.write.parquet(path)
+    cur = current_view(spark.read.parquet(path))
+    plan = cur._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(is_current,true\)", plan), plan
+
+
+def test_asof_join_single_key_exchange(spark):
+    plan = _plan(spark, "ts_asof_join")
+    # union-and-carry: no join of the two event streams, one window
+    n_win = plan.count("Window [")
+    assert n_win == 1, f"expected 1 window pass, got {n_win}"
+
+
+def test_shingle_filter_not_cloned_into_scan(spark):
+    """Regression for the pushdown-clones-expensive-expression trap:
+    the scan-level filter must stay cheap (word split at most), never
+    the full shingle pipeline."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    for line in plan.splitlines():
+        if "FileScan" in line and "documents" in line:
+            assert "array_distinct" not in line, "shingles cloned into scan filter"
