@@ -76,6 +76,75 @@ def test_diff_reconstructs_v2(spark, v1, v2):
     assert state == want
 
 
+events_strategy = st_.lists(
+    st_.tuples(
+        st_.integers(min_value=0, max_value=4),  # key
+        st_.integers(min_value=0, max_value=30),  # ts offset (days)
+        st_.sampled_from(["insert", "update", "delete"]),
+    ),
+    min_size=1,
+    max_size=12,
+).map(lambda evs: [(k, t, typ) for k, t, typ in {(k, t): (k, t, typ) for k, t, typ in evs}.values()])
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=events_strategy)
+def test_scd2_apply_invariants_random_batches(spark, evs):
+    """For ANY batch of events (multiple per key, any type mix):
+    at most one current row per key; every non-current row is closed;
+    the current payload is the key's LAST insert/update unless a later
+    delete closed it; validity intervals chain without overlap."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark.cdc.scd2 import apply_scd2
+
+    rows = [
+        (
+            f"e{i}",
+            typ,
+            str(k),
+            f"2024-01-{1 + t:02d} 00:00:00",
+            {"v": f"{k}.{t}"} if typ != "delete" else None,
+        )
+        for i, (k, t, typ) in enumerate(evs)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id string, event_type string, key_value string, timestamp string, new_values map<string,string>"
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    hist = apply_scd2(None, ev).collect()
+
+    by_key: dict[str, list] = {}
+    for r in hist:
+        by_key.setdefault(r.key_value, []).append(r)
+    # expected: order events per key by ts; last insert/update wins
+    # unless a later delete exists
+    per_key: dict[str, list] = {}
+    for k, t, typ in evs:
+        per_key.setdefault(str(k), []).append((t, typ))
+    for k, seq in per_key.items():
+        seq.sort()
+        versions = [s for s in seq if s[1] != "delete"]
+        got = by_key.get(k, [])
+        assert len(got) == len(versions), (k, seq, got)
+        current = [r for r in got if r.is_current]
+        last_t, last_typ = seq[-1]
+        if last_typ == "delete" or not versions:
+            assert current == []
+        else:
+            assert len(current) == 1
+            assert current[0].data["v"] == f"{k}.{last_t}"
+        closed = [r for r in got if not r.is_current]
+        assert all(r.valid_to is not None for r in closed)
+        # intervals chain: sort by valid_from; each valid_to <= next valid_from
+        got_sorted = sorted(got, key=lambda r: r.valid_from)
+        for a, b in zip(got_sorted, got_sorted[1:]):
+            assert a.valid_to is not None and a.valid_to <= b.valid_from
+
+
 def test_diff_self_is_empty(spark):
     from cdc_pipe_line_spark.queries import load_table
 
