@@ -16,6 +16,60 @@ def test_streaming_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(df, duck, streaming_q.ORACLE[name])
 
 
+def test_watermark_drops_late_duplicates_only(spark, tmp_path):
+    """Watermark semantics (T3/T8): a duplicate arriving WITHIN the
+    watermark in a later batch is dropped as a duplicate; the same
+    event_id arriving AFTER the watermark has passed is dropped as
+    late — either way at-least-once replay never double-counts."""
+    import json
+    import os
+    import time
+
+    from cdc_pipe_line_spark import streaming as st
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(name, events):
+        p = src / name
+        with open(p, "w") as fh:
+            for e in events:
+                fh.write(json.dumps(e) + "\n")
+        time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+
+    def ev(eid, ts):
+        return {
+            "event_id": eid,
+            "event_type": "update",
+            "timestamp": ts,
+            "key_value": eid,
+        }
+
+    # batch 1: two events far apart (watermark advances past t1+1d)
+    write_batch("b1.json", [ev("a", "2024-01-01 00:00:00"), ev("z", "2024-01-10 00:00:00")])
+    # batch 2: duplicate of 'a' (event-time now far below watermark ->
+    # late, dropped) plus duplicate of 'z' (within watermark -> dedup)
+    # plus one genuinely new event
+    write_batch(
+        "b2.json",
+        [ev("a", "2024-01-01 00:00:00"), ev("z", "2024-01-10 00:00:00"), ev("n", "2024-01-10 01:00:00")],
+    )
+
+    stream = (
+        spark.readStream.schema(st.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    deduped = st.dedup_within_watermark(stream, watermark="1 day")
+    out = st.run_to_memory(
+        deduped,
+        output_mode="append",
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+    )
+    ids = sorted(r.event_id for r in out.select("event_id").collect())
+    assert ids == ["a", "n", "z"], ids
+
+
 def test_kafka_codec_roundtrip(spark):
     """to_kafka_sink_frame -> parse_kafka_events is lossless (S8/S9/T4)
     and the Kafka key carries the reference's partition affinity
