@@ -218,6 +218,25 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (T8 family): 30-minute-gap
+    sessions per user via ``session_window`` — the stateful streaming
+    twin of the batch lag-gap sessionize (`ts_sessionize`), checked
+    against the SAME oracle semantics."""
+    base = _stage(spark, sf_dir, "raw")
+    stream = _read_raw(spark, base)
+    sessions = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = st.run_to_memory(sessions, output_mode="complete")
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
 def q_stream_every_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed every-10th-event trigger via applyInPandasWithState (T6)."""
     base = _stage(spark, sf_dir, "raw")
@@ -238,6 +257,7 @@ QUERIES = {
     "stream_scd2_current": q_stream_scd2_current,
     "stream_every_n_trigger": q_stream_every_n,
     "stream_corrupt_quarantine": q_stream_quarantine,
+    "stream_session_windows": q_stream_session_windows,
 }
 
 ORACLE = {
@@ -262,4 +282,14 @@ SELECT event_type, count(*) AS n FROM events
 WHERE event_id % 97 != 0 GROUP BY event_type
 UNION ALL
 SELECT '__corrupt__', count(*) FROM events WHERE event_id % 97 = 0""",
+    "stream_session_windows": """
+WITH x AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC))
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+  count(*) AS n_events
+FROM x GROUP BY user_id""",
 }

@@ -336,14 +336,18 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # Verify ONLY the LSH candidates: join their shingle sets back on and
-    # compute exact Jaccard via array_intersect.  Candidate count is what
-    # LSH bounds, so this stays O(candidates) — never a full-corpus
-    # inverted-index join.
+    # Verify ONLY the LSH candidates: semi-join the shingle table down
+    # to candidate docs first (broadcast — the candidate set is what
+    # LSH bounds, always << corpus), then the pair join touches the
+    # tiny slice twice instead of shuffling the full shingle table.
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    sh_cand = sh.join(F.broadcast(cand_ids), "id", "left_semi")
     n_shared = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     return (
-        cand.join(sh.alias("a"), F.col("id_a") == F.col("a.id"))
-        .join(sh.alias("b"), F.col("id_b") == F.col("b.id"))
+        cand.join(F.broadcast(sh_cand.alias("a")), F.col("id_a") == F.col("a.id"))
+        .join(F.broadcast(sh_cand.alias("b")), F.col("id_b") == F.col("b.id"))
         .withColumn("n_shared", n_shared)
         .withColumn(
             "jaccard",
