@@ -338,9 +338,31 @@ def q_chatbot_historical(spark, sf_dir):
     )
 
 
+def q_range_join_buckets(spark, sf_dir):
+    """Engine-added range join, bucketed (joins.py): every event joined
+    to the price band containing its value — grid-cell equi-join +
+    exact filter instead of an O(n*m) nested loop."""
+    from cdc_pipe_line_spark.joins import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(0, 20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 25.0).alias("lo"),
+        (F.col("id") * 25.0 + 25.0).alias("hi"),
+    )
+    joined = range_join_bucketed(
+        ev, bands, value_col="value", lo_col="lo", hi_col="hi", bucket_width=16.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("sum_id"),
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "agg_cube_status_priority": q_cube_status_priority,
+    "join_range_buckets": q_range_join_buckets,
     "agg_salted_skewed_events": q_salted_agg_events,
     "agg_chatbot_historical": q_chatbot_historical,
     "agg_rollup_order_status": q_rollup_order_status,
@@ -368,6 +390,14 @@ ORACLE = {
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
   CAST(sum(o_custkey) AS BIGINT) AS sum_cust
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "join_range_buckets": """
+WITH bands AS (
+  SELECT i AS band_id, i * 25.0 AS lo, i * 25.0 + 25.0 AS hi
+  FROM (SELECT unnest(range(0, 20)) AS i))
+SELECT band_id, count(*) AS n_events,
+  CAST(sum(event_id) AS BIGINT) AS sum_id
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band_id""",
     "agg_chatbot_historical": """
 SELECT coalesce(event_type, '__total__') AS event_type, count(*) AS n_changes
 FROM events
