@@ -13,6 +13,7 @@ from cdc_pipe_line_spark.text import (
     dedup_exact,
     fingerprint,
     language_id,
+    levenshtein_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -69,6 +70,14 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(docs, n=5, threshold=0.5)
 
 
+def q_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup pairs blocked on the 12-char normalized
+    prefix.  Fully deterministic (prefix blocking reproduced in the
+    oracle), distance <= 20."""
+    docs = _t(spark, sf_dir, "documents")
+    return levenshtein_pairs(docs, max_distance=20, prefix_len=12)
+
+
 def q_simhash(spark, sf_dir):
     """SimHash near-dup pairs within Hamming<=3 (banded candidates).
     Rows-only: 64-bit banding is not reasonably SQL-expressible."""
@@ -103,6 +112,7 @@ QUERIES = {
     "text_language_id": q_language_id,
     "text_exact_dedup": q_exact_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_levenshtein": q_levenshtein,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
 }
@@ -148,6 +158,16 @@ keyed AS (
   FROM replayed)
 SELECT min(doc_id) AS doc_id, fp AS fp_md5
 FROM keyed GROUP BY fp""",
+    "dedup_levenshtein": """
+WITH keyed AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t,
+    substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 12) AS blk
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(levenshtein(a.t, b.t) AS INT) AS distance
+FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.t, b.t) <= 20""",
     "dedup_ngram_jaccard": """
 WITH words AS (
   SELECT doc_id,

@@ -362,6 +362,43 @@ def minhash_lsh_pairs(
     )
 
 
+def levenshtein_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 8,
+    prefix_len: int = 12,
+) -> DataFrame:
+    """Near-dup pairs by edit distance, blocked on the normalized-text
+    prefix.
+
+    Blocking bounds the candidate space (same-prefix docs only) — the
+    equi-join shuffles on the prefix key, never O(n^2).  Verification
+    is Spark's built-in ``levenshtein`` (JVM-side).  Prefix blocking
+    misses pairs that diverge inside the first ``prefix_len`` chars;
+    that recall trade is the standard one (cf. MinHash banding) and is
+    documented at the query layer.
+    """
+    norm = normalize_text(F.col(text_col))
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("t"),
+        F.substring(norm, 1, prefix_len).alias("blk"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("distance", F.levenshtein(F.col("a.t"), F.col("b.t")))
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            "distance",
+        )
+    )
+
+
 def _simhash_vote_udf():
     """Vectorized simhash vote: shingle hashes (int64 array) -> 64-bit
     signature.

@@ -154,6 +154,40 @@ def test_diff_self_is_empty(spark):
     assert snapshot_diff(orders, orders, "o_orderkey").count() == 0
 
 
+def test_interval_overlap_join_exact(spark):
+    """Bucketed interval-overlap join must equal the naive O(n*m)
+    overlap predicate, including touching-but-not-overlapping edges."""
+    from cdc_pipe_line_spark.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 6.0), (3, 20.0, 30.0)], "lid int, llo double, lhi double"
+    )
+    right = spark.createDataFrame(
+        [(10, 9.0, 12.0), (20, 10.0, 15.0), (30, 29.9, 40.0), (40, 6.0, 7.0)],
+        "rid int, rlo double, rhi double",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left,
+            right,
+            left_lo="llo",
+            left_hi="lhi",
+            right_lo="rlo",
+            right_hi="rhi",
+            bucket_width=4.0,
+        ).collect()
+    }
+    naive = {
+        (l.lid, r.rid)
+        for l in left.collect()
+        for r in right.collect()
+        if l.llo < r.rhi and r.rlo < l.lhi
+    }
+    assert got == naive
+    assert (1, 20) not in got  # [0,10) vs [10,15) touch, don't overlap
+
+
 def test_salted_aggregate_equals_direct(spark):
     from cdc_pipe_line_spark.functions import salted_aggregate
     from cdc_pipe_line_spark.queries import load_table
