@@ -308,16 +308,11 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
+                        # hash the signature slice directly — one
+                        # expression per band instead of a per-element
+                        # cast/concat tree
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", i * rows_per_band + j + 1).cast(
-                                        "string"
-                                    )
-                                    for j in range(rows_per_band)
-                                ],
-                            )
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
                         ).alias("bucket"),
                     )
                     for i in range(bands)
@@ -340,6 +335,10 @@ def minhash_lsh_pairs(
     # to candidate docs first (broadcast — the candidate set is what
     # LSH bounds, always << corpus), then the pair join touches the
     # tiny slice twice instead of shuffling the full shingle table.
+    # The candidate set feeds two consumers (the id broadcast and the
+    # pair rows) — materialize it once or the whole banding pipeline
+    # runs twice.
+    cand = cand.localCheckpoint(eager=True)
     cand_ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias("id")
     ).distinct()
