@@ -76,8 +76,18 @@ def snapshot_diff(
     If both inputs are already hash-partitioned on the key (e.g. read
     from a table bucketed by key), Catalyst elides the exchanges.
     """
+    if key_col not in new_df.columns:
+        raise ValueError(
+            f"key column {key_col!r} not in new snapshot; "
+            f"available: {new_df.columns}"
+        )
     if prev_df is None:
         return first_load_events(new_df, key_col)
+    if key_col not in prev_df.columns:
+        raise ValueError(
+            f"key column {key_col!r} not in previous snapshot; "
+            f"available: {prev_df.columns}"
+        )
 
     key_str = F.col(key_col).cast("string")
     n = new_df.withColumn("__k", key_str).alias("n")

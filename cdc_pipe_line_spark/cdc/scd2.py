@@ -80,6 +80,13 @@ def apply_scd2(
     per key, contiguous validity intervals (SURVEY.md §5 golden
     invariants; consumer.py:152-197).
     """
+    required = {"event_id", "event_type", "key_value", ts_col, payload_col}
+    missing = required - set(events.columns)
+    if missing:
+        raise ValueError(
+            f"events missing required column(s) {sorted(missing)}; "
+            f"available: {events.columns}"
+        )
     ev = dedup_events(events, order_cols=[ts_col])
 
     w_key = Window.partitionBy("key_value").orderBy(F.col(ts_col).asc())

@@ -187,6 +187,20 @@ def test_flagship_end_to_end_snapshot_fold(spark):
     assert expired_updated == n_updated
 
 
+def test_missing_key_column_error_quality(spark):
+    import pytest
+
+    from cdc_pipe_line_spark.cdc.diff import snapshot_diff
+    from cdc_pipe_line_spark.cdc.scd2 import apply_scd2
+
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    with pytest.raises(ValueError, match="key column 'nope'.*available.*id"):
+        snapshot_diff(df, df, "nope")
+    ev = spark.createDataFrame([("e1", "insert")], "event_id string, event_type string")
+    with pytest.raises(ValueError, match="missing required column"):
+        apply_scd2(None, ev)
+
+
 def test_dedup_events_deterministic(spark):
     import datetime as dt
 
