@@ -201,15 +201,32 @@ def run_scd2_stream(
     overwrite so Spark never scans the partitions it is replacing.
     Returns the StreamingQuery; read back with
     :func:`read_scd2_history`.
+
+    Exactly-once: ``foreachBatch`` re-delivers a batch when the sink
+    committed but the crash hit before the offset commit.  The sink is
+    made idempotent with a committed-batch marker (the parquet analog
+    of Delta's ``txnAppId``/``txnVersion``): a re-delivered batch_id
+    <= the marker is skipped.  (The data-write/marker-write pair is
+    not atomic — Delta's transaction closes that residual window.)
     """
     from cdc_pipe_line_spark.cdc.scd2 import apply_scd2
 
     spark = events_stream.sparkSession
     data_dir = os.path.join(history_base_dir, "data")
+    committed = os.path.join(history_base_dir, "_COMMITTED_BATCH")
     os.makedirs(history_base_dir, exist_ok=True)
     bucket_of = F.pmod(F.xxhash64(F.col("key_value")), F.lit(n_buckets))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(committed):
+            with open(committed) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    # Re-delivered after a crash; already applied.  Still
+                    # drain every partition so the upstream stateful
+                    # dedup commits its state stores (Spark validates
+                    # per-partition commits in foreachBatch).
+                    batch_df.count()
+                    return
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch_df = batch_df.withColumn("__bucket", bucket_of)
         touched = [r[0] for r in batch_df.select("__bucket").distinct().collect()]
@@ -233,6 +250,8 @@ def run_scd2_stream(
             .localCheckpoint(eager=True)
         )
         out.write.mode("overwrite").partitionBy("__bucket").parquet(data_dir)
+        with open(committed, "w") as fh:
+            fh.write(str(batch_id))
         if on_batch is not None:
             on_batch(batch_df, batch_id)
 

@@ -16,6 +16,81 @@ def test_streaming_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(df, duck, streaming_q.ORACLE[name])
 
 
+def test_stream_restart_resumes_exactly_once(spark, tmp_path):
+    """Kill the SCD2 stream after its first micro-batch, restart from
+    the same checkpoint: committed batches must NOT re-apply (no
+    duplicate versions) and the final state must equal an uninterrupted
+    run (T2 exactly-once via checkpointed offsets + transactional
+    foreachBatch)."""
+    import os
+
+    from cdc_pipe_line_spark import streaming as st
+    from cdc_pipe_line_spark.queries import streaming_q
+
+    base = streaming_q._stage(spark, SF_DIR, "cdc")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(st.EVENT_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.json")
+            .option("timestampFormat", streaming_q._TS_FMT)
+            .option("maxFilesPerTrigger", "1")
+            .json(base)
+        )
+
+    hist_dir = os.path.join(str(tmp_path), "history")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    seen: list[int] = []
+
+    def stop_after_first(batch_df, batch_id):
+        seen.append(batch_id)
+        if len(seen) == 1:
+            raise RuntimeError("injected crash after first commit")
+
+    q = st.run_scd2_stream(
+        make_stream(), hist_dir, checkpoint_dir=ckpt, on_batch=stop_after_first
+    )
+    try:
+        q.awaitTermination()
+    except Exception:
+        pass  # the injected crash surfaces here
+    assert seen, "first batch never ran"
+
+    # restart with the SAME checkpoint -> remaining batches only
+    seen.clear()
+    q2 = st.run_scd2_stream(make_stream(), hist_dir, checkpoint_dir=ckpt)
+    q2.awaitTermination()
+    resumed = st.read_scd2_history(spark, hist_dir).cache()
+
+    # exactly-once: every event applied once -> no duplicate versions
+    dup_versions = (
+        resumed.groupBy("_event_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_versions == 0
+
+    # equals an uninterrupted run
+    import uuid
+
+    clean_dir = f"/tmp/cdc_stream_run/{uuid.uuid4().hex}"
+    q3 = st.run_scd2_stream(
+        make_stream(),
+        os.path.join(clean_dir, "history"),
+        checkpoint_dir=os.path.join(clean_dir, "ckpt"),
+    )
+    q3.awaitTermination()
+    clean = st.read_scd2_history(spark, os.path.join(clean_dir, "history"))
+    cols = ["key_value", "valid_from", "valid_to", "is_current", "_event_id"]
+    assert sorted(map(tuple, resumed.select(cols).collect())) == sorted(
+        map(tuple, clean.select(cols).collect())
+    )
+    resumed.unpersist()
+    import shutil
+
+    shutil.rmtree(clean_dir, ignore_errors=True)
+
+
 def test_watermark_drops_late_duplicates_only(spark, tmp_path):
     """Watermark semantics (T3/T8): a duplicate arriving WITHIN the
     watermark in a later batch is dropped as a duplicate; the same
