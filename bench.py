@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cdc_pipe_line_spark.queries import all_queries
@@ -53,6 +55,19 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").write.format(
         "noop"
     ).mode("overwrite").save()
+
+    # Fork the Python worker daemons + Arrow serializers once, across
+    # all cores: the first pandas_udf query otherwise pays ~2 s of
+    # worker pool spin-up that is session overhead, not query cost.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm_worker(v: pd.Series) -> pd.Series:
+        return v
+
+    spark.range(10_000, numPartitions=32).select(
+        _warm_worker("id")
+    ).write.format("noop").mode("overwrite").save()
     registry["cdc_diff_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()

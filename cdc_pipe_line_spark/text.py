@@ -235,6 +235,7 @@ def minhash_signatures(
     n: int = 5,
     num_hashes: int = 32,
     seed: int = 42,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures over word-shingles.
 
@@ -245,6 +246,11 @@ def minhash_signatures(
     ``transform`` lambdas per row) is evaluated interpretively by
     Catalyst and measured ~10x slower at sf0.1.  Output:
     (id, sig: array<bigint>).
+
+    ``_shingles``: a precomputed :func:`shingle_df` result — lets
+    :func:`minhash_lsh_pairs` share one shingling pass between the
+    signature and verification branches instead of re-reading and
+    re-shingling the corpus.
     """
     import random
 
@@ -268,7 +274,11 @@ def minhash_signatures(
             out.append(((A[:, None] * x[None, :] + B[:, None]) % p).min(axis=1))
         return pd.Series(out)
 
-    sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n)
+    sh = (
+        _shingles
+        if _shingles is not None
+        else shingle_df(df, id_col=id_col, text_col=text_col, n=n)
+    )
     hashed = sh.withColumn(
         "hx", F.transform("sh", lambda g: F.pmod(F.xxhash64(g), F.lit(p)))
     )
@@ -297,9 +307,22 @@ def minhash_lsh_pairs(
     bounds on collision probability tuned by (bands, rows).
     """
     rows_per_band = num_hashes // bands
-    sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n)
+    # One shingling pass feeds BOTH the signature/banding branch and
+    # the Jaccard verification branch.  Materialize it (memory+disk
+    # blocks, spillable) — without this the corpus is read, normalized
+    # and shingled twice, the single most expensive step of the whole
+    # pipeline.
+    sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
+        eager=True
+    )
     sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes, seed=seed
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        seed=seed,
+        _shingles=sh,
     )
     banded = sigs.select(
         "id",
