@@ -294,6 +294,41 @@ def q_cube_status_priority(spark, sf_dir):
     )
 
 
+def q_grouping_sets_status_priority(spark, sf_dir):
+    """Explicit GROUPING SETS (§2.5 note, finishing the grouping-sets
+    family next to cube/rollup): per-status and per-priority marginals
+    in ONE pass — Catalyst expands the grouping ids map-side, so the
+    input is scanned once and shuffled once, vs two separate groupBys
+    scanning twice."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_window_rank_family(spark, sf_dir):
+    """Ranking-window surface (§2.6 note: rank/dense_rank/percent_rank/
+    cume_dist).  One window spec -> one shuffle+sort; all four ranks
+    computed in the same WindowExec.  ntile is deliberately excluded:
+    its assignment inside ties depends on sort order, which is not
+    deterministic across engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_salted_agg_events(spark, sf_dir):
     """Skew posture: two-stage salted aggregation over a deliberately
     skewed key (90% of events collapse to one bucket).  Results must
@@ -362,6 +397,8 @@ def q_range_join_buckets(spark, sf_dir):
 QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "agg_cube_status_priority": q_cube_status_priority,
+    "agg_grouping_sets": q_grouping_sets_status_priority,
+    "window_rank_family": q_window_rank_family,
     "join_range_buckets": q_range_join_buckets,
     "agg_salted_skewed_events": q_salted_agg_events,
     "agg_chatbot_historical": q_chatbot_historical,
@@ -386,6 +423,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_grouping_sets": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+    "window_rank_family": """
+SELECT o_orderkey, o_orderstatus,
+  CAST(rank() OVER w AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+  round(percent_rank() OVER w, 6) AS pct_rnk,
+  round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)""",
     "agg_cube_status_priority": """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
   CAST(sum(o_custkey) AS BIGINT) AS sum_cust

@@ -70,19 +70,23 @@ def _stage(spark: SparkSession, sf_dir: str, variant: str) -> str:
     events = _t(spark, sf_dir, "events")
     raw = events.select("event_id", "ts", "user_id", "event_type", "value")
 
-    def _write(df: DataFrame, sub: str) -> None:
+    def _write(df: DataFrame, sub: str, files: int = 1) -> None:
         (
-            df.coalesce(1)
+            df.repartition(files)
             .write.mode("overwrite")
             .option("timestampFormat", _TS_FMT)
             .json(os.path.join(base, sub))
         )
 
     if variant == "raw":
-        _write(raw, "d0")
+        # 8 files -> 8 input splits: a single JSON-lines file parses in
+        # ONE task (json text is split by file here), serializing the
+        # whole read.  Order never matters to these queries (one
+        # availableNow batch, order-insensitive aggregates).
+        _write(raw, "d0", files=8)
     elif variant == "raw_dup":
-        _write(raw, "d0")
-        _write(raw, "d1")
+        _write(raw, "d0", files=8)
+        _write(raw, "d1", files=8)
     elif variant == "raw_corrupt":
         # every 97th event's payload is mangled — the poison-message
         # shape the reference slept-and-skipped on (consumer.py:394)
@@ -95,7 +99,7 @@ def _stage(spark: SparkSession, sf_dir: str, variant: str) -> str:
             .otherwise(payload)
             .alias("value")
         )
-        lines.coalesce(1).write.mode("overwrite").text(os.path.join(base, "d0"))
+        lines.repartition(8).write.mode("overwrite").text(os.path.join(base, "d0"))
     elif variant == "cdc":
         max_id = events.agg(F.max("event_id")).first()[0]
         cdc = events.select(
