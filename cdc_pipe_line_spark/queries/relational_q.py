@@ -394,8 +394,54 @@ def q_range_join_buckets(spark, sf_dir):
     )
 
 
+def q_join_bucketed_colocated(spark, sf_dir):
+    """Shuffle-free fact⋈dim join over bucketed tables (S5/S14 at join
+    scale): orders and customer are both written ``bucketBy(16,
+    custkey)`` once per session, so the sort-merge join and the
+    per-customer aggregation both inherit the bucket partitioning and
+    need NO Exchange (enforced by the plan regression test).
+
+    The ``merge`` hint models the 100 TB reality where customer is far
+    too big to broadcast — bucketing is what makes a repeated
+    fact⋈fact join affordable: the shuffle is paid once at write time,
+    never at query time (reference joins snapshots per upload:
+    app/app.py:648-668).
+    """
+    import os as _os
+
+    from cdc_pipe_line_spark import sources
+
+    sf = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_") or "sf"
+    o = sources.ensure_bucketed_table(
+        spark,
+        f"bkt_orders_{sf}",
+        lambda: _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        ["o_custkey"],
+        n_buckets=16,
+    )
+    c = sources.ensure_bucketed_table(
+        spark,
+        f"bkt_customer_{sf}",
+        lambda: _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        ["c_custkey"],
+        n_buckets=16,
+    )
+    return (
+        c.hint("merge")
+        .join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
+    "join_bucketed_colocated": q_join_bucketed_colocated,
     "agg_cube_status_priority": q_cube_status_priority,
     "agg_grouping_sets": q_grouping_sets_status_priority,
     "window_rank_family": q_window_rank_family,
@@ -423,6 +469,11 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_bucketed_colocated": """
+SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS total_spend
+FROM customer c JOIN orders o ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment""",
     "agg_grouping_sets": """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
   round(sum(o_totalprice), 2) AS sum_price

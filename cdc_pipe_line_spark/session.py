@@ -61,6 +61,12 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
+        # managed (incl. bucketed) tables go to a scratch warehouse, not
+        # the process cwd; on a cluster spark-submit overrides this with
+        # the real object-store warehouse path
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/cdc_warehouse"
+        ))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

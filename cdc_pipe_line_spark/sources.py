@@ -176,6 +176,98 @@ def write_parquet_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    *,
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed parquet table (S5/S14 at join scale): pre-hash the rows
+    into ``n_buckets`` files on ``bucket_cols`` so every later join or
+    aggregation on those keys is co-located — zero shuffle at read time.
+
+    This is the 100 TB answer to repeated fact⋈fact joins: the shuffle
+    is paid ONCE at write, then every downstream join on the bucket key
+    skips its Exchange entirely (enforced by the plan regression test).
+    The ``repartition`` before the write makes each bucket exactly one
+    file (bucketBy and repartition share Murmur3 hashing), which also
+    lets Spark trust the per-bucket ``sortBy`` order and elide the
+    sort-merge-join's Sort at read time.
+    """
+    sort_cols = sort_cols or bucket_cols
+    writer = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*sort_cols)
+    )
+    if path is not None:
+        # external table: data location pinned explicitly, independent
+        # of whatever spark.sql.warehouse.dir the session happens to
+        # have (the external driver uses a vanilla session)
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    build,
+    bucket_cols: list[str],
+    *,
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Idempotent bucketed staging: pay the bucketing shuffle ONCE.
+
+    The local container has no persistent metastore (in-memory catalog),
+    so table METADATA dies with the session while the warehouse FILES
+    survive.  A completed earlier write (``_SUCCESS`` present) is
+    therefore re-registered with ``CREATE TABLE ... CLUSTERED BY ...
+    LOCATION`` — schema + bucket spec, zero data movement — instead of
+    being rewritten; a partial write is cleaned and redone.  On a real
+    cluster a Hive/Glue metastore makes this a no-op after the first
+    run.  ``build`` is a zero-arg thunk returning the source DataFrame
+    (only its schema is touched on the re-register path).
+    """
+    import shutil
+
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
+    sort_cols = sort_cols or bucket_cols
+    # Always an EXTERNAL table at an explicit scratch location: the
+    # external driver's vanilla session would otherwise drop managed
+    # tables into ./spark-warehouse under its cwd.
+    loc = os.path.join("/tmp/cdc_warehouse", table.lower())
+    if os.path.exists(os.path.join(loc, "_SUCCESS")):
+        df = build()
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING parquet "
+            f"CLUSTERED BY ({', '.join(bucket_cols)}) "
+            f"SORTED BY ({', '.join(sort_cols)}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+        )
+    else:
+        shutil.rmtree(loc, ignore_errors=True)
+        write_bucketed(
+            build(),
+            table,
+            bucket_cols,
+            n_buckets=n_buckets,
+            sort_cols=sort_cols,
+            path=loc,
+        )
+    return spark.table(table)
+
+
 def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """JSON sink (S12; azuredatalake.py:287-293)."""
     df.write.mode(mode).json(path)

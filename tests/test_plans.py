@@ -38,6 +38,15 @@ def test_star_join_all_broadcast(spark):
     assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan)
 
 
+def test_bucketed_join_zero_shuffle(spark):
+    """Bucketed tables must make BOTH the join and the downstream
+    per-key aggregation shuffle-free: the one shuffle was paid at
+    write time."""
+    plan = _plan(spark, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+
+
 def test_topk_never_global_sorts(spark):
     plan = _plan(spark, "window_top10_orders")
     assert "TakeOrderedAndProject" in plan
