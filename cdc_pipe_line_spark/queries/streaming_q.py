@@ -255,8 +255,32 @@ def q_stream_every_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→purchase conversion funnel):
+    two live streams over the same source, inner-joined per user with
+    purchases landing within 4h of the view; watermarks bound the join
+    state on both sides.  Aggregated per user after the drain so the
+    DuckDB oracle hash-checks exact pair membership via id checksums."""
+    base = _stage(spark, sf_dir, "raw")
+    views = _read_raw(spark, base).filter(F.col("event_type") == "view")
+    buys = _read_raw(spark, base).filter(F.col("event_type") == "purchase")
+    joined = st.interval_join_stream(views, buys, "user_id", within="4 hours")
+    pairs = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    out = st.run_to_memory(pairs, output_mode="append")
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("view_id").alias("sum_view_id"),
+        F.sum("purchase_id").alias("sum_purchase_id"),
+    )
+
+
 QUERIES = {
     "stream_daily_counts": q_stream_daily_counts,
+    "stream_join_conversions": q_stream_join_conversions,
     "stream_dedup_counts": q_stream_dedup_counts,
     "stream_scd2_current": q_stream_scd2_current,
     "stream_every_n_trigger": q_stream_every_n,
@@ -265,6 +289,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_join_conversions": """
+SELECT a.user_id, count(*) AS n_pairs,
+  CAST(sum(a.event_id) AS BIGINT) AS sum_view_id,
+  CAST(sum(b.event_id) AS BIGINT) AS sum_purchase_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+GROUP BY a.user_id""",
     "stream_daily_counts": """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
        count(*) AS n_events

@@ -145,6 +145,40 @@ def daily_counts_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "4 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream inner join on a key within an event-time interval
+    (T-family extension: the funnel/conversion join the reference could
+    only do by re-querying its conflict table per event,
+    consumer.py:312-340).
+
+    Right-side rows must land in ``[left_ts, left_ts + within]``.  Both
+    sides carry the watermark so Spark bounds join state: a buffered
+    left row is dropped once the right watermark passes
+    ``left_ts + within`` — state is O(watermark window), not O(stream).
+    Columns come back prefixed via the ``l``/``r`` aliases.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_to_memory(
     df: DataFrame,
     *,
