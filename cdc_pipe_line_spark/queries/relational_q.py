@@ -394,6 +394,84 @@ def q_range_join_buckets(spark, sf_dir):
     )
 
 
+def q_agg_sketch_profile(spark, sf_dir):
+    """Sketch profiling (A-family at 100 TB): HLL distinct-count and
+    GK quantile sketches per event type — single pass, mergeable,
+    fixed memory, the only viable shape for profiling columns at 1000
+    executors.
+
+    Oracle strategy: rather than going rows-only (sketch outputs are
+    engine-specific), the query emits the EXACT values alongside
+    boolean accuracy claims — ``approx_count_distinct`` within 10% of
+    the exact count, and the approx median's realized rank within 1%
+    of 0.5 — so the DuckDB hash check stays binding: a sketch that
+    drifts out of tolerance flips a boolean and fails the hash.
+    """
+    ev = _t(spark, sf_dir, "events")
+    prof = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("q50"),
+        F.count("*").alias("n_events"),
+    )
+    ranked = (
+        ev.join(F.broadcast(prof.select("event_type", "q50")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum((F.col("value") <= F.col("q50")).cast("long"))
+                / F.count("*")
+            ).alias("r50")
+        )
+    )
+    return (
+        prof.join(ranked, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.1
+            ).alias("hll_within_10pct"),
+            ((F.col("r50") >= 0.49) & (F.col("r50") <= 0.51)).alias(
+                "median_rank_within_1pct"
+            ),
+        )
+    )
+
+
+def q_agg_hll_mergeable(spark, sf_dir):
+    """Mergeable-sketch rollup (DataSketches HLL): one sketch per
+    (day, type) partial, then ``hll_union_agg`` merges partials into
+    the full-period distinct estimate — the pattern that lets a 100 TB
+    pipeline keep per-day sketches and answer any-date-range distinct
+    queries without re-scanning raw data.  Same boolean-claim oracle
+    strategy as ``agg_sketch_profile``.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+            <= 0.1
+        ).alias("merged_hll_within_10pct"),
+    )
+
+
 def q_join_bucketed_colocated(spark, sf_dir):
     """Shuffle-free fact⋈dim join over bucketed tables (S5/S14 at join
     scale): orders and customer are both written ``bucketBy(16,
@@ -442,6 +520,8 @@ def q_join_bucketed_colocated(spark, sf_dir):
 QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "join_bucketed_colocated": q_join_bucketed_colocated,
+    "agg_sketch_profile": q_agg_sketch_profile,
+    "agg_hll_mergeable": q_agg_hll_mergeable,
     "agg_cube_status_priority": q_cube_status_priority,
     "agg_grouping_sets": q_grouping_sets_status_priority,
     "window_rank_family": q_window_rank_family,
@@ -469,6 +549,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_sketch_profile": """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+  count(*) AS n_events,
+  true AS hll_within_10pct, true AS median_rank_within_1pct
+FROM events GROUP BY event_type""",
+    "agg_hll_mergeable": """
+SELECT event_type,
+  count(DISTINCT date_trunc('day', ts)) AS n_days,
+  count(DISTINCT user_id) AS exact_users,
+  true AS merged_hll_within_10pct
+FROM events GROUP BY event_type""",
     "join_bucketed_colocated": """
 SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
   round(sum(o_totalprice), 2) AS total_spend
