@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from cdc_pipe_line_spark.text import (
     LANG_LEXICON,
     TOKEN_REGEX,
+    dedup_connected_components,
     dedup_exact,
     fingerprint,
     language_id,
@@ -62,6 +63,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=5, threshold=0.5)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup pairs clustered into dedup groups (connected
+    components, iterative min-label propagation): each paired doc maps
+    to its group's keeper (smallest id).  Oracle: recursive-CTE
+    reachability closure over the same Jaccard pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+    return dedup_connected_components(pairs)
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs, Jaccard-verified.  No SQL oracle:
     LSH candidate recall is probabilistic (rows-only check); the
@@ -112,6 +123,7 @@ QUERIES = {
     "text_language_id": q_language_id,
     "text_exact_dedup": q_exact_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_levenshtein": q_levenshtein,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
@@ -191,4 +203,36 @@ SELECT id_a, id_b,
   round(n_shared / (n_a + n_b - n_shared), 4) AS jaccard
 FROM shared
 WHERE round(n_shared / (n_a + n_b - n_shared), 4) >= 0.5""",
+    "dedup_components": """
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3),
+                          i -> array_to_string(w[i:i+4], ' '))
+      ELSE [] END) AS sh
+  FROM words),
+sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh),
+ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM sized),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_shared
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+p AS (
+  SELECT id_a, id_b FROM shared
+  WHERE round(n_shared / (n_a + n_b - n_shared), 4) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION SELECT id_b, id_a FROM p
+  UNION SELECT id_a, id_a FROM p
+  UNION SELECT id_b, id_b FROM p),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id, min(dst) AS keeper_id FROM reach GROUP BY src""",
 }

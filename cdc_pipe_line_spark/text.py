@@ -227,6 +227,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-dup PAIRS into dedup GROUPS: ``(doc_id,
+    keeper_id)`` where ``keeper_id`` is the smallest id in the
+    document's connected component — the step that turns pairwise
+    similarity output into an actionable keep/drop list for a
+    training-data pipeline.
+
+    Iterative min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors until fixpoint.
+    Rounds needed = component diameter, and near-dup components are
+    tiny dense clusters in practice, so this converges in a few
+    rounds; each round is one shuffle-on-key join (the same primitive
+    the large-star/small-star CC-MR algorithm builds on at web
+    scale).  ``localCheckpoint`` truncates lineage per round so the
+    plan doesn't grow with iterations.  The driver-side loop carries
+    only a has-anything-changed flag, never data.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("keeper_id")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     *,

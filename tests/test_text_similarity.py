@@ -13,6 +13,7 @@ from cdc_pipe_line_spark.multimodal import (
 )
 from cdc_pipe_line_spark.similarity import brute_force_topk, cosine, lsh_topk
 from cdc_pipe_line_spark.text import (
+    dedup_connected_components,
     dedup_exact,
     language_id,
     minhash_lsh_pairs,
@@ -46,6 +47,21 @@ def test_ngram_jaccard_finds_near_dup(spark):
     assert got[(1, 2)] == 1.0  # identical
     assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
     assert not any(4 in p or 5 in p for p in got)
+
+
+def test_connected_components_multi_hop_chain(spark):
+    """A 5-node chain (1-2-3-4-5) needs label propagation over
+    multiple rounds — the min label must travel the full diameter —
+    plus a separate 2-node component and pair ordering both ways."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 2), (3, 4), (5, 4), (11, 10)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r.doc_id: r.keeper_id
+        for r in dedup_connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
 def test_minhash_lsh_finds_near_dup(spark):
