@@ -408,11 +408,18 @@ def q_agg_sketch_profile(spark, sf_dir):
     drifts out of tolerance flips a boolean and fails the hash.
     """
     ev = _t(spark, sf_dir, "events")
-    prof = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("q50"),
-        F.count("*").alias("n_events"),
+    # prof is referenced twice below (rank pass + final join); Catalyst
+    # does not share subplans across DataFrame reuse, so materialize the
+    # 5-row aggregate once instead of re-scanning events per reference
+    prof = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("q50"),
+            F.count("*").alias("n_events"),
+        )
+        .localCheckpoint(eager=True)
     )
     ranked = (
         ev.join(F.broadcast(prof.select("event_type", "q50")), "event_type")

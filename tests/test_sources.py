@@ -63,3 +63,34 @@ def test_rows_to_df_dedups_headers(spark):
 def test_io_query_matches_oracle(spark, duck, name):
     df = io_q.QUERIES[name](spark, SF_DIR)
     assert_matches_oracle(df, duck, io_q.ORACLE[name])
+
+
+def test_ensure_bucketed_table_recovers_partial_write(spark):
+    """A staging dir WITHOUT _SUCCESS (crashed write) must be cleaned
+    and rewritten, not re-registered over partial data; and the
+    rebuilt table must still read back complete and bucketed."""
+    import os
+    import shutil
+
+    table = "bkt_test_partial"
+    loc = f"/tmp/cdc_warehouse/{table}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(loc)
+    with open(os.path.join(loc, "part-garbage.parquet"), "w") as fh:
+        fh.write("not parquet")  # simulated torn write, no _SUCCESS
+
+    src = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    out = sources.ensure_bucketed_table(
+        spark, table, lambda: src, ["k"], n_buckets=4
+    )
+    assert out.count() == 100
+    assert os.path.exists(os.path.join(loc, "_SUCCESS"))
+    # bucketing must be live again: keyed agg needs no shuffle (a bare
+    # scan reports "Bucketed: false (disabled by query planner)" by
+    # design, so assert on the plan that actually exploits buckets)
+    agg = out.groupBy("k").sum("v")
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(loc, ignore_errors=True)
