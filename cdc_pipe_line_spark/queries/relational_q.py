@@ -479,6 +479,52 @@ def q_agg_hll_mergeable(spark, sf_dir):
     )
 
 
+_STRATA = {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 0.1}
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Stratified sampling (training-data rebalancing): per-class
+    Bernoulli sampling via ``sampleBy`` — each row is kept by an
+    independent seeded coin flip at its stratum's rate, so the
+    operator is a narrow map-side filter: no shuffle, no global count,
+    embarrassingly parallel at any scale.
+
+    Oracle strategy (as with the sketches): exact per-stratum source
+    totals are hash-checked, and the realized sample rate must sit
+    within 10% relative (+a small-n absolute floor) of the target —
+    a biased or non-stratified sampler flips the boolean and fails
+    the hash.  'error' rows prove unlisted strata are dropped.
+    """
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("n_total"))
+    sampled = (
+        ev.sampleBy("event_type", _STRATA, seed=42)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    # NB: map[F.col(...)] — a bare string would be taken as a literal key
+    target = F.create_map(
+        *[F.lit(x) for kv in _STRATA.items() for x in kv]
+    )[F.col("event_type")]
+    return (
+        totals.join(sampled, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            F.when(
+                target.isNull(), F.coalesce("n_sampled", F.lit(0)) == 0
+            )
+            .otherwise(
+                F.abs(
+                    F.coalesce("n_sampled", F.lit(0)) / F.col("n_total") - target
+                )
+                <= target * 0.1 + F.lit(5) / F.col("n_total")
+            )
+            .alias("rate_within_tolerance"),
+        )
+    )
+
+
 def q_join_bucketed_colocated(spark, sf_dir):
     """Shuffle-free fact⋈dim join over bucketed tables (S5/S14 at join
     scale): orders and customer are both written ``bucketBy(16,
@@ -529,6 +575,7 @@ QUERIES = {
     "join_bucketed_colocated": q_join_bucketed_colocated,
     "agg_sketch_profile": q_agg_sketch_profile,
     "agg_hll_mergeable": q_agg_hll_mergeable,
+    "sample_stratified": q_sample_stratified,
     "agg_cube_status_priority": q_cube_status_priority,
     "agg_grouping_sets": q_grouping_sets_status_priority,
     "window_rank_family": q_window_rank_family,
@@ -566,6 +613,9 @@ SELECT event_type,
   count(DISTINCT date_trunc('day', ts)) AS n_days,
   count(DISTINCT user_id) AS exact_users,
   true AS merged_hll_within_10pct
+FROM events GROUP BY event_type""",
+    "sample_stratified": """
+SELECT event_type, count(*) AS n_total, true AS rate_within_tolerance
 FROM events GROUP BY event_type""",
     "join_bucketed_colocated": """
 SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
