@@ -278,9 +278,29 @@ def q_stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the event stream broadcast
+    left-joined to the customer dim per micro-batch — the standard
+    ingest-time enrichment shape (stateless, no watermark needed; the
+    dim is re-resolvable each batch so slowly-changing dims refresh
+    for free)."""
+    base = _stage(spark, sf_dir, "raw")
+    stream = _read_raw(spark, base)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(cust), "user_id", "left")
+    out = st.run_to_memory(enriched, output_mode="append")
+    return out.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("sum_id"),
+    )
+
+
 QUERIES = {
     "stream_daily_counts": q_stream_daily_counts,
     "stream_join_conversions": q_stream_join_conversions,
+    "stream_enriched_counts": q_stream_enriched_counts,
     "stream_dedup_counts": q_stream_dedup_counts,
     "stream_scd2_current": q_stream_scd2_current,
     "stream_every_n_trigger": q_stream_every_n,
@@ -301,6 +321,11 @@ GROUP BY a.user_id""",
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
        count(*) AS n_events
 FROM events GROUP BY ALL""",
+    "stream_enriched_counts": """
+SELECT c_mktsegment, event_type, count(*) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_id
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2""",
     "stream_dedup_counts": """
 SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type""",
     "stream_scd2_current": """
