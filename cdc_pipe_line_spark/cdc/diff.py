@@ -89,7 +89,12 @@ def snapshot_diff(
             f"available: {prev_df.columns}"
         )
 
-    key_str = F.col(key_col).cast("string")
+    # The reference compares keys as str(row[key]) (app/app.py:206-207),
+    # so a Python None key becomes the string 'None' and matches itself.
+    # A raw null join key would never match in the full-outer join and
+    # the row would fall through to the update branch with null
+    # old/new payloads — normalize exactly like str(None).
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit("None"))
     n = new_df.withColumn("__k", key_str).alias("n")
     p = prev_df.withColumn("__k", key_str).alias("p")
 
@@ -152,7 +157,7 @@ def first_load_events(new_df: DataFrame, key_col: str) -> DataFrame:
     cols = list(new_df.columns)
     return new_df.select(
         F.lit("insert").alias("event_type"),
-        F.col(key_col).cast("string").alias("key_value"),
+        F.coalesce(F.col(key_col).cast("string"), F.lit("None")).alias("key_value"),
         F.lit(None).cast("map<string,string>").alias("old_values"),
         _string_map_self(cols).alias("new_values"),
         F.lit(None).cast("array<string>").alias("changed_cols"),

@@ -79,6 +79,15 @@ def apply_scd2(
     invariants hold regardless of batch size — at most one current row
     per key, contiguous validity intervals (SURVEY.md §5 golden
     invariants; consumer.py:152-197).
+
+    Replay safety (the reference's ``ON CONFLICT (event_id) DO
+    NOTHING``, consumer.py:128-149) has two layers: within the batch,
+    :func:`dedup_events`; across batches, events whose ``event_id``
+    already exists in ``history._event_id`` are anti-joined away, so
+    re-applying an already-applied batch is a no-op instead of
+    duplicating versions.  The anti-join is one equi-join against the
+    history's id column — in the streaming path the history side is
+    only the touched buckets, so it stays proportional to the batch.
     """
     required = {"event_id", "event_type", "key_value", ts_col, payload_col}
     missing = required - set(events.columns)
@@ -88,6 +97,11 @@ def apply_scd2(
             f"available: {events.columns}"
         )
     ev = dedup_events(events, order_cols=[ts_col])
+    if history is not None:
+        applied_ids = history.select(
+            F.col("_event_id").alias("event_id")
+        ).where(F.col("event_id").isNotNull()).distinct()
+        ev = ev.join(applied_ids, "event_id", "left_anti")
 
     w_key = Window.partitionBy("key_value").orderBy(F.col(ts_col).asc())
     chained = ev.withColumn("__next_ts", F.lead(F.col(ts_col)).over(w_key))

@@ -68,17 +68,36 @@ def interval_overlap_join(
 ) -> DataFrame:
     """Interval-overlap join (both sides are ranges): overlap iff
     ``l.lo < r.hi AND r.lo < l.hi``.  Same grid trick, both sides
-    exploded; pairs co-bucketed in any shared cell are deduplicated
-    before the exact predicate."""
+    exploded.
+
+    A pair of intervals can co-bucket in SEVERAL shared cells, so the
+    equi-join emits duplicate candidate pairs.  They are deduplicated
+    on per-side surrogate row ids assigned *before* the explode —
+    deduping on the value columns would also collapse legitimately
+    identical input rows and change pair multiplicity vs a true
+    overlap join.
+
+    ``left`` and ``right`` column names must be disjoint (the output
+    carries both sides'), enforced up front.
+    """
+    dup = sorted(set(left.columns) & set(right.columns))
+    if dup:
+        raise ValueError(
+            f"interval_overlap_join requires disjoint column names; "
+            f"shared: {dup}. Rename one side before joining."
+        )
     cell = lambda c: F.floor(c / F.lit(bucket_width)).cast("bigint")  # noqa: E731
-    l = left.withColumn(
+    l = left.withColumn("__lid", F.monotonically_increasing_id()).withColumn(
         "__cell", F.explode(F.sequence(cell(F.col(left_lo)), cell(F.col(left_hi))))
     )
-    r = right.withColumn(
+    r = right.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
         "__cell", F.explode(F.sequence(cell(F.col(right_lo)), cell(F.col(right_hi))))
     )
-    joined = l.join(r, "__cell").drop("__cell").dropDuplicates(
-        [*left.columns, *[c for c in right.columns if c not in left.columns]]
+    joined = (
+        l.join(r, "__cell")
+        .drop("__cell")
+        .dropDuplicates(["__lid", "__rid"])
+        .drop("__lid", "__rid")
     )
     return joined.filter(
         (F.col(left_lo) < F.col(right_hi)) & (F.col(right_lo) < F.col(left_hi))

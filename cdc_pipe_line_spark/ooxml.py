@@ -24,6 +24,8 @@ from io import BytesIO
 
 _SSML = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 _WML = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_PKG_REL = "http://schemas.openxmlformats.org/package/2006/relationships"
+_ODREL = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 
 
 def _col_index(cell_ref: str) -> int:
@@ -64,6 +66,38 @@ def xlsx_sheet_names(data: bytes) -> list[str]:
     return [s.get("name", "") for s in wb.iter(f"{{{_SSML}}}sheet")]
 
 
+def _sheet_part_paths(zf: zipfile.ZipFile) -> list[str]:
+    """Worksheet part paths in ``workbook.xml`` declaration order.
+
+    Resolves each ``<sheet r:id=...>`` through
+    ``xl/_rels/workbook.xml.rels`` (ECMA-376 §12.3.23) — part file
+    numbering need not match declaration order, and a lexicographic
+    sort puts ``sheet10.xml`` before ``sheet2.xml``.  Falls back to a
+    NUMERIC sort of ``sheetN.xml`` names when the rels part is absent.
+    """
+    rels: dict[str, str] = {}
+    rels_path = "xl/_rels/workbook.xml.rels"
+    if rels_path in zf.namelist():
+        for rel in ET.fromstring(zf.read(rels_path)).iter(f"{{{_PKG_REL}}}Relationship"):
+            target = rel.get("Target", "")
+            # Target is workbook-relative ("worksheets/sheet1.xml") or
+            # package-absolute ("/xl/worksheets/sheet1.xml")
+            path = target.lstrip("/") if target.startswith("/") else f"xl/{target}"
+            rels[rel.get("Id", "")] = path
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    out: list[str] = []
+    for s in wb.iter(f"{{{_SSML}}}sheet"):
+        rid = s.get(f"{{{_ODREL}}}id")
+        if rid and rid in rels:
+            out.append(rels[rid])
+    if out:
+        return out
+    return sorted(
+        (n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
+    )
+
+
 def read_xlsx_rows(data: bytes, sheet: int | str = 0) -> list[list]:
     """One worksheet -> list of rows (ragged rows padded with None).
 
@@ -80,12 +114,7 @@ def read_xlsx_rows(data: bytes, sheet: int | str = 0) -> list[list]:
         if isinstance(sheet, str):
             names = xlsx_sheet_names(data)
             sheet = names.index(sheet)
-        sheet_paths = sorted(
-            n
-            for n in zf.namelist()
-            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
-        )
-        ws = ET.fromstring(zf.read(sheet_paths[sheet]))
+        ws = ET.fromstring(zf.read(_sheet_part_paths(zf)[sheet]))
 
     rows: list[list] = []
     for row in ws.iter(f"{{{_SSML}}}row"):

@@ -26,6 +26,7 @@ per event like the reference's 1.4-19 s/row UPDATE loop.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from collections.abc import Callable, Iterator
@@ -238,10 +239,18 @@ def run_scd2_stream(
 
     Exactly-once: ``foreachBatch`` re-delivers a batch when the sink
     committed but the crash hit before the offset commit.  The sink is
-    made idempotent with a committed-batch marker (the parquet analog
-    of Delta's ``txnAppId``/``txnVersion``): a re-delivered batch_id
-    <= the marker is skipped.  (The data-write/marker-write pair is
-    not atomic — Delta's transaction closes that residual window.)
+    made idempotent with a committed-batch marker — the parquet analog
+    of Delta's ``txnAppId``/``txnVersion``: the marker records BOTH the
+    streaming query's identity (the ``id`` Spark persists in the
+    checkpoint's ``metadata`` file) and the batch id, and a re-delivered
+    batch is skipped only when both match.  Batch ids are scoped to a
+    checkpoint: a new/cleared checkpoint restarts at 0, so a bare
+    ``batch_id <= marker`` check would silently drop the first N
+    legitimate micro-batches.  A marker from a *different* query
+    identity fails fast instead — replaying a fresh stream onto an
+    existing history would duplicate versions.  (The data-write/
+    marker-write pair is not atomic — Delta's transaction closes that
+    residual window.)
     """
     from cdc_pipe_line_spark.cdc.scd2 import apply_scd2
 
@@ -251,16 +260,60 @@ def run_scd2_stream(
     os.makedirs(history_base_dir, exist_ok=True)
     bucket_of = F.pmod(F.xxhash64(F.col("key_value")), F.lit(n_buckets))
 
+    def _query_identity() -> str | None:
+        """The stream's durable identity: checkpoint metadata ``id``.
+
+        Stable across restarts on the same checkpoint; a cleared or
+        relocated checkpoint gets a fresh id (exactly the cases where
+        batch ids restart).  ``None`` when running checkpoint-less —
+        then no replay protection is possible and none is claimed.
+        """
+        if not checkpoint_dir:
+            return None
+        meta_path = os.path.join(checkpoint_dir, "metadata")
+        try:
+            with open(meta_path) as fh:
+                return json.load(fh).get("id")
+        except (OSError, ValueError):
+            return None
+
+    def _read_marker() -> tuple[str | None, int] | None:
+        if not os.path.exists(committed):
+            return None
+        with open(committed) as fh:
+            raw = fh.read().strip()
+        try:
+            obj = json.loads(raw)
+            if isinstance(obj, dict):
+                return obj.get("query_id"), int(obj["batch_id"])
+        except ValueError:
+            pass
+        # pre-identity marker format: bare int, unknown provenance
+        return None, int(raw)
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(committed):
-            with open(committed) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    # Re-delivered after a crash; already applied.  Still
-                    # drain every partition so the upstream stateful
-                    # dedup commits its state stores (Spark validates
-                    # per-partition commits in foreachBatch).
-                    batch_df.count()
-                    return
+        marker = _read_marker()
+        if marker is not None:
+            marker_qid, marker_batch = marker
+            qid = _query_identity()
+            if marker_qid is not None and qid is not None and marker_qid != qid:
+                raise ValueError(
+                    f"history at {history_base_dir!r} was committed by "
+                    f"streaming query {marker_qid} but this stream is "
+                    f"{qid} (new or cleared checkpoint): its batch ids "
+                    "restart at 0, so the marker cannot distinguish "
+                    "replays from new data. Resume with the original "
+                    "checkpoint, or point at a fresh history dir, or "
+                    "delete the _COMMITTED_BATCH marker after verifying "
+                    "the history state."
+                )
+            if marker_qid == qid and batch_id <= marker_batch:
+                # Re-delivered after a crash; already applied.  Still
+                # drain every partition so the upstream stateful
+                # dedup commits its state stores (Spark validates
+                # per-partition commits in foreachBatch).
+                batch_df.count()
+                return
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch_df = batch_df.withColumn("__bucket", bucket_of)
         touched = [r[0] for r in batch_df.select("__bucket").distinct().collect()]
@@ -285,7 +338,7 @@ def run_scd2_stream(
         )
         out.write.mode("overwrite").partitionBy("__bucket").parquet(data_dir)
         with open(committed, "w") as fh:
-            fh.write(str(batch_id))
+            json.dump({"query_id": _query_identity(), "batch_id": batch_id}, fh)
         if on_batch is not None:
             on_batch(batch_df, batch_id)
 

@@ -1,0 +1,204 @@
+"""Regression tests for the round-1 ADVICE findings.
+
+Each test pins one fixed defect: null-key diff classification, the
+streaming committed-batch marker's checkpoint scoping, OOXML worksheet
+resolution via workbook rels, interval-overlap pair multiplicity, and
+cross-batch SCD2 replay idempotency.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from io import BytesIO
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark import ooxml
+from cdc_pipe_line_spark.cdc.diff import snapshot_diff
+from cdc_pipe_line_spark.cdc.scd2 import apply_scd2
+from cdc_pipe_line_spark.joins import interval_overlap_join
+
+
+# ------------------------------------------------------------- diff null key
+def test_diff_null_key_matches_reference_str_none(spark):
+    """A null key compares as the string 'None' (reference str(row[key]))
+    instead of falling through the full-outer join into a garbage
+    'update' with null payloads."""
+    prev = spark.createDataFrame(
+        [(None, "a", 1.0), ("2", "b", 2.0)], "k string, dim string, v double"
+    )
+    new = spark.createDataFrame(
+        [(None, "a", 9.0), ("2", "b", 2.0)], "k string, dim string, v double"
+    )
+    rows = {r.key_value: r for r in snapshot_diff(new, prev, "k").collect()}
+    assert set(rows) == {"None"}
+    r = rows["None"]
+    assert r.event_type == "update"
+    assert r.old_values is not None and r.old_values["v"] == "1.0"
+    assert r.new_values is not None and r.new_values["v"] == "9.0"
+    assert r.changed_cols == ["v"]
+
+
+def test_diff_null_key_insert_delete(spark):
+    prev = spark.createDataFrame([("1", "x")], "k string, v string")
+    new = spark.createDataFrame([("1", "x"), (None, "y")], "k string, v string")
+    rows = {r.key_value: r.event_type for r in snapshot_diff(new, prev, "k").collect()}
+    assert rows == {"None": "insert"}
+    back = {
+        r.key_value: r.event_type for r in snapshot_diff(prev, new, "k").collect()
+    }
+    assert back == {"None": "delete"}
+
+
+# -------------------------------------------------- scd2 cross-batch replay
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id string, event_type string, key_value string, "
+        "timestamp timestamp, new_values map<string,string>",
+    )
+
+
+def test_apply_scd2_replayed_batch_is_noop(spark):
+    """Re-applying an already-applied batch must not duplicate versions
+    (reference ON CONFLICT (event_id) DO NOTHING, consumer.py:128-149)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    batch1 = _events(
+        spark,
+        [
+            ("e1", "insert", "k1", t0, {"v": "1"}),
+            ("e2", "update", "k1", t1, {"v": "2"}),
+        ],
+    )
+    hist = apply_scd2(None, batch1)
+    replayed = apply_scd2(hist, batch1)
+    assert replayed.count() == hist.count() == 2
+    # and a mixed batch (one replay + one new) applies only the new event
+    t2 = dt.datetime(2024, 1, 3)
+    mixed = _events(
+        spark,
+        [
+            ("e2", "update", "k1", t1, {"v": "2"}),  # replay
+            ("e3", "update", "k1", t2, {"v": "3"}),  # new
+        ],
+    )
+    after = apply_scd2(hist, mixed)
+    assert after.count() == 3
+    cur = after.filter(F.col("is_current")).collect()
+    assert len(cur) == 1 and cur[0].data["v"] == "3"
+
+
+# ------------------------------------------------------- stream marker scope
+def test_stream_marker_scoped_to_checkpoint_identity(spark, tmp_path):
+    """A fresh/cleared checkpoint restarts batch ids at 0; the committed
+    marker must not silently skip those batches — it fails fast when the
+    history was committed under a different streaming query identity."""
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from cdc_pipe_line_spark import streaming as st
+    from cdc_pipe_line_spark.queries import streaming_q
+    from tests.conftest import SF_DIR
+
+    base = streaming_q._stage(spark, SF_DIR, "cdc")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(st.EVENT_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.json")
+            .option("timestampFormat", streaming_q._TS_FMT)
+            .json(base)
+        )
+
+    hist_dir = os.path.join(str(tmp_path), "history")
+    ckpt_a = os.path.join(str(tmp_path), "ckpt_a")
+    q = st.run_scd2_stream(make_stream(), hist_dir, checkpoint_dir=ckpt_a)
+    q.awaitTermination()
+    n_versions = st.read_scd2_history(spark, hist_dir).count()
+    assert n_versions > 0
+
+    # same checkpoint, rerun: no-op (marker matches identity + batch id)
+    q2 = st.run_scd2_stream(make_stream(), hist_dir, checkpoint_dir=ckpt_a)
+    q2.awaitTermination()
+    assert st.read_scd2_history(spark, hist_dir).count() == n_versions
+
+    # cleared checkpoint: batch ids restart — must fail fast, not skip
+    shutil.rmtree(ckpt_a)
+    ckpt_b = os.path.join(str(tmp_path), "ckpt_b")
+    q3 = st.run_scd2_stream(make_stream(), hist_dir, checkpoint_dir=ckpt_b)
+    with pytest.raises(StreamingQueryException, match="different|checkpoint"):
+        q3.awaitTermination()
+
+
+# ------------------------------------------------------------ ooxml sheets
+def test_xlsx_ten_plus_sheets_resolve_in_declaration_order():
+    """sheet10.xml must not sort before sheet2.xml (numeric + rels
+    resolution, not lexicographic part names)."""
+    sheets = {f"s{i}": [[f"marker{i}", i]] for i in range(11)}
+    data = ooxml.write_xlsx(sheets)
+    for i in range(11):
+        by_index = ooxml.read_xlsx_rows(data, sheet=i)
+        assert by_index[0][0] == f"marker{i}"
+        by_name = ooxml.read_xlsx_rows(data, sheet=f"s{i}")
+        assert by_name[0][0] == f"marker{i}"
+
+
+def test_xlsx_rels_are_authoritative_over_part_numbering():
+    """Scramble the rels so rId1 -> sheet2.xml: the reader must follow
+    the relationship, not the part file number."""
+    data = ooxml.write_xlsx({"a": [["from_a"]], "b": [["from_b"]]})
+    out = BytesIO()
+    with zipfile.ZipFile(BytesIO(data)) as src, zipfile.ZipFile(
+        out, "w", zipfile.ZIP_DEFLATED
+    ) as dst:
+        for name in src.namelist():
+            payload = src.read(name)
+            if name == "xl/_rels/workbook.xml.rels":
+                txt = payload.decode()
+                txt = (
+                    txt.replace("worksheets/sheet1.xml", "worksheets/TMP.xml")
+                    .replace("worksheets/sheet2.xml", "worksheets/sheet1.xml")
+                    .replace("worksheets/TMP.xml", "worksheets/sheet2.xml")
+                )
+                payload = txt.encode()
+            dst.writestr(name, payload)
+    swapped = out.getvalue()
+    assert ooxml.read_xlsx_rows(swapped, sheet="a")[0][0] == "from_b"
+    assert ooxml.read_xlsx_rows(swapped, sheet="b")[0][0] == "from_a"
+
+
+# ------------------------------------------------- interval overlap join
+def test_interval_overlap_preserves_duplicate_multiplicity(spark):
+    """Two identical left intervals each match the right interval —
+    deduping on value columns would collapse them to one pair."""
+    left = spark.createDataFrame(
+        [(0.0, 10.0), (0.0, 10.0)], "l_lo double, l_hi double"
+    )
+    right = spark.createDataFrame([(5.0, 15.0)], "r_lo double, r_hi double")
+    got = interval_overlap_join(
+        left,
+        right,
+        left_lo="l_lo",
+        left_hi="l_hi",
+        right_lo="r_lo",
+        right_hi="r_hi",
+        bucket_width=2.0,  # small width -> many shared cells per pair
+    )
+    assert got.count() == 2  # one row per (left row, right row) pair
+    assert set(got.columns) == {"l_lo", "l_hi", "r_lo", "r_hi"}
+
+
+def test_interval_overlap_rejects_shared_column_names(spark):
+    df = spark.createDataFrame([(0.0, 1.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_overlap_join(
+            df, df, left_lo="lo", left_hi="hi", right_lo="lo",
+            right_hi="hi", bucket_width=1.0,
+        )
