@@ -187,43 +187,67 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-``n``-gram Jaccard similarity.
 
     Candidates come from the shared-shingle inverted index (explode ->
     self-join on shingle), so disjoint documents never form a pair —
     the classic bound that keeps this far under O(n^2) when shingle
-    collisions are rare.  Verification is exact: |A∩B| counted from
-    shared shingles, |A∪B| from the per-doc distinct counts.
-    Pairs are emitted once with ``id_a < id_b``.
+    collisions are rare.  Verification is exact regardless of how the
+    candidate was found: the pair's full shingle arrays are re-joined
+    and ``|A∩B|`` computed with ``array_intersect``.  Pairs are
+    emitted once with ``id_a < id_b``.
+
+    ``max_df`` is the scale guard: shingles whose document frequency
+    exceeds it are dropped from the candidate INDEX (not from
+    verification).  Without it, one boilerplate sentence shared by a
+    million documents creates ~10^12 candidate rows out of the
+    self-join.  A true near-dup pair is only missed if the docs share
+    NO shingle rarer than ``max_df`` — i.e. the documents are pure
+    boilerplate, which exact/minhash dedup already catches.  Emitted
+    jaccard values are exact either way (hot shingles still count in
+    the intersection).
     """
-    sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n).withColumn(
-        "n_sh", F.size("sh")
-    )
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n)
+    # referenced three times (index + both verification sides):
+    # materialize so the corpus is shingled once, not three times
+    sh = sh.localCheckpoint(eager=True)
+    exploded = sh.select("id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("g")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("g")
+        )
+        exploded = exploded.join(hot, "g", "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
-    shared = (
+    cand = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count("*").alias("n_shared"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    return (
-        shared.withColumn(
+    verified = (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__sh_b")), "id_b"
+        )
+        .withColumn("n_shared", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
             "jaccard",
             F.round(
                 F.col("n_shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                / (F.size("__sh_a") + F.size("__sh_b") - F.col("n_shared")),
                 4,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 

@@ -169,3 +169,38 @@ def test_sample_frames_bounds(spark):
     assert counts == {1: 1, 2: 3}  # min 1 frame, capped at max_frames
     offsets = [r.byte_offset for r in out.filter("media_id = 2").collect()]
     assert sorted(offsets) == [0, 1024, 2048]
+
+
+def test_ngram_jaccard_max_df_bounds_hot_shingle_candidates(spark):
+    """Adversarial corpus: 80% of docs share one boilerplate sentence.
+    Without a df cap the inverted index pairs all of them (quadratic);
+    with max_df the boilerplate shingles leave the candidate index, so
+    boilerplate-only doc pairs vanish while genuinely-similar pairs
+    keep their EXACT jaccard (hot shingles still count in |A∩B|)."""
+    boiler = "all rights reserved contact support for more information today"
+    rows = []
+    # 40 docs that share ONLY the boilerplate sentence (distinct tails)
+    for i in range(40):
+        rows.append((i, f"{boiler} unique tail {i} zz{i} yy{i} xx{i} ww{i}"))
+    # one genuine near-dup pair that also carries the boilerplate
+    rows.append((100, f"{boiler} the quick brown fox jumps over the lazy dog"))
+    rows.append((101, f"{boiler} the quick brown fox jumps over the lazy cat"))
+    # 10 clean docs sharing nothing
+    for i in range(200, 210):
+        rows.append((i, f"totally unrelated content number {i} alpha{i} beta{i} gamma{i} delta{i} eps{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(docs, n=5, threshold=0.3, max_df=5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    # the quadratic boilerplate block is gone...
+    assert not any(a < 100 and b < 100 for a, b in got), got
+    # ...but the genuine pair survives via its rare fox/dog shingles
+    assert (100, 101) in got
+
+    # and its jaccard is EXACT: identical to the uncapped computation
+    uncapped = ngram_jaccard_pairs(docs, n=5, threshold=0.3)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in uncapped.filter("id_a = 100 and id_b = 101").collect()
+    }
+    assert got[(100, 101)] == exact[(100, 101)]
