@@ -185,6 +185,53 @@ def q_io_zip_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sources.read_zip_workbooks(spark, path)
 
 
+# ----------------------------------------------------------------- S10
+
+
+def q_io_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier -> JDBC sink -> partitioned JDBC scan -> agg (S10).
+
+    The database is embedded Derby (ships with Spark's JVM) standing in
+    for the reference's Postgres (consumer.py:126-206,
+    chatbot.py:150-158); the wrapper is plain ``df.write.jdbc`` /
+    ``spark.read.jdbc`` so any dialect with a driver jar works
+    unchanged.  The read back is a 4-way parallel range scan on
+    ``s_suppkey`` — the JDBC scale shape.
+    """
+    path, ready = _cache(sf_dir, "derby")
+    # keep Derby's home (and its derby.log) out of the repo cwd
+    spark._jvm.java.lang.System.setProperty("derby.system.home", "/tmp/cdc_io_cache")
+    url = f"jdbc:derby:{path}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    if not ready:
+        os.makedirs(path, exist_ok=True)
+        supp = _t(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        )
+        sources.write_jdbc(
+            supp, url, "supplier_rt", num_partitions=2, properties=props
+        )
+        _mark(path)
+    hi = 10_000_000
+    df = sources.read_jdbc(
+        spark,
+        url,
+        "supplier_rt",
+        partition_column="s_suppkey",
+        lower_bound=0,
+        upper_bound=hi,
+        num_partitions=4,
+        properties=props,
+    )
+    df = df.toDF(*[c.lower() for c in df.columns])  # Derby uppercases
+    return df.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("s_suppkey").alias("sum_key"),
+        F.min("s_acctbal").alias("min_bal"),
+        F.max("s_acctbal").alias("max_bal"),
+    )
+
+
 QUERIES = {
     "io_csv_roundtrip": q_io_csv_roundtrip,
     "io_json_roundtrip": q_io_json_roundtrip,
@@ -192,6 +239,7 @@ QUERIES = {
     "io_xlsx_ingest": q_io_xlsx_ingest,
     "io_docx_ingest": q_io_docx_ingest,
     "io_zip_consolidated": q_io_zip_consolidated,
+    "io_jdbc_roundtrip": q_io_jdbc_roundtrip,
 }
 
 ORACLE = {
@@ -224,4 +272,9 @@ UNION ALL
 SELECT 'GAS UTILITY', 'ZETA', 'Income', 'Q',
        r_name, 'Q', CAST(r_regionkey AS VARCHAR), NULL
 FROM region""",
+    "io_jdbc_roundtrip": """
+SELECT s_nationkey, count(*) AS n_suppliers,
+       CAST(sum(s_suppkey) AS BIGINT) AS sum_key,
+       min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal
+FROM supplier GROUP BY s_nationkey""",
 }

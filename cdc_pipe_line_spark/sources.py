@@ -281,6 +281,77 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "overwrite",
+    driver: str | None = None,
+    num_partitions: int | None = None,
+    batchsize: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink (S10; reference consumer.py:126-206 row-at-a-time
+    psycopg2 INSERTs — here one batched write per partition).
+
+    Each partition opens one connection and writes ``batchsize``-row
+    batches; ``num_partitions`` coalesces first so the database sees a
+    bounded connection count (the knob that matters on a 1000-executor
+    cluster — default leaves the input partitioning alone).
+    """
+    props = dict(properties or {})
+    if driver:
+        props["driver"] = driver
+    props.setdefault("batchsize", str(batchsize))
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    df.write.jdbc(url, table, mode=mode, properties=props)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC scan (S10; reference chatbot.py:150-158 single-connection
+    SELECT *).
+
+    With ``partition_column`` + bounds the scan issues
+    ``num_partitions`` range-predicated queries in parallel — the only
+    way a JDBC source scales past one connection's throughput.  Spark
+    pushes filters and column pruning into the generated SQL
+    (``PushedFilters`` in the explain output), so downstream
+    ``.filter``/``.select`` run database-side.
+    """
+    props = dict(properties or {})
+    if driver:
+        props["driver"] = driver
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in props.items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound and "
+                "num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
 def _read_bytes(src: str | bytes) -> bytes:
     if isinstance(src, bytes):
         return src

@@ -94,3 +94,34 @@ def test_ensure_bucketed_table_recovers_partial_write(spark):
     assert "Exchange" not in plan, plan
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_jdbc_parallel_read_and_pushdown(spark, tmp_path):
+    """S10: the partitioned JDBC scan really splits into N range
+    queries, and filters reach the generated SQL (PushedFilters)."""
+    from cdc_pipe_line_spark import sources
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    sources.write_jdbc(df, url, "t", num_partitions=2, properties=props)
+
+    back = sources.read_jdbc(
+        spark, url, "t",
+        partition_column="k", lower_bound=0, upper_bound=100,
+        num_partitions=4, properties=props,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+    filtered = back.filter("k >= 90").select("k")
+    assert filtered.count() == 10
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # filter pushed into the generated SQL; only k in the read schema
+    assert "GreaterThanOrEqual(k,90)" in plan
+    assert "ReadSchema: struct<k:bigint>" in plan
+    # append mode accumulates
+    sources.write_jdbc(df.limit(5), url, "t", mode="append", properties=props)
+    assert sources.read_jdbc(spark, url, "t", properties=props).count() == 105
+
+    with pytest.raises(ValueError, match="requires"):
+        sources.read_jdbc(spark, url, "t", partition_column="k", properties=props)
