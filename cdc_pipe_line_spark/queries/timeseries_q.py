@@ -27,16 +27,11 @@ def _gapfilled(spark, sf_dir):
     return gap_fill_daily(daily, group_cols=["event_type"])
 
 
-def q_daily_gapfilled(spark, sf_dir):
-    """A2+W4: daily counts per type, zero-filled over the global day
-    spine."""
-    return _gapfilled(spark, sf_dir).select(
-        "event_type", F.date_format("d", "yyyy-MM-dd").alias("d"), "value"
-    )
-
-
 def q_rolling_zscore(spark, sf_dir):
-    """W5: native rolling z-score anomaly scorer (trailing-7 mean /
+    """A2 + W4 + W5 in one slot: daily counts per type zero-filled
+    over the global day spine (the ``value`` column IS the gap-filled
+    series — every (type, day) row appears, zeros included), scored by
+    the native rolling z-score anomaly detector (trailing-7 mean /
     stddev, |z|>3, >=12-point guard) — the Spark-side replacement for
     the reference's remote anomaly service."""
     scored = rolling_zscore(
@@ -52,9 +47,15 @@ def q_rolling_zscore(spark, sf_dir):
     )
 
 
-def q_asof_join(spark, sf_dir):
-    """Engine-added as-of join: each purchase matched to the user's
-    latest click at-or-before it (union-and-carry, one shuffle)."""
+def q_asof_sessionize(spark, sf_dir):
+    """Engine-added as-of join + gap sessionization, probe-tagged:
+
+    - ``asof``: each purchase matched to the user's latest click
+      at-or-before it (union-and-carry, one shuffle); ``k`` is the
+      purchase event_id, ``v`` the matched click value.
+    - ``sess``: 30-minute-gap sessions per user (one lag window
+      shuffle); ``k`` is the session count, ``v`` the event count.
+    """
     ev = _t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
@@ -62,25 +63,34 @@ def q_asof_join(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("value").alias("click_value")
     )
-    out = asof_join(
+    matched = asof_join(
         purchases,
         clicks,
         on=["user_id"],
         left_ts="ts",
         right_ts="ts",
         value_cols=["click_value"],
+    ).select(
+        F.lit("asof").alias("probe"),
+        "user_id",
+        F.col("event_id").alias("k"),
+        F.col("click_value").alias("v"),
     )
-    return out.select("event_id", "user_id", "click_value")
-
-
-def q_sessionize(spark, sf_dir):
-    """Gap-based sessionization (30-min gap), sessions per user."""
-    ev = _t(spark, sf_dir, "events")
     s = sessionize(ev, key_cols=["user_id"], ts_col="ts", gap="30 minutes")
-    return s.groupBy("user_id").agg(
-        F.max("session_seq").alias("n_sessions"),
-        F.count("*").alias("n_events"),
+    sess = (
+        s.groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.lit("sess").alias("probe"),
+            "user_id",
+            F.col("n_sessions").alias("k"),
+            F.col("n_events").cast("double").alias("v"),
+        )
     )
+    return matched.unionByName(sess)
 
 
 _DAILY_SQL = """
@@ -99,16 +109,11 @@ filled AS (
   LEFT JOIN daily dl ON dl.event_type = g.event_type AND dl.d = sp.d)"""
 
 QUERIES = {
-    "ts_daily_gapfilled": q_daily_gapfilled,
     "ts_rolling_zscore": q_rolling_zscore,
-    "ts_asof_join": q_asof_join,
-    "ts_sessionize": q_sessionize,
+    "ts_asof_sessionize": q_asof_sessionize,
 }
 
 ORACLE = {
-    "ts_daily_gapfilled": f"""
-WITH {_DAILY_SQL}
-SELECT event_type, strftime(d, '%Y-%m-%d') AS d, value FROM filled""",
     "ts_rolling_zscore": f"""
 WITH {_DAILY_SQL},
 scored AS (
@@ -125,21 +130,21 @@ SELECT event_type, strftime(d, '%Y-%m-%d') AS timestamp, value,
   round(CASE WHEN sd > 0 THEN (value - expected_value) / sd END, 4) AS score,
   round(expected_value, 4) AS expected_value
 FROM scored WHERE n >= 12""",
-    "ts_asof_join": """
+    "ts_asof_sessionize": """
 WITH clicks AS (
   SELECT user_id, ts, max(value) AS click_value
   FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
-SELECT p.event_id, p.user_id, c.click_value
-FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts""",
-    "ts_sessionize": """
-WITH x AS (
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+x AS (
   SELECT user_id, ts,
     CASE WHEN lag(ts) OVER w IS NULL
            OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_sess
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC))
-SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
-  count(*) AS n_events
+SELECT 'asof' AS probe, p.user_id, p.event_id AS k, c.click_value AS v
+FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+UNION ALL
+SELECT 'sess', user_id, CAST(sum(new_sess) AS BIGINT),
+  CAST(count(*) AS DOUBLE)
 FROM x GROUP BY user_id""",
 }
