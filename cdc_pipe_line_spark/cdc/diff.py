@@ -55,12 +55,37 @@ def _string_map(prefix_df: str, cols: list[str]) -> Column:
     )
 
 
+def _one_row_per_key(df: DataFrame) -> DataFrame:
+    """Collapse duplicate ``__k`` rows to one, deterministically.
+
+    The reference builds ``{str(row[key]): row}`` dicts
+    (app/app.py:206-207), so a snapshot with duplicate keys keeps ONE
+    row per key.  Dict order there was file order; with no stable row
+    order in a distributed frame, the survivor here is the row with
+    the largest ``xxhash64(to_json(row))`` — arbitrary but stable.
+
+    Implementation is a hash aggregate (``max_by``), not a window: no
+    per-partition sort, map-side partial aggregation, and it
+    partitions on ``__k`` — exactly the partitioning the downstream
+    full-outer join needs, so Catalyst inserts NO additional exchange
+    (the diff stays at one shuffle per side, asserted in
+    tests/test_plans.py).
+    """
+    cols = [c for c in df.columns if c != "__k"]
+    row = F.struct(*[F.col(c) for c in cols])
+    picked = df.groupBy("__k").agg(
+        F.max_by(row, F.xxhash64(F.to_json(row))).alias("__row")
+    )
+    return picked.select("__k", *[F.col(f"__row.{c}").alias(c) for c in cols])
+
+
 def snapshot_diff(
     new_df: DataFrame,
     prev_df: DataFrame | None,
     key_col: str,
     *,
     compare_cols: list[str] | None = None,
+    dedup_keys: bool = True,
 ) -> DataFrame:
     """Diff two snapshots of a keyed table into CDC rows.
 
@@ -72,9 +97,21 @@ def snapshot_diff(
     ``prev_df=None`` (or empty-schema) is first-load: all inserts
     (reference app/app.py:156-174).
 
-    Shuffle profile: ONE exchange per side, on ``cast(key as string)``.
-    If both inputs are already hash-partitioned on the key (e.g. read
-    from a table bucketed by key), Catalyst elides the exchanges.
+    ``dedup_keys`` (default on, mirroring the reference's dict
+    construction) collapses duplicate keys to one row per side before
+    joining.  This is ALSO the skew guard: it makes the full-outer
+    join provably 1:1, so no key can explode quadratically — which
+    matters because AQE's skew-join optimization cannot split a
+    FullOuter join (splitting either side would duplicate the
+    unmatched-null rows), so a hot duplicated key would otherwise have
+    no runtime rescue.  Pass ``dedup_keys=False`` only when the key is
+    known unique and the aggregate must be shaved off.
+
+    Shuffle profile: ONE exchange per side, on ``cast(key as string)``
+    — the dedup aggregate partitions on the same key, so the join
+    reuses its exchange.  If both inputs are already hash-partitioned
+    on the key (e.g. read from a table bucketed by key), Catalyst
+    elides the exchanges.
     """
     if key_col not in new_df.columns:
         raise ValueError(
@@ -95,8 +132,13 @@ def snapshot_diff(
     # the row would fall through to the update branch with null
     # old/new payloads — normalize exactly like str(None).
     key_str = F.coalesce(F.col(key_col).cast("string"), F.lit("None"))
-    n = new_df.withColumn("__k", key_str).alias("n")
-    p = prev_df.withColumn("__k", key_str).alias("p")
+    ndf = new_df.withColumn("__k", key_str)
+    pdf = prev_df.withColumn("__k", key_str)
+    if dedup_keys:
+        ndf = _one_row_per_key(ndf)
+        pdf = _one_row_per_key(pdf)
+    n = ndf.alias("n")
+    p = pdf.alias("p")
 
     new_cols = [c for c in new_df.columns]
     prev_cols = [c for c in prev_df.columns]

@@ -264,15 +264,22 @@ def dedup_connected_components(
     similarity output into an actionable keep/drop list for a
     training-data pipeline.
 
-    Iterative min-label propagation: every node repeatedly adopts the
-    smallest label among itself and its neighbors until fixpoint.
-    Rounds needed = component diameter, and near-dup components are
-    tiny dense clusters in practice, so this converges in a few
-    rounds; each round is one shuffle-on-key join (the same primitive
-    the large-star/small-star CC-MR algorithm builds on at web
-    scale).  ``localCheckpoint`` truncates lineage per round so the
-    plan doesn't grow with iterations.  The driver-side loop carries
-    only a has-anything-changed flag, never data.
+    Iterative min-label propagation with POINTER JUMPING: each round
+    every node (1) adopts the smallest label among itself and its
+    neighbors, then (2) jumps to its label's label (``lbl <-
+    lbl(lbl)``).  The jump halves label-chain lengths, so convergence
+    is O(log diameter) rounds — a 1M-node path needs ~20 rounds, not
+    1M — the same complexity class as large-star/small-star CC-MR at
+    web scale; plain propagation alone is O(diameter) and silently
+    under-merges long chains.  Each round is two shuffle-on-key joins;
+    ``localCheckpoint`` truncates lineage per round so the plan
+    doesn't grow with iterations.  The driver-side loop carries only a
+    has-anything-changed flag, never data.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iterations`` (a silent partial merge would corrupt the
+    keep/drop list); with pointer jumping the default 20 covers
+    diameters up to ~2^20.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -286,18 +293,31 @@ def dedup_connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        propagated = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
+            labels.id,
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # pointer jump: lbl <- lbl(lbl).  The label is always a node id,
+        # so the self-join resolves it; a label already at its root maps
+        # to itself.
+        ptr = propagated.select(
+            F.col("id").alias("p_id"), F.col("lbl").alias("p_lbl")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            propagated.join(ptr, propagated.lbl == ptr.p_id, "left")
             .select(
-                labels.id,
+                propagated.id,
                 F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                    F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
@@ -311,7 +331,14 @@ def dedup_connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge within {max_iterations} "
+            "rounds; raise max_iterations (pointer jumping needs "
+            "~log2(diameter) rounds)"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("keeper_id")
     )

@@ -208,3 +208,91 @@ def test_salted_aggregate_equals_direct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_diff_duplicate_keys_collapse_like_reference(spark):
+    """The reference's {str(key): row} dicts keep ONE row per key; a
+    hot duplicated key must therefore collapse, never cross-product —
+    this is also the diff's skew guard, since AQE cannot split a
+    FullOuter join."""
+    hot_new = spark.createDataFrame(
+        [("hot", f"v{i}") for i in range(500)] + [("k1", "a")],
+        "k string, v string",
+    )
+    hot_prev = spark.createDataFrame(
+        [("hot", f"v{i}") for i in range(500)] + [("k1", "b")],
+        "k string, v string",
+    )
+    d = snapshot_diff(hot_new, hot_prev, "k").cache()
+    try:
+        # at most one event per key; 500x500 pairs would be 250k rows
+        assert d.count() <= 2
+        by_key = {r.key_value: r for r in d.collect()}
+        assert by_key["k1"].event_type == "update"
+        # deterministic: same input -> same survivor -> same output
+        d2 = snapshot_diff(hot_new, hot_prev, "k")
+        assert sorted(map(tuple, d.collect())) == sorted(map(tuple, d2.collect()))
+    finally:
+        d.unpersist()
+
+
+def test_diff_dedup_adds_no_exchange(spark):
+    """The key-dedup aggregate partitions on the join key, so the diff
+    keeps exactly ONE exchange per side (the aggregate's); a third
+    exchange means Catalyst stopped reusing the partitioning."""
+    import re
+
+    a = spark.range(1000).selectExpr("CAST(id AS STRING) k", "id * 2 AS v")
+    b = spark.range(1000).selectExpr("CAST(id AS STRING) k", "id * 3 AS v")
+    plan = (
+        snapshot_diff(a, b, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+
+
+def test_connected_components_long_chain_and_random_graphs(spark):
+    """Pointer jumping must converge in O(log diameter): a 120-node
+    path (diameter 119) far exceeds what plain min-label propagation
+    could finish in 20 rounds.  Ground truth via union-find."""
+    import random
+
+    from cdc_pipe_line_spark.text import dedup_connected_components
+
+    def ground_truth(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(120)]
+    # a few random sparse graphs with long tendrils
+    graphs = [chain]
+    for _ in range(3):
+        nodes = list(range(200))
+        rng.shuffle(nodes)
+        g = [(nodes[i], nodes[i + 1]) for i in range(0, 150, 2)]
+        g += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(30)]
+        g = [(a, b) for a, b in g if a != b]
+        graphs.append(g)
+
+    for g in graphs:
+        pairs = spark.createDataFrame(g, "id_a long, id_b long")
+        got = {
+            r.doc_id: r.keeper_id
+            for r in dedup_connected_components(pairs).collect()
+        }
+        assert got == ground_truth(g)
