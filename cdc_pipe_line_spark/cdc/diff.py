@@ -64,18 +64,35 @@ def _one_row_per_key(df: DataFrame) -> DataFrame:
     order in a distributed frame, the survivor here is the row with
     the largest ``xxhash64(to_json(row))`` — arbitrary but stable.
 
-    Implementation is a hash aggregate (``max_by``), not a window: no
-    per-partition sort, map-side partial aggregation, and it
-    partitions on ``__k`` — exactly the partitioning the downstream
-    full-outer join needs, so Catalyst inserts NO additional exchange
-    (the diff stays at one shuffle per side, asserted in
-    tests/test_plans.py).
+    Implementation is a hash aggregate, not a window: no per-partition
+    sort, map-side partial aggregation, and it partitions on ``__k`` —
+    exactly the partitioning the downstream full-outer join needs, so
+    Catalyst inserts NO additional exchange (the diff stays at one
+    shuffle per side, asserted in tests/test_plans.py).
+
+    Survivor: plain ``max(struct)`` (lexicographic over fields — cheap
+    codegen'd comparison) when every column is orderable; snapshots
+    carrying unorderable columns (maps) fall back to
+    ``max_by(row, xxhash64(to_json(row)))``.
     """
+    from pyspark.sql.types import MapType
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if hasattr(dt, "elementType"):  # ArrayType
+            return _orderable(dt.elementType)
+        if hasattr(dt, "fields"):  # StructType
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
     cols = [c for c in df.columns if c != "__k"]
     row = F.struct(*[F.col(c) for c in cols])
-    picked = df.groupBy("__k").agg(
-        F.max_by(row, F.xxhash64(F.to_json(row))).alias("__row")
-    )
+    if all(_orderable(f.dataType) for f in df.schema.fields):
+        agg = F.max(row).alias("__row")
+    else:
+        agg = F.max_by(row, F.xxhash64(F.to_json(row))).alias("__row")
+    picked = df.groupBy("__k").agg(agg)
     return picked.select("__k", *[F.col(f"__row.{c}").alias(c) for c in cols])
 
 

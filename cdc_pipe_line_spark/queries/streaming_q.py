@@ -154,19 +154,13 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       — the stateful streaming twin of the batch lag-gap sessionize,
       checked against the SAME oracle semantics.
 
-    Two bounded streams share one staged source; each keeps its own
-    watermark + state store.
+    Two bounded streams share one staged source and run CONCURRENTLY
+    (each on its own scheduler thread with its own watermark + state
+    store); both are awaited before the union is returned.
     """
     base = _stage(spark, sf_dir, "raw")
     counts = st.daily_counts_stream(
         _read_raw(spark, base), ts_col="ts", group_cols=["event_type"]
-    )
-    tumbling = st.run_to_memory(counts, output_mode="complete").select(
-        F.lit("tumbling").alias("probe"),
-        F.date_format("day", "yyyy-MM-dd").alias("grp"),
-        "event_type",
-        "n_events",
-        F.lit(None).cast("bigint").alias("n_sessions"),
     )
     sessions = (
         _read_raw(spark, base)
@@ -174,9 +168,29 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
+    # Right-size state partitions for a bounded drain: the partition
+    # count is baked into each query's state store at start, and 32
+    # stores per agg is pure setup overhead at this volume (at
+    # production volume the session default applies).  Restored
+    # immediately after start — batch plans are unaffected.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q1, counts_out = st.start_to_memory(counts, output_mode="complete")
+        q2, sessions_out = st.start_to_memory(sessions, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q1.awaitTermination()
+    q2.awaitTermination()
+    tumbling = counts_out.select(
+        F.lit("tumbling").alias("probe"),
+        F.date_format("day", "yyyy-MM-dd").alias("grp"),
+        "event_type",
+        "n_events",
+        F.lit(None).cast("bigint").alias("n_sessions"),
+    )
     session = (
-        st.run_to_memory(sessions, output_mode="complete")
-        .groupBy("user_id")
+        sessions_out.groupBy("user_id")
         .agg(
             F.sum("n_events").alias("n_events"),
             F.count("*").alias("n_sessions"),
@@ -237,12 +251,6 @@ def q_stream_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = st.dedup_within_watermark(
         _read_raw(spark, dup_base), ts_col="ts", id_col="event_id"
     )
-    dedup_out = (
-        st.run_to_memory(deduped, output_mode="append")
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-        .select(F.lit("dedup").alias("probe"), "event_type", "n")
-    )
     corrupt_base = _stage(spark, sf_dir, "raw_corrupt")
     stream = (
         spark.readStream.format("text")
@@ -253,8 +261,17 @@ def q_stream_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     good, bad = st.with_quarantine(
         stream, RAW_SCHEMA, options={"timestampFormat": _TS_FMT}
     )
-    good_out = st.run_to_memory(good, output_mode="append")
-    bad_out = st.run_to_memory(bad, output_mode="append")
+    # three independent bounded streams, drained concurrently
+    q1, deduped_out = st.start_to_memory(deduped, output_mode="append")
+    q2, good_out = st.start_to_memory(good, output_mode="append")
+    q3, bad_out = st.start_to_memory(bad, output_mode="append")
+    for q in (q1, q2, q3):
+        q.awaitTermination()
+    dedup_out = (
+        deduped_out.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("dedup").alias("probe"), "event_type", "n")
+    )
     quarantine = (
         good_out.groupBy("event_type")
         .agg(F.count("*").alias("n"))
@@ -307,9 +324,17 @@ def q_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.event_id").alias("view_id"),
         F.col("r.event_id").alias("purchase_id"),
     )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = _read_raw(spark, base).join(F.broadcast(cust), "user_id", "left")
+    # both bounded streams drained concurrently
+    q1, pairs_out = st.start_to_memory(pairs, output_mode="append")
+    q2, enriched_out = st.start_to_memory(enriched, output_mode="append")
+    q1.awaitTermination()
+    q2.awaitTermination()
     conv = (
-        st.run_to_memory(pairs, output_mode="append")
-        .groupBy("user_id")
+        pairs_out.groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
             F.sum("view_id").alias("s1"),
@@ -322,13 +347,8 @@ def q_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n", "s1", "s2",
         )
     )
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
-    )
-    enriched = _read_raw(spark, base).join(F.broadcast(cust), "user_id", "left")
     enrich = (
-        st.run_to_memory(enriched, output_mode="append")
-        .groupBy("c_mktsegment", "event_type")
+        enriched_out.groupBy("c_mktsegment", "event_type")
         .agg(
             F.count("*").alias("n"),
             F.sum("event_id").alias("s1"),

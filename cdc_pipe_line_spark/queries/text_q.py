@@ -35,8 +35,18 @@ def q_text_profile(spark, sf_dir):
     counts, and heuristic language ID.  The three feature families
     chain as withColumns over the same scan — one stage, no shuffle,
     no UDF."""
+    from cdc_pipe_line_spark.text import _words
+
     docs = _t(spark, sf_dir, "documents")
-    profiled = language_id(token_counts(text_stats(docs)))
+    # materialize the word array ONCE (and its lowercased twin) in
+    # their own projections — no CSE inside HOF lambdas, so without
+    # this the split runs 6+ times per row across the three families
+    w = docs.select("*", _words(F.col("text")).alias("__w"))
+    w = w.select("*", F.transform("__w", F.lower).alias("__lw"))
+    profiled = language_id(
+        token_counts(text_stats(w, words_col="__w"), words_col="__w"),
+        lower_words_col="__lw",
+    )
     return profiled.select(
         "doc_id",
         "n_words",

@@ -193,6 +193,24 @@ def run_to_memory(
     streaming query in this repo (memory sink is driver-resident:
     test/driver scale only, never a production sink).
     """
+    q, table = start_to_memory(
+        df, output_mode=output_mode, checkpoint_dir=checkpoint_dir
+    )
+    q.awaitTermination()
+    return table
+
+
+def start_to_memory(
+    df: DataFrame,
+    *,
+    output_mode: str,
+    checkpoint_dir: str | None = None,
+):
+    """Start (without awaiting) a bounded memory-sink stream; returns
+    ``(query, result_df)``.  Lets independent bounded streams run
+    CONCURRENTLY — each StreamingQuery runs on its own scheduler
+    thread, so two ~N-second drains overlap instead of serializing;
+    await both, then read the tables."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     writer = (
         df.writeStream.format("memory")
@@ -202,9 +220,7 @@ def run_to_memory(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    return writer.start(), df.sparkSession.table(name)
 
 
 def run_scd2_stream(

@@ -41,11 +41,20 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
-def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def text_stats(
+    df: DataFrame, text_col: str = "text", *, words_col: str | None = None
+) -> DataFrame:
     """Quality-scoring features (length / punctuation / stopword
-    ratios).  Narrow projection, codegen'd."""
+    ratios).  Narrow projection, codegen'd.
+
+    ``words_col`` names a pre-materialized word array: Catalyst does
+    no common-subexpression elimination inside higher-order-function
+    lambdas, so pipelines computing several word-based feature
+    families over the same scan should split the text once and share
+    the column (see ``queries.text_q.q_text_profile``).
+    """
     t = F.col(text_col)
-    words = _words(t)
+    words = F.col(words_col) if words_col else _words(t)
     n_chars = F.length(t).cast("bigint")
     n_words = F.size(words).cast("bigint")
     stop_hits = F.size(
@@ -68,12 +77,17 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + BPE-ish regex tokens per document."""
+def token_counts(
+    df: DataFrame, text_col: str = "text", *, words_col: str | None = None
+) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document.
+
+    ``words_col``: see :func:`text_stats`."""
     t = F.col(text_col)
+    words = F.col(words_col) if words_col else _words(t)
     return df.withColumns(
         {
-            "ws_tokens": F.size(_words(t)).cast("bigint"),
+            "ws_tokens": F.size(words).cast("bigint"),
             "bpe_tokens": F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0)).cast(
                 "bigint"
             ),
@@ -81,12 +95,24 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    lower_words_col: str | None = None,
+) -> DataFrame:
     """Heuristic language ID: stopword-hit counts per language, argmax
     with deterministic (count desc, lang asc) tie-break; 'und' when no
-    lexicon word occurs."""
-    words = _words(F.col(text_col))
-    lw = F.transform(words, lambda w: F.lower(w))
+    lexicon word occurs.
+
+    ``lower_words_col`` names a pre-materialized LOWERCASED word
+    array; without it the split+lower expression is re-evaluated per
+    lexicon filter (no CSE inside HOF lambdas — see
+    :func:`text_stats`)."""
+    if lower_words_col:
+        lw = F.col(lower_words_col)
+    else:
+        lw = F.transform(_words(F.col(text_col)), lambda w: F.lower(w))
     hit_cols = []
     for lang, lex in sorted(LANG_LEXICON.items()):
         hits = F.size(F.filter(lw, lambda w: w.isin(lex))).cast("bigint")
