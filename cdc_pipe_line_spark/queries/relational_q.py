@@ -56,41 +56,47 @@ def q_pricing_summary(spark, sf_dir):
 
 def q_multi_grouping(spark, sf_dir):
     """Grouping-sets family (A3 + §2.5 note) in one slot: ROLLUP,
-    CUBE and explicit GROUPING SETS over orders, probe-tagged.  Each
-    branch is one scan + one shuffle (Catalyst expands grouping ids
-    map-side); the union is a no-shuffle concatenation."""
+    CUBE and explicit GROUPING SETS over orders, probe-tagged.
+
+    Computed from ONE cube: CUBE(s, p) contains every grouping set the
+    other two clauses need — rollup = grouping ids {(s,p), (s), ()},
+    explicit sets = {(s), (p)} — so the fact table is scanned and
+    shuffled ONCE (plan-asserted) and the three probe branches are
+    projections of the tiny cube result.  ``grouping_id()``
+    distinguishes an aggregated-away dimension from a genuinely null
+    group value.  The naive form (three groupBys + union) scans the
+    fact table three times — at 100 TB that is the whole game."""
     o = _t(spark, sf_dir, "orders")
+    cube = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum("o_custkey").alias("sum_cust"),
+            F.grouping_id().alias("gid"),
+        )
+        # 24 rows at any scale — materialize so the three branches
+        # below don't re-run the cube
+        .localCheckpoint(eager=True)
+    )
     null_d = F.lit(None).cast("double")
     null_l = F.lit(None).cast("bigint")
-    roll = o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-    ).select(
-        F.lit("rollup").alias("probe"),
-        "o_orderstatus", "o_orderpriority", "n_orders", "sum_price",
+    base = ["o_orderstatus", "o_orderpriority", "n_orders"]
+    # gid bit semantics: bit set = column aggregated away.
+    # (s,p)=0, (s)=1, (p)=2, ()=3
+    roll = cube.filter(F.col("gid").isin(0, 1, 3)).select(
+        F.lit("rollup").alias("probe"), *base, "sum_price",
         null_l.alias("sum_cust"),
     )
-    cube = o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        F.sum("o_custkey").alias("sum_cust"),
-    ).select(
-        F.lit("cube").alias("probe"),
-        "o_orderstatus", "o_orderpriority", "n_orders",
-        null_d.alias("sum_price"), "sum_cust",
+    cub = cube.select(
+        F.lit("cube").alias("probe"), *base, null_d.alias("sum_price"),
+        "sum_cust",
     )
-    gsets = o.groupingSets(
-        [["o_orderstatus"], ["o_orderpriority"]],
-        "o_orderstatus",
-        "o_orderpriority",
-    ).agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-    ).select(
-        F.lit("gsets").alias("probe"),
-        "o_orderstatus", "o_orderpriority", "n_orders", "sum_price",
+    gsets = cube.filter(F.col("gid").isin(1, 2)).select(
+        F.lit("gsets").alias("probe"), *base, "sum_price",
         null_l.alias("sum_cust"),
     )
-    return roll.unionByName(cube).unionByName(gsets)
+    return roll.unionByName(cub).unionByName(gsets)
 
 
 def q_daily_distinct_users(spark, sf_dir):

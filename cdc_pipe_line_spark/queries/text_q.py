@@ -32,21 +32,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q_text_profile(spark, sf_dir):
     """Per-document profile in one narrow codegen'd pass: quality
     stats (length/punct/stopword ratios), whitespace + BPE-ish token
-    counts, and heuristic language ID.  The three feature families
-    chain as withColumns over the same scan — one stage, no shuffle,
-    no UDF."""
-    from cdc_pipe_line_spark.text import _words
+    counts, heuristic language ID, Gopher-style repetition signals
+    (duplicate-line / duplicate-bigram fractions), and URL/email scrub
+    counts.  The five feature families chain as withColumns over the
+    same scan — one stage, no shuffle, no UDF."""
+    from cdc_pipe_line_spark.text import _words, repetition_stats, scrub_counts
 
     docs = _t(spark, sf_dir, "documents")
     # materialize the word array ONCE (and its lowercased twin) in
     # their own projections — no CSE inside HOF lambdas, so without
-    # this the split runs 6+ times per row across the three families
+    # this the split runs 6+ times per row across the families
     w = docs.select("*", _words(F.col("text")).alias("__w"))
     w = w.select("*", F.transform("__w", F.lower).alias("__lw"))
     profiled = language_id(
         token_counts(text_stats(w, words_col="__w"), words_col="__w"),
         lower_words_col="__lw",
     )
+    profiled = scrub_counts(repetition_stats(profiled, words_col="__w"))
     return profiled.select(
         "doc_id",
         "n_words",
@@ -57,6 +59,10 @@ def q_text_profile(spark, sf_dir):
         "bpe_tokens",
         "lang",
         "lang_pred",
+        "dup_line_frac",
+        "dup_bigram_frac",
+        "n_urls",
+        "n_emails",
     )
 
 
@@ -163,7 +169,20 @@ SELECT d.doc_id,
        WHEN h_fr = g THEN 'fr'
        WHEN h_es = g THEN 'es'
        WHEN h_en = g THEN 'en'
-       ELSE 'de' END AS lang_pred
+       ELSE 'de' END AS lang_pred,
+  round(1 - len(list_distinct(list_filter(string_split(d.text, chr(10)),
+          x -> length(trim(x)) > 0)))
+        / greatest(len(list_filter(string_split(d.text, chr(10)),
+          x -> length(trim(x)) > 0)), 1), 4) AS dup_line_frac,
+  round(1 - len(list_distinct(CASE WHEN len(w) >= 2
+          THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+          ELSE [] END))
+        / greatest(len(CASE WHEN len(w) >= 2
+          THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+          ELSE [] END), 1), 4) AS dup_bigram_frac,
+  CAST(len(regexp_extract_all(d.text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(d.text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails
 FROM documents d
 JOIN words w ON d.doc_id = w.doc_id
 JOIN scored s ON d.doc_id = s.doc_id""",

@@ -130,6 +130,87 @@ def language_id(
     )
 
 
+#: URL / email patterns shared by scrub + count (kept simple enough to
+#: behave identically in Spark's and DuckDB's regex engines).
+URL_REGEX = r"https?://[^\s]+"
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", *, words_col: str | None = None
+) -> DataFrame:
+    """Gopher-style repetition signals (quality filtering for training
+    corpora): the fraction of non-blank lines that repeat an earlier
+    line, and the fraction of word bigrams that are repeats.  Both are
+    narrow codegen'd array expressions — no shuffle, no UDF; a
+    boilerplate-heavy or looping document scores high on either.
+
+    ``words_col``: see :func:`text_stats`.
+    """
+    t = F.col(text_col)
+    words = F.col(words_col) if words_col else _words(t)
+    lines = F.filter(
+        F.split(t, r"\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+    )
+    bigrams = F.when(F.size(words) >= 2, bigrams).otherwise(F.array())
+    return df.withColumns(
+        {
+            "dup_line_frac": F.round(
+                1
+                - F.size(F.array_distinct(lines))
+                / F.greatest(F.size(lines), F.lit(1)),
+                4,
+            ),
+            "dup_bigram_frac": F.round(
+                1
+                - F.size(F.array_distinct(bigrams))
+                / F.greatest(F.size(bigrams), F.lit(1)),
+                4,
+            ),
+        }
+    )
+
+
+def scrub_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count URL / email occurrences per document (the audit columns a
+    scrubbing pipeline keys its reporting on).  Narrow projection."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_urls": F.size(F.regexp_extract_all(t, F.lit(URL_REGEX), 0)).cast(
+                "bigint"
+            ),
+            "n_emails": F.size(
+                F.regexp_extract_all(t, F.lit(EMAIL_REGEX), 0)
+            ).cast("bigint"),
+        }
+    )
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "text_scrubbed",
+    url_token: str = "<URL>",
+    email_token: str = "<EMAIL>",
+) -> DataFrame:
+    """Replace URLs and emails with placeholder tokens (C4-style
+    pre-training scrub).  Emails first: a URL can contain an
+    ``@``-free authority but an email never contains ``://``, so the
+    order only matters for pathological inputs; both passes are
+    JVM-side ``regexp_replace`` (narrow, codegen'd)."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_REGEX, email_token), URL_REGEX, url_token
+    )
+    return df.withColumn(out_col, scrubbed)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the normalized text (exact-dup
     key), plus a 64-bit rolling-style hash (xxhash64 of the word

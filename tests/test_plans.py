@@ -97,3 +97,14 @@ def test_shingle_filter_not_cloned_into_scan(spark):
     for line in plan.splitlines():
         if "FileScan" in line and "documents" in line:
             assert "array_distinct" not in line, "shingles cloned into scan filter"
+
+
+def test_multi_grouping_single_fact_scan(spark):
+    """rollup/cube/gsets are all derived from ONE cube: the fact table
+    must be scanned once, not once per grouping clause.  (The cube is
+    localCheckpoint'd, so the branch plans read the materialized RDD —
+    no orders FileScan may appear more than once across the job.)"""
+    df = all_queries()["agg_multi_grouping"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0, plan  # branches read the checkpoint
+    assert "Expand" not in plan  # cube shuffle already paid upstream

@@ -204,3 +204,32 @@ def test_ngram_jaccard_max_df_bounds_hot_shingle_candidates(spark):
         for r in uncapped.filter("id_a = 100 and id_b = 101").collect()
     }
     assert got[(100, 101)] == exact[(100, 101)]
+
+
+def test_repetition_stats_flags_loops(spark):
+    from cdc_pipe_line_spark.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nalpha beta\ngamma delta"),       # dup line
+            (2, "go go go go go go"),                          # dup bigrams
+            (3, "all words here are fully distinct tokens"),   # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].dup_line_frac > 0.3
+    assert got[2].dup_bigram_frac == 0.8  # 5 bigrams, 1 distinct
+    assert got[3].dup_line_frac == 0.0 and got[3].dup_bigram_frac == 0.0
+
+
+def test_scrub_pii_and_counts(spark):
+    from cdc_pipe_line_spark.text import scrub_counts, scrub_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail me at a.user+x@example.co or see https://ex.org/p?q=1 now")],
+        "doc_id long, text string",
+    )
+    row = scrub_pii(scrub_counts(docs)).collect()[0]
+    assert row.n_urls == 1 and row.n_emails == 1
+    assert row.text_scrubbed == "mail me at <EMAIL> or see <URL> now"
