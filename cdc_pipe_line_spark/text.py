@@ -122,11 +122,19 @@ def language_id(
     # hits, then max lang — flip lang to get asc tie-break? Keep desc
     # on hits; tie-break = lexicographically LARGEST lang. Determinism
     # is what matters; document the rule.
-    return df.withColumn(
-        "lang_pred",
-        F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(
-            F.lit("und")
-        ),
+    # __best is materialized in its own projection: lang_pred references
+    # it twice (.hits guard + .lang value) and Catalyst would otherwise
+    # inline the whole 2x4-filter scoring array into both references.
+    return (
+        df.withColumn("__best", best)
+        .withColumn(
+            "lang_pred",
+            F.when(
+                F.col("__best").getField("hits") > 0,
+                F.col("__best").getField("lang"),
+            ).otherwise(F.lit("und")),
+        )
+        .drop("__best")
     )
 
 
