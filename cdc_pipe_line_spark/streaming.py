@@ -106,6 +106,92 @@ def to_kafka_sink_frame(events: DataFrame) -> DataFrame:
     )
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+    max_offsets_per_trigger: int | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """The production Kafka source (S9; reference consumer.py:377-397
+    poll loop): ``readStream.format("kafka")`` with the canonical
+    option set, composed with :func:`parse_kafka_events` for decoding.
+
+    ``startingOffsets`` + checkpointed commits give T2 replay
+    semantics; ``maxOffsetsPerTrigger`` bounds micro-batch size
+    (backpressure).  Requires the spark-sql-kafka connector jar on the
+    session classpath — this container ships none and no broker, so
+    the call raises a clear error here; the file-source stand-in
+    (:func:`read_event_stream`) covers the same decode/replay surface
+    in tests.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as exc:  # connector jar absent in this container
+        raise RuntimeError(
+            "Kafka source unavailable: the spark-sql-kafka connector jar "
+            "is not on the session classpath (add "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13 via "
+            "spark.jars.packages on a real cluster). Use "
+            "read_event_stream() as the file-backed stand-in."
+        ) from exc
+
+
+def write_kafka_stream(
+    events: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    checkpoint_dir: str,
+    options: dict[str, str] | None = None,
+):
+    """The production Kafka sink (S8; reference app/app.py:266-287
+    producer.send): events pass through :func:`to_kafka_sink_frame`
+    (key = ``{company}_{table}_{event_type}`` for T4 partition
+    affinity, JSON value) into ``writeStream.format("kafka")``.
+    Checkpointed offsets make delivery at-least-once; consumers dedup
+    on event_id (J8).  Same container caveat as
+    :func:`read_kafka_stream`.
+    """
+    if not events.isStreaming:
+        raise ValueError(
+            "write_kafka_stream expects a streaming DataFrame; for a "
+            'batch frame use to_kafka_sink_frame(df).write.format("kafka")'
+        )
+    writer = (
+        to_kafka_sink_frame(events)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    try:
+        return writer.start()
+    except Exception as exc:
+        raise RuntimeError(
+            "Kafka sink unavailable: the spark-sql-kafka connector jar "
+            "is not on the session classpath (add "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13 via "
+            "spark.jars.packages on a real cluster)."
+        ) from exc
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     *,

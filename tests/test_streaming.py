@@ -238,3 +238,42 @@ def test_stream_scd2_invariants(spark):
     assert overlaps == 0
     h.unpersist()
     shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def test_kafka_wiring_raises_clear_error_without_connector(spark, tmp_path):
+    """S8/S9 production wiring: the canonical option set is built, and
+    the missing connector jar surfaces as an actionable error (this
+    container ships no spark-sql-kafka jar and no broker)."""
+    import os
+
+    import pytest
+
+    from cdc_pipe_line_spark import streaming as st
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        st.read_kafka_stream(spark, "broker:9092", "cdc-events")
+
+    batch = spark.createDataFrame(
+        [("e1", "update", "c1", "t1")],
+        "event_id string, event_type string, company_id string, table_name string",
+    )
+    with pytest.raises(ValueError, match="streaming DataFrame"):
+        st.write_kafka_stream(
+            batch, "broker:9092", "cdc-events",
+            checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        )
+
+    streaming_ev = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr(
+            "CAST(value AS STRING) AS event_id",
+            "'update' AS event_type",
+            "'c1' AS company_id",
+            "'t1' AS table_name",
+        )
+    )
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        st.write_kafka_stream(
+            streaming_ev, "broker:9092", "cdc-events",
+            checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        )
