@@ -96,25 +96,8 @@ def apply_scd2(
             f"events missing required column(s) {sorted(missing)}; "
             f"available: {events.columns}"
         )
-    ev = dedup_events(events, order_cols=[ts_col])
-    if history is not None:
-        applied_ids = history.select(
-            F.col("_event_id").alias("event_id")
-        ).where(F.col("event_id").isNotNull()).distinct()
-        ev = ev.join(applied_ids, "event_id", "left_anti")
-
-    w_key = Window.partitionBy("key_value").orderBy(F.col(ts_col).asc())
-    chained = ev.withColumn("__next_ts", F.lead(F.col(ts_col)).over(w_key))
-
-    new_versions = chained.filter(F.col("event_type").isin("insert", "update")).select(
-        F.col("key_value"),
-        F.col(payload_col).alias("data"),
-        F.col(ts_col).alias("valid_from"),
-        F.col("__next_ts").alias("valid_to"),
-        F.col("__next_ts").isNull().alias("is_current"),
-        F.col("event_id").alias("_event_id"),
-        F.col("event_type").alias("_event_type"),
-    )
+    ev = filter_applied_events(dedup_events(events, order_cols=[ts_col]), history)
+    new_versions = chain_new_versions(ev, ts_col=ts_col, payload_col=payload_col)
 
     if history is None:
         return new_versions
@@ -122,7 +105,7 @@ def apply_scd2(
     # Expire previously-current rows for touched keys at the key's
     # first event timestamp in this batch.  The touched-key set is
     # usually tiny vs. history -> broadcast it (AQE also detects this).
-    first_ts = ev.groupBy("key_value").agg(F.min(F.col(ts_col)).alias("__first_ts"))
+    first_ts = first_event_ts(ev, ts_col=ts_col)
     expired = (
         history.join(F.broadcast(first_ts), "key_value", "left")
         .withColumn(
@@ -141,6 +124,43 @@ def apply_scd2(
         .drop("__first_ts")
     )
     return expired.unionByName(new_versions)
+
+
+def filter_applied_events(ev: DataFrame, history: DataFrame | None) -> DataFrame:
+    """Cross-batch replay guard: drop events whose ``event_id`` already
+    produced a version in ``history`` (ON CONFLICT DO NOTHING)."""
+    if history is None:
+        return ev
+    applied_ids = (
+        history.select(F.col("_event_id").alias("event_id"))
+        .where(F.col("event_id").isNotNull())
+        .distinct()
+    )
+    return ev.join(applied_ids, "event_id", "left_anti")
+
+
+def chain_new_versions(
+    ev: DataFrame, *, ts_col: str = "timestamp", payload_col: str = "new_values"
+) -> DataFrame:
+    """Within-batch version chaining: each insert/update opens a
+    version whose ``valid_to`` is the key's next event timestamp (one
+    window shuffle on the key)."""
+    w_key = Window.partitionBy("key_value").orderBy(F.col(ts_col).asc())
+    chained = ev.withColumn("__next_ts", F.lead(F.col(ts_col)).over(w_key))
+    return chained.filter(F.col("event_type").isin("insert", "update")).select(
+        F.col("key_value"),
+        F.col(payload_col).alias("data"),
+        F.col(ts_col).alias("valid_from"),
+        F.col("__next_ts").alias("valid_to"),
+        F.col("__next_ts").isNull().alias("is_current"),
+        F.col("event_id").alias("_event_id"),
+        F.col("event_type").alias("_event_type"),
+    )
+
+
+def first_event_ts(ev: DataFrame, *, ts_col: str = "timestamp") -> DataFrame:
+    """Per-key first event timestamp of a batch (the expire boundary)."""
+    return ev.groupBy("key_value").agg(F.min(F.col(ts_col)).alias("__first_ts"))
 
 
 def scd2_from_upserts(

@@ -317,25 +317,41 @@ def run_scd2_stream(
     watermark: str = "1 day",
     checkpoint_dir: str | None = None,
     n_buckets: int = 32,
+    max_segments: int = 16,
     on_batch: Callable[[DataFrame, int], None] | None = None,
 ):
     """Streaming SCD2 apply (T1+T3+T5): watermark-deduped events ->
-    ``foreachBatch`` -> :func:`cdc_pipe_line_spark.cdc.scd2.apply_scd2`
-    against a **hash-bucket-partitioned** parquet history.
+    ``foreachBatch`` -> APPEND-ONLY delta log over a
+    **hash-bucket-partitioned** parquet history.
 
-    Scale design: history is partitioned by
-    ``__bucket = pmod(xxhash64(key_value), n_buckets)``.  A micro-batch
-    reads ONLY the buckets containing its keys (partition pruning),
-    applies the SCD2 expire+insert to that slice, and rewrites ONLY
-    those buckets (dynamic partition overwrite).  Cost per batch is
-    proportional to touched data, not table size — the parquet
-    approximation of a Delta ``MERGE``; with delta-spark installed
-    this collapses to the canonical two-phase MERGE.  At 100 TB,
-    ``n_buckets`` scales with the key space (e.g. 16k) and the same
-    pruning math holds.
+    Scale design (the parquet approximation of a Delta ``MERGE``;
+    with delta-spark installed this collapses to the canonical
+    two-phase MERGE):
 
-    The batch is materialized via ``localCheckpoint`` before the
-    overwrite so Spark never scans the partitions it is replacing.
+    - history is partitioned by ``__bucket = pmod(xxhash64(key_value),
+      n_buckets)``; a micro-batch reads ONLY the buckets containing
+      its keys (partition pruning).
+    - each batch APPENDS just its changed rows — the new versions it
+      opens plus re-emitted copies of the rows it expires (same
+      ``_event_id``, updated ``valid_to``/``is_current``) — stamped
+      with a monotonically increasing ``__seq``.  Write amplification
+      is O(batch), not O(touched-bucket history): the wholesale
+      bucket rewrite this replaces re-wrote a key-uniform batch's
+      ENTIRE history every trigger.
+    - readers resolve latest-wins per version: ``row_number() over
+      (partition by _event_id order by __seq desc)`` — one window
+      over the pruned slice (:func:`read_scd2_history`).
+    - a bucket whose segment-file count exceeds ``max_segments`` is
+      COMPACTED: its resolved rows are rewritten as one segment via
+      dynamic partition overwrite, bounding read-side merge fan-in.
+
+    Because resolution dedups on ``_event_id``, a crash between the
+    data append and the marker write is harmless: the re-delivered
+    batch appends identical rows and the reader picks one — the
+    marker only saves re-work, correctness no longer depends on it.
+    At 100 TB, ``n_buckets`` scales with the key space (e.g. 16k) and
+    the same pruning + compaction math holds.
+
     Returns the StreamingQuery; read back with
     :func:`read_scd2_history`.
 
@@ -354,7 +370,12 @@ def run_scd2_stream(
     marker-write pair is not atomic — Delta's transaction closes that
     residual window.)
     """
-    from cdc_pipe_line_spark.cdc.scd2 import apply_scd2
+    from cdc_pipe_line_spark.cdc.scd2 import (
+        chain_new_versions,
+        dedup_events,
+        filter_applied_events,
+        first_event_ts,
+    )
 
     spark = events_stream.sparkSession
     data_dir = os.path.join(history_base_dir, "data")
@@ -421,28 +442,72 @@ def run_scd2_stream(
         touched = [r[0] for r in batch_df.select("__bucket").distinct().collect()]
         if not touched:
             return
-        history = None
+        resolved = None
         if os.path.exists(os.path.join(data_dir, "_SUCCESS")):
-            history = (
-                spark.read.parquet(data_dir)
-                .filter(F.col("__bucket").isin(touched))
-                .drop("__bucket")
+            resolved = resolve_scd2_segments(
+                spark.read.parquet(data_dir).filter(F.col("__bucket").isin(touched))
+            ).drop("__bucket")
+        ev = filter_applied_events(
+            dedup_events(batch_df.drop("__bucket"), order_cols=[ts_col]), resolved
+        )
+        new_versions = chain_new_versions(ev, ts_col=ts_col)
+        if resolved is not None:
+            # re-emit expired rows: same _event_id, closed valid_to —
+            # latest __seq wins at read time
+            expired = (
+                resolved.filter(F.col("is_current"))
+                .join(F.broadcast(first_event_ts(ev, ts_col=ts_col)), "key_value")
+                .withColumn("valid_to", F.col("__first_ts"))
+                .withColumn("is_current", F.lit(False))
+                .drop("__first_ts")
             )
-        new_slice = apply_scd2(history, batch_df.drop("__bucket"), ts_col=ts_col)
+            delta = expired.unionByName(new_versions)
+        else:
+            delta = new_versions
         # co-locate each bucket in one task before partitionBy, else
         # every shuffle partition writes a sliver of every bucket
         # (num_tasks x num_buckets small files — the reference's
-        # file-per-event anti-pattern reborn)
+        # file-per-event anti-pattern reborn); localCheckpoint decouples
+        # the append from the scan of the directory it extends
         out = (
-            new_slice.withColumn("__bucket", bucket_of)
+            delta.withColumn("__bucket", bucket_of)
+            .withColumn("__seq", F.lit(batch_id).cast("bigint"))
             .repartition(len(touched), "__bucket")
             .localCheckpoint(eager=True)
         )
-        out.write.mode("overwrite").partitionBy("__bucket").parquet(data_dir)
+        out.write.mode("append").partitionBy("__bucket").parquet(data_dir)
+        _compact_if_needed(touched, batch_id)
         with open(committed, "w") as fh:
             json.dump({"query_id": _query_identity(), "batch_id": batch_id}, fh)
         if on_batch is not None:
             on_batch(batch_df, batch_id)
+
+    def _compact_if_needed(touched: list[int], batch_id: int) -> None:
+        """Rewrite any touched bucket whose segment-file count exceeds
+        ``max_segments`` down to one resolved segment (dynamic
+        partition overwrite replaces only those bucket partitions).
+        Amortized cost: each row is rewritten O(1) times per
+        ``max_segments`` appends."""
+        heavy = []
+        for b in touched:
+            bdir = os.path.join(data_dir, f"__bucket={b}")
+            try:
+                nseg = sum(1 for f in os.listdir(bdir) if f.endswith(".parquet"))
+            except FileNotFoundError:
+                continue
+            if nseg > max_segments:
+                heavy.append(b)
+        if not heavy:
+            return
+        compacted = resolve_scd2_segments(
+            spark.read.parquet(data_dir).filter(F.col("__bucket").isin(heavy))
+        )
+        out = (
+            compacted.withColumn("__seq", F.lit(batch_id).cast("bigint"))
+            .repartition(len(heavy), "__bucket")
+            .localCheckpoint(eager=True)
+        )
+        out.write.mode("overwrite").partitionBy("__bucket").parquet(data_dir)
 
     deduped = dedup_within_watermark(
         events_stream, ts_col=ts_col, watermark=watermark
@@ -457,12 +522,30 @@ def run_scd2_stream(
     return writer.start()
 
 
+def resolve_scd2_segments(df: DataFrame) -> DataFrame:
+    """Latest-wins resolution over the append-only SCD2 segment log:
+    one row per ``_event_id`` (the version identity — a version's
+    ``valid_from`` never changes; only expiry re-emits it), picking
+    the highest ``__seq``.  One window over the (pruned) slice; the
+    partition column ``__bucket`` is preserved when present."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_event_id").orderBy(F.col("__seq").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__seq")
+    )
+
+
 def read_scd2_history(spark: SparkSession, history_base_dir: str) -> DataFrame:
     """Read the bucket-partitioned history written by
-    :func:`run_scd2_stream`."""
-    return spark.read.parquet(os.path.join(history_base_dir, "data")).drop(
-        "__bucket"
-    )
+    :func:`run_scd2_stream`, resolving the append-only segment log to
+    the latest version rows."""
+    df = spark.read.parquet(os.path.join(history_base_dir, "data"))
+    if "__seq" in df.columns:
+        df = resolve_scd2_segments(df)
+    return df.drop("__bucket")
 
 
 def with_quarantine(

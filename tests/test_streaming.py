@@ -277,3 +277,64 @@ def test_kafka_wiring_raises_clear_error_without_connector(spark, tmp_path):
             streaming_ev, "broker:9092", "cdc-events",
             checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
         )
+
+
+def test_scd2_append_log_compaction_bounds_segments(spark, tmp_path):
+    """The SCD2 sink appends O(batch) rows per trigger and compacts a
+    bucket once its segment count exceeds max_segments — segment files
+    stay bounded and the resolved history is identical to an
+    uncompacted run."""
+    import os
+
+    from cdc_pipe_line_spark import streaming as st
+    from cdc_pipe_line_spark.queries import streaming_q
+    from tests.conftest import SF_DIR
+
+    base = streaming_q._stage(spark, SF_DIR, "cdc")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(st.EVENT_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.json")
+            .option("timestampFormat", streaming_q._TS_FMT)
+            .option("maxFilesPerTrigger", "1")
+            .json(base)
+        )
+
+    compact_dir = os.path.join(str(tmp_path), "compact")
+    q = st.run_scd2_stream(
+        make_stream(),
+        os.path.join(compact_dir, "history"),
+        checkpoint_dir=os.path.join(compact_dir, "ckpt"),
+        n_buckets=4,
+        max_segments=2,  # force compaction across the 4 micro-batches
+    )
+    q.awaitTermination()
+
+    data_dir = os.path.join(compact_dir, "history", "data")
+    for b in os.listdir(data_dir):
+        if not b.startswith("__bucket="):
+            continue
+        nseg = sum(
+            1 for f in os.listdir(os.path.join(data_dir, b))
+            if f.endswith(".parquet")
+        )
+        assert nseg <= 3, f"{b} has {nseg} segments (compaction not bounding)"
+
+    plain_dir = os.path.join(str(tmp_path), "plain")
+    q2 = st.run_scd2_stream(
+        make_stream(),
+        os.path.join(plain_dir, "history"),
+        checkpoint_dir=os.path.join(plain_dir, "ckpt"),
+        n_buckets=4,
+        max_segments=1000,  # never compact
+    )
+    q2.awaitTermination()
+
+    cols = ["key_value", "valid_from", "valid_to", "is_current", "_event_id"]
+    a = sorted(map(tuple, st.read_scd2_history(
+        spark, os.path.join(compact_dir, "history")).select(cols).collect()))
+    b = sorted(map(tuple, st.read_scd2_history(
+        spark, os.path.join(plain_dir, "history")).select(cols).collect()))
+    assert a == b
