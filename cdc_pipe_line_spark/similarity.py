@@ -285,14 +285,23 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, emitted
     once (id_a < id_b).
 
-    ``block_col`` bounds the candidate space (same-label blocking);
-    pass None for the exact all-pairs sweep (small corpora only).  The
-    production path replaces blocking with :func:`lsh_topk` buckets.
+    ``block_col`` bounds the candidate space (same-label blocking).
+    ``block_col=None`` is an O(n^2) cartesian sweep and must be
+    explicitly acknowledged with ``allow_full_scan=True`` (small
+    corpora only) — the production path replaces blocking with
+    :func:`lsh_topk` buckets.
     """
+    if block_col is None and not allow_full_scan:
+        raise ValueError(
+            "block_col=None is an O(n^2) cartesian sweep; pass "
+            "allow_full_scan=True to acknowledge it (small corpora "
+            "only), or block on a column / use lsh_topk at scale"
+        )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
