@@ -27,7 +27,6 @@ per event like the reference's 1.4-19 s/row UPDATE loop.
 from __future__ import annotations
 
 import json
-import os
 import uuid
 from collections.abc import Callable, Iterator
 
@@ -141,7 +140,9 @@ def read_kafka_stream(
         reader = reader.option(k, v)
     try:
         return reader.load()
-    except Exception as exc:  # connector jar absent in this container
+    except Exception as exc:
+        if not _is_missing_kafka_source(exc):
+            raise  # real connector error (auth, bad option, broker) — keep it
         raise RuntimeError(
             "Kafka source unavailable: the spark-sql-kafka connector jar "
             "is not on the session classpath (add "
@@ -184,12 +185,27 @@ def write_kafka_stream(
     try:
         return writer.start()
     except Exception as exc:
+        if not _is_missing_kafka_source(exc):
+            raise  # real connector error (auth, bad option, broker) — keep it
         raise RuntimeError(
             "Kafka sink unavailable: the spark-sql-kafka connector jar "
             "is not on the session classpath (add "
             "org.apache.spark:spark-sql-kafka-0-10_2.13 via "
             "spark.jars.packages on a real cluster)."
         ) from exc
+
+
+def _is_missing_kafka_source(exc: Exception) -> bool:
+    """True only when the failure is the kafka data source itself being
+    absent from the classpath — any other error (bad option, auth/SSL,
+    unreachable broker at plan time) must propagate unmangled so
+    operators are not sent hunting for a jar that is already there."""
+    msg = str(exc)
+    return (
+        "DATA_SOURCE_NOT_FOUND" in msg
+        or "Failed to find data source: kafka" in msg
+        or "Failed to find the data source: kafka" in msg
+    )
 
 
 def dedup_within_watermark(
@@ -309,6 +325,74 @@ def start_to_memory(
     return writer.start(), df.sparkSession.table(name)
 
 
+# --- Hadoop FileSystem helpers -------------------------------------
+#
+# The SCD2 sink's driver-side bookkeeping (idempotency marker, segment
+# census for compaction, checkpoint-identity read) must work wherever
+# the history lives — local disk here, HDFS/S3/ABFS at 100 TB.  Python
+# ``open``/``os.listdir`` only speak the local FS, so these route
+# through the JVM's ``org.apache.hadoop.fs.FileSystem``, which resolves
+# the scheme (``file:``, ``hdfs:``, ``s3a:``, ``abfss:``) per path.
+
+
+def _hfs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path``, scheme-resolved."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _child(base: str, *parts: str) -> str:
+    """URI-safe path join (``os.path.join`` breaks on ``s3a://...``)."""
+    return "/".join([base.rstrip("/"), *parts])
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hfs(spark, path)
+    return fs.exists(hpath)
+
+
+def _fs_mkdirs(spark: SparkSession, path: str) -> None:
+    fs, hpath = _hfs(spark, path)
+    fs.mkdirs(hpath)
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Full contents of a small text file, or None if absent."""
+    fs, hpath = _hfs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Overwrite a small text file (create(..., overwrite=True))."""
+    fs, hpath = _hfs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_count_suffix(spark: SparkSession, path: str, suffix: str) -> int:
+    """Number of direct children of ``path`` ending in ``suffix``
+    (0 if the directory does not exist)."""
+    fs, hpath = _hfs(spark, path)
+    if not fs.exists(hpath):
+        return 0
+    return sum(
+        1
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().endswith(suffix)
+    )
+
+
 def run_scd2_stream(
     events_stream: DataFrame,
     history_base_dir: str,
@@ -378,9 +462,9 @@ def run_scd2_stream(
     )
 
     spark = events_stream.sparkSession
-    data_dir = os.path.join(history_base_dir, "data")
-    committed = os.path.join(history_base_dir, "_COMMITTED_BATCH")
-    os.makedirs(history_base_dir, exist_ok=True)
+    data_dir = _child(history_base_dir, "data")
+    committed = _child(history_base_dir, "_COMMITTED_BATCH")
+    _fs_mkdirs(spark, history_base_dir)
     bucket_of = F.pmod(F.xxhash64(F.col("key_value")), F.lit(n_buckets))
 
     def _query_identity() -> str | None:
@@ -393,26 +477,37 @@ def run_scd2_stream(
         """
         if not checkpoint_dir:
             return None
-        meta_path = os.path.join(checkpoint_dir, "metadata")
         try:
-            with open(meta_path) as fh:
-                return json.load(fh).get("id")
+            raw = _fs_read_text(spark, _child(checkpoint_dir, "metadata"))
+            return json.loads(raw).get("id") if raw else None
         except (OSError, ValueError):
             return None
 
     def _read_marker() -> tuple[str | None, int] | None:
-        if not os.path.exists(committed):
+        raw = _fs_read_text(spark, committed)
+        if raw is None:
             return None
-        with open(committed) as fh:
-            raw = fh.read().strip()
+        raw = raw.strip()
+        corrupt = ValueError(
+            f"corrupt _COMMITTED_BATCH marker at {committed!r}: {raw!r}. "
+            "Expected {\"query_id\": ..., \"batch_id\": <int>} (or a bare "
+            "int from the pre-identity format). Delete the marker after "
+            "verifying the history state to proceed."
+        )
         try:
             obj = json.loads(raw)
-            if isinstance(obj, dict):
-                return obj.get("query_id"), int(obj["batch_id"])
         except ValueError:
-            pass
+            obj = None
+        if isinstance(obj, dict):
+            try:
+                return obj.get("query_id"), int(obj["batch_id"])
+            except (KeyError, TypeError, ValueError):
+                raise corrupt from None
         # pre-identity marker format: bare int, unknown provenance
-        return None, int(raw)
+        try:
+            return None, int(raw)
+        except ValueError:
+            raise corrupt from None
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         marker = _read_marker()
@@ -430,7 +525,15 @@ def run_scd2_stream(
                     "delete the _COMMITTED_BATCH marker after verifying "
                     "the history state."
                 )
-            if marker_qid == qid and batch_id <= marker_batch:
+            # Skip only under a PROVEN identity match: with no
+            # checkpoint both ids are None and a bare == would silently
+            # drop the first marker_batch+1 micro-batches of a fresh
+            # run.  Without identity, fall through — the event-id
+            # anti-join (filter_applied_events) makes re-application a
+            # no-op anyway; the marker only saves re-work.
+            if marker_qid is not None and marker_qid == qid and (
+                batch_id <= marker_batch
+            ):
                 # Re-delivered after a crash; already applied.  Still
                 # drain every partition so the upstream stateful
                 # dedup commits its state stores (Spark validates
@@ -443,7 +546,7 @@ def run_scd2_stream(
         if not touched:
             return
         resolved = None
-        if os.path.exists(os.path.join(data_dir, "_SUCCESS")):
+        if _fs_exists(spark, _child(data_dir, "_SUCCESS")):
             resolved = resolve_scd2_segments(
                 spark.read.parquet(data_dir).filter(F.col("__bucket").isin(touched))
             ).drop("__bucket")
@@ -477,8 +580,11 @@ def run_scd2_stream(
         )
         out.write.mode("append").partitionBy("__bucket").parquet(data_dir)
         _compact_if_needed(touched, batch_id)
-        with open(committed, "w") as fh:
-            json.dump({"query_id": _query_identity(), "batch_id": batch_id}, fh)
+        _fs_write_text(
+            spark,
+            committed,
+            json.dumps({"query_id": _query_identity(), "batch_id": batch_id}),
+        )
         if on_batch is not None:
             on_batch(batch_df, batch_id)
 
@@ -490,11 +596,8 @@ def run_scd2_stream(
         ``max_segments`` appends."""
         heavy = []
         for b in touched:
-            bdir = os.path.join(data_dir, f"__bucket={b}")
-            try:
-                nseg = sum(1 for f in os.listdir(bdir) if f.endswith(".parquet"))
-            except FileNotFoundError:
-                continue
+            bdir = _child(data_dir, f"__bucket={b}")
+            nseg = _fs_count_suffix(spark, bdir, ".parquet")
             if nseg > max_segments:
                 heavy.append(b)
         if not heavy:
@@ -542,7 +645,7 @@ def read_scd2_history(spark: SparkSession, history_base_dir: str) -> DataFrame:
     """Read the bucket-partitioned history written by
     :func:`run_scd2_stream`, resolving the append-only segment log to
     the latest version rows."""
-    df = spark.read.parquet(os.path.join(history_base_dir, "data"))
+    df = spark.read.parquet(_child(history_base_dir, "data"))
     if "__seq" in df.columns:
         df = resolve_scd2_segments(df)
     return df.drop("__bucket")

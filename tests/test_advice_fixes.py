@@ -195,6 +195,154 @@ def test_interval_overlap_preserves_duplicate_multiplicity(spark):
     assert set(got.columns) == {"l_lo", "l_hi", "r_lo", "r_hi"}
 
 
+# --------------------------------------------- round-2 ADVICE regressions
+def test_checkpointless_rerun_applies_new_batches(spark, tmp_path):
+    """Checkpoint-less runs have no durable identity, so the committed
+    marker must NOT be honored (marker_qid None == qid None would
+    silently skip the fresh run's first batches); re-application is
+    instead made a no-op by the event-id anti-join."""
+    import json as _json
+
+    from cdc_pipe_line_spark import streaming as st
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_events(name, rows):
+        with open(src / name, "w") as fh:
+            for eid, key, ts in rows:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "event_id": eid,
+                            "event_type": "insert",
+                            "timestamp": ts,
+                            "key_value": key,
+                        }
+                    )
+                    + "\n"
+                )
+
+    hist = os.path.join(str(tmp_path), "history")
+    write_events("a.json", [("e1", "k1", "2024-01-01 00:00:00")])
+    write_events("b.json", [("e2", "k2", "2024-01-01 01:00:00")])
+    stream = (
+        spark.readStream.schema(st.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    st.run_scd2_stream(stream, hist).awaitTermination()
+    assert st.read_scd2_history(spark, hist).count() == 2
+
+    # new data lands; a SECOND checkpoint-less run re-reads everything.
+    # Pre-fix, the stored marker (query_id null) matched the fresh run's
+    # null identity and dropped its first batches — losing e3/e4.
+    write_events("c.json", [("e3", "k3", "2024-01-02 00:00:00")])
+    write_events("d.json", [("e4", "k4", "2024-01-02 01:00:00")])
+    stream2 = (
+        spark.readStream.schema(st.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    st.run_scd2_stream(stream2, hist).awaitTermination()
+    h = st.read_scd2_history(spark, hist)
+    keys = {r.key_value for r in h.select("key_value").collect()}
+    assert keys == {"k1", "k2", "k3", "k4"}
+    # and replayed e1/e2 were absorbed by the anti-join, not duplicated
+    assert h.count() == 4
+
+
+def test_corrupt_marker_fails_fast(spark, tmp_path):
+    """A truncated/invalid _COMMITTED_BATCH (dict missing batch_id) must
+    surface the documented marker-corruption error, not a KeyError."""
+    import json as _json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from cdc_pipe_line_spark import streaming as st
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "event_id": "e1",
+                    "event_type": "insert",
+                    "timestamp": "2024-01-01 00:00:00",
+                    "key_value": "k1",
+                }
+            )
+            + "\n"
+        )
+    hist = tmp_path / "history"
+    hist.mkdir()
+    (hist / "_COMMITTED_BATCH").write_text('{"query_id": "q-123"}')
+    stream = spark.readStream.schema(st.EVENT_SCHEMA).json(str(src))
+    q = st.run_scd2_stream(stream, str(hist))
+    with pytest.raises(StreamingQueryException, match="corrupt"):
+        q.awaitTermination()
+
+
+def test_kafka_error_classifier_only_matches_missing_source():
+    """Genuine connector errors (auth, bad option, broker) must
+    propagate unmangled; only the missing-data-source failure is
+    rewritten into the add-the-jar hint."""
+    from cdc_pipe_line_spark.streaming import _is_missing_kafka_source
+
+    assert _is_missing_kafka_source(
+        Exception("[DATA_SOURCE_NOT_FOUND] Failed to find the data source: kafka.")
+    )
+    assert _is_missing_kafka_source(
+        Exception("Failed to find data source: kafka. Please deploy ...")
+    )
+    assert not _is_missing_kafka_source(
+        Exception("kafkashaded.org.apache.kafka.common.errors."
+                  "SaslAuthenticationException: bad credentials")
+    )
+    assert not _is_missing_kafka_source(
+        Exception("Timed out waiting for a node assignment")
+    )
+
+
+def test_scd2_sink_under_file_uri(spark, tmp_path):
+    """The sink's marker + compaction bookkeeping goes through the
+    Hadoop FileSystem API, so a scheme-qualified (non-os.path) history
+    URI works — the local stand-in for hdfs://, s3a://, abfss://."""
+    import json as _json
+
+    from cdc_pipe_line_spark import streaming as st
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as fh:
+        for i in range(6):
+            fh.write(
+                _json.dumps(
+                    {
+                        "event_id": f"e{i}",
+                        "event_type": "insert",
+                        "timestamp": f"2024-01-01 0{i}:00:00",
+                        "key_value": f"k{i}",
+                    }
+                )
+                + "\n"
+            )
+    hist_uri = f"file://{tmp_path}/history"
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    stream = spark.readStream.schema(st.EVENT_SCHEMA).json(str(src))
+    st.run_scd2_stream(
+        stream, hist_uri, checkpoint_dir=ckpt, n_buckets=2, max_segments=1
+    ).awaitTermination()
+
+    h = st.read_scd2_history(spark, hist_uri)
+    assert h.count() == 6
+    # marker landed through the FS API at the URI path
+    marker = tmp_path / "history" / "_COMMITTED_BATCH"
+    assert marker.exists()
+    assert "batch_id" in marker.read_text()
+
+
 def test_interval_overlap_rejects_shared_column_names(spark):
     df = spark.createDataFrame([(0.0, 1.0)], "lo double, hi double")
     with pytest.raises(ValueError, match="disjoint"):
