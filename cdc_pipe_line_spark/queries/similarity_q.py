@@ -48,18 +48,73 @@ def q_knn_bruteforce(spark, sf_dir):
 
 def q_knn_lsh(spark, sf_dir):
     """Random-hyperplane LSH bucketed top-10 — the scale path.
-    Rows-only check: recall vs. brute force is probabilistic by
-    design (compared explicitly in tests)."""
+
+    Fully oracle-checked: the hyperplanes are deterministic literals
+    and the projection folds are the same left-to-right double
+    arithmetic in both engines, so DuckDB reproduces the buckets (sign
+    parity verified corpus-wide), the candidate join, and the exact
+    re-rank bit-for-bit."""
     q, emb = _queries_and_corpus(spark, sf_dir)
     return lsh_topk(q, emb, k=10, n_planes=6, dim=64)
 
 
 def q_knn_ivf(spark, sf_dir):
-    """IVF (mini-k-means inverted lists, 4-of-16 probes) top-10 — the
-    second ANN scale path.  Rows-only check: probe recall is
-    approximate by design (compared vs. brute force in tests)."""
+    """IVF (mini-k-means inverted lists, 8-of-16 probes) top-10 — the
+    second ANN scale path.
+
+    The inverted-list build is seeded via distributed hash-order
+    sampling (xxhash64 — deliberately not SQL-replicable), so instead
+    of replaying the k-means in SQL the oracle binds through the
+    sketch-query pattern (cf. ``agg_sketch_sample_profile``): one row
+    per query carrying EXACT brute-force values DuckDB recomputes
+    (top-1 id/sim, top-10 sim sum) plus boolean accuracy claims the
+    approximate path must uphold — per-query recall@10 >= 0.4,
+    corpus-wide mean recall >= 0.6, and <= k rows returned.  A recall
+    regression flips a boolean and fails the driver's hash check."""
     q, emb = _queries_and_corpus(spark, sf_dir)
-    return ivf_topk(q, emb, k=10, n_centroids=16, n_probe=4)
+    ivf = ivf_topk(q, emb, k=10, n_centroids=16, n_probe=8)
+    exact = brute_force_topk(q, emb, k=10)
+    hits = (
+        ivf.select("q_id", "vec_id")
+        .join(exact.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("__n_hit"))
+    )
+    n_ivf = ivf.groupBy("q_id").agg(F.count("*").alias("__n_ivf"))
+    per_q = (
+        exact.groupBy("q_id")
+        .agg(
+            F.max(F.when(F.col("rank") == 1, F.col("vec_id"))).alias(
+                "exact_top1_id"
+            ),
+            F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))).alias(
+                "exact_top1_sim"
+            ),
+            F.round(F.sum("cos_sim"), 4).alias("exact_top10_sim_sum"),
+            F.count("*").alias("__n_exact"),
+        )
+        .join(hits, "q_id", "left")
+        .join(n_ivf, "q_id", "left")
+        .withColumn(
+            "__recall",
+            F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("__n_exact"),
+        )
+    )
+    mean_ok = per_q.agg(
+        (F.avg("__recall") >= 0.6).alias("mean_recall10_ge_06")
+    )
+    return (
+        per_q.crossJoin(F.broadcast(mean_ok))
+        .select(
+            "q_id",
+            "exact_top1_id",
+            "exact_top1_sim",
+            "exact_top10_sim_sum",
+            (F.col("__recall") >= 0.4).alias("recall10_ge_04"),
+            "mean_recall10_ge_06",
+            (F.coalesce(F.col("__n_ivf"), F.lit(0)) <= 10).alias("ivf_le_k"),
+        )
+    )
 
 
 def q_cosine_near_dup(spark, sf_dir):
@@ -147,6 +202,26 @@ _COS = (
     "i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 4)"
 )
 
+
+def _lsh_bucket_sql(vec: str) -> str:
+    """DuckDB expression reproducing :func:`similarity.lsh_bucket` for
+    the registered query's planes (64-dim, 6 planes, seed 42): the
+    plane weights are the same 6-decimal literals Spark folds, and the
+    dot product is the same left-to-right double sum, so the sign —
+    hence the bucket id — matches exactly (verified corpus-wide at
+    sf0.01/sf0.1)."""
+    from cdc_pipe_line_spark.similarity import random_hyperplanes
+
+    terms = []
+    for i, plane in enumerate(random_hyperplanes(64, 6, 42)):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ([{lits}])[j])) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
 QUERIES = {
     "sim_knn_bruteforce": q_knn_bruteforce,
     "sim_knn_lsh": q_knn_lsh,
@@ -157,6 +232,40 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sim_knn_lsh": f"""
+WITH cb AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings),
+qb AS (
+  SELECT vec_id AS q_id, embedding AS qv, bucket
+  FROM cb WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT qb.q_id, cb.vec_id,
+    {_COS.format(a='qb.qv', b='cb.embedding')} AS cos_sim
+  FROM cb JOIN qb USING (bucket) WHERE cb.vec_id != qb.q_id)
+SELECT q_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10""",
+    "sim_knn_ivf": f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+    {_COS.format(a='q.qv', b='e.embedding')} AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.q_id),
+ranked AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM scored) WHERE rank <= 10)
+SELECT q_id,
+  max(CASE WHEN rank = 1 THEN vec_id END) AS exact_top1_id,
+  max(CASE WHEN rank = 1 THEN cos_sim END) AS exact_top1_sim,
+  round(sum(cos_sim), 4) AS exact_top10_sim_sum,
+  TRUE AS recall10_ge_04,
+  TRUE AS mean_recall10_ge_06,
+  TRUE AS ivf_le_k
+FROM ranked GROUP BY q_id""",
     "sim_knn_bruteforce": f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
 scored AS (

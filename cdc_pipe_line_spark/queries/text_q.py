@@ -94,9 +94,14 @@ def q_dedup_components(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, Jaccard-verified.  No SQL oracle:
-    LSH candidate recall is probabilistic (rows-only check); the
-    Jaccard query above is the SQL-checked ground truth."""
+    """MinHash+LSH near-dup pairs, Jaccard-verified.
+
+    Fully oracle-checked: the 60-bit md5 shingle hash, the affine
+    permutation family (literal A/B/p), the band keys, the candidate
+    join, and the exact-Jaccard verification are all plain integer/
+    list arithmetic, so DuckDB replays the ENTIRE pipeline —
+    signatures, banding and all — and the hash check binds the
+    probabilistic path, not just its verified output."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, n=5, threshold=0.5)
 
@@ -111,7 +116,12 @@ def q_levenshtein(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     """SimHash near-dup pairs within Hamming<=3 (banded candidates).
-    Rows-only: 64-bit banding is not reasonably SQL-expressible."""
+
+    Fully oracle-checked: the fingerprint is a bit-vote over
+    md5-derived 64-bit shingle hashes (integer-exact in SQL), and the
+    pigeonhole banding has recall EXACTLY 1.0 for Hamming <= 3 by
+    construction — so the emitted pair set equals the all-pairs
+    Hamming filter DuckDB computes over the replayed fingerprints."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
 
@@ -137,6 +147,96 @@ def _lang_hits_sql() -> str:
     return ", ".join(cols)
 
 
+def _minhash_oracle_sql() -> str:
+    """DuckDB replay of :func:`text.minhash_lsh_pairs` (n=5,
+    num_hashes=32, bands=8, threshold=0.5, seed=42): identical shingle
+    sets, 60-bit md5 base hashes, affine permutations (A/B/p embedded
+    as literals), band keys, candidate join, and exact-Jaccard
+    verification."""
+    from cdc_pipe_line_spark.text import minhash_coeffs
+
+    A, B, p = minhash_coeffs(32, 42)
+    a_lits = ", ".join(str(x) for x in A)
+    b_lits = ", ".join(str(x) for x in B)
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3),
+                          i -> array_to_string(w[i:i+4], ' '))
+      ELSE [] END) AS sh
+  FROM words),
+docs AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+hx AS (
+  SELECT doc_id,
+    list_transform(sh,
+      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {p}) AS hx
+  FROM docs),
+sig AS (
+  SELECT doc_id,
+    list_transform(range(1, 33),
+      i -> list_min(list_transform(hx,
+             x -> (([{a_lits}])[i] * x + ([{b_lits}])[i]) % {p}))) AS sig
+  FROM hx),
+banded AS (
+  SELECT doc_id, b.band,
+    array_to_string(sig[b.band*4+1 : b.band*4+4], '_') AS bucket
+  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    round(len(list_intersect(sa.sh, sb.sh)) /
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+      AS jaccard
+  FROM cand c
+  JOIN docs sa ON sa.doc_id = c.id_a
+  JOIN docs sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5"""
+
+
+_SIMHASH_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh3 AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' '))
+      ELSE [] END) AS sh
+  FROM words),
+docs AS (SELECT doc_id, sh, len(sh) AS n FROM sh3 WHERE len(sh) > 0),
+hx AS (
+  SELECT doc_id, n,
+    unnest(list_transform(sh,
+      g -> [CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT),
+            CAST(('0x' || substr(md5(g), 9, 8)) AS BIGINT)])) AS h
+  FROM docs),
+bits AS (
+  SELECT doc_id, n, j.bit,
+    CASE WHEN j.bit < 32 THEN (h[2] >> j.bit) & 1
+         ELSE (h[1] >> (j.bit - 32)) & 1 END AS b
+  FROM hx, (SELECT unnest(range(0, 64)) AS bit) j),
+sigbits AS (
+  SELECT doc_id, bit, CASE WHEN 2 * sum(b) > n THEN 1 ELSE 0 END AS sb
+  FROM bits GROUP BY doc_id, bit, n),
+sig AS (SELECT doc_id, list(sb ORDER BY bit) AS bits FROM sigbits GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3"""
+
+
 QUERIES = {
     "text_profile": q_text_profile,
     "text_exact_dedup": q_exact_dedup,
@@ -148,6 +248,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "dedup_simhash": _SIMHASH_ORACLE,
     "text_profile": f"""
 WITH {_WORDS},
 lw_t AS (SELECT doc_id, list_transform(w, x -> lower(x)) AS lw FROM words),

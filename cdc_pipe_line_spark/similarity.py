@@ -154,24 +154,34 @@ def ivf_centroids(
 ) -> DataFrame:
     """Deterministic mini k-means centroids for an IVF index.
 
-    Seeds = the ``n_centroids`` lowest-id vectors at a fixed stride
-    (reproducible, no RNG); refined with ``iters`` Lloyd passes, each
-    pass = one broadcast-argmax assignment + one per-dimension mean
-    (``posexplode`` -> groupBy -> array rebuild).  All distributed —
-    the centroid table itself is tiny (n_centroids x dim) and travels
-    by broadcast.
+    Seeds = the ``n_centroids`` vectors with the smallest
+    ``xxhash64(id)`` — a deterministic pseudo-random sample selected
+    with ``ORDER BY hash LIMIT k``, which Spark executes as
+    ``TakeOrderedAndProject``: each partition keeps its local top-k
+    and only k rows ever leave a task.  (The previous seeding ranked
+    the WHOLE corpus through a global partitionless window — a
+    single-partition sort of 100 TB — plus a driver ``count()``;
+    locked out by a plan regression test.)  Refined with ``iters``
+    Lloyd passes, each pass = one broadcast-argmax assignment + one
+    per-dimension mean (``posexplode`` -> groupBy -> array rebuild).
+    All distributed — the centroid table itself is tiny
+    (n_centroids x dim); the ``row_number`` below runs over those k
+    rows only, never the corpus.
     """
     seeds = (
-        corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("__rn", F.row_number().over(Window.orderBy(F.col("cid").asc())))
-    )
-    stride = seeds.count() // n_centroids or 1
-    cents = (
-        seeds.filter(((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") <= stride * n_centroids))
-        .select(
-            (((F.col("__rn") - 1) / stride).cast("int")).alias("centroid_id"),
-            F.col("cv").alias("centroid"),
+        corpus.select(
+            F.col(corpus_id).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            F.xxhash64(F.col(corpus_id)).alias("__h"),
         )
+        .orderBy("__h", "cid")
+        .limit(n_centroids)
+    )
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("__h", "cid")) - 1).alias(
+            "centroid_id"
+        ),
+        F.col("cv").alias("centroid"),
     )
     for _ in range(iters):
         assigned = _assign(corpus, cents, corpus_id=corpus_id, vec_col=vec_col)

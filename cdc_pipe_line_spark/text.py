@@ -471,29 +471,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures over word-shingles.
 
-    Permutation family h_i(x) = (a_i * x + b_i) mod p over the
-    xxhash64 of each shingle — deterministic from ``seed``.  Shingle
-    hashing stays JVM-side (xxhash64); the permutation/min step is an
-    Arrow-batched numpy UDF: the expression form (num_hashes
-    ``transform`` lambdas per row) is evaluated interpretively by
-    Catalyst and measured ~10x slower at sf0.1.  Output:
-    (id, sig: array<bigint>).
+    Permutation family h_i(x) = (a_i * x + b_i) mod p over a
+    60-bit md5-derived integer of each shingle — deterministic from
+    ``seed`` AND reproducible in ANSI SQL (both the base hash and the
+    affine family are plain integer arithmetic, so the DuckDB oracle
+    replays the exact signatures; xxhash64 would be Spark-only).
+    Shingle hashing stays JVM-side (md5 + base-16 conv); the
+    permutation/min step is an Arrow-batched numpy UDF: the expression
+    form (num_hashes ``transform`` lambdas per row) is evaluated
+    interpretively by Catalyst and measured ~10x slower at sf0.1.
+    Output: (id, sig: array<bigint>).
 
     ``_shingles``: a precomputed :func:`shingle_df` result — lets
     :func:`minhash_lsh_pairs` share one shingling pass between the
     signature and verification branches instead of re-reading and
     re-shingling the corpus.
     """
-    import random
-
     from pyspark.sql.functions import pandas_udf
 
-    rnd = random.Random(seed)
-    # 2^31-1: keeps (x * a) within int64 (x, a < 2^31 => product
-    # < 2^62); 31-bit minhash space is ample for banding.
-    p = (1 << 31) - 1
-    A = np.array([rnd.randrange(1, p) for _ in range(num_hashes)], dtype=np.int64)
-    B = np.array([rnd.randrange(0, p) for _ in range(num_hashes)], dtype=np.int64)
+    A_list, B_list, p = minhash_coeffs(num_hashes, seed)
+    A = np.array(A_list, dtype=np.int64)
+    B = np.array(B_list, dtype=np.int64)
 
     @pandas_udf("array<long>")
     def minhash_vote(hx: pd.Series) -> pd.Series:
@@ -512,9 +510,33 @@ def minhash_signatures(
         else shingle_df(df, id_col=id_col, text_col=text_col, n=n)
     )
     hashed = sh.withColumn(
-        "hx", F.transform("sh", lambda g: F.pmod(F.xxhash64(g), F.lit(p)))
+        "hx", F.transform("sh", lambda g: shingle_hash60(g) % p)
     )
     return hashed.select("id", minhash_vote("hx").alias("sig"))
+
+
+def minhash_coeffs(num_hashes: int, seed: int) -> tuple[list[int], list[int], int]:
+    """The (A, B, p) affine-permutation constants for
+    :func:`minhash_signatures` — exposed so the SQL oracle can embed
+    the identical literals.  p = 2^31-1 keeps ``a * x`` within int64
+    (both < 2^31 => product < 2^62) in numpy and SQL alike."""
+    import random
+
+    rnd = random.Random(seed)
+    p = (1 << 31) - 1
+    A = [rnd.randrange(1, p) for _ in range(num_hashes)]
+    B = [rnd.randrange(0, p) for _ in range(num_hashes)]
+    return A, B, p
+
+
+def shingle_hash60(g: Column) -> Column:
+    """60-bit integer hash of a shingle: the first 15 hex chars of
+    md5, parsed base-16.  Chosen over xxhash64 because every engine
+    with md5 + base conversion reproduces it bit-for-bit (DuckDB:
+    ``CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)``), which is what
+    lets the MinHash pipeline be hash-checked end-to-end; 60 bits
+    stays positive in a signed int64."""
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
 
 
 def minhash_lsh_pairs(
@@ -563,11 +585,17 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        # hash the signature slice directly — one
-                        # expression per band instead of a per-element
-                        # cast/concat tree
-                        F.xxhash64(
-                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                        # the band key is the signature slice itself
+                        # (joined as a string) rather than an
+                        # engine-specific hash of it — SQL-replicable,
+                        # and at <= ~8 values per band the key stays
+                        # small enough that hashing it buys nothing
+                        F.concat_ws(
+                            "_",
+                            F.transform(
+                                F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
                         ).alias("bucket"),
                     )
                     for i in range(bands)
@@ -654,12 +682,14 @@ def levenshtein_pairs(
 
 
 def _simhash_vote_udf():
-    """Vectorized simhash vote: shingle hashes (int64 array) -> 64-bit
-    signature.
+    """Vectorized simhash vote: shingle hashes (two int64 arrays
+    carrying the md5 hi/lo 32-bit halves) -> 64-bit signature.
 
-    The shingle hashing stays JVM-side (xxhash64); only the per-bit
-    voting runs in numpy.  A pure column-expression version (64
-    ``aggregate`` calls) was ~0.14 s/doc because Catalyst evaluates
+    The shingle hashing stays JVM-side (md5 + base-16 conv, split into
+    two 32-bit halves so every intermediate fits a signed int64 — the
+    same split the SQL oracle replays); only the per-bit voting runs
+    in numpy.  A pure column-expression version (64 ``aggregate``
+    calls) was ~0.14 s/doc because Catalyst evaluates
     higher-order-function lambdas interpretively per element — the
     Arrow-batched numpy vote is orders faster and is the documented
     exception where a pandas UDF beats built-ins.
@@ -667,13 +697,15 @@ def _simhash_vote_udf():
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
-    def simhash_vote(hx: pd.Series) -> pd.Series:
+    def simhash_vote(hi: pd.Series, lo: pd.Series) -> pd.Series:
         shifts = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(hx), dtype=np.int64)
-        for i, arr in enumerate(hx):
-            if arr is None or len(arr) == 0:
+        out = np.zeros(len(hi), dtype=np.int64)
+        for i, (ah, al) in enumerate(zip(hi, lo)):
+            if ah is None or len(ah) == 0:
                 continue
-            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            h = (np.asarray(ah, dtype=np.uint64) << np.uint64(32)) | np.asarray(
+                al, dtype=np.uint64
+            )
             ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
             votes = 2 * ones.astype(np.int64) - len(h)
             sig = np.bitwise_or.reduce(
@@ -685,13 +717,24 @@ def _simhash_vote_udf():
     return simhash_vote
 
 
+def _md5_half(g: Column, start: int) -> Column:
+    """One 32-bit half of md5(g): hex chars [start, start+8) parsed
+    base-16 — integer-exact in any engine with md5 + base conversion
+    (DuckDB: ``CAST('0x' || substr(md5(g), start, 8) AS BIGINT)``),
+    which is what lets the SimHash fingerprint be replayed by the SQL
+    oracle."""
+    return F.conv(F.substring(F.md5(g), start, 8), 16, 10).cast("bigint")
+
+
 def simhash64(text: Column, n: int = 3) -> Column:
-    """64-bit SimHash over word ``n``-grams: JVM-side shingle hashing,
-    Arrow-batched numpy bit voting.  (Column form — prefer
-    :func:`simhash_df` on the hot path, see :func:`shingle_df`.)"""
+    """64-bit SimHash over word ``n``-grams: JVM-side md5-derived
+    shingle hashing, Arrow-batched numpy bit voting.  (Column form —
+    prefer :func:`simhash_df` on the hot path, see
+    :func:`shingle_df`.)"""
     sh = shingles(text, n)
-    hx = F.transform(sh, lambda g: F.xxhash64(g))
-    return _simhash_vote_udf()(hx)
+    hi = F.transform(sh, lambda g: _md5_half(g, 1))
+    lo = F.transform(sh, lambda g: _md5_half(g, 9))
+    return _simhash_vote_udf()(hi, lo)
 
 
 def simhash_df(
@@ -699,8 +742,9 @@ def simhash_df(
 ) -> DataFrame:
     """``(id, h: bigint)`` SimHash via the materialized shingle path."""
     sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n)
-    hx = F.transform("sh", lambda g: F.xxhash64(g))
-    return sh.select("id", _simhash_vote_udf()(hx).alias("h"))
+    hi = F.transform("sh", lambda g: _md5_half(g, 1))
+    lo = F.transform("sh", lambda g: _md5_half(g, 9))
+    return sh.select("id", _simhash_vote_udf()(hi, lo).alias("h"))
 
 
 def simhash_pairs(

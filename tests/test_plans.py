@@ -99,6 +99,41 @@ def test_shingle_filter_not_cloned_into_scan(spark):
             assert "array_distinct" not in line, "shingles cloned into scan filter"
 
 
+def test_ivf_build_never_single_partition(spark):
+    """Regression for the IVF seeding scale bug: seeds come from ORDER
+    BY hash LIMIT k (TakeOrderedAndProject — per-partition top-k, k
+    rows max per task), never a partitionless window that funnels the
+    whole corpus through one task.  No Exchange SinglePartition may
+    appear anywhere in the build+search plan."""
+    plan = _plan(spark, "sim_knn_ivf")
+    assert "TakeOrderedAndProject" in plan
+    # Any remaining single-partition exchange must be fed by a bounded
+    # operator — a partial aggregate (scalar mean) or the seed top-k —
+    # never by an unbounded scan/project of the corpus (the old bug).
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "HashAggregate" in child or "TakeOrderedAndProject" in child, (
+            "unbounded single-partition exchange:\n" + "\n".join(lines[i : i + 3])
+        )
+
+
+def test_text_profile_single_pass(spark):
+    """text_profile's five feature families must stay ONE narrow
+    codegen'd pass: no shuffle (the only Exchange is load_table's
+    round-robin fan-out), no Python eval, and at most 4 Projects (the
+    word-array + lowercase materializations are deliberate — the
+    no-CSE-in-HOF-lambdas pitfall — but nothing may re-split the
+    word array beyond them)."""
+    plan = _plan(spark, "text_profile")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Project") <= 4, plan
+
+
 def test_multi_grouping_single_fact_scan(spark):
     """rollup/cube/gsets are all derived from ONE cube: the fact table
     must be scanned once, not once per grouping clause.  (The cube is
