@@ -304,10 +304,13 @@ WITH keyed AS (
   SELECT doc_id,
     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t,
     substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 12) AS blk
-  FROM documents)
+  FROM documents),
+capped AS (
+  SELECT * FROM keyed
+  WHERE blk IN (SELECT blk FROM keyed GROUP BY blk HAVING count(*) <= 100))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST(levenshtein(a.t, b.t) AS INT) AS distance
-FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+FROM capped a JOIN capped b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.t, b.t) <= 20""",
     "dedup_ngram_jaccard": """
 WITH words AS (

@@ -549,6 +549,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    broadcast_verify_max: int = 100_000,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs (the scale path for dedup).
 
@@ -615,21 +616,28 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Verify ONLY the LSH candidates: semi-join the shingle table down
-    # to candidate docs first (broadcast — the candidate set is what
-    # LSH bounds, always << corpus), then the pair join touches the
-    # tiny slice twice instead of shuffling the full shingle table.
-    # The candidate set feeds two consumers (the id broadcast and the
-    # pair rows) — materialize it once or the whole banding pipeline
-    # runs twice.
+    # to candidate docs first, then the pair join touches the tiny
+    # slice twice instead of shuffling the full shingle table.  The
+    # candidate set feeds two consumers (the id semi-join and the pair
+    # rows) — materialize it once or the whole banding pipeline runs
+    # twice.  Under sane banding the candidate slice is broadcast-
+    # sized, but banding degrades on adversarial corpora (near-
+    # identical boilerplate everywhere -> candidate set ~ corpus), so
+    # the broadcast is GUARDED: the candidate-doc count (one cheap job
+    # over the already-materialized pairs) must stay under
+    # ``broadcast_verify_max``, else every verify join falls back to a
+    # shuffle — same rows, no driver/executor OOM.
     cand = cand.localCheckpoint(eager=True)
     cand_ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias("id")
     ).distinct()
-    sh_cand = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+    n_cand_docs = cand_ids.count()
+    hint = F.broadcast if n_cand_docs <= broadcast_verify_max else (lambda d: d)
+    sh_cand = sh.join(hint(cand_ids), "id", "left_semi")
     n_shared = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     return (
-        cand.join(F.broadcast(sh_cand.alias("a")), F.col("id_a") == F.col("a.id"))
-        .join(F.broadcast(sh_cand.alias("b")), F.col("id_b") == F.col("b.id"))
+        cand.join(hint(sh_cand.alias("a")), F.col("id_a") == F.col("a.id"))
+        .join(hint(sh_cand.alias("b")), F.col("id_b") == F.col("b.id"))
         .withColumn("n_shared", n_shared)
         .withColumn(
             "jaccard",
@@ -651,6 +659,7 @@ def levenshtein_pairs(
     text_col: str = "text",
     max_distance: int = 8,
     prefix_len: int = 12,
+    max_block_size: int | None = 100,
 ) -> DataFrame:
     """Near-dup pairs by edit distance, blocked on the normalized-text
     prefix.
@@ -661,6 +670,17 @@ def levenshtein_pairs(
     misses pairs that diverge inside the first ``prefix_len`` chars;
     that recall trade is the standard one (cf. MinHash banding) and is
     documented at the query layer.
+
+    ``max_block_size`` is the scale guard (the same hole ``max_df``
+    closes for shingle candidates): one boilerplate prefix shared by
+    100k documents would make its block O(b^2) — 10^10 pairs, each
+    paying an O(len^2) edit-distance verify.  Blocks larger than the
+    cap are dropped from candidacy entirely (an aggregate on the block
+    key — same shuffle the join needs).  A pair lost this way shares a
+    >=\ ``prefix_len``-char prefix with >cap other docs, i.e. it is
+    mass boilerplate that exact/MinHash dedup already catches.  The
+    natural block sizes on the documents fixture are <= 13; the
+    default cap of 100 never binds outside adversarial corpora.
     """
     norm = normalize_text(F.col(text_col))
     keyed = df.select(
@@ -668,6 +688,14 @@ def levenshtein_pairs(
         norm.alias("t"),
         F.substring(norm, 1, prefix_len).alias("blk"),
     )
+    if max_block_size is not None:
+        hot = (
+            keyed.groupBy("blk")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_block_size)
+            .select("blk")
+        )
+        keyed = keyed.join(hot, "blk", "left_anti")
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))

@@ -206,6 +206,61 @@ def test_ngram_jaccard_max_df_bounds_hot_shingle_candidates(spark):
     assert got[(100, 101)] == exact[(100, 101)]
 
 
+def test_levenshtein_max_block_bounds_hot_prefix(spark):
+    """Adversarial corpus: many docs share one boilerplate 12-char
+    prefix.  Without a cap that block is O(b^2) edit-distance verifies;
+    with max_block_size the hot block leaves candidacy while pairs in
+    healthy blocks keep their exact distances."""
+    from cdc_pipe_line_spark.text import levenshtein_pairs
+
+    rows = []
+    # 30 docs sharing a long boilerplate prefix (identical first 12+
+    # chars), mutually near-identical
+    for i in range(30):
+        rows.append((i, f"all rights reserved tail {i:03d}"))
+    # one genuine near-dup pair in a small block
+    rows.append((100, "zebra document alpha"))
+    rows.append((101, "zebra document alphb"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = levenshtein_pairs(
+        docs, max_distance=8, prefix_len=12, max_block_size=10
+    )
+    got = {(r.id_a, r.id_b): r.distance for r in capped.collect()}
+    assert not any(a < 100 for a, b in got), got  # hot block dropped
+    assert got.get((100, 101)) == 1  # healthy block kept, exact distance
+
+    # uncapped finds the boilerplate pairs too (sanity: cap did the work)
+    uncapped = levenshtein_pairs(
+        docs, max_distance=8, prefix_len=12, max_block_size=None
+    )
+    assert uncapped.filter("id_a < 100").count() > 0
+
+
+def test_minhash_shuffle_fallback_same_pairs(spark):
+    """The guarded broadcast must be pure strategy: forcing the
+    shuffle path (threshold 0) returns exactly the same verified
+    pairs as the broadcast path."""
+    from cdc_pipe_line_spark.text import minhash_lsh_pairs
+
+    rows = []
+    for i in range(20):
+        rows.append((i, f"the quick brown fox jumps over the lazy dog {i}"))
+        rows.append((1000 + i, f"the quick brown fox jumps over the lazy dog {i} x"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bcast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    shuf = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.3, broadcast_verify_max=0
+        ).collect()
+    }
+    assert bcast == shuf and bcast
+
+
 def test_repetition_stats_flags_loops(spark):
     from cdc_pipe_line_spark.text import repetition_stats
 
