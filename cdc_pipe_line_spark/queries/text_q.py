@@ -126,6 +126,34 @@ def q_simhash(spark, sf_dir):
     return simhash_pairs(docs, max_hamming=3)
 
 
+def q_llm_data_prep(spark, sf_dir):
+    """Training-mix construction probes in one slot:
+
+    - ``quota``: per-language document cap (50, by ascending doc_id) —
+      the per-domain/source balancing step (WindowGroupLimit shape);
+    - ``pack``: per-language token-budget packing (2048 ws-tokens) —
+      greedy contiguous binning via an exclusive running sum, the
+      sequence-packing step of batch construction.
+
+    Both emit ``seq`` (rank resp. bin id) so the hash binds the full
+    assignment, not just membership.
+    """
+    from cdc_pipe_line_spark.text import _words, pack_sequences, quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(_words(F.col("text"))).cast("bigint").alias("ws_tokens"),
+    )
+    quota = quota_sample(docs, group_col="lang", quota=50).select(
+        F.lit("quota").alias("probe"), "lang", "doc_id", "ws_tokens", "seq"
+    )
+    pack = pack_sequences(
+        docs, budget=2048, group_col="lang", token_col="ws_tokens"
+    ).select(F.lit("pack").alias("probe"), "lang", "doc_id", "ws_tokens", "seq")
+    return quota.unionByName(pack)
+
+
 _DOCS_NORM = (
     "docs AS (SELECT doc_id, lang, "
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t, text "
@@ -245,9 +273,27 @@ QUERIES = {
     "dedup_levenshtein": q_levenshtein,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
+    "llm_data_prep": q_llm_data_prep,
 }
 
 ORACLE = {
+    "llm_data_prep": """
+WITH toks AS (
+  SELECT doc_id, lang,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens
+  FROM documents),
+quota AS (
+  SELECT 'quota' AS probe, lang, doc_id, ws_tokens, seq FROM (
+    SELECT lang, doc_id, ws_tokens,
+      CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS seq
+    FROM toks) WHERE seq <= 50),
+pack AS (
+  SELECT 'pack' AS probe, lang, doc_id, ws_tokens,
+    CAST(COALESCE(sum(ws_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT)
+      AS seq
+  FROM toks)
+SELECT * FROM quota UNION ALL SELECT * FROM pack""",
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "dedup_simhash": _SIMHASH_ORACLE,
     "text_profile": f"""

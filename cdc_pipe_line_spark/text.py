@@ -652,6 +652,68 @@ def minhash_lsh_pairs(
     )
 
 
+def quota_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group document quota: keep at most ``quota`` docs per group
+    (domain/source/language), chosen deterministically by ascending
+    ``id_col`` — the standard cap that stops one mega-domain from
+    dominating a training mix (cf. Common-Crawl per-domain caps).
+
+    Scale shape: a KEYED window (partition by group), which Spark
+    executes as ``WindowGroupLimit`` — each task keeps only its local
+    top-``quota`` per group before the shuffle, so a billion-doc
+    domain moves ``quota`` rows, not a billion.  Never a global sort.
+    Emits ``seq`` (1-based rank within the group) alongside the kept
+    rows.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("seq", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("seq") <= quota)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    budget: int,
+    group_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy contiguous token packing: assign each document to a
+    fixed-token-budget bin — the batch-construction step that turns a
+    cleaned corpus into training sequences.  ``bin = floor(exclusive
+    running token sum / budget)`` in deterministic ``id_col`` order:
+    the streaming approximation of first-fit packing (a doc straddling
+    a boundary belongs to the bin where it starts; a doc longer than
+    the budget spans bins on its own).
+
+    Scale shape: one KEYED window per group (shard) — packing is
+    per-shard by design (each trainer worker packs its own shard), so
+    there is no global sort; the running sum is a single streaming
+    pass over each group's sorted run.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(
+        "seq", F.floor(excl / F.lit(budget)).cast("bigint")
+    )
+
+
 def levenshtein_pairs(
     df: DataFrame,
     *,

@@ -261,6 +261,45 @@ def test_minhash_shuffle_fallback_same_pairs(spark):
     assert bcast == shuf and bcast
 
 
+def test_quota_sample_caps_each_group(spark):
+    from cdc_pipe_line_spark.text import quota_sample
+
+    rows = [(i, "big") for i in range(10)] + [(100, "small"), (101, "small")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = quota_sample(df, group_col="lang", quota=3).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, []).append((r.doc_id, r.seq))
+    # deterministic: lowest ids kept, seq is the within-group rank
+    assert sorted(by_lang["big"]) == [(0, 1), (1, 2), (2, 3)]
+    assert sorted(by_lang["small"]) == [(100, 1), (101, 2)]
+    # plan: rank pushdown, not a full per-group sort-and-filter
+    plan = (
+        quota_sample(df, group_col="lang", quota=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_pack_sequences_bins_by_running_budget(spark):
+    from cdc_pipe_line_spark.text import pack_sequences
+
+    rows = [
+        (1, "en", 600), (2, "en", 600), (3, "en", 600),  # 0,0,1 @1000
+        (4, "en", 2500),                                 # starts at 1800 -> bin 1
+        (5, "en", 100),                                  # starts at 4300 -> bin 4
+        (6, "de", 999), (7, "de", 2), (8, "de", 999),    # 0, 0, 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ws_tokens long")
+    got = {
+        r.doc_id: r.seq
+        for r in pack_sequences(
+            df, budget=1000, group_col="lang", token_col="ws_tokens"
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 4, 6: 0, 7: 0, 8: 1}
+
+
 def test_repetition_stats_flags_loops(spark):
     from cdc_pipe_line_spark.text import repetition_stats
 
