@@ -134,6 +134,20 @@ def test_text_profile_single_pass(spark):
     assert plan.count("Project") <= 4, plan
 
 
+def test_quota_sample_uses_group_limit(spark):
+    """quota_sample's rank filter must stay a WindowGroupLimit
+    (partial+final: each task keeps its local top-``quota`` per group
+    BEFORE the shuffle), never degrade to a full per-group sort — at
+    scale a billion-doc domain must move ``quota`` rows, not a
+    billion.  The pack probe in the same slot is a running-sum window
+    and legitimately sorts within groups, so the assertion targets the
+    group-limit nodes, not the absence of Sort."""
+    plan = _plan(spark, "llm_data_prep")
+    # partial (pre-shuffle) + final (post-shuffle) pushdown
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Exchange rangepartitioning" not in plan  # never a global sort
+
+
 def test_multi_grouping_single_fact_scan(spark):
     """rollup/cube/gsets are all derived from ONE cube: the fact table
     must be scanned once, not once per grouping clause.  (The cube is
