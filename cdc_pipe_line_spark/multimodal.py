@@ -2,17 +2,23 @@
 columns with typed metadata, processed by Arrow-batched pandas
 iterators (``mapInPandas``).
 
-The container ships no image/audio codecs, so the actual decode is
-STUBBED (``decode_media`` raises NotImplementedError; the pipeline
-uses :func:`fake_decode_meta`, a deterministic stand-in).  Everything
-around the stub — binary schema, Arrow batch shape, UDF signature,
-partitioning — is real and tested, so swapping in a real codec is a
-one-function change.
+The container ships no third-party image/audio codecs, so
+:func:`decode_media` implements the uncompressed container formats a
+pure-stdlib parser can handle — binary PPM/PGM (netpbm P6/P5),
+uncompressed BMP (BITMAPINFOHEADER), and RIFF/WAVE PCM — and
+:func:`extract_media_meta` routes on ``media_type``, quarantining
+undecodable payloads into a ``decode_err`` column instead of failing
+the job.  Compressed formats (JPEG/PNG/MP4...) still need a real
+codec at deployment; they route through the same hook, so swapping in
+PIL/soundfile/pyav remains a one-function change.  ``*/fake`` types
+keep the deterministic length-derived stand-in
+(:func:`fake_decode_meta`) used by oracle-replayable fixtures.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,19 +51,108 @@ META_SCHEMA = StructType(
         StructField("content_md5", StringType(), True),
         StructField("width", LongType(), True),
         StructField("height", LongType(), True),
+        StructField("decode_err", StringType(), True),
     ]
 )
 
 
-def decode_media(payload: bytes, media_type: str):  # pragma: no cover
-    """Real codec hook — intentionally unimplemented in this image.
+class MediaDecodeError(ValueError):
+    """Raised by :func:`decode_media` for malformed/truncated payloads."""
 
-    On a cluster with codecs installed, replace with e.g.
-    PIL.Image.open / soundfile.read / pyav frame iteration.
+
+def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace/comment-delimited ASCII integers from a
+    netpbm header, returning them and the offset one byte past the
+    single whitespace that terminates the last one (per the spec, raw
+    pixel data starts immediately after)."""
+    vals: list[int] = []
+    i = 2  # past the P6/P5 magic
+    cur = b""
+    while len(vals) < n:
+        if i >= len(payload):
+            raise MediaDecodeError("netpbm: truncated header")
+        c = payload[i : i + 1]
+        if c == b"#":  # comment runs to end of line
+            while i < len(payload) and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c in b" \t\r\n":
+            if cur:
+                vals.append(int(cur))
+                cur = b""
+        elif c.isdigit():
+            cur += c
+        else:
+            raise MediaDecodeError(f"netpbm: bad header byte {c!r}")
+        i += 1
+    return vals, i
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """Pure-stdlib decode of uncompressed media containers.
+
+    Returns ``{"width": int, "height": int}`` — for audio, ``width``
+    is the frame (sample) count and ``height`` the channel count, so
+    one typed schema serves both.  Raises :class:`MediaDecodeError` on
+    malformed or truncated payloads (callers quarantine, see
+    :func:`extract_media_meta`).  Formats: netpbm P6 (RGB) / P5
+    (gray), BMP (BITMAPINFOHEADER, BI_RGB only), RIFF/WAVE PCM.
+    Compressed formats raise — wire PIL/soundfile/pyav here at
+    deployment.
     """
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "wire a real decoder here (PIL/soundfile/pyav) at deployment"
+    magic = payload[:2]
+    if magic in (b"P6", b"P5"):
+        (w, h, maxval), off = _ppm_tokens(payload, 3)
+        if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+            raise MediaDecodeError("netpbm: bad dimensions/maxval")
+        bpp = (3 if magic == b"P6" else 1) * (2 if maxval > 255 else 1)
+        if len(payload) - off < w * h * bpp:
+            raise MediaDecodeError(
+                f"netpbm: pixel data truncated ({len(payload) - off} < {w * h * bpp})"
+            )
+        return {"width": w, "height": h}
+    if magic == b"BM":
+        if len(payload) < 54:  # 14-byte file header + 40-byte info header
+            raise MediaDecodeError("bmp: truncated header")
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        if hdr_size < 40:
+            raise MediaDecodeError(f"bmp: unsupported header size {hdr_size}")
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0:
+            raise MediaDecodeError(f"bmp: compressed (method {compression}) unsupported")
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        h = abs(h)  # negative height = top-down row order
+        if w <= 0 or h == 0:
+            raise MediaDecodeError("bmp: bad dimensions")
+        row_bytes = ((w * bpp + 31) // 32) * 4  # rows pad to 4 bytes
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        if len(payload) - data_off < row_bytes * h:
+            raise MediaDecodeError("bmp: pixel data truncated")
+        return {"width": w, "height": h}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i, n = 12, len(payload)
+        fmt = None
+        data_len = None
+        while i + 8 <= n:
+            cid, clen = payload[i : i + 4], struct.unpack_from("<I", payload, i + 4)[0]
+            if cid == b"fmt " and i + 8 + 16 <= n:
+                fmt = struct.unpack_from("<HHIIHH", payload, i + 8)
+            elif cid == b"data":
+                if i + 8 + clen > n:
+                    raise MediaDecodeError("wav: data chunk truncated")
+                data_len = clen
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if fmt is None or data_len is None:
+            raise MediaDecodeError("wav: missing fmt/data chunk")
+        audio_format, channels, _rate, _bps, block_align, _bits = fmt
+        if audio_format != 1:
+            raise MediaDecodeError(f"wav: non-PCM format {audio_format} unsupported")
+        if channels <= 0 or block_align <= 0:
+            raise MediaDecodeError("wav: bad fmt chunk")
+        return {"width": data_len // block_align, "height": channels}
+    raise MediaDecodeError(
+        f"unsupported container (magic {payload[:4]!r}) for {media_type}; "
+        "compressed formats need a real codec (PIL/soundfile/pyav) at deployment"
     )
 
 
@@ -86,15 +181,30 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
 
     The per-batch function is pure pandas over binary payloads — the
     shape a real decoder needs (one python worker per partition,
-    vectorized Arrow transfer, no per-row pickling).
+    vectorized Arrow transfer, no per-row pickling).  ``*/fake`` media
+    types use the deterministic length-derived stand-in; every other
+    type goes through the real :func:`decode_media` parser.  A payload
+    the parser rejects is quarantined in place: width/height null and
+    the reason in ``decode_err`` (poison bytes must never fail a
+    100 TB scan — same policy as the streaming quarantine, T7).
     """
+
+    def one(b, mt):
+        if b is None:
+            return (None, None, None)
+        if mt.endswith("/fake"):
+            w, h = fake_decode_meta(b)
+            return (w, h, None)
+        try:
+            d = decode_media(bytes(b), mt)
+            return (d["width"], d["height"], None)
+        except MediaDecodeError as exc:
+            return (None, None, str(exc))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            dims = payloads.map(
-                lambda b: fake_decode_meta(b) if b is not None else (None, None)
-            )
+            dims = [one(b, mt) for b, mt in zip(payloads, pdf["media_type"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -103,8 +213,9 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
                     "content_md5": payloads.map(
                         lambda b: hashlib.md5(b).hexdigest() if b is not None else None
                     ),
-                    "width": dims.map(lambda d: d[0]),
-                    "height": dims.map(lambda d: d[1]),
+                    "width": pd.Series([d[0] for d in dims], dtype="object"),
+                    "height": pd.Series([d[1] for d in dims], dtype="object"),
+                    "decode_err": pd.Series([d[2] for d in dims], dtype="object"),
                 }
             )
 

@@ -60,10 +60,18 @@ def all_oracles() -> dict[str, str]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; pin UTC so timestamps match the oracle.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects outright — read nanos as long and floor-divide to
-    micros (integer ``div``: a double division would lose precision at
-    1e18 ns).
+    ``events.ts`` has shipped in two parquet encodings across driver
+    rounds — TIMESTAMP(NANOS) (rejected by Spark's reader: read nanos
+    as long, floor-divide to micros; integer ``div`` because a double
+    division would lose precision at 1e18 ns) and TIMESTAMP(MICROS)
+    ``isAdjustedToUTC=false`` (which Spark 4 infers as
+    ``timestamp_ntz``).  Both are normalized to ``timestamp`` under the
+    pinned UTC zone, so every downstream consumer — watermarks, window
+    functions, the JSON staging round-trip in ``streaming_q._stage``
+    (whose ``timestampFormat`` option the writer silently IGNORES for
+    ntz columns, producing strings the TZ read schema can't parse) —
+    sees one canonical type in ANY session, engine-configured or
+    vanilla.
     """
     from pyspark.sql import functions as F
 
@@ -75,6 +83,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     # The synthetic test files are single-row-group parquet, so the scan
     # is ONE input split and every downstream narrow op runs on one core.
     # For the text/embedding tables the per-row work (shingling, minhash,

@@ -133,8 +133,15 @@ def q_media_pipeline(spark, sf_dir):
     """Multimodal plumbing probe-tagged in one slot:
 
     - ``meta``: documents as binary payloads -> Arrow-batched
-      mapInPandas metadata extraction (decode stubbed
-      deterministically);
+      mapInPandas metadata extraction (length-derived stand-in decode
+      for the opaque ``image/fake`` type);
+    - ``ppm``: REAL byte decoding end-to-end — a binary-PPM (P6)
+      payload is constructed from each document with pure column
+      expressions (header + md5-derived pixel fill, so DuckDB replays
+      the exact bytes), then parsed back by the stdlib
+      :func:`~cdc_pipe_line_spark.multimodal.decode_media` netpbm
+      parser inside mapInPandas; the oracle recomputes width/height
+      from the construction formula, binding the parser bit-for-bit;
     - ``frames``: frame-sampling fanout via byte-offset arithmetic
       (sequence+explode, pure column expressions).
     """
@@ -150,6 +157,38 @@ def q_media_pipeline(spark, sf_dir):
         )
     ).select(
         F.lit("meta").alias("probe"),
+        "media_id", "media_type", "n_bytes", "content_md5", "width", "height",
+        null_l.alias("frame_no"), null_l.alias("byte_offset"),
+    )
+    # Deterministic P6 payload: dims from byte length, pixel bytes from
+    # a repeated md5 hex fill (ASCII, so string ops == byte ops in both
+    # engines).  floor() keeps the repeat count engine-agnostic.
+    ppm_src = docs.select(
+        "doc_id",
+        ((F.octet_length("text") % 64) + 1).alias("__w"),
+        ((F.octet_length("text") % 48) + 1).alias("__h"),
+        "text",
+    ).withColumn("__npix", F.col("__w") * F.col("__h") * 3).withColumn(
+        "__payload",
+        F.concat(
+            F.lit("P6\n"),
+            F.col("__w").cast("string"), F.lit(" "), F.col("__h").cast("string"),
+            F.lit("\n255\n"),
+            F.expr(
+                "substring(repeat(md5(text), cast(floor(__npix / 32) as int) + 1),"
+                " 1, __npix)"
+            ),
+        ),
+    )
+    ppm = extract_media_meta(
+        as_media_table(
+            ppm_src,
+            id_col="doc_id",
+            payload_col=F.col("__payload").cast("binary"),
+            media_type="image/ppm",
+        )
+    ).select(
+        F.lit("ppm").alias("probe"),
         "media_id", "media_type", "n_bytes", "content_md5", "width", "height",
         null_l.alias("frame_no"), null_l.alias("byte_offset"),
     )
@@ -169,7 +208,7 @@ def q_media_pipeline(spark, sf_dir):
         null_l.alias("width"), null_l.alias("height"),
         F.col("frame_no").cast("bigint").alias("frame_no"), "byte_offset",
     )
-    return meta.unionByName(frames)
+    return meta.unionByName(ppm).unionByName(frames)
 
 
 def q_media_embed_knn(spark, sf_dir):
@@ -307,6 +346,22 @@ SELECT 'meta' AS probe, doc_id AS media_id, 'image/fake' AS media_type,
   CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
   CAST(NULL AS BIGINT) AS frame_no, CAST(NULL AS BIGINT) AS byte_offset
 FROM documents
+UNION ALL
+SELECT 'ppm', doc_id, 'image/ppm',
+  CAST(octet_length(encode(p)) AS BIGINT),
+  md5(p),
+  CAST(w AS BIGINT), CAST(h AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (
+  SELECT doc_id, w, h,
+    'P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+      || chr(10) || '255' || chr(10)
+      || substr(repeat(md5(text), CAST(floor(w*h*3 / 32) AS INT) + 1), 1, w*h*3)
+      AS p
+  FROM (SELECT doc_id, text,
+          (octet_length(encode(text)) % 64) + 1 AS w,
+          (octet_length(encode(text)) % 48) + 1 AS h
+        FROM documents))
 UNION ALL
 SELECT 'frames', doc_id, 'video/fake', NULL, NULL, NULL, NULL,
   CAST(f.frame_no AS BIGINT), CAST(f.frame_no * 1024 AS BIGINT)

@@ -434,7 +434,11 @@ def run_scd2_stream(
     batch appends identical rows and the reader picks one — the
     marker only saves re-work, correctness no longer depends on it.
     At 100 TB, ``n_buckets`` scales with the key space (e.g. 16k) and
-    the same pruning + compaction math holds.
+    the same pruning + compaction math holds.  Driver-side cost of the
+    per-batch bucket census (``select(__bucket).distinct().collect()``)
+    and the compaction segment count is O(``n_buckets``) smallints —
+    negligible to ~1M buckets, far beyond the useful range (buckets
+    should stay >= ~100 MB each, so even 100 TB wants ~1M at most).
 
     Returns the StreamingQuery; read back with
     :func:`read_scd2_history`.

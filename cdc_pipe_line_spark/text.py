@@ -739,7 +739,7 @@ def levenshtein_pairs(
     paying an O(len^2) edit-distance verify.  Blocks larger than the
     cap are dropped from candidacy entirely (an aggregate on the block
     key — same shuffle the join needs).  A pair lost this way shares a
-    >=\ ``prefix_len``-char prefix with >cap other docs, i.e. it is
+    >= ``prefix_len``-char prefix with >cap other docs, i.e. it is
     mass boilerplate that exact/MinHash dedup already catches.  The
     natural block sizes on the documents fixture are <= 13; the
     default cap of 100 never binds outside adversarial corpora.

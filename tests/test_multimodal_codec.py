@@ -1,0 +1,142 @@
+"""Pure-stdlib media codec: real byte parsing (netpbm/BMP/WAV) plus
+the quarantine path for malformed payloads.
+
+Reference parity: the reference treats uploaded artifacts as opaque
+rows; the multimodal column model (binary payload + typed metadata)
+is a north-star addition, so these tests bind the decode contract
+directly rather than to a reference file.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark.multimodal import (
+    MediaDecodeError,
+    as_media_table,
+    decode_media,
+    extract_media_meta,
+)
+
+
+def make_ppm(w: int, h: int, *, magic: bytes = b"P6", maxval: int = 255) -> bytes:
+    bpp = 3 if magic == b"P6" else 1
+    return (
+        magic + b"\n" + f"{w} {h}\n{maxval}\n".encode() + b"\x7f" * (w * h * bpp)
+    )
+
+
+def make_bmp(w: int, h: int, *, bpp: int = 24, compression: int = 0) -> bytes:
+    row = ((w * bpp + 31) // 32) * 4
+    data = b"\x00" * (row * abs(h))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                       len(data), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return hdr + info + data
+
+
+def make_wav(n_frames: int, channels: int = 2, bits: int = 16) -> bytes:
+    block = channels * bits // 8
+    data = b"\x00" * (n_frames * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, 44100, 44100 * block, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_ppm_p6_and_p5():
+    assert decode_media(make_ppm(17, 9), "image/ppm") == {"width": 17, "height": 9}
+    assert decode_media(make_ppm(4, 3, magic=b"P5"), "image/pgm") == {
+        "width": 4, "height": 3,
+    }
+
+
+def test_decode_ppm_comment_and_16bit():
+    payload = b"P6\n# a comment line\n5 4\n65535\n" + b"\x00" * (5 * 4 * 3 * 2)
+    assert decode_media(payload, "image/ppm") == {"width": 5, "height": 4}
+
+
+def test_decode_ppm_truncated_pixels_raises():
+    full = make_ppm(10, 10)
+    with pytest.raises(MediaDecodeError, match="truncated"):
+        decode_media(full[:-1], "image/ppm")
+
+
+def test_decode_ppm_truncated_header_raises():
+    with pytest.raises(MediaDecodeError, match="truncated header"):
+        decode_media(b"P6\n10 10", "image/ppm")
+
+
+def test_decode_bmp_bottom_up_and_top_down():
+    assert decode_media(make_bmp(13, 7), "image/bmp") == {"width": 13, "height": 7}
+    assert decode_media(make_bmp(13, -7), "image/bmp") == {"width": 13, "height": 7}
+
+
+def test_decode_bmp_rejects_compressed_and_truncated():
+    with pytest.raises(MediaDecodeError, match="compressed"):
+        decode_media(make_bmp(4, 4, compression=1), "image/bmp")
+    with pytest.raises(MediaDecodeError, match="truncated"):
+        decode_media(make_bmp(64, 64)[:-5], "image/bmp")
+    with pytest.raises(MediaDecodeError, match="truncated header"):
+        decode_media(b"BM\x00\x00", "image/bmp")
+
+
+def test_decode_wav_frames_and_channels():
+    # width = frame count, height = channel count (documented mapping)
+    assert decode_media(make_wav(1000, channels=2), "audio/wav") == {
+        "width": 1000, "height": 2,
+    }
+    assert decode_media(make_wav(50, channels=1, bits=8), "audio/wav") == {
+        "width": 50, "height": 1,
+    }
+
+
+def test_decode_wav_truncated_data_raises():
+    with pytest.raises(MediaDecodeError, match="truncated"):
+        decode_media(make_wav(1000)[:-10], "audio/wav")
+
+
+def test_decode_unknown_magic_raises():
+    with pytest.raises(MediaDecodeError, match="unsupported container"):
+        decode_media(b"\x89PNG\r\n\x1a\n....", "image/png")
+
+
+def test_extract_media_meta_real_decode_and_quarantine(spark):
+    """One good PPM, one truncated PPM, one BMP, one WAV through the
+    Arrow-batched extractor: good rows carry real parsed dims, the
+    poison row is quarantined in place (nulls + decode_err), the job
+    never fails."""
+    rows = [
+        (1, "image/ppm", make_ppm(17, 9)),
+        (2, "image/ppm", make_ppm(10, 10)[:-1]),
+        (3, "image/bmp", make_bmp(13, 7)),
+        (4, "audio/wav", make_wav(250, channels=2)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, mt string, payload binary")
+    media = df.select(
+        "media_id", F.col("mt").alias("media_type"), "payload"
+    )
+    out = {r.media_id: r for r in extract_media_meta(media).collect()}
+    assert (out[1].width, out[1].height, out[1].decode_err) == (17, 9, None)
+    assert out[2].width is None and out[2].height is None
+    assert "truncated" in out[2].decode_err
+    assert (out[3].width, out[3].height) == (13, 7)
+    assert (out[4].width, out[4].height) == (250, 2)
+    # n_bytes/md5 still populated for the quarantined row
+    assert out[2].n_bytes == len(make_ppm(10, 10)) - 1
+
+
+def test_extract_media_meta_fake_type_unchanged(spark):
+    """``*/fake`` keeps the deterministic length-derived stand-in used
+    by oracle fixtures."""
+    media = as_media_table(
+        spark.createDataFrame([(7, "hello world")], "doc_id long, text string"),
+        id_col="doc_id",
+        payload_col=F.col("text").cast("binary"),
+        media_type="image/fake",
+    )
+    r = extract_media_meta(media).collect()[0]
+    assert (r.width, r.height, r.decode_err) == (11 % 640, 11 % 480, None)

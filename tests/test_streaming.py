@@ -91,6 +91,96 @@ def test_stream_restart_resumes_exactly_once(spark, tmp_path):
     shutil.rmtree(clean_dir, ignore_errors=True)
 
 
+def test_stream_torn_between_data_and_marker(spark, tmp_path, monkeypatch):
+    """Fault injection at the sink's NON-atomic seam (T2/T5): crash
+    AFTER a batch's bucket data is appended but BEFORE its
+    ``_COMMITTED_BATCH`` marker is written — the exact window the
+    docstring says Delta's transaction would close.  On restart the
+    checkpoint re-delivers that batch (its offset never committed),
+    the stale marker cannot skip it, and exactly-once must come from
+    the event-id anti-join + latest-wins resolution: the re-applied
+    batch's duplicate rows must resolve away, leaving the history
+    hash-identical to an uninterrupted run."""
+    import os
+
+    from cdc_pipe_line_spark import streaming as st
+    from cdc_pipe_line_spark.queries import streaming_q
+
+    base = streaming_q._stage(spark, SF_DIR, "cdc")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(st.EVENT_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.json")
+            .option("timestampFormat", streaming_q._TS_FMT)
+            .option("maxFilesPerTrigger", "1")
+            .json(base)
+        )
+
+    hist_dir = os.path.join(str(tmp_path), "history")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    real_write = st._fs_write_text
+    torn = {"done": False}
+
+    def tearing_write(s, path, text):
+        # tear exactly once, on the SECOND batch's marker (batch 0
+        # commits cleanly so the replayed batch must merge against
+        # real pre-existing history, not an empty dir)
+        if path.endswith("_COMMITTED_BATCH") and '"batch_id": 1' in text and not torn["done"]:
+            torn["done"] = True
+            raise RuntimeError("injected crash before marker write")
+        real_write(s, path, text)
+
+    monkeypatch.setattr(st, "_fs_write_text", tearing_write)
+    q = st.run_scd2_stream(make_stream(), hist_dir, checkpoint_dir=ckpt)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    assert torn["done"], "tear never happened"
+    monkeypatch.setattr(st, "_fs_write_text", real_write)
+
+    # the torn state is real: batch 1's data IS on disk, marker says 0
+    import json as _json
+
+    marker = _json.loads(open(os.path.join(hist_dir, "_COMMITTED_BATCH")).read())
+    assert marker["batch_id"] == 0, marker
+    raw_seqs = {
+        r["__seq"]
+        for r in spark.read.parquet(os.path.join(hist_dir, "data"))
+        .select("__seq").distinct().collect()
+    }
+    assert 1 in raw_seqs, f"batch 1 data missing from torn state: {raw_seqs}"
+
+    # restart: checkpoint re-delivers batch 1; anti-join must no-op it
+    q2 = st.run_scd2_stream(make_stream(), hist_dir, checkpoint_dir=ckpt)
+    q2.awaitTermination()
+    resumed = st.read_scd2_history(spark, hist_dir).cache()
+
+    dup_versions = (
+        resumed.groupBy("_event_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_versions == 0
+
+    import shutil
+    import uuid
+
+    clean_dir = f"/tmp/cdc_stream_run/{uuid.uuid4().hex}"
+    q3 = st.run_scd2_stream(
+        make_stream(),
+        os.path.join(clean_dir, "history"),
+        checkpoint_dir=os.path.join(clean_dir, "ckpt"),
+    )
+    q3.awaitTermination()
+    clean = st.read_scd2_history(spark, os.path.join(clean_dir, "history"))
+    cols = ["key_value", "valid_from", "valid_to", "is_current", "_event_id"]
+    assert sorted(map(tuple, resumed.select(cols).collect())) == sorted(
+        map(tuple, clean.select(cols).collect())
+    )
+    resumed.unpersist()
+    shutil.rmtree(clean_dir, ignore_errors=True)
+
+
 def test_watermark_drops_late_duplicates_only(spark, tmp_path):
     """Watermark semantics (T3/T8): a duplicate arriving WITHIN the
     watermark in a later batch is dropped as a duplicate; the same
