@@ -78,6 +78,12 @@ def get_spark(
         # driver-side results should stay small; fail fast if an op
         # accidentally collects the data path
         .config("spark.driver.maxResultSize", "2g")
+        # local mode: the driver JVM IS the executor — Spark's 1g
+        # default heap caps the whole engine.  Size it like a worker
+        # (overridable; ignored when a cluster master provides it).
+        .config("spark.driver.memory", os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "8g"
+        ))
     )
     if master:
         builder = builder.master(master)
