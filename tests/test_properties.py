@@ -210,6 +210,78 @@ def test_salted_aggregate_equals_direct(spark):
     assert got == want
 
 
+def test_salted_aggregate_zipf_equals_direct(spark):
+    """Adversarial key distribution (VERDICT r03 item 2): a Zipf-drawn
+    key (head key ~ hot) through the two-stage salted aggregate must
+    equal the direct groupBy exactly.  The matching sf1-volume TIMING
+    soak lives in tools/skew_soak.py (recorded in BENCH_NOTES.md:
+    zipf/uniform steady ratio 1.21, no cliff)."""
+    import numpy as np
+
+    from cdc_pipe_line_spark.functions import salted_aggregate
+
+    rng = np.random.default_rng(7)
+    keys = [int(k) % 50 for k in rng.zipf(1.1, size=5000)]
+    df = spark.createDataFrame(
+        [(i, k, float(i % 97)) for i, k in enumerate(keys)],
+        "event_id long, k long, value double",
+    )
+    aggs = {"n": ("count", "event_id"), "s": ("sum", "event_id"),
+            "mx": ("max", "value")}
+    got = {r.k: (r.n, r.s, r.mx) for r in salted_aggregate(df, ["k"], aggs).collect()}
+    want = {
+        r.k: (r.n, r.s, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.count("event_id").alias("n"), F.sum("event_id").alias("s"),
+             F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_diff_hot_key_ten_percent_of_rows(spark):
+    """The skew-soak shape at test scale: ONE key carries 10% of the
+    snapshot's rows on both sides.  The dedup guard must collapse it
+    (never cross-product: 1000x1000 would be 1M rows), produce the
+    exact per-key diff for the uniform keys, and keep the two-exchange
+    plan — the properties that make the sf1 timing soak's 1.37x ratio
+    a trade, not a cliff."""
+    import re
+
+    n = 10_000
+    hot = spark.range(n).selectExpr(
+        "CASE WHEN id % 10 = 0 THEN 'hot' ELSE CAST(id AS STRING) END AS k",
+        "id AS v",
+    )
+    hot2 = spark.range(n).selectExpr(
+        "CASE WHEN id % 10 = 0 THEN 'hot' ELSE CAST(id AS STRING) END AS k",
+        "CASE WHEN id % 7 = 0 THEN id + 1 ELSE id END AS v",
+    )
+    d = snapshot_diff(hot2, hot, "k").cache()
+    try:
+        # every key appears at most once in the diff
+        assert d.groupBy("key_value").count().filter("count > 1").count() == 0
+        # uniform updated keys: id%7==0 and id%10!=0 -> update rows
+        expected_updates = sum(
+            1 for i in range(n) if i % 7 == 0 and i % 10 != 0
+        )
+        got_updates = d.filter(
+            (F.col("event_type") == "update") & (F.col("key_value") != "hot")
+        ).count()
+        assert got_updates == expected_updates
+    finally:
+        d.unpersist()
+    # plan from an uncached diff (a cached one wraps the plan in its
+    # InMemoryTableScan materialization and double-counts exchanges)
+    plan = (
+        snapshot_diff(hot2, hot, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+
+
 def test_diff_duplicate_keys_collapse_like_reference(spark):
     """The reference's {str(key): row} dicts keep ONE row per key; a
     hot duplicated key must therefore collapse, never cross-product —
