@@ -91,6 +91,48 @@ def test_stream_restart_resumes_exactly_once(spark, tmp_path):
     shutil.rmtree(clean_dir, ignore_errors=True)
 
 
+def test_load_table_normalizes_ts_and_staging_parses(spark, tmp_path):
+    """Round-4 regression guard: the driver regenerated testdata with
+    `events.ts` as parquet TIMESTAMP(MICROS) isAdjustedToUTC=false,
+    which Spark 4 infers as timestamp_ntz — and the JSON writer
+    silently IGNORES its `timestampFormat` option for ntz columns, so
+    freshly staged stream fixtures parsed to all-null ts and four
+    stream_* queries returned partial/empty results.  Pin both layers:
+    load_table must hand every consumer a plain `timestamp`, and a
+    fresh staging round-trip must lose zero timestamps."""
+    import os
+
+    from cdc_pipe_line_spark.queries import load_table, streaming_q
+
+    ev = load_table(spark, SF_DIR, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp", ev.dtypes
+
+    # fresh staging (never reuse the shared /tmp cache for this)
+    raw = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    dst = os.path.join(str(tmp_path), "staged")
+    (
+        raw.repartition(2)
+        .write.mode("overwrite")
+        .option("timestampFormat", streaming_q._TS_FMT)
+        .json(dst)
+    )
+    back = (
+        spark.read.schema(streaming_q.RAW_SCHEMA)
+        .option("timestampFormat", streaming_q._TS_FMT)
+        .json(dst)
+    )
+    n = raw.count()
+    assert back.filter("ts is not null").count() == n
+    # microsecond fidelity end-to-end (the format carries SSSSSS)
+    a = {(r.event_id, r.ts) for r in raw.limit(50).collect()}
+    ids = [i for i, _ in a]
+    b = {
+        (r.event_id, r.ts)
+        for r in back.filter(F.col("event_id").isin(ids)).collect()
+    }
+    assert a == b
+
+
 def test_stream_torn_between_data_and_marker(spark, tmp_path, monkeypatch):
     """Fault injection at the sink's NON-atomic seam (T2/T5): crash
     AFTER a batch's bucket data is appended but BEFORE its
