@@ -1,0 +1,154 @@
+"""SCD2 as ONE Delta ``MERGE`` — the deployment-scale storage path.
+
+The reference's storage engine was Delta Lake: per-event ``UPDATE`` +
+append (reference: deltaprocessing.py:77-101, 1.4-19 s **per row** —
+BASELINE.md).  The engine's batch path (:mod:`cdc_pipe_line_spark.cdc.
+scd2`) replaces that with set-based chaining; this module maps the
+same batch onto the canonical Delta Lake merge-builder recipe so that
+on a cluster with delta-spark the whole apply is one ACID statement:
+
+- intra-batch version chaining stays in :func:`chain_new_versions`
+  (a window — MERGE cannot chain N versions of one key in a batch);
+- the MERGE then (a) expires each touched key's current row and
+  (b) inserts the batch's pre-chained versions, in one pass over the
+  target — Delta's transaction closes the data/marker atomicity gap
+  the parquet append-log documents (streaming.py).
+
+delta-spark is NOT installed in this image (verified each round), so
+the recipe is written against the delta-spark **builder protocol**
+(``alias / merge / whenMatchedUpdate / whenNotMatchedInsert /
+execute`` — the public ``delta.tables.DeltaTable`` API) and
+:func:`build_scd2_merge` accepts ANY object implementing it.  Tests
+execute the recipe through a semantics-faithful fake
+(tests/test_delta_merge.py) and prove it equal to the tested batch
+path; on a real cluster pass ``DeltaTable.forPath(spark, path)``.
+
+MERGE construction (all expressions are plain Spark SQL strings, the
+form the delta-spark builder accepts):
+
+    source  = new-version rows  (__action='insert', __mergeKey=NULL)
+            U expiry rows        (__action='expire', __mergeKey=key)
+    ON      t.key_value = s.__mergeKey AND t.is_current
+    WHEN MATCHED AND s.__action = 'expire'
+         THEN UPDATE SET valid_to = s.__first_ts, is_current = false
+    WHEN NOT MATCHED AND s.__action = 'insert'
+         THEN INSERT (scd2 columns from s)
+
+``__mergeKey=NULL`` on insert rows guarantees they never match a
+target row, so one statement carries both phases (the standard
+null-merge-key SCD2 idiom from the public Delta documentation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark.cdc.scd2 import (
+    SCD2_COLUMNS,
+    chain_new_versions,
+    dedup_events,
+    filter_applied_events,
+    first_event_ts,
+)
+from cdc_pipe_line_spark.session import HAS_DELTA
+
+
+def scd2_merge_source(
+    history: DataFrame | None,
+    events: DataFrame,
+    *,
+    ts_col: str = "timestamp",
+    payload_col: str = "new_values",
+) -> DataFrame:
+    """Build the MERGE source frame from a CDC event batch.
+
+    Replay-safe exactly like :func:`~cdc_pipe_line_spark.cdc.scd2.
+    apply_scd2`: within-batch :func:`dedup_events`, cross-batch
+    anti-join on applied ``_event_id``.  Output columns:
+    ``SCD2_COLUMNS + [__mergeKey, __action, __first_ts]``.
+    """
+    ev = filter_applied_events(dedup_events(events, order_cols=[ts_col]), history)
+    null_ts = F.lit(None).cast(ev.schema[ts_col].dataType)
+    inserts = chain_new_versions(ev, ts_col=ts_col, payload_col=payload_col).select(
+        *SCD2_COLUMNS,
+        F.lit(None).cast("string").alias("__mergeKey"),
+        F.lit("insert").alias("__action"),
+        null_ts.alias("__first_ts"),
+    )
+    null_map = F.lit(None).cast("map<string,string>")
+    expiries = first_event_ts(ev, ts_col=ts_col).select(
+        "key_value",
+        null_map.alias("data"),
+        null_ts.alias("valid_from"),
+        null_ts.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+        F.lit(None).cast("string").alias("_event_id"),
+        F.lit(None).cast("string").alias("_event_type"),
+        F.col("key_value").alias("__mergeKey"),
+        F.lit("expire").alias("__action"),
+        "__first_ts",
+    )
+    return inserts.unionByName(expiries)
+
+
+def build_scd2_merge(table, source: DataFrame):
+    """Drive the delta-spark merge builder for an SCD2 apply.
+
+    ``table`` is anything implementing the DeltaTable protocol
+    (``alias/merge/whenMatchedUpdate/whenNotMatchedInsert/execute``);
+    ``source`` comes from :func:`scd2_merge_source`.  Returns whatever
+    ``execute()`` returns (None for real delta-spark).
+    """
+    return (
+        table.alias("t")
+        .merge(
+            source.alias("s"),
+            "t.key_value = s.__mergeKey AND t.is_current",
+        )
+        .whenMatchedUpdate(
+            condition="s.__action = 'expire'",
+            set={"valid_to": "s.__first_ts", "is_current": "false"},
+        )
+        .whenNotMatchedInsert(
+            condition="s.__action = 'insert'",
+            values={c: f"s.{c}" for c in SCD2_COLUMNS},
+        )
+        .execute()
+    )
+
+
+def apply_scd2_delta(
+    spark: SparkSession,
+    target_path: str,
+    events: DataFrame,
+    *,
+    ts_col: str = "timestamp",
+    payload_col: str = "new_values",
+) -> None:
+    """Apply a CDC batch to a Delta SCD2 table at ``target_path``.
+
+    Requires delta-spark (``session.HAS_DELTA``); this image ships
+    without it, so here the call fails fast with the gate's message —
+    the recipe itself is exercised via the protocol fake in
+    tests/test_delta_merge.py and is a drop-in on a Delta cluster.
+    """
+    if not HAS_DELTA:  # pragma: no cover - the gate is the point
+        raise RuntimeError(
+            "delta-spark is not installed; use cdc.scd2.apply_scd2 (parquet "
+            "path) or install delta-spark to light up the MERGE path"
+        )
+    from delta.tables import DeltaTable  # type: ignore
+
+    if not DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
+        hist = scd2_merge_source(None, events, ts_col=ts_col, payload_col=payload_col)
+        hist.filter("__action = 'insert'").select(*SCD2_COLUMNS).write.format(
+            "delta"
+        ).save(target_path)
+        return
+    table = DeltaTable.forPath(spark, target_path)  # pragma: no cover
+    history = spark.read.format("delta").load(target_path)  # pragma: no cover
+    source = scd2_merge_source(  # pragma: no cover
+        history, events, ts_col=ts_col, payload_col=payload_col
+    )
+    build_scd2_merge(table, source)  # pragma: no cover
