@@ -145,6 +145,54 @@ def test_scd2_apply_invariants_random_batches(spark, evs):
             assert a.valid_to is not None and a.valid_to <= b.valid_from
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=events_strategy, split=st_.integers(min_value=0, max_value=12))
+def test_delta_merge_equals_batch_path_random(spark, evs, split):
+    """For ANY event sequence split into two batches — multiple events
+    per key, any insert/update/delete mix, out-of-order timestamps
+    across batches, plus a deliberately replayed batch-1 event — the
+    Delta MERGE recipe (delta_merge.py, executed through the protocol
+    fake) produces a history row-identical to the tested batch path."""
+    from cdc_pipe_line_spark.cdc.scd2 import apply_scd2
+    from cdc_pipe_line_spark.delta_merge import build_scd2_merge, scd2_merge_source
+    from tests.test_delta_merge import FakeDeltaTable, _rows
+
+    split = min(split, len(evs))
+    b1, b2 = evs[:split], evs[split:]
+
+    def mk(batch, prefix):
+        rows = [
+            (
+                f"{prefix}{i}",
+                typ,
+                str(k),
+                f"2024-01-{1 + t:02d} 00:00:00",
+                {"v": f"{k}.{t}"} if typ != "delete" else None,
+            )
+            for i, (k, t, typ) in enumerate(batch)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id string, event_type string, key_value string, "
+            "timestamp string, new_values map<string,string>",
+        ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+
+    ev1 = mk(b1, "a")
+    # replay one batch-1 event inside batch 2 (id collision on purpose)
+    replayed = mk(b1[:1], "a") if b1 else mk([], "a")
+    ev2 = mk(b2, "b").unionByName(replayed)
+
+    h1 = apply_scd2(None, ev1).localCheckpoint()
+    ref = apply_scd2(h1, ev2)
+    fake = FakeDeltaTable(h1)
+    build_scd2_merge(fake, scd2_merge_source(h1, ev2))
+    assert _rows(fake.result) == _rows(ref)
+
+
 def test_diff_self_is_empty(spark):
     from cdc_pipe_line_spark.queries import load_table
 
