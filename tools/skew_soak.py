@@ -117,6 +117,70 @@ def main() -> None:
             ),
         )
 
+    # ---- streaming SCD2 sink under Zipf keys (SOAK_STREAM=1) ---------
+    # The hot key's bucket accumulates a deep history that every batch
+    # touching it must re-read and latest-wins-resolve; this measures
+    # that read-modify-append loop plus compaction churn vs uniform
+    # keys at the same volume.
+    if os.environ.get("SOAK_STREAM") == "1":
+        import shutil
+        import uuid
+
+        from pyspark.sql.types import StringType
+
+        from cdc_pipe_line_spark import streaming as st
+
+        ev_full = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        max_id = ev_full.agg(F.max("event_id")).first()[0]
+        zipf_key = F.element_at(
+            F.array(*[F.lit(str(v)) for v in zipf_lut]),
+            (F.pmod(F.xxhash64("event_id"), F.lit(4096)) + 1).cast("int"),
+        ).cast(StringType())
+        for label, keycol in (
+            ("stream_scd2_uniform", F.col("user_id").cast("string")),
+            ("stream_scd2_zipf", zipf_key),
+        ):
+            cdc = ev_full.select(
+                F.col("event_id").cast("string").alias("event_id"),
+                F.lit("update").alias("event_type"),
+                F.lit("c1").alias("company_id"),
+                F.lit("events").alias("table_name"),
+                F.col("ts").alias("timestamp"),
+                F.lit("k").alias("key_column"),
+                keycol.alias("key_value"),
+                F.create_map(F.lit("value"), F.col("value").cast("string")).alias(
+                    "new_values"
+                ),
+                # event_id order ~ time order in this table, so id
+                # quartiles give four time-ordered micro-batches
+                (F.col("event_id") * 4 / (max_id + 1)).cast("int").alias("__b"),
+            )
+            src = f"/tmp/skew_soak_src/{uuid.uuid4().hex}"
+            for b in range(4):
+                cdc.filter(F.col("__b") == b).drop("__b").repartition(1).write.mode(
+                    "overwrite"
+                ).json(f"{src}/b{b}")
+            run = f"/tmp/skew_soak_run/{uuid.uuid4().hex}"
+            stream = (
+                spark.readStream.schema(st.EVENT_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .option("pathGlobFilter", "*.json")
+                .option("maxFilesPerTrigger", "1")
+                .json(src)
+            )
+            t0 = time.perf_counter()
+            q = st.run_scd2_stream(
+                stream, f"{run}/history", checkpoint_dir=f"{run}/ckpt"
+            )
+            q.awaitTermination()
+            out[label] = round(time.perf_counter() - t0, 3)
+            print(f"[skew] {label}: {out[label]:.3f}s", file=sys.stderr)
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(run, ignore_errors=True)
+        out["stream_scd2_ratio"] = round(
+            out["stream_scd2_zipf"] / out["stream_scd2_uniform"], 2
+        )
+
     out["diff_ratio"] = round(out["diff_skewed_10pct_hot"] / out["diff_uniform"], 2)
     out["salted_ratio"] = round(out["salted_zipf"] / out["salted_uniform"], 2)
     print(json.dumps(out))
