@@ -545,7 +545,16 @@ def run_scd2_stream(
                 batch_df.count()
                 return
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch_df = batch_df.withColumn("__bucket", bucket_of)
+        # Materialize the micro-batch once: it feeds TWO actions (the
+        # bucket census and the main dedup/chain/append pipeline), and
+        # without this each action re-parses the batch's source files
+        # — at 250k-row batches that is a full extra decode per
+        # trigger.  localCheckpoint also truncates the streaming
+        # lineage, so the pipeline below plans against in-memory
+        # blocks.
+        batch_df = batch_df.withColumn("__bucket", bucket_of).localCheckpoint(
+            eager=True
+        )
         touched = [r[0] for r in batch_df.select("__bucket").distinct().collect()]
         if not touched:
             return
