@@ -560,6 +560,11 @@ def run_scd2_stream(
             return
         resolved = None
         if _fs_exists(spark, _child(data_dir, "_SUCCESS")):
+            # NOT materialized, deliberately: resolved feeds both the
+            # replay anti-join and the expiry re-emit, but the history
+            # slice is wide (map payloads) and measured twice — an
+            # eager localCheckpoint here costs MORE than the second
+            # scan+window (uniform-key 1M-event soak: 18.3 -> 20.2 s).
             resolved = resolve_scd2_segments(
                 spark.read.parquet(data_dir).filter(F.col("__bucket").isin(touched))
             ).drop("__bucket")
