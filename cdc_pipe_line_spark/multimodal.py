@@ -46,7 +46,9 @@ MEDIA_SCHEMA = StructType(
 META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
-        StructField("media_type", StringType(), False),
+        # nullable: a poison row may arrive with no media_type at all,
+        # and quarantine-in-place must carry it through, not crash
+        StructField("media_type", StringType(), True),
         StructField("n_bytes", LongType(), True),
         StructField("content_md5", StringType(), True),
         StructField("width", LongType(), True),
@@ -73,6 +75,9 @@ def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
             raise MediaDecodeError("netpbm: truncated header")
         c = payload[i : i + 1]
         if c == b"#":  # comment runs to end of line
+            if cur:  # '#' terminates a pending token ('255#c\n' is legal)
+                vals.append(int(cur))
+                cur = b""
             while i < len(payload) and payload[i : i + 1] not in (b"\n", b"\r"):
                 i += 1
         elif c in b" \t\r\n":
@@ -121,6 +126,10 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         if compression != 0:
             raise MediaDecodeError(f"bmp: compressed (method {compression}) unsupported")
         bpp = struct.unpack_from("<H", payload, 28)[0]
+        if bpp not in (1, 4, 8, 16, 24, 32):
+            # bpp=0 would make row_bytes 0 and let the truncation
+            # check below pass vacuously on garbage
+            raise MediaDecodeError(f"bmp: bad bits-per-pixel {bpp}")
         h = abs(h)  # negative height = top-down row order
         if w <= 0 or h == 0:
             raise MediaDecodeError("bmp: bad dimensions")
@@ -192,6 +201,8 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     def one(b, mt):
         if b is None:
             return (None, None, None)
+        if mt is None:  # poison row, not a crash (same policy as bad bytes)
+            return (None, None, "null media_type")
         if mt.endswith("/fake"):
             w, h = fake_decode_meta(b)
             return (w, h, None)

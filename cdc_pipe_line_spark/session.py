@@ -81,6 +81,11 @@ def get_spark(
         # local mode: the driver JVM IS the executor — Spark's 1g
         # default heap caps the whole engine.  Size it like a worker
         # (overridable; ignored when a cluster master provides it).
+        # CAVEAT: driver.memory only takes effect when THIS process
+        # launches the JVM gateway.  Under spark-submit, or when a
+        # SparkContext already exists in the process, the setting is
+        # silently ignored — size the heap via spark-submit
+        # --driver-memory there (get_spark logs a warning on mismatch).
         .config("spark.driver.memory", os.environ.get(
             "SPARK_GRAFT_DRIVER_MEM", "8g"
         ))
@@ -94,5 +99,32 @@ def get_spark(
             "spark.sql.catalog.spark_catalog",
             "org.apache.spark.sql.delta.catalog.DeltaCatalog",
         )
-        return configure_spark_with_delta_pip(builder).getOrCreate()
-    return builder.getOrCreate()
+        spark = configure_spark_with_delta_pip(builder).getOrCreate()
+    else:
+        spark = builder.getOrCreate()
+    _warn_if_driver_mem_ignored(spark)
+    return spark
+
+
+def _warn_if_driver_mem_ignored(spark: SparkSession) -> None:
+    """driver.memory is a JVM-launch setting: it only applies when this
+    process started the gateway.  If a pre-existing context (spark-submit,
+    an earlier session) runs with a different heap than the one we asked
+    for, say so instead of letting the 8g sizing silently not happen."""
+    wanted = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    try:
+        actual = spark.sparkContext.getConf().get("spark.driver.memory", "1g")
+    except Exception:  # pragma: no cover - defensive; conf read is cheap
+        return
+    if actual != wanted:
+        import warnings
+
+        warnings.warn(
+            f"spark.driver.memory is {actual!r}, not the requested "
+            f"{wanted!r}: the JVM was already running when get_spark() "
+            "was called (spark-submit or a prior session), so builder "
+            "memory settings were ignored.  Set --driver-memory at "
+            "launch instead.",
+            RuntimeWarning,
+            stacklevel=3,
+        )

@@ -31,6 +31,7 @@ import uuid
 from collections.abc import Callable, Iterator
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -549,12 +550,23 @@ def run_scd2_stream(
         # bucket census and the main dedup/chain/append pipeline), and
         # without this each action re-parses the batch's source files
         # — at 250k-row batches that is a full extra decode per
-        # trigger.  localCheckpoint also truncates the streaming
-        # lineage, so the pipeline below plans against in-memory
-        # blocks.
-        batch_df = batch_df.withColumn("__bucket", bucket_of).localCheckpoint(
-            eager=True
+        # trigger.  persist(MEMORY_AND_DISK)+count rather than an eager
+        # localCheckpoint: lineage is retained, so on a real cluster an
+        # executor loss recomputes the lost blocks transparently (a
+        # localCheckpoint stores unreplicated blocks with NO lineage —
+        # the micro-batch would fail and force a stream restart), and
+        # the blocks are freed deterministically in the finally below
+        # instead of pinning executor storage until driver-side GC.
+        batch_df = batch_df.withColumn("__bucket", bucket_of).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
+        try:
+            _apply_materialized(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _apply_materialized(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.count()
         touched = [r[0] for r in batch_df.select("__bucket").distinct().collect()]
         if not touched:
             return
@@ -588,15 +600,23 @@ def run_scd2_stream(
         # co-locate each bucket in one task before partitionBy, else
         # every shuffle partition writes a sliver of every bucket
         # (num_tasks x num_buckets small files — the reference's
-        # file-per-event anti-pattern reborn); localCheckpoint decouples
-        # the append from the scan of the directory it extends
+        # file-per-event anti-pattern reborn).  persist+count decouples
+        # the append from the scan of the directory it extends: every
+        # partition is materialized before the write starts, and a
+        # recompute after block loss re-reads only COMMITTED files
+        # (in-flight task output lives under _temporary, which the
+        # file index excludes) so lineage-based recovery stays correct.
         out = (
             delta.withColumn("__bucket", bucket_of)
             .withColumn("__seq", F.lit(batch_id).cast("bigint"))
             .repartition(len(touched), "__bucket")
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        out.write.mode("append").partitionBy("__bucket").parquet(data_dir)
+        try:
+            out.count()
+            out.write.mode("append").partitionBy("__bucket").parquet(data_dir)
+        finally:
+            out.unpersist()
         _compact_if_needed(touched, batch_id)
         _fs_write_text(
             spark,
@@ -626,9 +646,16 @@ def run_scd2_stream(
         out = (
             compacted.withColumn("__seq", F.lit(batch_id).cast("bigint"))
             .repartition(len(heavy), "__bucket")
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        out.write.mode("overwrite").partitionBy("__bucket").parquet(data_dir)
+        try:
+            # materialize fully BEFORE the overwrite touches the
+            # directory being compacted (same recovery argument as the
+            # append above: staged output is invisible to a recompute)
+            out.count()
+            out.write.mode("overwrite").partitionBy("__bucket").parquet(data_dir)
+        finally:
+            out.unpersist()
 
     deduped = dedup_within_watermark(
         events_stream, ts_col=ts_col, watermark=watermark

@@ -140,3 +140,33 @@ def test_extract_media_meta_fake_type_unchanged(spark):
     )
     r = extract_media_meta(media).collect()[0]
     assert (r.width, r.height, r.decode_err) == (11 % 640, 11 % 480, None)
+
+
+def test_decode_ppm_comment_immediately_after_digits():
+    """'#' legally terminates a pending header token ('255#c\\n'):
+    the token must flush before the comment skip, and pixel data
+    starts right after the comment's newline."""
+    payload = b"P6\n5 4#trailing comment\n255#c\n" + b"\xab" * (5 * 4 * 3)
+    assert decode_media(payload, "image/ppm") == {"width": 5, "height": 4}
+    # exact-length payload: one byte short must now be detected
+    with pytest.raises(MediaDecodeError, match="truncated"):
+        decode_media(payload[:-1], "image/ppm")
+
+
+def test_decode_bmp_rejects_bad_bpp():
+    """bpp=0 must quarantine, not vacuously pass the row-size check
+    (row_bytes would compute to 0)."""
+    with pytest.raises(MediaDecodeError, match="bits-per-pixel"):
+        decode_media(make_bmp(13, 7, bpp=0), "image/bmp")
+
+
+def test_extract_media_meta_null_media_type_quarantined(spark):
+    """A NULL media_type is a poison row like bad bytes: nulled dims +
+    decode_err, never an AttributeError failing the scan."""
+    df = spark.createDataFrame(
+        [(1, None, b"P6\n1 1\n255\n\x00\x00\x00"), (2, "image/ppm", make_ppm(2, 2))],
+        "media_id long, media_type string, payload binary",
+    )
+    out = {r.media_id: r for r in extract_media_meta(df).collect()}
+    assert out[1].width is None and out[1].decode_err == "null media_type"
+    assert (out[2].width, out[2].height, out[2].decode_err) == (2, 2, None)
