@@ -145,19 +145,46 @@ def main() -> None:
 
     # Pass 1 (cold): includes one-time whole-stage-codegen JIT per query
     # shape (~1 s each — measured in BENCH_NOTES.md, not a data cost).
-    # Pass 2 (steady state) is the headline: what the Nth run of the
-    # same pipeline costs, the number that scales with data volume.
-    # Both are reported.
+    # Then N steady passes (default 3, $SPARK_GRAFT_BENCH_PASSES): a
+    # single steady pass proved too noisy to adjudicate regressions
+    # (round 4: cdc_diff_events swung 1.20->1.81 s on untouched code),
+    # so the headline number is the per-query MEDIAN across passes and
+    # the JSON carries {median,min,max,n} spreads so a reader can tell
+    # run variance from a real movement without re-running.
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     _, cold_total = run_all("cold")
-    timings, total = run_all("steady")
+    passes: list[tuple[dict[str, float], float]] = [
+        run_all(f"steady{i + 1}") for i in range(n_passes)
+    ]
+
+    def _median(vals: list[float]) -> float:
+        s = sorted(vals)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
+
+    timings = {
+        name: _median([p[0][name] for p in passes]) for name in HEADLINE
+    }
+    spread = {
+        name: {
+            "median": timings[name],
+            "min": min(p[0][name] for p in passes),
+            "max": max(p[0][name] for p in passes),
+            "n": n_passes,
+        }
+        for name in HEADLINE
+    }
+    totals = [p[1] for p in passes]
 
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
-                "value": total,
+                "value": _median(totals),
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
+                "steady_totals_sec": totals,
                 "cold_total_sec": cold_total,
                 "sf": sf,
             }

@@ -51,7 +51,13 @@ from cdc_pipe_line_spark.cdc.scd2 import (
     filter_applied_events,
     first_event_ts,
 )
+from cdc_pipe_line_spark.functions import sanitize_name_py
 from cdc_pipe_line_spark.session import HAS_DELTA
+
+#: Wide-table variant: the payload map materialized as one column per
+#: metric (the reference's Balance-Sheet shape — a new column per
+#: quarter) instead of ``data`` as a map.
+WIDE_BASE_COLUMNS = [c for c in SCD2_COLUMNS if c != "data"]
 
 
 def scd2_merge_source(
@@ -152,3 +158,170 @@ def apply_scd2_delta(
         history, events, ts_col=ts_col, payload_col=payload_col
     )
     build_scd2_merge(table, source)  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# Schema drift: the wide-table MERGE (Delta schema evolution)
+# ---------------------------------------------------------------------------
+#
+# The reference's target table is WIDE — one column per financial
+# metric, and the quarterly feed grows a new column per quarter
+# (reference: data/Balance-Sheet-TTM.csv:1, written with Delta
+# ``mergeSchema``).  In the map-based SCD2 path drift is absorbed by
+# the ``data`` map; here the same batch is materialized one-column-
+# per-metric and applied with the merge builder's schema evolution
+# (``withSchemaEvolution()``, the public delta-spark 3.x API): a batch
+# whose payload carries never-seen keys ADDS those columns to the
+# target, and every pre-existing row null-fills them — one ACID
+# statement, no ALTER TABLE choreography.
+
+
+def payload_columns(
+    source: DataFrame, *, data_col: str = "data"
+) -> list[tuple[str, str]]:
+    """Distinct payload keys of a merge source as ``(raw_key,
+    column_name)`` pairs, name-sanitized (R8) and sorted.
+
+    The collect is over distinct key NAMES — bounded by the wide
+    schema's width (the reference's table grows a handful of columns
+    per quarter), never by row count, so it is a legal driver-side
+    action even at 100 TB.  Raises when two raw keys sanitize to the
+    same column name (silent merging of two metrics would corrupt the
+    wide table).
+    """
+    rows = (
+        source.select(F.explode(F.map_keys(F.col(data_col))).alias("k"))
+        .distinct()
+        .collect()
+    )
+    pairs = sorted((r.k, sanitize_name_py(r.k)) for r in rows)
+    seen: dict[str, str] = {}
+    for raw, sane in pairs:
+        if sane in seen:
+            raise ValueError(
+                f"payload keys {seen[sane]!r} and {raw!r} both sanitize to "
+                f"column {sane!r}; rename one upstream"
+            )
+        seen[sane] = raw
+    return pairs
+
+
+def widen_scd2(history: DataFrame, keys: list[tuple[str, str]]) -> DataFrame:
+    """Project a map-based SCD2 frame to the wide shape: base columns
+    plus one string column per payload key (missing keys null-fill —
+    a pure projection, no shuffle)."""
+    return history.select(
+        *WIDE_BASE_COLUMNS,
+        *[F.col("data")[raw].alias(sane) for raw, sane in keys],
+    )
+
+
+def scd2_merge_source_wide(
+    history: DataFrame | None,
+    events: DataFrame,
+    *,
+    ts_col: str = "timestamp",
+    payload_col: str = "new_values",
+) -> tuple[DataFrame, list[str]]:
+    """Wide-table MERGE source: :func:`scd2_merge_source` with the
+    chained payload map materialized as columns.
+
+    Returns ``(source, wide_cols)`` where ``wide_cols`` is the
+    batch's sanitized column list — the columns the MERGE must bind
+    in its INSERT action (schema evolution adds any of them missing
+    from the target).
+    """
+    src = scd2_merge_source(
+        history, events, ts_col=ts_col, payload_col=payload_col
+    )
+    keys = payload_columns(src)
+    wide = src.select(
+        *WIDE_BASE_COLUMNS,
+        *[F.col("data")[raw].alias(sane) for raw, sane in keys],
+        "__mergeKey",
+        "__action",
+        "__first_ts",
+    )
+    return wide, [sane for _, sane in keys]
+
+
+def build_scd2_merge_wide(table, source: DataFrame, wide_cols: list[str]):
+    """Drive the merge builder for the wide SCD2 apply with schema
+    evolution.
+
+    Same null-merge-key recipe as :func:`build_scd2_merge`, plus
+    ``withSchemaEvolution()``: INSERT binds the batch's wide columns,
+    and any column the target lacks is added by the merge itself
+    (existing rows null-fill) — Delta's documented evolution
+    semantics, reproduced by the protocol fake in tests.
+    """
+    return (
+        table.alias("t")
+        .merge(
+            source.alias("s"),
+            "t.key_value = s.__mergeKey AND t.is_current",
+        )
+        .withSchemaEvolution()
+        .whenMatchedUpdate(
+            condition="s.__action = 'expire'",
+            set={"valid_to": "s.__first_ts", "is_current": "false"},
+        )
+        .whenNotMatchedInsert(
+            condition="s.__action = 'insert'",
+            values={c: f"s.{c}" for c in WIDE_BASE_COLUMNS + wide_cols},
+        )
+        .execute()
+    )
+
+
+def apply_scd2_delta_wide(
+    spark: SparkSession,
+    target_path: str,
+    events: DataFrame,
+    *,
+    ts_col: str = "timestamp",
+    payload_col: str = "new_values",
+) -> None:
+    """Apply a CDC batch to a WIDE Delta SCD2 table, evolving its
+    schema when the batch's payload carries new keys.
+
+    Environment-gated exactly like :func:`apply_scd2_delta`; the
+    recipe is exercised via the protocol fake
+    (tests/test_delta_merge.py) and is a drop-in where delta-spark is
+    installed.
+    """
+    if not HAS_DELTA:  # pragma: no cover - the gate is the point
+        raise RuntimeError(
+            "delta-spark is not installed; use cdc.scd2.apply_scd2 (parquet "
+            "path) or install delta-spark to light up the MERGE path"
+        )
+    from delta.tables import DeltaTable  # type: ignore
+
+    if not DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
+        src, _ = scd2_merge_source_wide(
+            None, events, ts_col=ts_col, payload_col=payload_col
+        )
+        src.filter("__action = 'insert'").drop(
+            "__mergeKey", "__action", "__first_ts"
+        ).write.format("delta").save(target_path)
+        return
+    table = DeltaTable.forPath(spark, target_path)  # pragma: no cover
+    history_wide = spark.read.format("delta").load(target_path)  # pragma: no cover
+    # rebuild the map view the chaining layer needs from the wide
+    # target: every non-base column IS a payload key
+    wide_cols = [  # pragma: no cover
+        c for c in history_wide.columns if c not in WIDE_BASE_COLUMNS
+    ]
+    history = history_wide.select(  # pragma: no cover
+        *WIDE_BASE_COLUMNS,
+        F.map_filter(
+            F.create_map(
+                *[x for c in wide_cols for x in (F.lit(c), F.col(c))]
+            ),
+            lambda _, v: v.isNotNull(),
+        ).alias("data"),
+    )
+    source, cols = scd2_merge_source_wide(  # pragma: no cover
+        history, events, ts_col=ts_col, payload_col=payload_col
+    )
+    build_scd2_merge_wide(table, source, cols)  # pragma: no cover

@@ -30,6 +30,7 @@ class FakeDeltaTable:
     def __init__(self, df):
         self._df = df
         self._ta = None
+        self._evolve = False
         self.result = None
 
     def alias(self, name):
@@ -41,6 +42,10 @@ class FakeDeltaTable:
         self._cond = condition
         return self
 
+    def withSchemaEvolution(self):
+        self._evolve = True
+        return self
+
     def whenMatchedUpdate(self, *, condition=None, set=None):
         self._m_cond, self._m_set = condition, set
         return self
@@ -50,10 +55,22 @@ class FakeDeltaTable:
         return self
 
     def execute(self):
-        t = self._df.alias(self._ta)
+        t = self._df
         s = self._src
+        if self._evolve:
+            # Delta schema evolution: INSERT/UPDATE actions may bind
+            # source columns the target lacks; the merge adds them and
+            # existing target rows null-fill (delta.io docs, "automatic
+            # schema evolution").  The fake evolves the target frame
+            # up-front so the rest of the semantics are unchanged.
+            src_plain = s.toDF(*[c.split(".")[-1] for c in s.columns])
+            for c in getattr(self, "_i_vals", {}) or {}:
+                if c not in t.columns:
+                    dt = src_plain.schema[c].dataType
+                    t = t.withColumn(c, F.lit(None).cast(dt))
+        t = t.alias(self._ta)
         cond = F.expr(self._cond)
-        tcols = self._df.columns
+        tcols = t.columns
 
         matched = t.join(s, cond, "inner")
         # Delta raises when one target row matches several source rows
@@ -182,3 +199,97 @@ def test_fake_rejects_multiple_matches(spark):
     fake.whenNotMatchedInsert(condition="s.__action = 'insert'", values={"key_value": "s.__mergeKey", "is_current": "true"})
     with pytest.raises(ValueError, match="multiple source rows"):
         fake.execute()
+
+
+# ---------------------------------------------------------------------------
+# Wide-table MERGE with schema evolution (drift)
+# ---------------------------------------------------------------------------
+
+from cdc_pipe_line_spark.delta_merge import (  # noqa: E402
+    WIDE_BASE_COLUMNS,
+    build_scd2_merge_wide,
+    payload_columns,
+    scd2_merge_source_wide,
+    widen_scd2,
+)
+
+# batch 2 carries payload key 'w' that batch 1 never had — the
+# reference's new-column-per-quarter drift
+BATCH2_WIDE = [
+    ("e5", "update", "k1", "2024-01-03 00:00:00", {"v": "1b", "w": "9"}),
+    ("e6", "delete", "k2", "2024-01-03 00:00:00", None),
+    ("e7", "insert", "k4", "2024-01-03 00:00:00", {"w": "4"}),
+]
+
+
+def _rows_all(df):
+    cols = sorted(df.columns)
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def test_merge_wide_schema_drift(spark):
+    """A batch whose payload carries a never-seen key evolves the wide
+    target through the MERGE itself: the new column appears, every
+    pre-existing row null-fills it, and the rows are identical to the
+    map-based batch path projected wide."""
+    h1 = apply_scd2(None, _events(spark, BATCH1)).localCheckpoint()
+    keys1 = payload_columns(h1)
+    assert keys1 == [("v", "v")]
+    target = widen_scd2(h1, keys1).localCheckpoint()
+
+    src, cols = scd2_merge_source_wide(h1, _events(spark, BATCH2_WIDE))
+    assert "w" in cols
+
+    fake = FakeDeltaTable(target)
+    build_scd2_merge_wide(fake, src, cols)
+
+    assert set(fake.result.columns) == set(WIDE_BASE_COLUMNS) | {"v", "w"}
+    ref = widen_scd2(
+        apply_scd2(h1, _events(spark, BATCH2_WIDE)), [("v", "v"), ("w", "w")]
+    )
+    assert _rows_all(fake.result) == _rows_all(ref)
+    # null-fill: a batch-1 row untouched by batch 2 has the new column null
+    e3 = fake.result.filter("_event_id = 'e3'").collect()[0]
+    assert e3.w is None and e3.v == "3"
+    # and the drifted rows carry it
+    e7 = fake.result.filter("_event_id = 'e7'").collect()[0]
+    assert e7.w == "4" and e7.is_current
+
+
+def test_payload_columns_sanitizes_and_rejects_collisions(spark):
+    good = spark.createDataFrame(
+        [(1, {"Total Assets %": "9", "v": "1"})], "id long, data map<string,string>"
+    )
+    assert payload_columns(good) == [
+        ("Total Assets %", "Total_Assets_pct"),
+        ("v", "v"),
+    ]
+    wide = widen_scd2(
+        good.selectExpr(
+            "'k' as key_value", "data",
+            "cast(null as timestamp) as valid_from",
+            "cast(null as timestamp) as valid_to",
+            "true as is_current", "'e' as _event_id", "'t' as _event_type",
+        ),
+        payload_columns(good),
+    )
+    assert wide.collect()[0].Total_Assets_pct == "9"
+
+    bad = spark.createDataFrame(
+        [(1, {"a b": "1", "a_b": "2"})], "id long, data map<string,string>"
+    )
+    with pytest.raises(ValueError, match="both sanitize"):
+        payload_columns(bad)
+
+
+def test_merge_wide_no_drift_is_plain_merge(spark):
+    """When the batch introduces no new keys the evolved merge equals
+    the map-path projection with the original schema (evolution no-op)."""
+    h1 = apply_scd2(None, _events(spark, BATCH1)).localCheckpoint()
+    target = widen_scd2(h1, [("v", "v")]).localCheckpoint()
+    src, cols = scd2_merge_source_wide(h1, _events(spark, BATCH2))
+    assert cols == ["v"]
+    fake = FakeDeltaTable(target)
+    build_scd2_merge_wide(fake, src, cols)
+    ref = widen_scd2(apply_scd2(h1, _events(spark, BATCH2)), [("v", "v")])
+    assert _rows_all(fake.result) == _rows_all(ref)

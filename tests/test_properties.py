@@ -193,6 +193,66 @@ def test_delta_merge_equals_batch_path_random(spark, evs, split):
     assert _rows(fake.result) == _rows(ref)
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=events_strategy, split=st_.integers(min_value=0, max_value=12))
+def test_delta_merge_wide_drift_random(spark, evs, split):
+    """Wide-table MERGE with schema evolution vs the batch path, under
+    random drift: each event's payload key depends on its timestamp
+    (m0/m1/m2), so batch 2 routinely carries columns the batch-1 target
+    never had.  The evolved merge must equal the map path projected to
+    the union of key columns, with pre-drift rows null-filled."""
+    from cdc_pipe_line_spark.cdc.scd2 import apply_scd2
+    from cdc_pipe_line_spark.delta_merge import (
+        build_scd2_merge_wide,
+        payload_columns,
+        scd2_merge_source_wide,
+        widen_scd2,
+    )
+    from tests.test_delta_merge import FakeDeltaTable, _rows_all
+
+    split = min(split, len(evs))
+    b1, b2 = evs[:split], evs[split:]
+
+    def mk(batch, prefix):
+        rows = [
+            (
+                f"{prefix}{i}",
+                typ,
+                str(k),
+                f"2024-01-{1 + t:02d} 00:00:00",
+                {f"m{t % 3}": f"{k}.{t}"} if typ != "delete" else None,
+            )
+            for i, (k, t, typ) in enumerate(batch)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id string, event_type string, key_value string, "
+            "timestamp string, new_values map<string,string>",
+        ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+
+    ev1, ev2 = mk(b1, "a"), mk(b2, "b")
+    h1 = apply_scd2(None, ev1).localCheckpoint()
+    keys1 = payload_columns(h1)
+    target = widen_scd2(h1, keys1).localCheckpoint()
+
+    src, cols = scd2_merge_source_wide(h1, ev2)
+    fake = FakeDeltaTable(target)
+    build_scd2_merge_wide(fake, src, cols)
+
+    union_keys = sorted({*(s for _, s in keys1), *cols})
+    assert set(fake.result.columns) == {
+        *target.columns, *cols
+    }, "evolution must add exactly the batch's new columns"
+    ref = widen_scd2(
+        apply_scd2(h1, ev2), [(k, k) for k in union_keys]
+    )
+    assert _rows_all(fake.result) == _rows_all(ref)
+
+
 def test_diff_self_is_empty(spark):
     from cdc_pipe_line_spark.queries import load_table
 
