@@ -98,10 +98,19 @@ class FakeDeltaTable:
         i_cond = F.coalesce(
             F.expr(self._i_cond) if self._i_cond else F.lit(True), F.lit(False)
         )
+        # columns the INSERT action does not name are null (Delta docs)
+        tschema = {f.name: f.dataType for f in t.schema.fields}
         inserted = (
             s.join(t, cond, "left_anti")
             .filter(i_cond)
-            .select(*[F.expr(self._i_vals[c]).alias(c) for c in tcols])
+            .select(
+                *[
+                    F.expr(self._i_vals[c]).alias(c)
+                    if c in self._i_vals
+                    else F.lit(None).cast(tschema[c]).alias(c)
+                    for c in tcols
+                ]
+            )
         )
         self.result = (
             untouched.unionByName(kept_matched)
