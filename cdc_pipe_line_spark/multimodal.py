@@ -3,13 +3,15 @@ columns with typed metadata, processed by Arrow-batched pandas
 iterators (``mapInPandas``).
 
 The container ships no third-party image/audio codecs, so
-:func:`decode_media` implements the uncompressed container formats a
-pure-stdlib parser can handle — binary PPM/PGM (netpbm P6/P5),
-uncompressed BMP (BITMAPINFOHEADER), and RIFF/WAVE PCM — and
-:func:`extract_media_meta` routes on ``media_type``, quarantining
-undecodable payloads into a ``decode_err`` column instead of failing
-the job.  Compressed formats (JPEG/PNG/MP4...) still need a real
-codec at deployment; they route through the same hook, so swapping in
+:func:`decode_media` implements the container formats a pure-stdlib
+parser can handle — binary PPM/PGM (netpbm P6/P5), uncompressed BMP
+(BITMAPINFOHEADER), RIFF/WAVE PCM, and PNG (CRC-verified chunk walk +
+``zlib`` scanline decompress — the first compressed format through
+the real-codec path) — and :func:`extract_media_meta` routes on
+``media_type``, quarantining undecodable payloads into a
+``decode_err`` column instead of failing the job.  Remaining
+compressed formats (JPEG/MP4...) still need a real codec at
+deployment; they route through the same hook, so swapping in
 PIL/soundfile/pyav remains a one-function change.  ``*/fake`` types
 keep the deterministic length-derived stand-in
 (:func:`fake_decode_meta`) used by oracle-replayable fixtures.
@@ -19,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -92,18 +95,89 @@ def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
     return vals, i
 
 
+#: channel count per PNG color type (palette=3 needs PLTE; rejected)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_decode(payload: bytes) -> dict:
+    """PNG (the first *compressed* format through the real-codec
+    path): chunk walk with CRC-32 verification, IHDR dimensions, full
+    IDAT ``zlib`` decompression, and scanline validation (exact
+    ``height * (1 + width*bpp)`` byte count, every per-row filter type
+    in 0..4).  Grayscale/RGB/gray+alpha/RGBA at bit depth 8 or 16;
+    palette and interlaced images are rejected with actionable errors
+    rather than misparsed."""
+    n = len(payload)
+    i = 8
+    ihdr = None
+    idat = bytearray()
+    while True:
+        if i + 8 > n:
+            raise MediaDecodeError("png: truncated chunk header")
+        clen = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        if i + 12 + clen > n:
+            raise MediaDecodeError(f"png: truncated {ctype!r} chunk")
+        data = payload[i + 8 : i + 8 + clen]
+        crc = int.from_bytes(payload[i + 8 + clen : i + 12 + clen], "big")
+        if zlib.crc32(ctype + data) != crc:
+            raise MediaDecodeError(f"png: CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            if clen != 13:
+                raise MediaDecodeError("png: bad IHDR length")
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if ihdr is None:
+        raise MediaDecodeError("png: missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if not (0 < w < 1 << 31 and 0 < h < 1 << 31):
+        raise MediaDecodeError("png: bad dimensions")
+    if comp != 0 or filt != 0:
+        raise MediaDecodeError("png: unknown compression/filter method")
+    if interlace != 0:
+        raise MediaDecodeError("png: Adam7 interlace unsupported")
+    if color not in _PNG_CHANNELS:
+        raise MediaDecodeError(
+            f"png: color type {color} unsupported (palette needs PLTE handling)"
+        )
+    if depth not in (8, 16):
+        raise MediaDecodeError(f"png: bit depth {depth} unsupported")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise MediaDecodeError(f"png: IDAT inflate failed ({exc})") from None
+    row_bytes = 1 + w * _PNG_CHANNELS[color] * (depth // 8)
+    if len(raw) != h * row_bytes:
+        raise MediaDecodeError(
+            f"png: scanline data {len(raw)} bytes, expected {h * row_bytes}"
+        )
+    for r in range(h):
+        if raw[r * row_bytes] > 4:
+            raise MediaDecodeError(
+                f"png: bad filter type {raw[r * row_bytes]} on row {r}"
+            )
+    return {"width": w, "height": h}
+
+
 def decode_media(payload: bytes, media_type: str) -> dict:
-    """Pure-stdlib decode of uncompressed media containers.
+    """Pure-stdlib decode of media containers.
 
     Returns ``{"width": int, "height": int}`` — for audio, ``width``
     is the frame (sample) count and ``height`` the channel count, so
     one typed schema serves both.  Raises :class:`MediaDecodeError` on
     malformed or truncated payloads (callers quarantine, see
     :func:`extract_media_meta`).  Formats: netpbm P6 (RGB) / P5
-    (gray), BMP (BITMAPINFOHEADER, BI_RGB only), RIFF/WAVE PCM.
-    Compressed formats raise — wire PIL/soundfile/pyav here at
-    deployment.
+    (gray), BMP (BITMAPINFOHEADER, BI_RGB only), RIFF/WAVE PCM, and
+    PNG (CRC-verified chunks + zlib scanline decompress).  Remaining
+    compressed formats (JPEG/MP4...) raise — wire PIL/soundfile/pyav
+    here at deployment.
     """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode(payload)
     magic = payload[:2]
     if magic in (b"P6", b"P5"):
         (w, h, maxval), off = _ppm_tokens(payload, 3)
@@ -162,6 +236,65 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     raise MediaDecodeError(
         f"unsupported container (magic {payload[:4]!r}) for {media_type}; "
         "compressed formats need a real codec (PIL/soundfile/pyav) at deployment"
+    )
+
+
+def _zlib_store(raw: bytes) -> bytes:
+    """A valid zlib stream holding ``raw`` uncompressed (DEFLATE
+    stored blocks), built by hand so its length is exactly
+    ``2 + 5*ceil(len/65535) + len + 4`` on every zlib build — the
+    determinism the oracle-replayed PNG fixtures rely on
+    (``zlib.compress(level=0)`` framing is an implementation detail)."""
+    out = bytearray(b"\x78\x01")
+    i, n = 0, len(raw)
+    while True:
+        blk = raw[i : i + 65535]
+        i += len(blk)
+        last = i >= n
+        out += bytes([1 if last else 0])
+        out += len(blk).to_bytes(2, "little")
+        out += (len(blk) ^ 0xFFFF).to_bytes(2, "little")
+        out += blk
+        if last:
+            break
+    out += zlib.adler32(raw).to_bytes(4, "big")
+    return bytes(out)
+
+
+def make_png(
+    width: int, height: int, fill: bytes, *, color: int = 2, depth: int = 8
+) -> bytes:
+    """Deterministic PNG encoder: filter-0 scanlines, pixel bytes from
+    ``fill`` repeated, stored (uncompressed) zlib blocks, correct
+    CRC-32 on every chunk.
+
+    Used by tests and the oracle-replayed ``mm_media_pipeline`` PNG
+    probe; for RGB-8 the total file length is exactly
+    ``height*(1 + width*3) + 68`` bytes (sig 8 + IHDR 25 + IDAT
+    overhead 23 + IEND 12), which DuckDB recomputes arithmetically.
+    """
+    channels = _PNG_CHANNELS[color]
+    row = width * channels * (depth // 8)
+    need = height * row
+    pix = (fill * (need // len(fill) + 1))[:need]
+    raw = b"".join(
+        b"\x00" + pix[r * row : (r + 1) * row] for r in range(height)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib_store(raw))
+        + chunk(b"IEND", b"")
     )
 
 

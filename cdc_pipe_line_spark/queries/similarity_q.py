@@ -8,6 +8,7 @@ the last ulp before the defensive round(4).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,9 +143,31 @@ def q_media_pipeline(spark, sf_dir):
       :func:`~cdc_pipe_line_spark.multimodal.decode_media` netpbm
       parser inside mapInPandas; the oracle recomputes width/height
       from the construction formula, binding the parser bit-for-bit;
+    - ``png``: the compressed-format tier — a real PNG (CRC'd chunks,
+      stored-zlib scanlines) is built per document by the
+      deterministic :func:`~cdc_pipe_line_spark.multimodal.make_png`
+      encoder in a vectorized pandas UDF, then parsed back by the
+      stdlib PNG decoder (chunk walk + CRC verify + inflate +
+      scanline validation).  The oracle recomputes width/height AND
+      the exact file byte count arithmetically
+      (``h*(1+w*3) + 68`` for RGB-8 stored blocks), binding
+      signature, chunk framing, and scanline layout; ``content_md5``
+      is NULL on both sides (CRC words make the digest
+      SQL-unreplayable — n_bytes+dims carry the binding instead);
     - ``frames``: frame-sampling fanout via byte-offset arithmetic
       (sequence+explode, pure column expressions).
     """
+    from cdc_pipe_line_spark.multimodal import make_png
+
+    @F.pandas_udf("binary")
+    def _png_payload(w: pd.Series, h: pd.Series, fill: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                make_png(int(a), int(b), f.encode("ascii"))
+                for a, b, f in zip(w, h, fill)
+            ],
+            dtype=object,
+        )
     docs = _t(spark, sf_dir, "documents")
     null_l = F.lit(None).cast("bigint")
     null_s = F.lit(None).cast("string")
@@ -192,6 +215,26 @@ def q_media_pipeline(spark, sf_dir):
         "media_id", "media_type", "n_bytes", "content_md5", "width", "height",
         null_l.alias("frame_no"), null_l.alias("byte_offset"),
     )
+    png_src = docs.select(
+        "doc_id",
+        ((F.octet_length("text") % 64) + 1).alias("__w"),
+        ((F.octet_length("text") % 48) + 1).alias("__h"),
+        F.md5(F.col("text").cast("binary")).alias("__fill"),
+    ).withColumn("__payload", _png_payload("__w", "__h", "__fill"))
+    png = extract_media_meta(
+        as_media_table(
+            png_src,
+            id_col="doc_id",
+            payload_col="__payload",
+            media_type="image/png",
+        )
+    ).select(
+        F.lit("png").alias("probe"),
+        "media_id", "media_type", "n_bytes",
+        null_s.alias("content_md5"),
+        "width", "height",
+        null_l.alias("frame_no"), null_l.alias("byte_offset"),
+    )
     frames = sample_frames(
         as_media_table(
             docs,
@@ -208,7 +251,7 @@ def q_media_pipeline(spark, sf_dir):
         null_l.alias("width"), null_l.alias("height"),
         F.col("frame_no").cast("bigint").alias("frame_no"), "byte_offset",
     )
-    return meta.unionByName(ppm).unionByName(frames)
+    return meta.unionByName(ppm).unionByName(png).unionByName(frames)
 
 
 def q_media_embed_knn(spark, sf_dir):
@@ -362,6 +405,21 @@ FROM (
           (octet_length(encode(text)) % 64) + 1 AS w,
           (octet_length(encode(text)) % 48) + 1 AS h
         FROM documents))
+UNION ALL
+-- png probe: the parser's output is bound by ARITHMETIC — a stored-
+-- block RGB-8 PNG of w x h pixels is exactly h*(1+w*3) + 68 bytes
+-- (sig 8, IHDR 25, IDAT 12+11+raw, IEND 12), and width/height must
+-- round-trip through IHDR + inflate + scanline validation.  md5 is
+-- NULL on both sides: CRC words aren't SQL-computable.
+SELECT 'png', doc_id, 'image/png',
+  CAST(h * (1 + w * 3) + 68 AS BIGINT),
+  CAST(NULL AS VARCHAR),
+  CAST(w AS BIGINT), CAST(h AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (SELECT doc_id,
+        (octet_length(encode(text)) % 64) + 1 AS w,
+        (octet_length(encode(text)) % 48) + 1 AS h
+      FROM documents)
 UNION ALL
 SELECT 'frames', doc_id, 'video/fake', NULL, NULL, NULL, NULL,
   CAST(f.frame_no AS BIGINT), CAST(f.frame_no * 1024 AS BIGINT)

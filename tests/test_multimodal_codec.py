@@ -101,7 +101,7 @@ def test_decode_wav_truncated_data_raises():
 
 def test_decode_unknown_magic_raises():
     with pytest.raises(MediaDecodeError, match="unsupported container"):
-        decode_media(b"\x89PNG\r\n\x1a\n....", "image/png")
+        decode_media(b"\xff\xd8\xff\xe0....JFIF", "image/jpeg")
 
 
 def test_extract_media_meta_real_decode_and_quarantine(spark):
@@ -170,3 +170,118 @@ def test_extract_media_meta_null_media_type_quarantined(spark):
     out = {r.media_id: r for r in extract_media_meta(df).collect()}
     assert out[1].width is None and out[1].decode_err == "null media_type"
     assert (out[2].width, out[2].height, out[2].decode_err) == (2, 2, None)
+
+
+# ---------------------------------------------------------------------------
+# PNG: the compressed-format tier
+# ---------------------------------------------------------------------------
+
+from cdc_pipe_line_spark.multimodal import make_png  # noqa: E402
+
+
+def test_decode_png_roundtrip_color_types_and_depths():
+    for color, depth in [(2, 8), (0, 8), (6, 8), (4, 8), (2, 16), (0, 16)]:
+        p = make_png(19, 7, b"0123456789abcdef", color=color, depth=depth)
+        assert decode_media(p, "image/png") == {"width": 19, "height": 7}, (
+            color, depth,
+        )
+
+
+def test_png_byte_length_is_arithmetic():
+    """The oracle recomputes n_bytes as h*(1+w*3)+68 for RGB-8 — pin
+    the encoder to that formula."""
+    for w, h in [(1, 1), (64, 48), (17, 9)]:
+        assert len(make_png(w, h, b"xy")) == h * (1 + w * 3) + 68
+
+
+def test_decode_png_truncated_raises():
+    p = make_png(8, 8, b"fill")
+    for cut in (7, 20, len(p) // 2, len(p) - 1):
+        with pytest.raises(MediaDecodeError, match="png:|unsupported container"):
+            decode_media(p[:cut], "image/png")
+
+
+def test_decode_png_bad_crc_raises():
+    p = bytearray(make_png(8, 8, b"fill"))
+    # flip a bit inside the IDAT payload (after sig 8 + IHDR 25 + len/type 8)
+    p[8 + 25 + 8 + 3] ^= 0x01
+    with pytest.raises(MediaDecodeError, match="CRC mismatch"):
+        decode_media(bytes(p), "image/png")
+
+
+def test_decode_png_bad_filter_byte_raises():
+    """Corrupt scanline content with a RE-CRC'd chunk: only the
+    decompress+scanline validation can catch it."""
+    import struct as _s
+    import zlib as _z
+
+    from cdc_pipe_line_spark.multimodal import _zlib_store
+
+    raw = bytearray(b"\x00" + b"\x11" * 9)  # 1 row, 3px RGB
+    raw[0] = 9  # filter type out of range
+    idat = _zlib_store(bytes(raw))
+    def chunk(t, d):
+        return len(d).to_bytes(4, "big") + t + d + _z.crc32(t + d).to_bytes(4, "big")
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 3, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(MediaDecodeError, match="bad filter type"):
+        decode_media(p, "image/png")
+
+
+def test_decode_png_scanline_length_mismatch_raises():
+    """IHDR claims 4x2 but the (valid, CRC-correct) zlib stream holds
+    one row — dims must not be trusted without the byte count check."""
+    import struct as _s
+    import zlib as _z
+
+    from cdc_pipe_line_spark.multimodal import _zlib_store
+
+    idat = _zlib_store(b"\x00" + b"\x22" * 12)
+    def chunk(t, d):
+        return len(d).to_bytes(4, "big") + t + d + _z.crc32(t + d).to_bytes(4, "big")
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(MediaDecodeError, match="scanline data"):
+        decode_media(p, "image/png")
+
+
+def test_decode_png_rejects_palette_and_interlace():
+    import struct as _s
+    import zlib as _z
+
+    def chunk(t, d):
+        return len(d).to_bytes(4, "big") + t + d + _z.crc32(t + d).to_bytes(4, "big")
+
+    pal = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", _s.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0)
+    )
+    with pytest.raises(MediaDecodeError, match="color type 3"):
+        decode_media(pal + chunk(b"IEND", b""), "image/png")
+    adam = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", _s.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 1)
+    )
+    with pytest.raises(MediaDecodeError, match="interlace"):
+        decode_media(adam + chunk(b"IEND", b""), "image/png")
+
+
+def test_extract_media_meta_png_through_arrow_batches(spark):
+    """PNG payloads through the mapInPandas extractor: good rows carry
+    inflated-and-validated dims; a bad-CRC payload quarantines."""
+    good = make_png(21, 5, b"abcdefgh")
+    bad = bytearray(good)
+    bad[8 + 25 + 8 + 1] ^= 0x40
+    df = spark.createDataFrame(
+        [(1, "image/png", good), (2, "image/png", bytes(bad))],
+        "media_id long, media_type string, payload binary",
+    )
+    out = {r.media_id: r for r in extract_media_meta(df).collect()}
+    assert (out[1].width, out[1].height, out[1].decode_err) == (21, 5, None)
+    assert out[2].width is None and "CRC mismatch" in out[2].decode_err
