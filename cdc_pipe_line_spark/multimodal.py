@@ -9,10 +9,12 @@ parser can handle — binary PPM/PGM (netpbm P6/P5), uncompressed BMP
 ``zlib`` scanline decompress — the first compressed format through
 the real-codec path) — and :func:`extract_media_meta` routes on
 ``media_type``, quarantining undecodable payloads into a
-``decode_err`` column instead of failing the job.  Remaining
-compressed formats (JPEG/MP4...) still need a real codec at
-deployment; they route through the same hook, so swapping in
-PIL/soundfile/pyav remains a one-function change.  ``*/fake`` types
+``decode_err`` column instead of failing the job.  JPEG, GIF and
+MP4/ISO-BMFF get header-tier parsing (marker/box walks to real
+dimensions; entropy-coded payload untouched) — full pixel/sample
+decode for those still needs a real codec at deployment, through the
+same hook, so swapping in PIL/soundfile/pyav remains a one-function
+change.  ``*/fake`` types
 keep the deterministic length-derived stand-in
 (:func:`fake_decode_meta`) used by oracle-replayable fixtures.
 """
@@ -163,6 +165,94 @@ def _png_decode(payload: bytes) -> dict:
     return {"width": w, "height": h}
 
 
+#: JPEG start-of-frame markers that carry dimensions (C4=DHT, C8=JPG
+#: extension, CC=DAC are NOT frames)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_decode(payload: bytes) -> dict:
+    """JPEG header tier: marker-segment walk to the SOF frame header
+    (precision, height, width).  This is real byte parsing of the
+    container — entropy-coded pixel data still needs a full codec and
+    is deliberately not decoded."""
+    n = len(payload)
+    i = 2
+    while True:
+        if i + 4 > n:
+            raise MediaDecodeError("jpeg: truncated before SOF marker")
+        if payload[i] != 0xFF:
+            raise MediaDecodeError(f"jpeg: bad marker byte at {i}")
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            raise MediaDecodeError(f"jpeg: truncated segment {marker:#x}")
+        if marker in _JPEG_SOF:
+            if seg_len < 7:
+                raise MediaDecodeError("jpeg: SOF segment too short")
+            h = int.from_bytes(payload[i + 5 : i + 7], "big")
+            w = int.from_bytes(payload[i + 7 : i + 9], "big")
+            if w <= 0 or h <= 0:
+                raise MediaDecodeError("jpeg: bad dimensions")
+            return {"width": w, "height": h}
+        if marker == 0xDA:  # SOS before any SOF: malformed
+            raise MediaDecodeError("jpeg: scan data before SOF header")
+        i += 2 + seg_len
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in
+    [start, end); raises on sizes that overrun the parent bounds."""
+    i = start
+    while i < end:
+        if i + 8 > end:
+            raise MediaDecodeError("mp4: truncated box header")
+        size = int.from_bytes(payload[i : i + 4], "big")
+        btype = payload[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                raise MediaDecodeError("mp4: truncated largesize box")
+            size = int.from_bytes(payload[i + 8 : i + 16], "big")
+            body = i + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - i
+        if size < body - i or i + size > end:
+            raise MediaDecodeError(
+                f"mp4: box {btype!r} size {size} overruns its parent"
+            )
+        yield btype, body, i + size
+        i += size
+
+
+def _mp4_decode(payload: bytes) -> dict:
+    """MP4/ISO-BMFF header tier: box walk into ``moov/trak/tkhd`` for
+    the first visual track's 16.16 fixed-point dimensions.  Sample
+    data (mdat) still needs a real demuxer/codec and is not touched."""
+    for btype, body, bend in _mp4_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for t2, b2, e2 in _mp4_boxes(payload, body, bend):
+            if t2 != b"trak":
+                continue
+            for t3, b3, e3 in _mp4_boxes(payload, b2, e2):
+                if t3 != b"tkhd":
+                    continue
+                # width/height are the LAST 8 bytes of tkhd (v0 and v1)
+                if e3 - b3 < 8:
+                    raise MediaDecodeError("mp4: tkhd too short")
+                w = int.from_bytes(payload[e3 - 8 : e3 - 4], "big") >> 16
+                h = int.from_bytes(payload[e3 - 4 : e3], "big") >> 16
+                if w > 0 and h > 0:
+                    return {"width": w, "height": h}
+    raise MediaDecodeError("mp4: no visual track dimensions in moov")
+
+
 def decode_media(payload: bytes, media_type: str) -> dict:
     """Pure-stdlib decode of media containers.
 
@@ -170,14 +260,30 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     is the frame (sample) count and ``height`` the channel count, so
     one typed schema serves both.  Raises :class:`MediaDecodeError` on
     malformed or truncated payloads (callers quarantine, see
-    :func:`extract_media_meta`).  Formats: netpbm P6 (RGB) / P5
-    (gray), BMP (BITMAPINFOHEADER, BI_RGB only), RIFF/WAVE PCM, and
-    PNG (CRC-verified chunks + zlib scanline decompress).  Remaining
-    compressed formats (JPEG/MP4...) raise — wire PIL/soundfile/pyav
-    here at deployment.
+    :func:`extract_media_meta`).
+
+    Fully validated formats: netpbm P6/P5, BMP (BITMAPINFOHEADER,
+    BI_RGB), RIFF/WAVE PCM, PNG (CRC-verified chunks + zlib scanline
+    decompress).  Header-tier formats — real container parsing, but
+    the entropy-coded pixel/sample data is untouched: JPEG (marker
+    walk to SOF), GIF (logical screen descriptor), MP4/ISO-BMFF
+    (box walk to tkhd).  Full pixel decode for those still means
+    PIL/pyav at deployment, through this same hook.
     """
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_decode(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 13:  # header + logical screen descriptor
+            raise MediaDecodeError("gif: truncated logical screen descriptor")
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        if w <= 0 or h <= 0:
+            raise MediaDecodeError("gif: bad dimensions")
+        return {"width": w, "height": h}
+    if payload[4:8] == b"ftyp":
+        return _mp4_decode(payload)
     magic = payload[:2]
     if magic in (b"P6", b"P5"):
         (w, h, maxval), off = _ppm_tokens(payload, 3)

@@ -101,7 +101,7 @@ def test_decode_wav_truncated_data_raises():
 
 def test_decode_unknown_magic_raises():
     with pytest.raises(MediaDecodeError, match="unsupported container"):
-        decode_media(b"\xff\xd8\xff\xe0....JFIF", "image/jpeg")
+        decode_media(b"\x00\x01\x02\x03junkjunkjunk", "application/octet-stream")
 
 
 def test_extract_media_meta_real_decode_and_quarantine(spark):
@@ -285,3 +285,90 @@ def test_extract_media_meta_png_through_arrow_batches(spark):
     out = {r.media_id: r for r in extract_media_meta(df).collect()}
     assert (out[1].width, out[1].height, out[1].decode_err) == (21, 5, None)
     assert out[2].width is None and "CRC mismatch" in out[2].decode_err
+
+
+# ---------------------------------------------------------------------------
+# Header-tier parsers: JPEG / GIF / MP4 (container walk, no pixel decode)
+# ---------------------------------------------------------------------------
+
+
+def make_jpeg(w: int, h: int, *, sof: int = 0xC0) -> bytes:
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + (len(data) + 2).to_bytes(2, "big") + data
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    sof0 = seg(sof, b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    sos = seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + sof0 + sos + b"\x12\x34" + b"\xff\xd9"
+
+
+def box(btype: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + btype + body
+
+
+def make_mp4(w: int, h: int) -> bytes:
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + bytes(76) + (w << 16).to_bytes(4, "big")
+        + (h << 16).to_bytes(4, "big"),
+    )
+    audio_tkhd = box(b"tkhd", bytes(4) + bytes(76) + bytes(8))  # 0x0 dims
+    moov = box(b"moov", box(b"trak", audio_tkhd) + box(b"trak", tkhd))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + box(
+        b"mdat", b"\x00" * 32
+    )
+
+
+def test_decode_jpeg_sof_variants_and_gif():
+    assert decode_media(make_jpeg(640, 480), "image/jpeg") == {
+        "width": 640, "height": 480,
+    }
+    # progressive (SOF2) carries dims the same way
+    assert decode_media(make_jpeg(31, 17, sof=0xC2), "image/jpeg") == {
+        "width": 31, "height": 17,
+    }
+    gif = b"GIF89a" + (99).to_bytes(2, "little") + (44).to_bytes(2, "little") \
+        + b"\x00\x00\x00"
+    assert decode_media(gif, "image/gif") == {"width": 99, "height": 44}
+
+
+def test_decode_jpeg_adversarial():
+    good = make_jpeg(640, 480)
+    # truncated mid-segment
+    with pytest.raises(MediaDecodeError, match="jpeg: truncated"):
+        decode_media(good[:10], "image/jpeg")
+    # DHT (0xC4) must NOT be taken for a frame header: strip the real
+    # SOF and the walk must hit SOS and fail, not return DHT bytes
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + (len(data) + 2).to_bytes(2, "big") + data
+    no_sof = b"\xff\xd8" + seg(0xC4, bytes(20)) + seg(
+        0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    )
+    with pytest.raises(MediaDecodeError, match="scan data before SOF"):
+        decode_media(no_sof, "image/jpeg")
+    with pytest.raises(MediaDecodeError, match="truncated segment"):
+        decode_media(b"\xff\xd8" + seg(0xE0, b"JFIF\x00")[:-3], "image/jpeg")
+
+
+def test_decode_mp4_box_walk():
+    assert decode_media(make_mp4(1920, 1080), "video/mp4") == {
+        "width": 1920, "height": 1080,
+    }
+    # audio-only: no visual track dims anywhere
+    audio_only = box(b"ftyp", b"isom\x00\x00\x02\x00") + box(
+        b"moov", box(b"trak", box(b"tkhd", bytes(4) + bytes(76) + bytes(8)))
+    )
+    with pytest.raises(MediaDecodeError, match="no visual track"):
+        decode_media(audio_only, "video/mp4")
+    # box overrunning its parent must not read out of bounds
+    bad = box(b"ftyp", b"isom") + (1 << 30).to_bytes(4, "big") + b"moov"
+    with pytest.raises(MediaDecodeError, match="overruns"):
+        decode_media(bad, "video/mp4")
+    # truncation INSIDE moov (before any tkhd dims can short-circuit)
+    with pytest.raises(MediaDecodeError, match="overruns"):
+        decode_media(make_mp4(8, 8)[:44], "video/mp4")
+    # dangling partial box header at top level
+    with pytest.raises(MediaDecodeError, match="truncated box header"):
+        decode_media(audio_only + b"\xff\xff", "video/mp4")
