@@ -148,14 +148,21 @@ def _png_decode(payload: bytes) -> dict:
         )
     if depth not in (8, 16):
         raise MediaDecodeError(f"png: bit depth {depth} unsupported")
+    row_bytes = 1 + w * _PNG_CHANNELS[color] * (depth // 8)
+    expected = h * row_bytes
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bound the inflate at expected+1: a DEFLATE bomb (tiny IDAT
+        # claiming small dims but inflating to GBs) must error after
+        # expected+1 bytes, not allocate its full output on a scan of
+        # untrusted payloads
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise MediaDecodeError(f"png: IDAT inflate failed ({exc})") from None
-    row_bytes = 1 + w * _PNG_CHANNELS[color] * (depth // 8)
-    if len(raw) != h * row_bytes:
+    if len(raw) != expected or not (d.eof and not d.unconsumed_tail):
         raise MediaDecodeError(
-            f"png: scanline data {len(raw)} bytes, expected {h * row_bytes}"
+            f"png: scanline data {len(raw)}{'+' if not d.eof else ''} "
+            f"bytes, expected {expected}"
         )
     for r in range(h):
         if raw[r * row_bytes] > 4:

@@ -372,3 +372,65 @@ def test_decode_mp4_box_walk():
     # dangling partial box header at top level
     with pytest.raises(MediaDecodeError, match="truncated box header"):
         decode_media(audio_only + b"\xff\xff", "video/mp4")
+
+
+def test_decode_png_deflate_bomb_bounded():
+    """A tiny IDAT inflating to 64 MB while IHDR claims 3x2 must be
+    rejected WITHOUT materializing the bomb (inflate is bounded at the
+    scanline byte count + 1)."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(t, d):
+        return len(d).to_bytes(4, "big") + t + d + _z.crc32(t + d).to_bytes(4, "big")
+
+    bomb = _z.compress(b"\x00" * (64 << 20), 9)  # ~64 KB compressed
+    assert len(bomb) < 100_000
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    import tracemalloc
+
+    tracemalloc.start()
+    with pytest.raises(MediaDecodeError, match="scanline data"):
+        decode_media(p, "image/png")
+    peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert peak < 8 << 20, f"inflate materialized {peak} bytes"
+
+
+def test_decode_fuzz_only_decode_errors():
+    """Random truncations/bit-flips/tail-grafts of every supported
+    container must only ever raise MediaDecodeError — a scan of
+    untrusted payloads can quarantine that, anything else would fail
+    the job (deterministic seed, ~4k mutations)."""
+    import random
+
+    from cdc_pipe_line_spark.multimodal import make_png
+
+    rng = random.Random(20260813)
+    payloads = [
+        make_ppm(9, 5), make_ppm(4, 3, magic=b"P5"), make_bmp(13, 7),
+        make_wav(100), make_png(12, 8, b"abc"), make_jpeg(33, 21),
+        make_mp4(64, 32),
+        b"GIF89a" + bytes([40, 0, 30, 0]) + b"\x00\x00\x00",
+    ]
+    for _ in range(4000):
+        p = bytearray(rng.choice(payloads))
+        op = rng.randrange(3)
+        if op == 0 and len(p) > 1:
+            p = p[: rng.randrange(len(p))]
+        elif op == 1:
+            for _ in range(rng.randrange(1, 6)):
+                p[rng.randrange(len(p))] = rng.randrange(256)
+        else:
+            p = p[: rng.randrange(len(p))] + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(20))
+            )
+        try:
+            decode_media(bytes(p), "x/fuzz")
+        except MediaDecodeError:
+            pass
