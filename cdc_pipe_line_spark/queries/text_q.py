@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from cdc_pipe_line_spark.text import (
     LANG_LEXICON,
     TOKEN_REGEX,
+    decontaminate,
     dedup_connected_components,
     dedup_exact,
     fingerprint,
@@ -124,6 +125,23 @@ def q_simhash(spark, sf_dir):
     Hamming filter DuckDB computes over the replayed fingerprints."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
+
+
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: documents with doc_id % 10 == 0 play
+    the eval suite; every other document sharing an 8-gram with it is
+    flagged with its hit count and smallest offending gram.  The
+    oracle replays the shingle construction and the gram semi-join
+    exactly (same inverted-index bound, no all-pairs term)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    out = decontaminate(train, bench, n=8)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        "example_gram",
+    )
 
 
 def q_llm_data_prep(spark, sf_dir):
@@ -274,9 +292,29 @@ QUERIES = {
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
     "llm_data_prep": q_llm_data_prep,
+    "text_decontaminate": q_text_decontaminate,
 }
 
 ORACLE = {
+    "text_decontaminate": """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 8
+      THEN list_transform(range(1, len(w) - 6),
+                          i -> array_to_string(w[i:i+7], ' '))
+      ELSE [] END) AS sh
+  FROM words),
+bm AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 10 != 0)
+SELECT tr.doc_id,
+  CAST(count(*) AS BIGINT) AS n_contaminated,
+  min(gram) AS example_gram
+FROM tr JOIN bm USING (gram)
+GROUP BY tr.doc_id""",
     "llm_data_prep": """
 WITH toks AS (
   SELECT doc_id, lang,

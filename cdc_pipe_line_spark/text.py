@@ -248,6 +248,45 @@ def dedup_exact(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one word ``n``-gram with any benchmark/eval
+    document (the train/test-overlap scrub an LLM data pipeline runs
+    before training; 8-grams are the common published choice).
+
+    Returns ``(id, n_contaminated, example_gram)`` — one row per
+    CONTAMINATED training document: how many distinct-per-doc grams
+    hit the benchmark index, and the lexicographically smallest
+    offender for auditability.  Anti-join the ids to drop them.
+
+    Scale shape: the benchmark side collapses to a distinct-gram
+    inverted index (eval suites are tiny next to a training corpus —
+    AQE broadcasts it when it fits, and the equi-join on the gram
+    means clean documents generate no candidates at all).  The train
+    side is the same exploded-shingle stream every dedup operator
+    here uses; nothing is ever O(train x benchmark).
+    """
+    tr = shingle_df(train, id_col=id_col, text_col=text_col, n=n)
+    bm = shingle_df(benchmark, id_col=id_col, text_col=text_col, n=n)
+    bm_grams = bm.select(F.explode("sh").alias("gram")).distinct()
+    return (
+        tr.select("id", F.explode("sh").alias("gram"))
+        .join(bm_grams, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.min("gram").alias("example_gram"),
+        )
+    )
+
+
 def shingles(text: Column, n: int = 5) -> Column:
     """Distinct word n-gram shingles of a document.
 
@@ -290,7 +329,11 @@ def shingle_df(
     )
     wc = F.col("__w")
     w = w.filter(F.size(wc) >= n)
-    idx = F.sequence(F.lit(0), F.size(wc) - n)
+    # greatest() guard: the filter above excludes sub-n docs from the
+    # RESULT, but an optimizer may still evaluate this projection for
+    # such rows (seen with local relations), and sequence(0, negative)
+    # is a descending range whose slice(start=0) errors
+    idx = F.sequence(F.lit(0), F.greatest(F.size(wc) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(wc, i + 1, n)))
     return w.select("id", F.array_distinct(grams).alias("sh"))
 

@@ -327,3 +327,29 @@ def test_scrub_pii_and_counts(spark):
     row = scrub_pii(scrub_counts(docs)).collect()[0]
     assert row.n_urls == 1 and row.n_emails == 1
     assert row.text_scrubbed == "mail me at <EMAIL> or see <URL> now"
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    """A train doc sharing an 8-gram with the benchmark is flagged
+    with the right hit count; clean docs and sub-n docs are absent."""
+    from cdc_pipe_line_spark.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares two 8-grams (a 9-word window of the benchmark)
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            # same words, different order: no shared 8-gram
+            (2, "iota theta eta zeta epsilon delta gamma beta alpha"),
+            # too short to have any 8-gram
+            (3, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in decontaminate(train, bench, n=8).collect()}
+    assert set(out) == {1}
+    assert out[1].n_contaminated == 2
+    assert out[1].example_gram == "alpha beta gamma delta epsilon zeta eta theta"
