@@ -140,6 +140,7 @@ def q_text_decontaminate(spark, sf_dir):
     return out.select(
         F.col("id").alias("doc_id"),
         F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        "contamination_frac",
         "example_gram",
     )
 
@@ -309,9 +310,11 @@ sh AS (
       ELSE [] END) AS sh
   FROM words),
 bm AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 10 = 0),
-tr AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 10 != 0)
+tr AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS gram
+       FROM sh WHERE doc_id % 10 != 0)
 SELECT tr.doc_id,
   CAST(count(*) AS BIGINT) AS n_contaminated,
+  round(count(*) / any_value(n_sh), 4) AS contamination_frac,
   min(gram) AS example_gram
 FROM tr JOIN bm USING (gram)
 GROUP BY tr.doc_id""",

@@ -261,10 +261,13 @@ def decontaminate(
     document (the train/test-overlap scrub an LLM data pipeline runs
     before training; 8-grams are the common published choice).
 
-    Returns ``(id, n_contaminated, example_gram)`` — one row per
-    CONTAMINATED training document: how many distinct-per-doc grams
-    hit the benchmark index, and the lexicographically smallest
-    offender for auditability.  Anti-join the ids to drop them.
+    Returns ``(id, n_contaminated, contamination_frac, example_gram)``
+    — one row per CONTAMINATED training document: how many
+    distinct-per-doc grams hit the benchmark index, the fraction of
+    the doc's grams that did (pipelines typically drop above a
+    fraction threshold, not a raw count), and the lexicographically
+    smallest offender for auditability.  Anti-join the ids to drop
+    them.
 
     Scale shape: the benchmark side collapses to a distinct-gram
     inverted index (eval suites are tiny next to a training corpus —
@@ -277,11 +280,14 @@ def decontaminate(
     bm = shingle_df(benchmark, id_col=id_col, text_col=text_col, n=n)
     bm_grams = bm.select(F.explode("sh").alias("gram")).distinct()
     return (
-        tr.select("id", F.explode("sh").alias("gram"))
+        tr.select("id", F.size("sh").alias("__n_sh"), F.explode("sh").alias("gram"))
         .join(bm_grams, "gram")
         .groupBy("id")
         .agg(
             F.count("*").alias("n_contaminated"),
+            F.round(F.count("*") / F.first("__n_sh"), 4).alias(
+                "contamination_frac"
+            ),
             F.min("gram").alias("example_gram"),
         )
     )

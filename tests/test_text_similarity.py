@@ -352,4 +352,5 @@ def test_decontaminate_flags_overlap_only(spark):
     out = {r.id: r for r in decontaminate(train, bench, n=8).collect()}
     assert set(out) == {1}
     assert out[1].n_contaminated == 2
+    assert out[1].contamination_frac == 1.0  # both of its 8-grams hit
     assert out[1].example_gram == "alpha beta gamma delta epsilon zeta eta theta"
