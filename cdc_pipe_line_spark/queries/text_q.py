@@ -21,6 +21,7 @@ from cdc_pipe_line_spark.text import (
     simhash_pairs,
     text_stats,
     token_counts,
+    train_split,
 )
 
 
@@ -142,6 +143,21 @@ def q_text_decontaminate(spark, sf_dir):
         F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
         "contamination_frac",
         "example_gram",
+    )
+
+
+def q_llm_train_split(spark, sf_dir):
+    """Leakage-free deterministic train/val/test split: every document
+    hashes its dedup group's keeper (near-dup clusters move between
+    splits as one unit), md5-bucketed mod 100 into 90/5/5.  The oracle
+    replays the components closure AND the md5 bucket arithmetic, so
+    the hash binds group atomicity and the exact assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    return train_split(docs, val_pct=5, test_pct=5).select(
+        F.col("id").alias("doc_id"),
+        F.col("split_key").cast("bigint").alias("split_key"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "split",
     )
 
 
@@ -294,6 +310,7 @@ QUERIES = {
     "dedup_simhash": q_simhash,
     "llm_data_prep": q_llm_data_prep,
     "text_decontaminate": q_text_decontaminate,
+    "llm_train_split": q_llm_train_split,
 }
 
 ORACLE = {
@@ -454,4 +471,50 @@ reach AS (
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
 SELECT src AS doc_id, min(dst) AS keeper_id FROM reach GROUP BY src""",
+    "llm_train_split": """
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3),
+                          i -> array_to_string(w[i:i+4], ' '))
+      ELSE [] END) AS sh
+  FROM words),
+sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh),
+ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM sized),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_shared
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+p AS (
+  SELECT id_a, id_b FROM shared
+  WHERE round(n_shared / (n_a + n_b - n_shared), 4) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION SELECT id_b, id_a FROM p
+  UNION SELECT id_a, id_a FROM p
+  UNION SELECT id_b, id_b FROM p),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS doc_id, min(dst) AS keeper_id FROM reach GROUP BY src),
+keyed AS (
+  SELECT d.doc_id, COALESCE(c.keeper_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+bucketed AS (
+  SELECT doc_id, split_key,
+    CAST('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 15) AS BIGINT)
+      % 100 AS bucket
+  FROM keyed)
+SELECT doc_id, CAST(split_key AS BIGINT) AS split_key,
+  CAST(bucket AS BIGINT) AS bucket,
+  CASE WHEN bucket < 5 THEN 'val'
+       WHEN bucket < 10 THEN 'test'
+       ELSE 'train' END AS split
+FROM bucketed""",
 }

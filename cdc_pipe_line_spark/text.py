@@ -508,6 +508,55 @@ def dedup_connected_components(
     )
 
 
+def train_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    val_pct: int = 5,
+    test_pct: int = 5,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Deterministic, leakage-free train/val/test split.
+
+    A naive per-document hash split leaks: a near-duplicate of a
+    val/test document lands in train and the eval is contaminated.
+    Here every document hashes its dedup GROUP instead — the
+    connected component's keeper id (same near-dup pairs and pointer-
+    jumping components as the dedup path) — so a whole duplicate
+    cluster moves between splits as one unit; singleton docs hash
+    their own id.  The bucket hash is the engine-portable md5
+    base-16 integer (bit-for-bit reproducible in any engine with md5,
+    like every other probabilistic op here), mod 100:
+    ``[0, val_pct) -> val``, ``[val_pct, val_pct+test_pct) -> test``,
+    rest train.
+
+    Returns ``(id, split_key, bucket, split)`` — carry ``split_key``
+    so audits can verify group atomicity.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+    )
+    groups = dedup_connected_components(pairs)
+    base = df.select(F.col(id_col).cast("bigint").alias("id"))
+    keyed = base.join(groups, base.id == groups.doc_id, "left").select(
+        "id", F.coalesce("keeper_id", "id").alias("split_key")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("split_key").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    return keyed.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < val_pct, "val")
+        .when(F.col("bucket") < val_pct + test_pct, "test")
+        .otherwise("train"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     *,

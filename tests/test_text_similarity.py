@@ -354,3 +354,29 @@ def test_decontaminate_flags_overlap_only(spark):
     assert out[1].n_contaminated == 2
     assert out[1].contamination_frac == 1.0  # both of its 8-grams hit
     assert out[1].example_gram == "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_train_split_groups_are_atomic(spark):
+    """Near-duplicate documents must land in the SAME split (their
+    group keeper hashes for all of them); split fractions come from
+    the md5 bucket so the assignment is deterministic."""
+    from cdc_pipe_line_spark.text import train_split
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1
+            (3, "completely different words about spark partitions and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in train_split(docs).collect()}
+    assert out[1].split_key == out[2].split_key == 1  # group keeper
+    assert out[1].split == out[2].split               # atomic move
+    assert out[3].split_key == 3                      # singleton hashes itself
+    # deterministic across invocations
+    again = {r.id: r for r in train_split(docs).collect()}
+    assert {k: (v.bucket, v.split) for k, v in out.items()} == {
+        k: (v.bucket, v.split) for k, v in again.items()
+    }
