@@ -157,3 +157,25 @@ def test_multi_grouping_single_fact_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 0, plan  # branches read the checkpoint
     assert "Expand" not in plan  # cube shuffle already paid upstream
+
+
+def test_no_shuffle_cartesian_in_any_batch_query(spark):
+    """Global plan-hygiene net: no registered batch query may plan a
+    shuffle-based CartesianProduct — the refactor accident (a dropped
+    join key) that an oracle check at sf0.01 would survive and a
+    100 TB run would not.  Deliberate cross-products in the ANN
+    queries are BroadcastNestedLoopJoin over a bounded query set and
+    stay allowed.  Streaming/IO queries are excluded: constructing
+    them runs stream/fixture side-effects, and their plans live per
+    micro-batch."""
+    skip_prefixes = ("stream_", "io_", "join_bucketed")  # side-effecting setup
+    names = [
+        n for n in all_queries() if not n.startswith(skip_prefixes)
+    ]
+    offenders = {}
+    for name in names:
+        df = all_queries()[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = True
+    assert not offenders, f"shuffle cartesian in: {sorted(offenders)}"
