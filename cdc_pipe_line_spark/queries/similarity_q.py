@@ -23,6 +23,7 @@ from cdc_pipe_line_spark.similarity import (
     cosine_near_dup_pairs,
     ivf_topk,
     lsh_topk,
+    sq8_topk,
 )
 
 
@@ -116,6 +117,21 @@ def q_knn_ivf(spark, sf_dir):
             (F.coalesce(F.col("__n_ivf"), F.lit(0)) <= 10).alias("ivf_le_k"),
         )
     )
+
+
+def q_knn_sq8(spark, sf_dir):
+    """Scalar-quantized (SQ8) ANN top-10: int8-coded corpus, ADC scan
+    against full-precision queries, exact re-rank of the top-40
+    candidates — the memory-bandwidth scale path (4x fewer corpus
+    bytes/vector than float32).
+
+    Fully oracle-checked: per-dimension min/max are selections (no
+    arithmetic), the code/floor/dequantize arithmetic is plain double
+    expression work replayed verbatim in SQL, so the hash binds the
+    QUANTIZED candidate path (approx_sim + membership), not just the
+    reranked output."""
+    q, emb = _queries_and_corpus(spark, sf_dir)
+    return sq8_topk(q, emb, k=10, rerank=40, dim=64)
 
 
 def q_cosine_near_dup(spark, sf_dir):
@@ -308,12 +324,61 @@ QUERIES = {
     "sim_knn_bruteforce": q_knn_bruteforce,
     "sim_knn_lsh": q_knn_lsh,
     "sim_knn_ivf": q_knn_ivf,
+    "sim_knn_sq8": q_knn_sq8,
     "sim_cosine_near_dup": q_cosine_near_dup,
     "mm_media_pipeline": q_media_pipeline,
     "mm_media_embed_knn": q_media_embed_knn,
 }
 
+_SQ8_CODE = (
+    "CASE WHEN CAST(maxs[{i}] AS DOUBLE) = CAST(mins[{i}] AS DOUBLE) THEN 0 "
+    "ELSE least(CAST(floor((CAST({x} AS DOUBLE) - CAST(mins[{i}] AS DOUBLE)) "
+    "/ (CAST(maxs[{i}] AS DOUBLE) - CAST(mins[{i}] AS DOUBLE)) * 256.0) "
+    "AS INT), 255) END"
+)
+
 ORACLE = {
+    "sim_knn_sq8": f"""
+WITH ex AS (
+  SELECT unnest(range(1, len(embedding) + 1)) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings),
+per_dim AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+b AS (SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+      FROM per_dim),
+coded AS (
+  SELECT vec_id,
+    list_transform(range(1, 65),
+      i -> {_SQ8_CODE.format(i='i', x='embedding[i]')}) AS codes
+  FROM embeddings, b),
+deq AS (
+  SELECT vec_id,
+    list_transform(range(1, 65),
+      i -> CAST(mins[i] AS DOUBLE) + (CAST(codes[i] AS DOUBLE) + 0.5)
+           * (CAST(maxs[i] AS DOUBLE) - CAST(mins[i] AS DOUBLE)) / 256.0)
+      AS dv
+  FROM coded, b),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT q.q_id, d.vec_id,
+    {_COS.format(a='q.qv', b='d.dv')} AS approx_sim
+  FROM deq d, q WHERE d.vec_id != q.q_id),
+keep AS (
+  SELECT q_id, vec_id, approx_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY approx_sim DESC, vec_id ASC) AS rn
+    FROM cand) WHERE rn <= 40),
+exact AS (
+  SELECT k.q_id, k.vec_id, k.approx_sim,
+    {_COS.format(a='q.qv', b='e.embedding')} AS cos_sim
+  FROM keep k
+  JOIN embeddings e ON k.vec_id = e.vec_id
+  JOIN q ON k.q_id = q.q_id)
+SELECT q_id, vec_id, approx_sim, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM exact) WHERE rank <= 10""",
     "sim_knn_lsh": f"""
 WITH cb AS (
   SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket

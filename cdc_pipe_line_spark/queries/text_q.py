@@ -16,6 +16,8 @@ from cdc_pipe_line_spark.text import (
     fingerprint,
     language_id,
     levenshtein_pairs,
+    lm_bigram_model,
+    lm_score,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -158,6 +160,26 @@ def q_llm_train_split(spark, sf_dir):
         F.col("split_key").cast("bigint").alias("split_key"),
         F.col("bucket").cast("bigint").alias("bucket"),
         "split",
+    )
+
+
+def q_text_lm_score(spark, sf_dir):
+    """Perplexity-proxy quality scoring: a bigram LM (add-one
+    smoothing) trained on the corpus itself scores every document by
+    mean/min bigram log-probability — the CCNet-style LM filter.
+    Scoring against the training corpus means n_oov is identically 0
+    here; the operator's left-join path is exercised cross-corpus in
+    pytest.  The oracle replays the count model EXACTLY (integer
+    arithmetic) and the per-doc position-ordered float fold."""
+    docs = _t(spark, sf_dir, "documents")
+    model, vocab = lm_bigram_model(docs)
+    return lm_score(docs, model, vocab, alpha=1.0).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        "n_oov",
+        "avg_logp",
+        "min_logp",
+        "ppl",
     )
 
 
@@ -311,9 +333,46 @@ QUERIES = {
     "llm_data_prep": q_llm_data_prep,
     "text_decontaminate": q_text_decontaminate,
     "llm_train_split": q_llm_train_split,
+    "text_lm_score": q_text_lm_score,
 }
 
 ORACLE = {
+    "text_lm_score": """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+docs AS (SELECT doc_id, w FROM words WHERE len(w) >= 2),
+uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(w) AS w1 FROM docs) GROUP BY w1),
+voc AS (SELECT count(*) AS v FROM uni),
+bg AS (
+  SELECT doc_id,
+    unnest(range(1, len(w))) AS pos,
+    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram,
+    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1
+  FROM docs),
+model AS (
+  SELECT gram, any_value(w1) AS w1, count(*) AS c2 FROM bg GROUP BY gram),
+model2 AS (SELECT m.gram, m.c2, u.c1 FROM model m JOIN uni u USING (w1)),
+scored AS (
+  SELECT b.doc_id, b.pos, COALESCE(m.c2, 0) AS c2,
+    ln((COALESCE(m.c2, 0) + 1.0) / (COALESCE(m.c1, 0) + 1.0 * v)) AS logp
+  FROM bg b LEFT JOIN model2 m USING (gram), voc),
+per_doc AS (
+  SELECT doc_id, count(*) AS nb,
+    sum(CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS n_oov,
+    list(logp ORDER BY pos) AS terms,
+    min(logp) AS mn
+  FROM scored GROUP BY doc_id)
+SELECT doc_id,
+  CAST(nb AS BIGINT) AS n_bigrams,
+  CAST(n_oov AS BIGINT) AS n_oov,
+  round(list_sum(terms) / nb, 4) AS avg_logp,
+  round(mn, 4) AS min_logp,
+  round(exp(-round(list_sum(terms) / nb, 4)), 4) AS ppl
+FROM per_doc""",
     "text_decontaminate": """
 WITH words AS (
   SELECT doc_id,

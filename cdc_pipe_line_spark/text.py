@@ -993,3 +993,140 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------------- LM scoring
+
+def lm_bigram_model(
+    df: DataFrame, *, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train a corpus-level bigram count model: ``(model, vocab)``.
+
+    ``model`` is one row per distinct bigram ``(gram, c2, c1)`` —
+    its occurrence count and the occurrence count of its FIRST word
+    (the conditional's denominator, pre-joined here at vocab scale so
+    scoring needs one equi-join, not two).  ``vocab`` is a one-row
+    frame ``(v,)`` with the distinct-unigram count, the additive-
+    smoothing denominator term.
+
+    Scale shape: two hash-aggregate shuffles over the exploded token
+    stream (the same stream every shingle operator pumps), then a join
+    between two VOCAB-sized tables — at 100 TB the model is millions
+    of rows while the corpus is billions, so the c1 join never touches
+    corpus-scale data and AQE broadcasts the unigram side where it
+    fits.  No driver-side collect: ``vocab`` stays a DataFrame and is
+    broadcast into the scoring plan as a 1-row join.
+    """
+    words = df.select(
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w")
+    ).filter(F.size("__w") >= 2)
+    uni = (
+        words.select(F.explode("__w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    bg = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - 1),
+                lambda i: F.struct(
+                    F.element_at("__w", i).alias("w1"),
+                    F.concat_ws(
+                        " ", F.element_at("__w", i), F.element_at("__w", i + 1)
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.gram")
+    model = (
+        bg.groupBy("w1", "gram")
+        .agg(F.count("*").alias("c2"))
+        .join(uni, "w1")
+        .select("gram", "c2", "c1")
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    return model, vocab
+
+
+def lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet-style LM filter an
+    LLM data pipeline runs to rank documents): score every document by
+    the mean log-probability of its word bigrams under an additively
+    smoothed bigram model — ``ln((c2 + alpha) / (c1 + alpha*V))`` —
+    plus the worst (minimum) bigram log-prob and the out-of-vocabulary
+    bigram count (non-zero when scoring against a model trained on a
+    DIFFERENT corpus).
+
+    Returns ``(id, n_bigrams, n_oov, avg_logp, min_logp, ppl)``;
+    pipelines drop the high-perplexity (low ``avg_logp``) tail.
+
+    Determinism contract (what makes this hash-comparable across
+    engines): the per-document sum folds the log terms in POSITION
+    order via a sorted-array aggregate, never a distributed float sum
+    whose combine order is partition-dependent; ``min`` is a
+    selection, not arithmetic.  All counts are exact integers; floats
+    appear only in the final ln/avg, rounded to 4 dp.
+
+    Scale shape: one explode of the document token stream, ONE
+    equi-join against the vocab-sized model (left join: OOV grams
+    score with c2=0), one groupBy(id) collecting ``(pos, logp)``
+    structs.  The collect_list payload is ~16 bytes/token — the same
+    order as the shingle arrays the dedup family shuffles.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).filter(F.size("__w") >= 2)
+    ex = words.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("__w", i), F.element_at("__w", i + 1)
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    scored = (
+        ex.join(model, "gram", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            "pos",
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+            F.log(
+                (F.coalesce("c2", F.lit(0)) + F.lit(alpha))
+                / (F.coalesce("c1", F.lit(0)) + F.lit(alpha) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.when(F.col("c2") == 0, 1).otherwise(0)).alias("n_oov"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "logp"))
+        ).alias("__terms"),
+    )
+    total = F.aggregate(
+        F.col("__terms"), F.lit(0.0), lambda acc, t: acc + t["logp"]
+    )
+    avg = F.round(total / F.col("n_bigrams"), 4)
+    return per_doc.select(
+        "id",
+        "n_bigrams",
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        avg.alias("avg_logp"),
+        F.round(
+            F.array_min(F.transform("__terms", lambda t: t["logp"])), 4
+        ).alias("min_logp"),
+        F.round(F.exp(-avg), 4).alias("ppl"),
+    )

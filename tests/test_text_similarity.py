@@ -380,3 +380,99 @@ def test_train_split_groups_are_atomic(spark):
     assert {k: (v.bucket, v.split) for k, v in out.items()} == {
         k: (v.bucket, v.split) for k, v in again.items()
     }
+
+
+def test_lm_score_known_model(spark):
+    """Hand-computable bigram LM: train on one corpus, score another —
+    exercises the OOV left-join path and the smoothing arithmetic."""
+    import math
+
+    from cdc_pipe_line_spark.text import lm_bigram_model, lm_score
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # unigrams: a:3 b:3 c:1 -> V=3; bigrams: 'a b':3, 'b a':1, 'b c':1
+    model, vocab = lm_bigram_model(train)
+    m = {r.gram: (r.c2, r.c1) for r in model.collect()}
+    assert m == {"a b": (3, 3), "b a": (1, 3), "b c": (1, 3)}
+    assert vocab.collect()[0].v == 3
+
+    score_ab = math.log((3 + 1) / (3 + 3))  # P(b|a) smoothed
+    score_oov = math.log((0 + 1) / (0 + 3))  # unseen first word
+    out = {
+        r.id: r
+        for r in lm_score(
+            spark.createDataFrame(
+                [(10, "a b"), (11, "z z")], "doc_id long, text string"
+            ),
+            model,
+            vocab,
+        ).collect()
+    }
+    assert out[10].n_oov == 0
+    assert out[10].avg_logp == round(score_ab, 4)
+    assert out[10].ppl == round(math.exp(-round(score_ab, 4)), 4)
+    assert out[11].n_oov == 1  # 'z z' never seen
+    assert out[11].avg_logp == round(score_oov, 4)
+    assert out[11].min_logp == round(score_oov, 4)
+
+
+def test_lm_score_single_word_docs_dropped(spark):
+    from cdc_pipe_line_spark.text import lm_bigram_model, lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "hello world")], "doc_id long, text string"
+    )
+    model, vocab = lm_bigram_model(docs)
+    out = lm_score(docs, model, vocab).collect()
+    assert [r.id for r in out] == [2]  # no bigrams in doc 1
+
+
+def test_sq8_recall_vs_brute_force(spark):
+    """SQ8 quantization preserves top-k on a corpus with planted
+    structure: recall@5 vs exact brute force must be high (the 256-
+    level grid loses far less than cosine-neighborhood gaps)."""
+    import numpy as np
+
+    from cdc_pipe_line_spark.similarity import brute_force_topk, sq8_topk
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16).astype("float32")
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(10):  # 10 jittered neighbors per seed
+            rows.append((vid, (b + rng.randn(16).astype("float32") * 0.05).tolist()))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = corpus.filter("vec_id % 50 = 0").selectExpr(
+        "vec_id as q_id", "embedding"
+    )
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in brute_force_topk(q, corpus, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in sq8_topk(q, corpus, k=5, rerank=20, dim=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"SQ8 recall@5 {recall}"
+
+
+def test_sq8_constant_dimension_codes_zero(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark.similarity import sq8_bounds, sq8_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 3.0]), (3, [1.0, 2.5])],
+        "vec_id long, embedding array<float>",
+    )
+    b = sq8_bounds(corpus, dim=2).collect()[0]
+    assert b.mins == [1.0, 2.0] and b.maxs == [1.0, 3.0]
+    q = corpus.filter("vec_id = 1").selectExpr("vec_id as q_id", "embedding")
+    out = sq8_topk(q, corpus, k=2, rerank=2, dim=2).collect()
+    assert {r.vec_id for r in out} == {2, 3}  # self excluded, both ranked
+    assert all(r.approx_sim is not None for r in out)
