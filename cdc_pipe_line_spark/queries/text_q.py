@@ -12,6 +12,7 @@ from cdc_pipe_line_spark.text import (
     TOKEN_REGEX,
     decontaminate,
     dedup_connected_components,
+    domain_mix,
     dedup_exact,
     fingerprint,
     language_id,
@@ -183,6 +184,34 @@ def q_text_lm_score(spark, sf_dir):
     )
 
 
+def q_llm_domain_mix(spark, sf_dir):
+    """Weighted training-mixture fill: upweighted sources (src0/src1,
+    3000 tokens) vs the 1000-token long tail, documents taken in
+    deterministic md5 order until each source's budget is consumed.
+    The oracle replays the order key, the exclusive running sum and
+    the budget CASE exactly — every value is integer or md5-string
+    arithmetic."""
+    from cdc_pipe_line_spark.text import _words
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(_words(F.col("text"))).cast("bigint").alias("ws_tokens"),
+    )
+    out = domain_mix(
+        docs,
+        {"src0": 3000, "src1": 3000},
+        default_budget=1000,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("domain").alias("source"),
+        "ws_tokens",
+        "cum_before",
+        "take",
+    )
+
+
 def q_llm_data_prep(spark, sf_dir):
     """Training-mix construction probes in one slot:
 
@@ -334,9 +363,28 @@ QUERIES = {
     "text_decontaminate": q_text_decontaminate,
     "llm_train_split": q_llm_train_split,
     "text_lm_score": q_text_lm_score,
+    "llm_domain_mix": q_llm_domain_mix,
 }
 
 ORACLE = {
+    "llm_domain_mix": """
+WITH toks AS (
+  SELECT doc_id, source,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens
+  FROM documents),
+ordered AS (
+  SELECT *, md5(CAST(doc_id AS VARCHAR)) AS ok FROM toks),
+c AS (
+  SELECT doc_id, source, ws_tokens,
+    COALESCE(sum(ws_tokens) OVER (PARTITION BY source
+      ORDER BY ok, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM ordered)
+SELECT doc_id, source, ws_tokens,
+  CAST(cum_before AS BIGINT) AS cum_before,
+  cum_before < CASE WHEN source IN ('src0', 'src1') THEN 3000 ELSE 1000 END
+    AS take
+FROM c""",
     "text_lm_score": """
 WITH words AS (
   SELECT doc_id,

@@ -1130,3 +1130,54 @@ def lm_score(
         ).alias("min_logp"),
         F.round(F.exp(-avg), 4).alias("ppl"),
     )
+
+
+def domain_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    token_col: str = "ws_tokens",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Training-mixture construction: greedily fill each domain's
+    token budget in a deterministic pseudo-random document order
+    (md5 of the id — a seedless shuffle both engines replay), so the
+    selected set approximates the target domain weighting without a
+    global sort or any RNG state.
+
+    A document is taken while the tokens consumed BEFORE it
+    (exclusive running sum within its domain) are still under the
+    domain's budget — the standard greedy fill, so the last taken
+    document may straddle the boundary.  Returns every input row with
+    ``(cum_before, take)`` for auditability; filter ``take`` for the
+    mixture.
+
+    Scale shape: one hash-partition shuffle on the domain plus a
+    running-sum window per domain — identical to
+    :func:`pack_sequences`.  A single domain's rows must sort within
+    one task's window (running sums cannot salt); Spark's window sort
+    spills, and real corpora shard hot domains upstream (e.g.
+    ``web/part-N`` sub-domains), which this composes with.
+    """
+    entries = [
+        F.lit(x) for kv in sorted(budgets.items()) for x in kv
+    ]
+    budget = F.coalesce(
+        F.element_at(F.create_map(*entries), F.col(domain_col)),
+        F.lit(default_budget),
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        F.col(token_col).cast("bigint").alias(token_col),
+        cum.cast("bigint").alias("cum_before"),
+        (cum < budget).alias("take"),
+    )

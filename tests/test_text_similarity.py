@@ -476,3 +476,25 @@ def test_sq8_constant_dimension_codes_zero(spark):
     out = sq8_topk(q, corpus, k=2, rerank=2, dim=2).collect()
     assert {r.vec_id for r in out} == {2, 3}  # self excluded, both ranked
     assert all(r.approx_sim is not None for r in out)
+
+
+def test_domain_mix_budget_semantics(spark):
+    """Greedy fill: the exclusive running sum gates inclusion, so the
+    boundary doc is taken, the next one is not; unknown domains get
+    the default budget."""
+    from cdc_pipe_line_spark.text import domain_mix
+
+    docs = spark.createDataFrame(
+        [(i, "a", 40) for i in range(10)] + [(100, "b", 40), (101, "b", 40)],
+        "doc_id long, source string, ws_tokens long",
+    )
+    out = domain_mix(
+        docs, {"a": 100}, default_budget=50, token_col="ws_tokens"
+    ).collect()
+    a = sorted([r for r in out if r.domain == "a"], key=lambda r: r.cum_before)
+    assert [r.cum_before for r in a] == [0, 40, 80, 120, 160, 200, 240, 280, 320, 360]
+    assert [r.take for r in a] == [True, True, True] + [False] * 7
+    # default budget 50: second b-doc starts at cum_before=40 < 50, so
+    # BOTH are taken — the boundary doc straddles the budget
+    b = {r.id: r.take for r in out if r.domain == "b"}
+    assert sum(b.values()) == 2
