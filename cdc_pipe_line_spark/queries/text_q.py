@@ -212,6 +212,23 @@ def q_llm_domain_mix(spark, sf_dir):
     )
 
 
+def q_corpus_datacard(spark, sf_dir):
+    """Dataset-release data card: per-language doc/source counts,
+    token volume, and the exact token-length distribution, plus the
+    ROLLUP grand-total row (null lang).  percentile == quantile_cont
+    (interpolated), verified engine-equal; every other value is
+    integer or int/int arithmetic."""
+    from cdc_pipe_line_spark.text import _words, corpus_datacard
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(_words(F.col("text"))).cast("bigint").alias("ws_tokens"),
+    )
+    return corpus_datacard(docs)
+
+
 def q_llm_data_prep(spark, sf_dir):
     """Training-mix construction probes in one slot:
 
@@ -364,9 +381,26 @@ QUERIES = {
     "llm_train_split": q_llm_train_split,
     "text_lm_score": q_text_lm_score,
     "llm_domain_mix": q_llm_domain_mix,
+    "text_corpus_datacard": q_corpus_datacard,
 }
 
 ORACLE = {
+    "text_corpus_datacard": """
+WITH toks AS (
+  SELECT doc_id, lang, source,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens
+  FROM documents)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+  CAST(min(ws_tokens) AS BIGINT) AS min_tokens,
+  CAST(max(ws_tokens) AS BIGINT) AS max_tokens,
+  round(avg(ws_tokens), 4) AS avg_tokens,
+  round(quantile_cont(ws_tokens, 0.5), 4) AS p50,
+  round(quantile_cont(ws_tokens, 0.9), 4) AS p90,
+  round(quantile_cont(ws_tokens, 0.99), 4) AS p99
+FROM toks GROUP BY ROLLUP (lang)""",
     "llm_domain_mix": """
 WITH toks AS (
   SELECT doc_id, source,

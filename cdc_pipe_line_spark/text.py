@@ -1181,3 +1181,40 @@ def domain_mix(
         cum.cast("bigint").alias("cum_before"),
         (cum < budget).alias("take"),
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    *,
+    group_col: str = "lang",
+    token_col: str = "ws_tokens",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-group corpus data card + grand total (ROLLUP row with a
+    null group): the summary table a dataset release ships — document
+    and source counts, token volume, and the exact token-length
+    distribution (p50/p90/p99 via interpolated ``percentile``, the
+    same quantile_cont semantics DuckDB uses, verified engine-equal).
+
+    Scale note: exact percentiles sort each group's values inside one
+    aggregate buffer — right for data-card cardinalities (groups =
+    languages/sources).  For percentiles over BILLIONS of rows per
+    group switch to ``percentile_approx`` (t-digest, mergeable,
+    bounded memory); the sketch-vs-exact trade is the same one
+    ``agg_sketch_sample_profile`` measures for HLL/GK.
+    """
+    t = F.col(token_col)
+    return (
+        df.rollup(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct(source_col).cast("bigint").alias("n_sources"),
+            F.sum(t).cast("bigint").alias("total_tokens"),
+            F.min(t).cast("bigint").alias("min_tokens"),
+            F.max(t).cast("bigint").alias("max_tokens"),
+            F.round(F.avg(t), 4).alias("avg_tokens"),
+            F.round(F.expr(f"percentile({token_col}, 0.5)"), 4).alias("p50"),
+            F.round(F.expr(f"percentile({token_col}, 0.9)"), 4).alias("p90"),
+            F.round(F.expr(f"percentile({token_col}, 0.99)"), 4).alias("p99"),
+        )
+    )
