@@ -12,8 +12,9 @@ from cdc_pipe_line_spark.text import (
     TOKEN_REGEX,
     decontaminate,
     dedup_connected_components,
-    domain_mix,
     dedup_exact,
+    domain_mix,
+    duplicate_spans,
     fingerprint,
     language_id,
     levenshtein_pairs,
@@ -212,6 +213,18 @@ def q_llm_domain_mix(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate spans: maximal word ranges covered by
+    16-grams shared across >= 2 documents (the span-cutting dedup of
+    Lee et al. 2022, distributed as doc-frequency n-gram marking +
+    gaps-and-islands merge).  Pure integer arithmetic; the oracle
+    replays shingling, doc frequency, and both window passes."""
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, n=16, min_df=2).select(
+        F.col("id").alias("doc_id"), "span_start", "span_end", "n_positions"
+    )
+
+
 def q_corpus_datacard(spark, sf_dir):
     """Dataset-release data card: per-language doc/source counts,
     token volume, and the exact token-length distribution, plus the
@@ -382,9 +395,43 @@ QUERIES = {
     "text_lm_score": q_text_lm_score,
     "llm_domain_mix": q_llm_domain_mix,
     "text_corpus_datacard": q_corpus_datacard,
+    "text_dup_spans": q_dup_spans,
 }
 
 ORACLE = {
+    "text_dup_spans": """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+docs AS (SELECT doc_id, w FROM words WHERE len(w) >= 16),
+g AS (
+  SELECT doc_id,
+    unnest(range(0, len(w) - 15)) AS pos,
+    unnest(list_transform(range(1, len(w) - 14),
+                          i -> array_to_string(w[i:i+15], ' '))) AS gram
+  FROM docs),
+d AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY gram)
+  WHERE c >= 2),
+hits AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > COALESCE(max(pos + 16) OVER (PARTITION BY doc_id
+        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS nf
+  FROM hits),
+isl AS (
+  SELECT doc_id, pos,
+    sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged)
+SELECT doc_id,
+  CAST(min(pos) AS BIGINT) AS span_start,
+  CAST(max(pos) + 16 AS BIGINT) AS span_end,
+  CAST(count(*) AS BIGINT) AS n_positions
+FROM isl GROUP BY doc_id, island""",
     "text_corpus_datacard": """
 WITH toks AS (
   SELECT doc_id, lang, source,

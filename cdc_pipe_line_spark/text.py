@@ -1218,3 +1218,82 @@ def corpus_datacard(
             F.round(F.expr(f"percentile({token_col}, 0.99)"), 4).alias("p99"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 16,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans (the Lee et al. 2022
+    "Deduplicating Training Data" ExactSubstr shape, word-granular):
+    every maximal word range of a document covered by ``n``-grams
+    that also occur in >= ``min_df`` OTHER documents' worth of text.
+    Pipelines cut these spans out of the training text instead of
+    dropping whole near-duplicate documents.
+
+    Returns one row per merged span: ``(id, span_start, span_end,
+    n_positions)`` — word indices (0-based, end-exclusive) and how
+    many duplicated ``n``-gram start positions the span merged.
+
+    Scale shape: positioned shingles -> gram doc-frequency (one
+    hash-groupBy; at deployment hash grams to 64-bit first so the
+    shuffle moves 8-byte keys) -> equi-join positions back to the
+    duplicated grams -> per-doc gaps-and-islands merge with two
+    window passes (running max of interval end, running sum of
+    island breaks).  Everything is integer arithmetic over the same
+    exploded-shingle stream the dedup family pumps; no all-pairs
+    term anywhere (the suffix-array alternative the paper uses is a
+    single-machine construction; doc-frequency n-gram marking is the
+    standard distributed equivalent).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).filter(F.size("__w") >= n)
+    pos_grams = words.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("__w", i, n)),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        pos_grams.groupBy("gram")
+        .agg(F.countDistinct("id").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("gram")
+    )
+    hits = pos_grams.join(dup_grams, "gram").select("id", "pos")
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = hits.withColumn(
+        "__new_island",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + n).over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    ).withColumn("__island", F.sum("__new_island").over(w_run))
+    return (
+        flagged.groupBy("id", "__island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + n).cast("bigint").alias("span_end"),
+            F.count("*").cast("bigint").alias("n_positions"),
+        )
+        .drop("__island")
+    )

@@ -498,3 +498,46 @@ def test_domain_mix_budget_semantics(spark):
     # BOTH are taken — the boundary doc straddles the budget
     b = {r.id: r.take for r in out if r.domain == "b"}
     assert sum(b.values()) == 2
+
+
+def test_duplicate_spans_merges_overlaps(spark):
+    """Two docs share a 6-word run; with n=4 the three duplicated
+    start positions merge into ONE span covering the run, and unique
+    text produces no spans."""
+    from cdc_pipe_line_spark.text import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} five six seven eight"),
+            (3, "totally unrelated words nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in duplicate_spans(docs, n=4, min_df=2).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: shared run occupies word indices 2..7 -> grams at 2,3,4
+    assert (out[1].span_start, out[1].span_end, out[1].n_positions) == (2, 8, 3)
+    # doc 2: run at indices 0..5 -> grams at 0,1,2
+    assert (out[2].span_start, out[2].span_end, out[2].n_positions) == (0, 6, 3)
+
+
+def test_duplicate_spans_disjoint_islands(spark):
+    """Two separated shared runs in one doc yield two spans."""
+    from cdc_pipe_line_spark.text import duplicate_spans
+
+    a = "red green blue white"
+    b = "cat dog fox owl"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} xx yy zz qq ww ee {b}"),
+            (2, f"{a} mm nn oo pp rr tt {b}"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r.id, r.span_start, r.span_end)
+        for r in duplicate_spans(docs, n=4, min_df=2).collect()
+    )
+    assert spans == [(1, 0, 4), (1, 10, 14), (2, 0, 4), (2, 10, 14)]
