@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_pipe_line_spark.text import (
     LANG_LEXICON,
@@ -242,6 +243,47 @@ def q_corpus_datacard(spark, sf_dir):
     return corpus_datacard(docs)
 
 
+def q_llm_quality_pipeline(spark, sf_dir):
+    """End-to-end training-data selection, composing three round-5
+    operators in one plan: (1) score every document under the
+    corpus-trained bigram LM, (2) cut the worst-perplexity decile per
+    language (percent_rank over avg_logp — rank arithmetic, engine-
+    deterministic on the rounded score), (3) greedily fill per-source
+    token budgets over the survivors in md5 order.  The oracle replays
+    the full composition; single-word docs drop at the LM stage like
+    any unscorable row."""
+    from cdc_pipe_line_spark.text import _words
+
+    docs = _t(spark, sf_dir, "documents")
+    model, vocab = lm_bigram_model(docs)
+    scores = lm_score(docs, model, vocab, alpha=1.0).select(
+        F.col("id").alias("doc_id"), "avg_logp"
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(_words(F.col("text"))).cast("bigint").alias("ws_tokens"),
+    ).join(scores, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.asc("avg_logp"))
+    survivors = (
+        scored.withColumn("pr", F.round(F.percent_rank().over(w), 4))
+        .filter(F.col("pr") >= 0.1)
+    )
+    mix = domain_mix(
+        survivors,
+        {"src0": 3000, "src1": 3000},
+        domain_col="source",
+        default_budget=1000,
+    ).select(
+        F.col("id").alias("doc_id"), "cum_before", "take"
+    )
+    return survivors.join(mix, "doc_id").select(
+        "doc_id", "lang", "source", "ws_tokens", "avg_logp", "pr",
+        "cum_before", "take",
+    )
+
+
 def q_llm_data_prep(spark, sf_dir):
     """Training-mix construction probes in one slot:
 
@@ -396,9 +438,68 @@ QUERIES = {
     "llm_domain_mix": q_llm_domain_mix,
     "text_corpus_datacard": q_corpus_datacard,
     "text_dup_spans": q_dup_spans,
+    "llm_quality_pipeline": q_llm_quality_pipeline,
 }
 
+# Shared DuckDB replay of the bigram LM (text.lm_bigram_model +
+# text.lm_score): count model in exact integers, per-doc position-
+# ordered float fold.  Used by text_lm_score and llm_quality_pipeline.
+_LM_CTES = """
+lm_words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+lm_docs AS (SELECT doc_id, w FROM lm_words WHERE len(w) >= 2),
+lm_uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(w) AS w1 FROM lm_docs) GROUP BY w1),
+lm_voc AS (SELECT count(*) AS v FROM lm_uni),
+lm_bg AS (
+  SELECT doc_id,
+    unnest(range(1, len(w))) AS pos,
+    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram,
+    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1
+  FROM lm_docs),
+lm_model AS (
+  SELECT gram, any_value(w1) AS w1, count(*) AS c2 FROM lm_bg GROUP BY gram),
+lm_model2 AS (
+  SELECT m.gram, m.c2, u.c1 FROM lm_model m JOIN lm_uni u USING (w1)),
+lm_scored AS (
+  SELECT b.doc_id, b.pos, COALESCE(m.c2, 0) AS c2,
+    ln((COALESCE(m.c2, 0) + 1.0) / (COALESCE(m.c1, 0) + 1.0 * v)) AS logp
+  FROM lm_bg b LEFT JOIN lm_model2 m USING (gram), lm_voc),
+lm_per_doc AS (
+  SELECT doc_id, count(*) AS nb,
+    sum(CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS n_oov,
+    list(logp ORDER BY pos) AS terms,
+    min(logp) AS mn
+  FROM lm_scored GROUP BY doc_id)"""
+
 ORACLE = {
+    "llm_quality_pipeline": f"""
+WITH {_LM_CTES},
+base AS (
+  SELECT d.doc_id, d.lang, d.source,
+    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS ws_tokens,
+    round(list_sum(p.terms) / p.nb, 4) AS avg_logp
+  FROM documents d JOIN lm_per_doc p USING (doc_id)),
+ranked AS (
+  SELECT *, round(percent_rank() OVER (PARTITION BY lang
+      ORDER BY avg_logp ASC), 4) AS pr
+  FROM base),
+surv AS (SELECT * FROM ranked WHERE pr >= 0.1),
+ordered AS (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS ok FROM surv),
+c AS (
+  SELECT doc_id, lang, source, ws_tokens, avg_logp, pr,
+    COALESCE(sum(ws_tokens) OVER (PARTITION BY source
+      ORDER BY ok, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM ordered)
+SELECT doc_id, lang, source, ws_tokens, avg_logp, pr,
+  CAST(cum_before AS BIGINT) AS cum_before,
+  cum_before < CASE WHEN source IN ('src0', 'src1') THEN 3000 ELSE 1000 END
+    AS take
+FROM c""",
     "text_dup_spans": """
 WITH words AS (
   SELECT doc_id,
@@ -466,42 +567,15 @@ SELECT doc_id, source, ws_tokens,
   cum_before < CASE WHEN source IN ('src0', 'src1') THEN 3000 ELSE 1000 END
     AS take
 FROM c""",
-    "text_lm_score": """
-WITH words AS (
-  SELECT doc_id,
-    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-  FROM documents),
-docs AS (SELECT doc_id, w FROM words WHERE len(w) >= 2),
-uni AS (
-  SELECT w1, count(*) AS c1
-  FROM (SELECT unnest(w) AS w1 FROM docs) GROUP BY w1),
-voc AS (SELECT count(*) AS v FROM uni),
-bg AS (
-  SELECT doc_id,
-    unnest(range(1, len(w))) AS pos,
-    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram,
-    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1
-  FROM docs),
-model AS (
-  SELECT gram, any_value(w1) AS w1, count(*) AS c2 FROM bg GROUP BY gram),
-model2 AS (SELECT m.gram, m.c2, u.c1 FROM model m JOIN uni u USING (w1)),
-scored AS (
-  SELECT b.doc_id, b.pos, COALESCE(m.c2, 0) AS c2,
-    ln((COALESCE(m.c2, 0) + 1.0) / (COALESCE(m.c1, 0) + 1.0 * v)) AS logp
-  FROM bg b LEFT JOIN model2 m USING (gram), voc),
-per_doc AS (
-  SELECT doc_id, count(*) AS nb,
-    sum(CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS n_oov,
-    list(logp ORDER BY pos) AS terms,
-    min(logp) AS mn
-  FROM scored GROUP BY doc_id)
+    "text_lm_score": f"""
+WITH {_LM_CTES}
 SELECT doc_id,
   CAST(nb AS BIGINT) AS n_bigrams,
   CAST(n_oov AS BIGINT) AS n_oov,
   round(list_sum(terms) / nb, 4) AS avg_logp,
   round(mn, 4) AS min_logp,
   round(exp(-round(list_sum(terms) / nb, 4)), 4) AS ppl
-FROM per_doc""",
+FROM lm_per_doc""",
     "text_decontaminate": """
 WITH words AS (
   SELECT doc_id,
