@@ -270,17 +270,24 @@ def q_llm_quality_pipeline(spark, sf_dir):
         scored.withColumn("pr", F.round(F.percent_rank().over(w), 4))
         .filter(F.col("pr") >= 0.1)
     )
+    # keep_cols passthrough: joining mix back to survivors on id would
+    # recompute the whole LM subtree a second time (measured ~2x at sf1)
     mix = domain_mix(
         survivors,
         {"src0": 3000, "src1": 3000},
         domain_col="source",
         default_budget=1000,
-    ).select(
-        F.col("id").alias("doc_id"), "cum_before", "take"
+        keep_cols=("lang", "avg_logp", "pr"),
     )
-    return survivors.join(mix, "doc_id").select(
-        "doc_id", "lang", "source", "ws_tokens", "avg_logp", "pr",
-        "cum_before", "take",
+    return mix.select(
+        F.col("id").alias("doc_id"),
+        "lang",
+        F.col("domain").alias("source"),
+        "ws_tokens",
+        "avg_logp",
+        "pr",
+        "cum_before",
+        "take",
     )
 
 

@@ -1140,6 +1140,7 @@ def domain_mix(
     domain_col: str = "source",
     token_col: str = "ws_tokens",
     default_budget: int = 0,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Training-mixture construction: greedily fill each domain's
     token budget in a deterministic pseudo-random document order
@@ -1178,6 +1179,10 @@ def domain_mix(
         F.col(id_col).alias("id"),
         F.col(domain_col).alias("domain"),
         F.col(token_col).cast("bigint").alias(token_col),
+        # passthrough (e.g. upstream scores) rides the same window
+        # stage — composing pipelines must NOT join back on id, which
+        # would recompute this frame's whole upstream subtree
+        *keep_cols,
         cum.cast("bigint").alias("cum_before"),
         (cum < budget).alias("take"),
     )

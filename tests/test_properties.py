@@ -476,3 +476,69 @@ def test_connected_components_long_chain_and_random_graphs(spark):
             for r in dedup_connected_components(pairs).collect()
         }
         assert got == ground_truth(g)
+
+
+@given(
+    texts=st_.lists(
+        st_.lists(
+            st_.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_duplicate_spans_invariants_random(spark, texts):
+    """Random small-vocab corpora (dense n-gram collisions): spans per
+    doc are disjoint, ordered, within bounds, each at least n words
+    wide, and n_positions == span width - n + 1 never exceeded."""
+    from cdc_pipe_line_spark.text import duplicate_spans
+
+    n = 3
+    docs = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    lengths = {i: len(words) for i, words in enumerate(texts)}
+    spans = sorted(
+        ((r.id, r.span_start, r.span_end, r.n_positions)
+         for r in duplicate_spans(docs, n=n, min_df=2).collect())
+    )
+    prev_end = {}
+    for doc, s, e, npos in spans:
+        assert 0 <= s and e <= lengths[doc]
+        assert e - s >= n
+        assert 1 <= npos <= e - s - n + 1
+        # disjoint and strictly beyond the previous span (merged maximal)
+        assert s > prev_end.get(doc, -1)
+        prev_end[doc] = e
+
+
+@given(
+    toks=st_.lists(st_.integers(min_value=1, max_value=50), min_size=1, max_size=40),
+    budget=st_.integers(min_value=1, max_value=200),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_domain_mix_budget_bound_random(spark, toks, budget):
+    """Taken tokens never exceed budget + (last doc - 1): the greedy
+    fill stops as soon as the exclusive running sum reaches the
+    budget, so overshoot is bounded by one straddling document."""
+    from cdc_pipe_line_spark.text import domain_mix
+
+    docs = spark.createDataFrame(
+        [(i, "d", t) for i, t in enumerate(toks)],
+        "doc_id long, source string, ws_tokens long",
+    )
+    out = domain_mix(docs, {"d": budget}, token_col="ws_tokens").collect()
+    taken = [r for r in out if r.take]
+    total = sum(r.ws_tokens for r in taken)
+    assert total <= budget + max(toks) - 1 or not taken
+    # if anything was left untaken, the taken set must have reached the budget
+    if len(taken) < len(out):
+        assert total >= budget
+    # determinism across runs
+    again = {r.id: r.take for r in
+             domain_mix(docs, {"d": budget}, token_col="ws_tokens").collect()}
+    assert again == {r.id: r.take for r in out}
