@@ -226,6 +226,20 @@ def q_dup_spans(spark, sf_dir):
     )
 
 
+def q_strip_spans(spark, sf_dir):
+    """Span-cutting dedup APPLIED: remove every duplicated 16-gram
+    span found by text_dup_spans from the text and re-join the
+    surviving words.  The hash binds the cleaned text itself, so the
+    oracle proves both the span detection and its application."""
+    from cdc_pipe_line_spark.text import strip_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, n=16, min_df=2)
+    return strip_spans(docs, spans).select(
+        F.col("id").alias("doc_id"), "n_words", "n_removed", "clean_text"
+    )
+
+
 def q_corpus_datacard(spark, sf_dir):
     """Dataset-release data card: per-language doc/source counts,
     token volume, and the exact token-length distribution, plus the
@@ -446,7 +460,46 @@ QUERIES = {
     "text_corpus_datacard": q_corpus_datacard,
     "text_dup_spans": q_dup_spans,
     "llm_quality_pipeline": q_llm_quality_pipeline,
+    "text_strip_spans": q_strip_spans,
 }
+
+# Shared DuckDB replay of text.duplicate_spans (n=16, min_df=2):
+# doc-frequency n-gram marking + gaps-and-islands merge.  Used by
+# text_dup_spans and text_strip_spans.
+_SPAN_CTES = """
+sp_words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sp_docs AS (SELECT doc_id, w FROM sp_words WHERE len(w) >= 16),
+sp_g AS (
+  SELECT doc_id,
+    unnest(range(0, len(w) - 15)) AS pos,
+    unnest(list_transform(range(1, len(w) - 14),
+                          i -> array_to_string(w[i:i+15], ' '))) AS gram
+  FROM sp_docs),
+sp_d AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS c FROM sp_g GROUP BY gram)
+  WHERE c >= 2),
+sp_hits AS (SELECT doc_id, pos FROM sp_g JOIN sp_d USING (gram)),
+sp_flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > COALESCE(max(pos + 16) OVER (PARTITION BY doc_id
+        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS nf
+  FROM sp_hits),
+sp_isl AS (
+  SELECT doc_id, pos,
+    sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM sp_flagged),
+sp_spans AS (
+  SELECT doc_id,
+    CAST(min(pos) AS BIGINT) AS span_start,
+    CAST(max(pos) + 16 AS BIGINT) AS span_end,
+    CAST(count(*) AS BIGINT) AS n_positions
+  FROM sp_isl GROUP BY doc_id, island)"""
 
 # Shared DuckDB replay of the bigram LM (text.lm_bigram_model +
 # text.lm_score): count model in exact integers, per-doc position-
@@ -507,39 +560,29 @@ SELECT doc_id, lang, source, ws_tokens, avg_logp, pr,
   cum_before < CASE WHEN source IN ('src0', 'src1') THEN 3000 ELSE 1000 END
     AS take
 FROM c""",
-    "text_dup_spans": """
-WITH words AS (
+    "text_dup_spans": f"""
+WITH {_SPAN_CTES}
+SELECT doc_id, span_start, span_end, n_positions FROM sp_spans""",
+    "text_strip_spans": f"""
+WITH {_SPAN_CTES},
+allw AS (
   SELECT doc_id,
     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
   FROM documents),
-docs AS (SELECT doc_id, w FROM words WHERE len(w) >= 16),
-g AS (
-  SELECT doc_id,
-    unnest(range(0, len(w) - 15)) AS pos,
-    unnest(list_transform(range(1, len(w) - 14),
-                          i -> array_to_string(w[i:i+15], ' '))) AS gram
-  FROM docs),
-d AS (
-  SELECT gram FROM (
-    SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY gram)
-  WHERE c >= 2),
-hits AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
-flagged AS (
-  SELECT doc_id, pos,
-    CASE WHEN pos > COALESCE(max(pos + 16) OVER (PARTITION BY doc_id
-        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-      THEN 1 ELSE 0 END AS nf
-  FROM hits),
-isl AS (
-  SELECT doc_id, pos,
-    sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-  FROM flagged)
+ex AS (
+  SELECT doc_id, unnest(range(0, len(w))) AS i, unnest(w) AS word
+  FROM allw),
+marked AS (
+  SELECT e.doc_id, e.i, e.word, max(s.doc_id IS NOT NULL) AS cut
+  FROM ex e LEFT JOIN sp_spans s
+    ON e.doc_id = s.doc_id AND e.i >= s.span_start AND e.i < s.span_end
+  GROUP BY e.doc_id, e.i, e.word)
 SELECT doc_id,
-  CAST(min(pos) AS BIGINT) AS span_start,
-  CAST(max(pos) + 16 AS BIGINT) AS span_end,
-  CAST(count(*) AS BIGINT) AS n_positions
-FROM isl GROUP BY doc_id, island""",
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  COALESCE(array_to_string(list(word ORDER BY i) FILTER (WHERE NOT cut), ' '),
+           '') AS clean_text
+FROM marked GROUP BY doc_id""",
     "text_corpus_datacard": """
 WITH toks AS (
   SELECT doc_id, lang, source,

@@ -1302,3 +1302,66 @@ def duplicate_spans(
         )
         .drop("__island")
     )
+
+
+def strip_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`duplicate_spans` (or any ``(id, span_start,
+    span_end)`` frame, word indices end-exclusive): cut the covered
+    words out of each document and re-join the survivors — the
+    transformation step of span-cutting dedup.
+
+    Returns ``(id, n_words, n_removed, clean_text)``; documents with
+    no spans pass through verbatim (normalized whitespace).
+
+    Scale shape: words explode with their position, spans attach via
+    an equi-join ON THE ID (span ranges are a post-join filter — never
+    a range-only join), uncovered words re-assemble with one sorted
+    collect per doc.  Span counts per doc are small (merged maximal
+    intervals), so the join fan-out is |words| x |spans per doc| ~
+    |words|.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    )
+    ex = words.select(
+        "id", F.posexplode("__w").alias("i", "word")
+    )
+    sp = spans.select(
+        F.col("id").alias("__sid"), "span_start", "span_end"
+    )
+    covered = (
+        ex.join(
+            sp,
+            (F.col("id") == F.col("__sid"))
+            & (F.col("i") >= F.col("span_start"))
+            & (F.col("i") < F.col("span_end")),
+            "left",
+        )
+        .groupBy("id", "i", "word")
+        .agg(F.max(F.col("__sid").isNotNull()).alias("__cut"))
+    )
+    return (
+        covered.groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.col("__cut").cast("int")).cast("bigint").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("__cut"), F.struct("i", "word"))
+                        )
+                    ),
+                    lambda s: s["word"],
+                ),
+            ).alias("clean_text"),
+        )
+    )

@@ -541,3 +541,26 @@ def test_duplicate_spans_disjoint_islands(spark):
         for r in duplicate_spans(docs, n=4, min_df=2).collect()
     )
     assert spans == [(1, 0, 4), (1, 10, 14), (2, 0, 4), (2, 10, 14)]
+
+
+def test_strip_spans_cuts_exact_ranges(spark):
+    """Applying spans removes exactly the covered words, keeps order,
+    and passes untouched docs through in normalized form."""
+    from cdc_pipe_line_spark.text import duplicate_spans, strip_spans
+
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"{shared} five six seven"),
+            (3, "unique text with no duplicate runs at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, n=4, min_df=2)
+    out = {r.id: r for r in strip_spans(docs, spans).collect()}
+    assert out[1].clean_text == "one two three"
+    assert out[1].n_removed == 4 and out[1].n_words == 7
+    assert out[2].clean_text == "five six seven"
+    assert out[3].clean_text == "unique text with no duplicate runs at all"
+    assert out[3].n_removed == 0
