@@ -21,6 +21,7 @@ from cdc_pipe_line_spark.multimodal import (
 from cdc_pipe_line_spark.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
+    ivf_sq8_topk,
     ivf_topk,
     lsh_topk,
     sq8_topk,
@@ -115,6 +116,63 @@ def q_knn_ivf(spark, sf_dir):
             (F.col("__recall") >= 0.4).alias("recall10_ge_04"),
             "mean_recall10_ge_06",
             (F.coalesce(F.col("__n_ivf"), F.lit(0)) <= 10).alias("ivf_le_k"),
+        )
+    )
+
+
+def q_knn_ivf_sq8(spark, sf_dir):
+    """IVF-SQ8 composed ANN (inverted lists x quantized codes — the
+    FAISS IVF,SQ8 shape) with 8-of-16 probes and exact re-rank.
+    Oracle pattern as sim_knn_ivf: exact brute-force values DuckDB
+    recomputes + boolean accuracy claims the composed approximate
+    path must uphold (per-query recall@10 >= 0.4, mean >= 0.6,
+    <= k rows)."""
+    q, emb = _queries_and_corpus(spark, sf_dir)
+    approx = ivf_sq8_topk(
+        q, emb, k=10, n_centroids=16, n_probe=8, rerank=40, dim=64
+    )
+    exact = brute_force_topk(q, emb, k=10)
+    hits = (
+        approx.select("q_id", "vec_id")
+        .join(exact.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("__n_hit"))
+    )
+    n_approx = approx.groupBy("q_id").agg(F.count("*").alias("__n_approx"))
+    per_q = (
+        exact.groupBy("q_id")
+        .agg(
+            F.max(F.when(F.col("rank") == 1, F.col("vec_id"))).alias(
+                "exact_top1_id"
+            ),
+            F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))).alias(
+                "exact_top1_sim"
+            ),
+            F.round(F.sum("cos_sim"), 4).alias("exact_top10_sim_sum"),
+            F.count("*").alias("__n_exact"),
+        )
+        .join(hits, "q_id", "left")
+        .join(n_approx, "q_id", "left")
+        .withColumn(
+            "__recall",
+            F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("__n_exact"),
+        )
+    )
+    mean_ok = per_q.agg(
+        (F.avg("__recall") >= 0.6).alias("mean_recall10_ge_06")
+    )
+    return (
+        per_q.crossJoin(F.broadcast(mean_ok))
+        .select(
+            "q_id",
+            "exact_top1_id",
+            "exact_top1_sim",
+            "exact_top10_sim_sum",
+            (F.col("__recall") >= 0.4).alias("recall10_ge_04"),
+            "mean_recall10_ge_06",
+            (F.coalesce(F.col("__n_approx"), F.lit(0)) <= 10).alias(
+                "ivfsq8_le_k"
+            ),
         )
     )
 
@@ -325,6 +383,7 @@ QUERIES = {
     "sim_knn_lsh": q_knn_lsh,
     "sim_knn_ivf": q_knn_ivf,
     "sim_knn_sq8": q_knn_sq8,
+    "sim_knn_ivf_sq8": q_knn_ivf_sq8,
     "sim_cosine_near_dup": q_cosine_near_dup,
     "mm_media_pipeline": q_media_pipeline,
     "mm_media_embed_knn": q_media_embed_knn,
@@ -412,6 +471,25 @@ SELECT q_id,
   TRUE AS recall10_ge_04,
   TRUE AS mean_recall10_ge_06,
   TRUE AS ivf_le_k
+FROM ranked GROUP BY q_id""",
+    "sim_knn_ivf_sq8": f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+    {_COS.format(a='q.qv', b='e.embedding')} AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.q_id),
+ranked AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM scored) WHERE rank <= 10)
+SELECT q_id,
+  max(CASE WHEN rank = 1 THEN vec_id END) AS exact_top1_id,
+  max(CASE WHEN rank = 1 THEN cos_sim END) AS exact_top1_sim,
+  round(sum(cos_sim), 4) AS exact_top10_sim_sum,
+  TRUE AS recall10_ge_04,
+  TRUE AS mean_recall10_ge_06,
+  TRUE AS ivfsq8_le_k
 FROM ranked GROUP BY q_id""",
     "sim_knn_bruteforce": f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),

@@ -564,3 +564,29 @@ def test_strip_spans_cuts_exact_ranges(spark):
     assert out[2].clean_text == "five six seven"
     assert out[3].clean_text == "unique text with no duplicate runs at all"
     assert out[3].n_removed == 0
+
+
+def test_ivf_sq8_recall_vs_brute_force(spark):
+    """The composed IVF-SQ8 path keeps most of the exact top-10 on the
+    real embeddings fixture — quantization must not degrade the
+    probe-bounded recall below the plain-IVF contract."""
+    from cdc_pipe_line_spark.queries import load_table
+    from cdc_pipe_line_spark.similarity import ivf_sq8_topk
+
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r.q_id, r.vec_id) for r in brute_force_topk(q, emb, k=10).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivf_sq8_topk(
+            q, emb, k=10, n_centroids=8, n_probe=4, rerank=40
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF-SQ8 recall too low: {recall:.2f}"
