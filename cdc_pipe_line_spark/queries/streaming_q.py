@@ -129,6 +129,15 @@ def _stage(spark: SparkSession, sf_dir: str, variant: str) -> str:
                 cdc.filter((F.col("__id") >= lo) & (F.col("__id") < hi)).drop("__id"),
                 f"b{i}",
             )
+    elif variant == "docs":
+        # the documents table as a JSON doc stream (the "ingest feed"
+        # of an LLM data pipeline: crawler output arriving as files)
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        docs.repartition(8).write.mode("overwrite").json(
+            os.path.join(base, "d0")
+        )
     else:  # pragma: no cover
         raise ValueError(variant)
     with open(marker, "w") as fh:
@@ -363,7 +372,58 @@ def q_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv.unionByName(enrich)
 
 
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+
+def q_stream_doc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gate for a document ingest feed: the same
+    narrow quality expressions the batch profiler uses (word count,
+    en-stopword ratio) run UNMODIFIED inside a Structured Streaming
+    query; documents route accept/reject in-stream and a stateful
+    complete-mode aggregate keeps per-(lang, accepted) admission
+    counts — the live dashboard an ingest pipeline watches.  Oracle:
+    the batch replay of the same gate over the documents table."""
+    from cdc_pipe_line_spark.text import LANG_LEXICON
+
+    base = _stage(spark, sf_dir, "docs")
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json")
+        .json(base)
+    )
+    words = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(words).cast("bigint")
+    stop_ratio = F.round(
+        F.size(
+            F.filter(words, lambda w: F.lower(w).isin(LANG_LEXICON["en"]))
+        )
+        / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    gated = stream.select(
+        "lang",
+        n_words.alias("n_words"),
+        ((n_words >= 60) & (stop_ratio >= 0.05)).alias("accepted"),
+    )
+    agg = gated.groupBy("lang", "accepted").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+    )
+    q, out = st.start_to_memory(agg, output_mode="complete")
+    q.awaitTermination()
+    return out
+
+
 QUERIES = {
+    "stream_doc_gate": q_stream_doc_gate,
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_joins": q_stream_joins,
     "stream_hygiene": q_stream_hygiene,
@@ -372,6 +432,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_doc_gate": """
+WITH f AS (
+  SELECT lang,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+    round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        x -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is'],
+                           lower(x))))
+      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS stop
+  FROM documents)
+SELECT lang, (n_words >= 60 AND stop >= 0.05) AS accepted,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_words) AS BIGINT) AS total_words
+FROM f GROUP BY 1, 2""",
     "stream_windowed_counts": """
 WITH x AS (
   SELECT user_id, ts,
