@@ -26,12 +26,14 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -536,3 +538,122 @@ def sample_frames(
         "frame_no",
         (F.col("frame_no").cast("bigint") * every_n_bytes).alias("byte_offset"),
     )
+
+
+def make_wav(
+    n_samples: int, amp: int, *, channels: int = 1, rate: int = 16000
+) -> bytes:
+    """Deterministic 16-bit PCM RIFF/WAVE square wave: frame i holds
+    ``+amp`` (even i) / ``-amp`` (odd i) in every channel.  Chosen so
+    the signal statistics are ARITHMETIC: |sample| == amp everywhere,
+    hence RMS == peak == amp with zero float error (amp^2 and its mean
+    are exact integers, sqrt of a perfect square is exact) — which is
+    what lets a SQL oracle bind the numpy stats path bit-for-bit."""
+    import struct as _struct
+
+    frames = bytearray()
+    for i in range(n_samples):
+        v = amp if i % 2 == 0 else -amp
+        frames += _struct.pack("<h", v) * channels
+    block_align = 2 * channels
+    fmt = _struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16
+    )
+    data = bytes(frames)
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def _wav_pcm(payload: bytes):
+    """(rate, channels, int16 sample ndarray) of a PCM RIFF/WAVE
+    payload; raises :class:`MediaDecodeError` on malformed input
+    (same validation walk as :func:`decode_media`)."""
+    import struct as _struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise MediaDecodeError("wav: not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        clen = _struct.unpack_from("<I", payload, i + 4)[0]
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            fmt = _struct.unpack_from("<HHIIHH", payload, i + 8)
+        elif cid == b"data":
+            if i + 8 + clen > n:
+                raise MediaDecodeError("wav: data chunk truncated")
+            data = payload[i + 8 : i + 8 + clen]
+        i += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise MediaDecodeError("wav: missing fmt/data chunk")
+    audio_format, channels, rate, _bps, block_align, bits = fmt
+    if audio_format != 1:
+        raise MediaDecodeError(f"wav: non-PCM format {audio_format} unsupported")
+    if channels <= 0 or block_align <= 0 or bits != 16:
+        raise MediaDecodeError("wav: bad fmt chunk (16-bit PCM expected)")
+    if len(data) % block_align:
+        raise MediaDecodeError("wav: data not frame-aligned")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, channels, samples
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", LongType(), True),
+        StructField("decode_err", StringType(), True),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Signal-level audio features over PCM WAV payloads — the
+    feature-extraction step an audio data pipeline runs before
+    quality filtering (clipped/silent detection) and embedding:
+    per-file sample count, duration, RMS and peak amplitude, computed
+    by numpy over the real bytes in Arrow-batched mapInPandas
+    (model-per-worker shape, like :func:`embed_media`).  Malformed
+    payloads quarantine into ``decode_err`` — the scan never fails.
+    """
+
+    def one(b):
+        if b is None:
+            return (None, None, None, None, None, None, "null payload")
+        try:
+            rate, channels, samples = _wav_pcm(bytes(b))
+            x = samples.astype(np.float64)
+            n_frames = len(samples) // channels
+            rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+            peak = int(np.max(np.abs(x))) if len(x) else 0
+            dur = round(n_frames / rate, 6) if rate else None
+            return (n_frames, channels, rate, dur, round(rms, 4), peak, None)
+        except MediaDecodeError as exc:
+            return (None, None, None, None, None, None, str(exc))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.Series([r[0] for r in rows], dtype="object"),
+                    "channels": pd.Series([r[1] for r in rows], dtype="object"),
+                    "sample_rate": pd.Series([r[2] for r in rows], dtype="object"),
+                    "duration_s": pd.Series([r[3] for r in rows], dtype="object"),
+                    "rms": pd.Series([r[4] for r in rows], dtype="object"),
+                    "peak": pd.Series([r[5] for r in rows], dtype="object"),
+                    "decode_err": pd.Series([r[6] for r in rows], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_SCHEMA)

@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 
 from cdc_pipe_line_spark.multimodal import (
     as_media_table,
+    audio_stats,
     embed_media,
     extract_media_meta,
+    make_wav,
     sample_frames,
 )
 from cdc_pipe_line_spark.similarity import (
@@ -118,6 +120,42 @@ def q_knn_ivf(spark, sf_dir):
             (F.coalesce(F.col("__n_ivf"), F.lit(0)) <= 10).alias("ivf_le_k"),
         )
     )
+
+
+def q_audio_stats(spark, sf_dir):
+    """Signal-level audio features over REAL PCM bytes: every document
+    becomes a deterministic square-wave WAV (frames/amplitude/channels
+    derived from doc_id), numpy computes RMS/peak/duration from the
+    parsed samples in mapInPandas, and every 50th payload is truncated
+    to exercise the quarantine path.  The square wave makes the
+    statistics arithmetic (|sample| == amp everywhere, so RMS == peak
+    == amp exactly, no float error), which lets the oracle bind the
+    numpy stats path from doc_id alone."""
+
+    @F.pandas_udf("binary")
+    def _wav_payload(
+        frames: pd.Series, amp: pd.Series, ch: pd.Series, cut: pd.Series
+    ) -> pd.Series:
+        out = []
+        for f, a, c, k in zip(frames, amp, ch, cut):
+            b = make_wav(int(f), int(a), channels=int(c))
+            out.append(b[:-3] if k else b)
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (((F.col("doc_id") % 40) + 1) * 16).alias("__frames"),
+        ((F.col("doc_id") % 2000) + 1).alias("__amp"),
+        (1 + (F.col("doc_id") % 2)).alias("__ch"),
+        (F.col("doc_id") % 50 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_wav_payload("__frames", "__amp", "__ch", "__cut"),
+        media_type="audio/wav",
+    )
+    return audio_stats(media)
 
 
 def q_knn_ivf_sq8(spark, sf_dir):
@@ -384,6 +422,7 @@ QUERIES = {
     "sim_knn_ivf": q_knn_ivf,
     "sim_knn_sq8": q_knn_sq8,
     "sim_knn_ivf_sq8": q_knn_ivf_sq8,
+    "mm_audio_stats": q_audio_stats,
     "sim_cosine_near_dup": q_cosine_near_dup,
     "mm_media_pipeline": q_media_pipeline,
     "mm_media_embed_knn": q_media_embed_knn,
@@ -472,6 +511,24 @@ SELECT q_id,
   TRUE AS mean_recall10_ge_06,
   TRUE AS ivf_le_k
 FROM ranked GROUP BY q_id""",
+    "mm_audio_stats": """
+WITH p AS (
+  SELECT doc_id,
+    ((doc_id % 40) + 1) * 16 AS frames,
+    (doc_id % 2000) + 1 AS amp,
+    1 + (doc_id % 2) AS ch,
+    doc_id % 50 = 0 AS cut
+  FROM documents)
+SELECT doc_id AS media_id,
+  CASE WHEN cut THEN NULL ELSE CAST(frames AS BIGINT) END AS n_samples,
+  CASE WHEN cut THEN NULL ELSE CAST(ch AS BIGINT) END AS channels,
+  CASE WHEN cut THEN NULL ELSE CAST(16000 AS BIGINT) END AS sample_rate,
+  CASE WHEN cut THEN NULL ELSE round(frames / 16000.0, 6) END AS duration_s,
+  CASE WHEN cut THEN NULL ELSE round(CAST(amp AS DOUBLE), 4) END AS rms,
+  CASE WHEN cut THEN NULL ELSE CAST(amp AS BIGINT) END AS peak,
+  CASE WHEN cut THEN 'wav: data chunk truncated'
+       ELSE CAST(NULL AS VARCHAR) END AS decode_err
+FROM p""",
     "sim_knn_ivf_sq8": f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
 scored AS (

@@ -434,3 +434,42 @@ def test_decode_fuzz_only_decode_errors():
             decode_media(bytes(p), "x/fuzz")
         except MediaDecodeError:
             pass
+
+
+def test_wav_pcm_roundtrip_and_truncation():
+    from cdc_pipe_line_spark.multimodal import MediaDecodeError, _wav_pcm, make_wav
+
+    b = make_wav(8, 500, channels=2, rate=8000)
+    rate, ch, samples = _wav_pcm(b)
+    assert (rate, ch, len(samples)) == (8000, 2, 16)
+    assert samples[0] == 500 and samples[2] == -500  # square wave frames
+    import pytest as _pytest
+
+    with _pytest.raises(MediaDecodeError, match="truncated"):
+        _wav_pcm(b[:-1])
+    with _pytest.raises(MediaDecodeError, match="RIFF"):
+        _wav_pcm(b"nope" + b[4:])
+    # odd byte cut into the sample area -> frame alignment check
+    bad = bytearray(b)
+    bad[-2:] = b""  # remove one sample of one channel
+    with _pytest.raises(MediaDecodeError):
+        _wav_pcm(bytes(bad))
+
+
+def test_audio_stats_quarantines_malformed(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark.multimodal import as_media_table, audio_stats, make_wav
+
+    good = make_wav(16, 100)
+    rows = [(1, good), (2, good[:-3]), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = as_media_table(
+        df, id_col="doc_id", payload_col=F.col("payload"), media_type="audio/wav"
+    )
+    out = {r.media_id: r for r in audio_stats(media).collect()}
+    assert out[1].rms == 100.0 and out[1].peak == 100 and out[1].n_samples == 16
+    assert out[2].decode_err == "wav: data chunk truncated"
+    assert out[2].rms is None
+    assert out[3].decode_err == "null payload"
