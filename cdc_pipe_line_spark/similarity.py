@@ -434,16 +434,22 @@ def sq8_topk(
     reranked output.
     """
     bounds = sq8_bounds(corpus, vec_col=vec_col, dim=dim)
+    # mins/maxs ride the projection out of the ONE bounds join: a
+    # second crossJoin(bounds) for the dequantize step would plan the
+    # whole bounds aggregate twice (no exchange reuse across the two
+    # subtrees — verified in the physical plan), i.e. an extra full
+    # corpus posexplode pass at scale
     coded = corpus.crossJoin(F.broadcast(bounds)).select(
         F.col(corpus_id).alias("__cid"),
         _sq8_codes(vec_col, dim).alias("__codes"),
+        "mins",
+        "maxs",
     )
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv")
     )
     cand = (
-        coded.crossJoin(F.broadcast(bounds))
-        .withColumn("__deq", _sq8_deq(F.col("__codes")))
+        coded.withColumn("__deq", _sq8_deq(F.col("__codes")))
         .crossJoin(F.broadcast(q))
         .filter(F.col("__cid") != F.col("__qid"))
         .select(
@@ -522,6 +528,8 @@ def ivf_sq8_topk(
         iters=iters,
     )
     bounds = sq8_bounds(corpus, vec_col=vec_col, dim=dim)
+    # one bounds join; mins/maxs ride through for the dequantize (see
+    # sq8_topk — a second crossJoin(bounds) plans the aggregate twice)
     lists = (
         _assign(corpus, cents, corpus_id=corpus_id, vec_col=vec_col)
         .crossJoin(F.broadcast(bounds))
@@ -529,6 +537,8 @@ def ivf_sq8_topk(
             F.col(corpus_id).alias("__cid"),
             "centroid_id",
             _sq8_codes(vec_col, dim).alias("__codes"),
+            "mins",
+            "maxs",
         )
     )
     qprobe = (
@@ -550,8 +560,7 @@ def ivf_sq8_topk(
         )
     )
     cand = (
-        lists.crossJoin(F.broadcast(bounds))
-        .withColumn("__deq", _sq8_deq(F.col("__codes")))
+        lists.withColumn("__deq", _sq8_deq(F.col("__codes")))
         .join(F.broadcast(qprobe), "centroid_id")
         .filter(F.col("__cid") != F.col("__qid"))
         .select(
