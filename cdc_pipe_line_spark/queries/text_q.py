@@ -240,6 +240,26 @@ def q_strip_spans(spark, sf_dir):
     )
 
 
+def q_hash_embed_knn(spark, sf_dir):
+    """Model-free text->embedding->ANN, end to end in-engine: every
+    document embeds via the feature-hashing trick (md5-bucket TF
+    histogram, dim 64), then exact cosine top-5 neighbors per probe
+    document.  The whole featurizer is integer arithmetic on the same
+    md5 recipe the MinHash family uses, so the oracle replays
+    embedding AND search."""
+    from cdc_pipe_line_spark.similarity import brute_force_topk
+    from cdc_pipe_line_spark.text import hash_tf_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hash_tf_embed(docs, dim=64).select(
+        F.col("id").alias("doc_id"), "embedding"
+    )
+    q = emb.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("q_id"), "embedding"
+    )
+    return brute_force_topk(q, emb, corpus_id="doc_id", k=5)
+
+
 def q_corpus_datacard(spark, sf_dir):
     """Dataset-release data card: per-language doc/source counts,
     token volume, and the exact token-length distribution, plus the
@@ -461,6 +481,7 @@ QUERIES = {
     "text_dup_spans": q_dup_spans,
     "llm_quality_pipeline": q_llm_quality_pipeline,
     "text_strip_spans": q_strip_spans,
+    "text_hash_embed_knn": q_hash_embed_knn,
 }
 
 # Shared DuckDB replay of text.duplicate_spans (n=16, min_df=2):
@@ -535,7 +556,46 @@ lm_per_doc AS (
     min(logp) AS mn
   FROM lm_scored GROUP BY doc_id)"""
 
+_COS64 = (
+    "round(list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 4)"
+)
+
 ORACLE = {
+    "text_hash_embed_knn": f"""
+WITH words AS (
+  SELECT doc_id,
+    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' ')) AS w
+  FROM documents),
+bk AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64 AS b
+  FROM words),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY doc_id, b),
+pl AS (
+  SELECT doc_id, list(struct_pack(b := b, c := c)) AS pairs
+  FROM cnt GROUP BY doc_id),
+emb AS (
+  SELECT doc_id,
+    list_transform(range(0, 64), i ->
+      CAST(COALESCE(list_sum(list_transform(
+        list_filter(pairs, p -> p.b = i), p -> p.c)), 0) AS FLOAT))
+      AS e
+  FROM pl),
+q AS (SELECT doc_id AS q_id, e AS qe FROM emb WHERE doc_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, d.doc_id,
+    {_COS64.format(a='q.qe', b='d.e')} AS cos_sim
+  FROM emb d CROSS JOIN q WHERE d.doc_id != q.q_id)
+SELECT q_id, doc_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos_sim DESC, doc_id ASC) AS rank
+  FROM scored) WHERE rank <= 5""",
     "llm_quality_pipeline": f"""
 WITH {_LM_CTES},
 base AS (

@@ -1365,3 +1365,54 @@ def strip_spans(
             ).alias("clean_text"),
         )
     )
+
+
+def hash_tf_embed(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic feature-hashing document embedding (the hashing
+    trick): every word maps to ``md5-60bit % dim`` and the embedding
+    is the term-frequency histogram over those buckets — a model-free
+    featurizer that turns the documents table into an
+    ``array<float>`` column ANY of the ANN operators consume
+    directly, entirely in-engine (no external model service).
+    Cosine over hash-TF vectors approximates word-histogram
+    similarity; near-dup documents land near each other by
+    construction.
+
+    Returns ``(id, embedding: array<float>)``.  Counts are exact
+    integers (float32-exact far beyond any document length), and the
+    md5 bucket hash is the same engine-portable integer recipe the
+    MinHash family uses — the whole featurizer replays in SQL.
+
+    Scale shape: one explode + one (id, bucket) hash aggregate + one
+    per-doc map assembly — linear in tokens, same stream every
+    shingle operator pumps.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    )
+    bucketed = (
+        words.withColumn("b", shingle_hash60(F.col("w")) % dim)
+        .groupBy("id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    as_map = bucketed.groupBy("id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("b", "c")))
+        ).alias("__m")
+    )
+    return as_map.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.element_at("__m", i), F.lit(0)).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )

@@ -590,3 +590,25 @@ def test_ivf_sq8_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF-SQ8 recall too low: {recall:.2f}"
+
+
+def test_hash_tf_embed_near_dups_are_neighbors(spark):
+    """Hash-TF embedding: identical docs embed identically, a near-dup
+    is the top cosine neighbor, and the vector is the exact TF
+    histogram (sums to word count)."""
+    from cdc_pipe_line_spark.similarity import brute_force_topk
+    from cdc_pipe_line_spark.text import hash_tf_embed
+
+    emb = hash_tf_embed(_docs(spark), dim=32).select(
+        F.col("id").alias("doc_id"), "embedding"
+    )
+    vecs = {r.doc_id: r.embedding for r in emb.collect()}
+    assert vecs[1] == vecs[2]  # exact dup -> identical embedding
+    assert sum(vecs[1]) == 13  # 13 words in the doc
+    q = emb.filter("doc_id = 1").selectExpr("doc_id as q_id", "embedding")
+    top = sorted(
+        brute_force_topk(q, emb, corpus_id="doc_id", k=2).collect(),
+        key=lambda r: r.rank,
+    )
+    assert top[0].doc_id == 2 and top[0].cos_sim == 1.0
+    assert top[1].doc_id == 3  # near-dup ranks next
