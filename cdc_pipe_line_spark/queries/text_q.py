@@ -17,6 +17,7 @@ from cdc_pipe_line_spark.text import (
     domain_mix,
     duplicate_spans,
     fingerprint,
+    incremental_minhash_dedup,
     language_id,
     levenshtein_pairs,
     lm_bigram_model,
@@ -163,6 +164,20 @@ def q_llm_train_split(spark, sf_dir):
         F.col("split_key").cast("bigint").alias("split_key"),
         F.col("bucket").cast("bigint").alias("bucket"),
         "split",
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Ingest-time dedup: documents with doc_id % 4 == 0 play the
+    incoming crawl batch; each is checked against the persisted
+    MinHash band index of the remaining corpus (same md5/affine/band
+    recipe as dedup_minhash_lsh) and verified with exact Jaccard.
+    Fully oracle-replayed, incremental split and all."""
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    incoming = docs.filter(F.col("doc_id") % 4 == 0)
+    return incremental_minhash_dedup(
+        existing, incoming, n=5, threshold=0.5
     )
 
 
@@ -429,6 +444,61 @@ verified AS (
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5"""
 
 
+def _minhash_incremental_oracle_sql() -> str:
+    """DuckDB replay of :func:`text.incremental_minhash_dedup` over
+    the doc_id%4 split: identical shingles/signatures/band keys as
+    :func:`_minhash_oracle_sql`, with the candidate join between the
+    INCOMING batch's bands and the EXISTING corpus index."""
+    from cdc_pipe_line_spark.text import minhash_coeffs
+
+    A, B, p = minhash_coeffs(32, 42)
+    a_lits = ", ".join(str(x) for x in A)
+    b_lits = ", ".join(str(x) for x in B)
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3),
+                          i -> array_to_string(w[i:i+4], ' '))
+      ELSE [] END) AS sh
+  FROM words),
+docs AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+hx AS (
+  SELECT doc_id,
+    list_transform(sh,
+      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {p}) AS hx
+  FROM docs),
+sig AS (
+  SELECT doc_id,
+    list_transform(range(1, 33),
+      i -> list_min(list_transform(hx,
+             x -> (([{a_lits}])[i] * x + ([{b_lits}])[i]) % {p}))) AS sig
+  FROM hx),
+banded AS (
+  SELECT doc_id, b.band,
+    array_to_string(sig[b.band*4+1 : b.band*4+4], '_') AS bucket
+  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+cand AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_old
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 != 0
+  GROUP BY 1, 2),
+verified AS (
+  SELECT c.id_new, c.id_old,
+    round(len(list_intersect(sa.sh, sb.sh)) /
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+      AS jaccard
+  FROM cand c
+  JOIN docs sa ON sa.doc_id = c.id_new
+  JOIN docs sb ON sb.doc_id = c.id_old)
+SELECT id_new, id_old, jaccard FROM verified WHERE jaccard >= 0.5"""
+
+
 _SIMHASH_ORACLE = """
 WITH words AS (
   SELECT doc_id,
@@ -482,6 +552,7 @@ QUERIES = {
     "llm_quality_pipeline": q_llm_quality_pipeline,
     "text_strip_spans": q_strip_spans,
     "text_hash_embed_knn": q_hash_embed_knn,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 # Shared DuckDB replay of text.duplicate_spans (n=16, min_df=2):
@@ -725,6 +796,7 @@ pack AS (
   FROM toks)
 SELECT * FROM quota UNION ALL SELECT * FROM pack""",
     "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "dedup_incremental": _minhash_incremental_oracle_sql(),
     "dedup_simhash": _SIMHASH_ORACLE,
     "text_profile": f"""
 WITH {_WORDS},

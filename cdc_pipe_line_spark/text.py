@@ -1416,3 +1416,112 @@ def hash_tf_embed(
             ),
         ).alias("embedding"),
     )
+
+
+def minhash_band_keys(
+    sigs: DataFrame, *, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """``(id, band, bucket)`` LSH band keys of a signature frame —
+    the persisted dedup INDEX shape: band keys are signature slices
+    joined as strings (engine-portable, SQL-replicable), exactly as
+    :func:`minhash_lsh_pairs` banding."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            F.transform(
+                                F.slice(
+                                    "sig", i * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def incremental_minhash_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Ingest-time near-dup dedup: flag every INCOMING document that
+    near-duplicates the EXISTING corpus — the daily-batch shape of a
+    production pipeline, where new crawl shards check against a
+    persisted index instead of re-deduplicating 100 TB from scratch.
+
+    Returns ``(id_new, id_old, jaccard)`` — anti-join ``id_new`` to
+    admit only novel documents.
+
+    Scale shape: the existing side's signatures/band keys are the
+    PERSISTED index (:func:`minhash_band_keys` — write it once, read
+    it per batch); only the incoming batch is shingled/hashed fresh.
+    The candidate join is banded-index equi-join (incoming bands are
+    batch-sized), and the exact-Jaccard verify touches candidate docs
+    only.  Same md5/affine recipe as :func:`minhash_lsh_pairs`, so
+    the whole incremental pipeline replays in SQL.
+    """
+    sh_e = shingle_df(existing, id_col=id_col, text_col=text_col, n=n)
+    sh_i = shingle_df(incoming, id_col=id_col, text_col=text_col, n=n)
+    sig_e = minhash_signatures(
+        existing, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, seed=seed, _shingles=sh_e,
+    )
+    sig_i = minhash_signatures(
+        incoming, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, seed=seed, _shingles=sh_i,
+    )
+    idx = minhash_band_keys(sig_e, num_hashes=num_hashes, bands=bands)
+    new_keys = minhash_band_keys(sig_i, num_hashes=num_hashes, bands=bands)
+    cand = (
+        new_keys.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_old"))
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh_i.select(F.col("id").alias("id_new"), F.col("sh").alias("__sh_n")),
+            "id_new",
+        )
+        .join(
+            sh_e.select(F.col("id").alias("id_old"), F.col("sh").alias("__sh_o")),
+            "id_old",
+        )
+        .withColumn(
+            "__shared", F.size(F.array_intersect("__sh_n", "__sh_o"))
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__shared")
+                / (
+                    F.size("__sh_n") + F.size("__sh_o") - F.col("__shared")
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_new", "id_old", "jaccard")

@@ -612,3 +612,23 @@ def test_hash_tf_embed_near_dups_are_neighbors(spark):
     )
     assert top[0].doc_id == 2 and top[0].cos_sim == 1.0
     assert top[1].doc_id == 3  # near-dup ranks next
+
+
+def test_incremental_dedup_flags_only_incoming_dups(spark):
+    """Incoming docs that near-duplicate the existing corpus are
+    flagged against their index match; novel incoming docs are not;
+    existing-vs-existing pairs never appear."""
+    from cdc_pipe_line_spark.text import incremental_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus content about spark")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, base), (11, "entirely novel incoming text nothing matches")],
+        "doc_id long, text string",
+    )
+    out = incremental_minhash_dedup(existing, incoming, n=5, threshold=0.5)
+    rows = [(r.id_new, r.id_old, r.jaccard) for r in out.collect()]
+    assert rows == [(10, 1, 1.0)]
