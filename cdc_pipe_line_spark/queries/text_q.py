@@ -266,8 +266,16 @@ def q_hash_embed_knn(spark, sf_dir):
     from cdc_pipe_line_spark.text import hash_tf_embed
 
     docs = _t(spark, sf_dir, "documents")
-    emb = hash_tf_embed(docs, dim=64).select(
-        F.col("id").alias("doc_id"), "embedding"
+    # materialize the embedding once (the query side derives from the
+    # corpus side — without this the featurizer subtree plans twice),
+    # and fan back out first: AQE coalesces the tiny aggregate output
+    # to ~1 partition, which would run the entire 64-dim cosine scan
+    # on one core (measured 3.5 s -> 0.4 s at sf0.1)
+    emb = (
+        hash_tf_embed(docs, dim=64)
+        .select(F.col("id").alias("doc_id"), "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
     q = emb.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("q_id"), "embedding"
