@@ -632,3 +632,22 @@ def test_incremental_dedup_flags_only_incoming_dups(spark):
     out = incremental_minhash_dedup(existing, incoming, n=5, threshold=0.5)
     rows = [(r.id_new, r.id_old, r.jaccard) for r in out.collect()]
     assert rows == [(10, 1, 1.0)]
+
+
+def test_duplicate_spans_boilerplate_stays_linear(spark):
+    """Adversarial corpus: 120 docs all sharing one boilerplate run.
+    The doc-frequency marking join is doc-linear by construction (the
+    dup-gram list is distinct), so every doc gets exactly ONE merged
+    span — no pairwise blowup like an all-pairs candidate join."""
+    from cdc_pipe_line_spark.text import duplicate_spans
+
+    boiler = "all rights reserved contact support for more details"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique tail {i} a{i} b{i} c{i}") for i in range(120)],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(docs, n=6, min_df=2).collect()
+    assert len(out) == 120  # exactly one span per doc, not O(n^2) rows
+    # the shared run is the 8-word boilerplate PLUS 'unique tail'
+    # (also common to every doc): dup 6-grams start at 0..4 -> [0, 10)
+    assert all(r.span_start == 0 and r.span_end == 10 for r in out)
