@@ -283,6 +283,35 @@ def q_hash_embed_knn(spark, sf_dir):
     return brute_force_topk(q, emb, corpus_id="doc_id", k=5)
 
 
+def q_scrub_apply(spark, sf_dir):
+    """PII scrubbing APPLIED (text_profile binds only the counts):
+    every document gains a deterministic doc_id-derived email and URL
+    in column expressions, scrub_pii replaces them with placeholder
+    tokens, and the hash binds the scrubbed text itself.  Both
+    regexes behave identically in Java regex and RE2 (verified by the
+    count parity in text_profile since round 2)."""
+    from cdc_pipe_line_spark.text import scrub_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" today"),
+        ).alias("text"),
+    )
+    out = scrub_counts(scrub_pii(docs))
+    return out.select(
+        "doc_id",
+        "text_scrubbed",
+        F.col("n_urls").alias("n_urls_before"),
+        F.col("n_emails").alias("n_emails_before"),
+    )
+
+
 def q_corpus_datacard(spark, sf_dir):
     """Dataset-release data card: per-language doc/source counts,
     token volume, and the exact token-length distribution, plus the
@@ -561,6 +590,7 @@ QUERIES = {
     "text_strip_spans": q_strip_spans,
     "text_hash_embed_knn": q_hash_embed_knn,
     "dedup_incremental": q_dedup_incremental,
+    "text_scrub_apply": q_scrub_apply,
 }
 
 # Shared DuckDB replay of text.duplicate_spans (n=16, min_df=2):
@@ -645,6 +675,24 @@ _COS64 = (
 )
 
 ORACLE = {
+    "text_scrub_apply": """
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or https://example.com/d/'
+         || CAST(doc_id AS VARCHAR) || ' today' AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    'https?://[^\\s]+', '<URL>', 'g') AS text_scrubbed,
+  CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT)
+    AS n_urls_before,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_emails_before
+FROM aug""",
     "text_hash_embed_knn": f"""
 WITH words AS (
   SELECT doc_id,
