@@ -5,11 +5,12 @@ iterators (``mapInPandas``).
 The container ships no third-party image/audio codecs, so
 :func:`decode_media` implements the container formats a pure-stdlib
 parser can handle — binary PPM/PGM (netpbm P6/P5), uncompressed BMP
-(BITMAPINFOHEADER), RIFF/WAVE PCM, and PNG (CRC-verified chunk walk +
-``zlib`` scanline decompress — the first compressed format through
-the real-codec path) — and :func:`extract_media_meta` routes on
+(BITMAPINFOHEADER), RIFF/WAVE PCM, PNG (CRC-verified chunk walk +
+``zlib`` scanline decompress) and GIF (full LZW decompression with
+pixel-count validation — two compressed formats through the
+real-codec path) — and :func:`extract_media_meta` routes on
 ``media_type``, quarantining undecodable payloads into a
-``decode_err`` column instead of failing the job.  JPEG, GIF and
+``decode_err`` column instead of failing the job.  JPEG and
 MP4/ISO-BMFF get header-tier parsing (marker/box walks to real
 dimensions; entropy-coded payload untouched) — full pixel/sample
 decode for those still needs a real codec at deployment, through the
@@ -284,13 +285,7 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     if payload[:2] == b"\xff\xd8":
         return _jpeg_decode(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        if len(payload) < 13:  # header + logical screen descriptor
-            raise MediaDecodeError("gif: truncated logical screen descriptor")
-        w = int.from_bytes(payload[6:8], "little")
-        h = int.from_bytes(payload[8:10], "little")
-        if w <= 0 or h <= 0:
-            raise MediaDecodeError("gif: bad dimensions")
-        return {"width": w, "height": h}
+        return _gif_decode(payload)
     if payload[4:8] == b"ftyp":
         return _mp4_decode(payload)
     magic = payload[:2]
@@ -351,6 +346,191 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     raise MediaDecodeError(
         f"unsupported container (magic {payload[:4]!r}) for {media_type}; "
         "compressed formats need a real codec (PIL/soundfile/pyav) at deployment"
+    )
+
+
+def _gif_subblocks(payload: bytes, i: int) -> tuple[bytes, int]:
+    """Concatenate a GIF length-prefixed sub-block sequence starting
+    at ``i``; returns (data, offset past the 0 terminator)."""
+    out = bytearray()
+    n = len(payload)
+    while True:
+        if i >= n:
+            raise MediaDecodeError("gif: truncated sub-block")
+        ln = payload[i]
+        i += 1
+        if ln == 0:
+            return bytes(out), i
+        if i + ln > n:
+            raise MediaDecodeError("gif: truncated sub-block")
+        out += payload[i : i + ln]
+        i += ln
+
+
+def _gif_lzw_pixel_count(data: bytes, min_code_size: int) -> int:
+    """Decode a GIF LZW stream tracking only output LENGTHS (entry
+    length = prefix length + 1, so pixel counting never materializes
+    the strings) and return the number of pixels it emits.  Raises on
+    invalid codes or a stream that ends without EOI."""
+    if not 2 <= min_code_size <= 11:
+        raise MediaDecodeError(f"gif: bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(size: int) -> int:
+        nonlocal bitpos
+        if bitpos + size > total_bits:
+            raise MediaDecodeError("gif: LZW stream truncated (no EOI)")
+        v = 0
+        for k in range(size):
+            byte = data[(bitpos + k) >> 3]
+            v |= ((byte >> ((bitpos + k) & 7)) & 1) << k
+        bitpos += size
+        return v
+
+    code_size = min_code_size + 1
+    lengths: dict[int, int] = {}
+    next_code = eoi + 1
+    prev_len = None
+    count = 0
+    while True:
+        code = read_code(code_size)
+        if code == clear:
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+            lengths.clear()
+            prev_len = None
+            continue
+        if code == eoi:
+            return count
+        if code < clear:
+            cur_len = 1
+        elif eoi < code < next_code:
+            cur_len = lengths[code]
+        elif code == next_code and prev_len is not None:
+            cur_len = prev_len + 1  # the KwKwK case
+        else:
+            raise MediaDecodeError(f"gif: invalid LZW code {code}")
+        count += cur_len
+        if prev_len is not None and next_code < 4096:
+            lengths[next_code] = prev_len + 1
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev_len = cur_len
+
+
+def _gif_decode(payload: bytes) -> dict:
+    """Full GIF decode tier: header, logical screen descriptor, color
+    tables, extension skip, and a REAL LZW decompression of the image
+    data — the decoded pixel count must equal the image descriptor's
+    w*h or the payload quarantines.  Pure stdlib; interlaced images
+    route to the full-codec hook like PNG interlace."""
+    n = len(payload)
+    if n < 13:
+        raise MediaDecodeError("gif: truncated logical screen descriptor")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    if w <= 0 or h <= 0:
+        raise MediaDecodeError("gif: bad dimensions")
+    flags = payload[10]
+    i = 13
+    if flags & 0x80:
+        i += 3 * (2 << (flags & 0x07))
+    while True:
+        if i >= n:
+            raise MediaDecodeError("gif: truncated before trailer")
+        block = payload[i]
+        if block == 0x21:  # extension: label byte + sub-blocks
+            i += 2
+            _, i = _gif_subblocks(payload, i)
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > n:
+                raise MediaDecodeError("gif: truncated image descriptor")
+            iw = int.from_bytes(payload[i + 5 : i + 7], "little")
+            ih = int.from_bytes(payload[i + 7 : i + 9], "little")
+            iflags = payload[i + 9]
+            if iw <= 0 or ih <= 0:
+                raise MediaDecodeError("gif: bad image dimensions")
+            if iflags & 0x40:
+                raise MediaDecodeError(
+                    "gif: interlaced image needs a full codec (PIL) at deployment"
+                )
+            i += 10
+            if iflags & 0x80:
+                i += 3 * (2 << (iflags & 0x07))
+            if i >= n:
+                raise MediaDecodeError("gif: truncated before LZW data")
+            min_code = payload[i]
+            data, i = _gif_subblocks(payload, i + 1)
+            n_px = _gif_lzw_pixel_count(data, min_code)
+            if n_px != iw * ih:
+                raise MediaDecodeError(
+                    f"gif: LZW decoded {n_px} pixels for a {iw}x{ih} image"
+                )
+            return {"width": w, "height": h}
+        elif block == 0x3B:
+            raise MediaDecodeError("gif: trailer before any image data")
+        else:
+            raise MediaDecodeError(f"gif: unknown block {block:#04x}")
+
+
+def make_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic single-frame GIF89a encoder (test/fixture twin of
+    :func:`_gif_decode`): 8-bit global color table, pixel p =
+    ``(seed + p_index) % 256``, and an intentionally naive LZW stream
+    that emits CLEAR before every pixel code so every code is 9 bits —
+    byte count is therefore ARITHMETIC:
+    ``total = 794 + B + ceil(B/255)`` with
+    ``B = ceil(9 * (2*w*h + 1) / 8)`` (13 header/LSD + 768 color
+    table + 10 image descriptor + 1 min-code + sub-block framing +
+    terminator + trailer), which is what lets a SQL oracle bind the
+    encoder+decoder round trip from (w, h) alone."""
+    npix = width * height
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for p in range(npix):
+        emit(256)  # CLEAR
+        emit((seed + p) % 256)
+    emit(257)  # EOI
+    if nbits:
+        out.append(acc & 0xFF)
+    framed = bytearray()
+    for off in range(0, len(out), 255):
+        chunk = out[off : off + 255]
+        framed.append(len(chunk))
+        framed += chunk
+    framed.append(0)
+    table = bytearray()
+    for c in range(256):
+        table += bytes((c, c, c))
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes((0xF7, 0, 0))  # global table, 256 entries; bg; aspect
+        + table
+        + b"\x2c\x00\x00\x00\x00"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00"
+        + b"\x08"  # LZW min code size
+        + framed
+        + b"\x3b"
     )
 
 

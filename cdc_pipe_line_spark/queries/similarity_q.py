@@ -17,6 +17,7 @@ from cdc_pipe_line_spark.multimodal import (
     audio_stats,
     embed_media,
     extract_media_meta,
+    make_gif,
     make_wav,
     sample_frames,
 )
@@ -156,6 +157,43 @@ def q_audio_stats(spark, sf_dir):
         media_type="audio/wav",
     )
     return audio_stats(media)
+
+
+def q_gif_decode(spark, sf_dir):
+    """GIF through the REAL LZW decoder: every document becomes a
+    deterministic single-frame GIF (dims from doc_id, naive 9-bit
+    CLEAR-per-pixel LZW), decode_media decompresses the stream and
+    validates the pixel count; every 37th payload is truncated into
+    the quarantine path.  make_gif's byte count is arithmetic —
+    ``794 + B + ceil(B/255)``, ``B = ceil(9*(2wh+1)/8)`` — so the
+    oracle binds the encoder+decoder round trip from doc_id alone."""
+
+    @F.pandas_udf("binary")
+    def _gif_payload(
+        w: pd.Series, h: pd.Series, seed: pd.Series, cut: pd.Series
+    ) -> pd.Series:
+        out = []
+        for a, b, s, k in zip(w, h, seed, cut):
+            g = make_gif(int(a), int(b), seed=int(s))
+            out.append(g[:-3] if k else g)
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 20) + 1).alias("__w"),
+        ((F.col("doc_id") % 12) + 1).alias("__h"),
+        (F.col("doc_id") % 256).alias("__seed"),
+        (F.col("doc_id") % 37 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_gif_payload("__w", "__h", "__seed", "__cut"),
+        media_type="image/gif",
+    )
+    return extract_media_meta(media).select(
+        "media_id", "n_bytes", "width", "height", "decode_err"
+    )
 
 
 def q_knn_ivf_sq8(spark, sf_dir):
@@ -423,6 +461,7 @@ QUERIES = {
     "sim_knn_sq8": q_knn_sq8,
     "sim_knn_ivf_sq8": q_knn_ivf_sq8,
     "mm_audio_stats": q_audio_stats,
+    "mm_gif_decode": q_gif_decode,
     "sim_cosine_near_dup": q_cosine_near_dup,
     "mm_media_pipeline": q_media_pipeline,
     "mm_media_embed_knn": q_media_embed_knn,
@@ -511,6 +550,25 @@ SELECT q_id,
   TRUE AS mean_recall10_ge_06,
   TRUE AS ivf_le_k
 FROM ranked GROUP BY q_id""",
+    "mm_gif_decode": """
+WITH p AS (
+  SELECT doc_id,
+    (doc_id % 20) + 1 AS w,
+    (doc_id % 12) + 1 AS h,
+    doc_id % 37 = 0 AS cut
+  FROM documents),
+sz AS (
+  SELECT doc_id, w, h, cut,
+    CAST(ceil(9 * (2 * w * h + 1) / 8.0) AS BIGINT) AS b
+  FROM p)
+SELECT doc_id AS media_id,
+  CAST(794 + b + ceil(b / 255.0) - CASE WHEN cut THEN 3 ELSE 0 END AS BIGINT)
+    AS n_bytes,
+  CASE WHEN cut THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+  CASE WHEN cut THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+  CASE WHEN cut THEN 'gif: truncated sub-block'
+       ELSE CAST(NULL AS VARCHAR) END AS decode_err
+FROM sz""",
     "mm_audio_stats": """
 WITH p AS (
   SELECT doc_id,

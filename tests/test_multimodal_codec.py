@@ -329,9 +329,17 @@ def test_decode_jpeg_sof_variants_and_gif():
     assert decode_media(make_jpeg(31, 17, sof=0xC2), "image/jpeg") == {
         "width": 31, "height": 17,
     }
+    # GIF is no longer header-tier: a header-only payload (no image
+    # data) must QUARANTINE now that the LZW stream is really decoded
     gif = b"GIF89a" + (99).to_bytes(2, "little") + (44).to_bytes(2, "little") \
         + b"\x00\x00\x00"
-    assert decode_media(gif, "image/gif") == {"width": 99, "height": 44}
+    with pytest.raises(MediaDecodeError, match="gif: truncated before trailer"):
+        decode_media(gif, "image/gif")
+    from cdc_pipe_line_spark.multimodal import make_gif
+
+    assert decode_media(make_gif(99, 44), "image/gif") == {
+        "width": 99, "height": 44,
+    }
 
 
 def test_decode_jpeg_adversarial():
@@ -473,3 +481,67 @@ def test_audio_stats_quarantines_malformed(spark):
     assert out[2].decode_err == "wav: data chunk truncated"
     assert out[2].rms is None
     assert out[3].decode_err == "null payload"
+
+
+def test_gif_lzw_roundtrip_and_adversarial():
+    import pytest as _pytest
+
+    from cdc_pipe_line_spark.multimodal import (
+        MediaDecodeError,
+        _gif_lzw_pixel_count,
+        decode_media,
+        make_gif,
+    )
+
+    b = make_gif(9, 4, seed=7)
+    assert decode_media(b, "image/gif") == {"width": 9, "height": 4}
+    # truncated mid sub-block
+    with _pytest.raises(MediaDecodeError, match="truncated sub-block"):
+        decode_media(b[:-5], "image/gif")
+    # an LZW stream decoding to the WRONG pixel count must quarantine:
+    # shrink the image descriptor's width so 36 decoded pixels face an
+    # 8x4 claim
+    forged = bytearray(make_gif(9, 4))
+    off = 13 + 768 + 5  # image descriptor width field
+    forged[off : off + 2] = (8).to_bytes(2, "little")
+    with _pytest.raises(MediaDecodeError, match="LZW decoded 36 pixels"):
+        decode_media(bytes(forged), "image/gif")
+    # invalid code: a code beyond next_code
+    with _pytest.raises(MediaDecodeError, match="invalid LZW code"):
+        # min code size 2: clear=4, eoi=5; emit code 7 right after clear
+        # bits LSB-first, 3-bit codes: 4 (100), 7 (111)
+        _gif_lzw_pixel_count(bytes([0b00111100]), 2)
+    # stream ending without EOI
+    with _pytest.raises(MediaDecodeError, match="no EOI"):
+        _gif_lzw_pixel_count(bytes([0b00000100]), 2)  # CLEAR then nothing
+    # interlace flag routes to the full-codec hook
+    il = bytearray(make_gif(3, 3))
+    il[13 + 768 + 9] |= 0x40
+    with _pytest.raises(MediaDecodeError, match="interlaced"):
+        decode_media(bytes(il), "image/gif")
+
+
+def test_gif_lzw_real_compression_stream():
+    """The decoder handles a PROPER growing-dictionary LZW stream, not
+    just the naive CLEAR-per-pixel encoder: build one by hand for a
+    known pixel sequence (with the KwKwK case) and count."""
+    from cdc_pipe_line_spark.multimodal import _gif_lzw_pixel_count
+
+    # min code size 2: roots 0..3, CLEAR=4, EOI=5, first dict code 6.
+    # Encode pixel sequence 1,1,1,1 : codes CLEAR,1,6(KwKwK '11'),1,EOI
+    # dict: after '1'->nothing; emit 6 before it exists = KwKwK; then
+    # entry 6='11', next 7='11'+... emit 1, EOI.  Output = 1,11,1 = 4px
+    codes = [(4, 3), (1, 3), (6, 3), (1, 3), (5, 3)]
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for c, sz in codes:
+        acc |= c << nbits
+        nbits += sz
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    assert _gif_lzw_pixel_count(bytes(out), 2) == 4
