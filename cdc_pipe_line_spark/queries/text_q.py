@@ -312,6 +312,23 @@ def q_scrub_apply(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """RAG/context-window chunking: 32-word windows overlapping by 8,
+    last window keeps the remainder, short docs get one window.  The
+    hash binds every chunk's text, start offset and width; pure
+    integer/slice arithmetic, map-side only."""
+    from cdc_pipe_line_spark.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=32, overlap=8).select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        "start_word",
+        "n_words",
+        "chunk_text",
+    )
+
+
 def q_corpus_datacard(spark, sf_dir):
     """Dataset-release data card: per-language doc/source counts,
     token volume, and the exact token-length distribution, plus the
@@ -591,6 +608,7 @@ QUERIES = {
     "text_hash_embed_knn": q_hash_embed_knn,
     "dedup_incremental": q_dedup_incremental,
     "text_scrub_apply": q_scrub_apply,
+    "text_chunking": q_chunk_documents,
 }
 
 # Shared DuckDB replay of text.duplicate_spans (n=16, min_df=2):
@@ -675,6 +693,24 @@ _COS64 = (
 )
 
 ORACLE = {
+    "text_chunking": """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sized AS (
+  SELECT doc_id, w,
+    greatest(CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1) AS n_chunks
+  FROM words),
+ex AS (
+  SELECT doc_id, w, unnest(range(0, n_chunks)) AS chunk_id FROM sized)
+SELECT doc_id,
+  CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(chunk_id * 24 AS BIGINT) AS start_word,
+  CAST(len(w[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_words,
+  array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+    AS chunk_text
+FROM ex""",
     "text_scrub_apply": """
 WITH aug AS (
   SELECT doc_id,

@@ -1534,3 +1534,57 @@ def incremental_minhash_dedup(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_new", "id_old", "jaccard")
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Overlapping word-window chunking (the RAG / context-window
+    preparation step): each document splits into windows of
+    ``chunk_size`` words advancing by ``chunk_size - overlap``, the
+    final window keeping whatever remains.  Returns
+    ``(id, chunk_id, start_word, n_words, chunk_text)`` — chunk_id is
+    the 0-based window index, so (id, chunk_id) is a stable key for
+    embedding/indexing downstream.
+
+    Deterministic integer/slice arithmetic end to end (SQL-replayable);
+    one narrow explode, no shuffle — chunking is a map-side operator
+    however large the corpus.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("require 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    )
+    n = F.size("__w")
+    # windows start at 0, stride, 2*stride, ... while start+overlap < n
+    # (i.e. every window adds at least one new word); short docs get
+    # exactly one window
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    return words.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    (i * stride).alias("start"),
+                    F.slice("__w", i * stride + 1, chunk_size).alias("cw"),
+                ),
+            )
+        ).alias("chunk_id", "c"),
+    ).select(
+        "id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("c.start").cast("bigint").alias("start_word"),
+        F.size("c.cw").cast("bigint").alias("n_words"),
+        F.concat_ws(" ", "c.cw").alias("chunk_text"),
+    )

@@ -651,3 +651,32 @@ def test_duplicate_spans_boilerplate_stays_linear(spark):
     # the shared run is the 8-word boilerplate PLUS 'unique tail'
     # (also common to every doc): dup 6-grams start at 0..4 -> [0, 10)
     assert all(r.span_start == 0 and r.span_end == 10 for r in out)
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Windows advance by chunk-overlap, the tail keeps the remainder,
+    short docs give one window, and the union of chunks covers every
+    word with exactly the overlap duplicated."""
+    from cdc_pipe_line_spark.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(11))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "only three words")], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(docs, chunk_size=6, overlap=2).collect(),
+        key=lambda r: (r.id, r.chunk_id),
+    )
+    d1 = [(r.start_word, r.n_words, r.chunk_text) for r in out if r.id == 1]
+    # 11 words, size 6, stride 4 -> ceil(9/4)=3 windows: 0..5, 4..9, 8..10
+    assert d1 == [
+        (0, 6, "w0 w1 w2 w3 w4 w5"),
+        (4, 6, "w4 w5 w6 w7 w8 w9"),
+        (8, 3, "w8 w9 w10"),
+    ]
+    d2 = [(r.chunk_id, r.n_words) for r in out if r.id == 2]
+    assert d2 == [(0, 3)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_size=4, overlap=4)
