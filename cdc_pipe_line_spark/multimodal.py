@@ -263,6 +263,181 @@ def _mp4_decode(payload: bytes) -> dict:
     raise MediaDecodeError("mp4: no visual track dimensions in moov")
 
 
+def _mp4_find(payload: bytes, start: int, end: int, name: bytes):
+    """First child box ``name`` in [start, end); (body, end) or None."""
+    for btype, body, bend in _mp4_boxes(payload, start, end):
+        if btype == name:
+            return body, bend
+    return None
+
+
+def mp4_sample_table(payload: bytes) -> list[tuple[int, int]]:
+    """REAL ISO-BMFF sample-table parsing: walk
+    ``moov/trak/mdia/minf/stbl``, read ``stsz`` (sample sizes),
+    ``stco`` (chunk offsets) and ``stsc`` (sample-to-chunk runs), and
+    materialize the byte layout — ``[(offset, size)]`` per sample,
+    each validated against the file bounds.  This is container-aware
+    frame access WITHOUT any codec: exactly what a distributed
+    frame-sampling pipeline needs to slice samples out of video blobs
+    (decode happens after the slice, per sampled frame only).
+    """
+    n = len(payload)
+    moov = _mp4_find(payload, 0, n, b"moov")
+    if moov is None:
+        raise MediaDecodeError("mp4: missing moov box")
+    stbl = None
+    for tb, te in [
+        f for f in [_mp4_find(payload, *moov, b"trak")] if f is not None
+    ]:
+        mdia = _mp4_find(payload, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        minf = _mp4_find(payload, *mdia, b"minf")
+        if minf is None:
+            continue
+        stbl = _mp4_find(payload, *minf, b"stbl")
+    if stbl is None:
+        raise MediaDecodeError("mp4: missing trak/mdia/minf/stbl path")
+
+    def full_box(name: bytes) -> tuple[int, int]:
+        found = _mp4_find(payload, *stbl, name)
+        if found is None:
+            raise MediaDecodeError(f"mp4: missing {name.decode()} box")
+        body, bend = found
+        if bend - body < 4:
+            raise MediaDecodeError(f"mp4: truncated {name.decode()} box")
+        return body + 4, bend  # skip version/flags
+
+    def u32(i: int, bend: int, what: str) -> int:
+        if i + 4 > bend:
+            raise MediaDecodeError(f"mp4: truncated {what}")
+        return int.from_bytes(payload[i : i + 4], "big")
+
+    # stsz: uniform size or per-sample table
+    i, bend = full_box(b"stsz")
+    uniform = u32(i, bend, "stsz")
+    count = u32(i + 4, bend, "stsz")
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        sizes = [u32(i + 8 + 4 * k, bend, "stsz entry") for k in range(count)]
+    # stco: chunk offsets
+    i, bend = full_box(b"stco")
+    n_chunks = u32(i, bend, "stco")
+    chunks = [u32(i + 4 + 4 * k, bend, "stco entry") for k in range(n_chunks)]
+    # stsc: (first_chunk, samples_per_chunk) runs
+    i, bend = full_box(b"stsc")
+    n_runs = u32(i, bend, "stsc")
+    runs = []
+    for k in range(n_runs):
+        first = u32(i + 4 + 12 * k, bend, "stsc entry")
+        spc = u32(i + 8 + 12 * k, bend, "stsc entry")
+        runs.append((first, spc))
+    if not runs or runs[0][0] != 1:
+        raise MediaDecodeError("mp4: stsc must start at chunk 1")
+    # expand: samples per chunk k comes from the run covering k
+    out: list[tuple[int, int]] = []
+    s = 0
+    for ci, coff in enumerate(chunks, start=1):
+        spc = next(
+            spc for first, spc in reversed(runs) if first <= ci
+        )
+        off = coff
+        for _ in range(spc):
+            if s >= count:
+                break
+            size = sizes[s]
+            if off + size > n:
+                raise MediaDecodeError(
+                    f"mp4: sample {s} ({off}+{size}) beyond EOF {n}"
+                )
+            out.append((off, size))
+            off += size
+            s += 1
+    if s != count:
+        raise MediaDecodeError(
+            f"mp4: chunk layout places {s} of {count} samples"
+        )
+    return out
+
+
+SAMPLE_INDEX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_id", LongType(), True),
+        StructField("byte_offset", LongType(), True),
+        StructField("sample_size", LongType(), True),
+        StructField("decode_err", StringType(), True),
+    ]
+)
+
+
+def mp4_sample_index(media: DataFrame) -> DataFrame:
+    """One row per MP4 sample: ``(media_id, sample_id, byte_offset,
+    sample_size)`` from :func:`mp4_sample_table`, Arrow-batched;
+    malformed containers quarantine as a single null row with
+    ``decode_err`` (the poison-row policy of every media scan)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, sid, off, sz, err = [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None:
+                    ids.append(mid); sid.append(None); off.append(None)
+                    sz.append(None); err.append("null payload")
+                    continue
+                try:
+                    for k, (o, s) in enumerate(mp4_sample_table(bytes(b))):
+                        ids.append(mid); sid.append(k); off.append(o)
+                        sz.append(s); err.append(None)
+                except MediaDecodeError as exc:
+                    ids.append(mid); sid.append(None); off.append(None)
+                    sz.append(None); err.append(str(exc))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "sample_id": pd.Series(sid, dtype="object"),
+                    "byte_offset": pd.Series(off, dtype="object"),
+                    "sample_size": pd.Series(sz, dtype="object"),
+                    "decode_err": pd.Series(err, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(batches, SAMPLE_INDEX_SCHEMA)
+
+
+def make_mp4_sampled(n_samples: int, base_size: int, seed: int = 0) -> bytes:
+    """Deterministic minimal MP4 twin of :func:`mp4_sample_table`:
+    one chunk, per-sample sizes ``base_size + (i % 7)``, real
+    ftyp/moov/stbl framing and an mdat holding the samples.  The
+    layout is ARITHMETIC from (n_samples, base_size):
+    ``mdat data starts at 132 + 4*n`` and sample i's offset adds
+    ``i*base + 21*(i//7) + tri(i%7)`` — the formula the SQL oracle
+    replays."""
+    import struct as _struct
+
+    sizes = [base_size + (i % 7) for i in range(n_samples)]
+
+    def box(name: bytes, body: bytes) -> bytes:
+        return _struct.pack(">I", 8 + len(body)) + name + body
+
+    stsz = box(b"stsz", b"\x00" * 4 + _struct.pack(">II", 0, n_samples)
+               + b"".join(_struct.pack(">I", s) for s in sizes))
+    data_start = 132 + 4 * n_samples
+    stco = box(b"stco", b"\x00" * 4 + _struct.pack(">II", 1, data_start))
+    stsc = box(b"stsc", b"\x00" * 4 + _struct.pack(">IIII", 1, 1, n_samples, 1))
+    stbl = box(b"stbl", stsz + stco + stsc)
+    moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4)
+    payload = bytearray()
+    for i, s in enumerate(sizes):
+        payload += bytes(((seed + i + j) % 256) for j in range(s))
+    mdat = box(b"mdat", bytes(payload))
+    out = ftyp + moov + mdat
+    assert len(ftyp) + len(moov) + 8 == data_start, (len(ftyp), len(moov))
+    return out
+
+
 def decode_media(payload: bytes, media_type: str) -> dict:
     """Pure-stdlib decode of media containers.
 

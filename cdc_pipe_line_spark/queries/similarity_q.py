@@ -18,7 +18,9 @@ from cdc_pipe_line_spark.multimodal import (
     embed_media,
     extract_media_meta,
     make_gif,
+    make_mp4_sampled,
     make_wav,
+    mp4_sample_index,
     sample_frames,
 )
 from cdc_pipe_line_spark.similarity import (
@@ -194,6 +196,41 @@ def q_gif_decode(spark, sf_dir):
     return extract_media_meta(media).select(
         "media_id", "n_bytes", "width", "height", "decode_err"
     )
+
+
+def q_mp4_samples(spark, sf_dir):
+    """Container-aware video frame access: every document becomes a
+    minimal real MP4 (stsz/stco/stsc sample tables + mdat), and
+    mp4_sample_index materializes each sample's byte range by
+    actually parsing the ISO-BMFF structure — the slice-then-decode
+    shape of distributed frame sampling.  Sample sizes/offsets are
+    closed-form in doc_id (one chunk, sizes base+(i%7)), so the
+    oracle replays the whole layout; every 41st payload loses its
+    mdat body and quarantines with the exact bounds-check message."""
+
+    @F.pandas_udf("binary")
+    def _mp4_payload(
+        n: pd.Series, base: pd.Series, cut: pd.Series
+    ) -> pd.Series:
+        out = []
+        for a, b, k in zip(n, base, cut):
+            m = make_mp4_sampled(int(a), int(b), seed=int(a) * 7 + int(b))
+            out.append(m[: 132 + 4 * int(a)] if k else m)
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 25) + 2).alias("__n"),
+        ((F.col("doc_id") % 50) + 10).alias("__base"),
+        (F.col("doc_id") % 41 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_mp4_payload("__n", "__base", "__cut"),
+        media_type="video/mp4",
+    )
+    return mp4_sample_index(media)
 
 
 def q_knn_ivf_sq8(spark, sf_dir):
@@ -462,6 +499,7 @@ QUERIES = {
     "sim_knn_ivf_sq8": q_knn_ivf_sq8,
     "mm_audio_stats": q_audio_stats,
     "mm_gif_decode": q_gif_decode,
+    "mm_mp4_samples": q_mp4_samples,
     "sim_cosine_near_dup": q_cosine_near_dup,
     "mm_media_pipeline": q_media_pipeline,
     "mm_media_embed_knn": q_media_embed_knn,
@@ -550,6 +588,28 @@ SELECT q_id,
   TRUE AS mean_recall10_ge_06,
   TRUE AS ivf_le_k
 FROM ranked GROUP BY q_id""",
+    "mm_mp4_samples": """
+WITH p AS (
+  SELECT doc_id,
+    (doc_id % 25) + 2 AS n,
+    (doc_id % 50) + 10 AS base,
+    doc_id % 41 = 0 AS cut
+  FROM documents),
+ok AS (
+  SELECT doc_id, n, base, unnest(range(0, n)) AS i FROM p WHERE NOT cut)
+SELECT doc_id AS media_id,
+  CAST(i AS BIGINT) AS sample_id,
+  CAST(132 + 4 * n + i * base + 21 * (i // 7)
+       + ([0, 0, 1, 3, 6, 10, 15])[(i % 7) + 1] AS BIGINT) AS byte_offset,
+  CAST(base + (i % 7) AS BIGINT) AS sample_size,
+  CAST(NULL AS VARCHAR) AS decode_err
+FROM ok
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL,
+  'mp4: sample 0 (' || CAST(132 + 4 * n AS VARCHAR) || '+'
+    || CAST(base AS VARCHAR) || ') beyond EOF '
+    || CAST(132 + 4 * n AS VARCHAR)
+FROM p WHERE cut""",
     "mm_gif_decode": """
 WITH p AS (
   SELECT doc_id,

@@ -545,3 +545,61 @@ def test_gif_lzw_real_compression_stream():
     if nbits:
         out.append(acc & 0xFF)
     assert _gif_lzw_pixel_count(bytes(out), 2) == 4
+
+
+def test_mp4_sample_table_layout_and_adversarial():
+    import pytest
+
+    from cdc_pipe_line_spark.multimodal import (
+        MediaDecodeError,
+        make_mp4_sampled,
+        mp4_sample_table,
+    )
+
+    b = make_mp4_sampled(9, 30, seed=2)
+    t = mp4_sample_table(b)
+    assert len(t) == 9
+    # contiguous one-chunk layout: each sample starts where the
+    # previous ended, sizes follow base + i%7
+    for i in range(1, 9):
+        assert t[i][0] == t[i - 1][0] + t[i - 1][1]
+        assert t[i][1] == 30 + (i % 7)
+    # mdat body cut -> bounds check names the first failing sample
+    with pytest.raises(MediaDecodeError, match="beyond EOF"):
+        mp4_sample_table(b[: t[0][0]])
+    # stsz/stco count mismatch: claim one more sample than chunks hold
+    forged = bytearray(b)
+    stsz_count_off = b.index(b"stsz") + 4 + 8
+    forged[stsz_count_off : stsz_count_off + 4] = (
+        (10).to_bytes(4, "big")
+    )
+    with pytest.raises(MediaDecodeError):
+        mp4_sample_table(bytes(forged))
+    # no moov at all
+    with pytest.raises(MediaDecodeError, match="missing moov"):
+        mp4_sample_table(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00\x00\x00\x00\x08mdat")
+
+
+def test_mp4_sample_table_multi_chunk():
+    """The stsc expansion handles MULTIPLE chunks with run-length
+    sample counts — build a two-chunk layout by hand."""
+    import struct
+
+    from cdc_pipe_line_spark.multimodal import mp4_sample_table
+
+    def box(name, body):
+        return struct.pack(">I", 8 + len(body)) + name + body
+
+    sizes = [5, 6, 7, 8]
+    # chunk 1 holds 3 samples, chunk 2 holds 1
+    stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 4)
+               + b"".join(struct.pack(">I", s) for s in sizes))
+    # offsets chosen after computing header length: place mdat at 200
+    stco = box(b"stco", b"\x00" * 4 + struct.pack(">III", 2, 200, 230))
+    stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">I", 2)
+               + struct.pack(">III", 1, 3, 1) + struct.pack(">III", 2, 1, 1))
+    stbl = box(b"stbl", stsz + stco + stsc)
+    moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
+    payload = moov + b"\x00" * (240 - len(moov))
+    t = mp4_sample_table(payload)
+    assert t == [(200, 5), (205, 6), (211, 7), (230, 8)]
