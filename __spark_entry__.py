@@ -44,7 +44,7 @@ def _prewarm(spark: SparkSession) -> None:
         if not os.path.isdir(sf_dir):
             continue
         try:
-            for variant in ("raw", "raw_dup", "raw_corrupt", "cdc"):
+            for variant in ("raw", "raw_dup", "raw_corrupt", "cdc", "docs"):
                 streaming_q._stage(spark, sf_dir, variant)
             for name in io_q.QUERIES:
                 io_q.QUERIES[name](spark, sf_dir)
