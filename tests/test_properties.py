@@ -542,3 +542,38 @@ def test_domain_mix_budget_bound_random(spark, toks, budget):
     again = {r.id: r.take for r in
              domain_mix(docs, {"d": budget}, token_col="ws_tokens").collect()}
     assert again == {r.id: r.take for r in out}
+
+
+def test_lm_score_partitioning_invariant(spark):
+    """The per-doc float fold is POSITION-ordered, so the scores must
+    be bit-identical under any physical partitioning — the determinism
+    contract the oracle hash depends on."""
+    from cdc_pipe_line_spark.queries import load_table
+    from cdc_pipe_line_spark.text import lm_bigram_model, lm_score
+
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    outs = []
+    for parts in (1, 7):
+        d = docs.repartition(parts)
+        model, vocab = lm_bigram_model(d)
+        outs.append({
+            r.id: (r.avg_logp, r.min_logp, r.ppl)
+            for r in lm_score(d, model, vocab).collect()
+        })
+    assert outs[0] == outs[1]
+
+
+def test_sq8_bounds_partitioning_invariant(spark):
+    """min/max are selections, not arithmetic: quantizer bounds must
+    not depend on partitioning or aggregation order."""
+    from cdc_pipe_line_spark.queries import load_table
+    from cdc_pipe_line_spark.similarity import sq8_bounds
+
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    b1 = sq8_bounds(emb.repartition(1)).collect()[0]
+    b32 = sq8_bounds(emb.repartition(13)).collect()[0]
+    assert b1.mins == b32.mins and b1.maxs == b32.maxs
