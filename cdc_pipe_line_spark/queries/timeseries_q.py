@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from cdc_pipe_line_spark.timeseries import (
     asof_join,
     daily_counts,
+    ewma_by_key,
     gap_fill_daily,
     rolling_zscore,
     sessionize,
@@ -108,12 +109,38 @@ filled AS (
   FROM groups g CROSS JOIN spine sp
   LEFT JOIN daily dl ON dl.event_type = g.event_type AND dl.d = sp.d)"""
 
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA trend smoothing (alpha 0.2) over the event
+    stream: final smoothed level, last raw value and its deviation —
+    the drift signal a monitoring pipeline thresholds.  Oracle:
+    DuckDB list_reduce replays the position-ordered recursion
+    bit-for-bit (same seed and fold order)."""
+    ev = _t(spark, sf_dir, "events")
+    return ewma_by_key(ev, alpha=0.2)
+
+
 QUERIES = {
+    "ts_ewma": q_ewma,
     "ts_rolling_zscore": q_rolling_zscore,
     "ts_asof_sessionize": q_asof_sessionize,
 }
 
 ORACLE = {
+    "ts_ewma": """
+WITH e AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL),
+g AS (
+  SELECT user_id,
+    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs,
+    count(*) AS n
+  FROM e GROUP BY user_id)
+SELECT user_id,
+  CAST(n AS BIGINT) AS n_events,
+  round(vs[len(vs)], 4) AS last_value,
+  round(list_reduce(vs, (acc, x) -> acc * 0.8 + x * 0.2), 4) AS ewma,
+  round(vs[len(vs)] - list_reduce(vs, (acc, x) -> acc * 0.8 + x * 0.2), 4)
+    AS last_dev
+FROM g""",
     "ts_rolling_zscore": f"""
 WITH {_DAILY_SQL},
 scored AS (

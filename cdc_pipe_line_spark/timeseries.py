@@ -210,3 +210,62 @@ def sessionize(
         ).cast("bigint"))
         .drop("__new")
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Exponentially weighted moving average per key (trend/anomaly
+    smoothing): ``e_1 = v_1; e_i = (1-alpha)*e_{i-1} + alpha*v_i``
+    over the key's events in (ts, tiebreak) order, emitting the final
+    EWMA, the last raw value, and its deviation from the smoothed
+    level — the drift signal a monitoring pipeline thresholds.
+
+    Determinism contract (same as ``text.lm_score``): the recursion
+    folds a POSITION-ordered collected array left-to-right, seeded
+    with the first value — never a distributed float reduction whose
+    combine order floats.  DuckDB's ``list_reduce`` has identical
+    seed/order semantics, so the oracle replays it bit-for-bit
+    (verified to the last ulp before the defensive round).
+
+    Scale shape: one hash shuffle on the key + per-key sorted
+    collect.  A key's history must fit one aggregation buffer — the
+    same bound every per-key sequence model has; beyond that,
+    pre-aggregate to coarser ticks first (``daily_counts``).
+    """
+    nulls_out = df.filter(F.col(value_col).isNotNull())
+    sorted_vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(tiebreak_col).alias("k"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ),
+        lambda s: s["v"],
+    )
+    per_key = nulls_out.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        sorted_vals.alias("__vs"),
+    )
+    ewma = F.aggregate(
+        F.slice("__vs", 2, F.greatest(F.size("__vs") - 1, F.lit(0))),
+        F.element_at("__vs", 1),
+        lambda acc, v: acc * F.lit(1.0 - alpha) + v * F.lit(alpha),
+    )
+    last = F.element_at("__vs", -1)
+    return per_key.select(
+        key_col,
+        "n_events",
+        F.round(last, 4).alias("last_value"),
+        F.round(ewma, 4).alias("ewma"),
+        F.round(last - ewma, 4).alias("last_dev"),
+    )

@@ -139,3 +139,32 @@ def test_asof_join_golden(spark):
     )
     got = {r.event_id: r.v for r in out.collect()}
     assert got == {"p1": 7.0, "p2": 8.0, "p3": None}
+
+
+def test_ewma_recursion_and_ordering(spark):
+    """Hand-computed EWMA: seed = first value, fold in (ts, id) order;
+    null values drop; ties break on event_id."""
+    import datetime as dt
+
+    from cdc_pipe_line_spark.timeseries import ewma_by_key
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, 100.0),
+        (1, t0 + dt.timedelta(hours=1), 11, 50.0),
+        (1, t0 + dt.timedelta(hours=1), 12, 30.0),  # same ts: id order
+        (1, t0 + dt.timedelta(hours=2), 13, None),  # dropped
+        (2, t0, 20, 7.0),                            # single event
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {r.user_id: r for r in ewma_by_key(df, alpha=0.5).collect()}
+    e = 100.0
+    for v in (50.0, 30.0):
+        e = e * 0.5 + v * 0.5
+    assert out[1].n_events == 3
+    assert out[1].ewma == round(e, 4)
+    assert out[1].last_value == 30.0
+    assert out[1].last_dev == round(30.0 - e, 4)
+    assert (out[2].ewma, out[2].n_events) == (7.0, 1)  # seed only
