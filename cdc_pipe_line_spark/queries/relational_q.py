@@ -167,6 +167,30 @@ def q_revenue_by_region(spark, sf_dir):
     )
 
 
+def q_correlated_subquery(spark, sf_dir):
+    """TPC-H Q17 shape — correlated scalar subquery: per-brand
+    average yearly revenue lost to small-quantity orders
+    (``l_quantity < 0.5 * avg(l_quantity) for the same part``).
+    Expressed as raw SQL so Catalyst's subquery DECORRELATION does
+    the rewrite (scalar subquery -> aggregate + join), the plan a
+    naive engine would execute as one aggregation per outer row.
+    The oracle runs the identical decorrelated-by-DuckDB SQL."""
+    from cdc_pipe_line_spark.queries import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql("""
+        SELECT p.p_brand,
+               CAST(count(*) AS BIGINT) AS n_small,
+               round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY p.p_brand
+    """)
+
+
 def q_semi_anti(spark, sf_dir):
     """Left-semi + left-anti joins (§2.7 family) probe-tagged: EXISTS
     and NOT EXISTS per market segment without payload duplication."""
@@ -544,6 +568,7 @@ QUERIES = {
     "agg_daily_distinct_users": q_daily_distinct_users,
     "join_revenue_by_region": q_revenue_by_region,
     "join_semi_anti": q_semi_anti,
+    "join_correlated_subquery": q_correlated_subquery,
     "window_top_latest": q_window_top_latest,
     "set_ops": q_set_ops,
     "proj_pipeline": q_proj_pipeline,
@@ -638,6 +663,15 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY r_name""",
+    "join_correlated_subquery": """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+GROUP BY p.p_brand""",
     "join_semi_anti": """
 SELECT 'semi' AS probe, c_mktsegment, count(*) AS n_customers
 FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
