@@ -1,0 +1,380 @@
+"""Event-analytics operators: cohort retention, gaps-and-islands
+streaks, multi-stage funnels, exact distributed heavy hitters, and
+mergeable (incrementally-maintainable) rollup state.
+
+These are the query shapes a product-analytics user of the reference
+pipeline (events landing via CDC into a warehouse — see
+``/root/reference/consumer.py`` event flow and the aggregation views
+in ``/root/reference/cdc_data_dump.sql``) runs on the event table
+once it is in columnar storage.  All are pure DataFrame compositions
+— one declarative plan per operator, no driver-side loops over data —
+except the heavy-hitter candidate pass, which is the textbook
+two-pass Misra-Gries sketch expressed as a ``mapInPandas`` (Arrow
+batches, vectorized ``value_counts``) feeding an exact, broadcast-
+filtered recount: the result is EXACT, the sketch only bounds the
+candidate set, so the DuckDB oracle stays binding.
+
+Scale notes inline per operator; the common theme is that every
+shuffle is on a key the next stage reuses (user_id), so Catalyst
+chains the stages without re-exchanging.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+# ------------------------------------------------------------ cohort retention
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-active
+    week; for each (cohort, week-offset) the surviving user count and
+    retention percentage.
+
+    Shape at 100 TB: the raw event scan collapses immediately to the
+    distinct (user, week) set — one shuffle over the deduped pairs,
+    orders of magnitude smaller than the events themselves.  The
+    per-user min() and the activity join both hash on ``user_id``, so
+    AQE runs them back-to-back on the same exchange; the final matrix
+    is tiny (cohorts x offsets).
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    user_weeks = (
+        events.select(F.col(user_col).alias("user_id"), wk.alias("week"))
+        .distinct()
+    )
+    cohorts = user_weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    act = (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        # user_weeks is distinct, so count(*) IS the distinct-user count
+        .agg(F.count("*").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_week")
+    return (
+        act.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("week_offset") == 0, F.col("n_active"))
+            ).over(w),
+        )
+        .withColumn(
+            "retention_pct",
+            F.round(F.col("n_active") / F.col("cohort_size") * 100.0, 2),
+        )
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            "retention_pct",
+        )
+    )
+
+
+# ------------------------------------------------------- gaps-and-islands
+
+def activity_streaks(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user consecutive-day activity streaks (gaps-and-islands):
+    the island anchor is ``day - row_number() days`` — constant within
+    a run of consecutive days, so one groupBy recovers every streak.
+
+    Scale: dedup to (user, day) first (the tall event table never
+    reaches the window), then the row_number window and both groupBys
+    all partition by ``user_id`` — one logical placement of each
+    user's days, no driver state, no iteration.
+    """
+    days = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("d")
+    )
+    streaks = (
+        days.withColumn("anchor", F.date_sub("d", rn))
+        .groupBy("user_id", "anchor")
+        .agg(F.count("*").alias("len"))
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("best_streak"),
+            F.count("*").alias("n_streaks"),
+            F.sum("len").alias("active_days"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- funnel
+
+def funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered multi-stage funnel: a user converts at stage *i* only
+    with an event of that type strictly AFTER their stage *i-1*
+    conversion time (first-touch semantics).  Returns one row per
+    stage with converted-user counts, conversion % from stage 1, and
+    the mean hours from the previous stage.
+
+    Scale: each stage is a per-user min() over a type-filtered slice
+    joined back on ``user_id`` — every shuffle in the chain is on the
+    same key, so the plan is a sequence of co-partitioned SMJs over
+    per-user rows (one row per user after stage 1), never a
+    re-shuffle of raw events after the first filter+agg.
+    """
+    e = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("et"),
+        F.col(ts_col).alias("ts"),
+    )
+    cur = (
+        e.filter(F.col("et") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    per_user = [cur]  # stage i frame: user_id, t1..t{i}
+    for i, stage in enumerate(stages[1:], start=2):
+        nxt = (
+            per_user[-1]
+            .join(e.filter(F.col("et") == stage), "user_id")
+            .filter(F.col("ts") > F.col(f"t{i - 1}"))
+            .groupBy("user_id", *[f"t{j}" for j in range(1, i)])
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        per_user.append(nxt)
+
+    # base count rides along as a 1-row broadcast so the whole funnel
+    # is ONE declarative plan (no driver-side count action)
+    base = per_user[0].agg(F.count("*").alias("__base"))
+    rows = []
+    for i, (stage, frame) in enumerate(zip(stages, per_user), start=1):
+        agg_cols = [F.count("*").alias("n_users")]
+        if i > 1:
+            secs = F.unix_timestamp(F.col(f"t{i}")) - F.unix_timestamp(
+                F.col(f"t{i - 1}")
+            )
+            agg_cols.append(
+                F.round(F.avg(secs) / 3600.0, 4).alias("avg_hours_from_prev")
+            )
+        else:
+            agg_cols.append(
+                F.first(F.lit(None).cast("double")).alias(
+                    "avg_hours_from_prev"
+                )
+            )
+        summary = (
+            frame.agg(*agg_cols)
+            .crossJoin(F.broadcast(base))
+            .select(
+                F.lit(i).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.col("n_users"),
+                F.round(
+                    F.col("n_users") / F.col("__base") * 100.0, 2
+                ).alias("conv_pct"),
+                F.col("avg_hours_from_prev"),
+            )
+        )
+        rows.append(summary)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ------------------------------------------------------------ heavy hitters
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    *,
+    support: float = 0.002,
+) -> DataFrame:
+    """EXACT frequent-item mining in two passes — the only shape that
+    works at 100 TB, where a full groupBy on a high-cardinality key
+    shuffles the world to find a handful of hot keys.
+
+    Pass 1 (narrow, no shuffle): per-partition Misra-Gries with
+    ``k = ceil(2/support)`` counters over Arrow batches.  Any key with
+    global frequency >= support*n has, by pigeonhole, local frequency
+    >= support*n_p in at least one partition, and MG with k counters
+    never evicts a key whose local frequency exceeds n_p/(k+1) —
+    support/2 here, so every true heavy hitter survives into the
+    candidate set (false positives are fine; they are filtered by the
+    recount).  Each partition also emits its row count on a NULL-key
+    marker row, so the global n — and hence the threshold — comes out
+    of the same single scan.
+
+    Pass 2: broadcast the (tiny) candidate set, semi-join the raw
+    table down to candidate rows only, exact count, filter by the
+    threshold.  Output is exactly ``SELECT key, count(*) ... HAVING
+    count(*) >= ceil(support*n)`` — the oracle runs precisely that.
+    """
+    k = math.ceil(2.0 / support)
+    key_t = dict(df.dtypes)[key_col]
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            vc = pdf[key_col].value_counts()
+            for key, cnt in vc.items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            while len(counters) > k:
+                m = min(counters.values())
+                counters = {
+                    key: c - m for key, c in counters.items() if c > m
+                }
+        # candidates ship as strings so the sketch frame is key-type
+        # agnostic; pass 2 casts back to the source key type
+        out = pd.DataFrame(
+            {
+                "cand": [str(key) for key in counters],
+                "part_rows": pd.array(
+                    [None] * len(counters), dtype="Int64"
+                ),
+            }
+        )
+        marker = pd.DataFrame(
+            {
+                "cand": pd.array([None], dtype=object),
+                "part_rows": pd.array([n], dtype="Int64"),
+            }
+        )
+        yield pd.concat([out, marker], ignore_index=True)
+
+    sketch = df.select(key_col).mapInPandas(
+        mg, schema="cand string, part_rows bigint"
+    )
+    # one driver-bounded materialization: <= n_partitions * (k+1) rows
+    sketch = sketch.localCheckpoint(eager=True)
+    total = sketch.agg(F.sum("part_rows").alias("n")).collect()[0]["n"]
+    threshold = math.ceil(support * total)
+    cands = (
+        sketch.filter(F.col("cand").isNotNull())
+        .select(F.col("cand").cast(key_t).alias(key_col))
+        .distinct()
+    )
+    return (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= threshold)
+    )
+
+
+# ----------------------------------------------- mergeable rollup state
+
+ROLLUP_STATE = [
+    "n_events",
+    "sum_value",
+    "min_value",
+    "max_value",
+]
+
+
+def rollup_partial(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """One ingest batch's partial aggregate state per (day, type).
+
+    Every statistic is an algebraic merge function (count/sum are
+    re-summable, min/max re-minimizable; avg derives from sum/count
+    at read time), so maintaining the daily rollup over a 100 TB
+    history costs one scan of the NEW batch plus a merge over the
+    (tiny) existing state — never a re-scan of history.  This is the
+    batch twin of the streaming continuous aggregate
+    (``streaming.run_windowed_counts``).
+    """
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+            F.col(type_col).alias("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+
+
+def rollup_merge(*partials: DataFrame) -> DataFrame:
+    """Merge partial rollup states; bit-equal semantics to a full
+    recompute up to double-summation order (absorbed by read-time
+    rounding, exactly as cross-engine sums already are)."""
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def rollup_read(state: DataFrame) -> DataFrame:
+    """Read-time view over rollup state: rounded sums + derived avg.
+
+    The avg divides the ROUNDED sum (not the raw one): partial-merge
+    order perturbs the raw double sum by an ulp, and an unrounded
+    numerator can sit exactly on a 4-decimal rounding boundary; the
+    2-decimal-rounded sum is the value the engine publishes (and the
+    oracle matches), so deriving from it keeps read-time stats
+    bit-identical across merge orders and engines.  The quotient is
+    deliberately NOT re-rounded: IEEE division of identical inputs is
+    bit-deterministic, while a final round() reintroduces tie
+    divergence (Spark rounds the shortest-decimal rendering via
+    BigDecimal — 38.37875 -> 38.3788 — where engines rounding the
+    binary value get .3787)."""
+    return state.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        (F.round("sum_value", 2) / F.col("n_events")).alias("avg_value"),
+    )

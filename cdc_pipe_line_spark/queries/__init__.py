@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from cdc_pipe_line_spark.queries import (
+    analytics_q,
     cdc_q,
     io_q,
     relational_q,
@@ -38,6 +39,7 @@ _MODULES = [
     scd2_q,
     reshape_q,
     relational_q,
+    analytics_q,
 ]
 
 

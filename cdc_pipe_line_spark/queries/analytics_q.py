@@ -1,0 +1,148 @@
+"""Event-analytics query pack: cohort retention, streaks, funnel,
+exact heavy hitters, incremental rollup maintenance — the dashboards
+a consumer of the reference's CDC event feed builds once events land
+columnar (cf. ``/root/reference/cdc_data_dump.sql`` aggregation
+views).  Every query is oracle-checked (rows + schema + value hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark.analytics import (
+    activity_streaks,
+    cohort_retention,
+    funnel,
+    heavy_hitters,
+    rollup_merge,
+    rollup_partial,
+    rollup_read,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from cdc_pipe_line_spark.queries import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix over the event stream."""
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+def q_activity_streaks(spark, sf_dir):
+    """Per-user consecutive-day streaks (gaps-and-islands)."""
+    return activity_streaks(_t(spark, sf_dir, "events"))
+
+
+def q_funnel_stages(spark, sf_dir):
+    """view -> click -> purchase first-touch funnel."""
+    return funnel(_t(spark, sf_dir, "events"))
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact frequent users via two-pass Misra-Gries + recount.
+
+    support=0.0005 so the query returns real rows at the driver's
+    correctness scales; the MG counter budget (k=4000 per partition)
+    exceeds the fixture's user cardinality, making the candidate set
+    provably complete at ANY partitioning — the recount is exact, so
+    the plain SQL HAVING oracle is binding."""
+    return heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", support=0.0005
+    )
+
+
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental-view-maintenance shape: three ingest batches'
+    partial rollup states merged, then read — proven equal to a full
+    recompute by the oracle (which IS the full recompute)."""
+    ev = _t(spark, sf_dir, "events")
+    parts = [
+        rollup_partial(ev.filter(F.col("event_id") % 3 == i))
+        for i in range(3)
+    ]
+    return rollup_read(rollup_merge(*parts))
+
+
+QUERIES = {
+    "agg_cohort_retention": q_cohort_retention,
+    "ts_activity_streaks": q_activity_streaks,
+    "agg_funnel_stages": q_funnel_stages,
+    "agg_heavy_hitters": q_heavy_hitters,
+    "agg_incremental_rollup": q_incremental_rollup,
+}
+
+ORACLE = {
+    "agg_cohort_retention": """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events),
+co AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+act AS (
+  SELECT cohort_week,
+    CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+    count(*) AS n_active
+  FROM uw JOIN co USING (user_id) GROUP BY 1, 2)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+  n_active,
+  max(CASE WHEN week_offset = 0 THEN n_active END)
+    OVER (PARTITION BY cohort_week) AS cohort_size,
+  round(n_active / (max(CASE WHEN week_offset = 0 THEN n_active END)
+    OVER (PARTITION BY cohort_week)) * 100.0, 2) AS retention_pct
+FROM act""",
+    "ts_activity_streaks": """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events),
+isl AS (
+  SELECT user_id, d,
+    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+      AS anchor
+  FROM days),
+st AS (SELECT user_id, anchor, count(*) AS len FROM isl GROUP BY 1, 2)
+SELECT user_id, max(len) AS best_streak, count(*) AS n_streaks,
+  CAST(sum(len) AS BIGINT) AS active_days
+FROM st GROUP BY user_id""",
+    "agg_funnel_stages": """
+WITH e AS (SELECT user_id, event_type AS et, ts FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+s2 AS (
+  SELECT s1.user_id, t1, min(ts) AS t2
+  FROM s1 JOIN e ON e.user_id = s1.user_id
+    AND e.et = 'click' AND e.ts > s1.t1
+  GROUP BY 1, 2),
+s3 AS (
+  SELECT s2.user_id, t2, min(ts) AS t3
+  FROM s2 JOIN e ON e.user_id = s2.user_id
+    AND e.et = 'purchase' AND e.ts > s2.t2
+  GROUP BY 1, 2)
+SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users,
+  round(count(*) / (SELECT count(*) FROM s1) * 100.0, 2) AS conv_pct,
+  CAST(NULL AS DOUBLE) AS avg_hours_from_prev
+FROM s1
+UNION ALL
+SELECT 2, 'click', count(*),
+  round(count(*) / (SELECT count(*) FROM s1) * 100.0, 2),
+  round(avg(date_diff('second', t1, t2)) / 3600.0, 4)
+FROM s2
+UNION ALL
+SELECT 3, 'purchase', count(*),
+  round(count(*) / (SELECT count(*) FROM s1) * 100.0, 2),
+  round(avg(date_diff('second', t2, t3)) / 3600.0, 4)
+FROM s3""",
+    "agg_heavy_hitters": """
+SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+HAVING count(*) >=
+  CAST(ceil(0.0005 * (SELECT count(*) FROM events)) AS BIGINT)""",
+    "agg_incremental_rollup": """
+SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+  event_type, count(*) AS n_events,
+  round(sum(value), 2) AS sum_value,
+  round(min(value), 4) AS min_value,
+  round(max(value), 4) AS max_value,
+  round(sum(value), 2) / count(*) AS avg_value
+FROM events GROUP BY 1, 2""",
+}

@@ -556,6 +556,37 @@ def q_join_bucketed_colocated(spark, sf_dir):
     )
 
 
+def q_exists_chain(spark, sf_dir):
+    """TPC-H Q21 shape — chained correlated EXISTS / NOT EXISTS:
+    suppliers whose 'R'-flagged line is the ONLY 'R' line on a
+    multi-supplier finalized order.  Raw SQL so Catalyst plans the
+    two subqueries as a left-semi and a left-anti join (both with a
+    non-equi conjunct on the same l_orderkey equi-key — one exchange
+    feeds both); a naive engine would run two probes per outer row."""
+    from cdc_pipe_line_spark.queries import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql("""
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+          AND o.o_orderstatus = 'F'
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+    """)
+
 QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "join_bucketed_colocated": q_join_bucketed_colocated,
@@ -569,6 +600,7 @@ QUERIES = {
     "join_revenue_by_region": q_revenue_by_region,
     "join_semi_anti": q_semi_anti,
     "join_correlated_subquery": q_correlated_subquery,
+    "join_exists_chain": q_exists_chain,
     "window_top_latest": q_window_top_latest,
     "set_ops": q_set_ops,
     "proj_pipeline": q_proj_pipeline,
@@ -577,6 +609,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_exists_chain": """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s.s_name""",
     "agg_sketch_sample_profile": """
 SELECT event_type, count(DISTINCT user_id) AS exact_users,
   count(*) AS n_events,

@@ -491,7 +491,19 @@ def _lsh_bucket_sql(vec: str) -> str:
         )
     return "(" + " + ".join(terms) + ")"
 
+def q_range_search(spark, sf_dir):
+    """Radius search: all corpus vectors with cosine >= 0.3 of each
+    query vector, candidates via hyperplane-LSH buckets — the
+    "retrieve everything similar" shape (contamination sweeps), fully
+    oracle-replayed like ``sim_knn_lsh`` (same planes, same buckets,
+    same rounded exact-cosine filter)."""
+    from cdc_pipe_line_spark.similarity import lsh_range_search
+
+    q, emb = _queries_and_corpus(spark, sf_dir)
+    return lsh_range_search(q, emb, threshold=0.3, n_planes=6, dim=64)
+
 QUERIES = {
+    "sim_range_search": q_range_search,
     "sim_knn_bruteforce": q_knn_bruteforce,
     "sim_knn_lsh": q_knn_lsh,
     "sim_knn_ivf": q_knn_ivf,
@@ -513,6 +525,18 @@ _SQ8_CODE = (
 )
 
 ORACLE = {
+    "sim_range_search": f"""
+WITH cb AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings),
+qb AS (
+  SELECT vec_id AS q_id, embedding AS qv, bucket
+  FROM cb WHERE vec_id % 100 = 0)
+SELECT qb.q_id, cb.vec_id,
+  {_COS.format(a='qb.qv', b='cb.embedding')} AS cos_sim
+FROM cb JOIN qb USING (bucket)
+WHERE cb.vec_id != qb.q_id
+  AND {_COS.format(a='qb.qv', b='cb.embedding')} >= 0.3""",
     "sim_knn_sq8": f"""
 WITH ex AS (
   SELECT unnest(range(1, len(embedding) + 1)) AS pos,

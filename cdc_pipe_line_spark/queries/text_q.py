@@ -588,7 +588,37 @@ pairs AS (
 SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3"""
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-10 characteristic terms per language by TF-IDF — the
+    corpus-profiling aggregate; tokenization, the ln(N/df) weight and
+    the rank tiebreak are all replayed verbatim by the oracle."""
+    from cdc_pipe_line_spark.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=10)
+
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '[^a-z]+'))
+    AS term
+  FROM documents),
+ft AS (SELECT * FROM toks WHERE len(term) >= 3),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dft AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM ft)
+  GROUP BY term),
+tf AS (SELECT lang, term, count(*) AS tf FROM ft GROUP BY 1, 2),
+scored AS (
+  SELECT lang, term, tf, df,
+    round(tf * ln(n_docs / df), 4) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN nd)
+SELECT lang, term, tf, df, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+      ORDER BY score DESC, term ASC) AS rank
+  FROM scored) WHERE rank <= 10"""
+
 QUERIES = {
+    "text_tfidf_terms": q_tfidf_terms,
     "text_profile": q_text_profile,
     "text_exact_dedup": q_exact_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -693,6 +723,7 @@ _COS64 = (
 )
 
 ORACLE = {
+    "text_tfidf_terms": TFIDF_ORACLE,
     "text_chunking": """
 WITH words AS (
   SELECT doc_id,

@@ -602,3 +602,55 @@ def ivf_sq8_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def lsh_range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Radius (threshold) search: every corpus vector with cosine >=
+    ``threshold`` of each query, candidates generated by hyperplane-LSH
+    bucketing — the "find everything similar", as opposed to top-k,
+    retrieval shape (near-duplicate sweeps, contamination scans).
+
+    Same scale contract as :func:`lsh_topk`: the corpus is hashed once
+    (narrow map), candidates come from a bucket equi-join instead of a
+    cross join, and the exact cosine filter runs only within buckets.
+    Unlike top-k there is no window at the end — the output is the
+    filtered pair set itself, so the plan is join+filter only (no
+    global sort, no skew pivot on a hot query).  Recall follows the
+    bucket-collision probability (1 - theta/pi per plane); multi-table
+    OR-amplification raises it the standard way.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    qb = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    cb = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    return (
+        cb.join(F.broadcast(qb), "__bucket")
+        .filter(F.col("__cid") != F.col("__qid"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 4)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cos_sim",
+        )
+    )

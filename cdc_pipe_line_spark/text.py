@@ -1588,3 +1588,79 @@ def chunk_documents(
         F.size("c.cw").cast("bigint").alias("n_words"),
         F.concat_ws(" ", "c.cw").alias("chunk_text"),
     )
+
+
+# ------------------------------------------------------------- TF-IDF
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    k: int = 10,
+    min_len: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per group by TF-IDF — the corpus
+    profiling pass a training-data curator runs to see what each
+    language/domain slice actually contains (the aggregate twin of the
+    per-document ``hash_tf_embed`` featurizer).
+
+    TF is the term's total occurrences within the group; DF is the
+    corpus-wide count of documents containing the term; the score is
+    ``tf * ln(N/df)``.  Tokenization is the same lower/[^a-z]+ split
+    the quality profiler uses, so the oracle replays it verbatim with
+    DuckDB's ``string_split_regex``.
+
+    Scale: one explode of the corpus into (doc, term) — the only wide
+    thing here — then two partial-aggregated groupBys (term-level DF
+    and (group, term)-level TF).  The DF side aggregates to corpus
+    vocabulary size and broadcasts into the TF side when small; the
+    final top-k is a WindowGroupLimit over |vocab x groups| rows, not
+    over documents.  No Python in the plan.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("__doc"),
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") >= min_len)
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    df_t = (
+        toks.select("__doc", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    tf = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("grp").orderBy(
+            F.col("score").desc(), F.col("term").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rk.cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            "tf",
+            "df",
+            "score",
+            "rank",
+        )
+    )

@@ -1,0 +1,165 @@
+"""Edge-case tests for the event-analytics operators (the oracle gate
+in test_entry_oracle covers the registered fixture queries; these pin
+semantics the fixtures can't: MG eviction, funnel ordering, merge
+invariance)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark.analytics import (
+    activity_streaks,
+    cohort_retention,
+    funnel,
+    heavy_hitters,
+    rollup_merge,
+    rollup_partial,
+    rollup_read,
+)
+from cdc_pipe_line_spark.similarity import lsh_range_search
+from cdc_pipe_line_spark.text import tfidf_top_terms
+
+
+TS = dt.datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_cohort_retention_matrix(spark):
+    # u1 starts week of Mon 2024-01-01, active again +1wk and +3wk;
+    # u2 starts +1wk, never returns
+    rows = [
+        (1, TS(2024, 1, 2), 1, "view", 1.0),
+        (2, TS(2024, 1, 9), 1, "view", 1.0),
+        (3, TS(2024, 1, 23), 1, "view", 1.0),
+        (4, TS(2024, 1, 10), 2, "view", 1.0),
+    ]
+    out = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.cohort_size, r.retention_pct)
+        for r in cohort_retention(_events(spark, rows)).collect()
+    }
+    assert out[("2024-01-01", 0)] == (1, 1, 100.0)
+    assert out[("2024-01-01", 1)] == (1, 1, 100.0)
+    assert out[("2024-01-01", 3)] == (1, 1, 100.0)
+    assert out[("2024-01-08", 0)] == (1, 1, 100.0)
+    assert ("2024-01-08", 1) not in out
+
+
+def test_activity_streaks_islands(spark):
+    # u1: days 1,2,3 then 7,8 -> best 3, 2 streaks, 5 active days;
+    # duplicate events on one day collapse
+    rows = [
+        (i, TS(2024, 3, d, h), 1, "view", 1.0)
+        for i, (d, h) in enumerate(
+            [(1, 1), (1, 23), (2, 5), (3, 5), (7, 5), (8, 5)]
+        )
+    ]
+    r = activity_streaks(_events(spark, rows)).collect()[0]
+    assert (r.best_streak, r.n_streaks, r.active_days) == (3, 2, 5)
+
+
+def test_funnel_requires_order(spark):
+    # u1 converts fully; u2 clicked BEFORE first view -> not a stage-2
+    # convert; u3 views only
+    rows = [
+        (1, TS(2024, 1, 1, 10), 1, "view", 1.0),
+        (2, TS(2024, 1, 1, 11), 1, "click", 1.0),
+        (3, TS(2024, 1, 1, 12), 1, "purchase", 1.0),
+        (4, TS(2024, 1, 2, 10), 2, "click", 1.0),
+        (5, TS(2024, 1, 2, 11), 2, "view", 1.0),
+        (6, TS(2024, 1, 3, 10), 3, "view", 1.0),
+    ]
+    out = {r.stage: r for r in funnel(_events(spark, rows)).collect()}
+    assert out["view"].n_users == 3
+    assert out["click"].n_users == 1
+    assert out["purchase"].n_users == 1
+    assert out["click"].avg_hours_from_prev == 1.0
+    assert out["view"].avg_hours_from_prev is None
+    assert out["purchase"].conv_pct == pytest.approx(33.33)
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    # key cardinality (100) far above the MG budget (support=0.2 ->
+    # k=10 counters): the hot key (400 of ~895 rows) must still
+    # surface, and the recount must be exact
+    rows = [(i, TS(2024, 1, 1), 7, "view", 1.0) for i in range(400)]
+    rows += [
+        (1000 + i, TS(2024, 1, 1), 100 + (i % 99), "view", 1.0)
+        for i in range(495)
+    ]
+    ev = _events(spark, rows).repartition(8)
+    got = {r.user_id: r.n for r in heavy_hitters(ev, "user_id", support=0.2).collect()}
+    assert got == {7: 400}
+
+
+def test_heavy_hitters_threshold_is_ceil(spark):
+    # 10 rows, support 0.25 -> threshold ceil(2.5)=3: a key with 2
+    # rows is out, 3 rows is in
+    rows = [(i, TS(2024, 1, 1), 1, "v", 1.0) for i in range(3)]
+    rows += [(10 + i, TS(2024, 1, 1), 2, "v", 1.0) for i in range(2)]
+    rows += [(20 + i, TS(2024, 1, 1), 3 + i, "v", 1.0) for i in range(5)]
+    got = {r.user_id: r.n for r in heavy_hitters(_events(spark, rows), "user_id", support=0.25).collect()}
+    assert got == {1: 3}
+
+
+def test_rollup_merge_invariant_to_split(spark):
+    rows = [
+        (i, TS(2024, 1, 1 + i % 5, 3), i % 7, ["a", "b"][i % 2], float(i))
+        for i in range(200)
+    ]
+    ev = _events(spark, rows)
+    full = rollup_read(rollup_partial(ev)).collect()
+    parts = [rollup_partial(ev.filter(F.col("event_id") % 4 == i)) for i in range(4)]
+    merged = rollup_read(rollup_merge(*parts)).collect()
+    key = lambda r: (r.day, r.event_type)
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, full))
+
+
+def test_tfidf_df_is_document_frequency(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana", "en"),
+            (2, "apple cherry", "en"),
+            (3, "banane pomme", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = tfidf_top_terms(docs, k=5)
+    rows = {(r.lang, r.term): r for r in out.collect()}
+    # df counts DOCUMENTS containing the term, not occurrences
+    assert rows[("en", "apple")].df == 2
+    assert rows[("en", "apple")].tf == 3
+    # apple: 3*ln(3/2)=1.2164 beats banana: 1*ln(3)=1.0986
+    assert rows[("en", "apple")].score == pytest.approx(1.2164)
+    assert rows[("en", "banana")].score == pytest.approx(1.0986)
+    assert rows[("en", "apple")].rank < rows[("en", "banana")].rank
+    # fr vocabulary ranks independently of en
+    assert rows[("fr", "banane")].rank == 1
+
+
+def test_lsh_range_search_threshold_and_self(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 64).astype(float)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = lsh_range_search(q, emb, threshold=-1.1, n_planes=2, dim=64)
+    rows = out.collect()
+    assert all(r.q_id != r.vec_id for r in rows)  # self excluded
+    # with threshold below -1 every bucket-mate must be returned
+    strict = lsh_range_search(q, emb, threshold=0.2, n_planes=2, dim=64).collect()
+    assert all(r.cos_sim >= 0.2 for r in strict)
+    assert len(strict) < len(rows)
