@@ -45,20 +45,24 @@ def cohort_retention(
     Shape at 100 TB: the raw event scan collapses immediately to the
     distinct (user, week) set — one shuffle over the deduped pairs,
     orders of magnitude smaller than the events themselves.  The
-    per-user min() and the activity join both hash on ``user_id``, so
-    AQE runs them back-to-back on the same exchange; the final matrix
-    is tiny (cohorts x offsets).
+    cohort week is a window-min over ``user_id`` rather than a
+    per-user aggregate joined back: the join formulation makes
+    Catalyst re-plan (and re-SCAN) the events subtree for each
+    reference and broadcast a per-user frame — both wrong at 100M
+    users — while the window is one more hash exchange on the already
+    deduped pairs and nothing else.  The final matrix is tiny
+    (cohorts x offsets).
     """
     wk = F.date_trunc("week", F.col(ts_col)).cast("date")
     user_weeks = (
         events.select(F.col(user_col).alias("user_id"), wk.alias("week"))
         .distinct()
     )
-    cohorts = user_weeks.groupBy("user_id").agg(
-        F.min("week").alias("cohort_week")
-    )
     act = (
-        user_weeks.join(cohorts, "user_id")
+        user_weeks.withColumn(
+            "cohort_week",
+            F.min("week").over(Window.partitionBy("user_id")),
+        )
         .groupBy(
             "cohort_week",
             (F.datediff("week", "cohort_week") / 7)

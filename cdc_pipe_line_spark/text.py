@@ -1612,14 +1612,16 @@ def tfidf_top_terms(
     the quality profiler uses, so the oracle replays it verbatim with
     DuckDB's ``string_split_regex``.
 
-    Scale: one explode of the corpus into (doc, term) — the only wide
-    thing here — then two partial-aggregated groupBys (term-level DF
-    and (group, term)-level TF).  The DF side aggregates to corpus
-    vocabulary size and broadcasts into the TF side when small; the
-    final top-k is a WindowGroupLimit over |vocab x groups| rows, not
-    over documents.  No Python in the plan.
+    Scale: ONE explode of the corpus into the (doc, term) count
+    matrix — tokenization is the expensive stage at 100 TB, so it
+    runs once and the matrix is pinned (``localCheckpoint``: Catalyst
+    re-plans a twice-referenced subtree twice, which would re-explode
+    the corpus for the DF and TF branches).  DF and TF are then cheap
+    partial-aggregated groupBys over the compact matrix; the final
+    top-k is a WindowGroupLimit over |vocab x groups| rows, not over
+    documents.  No Python in the plan.
     """
-    toks = (
+    doc_terms = (
         docs.select(
             F.col(id_col).alias("__doc"),
             F.col(group_col).alias("grp"),
@@ -1628,15 +1630,14 @@ def tfidf_top_terms(
             ).alias("term"),
         )
         .filter(F.length("term") >= min_len)
+        .groupBy("__doc", "grp", "term")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    df_t = (
-        toks.select("__doc", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
-    tf = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    # doc_terms is distinct by construction: count(*) IS the doc freq
+    df_t = doc_terms.groupBy("term").agg(F.count("*").alias("df"))
+    tf = doc_terms.groupBy("grp", "term").agg(F.sum("c").alias("tf"))
     scored = (
         tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))
