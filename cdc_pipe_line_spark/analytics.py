@@ -382,3 +382,133 @@ def rollup_read(state: DataFrame) -> DataFrame:
         F.round("max_value", 4).alias("max_value"),
         (F.round("sum_value", 2) / F.col("n_events")).alias("avg_value"),
     )
+
+
+# ------------------------------------------------------------------ pagerank
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list — the iterative-
+    algorithm shape (influence / hubness scoring over a similarity or
+    reference graph) Spark expresses as an unrolled chain of
+    join+aggregate plans.
+
+    Semantics: ``r_{t+1}(v) = (1-d)/N + d * sum_{u->v} r_t(u)/deg(u)``
+    with dangling nodes holding the teleport term (their mass leaks —
+    the convention that keeps both engines' arithmetic identical).
+
+    Scale: edges, the vertex set and the degree table are computed
+    ONCE and pinned (each iteration references them; unpinned, Catalyst
+    re-plans — and re-scans — the upstream per reference).  Each
+    iteration is one shuffle on ``src`` (contribution join) and one on
+    the vertex id (inflow aggregate + left join back to vertices);
+    rank frames chain iteration-to-iteration without duplication, so
+    plan depth is linear in ``n_iter``.  On a cluster, long runs want
+    a persist+checkpoint cadence instead of localCheckpoint (executor-
+    loss recompute); at the fixed 3-iteration analytics shape the
+    pinned frames are one-row-per-node/edge and bounded.
+    """
+    edges = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    ).localCheckpoint(eager=True)
+    verts = (
+        edges.select(F.col("__src").alias("node"))
+        .union(edges.select(F.col("__dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.groupBy("__src").agg(F.count("*").alias("__outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n = verts.agg(F.count("*").alias("__n"))
+    teleport = 1.0 - damping
+    ranks = verts.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("node").alias("__src"), "rank"), "__src"
+            )
+            .join(deg, "__src")
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("rank") / F.col("__outdeg")).alias("__c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("__c").alias("__inflow"))
+        ranks = (
+            verts.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    F.lit(teleport) / F.col("__n")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+# ----------------------------------------------------------- attribution
+
+def last_touch_attribution(
+    events: DataFrame,
+    *,
+    target: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: each conversion event credits the
+    user's most recent PRIOR non-conversion event type (the
+    "channel"); conversions with no prior touch fall into
+    ``__none__``.  One window pass over user_id — the as-of-join
+    shape without a join (the same table carries both sides).
+
+    Scale: a single hash exchange on ``user_id`` + per-user sort (the
+    window), then a tiny aggregate over |channels| rows.  No self
+    join, no per-user arrays.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = events.withColumn(
+        "__channel",
+        F.last(
+            F.when(F.col(type_col) != target, F.col(type_col)),
+            ignorenulls=True,
+        ).over(w),
+    )
+    counts = (
+        attributed.filter(F.col(type_col) == target)
+        .groupBy(
+            F.coalesce("__channel", F.lit("__none__")).alias("channel")
+        )
+        .agg(F.count("*").alias("n_conversions"))
+    )
+    total = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counts.select(
+        "channel",
+        "n_conversions",
+        F.round(
+            F.col("n_conversions")
+            / F.sum("n_conversions").over(total)
+            * 100.0,
+            2,
+        ).alias("share_pct"),
+    )

@@ -146,3 +146,91 @@ SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
   round(sum(value), 2) / count(*) AS avg_value
 FROM events GROUP BY 1, 2""",
 }
+
+
+def q_pagerank_sources(spark, sf_dir):
+    """3-iteration PageRank over the bipartite doc <-> source graph
+    (hubness of content sources): the iterative-algorithm shape,
+    fully replayed by the oracle as three unrolled SQL iterations.
+    All double arithmetic is CAST-pinned on the DuckDB side (its bare
+    decimal literals are DECIMAL, not DOUBLE) so ranks match
+    bit-for-bit after the 8-decimal output rounding."""
+    from pyspark.sql.window import Window
+
+    from cdc_pipe_line_spark.analytics import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    fwd = docs.select(
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("source")).alias("dst"),
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, n_iter=3, damping=0.85)
+    top = (
+        pr.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return top.withColumn("pos", F.row_number().over(w))
+
+
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch channel attribution of purchases — the as-of shape
+    as ONE window pass (no self-join)."""
+    from cdc_pipe_line_spark.analytics import last_touch_attribution
+
+    return last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+QUERIES["graph_pagerank_sources"] = q_pagerank_sources
+QUERIES["agg_attribution_last_touch"] = q_attribution_last_touch
+
+_PR_STEP = """
+SELECT v.node,
+  (1 - d) / nn + d * coalesce(s.inflow, CAST(0.0 AS DOUBLE)) AS rank
+FROM verts v CROSS JOIN n CROSS JOIN params LEFT JOIN (
+  SELECT e.dst AS node, sum(r.rank / d2.outdeg) AS inflow
+  FROM edges e JOIN {prev} r ON e.src = r.node
+  JOIN deg d2 ON e.src = d2.src
+  GROUP BY 1) s ON v.node = s.node"""
+
+ORACLE["graph_pagerank_sources"] = f"""
+WITH params AS (SELECT CAST(0.85 AS DOUBLE) AS d),
+fwd AS (
+  SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 's:' || source AS dst
+  FROM documents),
+edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+verts AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+n AS (SELECT count(*) AS nn FROM verts),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn AS rank
+       FROM verts CROSS JOIN n),
+r1 AS ({_PR_STEP.format(prev='r0')}),
+r2 AS ({_PR_STEP.format(prev='r1')}),
+r3 AS ({_PR_STEP.format(prev='r2')}),
+top AS (
+  SELECT node, round(rank, 8) AS rank FROM r3
+  ORDER BY round(rank, 8) DESC, node ASC LIMIT 20)
+SELECT node, rank,
+  CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS INT) AS pos
+FROM top"""
+
+ORACLE["agg_attribution_last_touch"] = """
+WITH a AS (
+  SELECT event_type,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events),
+g AS (
+  SELECT coalesce(channel, '__none__') AS channel,
+    count(*) AS n_conversions
+  FROM a WHERE event_type = 'purchase' GROUP BY 1)
+SELECT channel, n_conversions,
+  round(n_conversions / (CAST(sum(n_conversions) OVER () AS BIGINT))
+    * 100.0, 2) AS share_pct
+FROM g"""

@@ -163,3 +163,47 @@ def test_lsh_range_search_threshold_and_self(spark):
     strict = lsh_range_search(q, emb, threshold=0.2, n_planes=2, dim=64).collect()
     assert all(r.cos_sim >= 0.2 for r in strict)
     assert len(strict) < len(rows)
+
+
+def test_pagerank_symmetric_cycle(spark):
+    from cdc_pipe_line_spark.analytics import pagerank
+
+    # a <-> b two-cycle: symmetric, ranks stay exactly 0.5 each
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in pagerank(edges, n_iter=3).collect()}
+    assert got["a"] == pytest.approx(0.5)
+    assert got["b"] == pytest.approx(0.5)
+
+
+def test_pagerank_hub_attracts_mass(spark):
+    from cdc_pipe_line_spark.analytics import pagerank
+
+    # star: three leaves each point at hub (and hub back) — hub must
+    # outrank the leaves; dangling 'z' (edge in, none out) leaks mass
+    edges = spark.createDataFrame(
+        [("l1", "hub"), ("l2", "hub"), ("l3", "hub"),
+         ("hub", "l1"), ("hub", "l2"), ("hub", "l3"), ("l1", "z")],
+        "src string, dst string",
+    )
+    got = {r.node: r.rank for r in pagerank(edges, n_iter=3).collect()}
+    assert got["hub"] > got["l1"] > 0
+    assert got["z"] < got["hub"]
+    assert len(got) == 5
+
+
+def test_attribution_no_prior_touch_is_none(spark):
+    from cdc_pipe_line_spark.analytics import last_touch_attribution
+
+    rows = [
+        (1, TS(2024, 1, 1, 9), 1, "purchase", 1.0),   # nothing before
+        (2, TS(2024, 1, 1, 10), 2, "view", 1.0),
+        (3, TS(2024, 1, 1, 11), 2, "click", 1.0),
+        (4, TS(2024, 1, 1, 12), 2, "purchase", 1.0),  # last touch: click
+        (5, TS(2024, 1, 1, 13), 2, "purchase", 1.0),  # purchases don't self-attribute
+    ]
+    got = {r.channel: (r.n_conversions, r.share_pct)
+           for r in last_touch_attribution(_events(spark, rows)).collect()}
+    assert got["__none__"] == (1, pytest.approx(33.33))
+    assert got["click"] == (2, pytest.approx(66.67))
