@@ -111,6 +111,41 @@ def q_io_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (S14 at 100 TB): the partition to
+    read is only known AFTER filtering a dimension — Catalyst injects
+    a runtime subquery into the fact scan's PartitionFilters
+    (``dynamicpruningexpression``), so one of 3 partition directories
+    is listed/read instead of the whole layout.  This is the scan-side
+    behavior that makes star joins over a partitioned lake viable:
+    static pruning (io_partitioned_prune) covers literal predicates,
+    DPP covers join-derived ones.  Plan-asserted in test_plans."""
+    path, ready = _cache(sf_dir, "lineitem_part")
+    if not ready:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_returnflag"
+        )
+        sources.write_parquet_partitioned(li, path, ["l_returnflag"])
+        _mark(path)
+    dim_path, dready = _cache(sf_dir, "flag_dim")
+    if not dready:
+        spark.createDataFrame(
+            [("A", "returned"), ("N", "active"), ("R", "refused")],
+            "flag string, status string",
+        ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+        _mark(dim_path)
+    fact = spark.read.parquet(path)
+    dim = spark.read.parquet(dim_path).filter(F.col("status") == "returned")
+    return (
+        fact.join(dim, fact.l_returnflag == dim.flag)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_orderkey").alias("sum_orderkey"),
+        )
+    )
+
 # ------------------------------------------------------------------ S2
 
 
@@ -257,12 +292,22 @@ def q_io_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "io_text_roundtrip": q_io_text_roundtrip,
     "io_partitioned_prune": q_io_partitioned_prune,
+    "io_dpp_join": q_io_dpp_join,
     "io_office_ingest": q_io_office_ingest,
     "io_zip_consolidated": q_io_zip_consolidated,
     "io_jdbc_roundtrip": q_io_jdbc_roundtrip,
 }
 
 ORACLE = {
+    "io_dpp_join": """
+WITH dim AS (
+  SELECT * FROM (VALUES ('A', 'returned'), ('N', 'active'),
+                        ('R', 'refused')) d(flag, status)
+  WHERE status = 'returned')
+SELECT status, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+       CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey
+FROM lineitem JOIN dim ON l_returnflag = flag
+GROUP BY status""",
     "io_text_roundtrip": """
 SELECT 'csv' AS probe, p_brand AS grp, count(*) AS n,
        CAST(sum(p_partkey) AS BIGINT) AS sum_k,

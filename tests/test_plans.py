@@ -179,3 +179,40 @@ def test_no_shuffle_cartesian_in_any_batch_query(spark):
         if "CartesianProduct" in plan:
             offenders[name] = True
     assert not offenders, f"shuffle cartesian in: {sorted(offenders)}"
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark):
+    """io_dpp_join must read the fact through a runtime-injected
+    partition filter (DPP), not a full scan + post-join filter."""
+    plan = _plan(spark, "io_dpp_join")
+    assert "dynamicpruningexpression" in plan
+    # and the column projection must still prune (partition col is
+    # directory metadata, not data)
+    assert re.search(
+        r"ReadSchema: struct<l_orderkey:bigint,l_quantity:double>", plan
+    )
+
+
+def test_cohort_retention_one_scan_no_join(spark):
+    plan = _plan(spark, "agg_cohort_retention")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_heavy_hitters_no_full_cardinality_shuffle_before_filter(spark):
+    """The recount must filter the raw table through a broadcast
+    semi-join against the (pinned) candidate sketch, never a plain
+    groupBy over the raw key space.  The MG pass itself is already
+    materialized by the time this plan exists (localCheckpoint ->
+    Scan ExistingRDD) — its narrowness is pinned by construction
+    (mapInPandas directly on the scan, no exchange upstream)."""
+    plan = _plan(spark, "agg_heavy_hitters")
+    assert "Scan ExistingRDD" in plan  # the pinned sketch, not a rescan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_tfidf_single_tokenize_pass(spark):
+    """The corpus explode must run once (pinned matrix), not once per
+    DF/TF branch."""
+    plan = _plan(spark, "text_tfidf_terms")
+    assert plan.count("Generate explode") <= 1
