@@ -502,8 +502,53 @@ def q_range_search(spark, sf_dir):
     q, emb = _queries_and_corpus(spark, sf_dir)
     return lsh_range_search(q, emb, threshold=0.3, n_planes=6, dim=64)
 
+def q_image_resize(spark, sf_dir):
+    """Nearest-neighbor resize over REAL decoded netpbm pixels to a
+    fixed 16x12 model-input raster: the image-preprocessing step of a
+    multimodal pipeline.  The PPM payload is the same md5-fill
+    construction as mm_media_pipeline's ppm probe, so the oracle
+    replays every OUTPUT byte arithmetically (floor-index resample of
+    the md5 hex stream) and binds the full pixel sum + both corners.
+    Every 50th payload is truncated to the bare magic, pinning the
+    quarantine leg (resize_err, never a task failure)."""
+    from cdc_pipe_line_spark.multimodal import (
+        as_media_table,
+        resize_image_nearest,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        ((F.octet_length("text") % 64) + 1).alias("__w"),
+        ((F.octet_length("text") % 48) + 1).alias("__h"),
+        "text",
+    ).withColumn("__npix", F.col("__w") * F.col("__h") * 3).withColumn(
+        "__payload",
+        F.concat(
+            F.lit("P6\n"),
+            F.col("__w").cast("string"), F.lit(" "),
+            F.col("__h").cast("string"),
+            F.lit("\n255\n"),
+            F.expr(
+                "substring(repeat(md5(text), cast(floor(__npix / 32) as int) + 1),"
+                " 1, __npix)"
+            ),
+        ).cast("binary"),
+    ).withColumn(
+        "__payload",
+        F.when(
+            F.col("doc_id") % 50 == 0, F.lit(b"P6")
+        ).otherwise(F.col("__payload")),
+    )
+    media = as_media_table(
+        src, id_col="doc_id", payload_col="__payload",
+        media_type="image/ppm",
+    )
+    return resize_image_nearest(media, 16, 12)
+
 QUERIES = {
     "sim_range_search": q_range_search,
+    "mm_image_resize": q_image_resize,
     "sim_knn_bruteforce": q_knn_bruteforce,
     "sim_knn_lsh": q_knn_lsh,
     "sim_knn_ivf": q_knn_ivf,
@@ -525,6 +570,24 @@ _SQ8_CODE = (
 )
 
 ORACLE = {
+    "mm_image_resize": """
+WITH d AS (
+  SELECT doc_id, (octet_length(encode(text)) % 64) + 1 AS w,
+         (octet_length(encode(text)) % 48) + 1 AS h, md5(text) AS m
+  FROM documents)
+SELECT doc_id AS media_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+  16 AS out_w, 12 AS out_h, CAST(576 AS BIGINT) AS n_out_bytes,
+  CAST(list_sum(list_transform(range(0, 576), j ->
+    ascii(substr(m, CAST((((((j // 48) * h) // 12) * w + (((j % 48) // 3) * w) // 16) * 3 + (j % 3)) % 32 AS INT) + 1, 1)))) AS BIGINT)
+    AS pix_sum,
+  ascii(substr(m, 1, 1)) AS corner_tl,
+  ascii(substr(m, CAST(((((11 * h) // 12) * w + (15 * w) // 16) * 3 + 2) % 32 AS INT) + 1, 1)) AS corner_br,
+  CAST(NULL AS VARCHAR) AS resize_err
+FROM d WHERE doc_id % 50 != 0
+UNION ALL
+SELECT doc_id, NULL, NULL, 16, 12, NULL, NULL, NULL, NULL,
+  'netpbm: truncated header'
+FROM d WHERE doc_id % 50 = 0""",
     "sim_range_search": f"""
 WITH cb AS (
   SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket

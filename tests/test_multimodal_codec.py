@@ -603,3 +603,59 @@ def test_mp4_sample_table_multi_chunk():
     payload = moov + b"\x00" * (240 - len(moov))
     t = mp4_sample_table(payload)
     assert t == [(200, 5), (205, 6), (211, 7), (230, 8)]
+
+
+# ---------------------------------------------------------------- resize
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_resize_nearest_exact_math(spark):
+    from cdc_pipe_line_spark.multimodal import resize_image_nearest
+
+    # 2x2 RGB -> 4x4 upscale: every dst quadrant repeats its src pixel
+    pix = bytes([10, 11, 12,  20, 21, 22,
+                 30, 31, 32,  40, 41, 42])
+    ppm = b"P6\n2 2\n255\n" + pix
+    out = resize_image_nearest(
+        _media_df(spark, [(1, bytearray(ppm))]), 4, 4
+    ).collect()[0]
+    assert (out.src_w, out.src_h, out.n_out_bytes) == (2, 2, 48)
+    # sum = each src pixel appears 4x
+    assert out.pix_sum == 4 * sum(pix)
+    assert out.corner_tl == 10 and out.corner_br == 42
+    assert out.resize_err is None
+
+
+def test_resize_downscale_picks_floor_indices(spark):
+    from cdc_pipe_line_spark.multimodal import resize_image_nearest
+
+    # 4x1 gray (P5) -> 2x1: dst x=0 -> src 0, x=1 -> src 2
+    ppm = b"P5\n4 1\n255\n" + bytes([5, 6, 7, 8])
+    out = resize_image_nearest(
+        _media_df(spark, [(1, bytearray(ppm))]), 2, 1
+    ).collect()[0]
+    assert out.pix_sum == 5 + 7
+    assert out.corner_tl == 5 and out.corner_br == 7
+
+
+def test_resize_quarantines_malformed(spark):
+    from cdc_pipe_line_spark.multimodal import resize_image_nearest
+
+    rows = [
+        (1, bytearray(b"P6")),                        # truncated header
+        (2, bytearray(b"BM" + b"\x00" * 60)),         # not netpbm
+        (3, bytearray(b"P6\n2 2\n255\n" + b"\x00" * 5)),  # pixels truncated
+        (4, None),                                    # null payload
+        (5, bytearray(b"P6\n1 1\n65535\n" + b"\x00" * 6)),  # 16-bit
+    ]
+    got = {r.media_id: r for r in resize_image_nearest(
+        _media_df(spark, rows), 4, 4).collect()}
+    assert all(got[i].resize_err is not None for i in (1, 2, 3, 4, 5))
+    assert all(got[i].pix_sum is None for i in (1, 2, 3, 4, 5))
+    assert "truncated header" in got[1].resize_err
+    assert "raw pixels" in got[2].resize_err
+    assert "truncated" in got[3].resize_err
+    assert "null payload" in got[4].resize_err
+    assert "16-bit" in got[5].resize_err

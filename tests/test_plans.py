@@ -216,3 +216,48 @@ def test_tfidf_single_tokenize_pass(spark):
     DF/TF branch."""
     plan = _plan(spark, "text_tfidf_terms")
     assert plan.count("Generate explode") <= 1
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """100 TB posture: when a shuffle join's build side is selective,
+    Spark injects a runtime bloom filter (bloom_filter_agg on the dim
+    key -> might_contain on the fact scan side), cutting shuffle write
+    volume before the exchange.  Pinned here so the session defaults
+    (AQE + runtime filters) keep the behavior; thresholds are lowered
+    only to make the tiny fixture eligible."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10GB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force the shuffle join shape (broadcast joins don't need blooms)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
