@@ -11,6 +11,7 @@ from cdc_pipe_line_spark.timeseries import (
     daily_counts,
     ewma_by_key,
     gap_fill_daily,
+    holt_by_key,
     rolling_zscore,
     sessionize,
 )
@@ -119,13 +120,48 @@ def q_ewma(spark, sf_dir):
     return ewma_by_key(ev, alpha=0.2)
 
 
+def q_holt(spark, sf_dir):
+    """Per-user Holt level+trend smoothing (alpha .25, beta .125) with
+    one-step forecast; the coupled two-state recursion replays
+    bit-for-bit via a DuckDB RECURSIVE CTE (list_reduce is unusable
+    here: DuckDB 1.0 aliases struct accumulator fields in-place, so a
+    two-field fold would read partially-updated state)."""
+    ev = _t(spark, sf_dir, "events")
+    return holt_by_key(ev)
+
 QUERIES = {
     "ts_ewma": q_ewma,
+    "ts_holt_trend": q_holt,
     "ts_rolling_zscore": q_rolling_zscore,
     "ts_asof_sessionize": q_asof_sessionize,
 }
 
 ORACLE = {
+    "ts_holt_trend": """
+WITH RECURSIVE e AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL),
+g AS (
+  SELECT user_id,
+    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs,
+    count(*) AS n
+  FROM e GROUP BY user_id),
+-- row-to-row recursion (NOT list_reduce: DuckDB 1.0 aliases struct
+-- accumulator fields in-place, so a coupled two-field fold reads
+-- partially-updated state)
+seq AS (
+  SELECT user_id, vs, n, 1 AS i, vs[1] AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM g
+  UNION ALL
+  SELECT user_id, vs, n, i + 1,
+    vs[i + 1] * 0.25 + 0.75 * (l + b),
+    ((vs[i + 1] * 0.25 + 0.75 * (l + b)) - l) * 0.125 + 0.875 * b
+  FROM seq WHERE i < len(vs))
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+  round(vs[len(vs)], 4) AS last_value,
+  round(l, 4) AS level,
+  round(b, 4) AS trend,
+  round(l + b, 4) AS forecast_next
+FROM seq WHERE i = len(vs)""",
     "ts_ewma": """
 WITH e AS (
   SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL),

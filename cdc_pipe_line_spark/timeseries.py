@@ -269,3 +269,75 @@ def ewma_by_key(
         F.round(ewma, 4).alias("ewma"),
         F.round(last - ewma, 4).alias("last_dev"),
     )
+
+
+def holt_by_key(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    beta: float = 0.125,
+) -> DataFrame:
+    """Holt double-exponential smoothing per key (level + linear
+    trend): ``l_1 = v_1, b_1 = 0;  l_i = a*v_i + (1-a)*(l+b);
+    b_i = g*(l_i - l) + (1-g)*b``, emitting the final level, trend,
+    and the one-step forecast ``l + b`` — the next tier above
+    :func:`ewma_by_key` for drift that has direction, not just a
+    moving center.
+
+    Determinism contract (same as ``ewma_by_key``): a position-ordered
+    fold whose accumulator is a (level, trend) STRUCT; DuckDB's
+    ``list_reduce`` seeds from the first element and folds in the same
+    order over the same IEEE ops, so the oracle replays the coupled
+    recursion bit-for-bit.  The default alpha/beta are dyadic
+    (0.25, 0.125) so even the literals are exactly representable.
+
+    Scale shape: identical to EWMA — one hash shuffle on the key,
+    per-key sorted collect, per-key history bounded by the
+    aggregation buffer (pre-aggregate to coarser ticks beyond that).
+    """
+    nulls_out = df.filter(F.col(value_col).isNotNull())
+    sorted_vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(tiebreak_col).alias("k"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ),
+        lambda s: s["v"],
+    )
+    per_key = nulls_out.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        sorted_vals.alias("__vs"),
+    )
+
+    a, g = float(alpha), float(beta)
+
+    def _step(acc, v):
+        lnew = v * F.lit(a) + (F.lit(1.0 - a)) * (acc["l"] + acc["b"])
+        bnew = (lnew - acc["l"]) * F.lit(g) + F.lit(1.0 - g) * acc["b"]
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    state = F.aggregate(
+        F.slice("__vs", 2, F.greatest(F.size("__vs") - 1, F.lit(0))),
+        F.struct(
+            F.element_at("__vs", 1).alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
+        _step,
+    )
+    last = F.element_at("__vs", -1)
+    return per_key.select(
+        key_col,
+        "n_events",
+        F.round(last, 4).alias("last_value"),
+        F.round(state["l"], 4).alias("level"),
+        F.round(state["b"], 4).alias("trend"),
+        F.round(state["l"] + state["b"], 4).alias("forecast_next"),
+    )

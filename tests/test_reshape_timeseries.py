@@ -168,3 +168,39 @@ def test_ewma_recursion_and_ordering(spark):
     assert out[1].last_value == 30.0
     assert out[1].last_dev == round(30.0 - e, 4)
     assert (out[2].ewma, out[2].n_events) == (7.0, 1)  # seed only
+
+
+def test_holt_by_key_hand_math(spark):
+    """The coupled (level, trend) recursion against hand-computed
+    values: vs=[1,2,4], a=.25, g=.125 -> l=1.9609375, b=0.1162109375
+    (all dyadic, so equality is exact before the defensive round)."""
+    import datetime as dt
+
+    from cdc_pipe_line_spark.timeseries import holt_by_key
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i), 1, "v", float(v))
+        for i, v in enumerate([1, 2, 4])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = holt_by_key(df).collect()[0]
+    assert r.level == 1.9609
+    assert r.trend == 0.1162
+    assert r.forecast_next == round(1.9609375 + 0.1162109375, 4)
+    assert r.last_value == 4.0
+
+
+def test_holt_single_point_is_level_only(spark):
+    import datetime as dt
+
+    from cdc_pipe_line_spark.timeseries import holt_by_key
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "v", 7.5)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = holt_by_key(df).collect()[0]
+    assert (r.level, r.trend, r.forecast_next) == (7.5, 0.0, 7.5)
