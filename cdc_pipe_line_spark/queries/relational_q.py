@@ -587,6 +587,42 @@ def q_exists_chain(spark, sf_dir):
         GROUP BY s.s_name
     """)
 
+def q_ntile_bands(spark, sf_dir):
+    """Quartile banding (W-family ntile): customers banded into spend
+    quartiles WITHIN their market segment (the per-partition form — a
+    global ntile would funnel everything through one task), then
+    per-band stats.  Spend is rounded to cents BEFORE ordering so the
+    band boundaries are cross-engine deterministic (raw double sums
+    can differ by an ulp between engines; cents can't, per the
+    repo-wide sum-rounding convention)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        F.count("*").alias("n_orders"),
+    )
+    j = spend.join(
+        cust.select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        "o_custkey",
+    )
+    band = F.ntile(4).over(
+        Window.partitionBy("c_mktsegment").orderBy(
+            F.col("spend").desc(), F.col("o_custkey").asc()
+        )
+    )
+    return (
+        j.withColumn("band", band)
+        .groupBy("c_mktsegment", "band")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.min("spend"), 2).alias("min_spend"),
+            F.round(F.max("spend"), 2).alias("max_spend"),
+            F.round(F.sum("spend"), 2).alias("band_spend"),
+        )
+    )
+
 QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "join_bucketed_colocated": q_join_bucketed_colocated,
@@ -602,6 +638,7 @@ QUERIES = {
     "join_correlated_subquery": q_correlated_subquery,
     "join_exists_chain": q_exists_chain,
     "window_top_latest": q_window_top_latest,
+    "window_ntile_bands": q_ntile_bands,
     "set_ops": q_set_ops,
     "proj_pipeline": q_proj_pipeline,
     "scalar_showcase": q_scalar_showcase,
@@ -609,6 +646,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "window_ntile_bands": """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT s.o_custkey, s.spend, c.c_mktsegment,
+    ntile(4) OVER (PARTITION BY c.c_mktsegment
+                   ORDER BY s.spend DESC, s.o_custkey ASC) AS band
+  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey)
+SELECT c_mktsegment, band, count(*) AS n_customers,
+  round(min(spend), 2) AS min_spend,
+  round(max(spend), 2) AS max_spend,
+  round(sum(spend), 2) AS band_spend
+FROM j GROUP BY 1, 2""",
     "join_exists_chain": """
 SELECT s.s_name, count(*) AS numwait
 FROM supplier s

@@ -617,11 +617,22 @@ SELECT lang, term, tf, df, score, rank FROM (
       ORDER BY score DESC, term ASC) AS rank
   FROM scored) WHERE rank <= 10"""
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric containment dedup (quoted/embedded docs): shingle
+    containment |A∩B|/|smaller| >= 0.8, directional output.  Same
+    inverted-index candidates as dedup_ngram_jaccard; only the metric
+    differs — the case symmetric Jaccard misses."""
+    from cdc_pipe_line_spark.text import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, n=5, threshold=0.8)
+
 QUERIES = {
     "text_tfidf_terms": q_tfidf_terms,
     "text_profile": q_text_profile,
     "text_exact_dedup": q_exact_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_ngram_containment": q_ngram_containment,
     "dedup_components": q_dedup_components,
     "dedup_levenshtein": q_levenshtein,
     "dedup_minhash_lsh": q_minhash_lsh,
@@ -723,6 +734,31 @@ _COS64 = (
 )
 
 ORACLE = {
+    "dedup_ngram_containment": """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3),
+                          i -> array_to_string(w[i:i+4], ' '))
+      ELSE [] END) AS sh
+  FROM words),
+sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh),
+ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM sized),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_shared
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS contained_id,
+       CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS container_id,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared / least(n_a, n_b), 4) AS containment
+FROM shared
+WHERE round(n_shared / least(n_a, n_b), 4) >= 0.8""",
     "text_tfidf_terms": TFIDF_ORACLE,
     "text_chunking": """
 WITH words AS (

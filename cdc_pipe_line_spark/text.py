@@ -1665,3 +1665,70 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT:
+    ``|A∩B| / |smaller side|`` — the metric that catches a document
+    quoted or embedded inside a larger one, which symmetric Jaccard
+    misses (a 100-line doc fully contained in a 10,000-line doc has
+    jaccard ~0.01 but containment 1.0).  Output is directional:
+    (contained_id, container_id), smaller shingle set = contained,
+    ties to the lower id.
+
+    Candidates, scale guards (``max_df``) and exact verification are
+    the same inverted-index machinery as
+    :func:`ngram_jaccard_pairs` — only the final metric differs.
+    """
+    sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n)
+    sh = sh.localCheckpoint(eager=True)
+    exploded = sh.select("id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("g")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("g")
+        )
+        exploded = exploded.join(hot, "g", "left_anti")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__sh_b")), "id_b"
+        )
+        .withColumn("n_shared", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn("__na", F.size("__sh_a"))
+        .withColumn("__nb", F.size("__sh_b"))
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.least("__na", "__nb"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return verified.select(
+        F.when(F.col("__na") <= F.col("__nb"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("contained_id"),
+        F.when(F.col("__na") <= F.col("__nb"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("container_id"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        "containment",
+    )
