@@ -546,12 +546,70 @@ def q_image_resize(spark, sf_dir):
     )
     return resize_image_nearest(media, 16, 12)
 
+def q_knn_pq(spark, sf_dir):
+    """Product-quantization ADC top-10 — the compressed-domain ANN
+    tier completing the FAISS-shaped stack (BF / LSH / IVF / SQ8 /
+    IVF,SQ8 / PQ).  Codebook training seeds via xxhash sampling
+    (deliberately not SQL-replicable), so the oracle binds through
+    the sketch-query pattern like sim_knn_ivf: exact brute-force
+    values DuckDB recomputes + recall boolean claims the PQ path
+    must uphold — per-query recall@10 >= 0.2, corpus-wide mean
+    >= 0.5 (measured: 0.82 at sf0.01, 0.68 at sf1 with the 5%
+    corpus-proportional shortlist), and <= k rows per query."""
+    from cdc_pipe_line_spark.similarity import pq_topk
+
+    q, emb = _queries_and_corpus(spark, sf_dir)
+    pq = pq_topk(q, emb, k=10, shortlist=100, shortlist_frac=0.05)
+    exact = brute_force_topk(q, emb, k=10)
+    hits = (
+        pq.select("q_id", "vec_id")
+        .join(exact.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("__n_hit"))
+    )
+    n_pq = pq.groupBy("q_id").agg(F.count("*").alias("__n_pq"))
+    per_q = (
+        exact.groupBy("q_id")
+        .agg(
+            F.max(F.when(F.col("rank") == 1, F.col("vec_id"))).alias(
+                "exact_top1_id"
+            ),
+            F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))).alias(
+                "exact_top1_sim"
+            ),
+            F.round(F.sum("cos_sim"), 4).alias("exact_top10_sim_sum"),
+            F.count("*").alias("__n_exact"),
+        )
+        .join(hits, "q_id", "left")
+        .join(n_pq, "q_id", "left")
+        .withColumn(
+            "__recall",
+            F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("__n_exact"),
+        )
+    )
+    mean_ok = per_q.agg(
+        (F.avg("__recall") >= 0.5).alias("mean_recall10_ge_05")
+    )
+    return (
+        per_q.crossJoin(F.broadcast(mean_ok))
+        .select(
+            "q_id",
+            "exact_top1_id",
+            "exact_top1_sim",
+            "exact_top10_sim_sum",
+            (F.col("__recall") >= 0.2).alias("recall10_ge_02"),
+            "mean_recall10_ge_05",
+            (F.coalesce(F.col("__n_pq"), F.lit(0)) <= 10).alias("pq_le_k"),
+        )
+    )
+
 QUERIES = {
     "sim_range_search": q_range_search,
     "mm_image_resize": q_image_resize,
     "sim_knn_bruteforce": q_knn_bruteforce,
     "sim_knn_lsh": q_knn_lsh,
     "sim_knn_ivf": q_knn_ivf,
+    "sim_knn_pq": q_knn_pq,
     "sim_knn_sq8": q_knn_sq8,
     "sim_knn_ivf_sq8": q_knn_ivf_sq8,
     "mm_audio_stats": q_audio_stats,
@@ -570,6 +628,25 @@ _SQ8_CODE = (
 )
 
 ORACLE = {
+    "sim_knn_pq": f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+    {_COS.format(a='q.qv', b='e.embedding')} AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.q_id),
+ranked AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM scored) WHERE rank <= 10)
+SELECT q_id,
+  max(CASE WHEN rank = 1 THEN vec_id END) AS exact_top1_id,
+  max(CASE WHEN rank = 1 THEN cos_sim END) AS exact_top1_sim,
+  round(sum(cos_sim), 4) AS exact_top10_sim_sum,
+  TRUE AS recall10_ge_02,
+  TRUE AS mean_recall10_ge_05,
+  TRUE AS pq_le_k
+FROM ranked GROUP BY q_id""",
     "mm_image_resize": """
 WITH d AS (
   SELECT doc_id, (octet_length(encode(text)) % 64) + 1 AS w,

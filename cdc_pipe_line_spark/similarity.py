@@ -654,3 +654,204 @@ def lsh_range_search(
             "cos_sim",
         )
     )
+
+
+# ------------------------------------------------------ product quantization
+
+def _subvectors(df: DataFrame, id_out: str, *, vec_col: str, id_col: str,
+                dim: int, m: int) -> DataFrame:
+    """One narrow pass splitting each vector into its m subspace
+    slices: (id, s, subvec).  The python loop unrolls to literal
+    slice offsets — one scan, no per-subspace re-read."""
+    d_sub = dim // m
+    slices = F.array(*[
+        F.struct(
+            F.lit(s).alias("s"),
+            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("subvec"),
+        )
+        for s in range(m)
+    ])
+    return df.select(
+        F.col(id_col).alias(id_out), F.explode(slices).alias("__sl")
+    ).select(id_out, F.col("__sl.s").alias("s"), F.col("__sl.subvec").alias("subvec"))
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-subspace mini k-means codebooks for product quantization:
+    m codebooks of k centroids over dim/m-dimensional slices
+    (FAISS's PQ shape; 16 centroids = 4-bit codes).
+
+    Seeding follows :func:`ivf_centroids`' distributed discipline —
+    per-subspace smallest-xxhash sample via a rank-pushdown window
+    (WindowGroupLimit: each task keeps <= k rows per subspace before
+    the shuffle), then ``iters`` Lloyd passes of broadcast-argmin
+    assignment + per-dimension means.  The codebook table is tiny
+    (m x k x dim/m floats) and every pass is one corpus-linear job.
+    """
+    sub = _subvectors(corpus, "sid", vec_col=vec_col, id_col=corpus_id,
+                      dim=dim, m=m)
+    w = Window.partitionBy("s").orderBy(F.xxhash64("sid", "s"), "sid")
+    cents = (
+        sub.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("s", (F.col("__rn") - 1).alias("code"),
+                F.col("subvec").alias("cent"))
+    )
+    for _ in range(iters):
+        assigned = (
+            sub.join(F.broadcast(cents), "s")
+            .withColumn("__d", _l2sq(F.col("subvec"), F.col("cent")))
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("sid", "s").orderBy(
+                        F.asc("__d"), F.asc("code")
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select("sid", "s", "code", "subvec")
+        )
+        cents = (
+            assigned.select(
+                "s", "code", F.posexplode("subvec").alias("pos", "v")
+            )
+            .groupBy("s", "code", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("mv"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda st: st.getField("mv").cast("float"),
+                ).alias("cent")
+            )
+        )
+    return cents
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 10,
+    shortlist: int = 100,
+    shortlist_frac: float = 0.05,
+    iters: int = 2,
+) -> DataFrame:
+    """PQ/ADC approximate top-k — the compressed-domain ANN tier
+    (complements LSH buckets, IVF lists and SQ8 scalar codes).
+
+    Build: per-subspace codebooks + one assignment pass -> each
+    corpus vector becomes m 4-bit codes (16x compression at m=8,
+    k=16 over 64 floats).  Search is asymmetric distance computation:
+    each query precomputes an m x k distance TABLE to the codebooks
+    (tiny, broadcast), the approximate distance to a vector is the
+    sum of m table lookups on its codes — corpus floats are never
+    touched until the exact re-rank of the ``shortlist``.
+
+    At scale the lookup join is (corpus x m) rows against a broadcast
+    of |q| x m x k table entries, aggregated by (query, vector) — one
+    shuffle on the pair key.  The shortlist SCALES with the corpus:
+    ``max(shortlist, shortlist_frac * |corpus|)``, with the count
+    riding along as a 1-row broadcast (measured on the sf1 corpus:
+    a fixed 100 drops mean recall@10 to 0.38; 5% holds 0.68 — the
+    replicated-with-offset synthesis is adversarial for a quantizer,
+    near-identical distractors crowd the shortlist).
+    The dynamic limit costs the WindowGroupLimit pushdown (the rank
+    filter is post-window); at deployment, pin a literal from table
+    stats to win it back.  Recall < 1 by construction; claims are
+    pinned against the exact baseline by the registered query.
+    """
+    cents = pq_codebooks(
+        corpus, corpus_id=corpus_id, vec_col=vec_col,
+        dim=dim, m=m, k=k_codes, iters=iters,
+    ).localCheckpoint(eager=True)  # referenced by codes AND tables
+    codes = (
+        _subvectors(corpus, "sid", vec_col=vec_col, id_col=corpus_id,
+                    dim=dim, m=m)
+        .join(F.broadcast(cents), "s")
+        .withColumn("__d", _l2sq(F.col("subvec"), F.col("cent")))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("sid", "s").orderBy(
+                    F.asc("__d"), F.asc("code")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("sid", "s", "code")
+    )
+    dtab = (
+        _subvectors(queries, "qid", vec_col=vec_col, id_col=query_id,
+                    dim=dim, m=m)
+        .join(F.broadcast(cents), "s")
+        .select(
+            "qid", "s", "code",
+            _l2sq(F.col("subvec"), F.col("cent")).alias("dt"),
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(dtab), ["s", "code"])
+        .filter(F.col("sid") != F.col("qid"))
+        .groupBy("qid", "sid")
+        .agg(F.sum("dt").alias("approx_dist"))
+    )
+    n_corpus = corpus.agg(F.count("*").alias("__n"))
+    short = (
+        approx.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.asc("approx_dist"), F.asc("sid")
+                )
+            ),
+        )
+        .crossJoin(F.broadcast(n_corpus))
+        .filter(
+            F.col("__rn")
+            <= F.greatest(
+                F.lit(shortlist),
+                (F.col("__n") * F.lit(shortlist_frac)).cast("int"),
+            )
+        )
+        .select("qid", "sid")
+    )
+    qv = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(corpus_id).alias("sid"), F.col(vec_col).alias("__cv"))
+    scored = (
+        short.join(F.broadcast(qv), "qid")
+        .join(cv, "sid")
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("sid").alias(corpus_id),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

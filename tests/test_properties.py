@@ -577,3 +577,65 @@ def test_sq8_bounds_partitioning_invariant(spark):
     b1 = sq8_bounds(emb.repartition(1)).collect()[0]
     b32 = sq8_bounds(emb.repartition(13)).collect()[0]
     assert b1.mins == b32.mins and b1.maxs == b32.maxs
+
+
+def test_holt_partitioning_invariant(spark):
+    """Holt's coupled fold is position-ordered per key: outputs must
+    be bit-identical under any physical partitioning."""
+    from cdc_pipe_line_spark.queries import load_table
+    from cdc_pipe_line_spark.timeseries import holt_by_key
+
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    outs = []
+    for parts in (1, 7):
+        outs.append({
+            r.user_id: (r.level, r.trend, r.forecast_next)
+            for r in holt_by_key(ev.repartition(parts)).collect()
+        })
+    assert outs[0] == outs[1]
+
+
+def test_pagerank_partitioning_invariant_after_round(spark):
+    """PageRank inflow sums are distributed float adds (order floats
+    with partitioning), but the 8-decimal published rounding must
+    absorb the ulp: identical ranked output under different physical
+    partitionings."""
+    from cdc_pipe_line_spark.analytics import pagerank
+    from pyspark.sql import functions as F
+
+    edges = spark.range(0, 300).select(
+        F.concat(F.lit("d:"), F.col("id")).alias("src"),
+        F.concat(F.lit("s:"), (F.col("id") % 7)).alias("dst"),
+    )
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    outs = []
+    for parts in (2, 13):
+        pr = pagerank(both.repartition(parts), n_iter=3)
+        outs.append({
+            r.node: round(r.rank, 8) for r in pr.collect()
+        })
+    assert outs[0] == outs[1]
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    """The MG candidate SET varies with partitioning; the exact
+    recount must not."""
+    from cdc_pipe_line_spark.queries import load_table
+    from cdc_pipe_line_spark.analytics import heavy_hitters
+
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    outs = []
+    for parts in (1, 11):
+        outs.append({
+            r.user_id: r.n
+            for r in heavy_hitters(
+                ev.repartition(parts), "user_id", support=0.001
+            ).collect()
+        })
+    assert outs[0] == outs[1]
