@@ -104,12 +104,69 @@ _DIFF_CTE = (
     "FROM v2 FULL OUTER JOIN v1 ON CAST(v2.o_orderkey AS VARCHAR) = CAST(v1.o_orderkey AS VARCHAR))\n"
 )
 
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal point read: "what did we believe 10 days ago about
+    the state of the world 17 days ago" — events become per-user
+    versions with a transaction interval (lead-chained, the SCD2
+    shape) and a synthesized valid interval; the read is two interval
+    predicates, no join.  Anchors derive from max(ts) in-plan (1-row
+    broadcast) so the query is one declarative plan."""
+    from cdc_pipe_line_spark.cdc.bitemporal import (
+        add_tx_intervals,
+        as_of_bitemporal,
+    )
+    from cdc_pipe_line_spark.queries import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bt = (
+        add_tx_intervals(
+            ev, key_cols=["user_id"], ts_col="ts", tiebreak_col="event_id"
+        )
+        .withColumn(
+            "valid_from",
+            F.date_sub(F.to_date("ts"), (F.col("event_id") % 7).cast("int")),
+        )
+        .withColumn("valid_to", F.date_add("valid_from", 14))
+    )
+    anchors = ev.agg(F.max("ts").alias("__mx"))
+    snap = as_of_bitemporal(
+        bt.crossJoin(F.broadcast(anchors)),
+        tx_at=F.col("__mx") - F.expr("INTERVAL 10 DAYS"),
+        valid_at=F.date_sub(F.to_date("__mx"), 17),
+    )
+    return snap.groupBy("event_type").agg(
+        F.count("*").alias("n_versions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
 QUERIES = {
+    "cdc_bitemporal_asof": q_bitemporal_asof,
     "cdc_diff_summary": q_cdc_diff_summary,
     "cdc_diff_events": q_cdc_diff_events,
 }
 
 ORACLE = {
+    "cdc_bitemporal_asof": """
+WITH mx AS (SELECT max(ts) AS mx FROM events),
+bt AS (
+  SELECT user_id, event_id, event_type, value, ts AS tx_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tx_to,
+    CAST(date_trunc('day', ts) AS DATE) - CAST(event_id % 7 AS INT)
+      AS valid_from
+  FROM events),
+bt2 AS (SELECT *, valid_from + 14 AS valid_to FROM bt),
+f AS (
+  SELECT * FROM bt2 CROSS JOIN mx
+  WHERE tx_from <= mx - INTERVAL 10 DAY
+    AND (tx_to IS NULL OR tx_to > mx - INTERVAL 10 DAY)
+    AND valid_from <= CAST(date_trunc('day', mx) AS DATE) - 17
+    AND (valid_to IS NULL
+         OR valid_to > CAST(date_trunc('day', mx) AS DATE) - 17))
+SELECT event_type, count(*) AS n_versions,
+  count(DISTINCT user_id) AS n_users,
+  round(sum(value), 2) AS sum_value
+FROM f GROUP BY event_type""",
     "cdc_diff_summary": _DIFF_CTE
     + """
 SELECT 'diff' AS probe, event_type, count(*) AS n_events,

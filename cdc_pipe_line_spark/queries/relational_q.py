@@ -623,10 +623,74 @@ def q_ntile_bands(spark, sf_dir):
         )
     )
 
+def q_sketch_set_ops(spark, sf_dir):
+    """Sketch SET ALGEBRA (the question HLL union alone can't answer):
+    how many users did BOTH view and purchase — estimated via
+    inclusion-exclusion over mergeable HLL sketches
+    (|A| + |B| - |A∪B|), without ever shuffling the raw user sets
+    together.  At 100 TB the two sketches are a few KB each and the
+    intersection estimate is a driver-free scalar plan; the exact
+    intersection (for the claim) costs the full distinct shuffle the
+    sketch path avoids.  Oracle strategy: exact values + accuracy
+    booleans, like agg_sketch_sample_profile.  (A naive
+    "est(A∪B) >= max(est A, est B)" claim is WRONG for estimates —
+    with near-identical sets the union sketch's noise can land just
+    below a part's; caught at sf1 and replaced by a 5% tolerance
+    against the exact union.)"""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("ha"),
+        F.count_distinct("user_id").alias("exact_view"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("hb"),
+        F.count_distinct("user_id").alias("exact_purchase"),
+    )
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("__nt"))
+    )
+    both = per_user.agg(
+        F.count("*").alias("exact_union"),
+        F.sum(F.when(F.col("__nt") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_both"),
+    )
+    est = a.crossJoin(b).select(
+        "exact_view", "exact_purchase",
+        F.hll_sketch_estimate("ha").alias("__ea"),
+        F.hll_sketch_estimate("hb").alias("__eb"),
+        F.hll_sketch_estimate(F.hll_union("ha", "hb")).alias("__eu"),
+    )
+    return (
+        est.crossJoin(F.broadcast(both))
+        .select(
+            "exact_view", "exact_purchase", "exact_union", "exact_both",
+            (
+                F.abs(
+                    (F.col("__ea") + F.col("__eb") - F.col("__eu"))
+                    - F.col("exact_both")
+                )
+                / F.greatest(F.col("exact_both"), F.lit(1))
+                <= 0.10
+            ).alias("ie_within_10pct"),
+            (
+                F.abs(F.col("__eu") - F.col("exact_union"))
+                / F.greatest(F.col("exact_union"), F.lit(1))
+                <= 0.05
+            ).alias("union_within_5pct"),
+            (F.col("__eu") <= F.col("__ea") + F.col("__eb")).alias(
+                "union_le_sum"
+            ),
+        )
+    )
+
 QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "join_bucketed_colocated": q_join_bucketed_colocated,
     "agg_sketch_sample_profile": q_sketch_sample_profile,
+    "agg_sketch_set_ops": q_sketch_set_ops,
     "agg_multi_grouping": q_multi_grouping,
     "window_analytics": q_window_analytics,
     "join_range_buckets": q_range_join_buckets,
@@ -646,6 +710,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_sketch_set_ops": """
+SELECT
+  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'view')
+    AS exact_view,
+  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase')
+    AS exact_purchase,
+  (SELECT count(DISTINCT user_id) FROM events
+     WHERE event_type IN ('view', 'purchase')) AS exact_union,
+  (SELECT count(*) FROM (
+     SELECT user_id FROM events WHERE event_type IN ('view', 'purchase')
+     GROUP BY user_id HAVING count(DISTINCT event_type) = 2))
+    AS exact_both,
+  TRUE AS ie_within_10pct,
+  TRUE AS union_within_5pct,
+  TRUE AS union_le_sum""",
     "window_ntile_bands": """
 WITH spend AS (
   SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
