@@ -140,13 +140,70 @@ def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
 
+def q_fact_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE warehouse CDC join: facts enriched with the dimension
+    VERSION in effect at fact time (purchases x per-user state
+    versions).  The key equi-join (user_id) bounds candidates to one
+    user's few versions, so the temporal predicate rides the join
+    condition of a plain SMJ/BHJ — no grid explode, no window over
+    facts; unmatched facts (purchase before any state) keep nulls via
+    the left join.  Zero-length versions (two states at one ts) are
+    unmatched by half-open semantics — deterministic in both engines."""
+    from cdc_pipe_line_spark.cdc.bitemporal import add_tx_intervals
+    from cdc_pipe_line_spark.queries import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = add_tx_intervals(
+        ev.filter(F.col("event_type") != "purchase").select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_id").alias("version_id"),
+            F.col("value").alias("state_value"),
+            "ts",
+        ),
+        key_cols=["d_user"],
+        ts_col="ts",
+        tiebreak_col="version_id",
+    ).drop("ts")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("fact_id"), "user_id", "ts"
+    )
+    j = facts.join(
+        dim,
+        (facts.user_id == dim.d_user)
+        & (dim.tx_from <= facts.ts)
+        & (dim.tx_to.isNull() | (facts.ts < dim.tx_to)),
+        "left",
+    )
+    return j.select(
+        "fact_id",
+        "user_id",
+        "version_id",
+        F.round("state_value", 4).alias("state_value"),
+        F.unix_micros("tx_from").alias("version_since"),
+    )
+
 QUERIES = {
+    "join_fact_scd2_enrich": q_fact_scd2_enrich,
     "cdc_bitemporal_asof": q_bitemporal_asof,
     "cdc_diff_summary": q_cdc_diff_summary,
     "cdc_diff_events": q_cdc_diff_events,
 }
 
 ORACLE = {
+    "join_fact_scd2_enrich": """
+WITH dim AS (
+  SELECT user_id AS d_user, event_id AS version_id, value AS state_value,
+    ts AS tx_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tx_to
+  FROM events WHERE event_type <> 'purchase'),
+f AS (
+  SELECT event_id AS fact_id, user_id, ts
+  FROM events WHERE event_type = 'purchase')
+SELECT f.fact_id, f.user_id, d.version_id,
+  round(d.state_value, 4) AS state_value,
+  epoch_us(d.tx_from) AS version_since
+FROM f LEFT JOIN dim d ON f.user_id = d.d_user
+  AND d.tx_from <= f.ts AND (d.tx_to IS NULL OR f.ts < d.tx_to)""",
     "cdc_bitemporal_asof": """
 WITH mx AS (SELECT max(ts) AS mx FROM events),
 bt AS (
