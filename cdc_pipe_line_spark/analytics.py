@@ -512,3 +512,86 @@ def last_touch_attribution(
             2,
         ).alias("share_pct"),
     )
+
+
+# ------------------------------------------------------------ journey paths
+
+def session_paths(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    gap: str = "30 minutes",
+    max_len: int = 5,
+    top: int = 15,
+) -> DataFrame:
+    """Top user-journey paths: events sessionized by inactivity gap,
+    each session rendered as its first ``max_len`` event types joined
+    by '>', ranked by session count — the "how do users actually move
+    through the product" query.
+
+    Every window here orders by (ts, tiebreak): gap-based
+    sessionization itself is tie-insensitive (equal timestamps never
+    exceed the gap), but the PATH string is order-sensitive, and
+    unbroken timestamp ties would make it nondeterministic in any
+    engine.  Scale: one hash exchange on the user (sessionize window
+    + per-session collect ride the same partitioning), then a tiny
+    aggregate over distinct paths; per-session arrays are bounded by
+    the session length (and truncated to ``max_len`` for the key).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    prev = F.lag(ts_col).over(w)
+    sess = (
+        events.withColumn(
+            "__new",
+            F.when(prev.isNull() | (F.col(ts_col) > prev + gap_expr), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "__sess",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    paths = sess.groupBy(user_col, "__sess").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col).alias("t"),
+                                F.col(tiebreak_col).alias("k"),
+                                F.col(type_col).alias("e"),
+                            )
+                        )
+                    ),
+                    lambda s: s["e"],
+                ),
+                1,
+                max_len,
+            ),
+        ).alias("path")
+    )
+    ranked = (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.count_distinct(user_col).alias("n_users"),
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+            ),
+        )
+        .filter(F.col("pos") <= top)
+    )
+    return ranked

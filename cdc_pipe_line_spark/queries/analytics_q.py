@@ -234,3 +234,42 @@ SELECT channel, n_conversions,
   round(n_conversions / (CAST(sum(n_conversions) OVER () AS BIGINT))
     * 100.0, 2) AS share_pct
 FROM g"""
+
+
+def q_session_paths(spark, sf_dir):
+    """Top-15 five-step session paths over the event stream (30-min
+    gap); tie-broken by (ts, event_id) everywhere so the path strings
+    are engine-deterministic."""
+    from cdc_pipe_line_spark.analytics import session_paths
+
+    return session_paths(_t(spark, sf_dir, "events"))
+
+
+QUERIES["reshape_session_paths"] = q_session_paths
+
+ORACLE["reshape_session_paths"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+s AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM x),
+p AS (
+  SELECT user_id, sess,
+    array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+      AS path
+  FROM s GROUP BY 1, 2),
+r AS (
+  SELECT path, count(*) AS n_sessions,
+    count(DISTINCT user_id) AS n_users
+  FROM p GROUP BY 1)
+SELECT path, n_sessions, n_users,
+  CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS INT)
+    AS pos
+FROM r QUALIFY pos <= 15"""
