@@ -627,8 +627,37 @@ def q_ngram_containment(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return ngram_containment_pairs(docs, n=5, threshold=0.8)
 
+def q_char_entropy(spark, sf_dir):
+    """Per-language character-entropy profile — the Shannon-entropy
+    quality signal (low-entropy docs are repetitive boilerplate, a
+    standard C4/RefinedWeb-style filter axis).  Pure codegen: explode
+    to chars, per-doc char histogram, -sum(p*log2 p) per doc, then a
+    tiny per-language rollup.  One shuffle on (doc, char), one on
+    doc, one on lang — each strictly smaller than the last."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", "")).alias("c")
+    ).filter(F.col("c") != "")
+    hist = chars.groupBy("doc_id", "lang", "c").agg(
+        F.count("*").alias("n")
+    )
+    n_doc = Window.partitionBy("doc_id")
+    p = F.col("n") / F.sum("n").over(n_doc)
+    ent = (
+        hist.withColumn("__plp", p * F.log2(p))
+        .groupBy("doc_id", "lang")
+        .agg(F.round(-F.sum("__plp"), 6).alias("entropy"))
+    )
+    return ent.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+        F.round(F.min("entropy"), 4).alias("min_entropy"),
+        F.round(F.max("entropy"), 4).alias("max_entropy"),
+    )
+
 QUERIES = {
     "text_tfidf_terms": q_tfidf_terms,
+    "text_char_entropy": q_char_entropy,
     "text_profile": q_text_profile,
     "text_exact_dedup": q_exact_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -734,6 +763,25 @@ _COS64 = (
 )
 
 ORACLE = {
+    "text_char_entropy": """
+WITH chars AS (
+  SELECT doc_id, lang, substr(text, CAST(i AS INT), 1) AS c
+  FROM documents, unnest(range(1, len(text) + 1)) AS t(i)),
+hist AS (
+  SELECT doc_id, lang, c, count(*) AS n FROM chars GROUP BY 1, 2, 3),
+ent AS (
+  SELECT doc_id, lang,
+    -- 'tot', not 'N': DuckDB identifiers are case-insensitive, so a
+    -- column alias N silently rebinds to the existing column n
+    round(-sum((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+             * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS entropy
+  FROM (SELECT *, sum(n) OVER (PARTITION BY doc_id) AS tot FROM hist)
+  GROUP BY 1, 2)
+SELECT lang, count(*) AS n_docs,
+  round(avg(entropy), 4) AS avg_entropy,
+  round(min(entropy), 4) AS min_entropy,
+  round(max(entropy), 4) AS max_entropy
+FROM ent GROUP BY lang""",
     "dedup_ngram_containment": """
 WITH words AS (
   SELECT doc_id,
