@@ -275,3 +275,63 @@ def to_cdc_events(
             "_", F.lit(company_id), F.lit(table_name), F.col("event_type")
         ).alias("partition_key"),
     )
+
+
+def compact_changelog(
+    changes: DataFrame,
+    *,
+    key_col: str,
+    op_col: str = "op",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Net-effect compaction of a CDC change feed (Debezium-style):
+    collapse each key's I/U/D history to the single change that has
+    the same end effect — insert-then-delete annihilates ('none'),
+    insert survives as insert with the LAST payload, delete of a
+    pre-existing row stays delete, everything else is one update.
+    Run before applying a long changelog to a 100 TB target: the
+    merge touches each key once instead of once per change.
+
+    Shape: ONE partial-aggregated groupBy — first/last versions come
+    from min/max over (ts, tiebreak, ...) STRUCTS (lexicographic,
+    tie-broken, map-side combinable), never a per-key window sort.
+    """
+    first = F.min(
+        F.struct(
+            F.col(ts_col).alias("t"),
+            F.col(tiebreak_col).alias("k"),
+            F.col(op_col).alias("o"),
+        )
+    )
+    last = F.max(
+        F.struct(
+            F.col(ts_col).alias("t"),
+            F.col(tiebreak_col).alias("k"),
+            F.col(op_col).alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+    )
+    agg = changes.groupBy(key_col).agg(
+        first.alias("__f"),
+        last.alias("__l"),
+        F.count("*").alias("n_changes"),
+    )
+    f_op = F.col("__f").getField("o")
+    l_op = F.col("__l").getField("o")
+    net = (
+        F.when((l_op == "D") & (f_op == "I"), "none")
+        .when(l_op == "D", "delete")
+        .when(f_op == "I", "insert")
+        .otherwise("update")
+    )
+    return agg.select(
+        key_col,
+        net.alias("net_op"),
+        "n_changes",
+        f_op.alias("first_op"),
+        l_op.alias("last_op"),
+        F.round(F.col("__l").getField("v"), 4).alias("last_value"),
+        F.unix_micros(F.col("__l").getField("t")).alias("last_ts"),
+    )

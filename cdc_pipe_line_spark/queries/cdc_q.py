@@ -182,7 +182,26 @@ def q_fact_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("tx_from").alias("version_since"),
     )
 
+def q_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-effect changelog compaction: the event stream becomes a
+    synthetic I/U/D feed (op = event_id mod 3) and each user's
+    history collapses to its single net change — one struct-min/max
+    aggregate, no window sort (see compact_changelog)."""
+    from cdc_pipe_line_spark.cdc.diff import compact_changelog
+    from cdc_pipe_line_spark.queries import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.withColumn(
+        "op",
+        F.element_at(
+            F.array(F.lit("I"), F.lit("U"), F.lit("D")),
+            (F.col("event_id") % 3 + 1).cast("int"),
+        ),
+    )
+    return compact_changelog(feed, key_col="user_id")
+
 QUERIES = {
+    "cdc_changelog_compact": q_changelog_compact,
     "join_fact_scd2_enrich": q_fact_scd2_enrich,
     "cdc_bitemporal_asof": q_bitemporal_asof,
     "cdc_diff_summary": q_cdc_diff_summary,
@@ -190,6 +209,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_changelog_compact": """
+WITH feed AS (
+  SELECT user_id, ts, event_id, value,
+    (['I', 'U', 'D'])[CAST(event_id % 3 AS INT) + 1] AS op
+  FROM events),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY ts ASC, event_id ASC) AS rn_a,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM feed),
+agg AS (
+  SELECT user_id,
+    max(CASE WHEN rn_a = 1 THEN op END) AS first_op,
+    max(CASE WHEN rn_d = 1 THEN op END) AS last_op,
+    round(max(CASE WHEN rn_d = 1 THEN CAST(value AS DOUBLE) END), 4)
+      AS last_value,
+    max(CASE WHEN rn_d = 1 THEN epoch_us(ts) END) AS last_ts,
+    count(*) AS n_changes
+  FROM ranked GROUP BY user_id)
+SELECT user_id,
+  CASE WHEN last_op = 'D' AND first_op = 'I' THEN 'none'
+       WHEN last_op = 'D' THEN 'delete'
+       WHEN first_op = 'I' THEN 'insert'
+       ELSE 'update' END AS net_op,
+  n_changes, first_op, last_op, last_value, last_ts
+FROM agg""",
     "join_fact_scd2_enrich": """
 WITH dim AS (
   SELECT user_id AS d_user, event_id AS version_id, value AS state_value,

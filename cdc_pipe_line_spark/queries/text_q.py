@@ -655,9 +655,21 @@ def q_char_entropy(spark, sf_dir):
         F.round(F.max("entropy"), 4).alias("max_entropy"),
     )
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus sampling (A-ES, 20 per language,
+    weight = n_chars): deterministic md5-derived uniforms make the
+    whole draw replayable in SQL."""
+    from cdc_pipe_line_spark.text import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, weight=F.col("n_chars").cast("double"), k=20
+    )
+
 QUERIES = {
     "text_tfidf_terms": q_tfidf_terms,
     "text_char_entropy": q_char_entropy,
+    "llm_weighted_sample": q_weighted_sample,
     "text_profile": q_text_profile,
     "text_exact_dedup": q_exact_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -763,6 +775,17 @@ _COS64 = (
 )
 
 ORACLE = {
+    "llm_weighted_sample": """
+WITH pri AS (
+  SELECT lang, doc_id,
+    round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) / 4294967296.0 + 1e-12)
+          / CAST(n_chars AS DOUBLE), 10) AS priority
+  FROM documents)
+SELECT lang, doc_id, priority,
+  CAST(row_number() OVER (PARTITION BY lang
+      ORDER BY priority DESC, doc_id ASC) AS INT) AS pos
+FROM pri QUALIFY pos <= 20""",
     "text_char_entropy": """
 WITH chars AS (
   SELECT doc_id, lang, substr(text, CAST(i AS INT), 1) AS c

@@ -1732,3 +1732,51 @@ def ngram_containment_pairs(
         F.col("n_shared").cast("bigint").alias("n_shared"),
         "containment",
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    weight: Column | None = None,
+    k: int = 20,
+) -> DataFrame:
+    """Weighted sampling without replacement, k per group
+    (Efraimidis–Spirakis A-ES): each row draws priority
+    ``ln(u)/w`` (order-equivalent to ``u^(1/w)``) and the top-k
+    priorities win — heavier rows proportionally likelier.  THE
+    training-mix selection primitive when quality scores should bias,
+    not hard-filter, the corpus.
+
+    One narrow pass + a per-group top-k (WindowGroupLimit) — no
+    global sort, no driver-side randomness: ``u`` derives from
+    ``md5(id)`` (deterministic, replayable in SQL like the MinHash
+    recipe), and the published priority is rounded to 10 decimals
+    with an id tiebreak so cross-engine libm ulp noise in ``ln``
+    cannot reorder the selection.
+    """
+    w = weight if weight is not None else F.lit(1.0)
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+        + F.lit(1e-12)  # keep ln() off exactly-zero u
+    )
+    pri = F.round(F.log(u) / w, 10)
+    rk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            F.col("__pri").desc(), F.col(id_col).asc()
+        )
+    )
+    return (
+        docs.withColumn("__pri", pri)
+        .withColumn("pos", rk)
+        .filter(F.col("pos") <= k)
+        .select(
+            group_col,
+            id_col,
+            F.col("__pri").alias("priority"),
+            "pos",
+        )
+    )

@@ -214,3 +214,40 @@ def test_dedup_events_deterministic(spark):
     out = dedup_events(ev).collect()
     assert len(out) == 1
     assert out[0].new_values["v"] == "early"
+
+
+def test_changelog_compaction_branches(spark):
+    """All four net-effect branches: I..D annihilates, I..U nets to
+    insert (LAST payload), U..D nets to delete, U..U nets to update."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark.cdc.diff import compact_changelog
+
+    T = dt.datetime
+    rows = [
+        # key 1: I -> U -> D  => none
+        (1, T(2024, 1, 1), 1, "I", 1.0),
+        (2, T(2024, 1, 2), 1, "U", 2.0),
+        (3, T(2024, 1, 3), 1, "D", 0.0),
+        # key 2: I -> U       => insert with value 5.0
+        (4, T(2024, 1, 1), 2, "I", 4.0),
+        (5, T(2024, 1, 2), 2, "U", 5.0),
+        # key 3: U -> D       => delete
+        (6, T(2024, 1, 1), 3, "U", 6.0),
+        (7, T(2024, 1, 2), 3, "D", 0.0),
+        # key 4: U            => update
+        (8, T(2024, 1, 1), 4, "U", 8.0),
+    ]
+    feed = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, op string, value double"
+    )
+    got = {
+        r.user_id: (r.net_op, r.n_changes, r.last_value)
+        for r in compact_changelog(feed, key_col="user_id").collect()
+    }
+    assert got[1] == ("none", 3, 0.0)
+    assert got[2] == ("insert", 2, 5.0)
+    assert got[3] == ("delete", 2, 0.0)
+    assert got[4] == ("update", 1, 8.0)
