@@ -686,6 +686,79 @@ def q_sketch_set_ops(spark, sf_dir):
         )
     )
 
+def q_value_histogram(spark, sf_dir):
+    """Equi-width histogram profiling (10 buckets over the observed
+    [min, max] per event type) — the scan-planning statistic an
+    engine needs before choosing band joins or skew salts.  Global
+    min/max ride as a 1-row broadcast; the bucket id is pure
+    arithmetic, so the histogram is one partial-agg shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min("value").alias("__lo"), F.max("value").alias("__hi")
+    )
+    b = F.least(
+        F.lit(9),
+        F.floor(
+            (F.col("value") - F.col("__lo"))
+            / ((F.col("__hi") - F.col("__lo")) / 10.0)
+        ).cast("int"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(rng))
+        .withColumn("bucket", b)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("bucket_min"),
+            F.round(F.max("value"), 4).alias("bucket_max"),
+        )
+    )
+
+
+def q_range_frame_window(spark, sf_dir):
+    """RANGE-frame window (interval-based, not row-count-based): each
+    event's trailing-24h per-user value sum — the W-family frame the
+    rows-based rolling z-score can't express (irregular event
+    spacing).  One window shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_24h"),
+    )
+
+
+def q_q22_anti_subquery(spark, sf_dir):
+    """TPC-H Q22 shape — global-aggregate scalar subquery + anti
+    join: customers with above-average spend who have NO recent
+    order, grouped by spend decile prefix.  Raw SQL so Catalyst plans
+    the scalar subquery as a broadcast 1-row aggregate and the NOT
+    EXISTS as a left-anti join."""
+    from cdc_pipe_line_spark.queries import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        WITH spend AS (
+          SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+          FROM orders GROUP BY o_custkey)
+        SELECT CAST(floor(s.total % 10) AS INT) AS decile_key,
+               CAST(count(*) AS BIGINT) AS n_custs,
+               round(sum(s.total), 2) AS total_spend
+        FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+        WHERE s.total > (SELECT avg(total) FROM spend)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+        GROUP BY CAST(floor(s.total % 10) AS INT)
+    """)
+
 QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "join_bucketed_colocated": q_join_bucketed_colocated,
@@ -703,6 +776,9 @@ QUERIES = {
     "join_exists_chain": q_exists_chain,
     "window_top_latest": q_window_top_latest,
     "window_ntile_bands": q_ntile_bands,
+    "agg_value_histogram": q_value_histogram,
+    "window_range_frame": q_range_frame_window,
+    "join_q22_anti_subquery": q_q22_anti_subquery,
     "set_ops": q_set_ops,
     "proj_pipeline": q_proj_pipeline,
     "scalar_showcase": q_scalar_showcase,
@@ -710,6 +786,35 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_value_histogram": """
+WITH rng AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT event_type,
+  CAST(least(9, floor((value - lo) / ((hi - lo) / 10.0))) AS INT)
+    AS bucket,
+  count(*) AS n,
+  round(min(value), 4) AS bucket_min,
+  round(max(value), 4) AS bucket_max
+FROM events CROSS JOIN rng GROUP BY 1, 2""",
+    "window_range_frame": """
+SELECT user_id, event_id,
+  round(sum(value) OVER (PARTITION BY user_id
+    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 2) AS trailing_24h
+FROM events""",
+    "join_q22_anti_subquery": """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+  FROM orders GROUP BY o_custkey)
+SELECT CAST(floor(s.total % 10) AS INT) AS decile_key,
+       count(*) AS n_custs,
+       round(sum(s.total), 2) AS total_spend
+FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+WHERE s.total > (SELECT avg(total) FROM spend)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY CAST(floor(s.total % 10) AS INT)""",
     "agg_sketch_set_ops": """
 SELECT
   (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'view')
