@@ -1100,3 +1100,50 @@ def resize_image_nearest(
             yield pd.DataFrame(rows)
 
     return media.select(id_col, payload_col).mapInPandas(_resize, schema)
+
+
+def decimate_audio(media: DataFrame, k: int = 4) -> DataFrame:
+    """Audio downsampling by integer frame decimation (every ``k``-th
+    frame of the real parsed PCM stream) — the sample-rate reduction
+    step before feature extraction / embedding, run where the bytes
+    live.  Interleaved channels decimate frame-wise (numpy stride
+    over the (frames, channels) view), so channel alignment survives.
+    Output binds the operation through exact frame counts and the
+    decimated stream's RMS/peak; malformed payloads quarantine into
+    ``decode_err`` per the poison-row policy.
+    """
+
+    def one(b):
+        if b is None:
+            return (None, None, None, None, None, "null payload")
+        try:
+            rate, channels, samples = _wav_pcm(bytes(b))
+            frames = samples.reshape(-1, channels)
+            dec = frames[::k]
+            x = dec.astype(np.float64).ravel()
+            rms = round(float(np.sqrt(np.mean(x * x))), 4) if len(x) else 0.0
+            peak = int(np.max(np.abs(x))) if len(x) else 0
+            return (len(frames), len(dec), channels, rms, peak, None)
+        except MediaDecodeError as exc:
+            return (None, None, None, None, None, str(exc))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "in_frames": pd.Series([r[0] for r in rows], dtype="object"),
+                    "out_frames": pd.Series([r[1] for r in rows], dtype="object"),
+                    "channels": pd.Series([r[2] for r in rows], dtype="object"),
+                    "rms": pd.Series([r[3] for r in rows], dtype="object"),
+                    "peak": pd.Series([r[4] for r in rows], dtype="object"),
+                    "decode_err": pd.Series([r[5] for r in rows], dtype="object"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        "media_id bigint, in_frames bigint, out_frames bigint, "
+        "channels int, rms double, peak int, decode_err string",
+    )

@@ -759,6 +759,43 @@ def q_q22_anti_subquery(spark, sf_dir):
         GROUP BY CAST(floor(s.total % 10) AS INT)
     """)
 
+def q_calendar_heatmap(spark, sf_dir):
+    """Weekday x hour activity heatmap (the ops-dashboard calendar
+    view): one partial-agg shuffle over 7x24 cells.  Weekday is
+    normalized to 0=Sunday in both engines (Spark dayofweek is
+    1-based, DuckDB dow is 0-based)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def q_column_profile(spark, sf_dir):
+    """Per-column data-quality profile (null count + distinct count)
+    in ONE scan: a single multi-distinct aggregate row (Catalyst
+    Expand) unpivoted to one row per column — the profiling pass that
+    runs before schema contracts are written."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    ag = ev.agg(
+        F.count("*").alias("__n"),
+        *[F.count(c).alias(f"__nn_{c}") for c in cols],
+        *[F.count_distinct(c).alias(f"__nd_{c}") for c in cols],
+    )
+    stack = ", ".join(
+        f"'{c}', __n - __nn_{c}, __nd_{c}" for c in cols
+    )
+    return ag.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)"
+    )
+
 QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "join_bucketed_colocated": q_join_bucketed_colocated,
@@ -777,6 +814,8 @@ QUERIES = {
     "window_top_latest": q_window_top_latest,
     "window_ntile_bands": q_ntile_bands,
     "agg_value_histogram": q_value_histogram,
+    "agg_calendar_heatmap": q_calendar_heatmap,
+    "proj_column_profile": q_column_profile,
     "window_range_frame": q_range_frame_window,
     "join_q22_anti_subquery": q_q22_anti_subquery,
     "set_ops": q_set_ops,
@@ -786,6 +825,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_calendar_heatmap": """
+SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+  CAST(date_part('hour', ts) AS INT) AS hod,
+  count(*) AS n_events,
+  round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2""",
+    "proj_column_profile": """
+SELECT 'event_id' AS column_name,
+  count(*) - count(event_id) AS n_nulls,
+  count(DISTINCT event_id) AS n_distinct FROM events
+UNION ALL SELECT 'user_id', count(*) - count(user_id),
+  count(DISTINCT user_id) FROM events
+UNION ALL SELECT 'event_type', count(*) - count(event_type),
+  count(DISTINCT event_type) FROM events
+UNION ALL SELECT 'value', count(*) - count(value),
+  count(DISTINCT value) FROM events
+UNION ALL SELECT 'props', count(*) - count(props),
+  count(DISTINCT props) FROM events""",
     "agg_value_histogram": """
 WITH rng AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
 SELECT event_type,

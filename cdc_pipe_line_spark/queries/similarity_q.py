@@ -603,6 +603,41 @@ def q_knn_pq(spark, sf_dir):
         )
     )
 
+def q_audio_decimate(spark, sf_dir):
+    """Frame decimation (every 4th frame) over the same square-wave
+    WAV fixtures as mm_audio_stats: |sample| == amp everywhere, so
+    the decimated RMS and peak stay EXACTLY amp and the oracle binds
+    the whole numpy path arithmetically; frames are multiples of 16
+    so out_frames = in_frames / 4 exactly.  Truncated payloads (every
+    50th) exercise the quarantine leg."""
+
+    @F.pandas_udf("binary")
+    def _wav_payload2(
+        frames: pd.Series, amp: pd.Series, ch: pd.Series, cut: pd.Series
+    ) -> pd.Series:
+        out = []
+        for f, a, c, kk in zip(frames, amp, ch, cut):
+            b = make_wav(int(f), int(a), channels=int(c))
+            out.append(b[:-3] if kk else b)
+        return pd.Series(out, dtype=object)
+
+    from cdc_pipe_line_spark.multimodal import decimate_audio
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (((F.col("doc_id") % 40) + 1) * 16).alias("__frames"),
+        ((F.col("doc_id") % 2000) + 1).alias("__amp"),
+        (1 + (F.col("doc_id") % 2)).alias("__ch"),
+        (F.col("doc_id") % 50 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_wav_payload2("__frames", "__amp", "__ch", "__cut"),
+        media_type="audio/wav",
+    )
+    return decimate_audio(media, k=4)
+
 QUERIES = {
     "sim_range_search": q_range_search,
     "mm_image_resize": q_image_resize,
@@ -613,6 +648,7 @@ QUERIES = {
     "sim_knn_sq8": q_knn_sq8,
     "sim_knn_ivf_sq8": q_knn_ivf_sq8,
     "mm_audio_stats": q_audio_stats,
+    "mm_audio_decimate": q_audio_decimate,
     "mm_gif_decode": q_gif_decode,
     "mm_mp4_samples": q_mp4_samples,
     "sim_cosine_near_dup": q_cosine_near_dup,
@@ -628,6 +664,23 @@ _SQ8_CODE = (
 )
 
 ORACLE = {
+    "mm_audio_decimate": """
+WITH p AS (
+  SELECT doc_id, ((doc_id % 40) + 1) * 16 AS frames,
+         (doc_id % 2000) + 1 AS amp,
+         1 + (doc_id % 2) AS ch,
+         doc_id % 50 = 0 AS cut
+  FROM documents)
+SELECT doc_id AS media_id, CAST(frames AS BIGINT) AS in_frames,
+  CAST(frames // 4 AS BIGINT) AS out_frames,
+  CAST(ch AS INT) AS channels,
+  round(CAST(amp AS DOUBLE), 4) AS rms,
+  CAST(amp AS INT) AS peak,
+  CAST(NULL AS VARCHAR) AS decode_err
+FROM p WHERE NOT cut
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, 'wav: data chunk truncated'
+FROM p WHERE cut""",
     "sim_knn_pq": f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
 scored AS (
