@@ -146,6 +146,33 @@ def q_io_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+def q_io_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level schema evolution (S5/S14 at 100 TB): two parquet
+    batches written at different pipeline eras — the later one grew a
+    column — scanned together with ``mergeSchema``: early files
+    null-fill the new column instead of failing the read.  This is
+    the physical twin of the logical drift union
+    (reshape_union_drift) and the Delta ``mergeSchema`` recipe."""
+    path, ready = _cache(sf_dir, "orders_evolved")
+    if not ready:
+        orders = _t(spark, sf_dir, "orders")
+        old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        old.write.mode("overwrite").parquet(path)
+        new.write.mode("append").parquet(path)
+        _mark(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count("o_orderstatus").alias("n_with_status"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+    )
+
 # ------------------------------------------------------------------ S2
 
 
@@ -293,12 +320,21 @@ QUERIES = {
     "io_text_roundtrip": q_io_text_roundtrip,
     "io_partitioned_prune": q_io_partitioned_prune,
     "io_dpp_join": q_io_dpp_join,
+    "io_mergeschema_scan": q_io_mergeschema,
     "io_office_ingest": q_io_office_ingest,
     "io_zip_consolidated": q_io_zip_consolidated,
     "io_jdbc_roundtrip": q_io_jdbc_roundtrip,
 }
 
 ORACLE = {
+    "io_mergeschema_scan": """
+SELECT count(*) AS n_rows,
+  round(sum(o_totalprice), 2) AS sum_price,
+  count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
+    AS n_with_status,
+  count(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
+    AS n_statuses
+FROM orders""",
     "io_dpp_join": """
 WITH dim AS (
   SELECT * FROM (VALUES ('A', 'returned'), ('N', 'active'),
