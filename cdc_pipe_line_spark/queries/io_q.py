@@ -166,9 +166,13 @@ def q_io_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
         new.write.mode("append").parquet(path)
         _mark(path)
     df = spark.read.option("mergeSchema", "true").parquet(path)
+    # avg, not the raw global sum: a single 1e11-magnitude sum over
+    # millions of doubles drifts by CENTS between engines (error ~
+    # n * ulp(total)), so cents-rounding can't bind it; the per-row
+    # mean divides the drift by n and is scale-stable at 2 decimals
     return df.agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
         F.count("o_orderstatus").alias("n_with_status"),
         F.count_distinct("o_orderstatus").alias("n_statuses"),
     )
@@ -329,7 +333,7 @@ QUERIES = {
 ORACLE = {
     "io_mergeschema_scan": """
 SELECT count(*) AS n_rows,
-  round(sum(o_totalprice), 2) AS sum_price,
+  round(avg(o_totalprice), 2) AS avg_price,
   count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
     AS n_with_status,
   count(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
