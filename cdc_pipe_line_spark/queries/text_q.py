@@ -666,10 +666,42 @@ def q_weighted_sample(spark, sf_dir):
         docs, weight=F.col("n_chars").cast("double"), k=20
     )
 
+def q_url_extract(spark, sf_dir):
+    """URL structure extraction (the host/path/registered-domain
+    parse every web-corpus pipeline runs for per-domain curation):
+    deterministic URLs synthesized per doc, then host, subdomain-less
+    registered domain, first path segment and a query param pulled
+    out with the SAME regexes in both engines; per-domain rollup
+    proves the group-by-registered-domain shape."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://sub"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".host"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/sec/"), (F.col("doc_id") % 11).cast("string"),
+        F.lit("/page?ref=r"), (F.col("doc_id") % 3).cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    host = F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    parsed = u.select(
+        "doc_id",
+        host.alias("host"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("reg_domain"),
+        F.regexp_extract("url", r"/sec/([^/?]+)", 1).alias("section"),
+        F.regexp_extract("url", r"[?&]ref=([^&]+)", 1).alias("ref"),
+    )
+    return (
+        parsed.groupBy("host", "reg_domain", "section")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct("ref").alias("n_refs"),
+        )
+    )
+
 QUERIES = {
     "text_tfidf_terms": q_tfidf_terms,
     "text_char_entropy": q_char_entropy,
     "llm_weighted_sample": q_weighted_sample,
+    "scalar_url_extract": q_url_extract,
     "text_profile": q_text_profile,
     "text_exact_dedup": q_exact_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -775,6 +807,25 @@ _COS64 = (
 )
 
 ORACLE = {
+    "scalar_url_extract": """
+WITH u AS (
+  SELECT doc_id,
+    'https://sub' || CAST(doc_id % 7 AS VARCHAR) ||
+    '.host' || CAST(doc_id % 50 AS VARCHAR) ||
+    '.example.com/sec/' || CAST(doc_id % 11 AS VARCHAR) ||
+    '/page?ref=r' || CAST(doc_id % 3 AS VARCHAR) AS url
+  FROM documents),
+parsed AS (
+  SELECT doc_id,
+    regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+    regexp_extract(regexp_extract(url, '^https?://([^/]+)/', 1),
+                   '([^.]+\\.[^.]+)$', 1) AS reg_domain,
+    regexp_extract(url, '/sec/([^/?]+)', 1) AS section,
+    regexp_extract(url, '[?&]ref=([^&]+)', 1) AS ref
+  FROM u)
+SELECT host, reg_domain, section, count(*) AS n_urls,
+  count(DISTINCT ref) AS n_refs
+FROM parsed GROUP BY 1, 2, 3""",
     "llm_weighted_sample": """
 WITH pri AS (
   SELECT lang, doc_id,
