@@ -697,11 +697,46 @@ def q_url_extract(spark, sf_dir):
         )
     )
 
+def q_dedup_savings(spark, sf_dir):
+    """Corpus-level dedup impact report — the number a curation run
+    actually publishes: how many documents and bytes a near-dup sweep
+    removes.  Components output (doc -> keeper) joined back to the
+    corpus; removable = paired docs that are not their group's
+    keeper; char savings from n_chars.  One row, all exact."""
+    docs = _t(spark, sf_dir, "documents")
+    comp = dedup_connected_components(
+        ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+    )
+    j = docs.join(comp, "doc_id", "left")
+    removable = F.when(
+        F.col("keeper_id").isNotNull()
+        & (F.col("doc_id") != F.col("keeper_id")),
+        1,
+    ).otherwise(0)
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("keeper_id").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_in_dup_groups"),
+        F.count_distinct("keeper_id").alias("n_groups"),
+        F.sum(removable).cast("bigint").alias("n_removable"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.sum(F.col("n_chars") * removable).cast("bigint").alias(
+            "chars_removable"
+        ),
+    ).select(
+        "*",
+        F.round(
+            F.col("chars_removable") / F.col("chars_total") * 100.0, 4
+        ).alias("savings_pct"),
+    )
+
 QUERIES = {
     "text_tfidf_terms": q_tfidf_terms,
     "text_char_entropy": q_char_entropy,
     "llm_weighted_sample": q_weighted_sample,
     "scalar_url_extract": q_url_extract,
+    "text_dedup_savings": q_dedup_savings,
     "text_profile": q_text_profile,
     "text_exact_dedup": q_exact_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -1243,3 +1278,22 @@ SELECT doc_id, CAST(split_key AS BIGINT) AS split_key,
        ELSE 'train' END AS split
 FROM bucketed""",
 }
+
+ORACLE["text_dedup_savings"] = ORACLE["dedup_components"].replace(
+    "SELECT src AS doc_id, min(dst) AS keeper_id FROM reach GROUP BY src",
+    """, comp AS (
+  SELECT src AS doc_id, min(dst) AS keeper_id FROM reach GROUP BY src)
+SELECT count(*) AS n_docs,
+  CAST(sum(CASE WHEN keeper_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_in_dup_groups,
+  count(DISTINCT keeper_id) AS n_groups,
+  CAST(sum(CASE WHEN keeper_id IS NOT NULL AND d.doc_id != keeper_id
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_removable,
+  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+  CAST(sum(CASE WHEN keeper_id IS NOT NULL AND d.doc_id != keeper_id
+           THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removable,
+  round(CAST(sum(CASE WHEN keeper_id IS NOT NULL AND d.doc_id != keeper_id
+           THEN n_chars ELSE 0 END) AS DOUBLE)
+        / CAST(sum(n_chars) AS DOUBLE) * 100.0, 4) AS savings_pct
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id""",
+)
