@@ -251,3 +251,53 @@ def test_changelog_compaction_branches(spark):
     assert got[2] == ("insert", 2, 5.0)
     assert got[3] == ("delete", 2, 0.0)
     assert got[4] == ("update", 1, 8.0)
+
+
+def test_bitemporal_late_correction(spark):
+    """The scenario bitemporality exists for: at tx T2 a correction
+    arrives about valid period V1.  Reading (V1, as-known-at T1)
+    still shows the ORIGINAL value; reading (V1, as-known-at T2)
+    shows the correction; the valid axis keeps V2 unaffected."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark.cdc.bitemporal import (
+        add_tx_intervals,
+        as_of_bitemporal,
+    )
+
+    T = dt.datetime
+    D = dt.date
+    rows = [
+        # key 1, valid Jan: recorded at tx Jan-01 value 10.0,
+        # CORRECTED at tx Mar-01 to 11.0 (same valid period)
+        (1, T(2024, 1, 1), 1, D(2024, 1, 1), D(2024, 2, 1), 10.0),
+        (2, T(2024, 3, 1), 1, D(2024, 1, 1), D(2024, 2, 1), 11.0),
+        # key 1, valid Feb: recorded at tx Feb-01, never corrected
+        (3, T(2024, 2, 1), 1, D(2024, 2, 1), D(2024, 3, 1), 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, tx_ts timestamp, key long, "
+        "valid_from date, valid_to date, value double",
+    )
+    bt = add_tx_intervals(
+        df, key_cols=["key", "valid_from"], ts_col="tx_ts",
+        tiebreak_col="event_id",
+    )
+
+    def read(valid_at, tx_at):
+        out = as_of_bitemporal(
+            bt, valid_at=F.lit(valid_at), tx_at=F.lit(tx_at)
+        ).select("value").collect()
+        return sorted(r.value for r in out)
+
+    # what we believed on Jan-15 about mid-January: original 10.0
+    assert read(D(2024, 1, 15), T(2024, 1, 15)) == [10.0]
+    # what we believe on Mar-15 about mid-January: corrected 11.0
+    assert read(D(2024, 1, 15), T(2024, 3, 15)) == [11.0]
+    # February's fact is untouched by the January correction
+    assert read(D(2024, 2, 15), T(2024, 3, 15)) == [20.0]
+    # before anything was recorded: empty
+    assert read(D(2024, 1, 15), T(2023, 12, 31)) == []
