@@ -129,14 +129,98 @@ def q_holt(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return holt_by_key(ev)
 
+def q_anomaly_mad(spark, sf_dir):
+    """Robust anomaly scoring via median absolute deviation — the
+    outlier-resistant alternative to the rolling z-score (a single
+    spike inflates a stddev but barely moves a median).  Exact
+    medians (Spark median() / DuckDB median are both exact
+    interpolated), so the whole robust pipeline is hash-binding.
+    Shape: daily counts -> per-type median (tiny agg, broadcast back)
+    -> per-type MAD -> flags; three shrinking aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.count("*").cast("double").alias("n"))
+    med = daily.groupBy("event_type").agg(F.median("n").alias("med"))
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("absdev").alias("mad"))
+    scored = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        (
+            F.col("absdev") > F.lit(3.0 * 1.4826) * F.col("mad")
+        ).alias("is_anomaly"),
+    )
+    return scored
+
+
+def q_time_to_convert(spark, sf_dir):
+    """Days-to-convert distribution: hours between each user's first
+    view and first subsequent purchase, bucketed into days — the
+    funnel's latency histogram."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    p = (
+        v.join(ev.filter(F.col("event_type") == "purchase"), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    days = F.floor(
+        (F.unix_micros("t_buy") - F.unix_micros("t_view"))
+        / F.lit(86400000000.0)
+    ).cast("int")
+    return (
+        p.withColumn("days_to_convert", days)
+        .groupBy("days_to_convert")
+        .agg(F.count("*").alias("n_users"))
+    )
+
 QUERIES = {
     "ts_ewma": q_ewma,
     "ts_holt_trend": q_holt,
+    "ts_anomaly_mad": q_anomaly_mad,
+    "ts_time_to_convert": q_time_to_convert,
     "ts_rolling_zscore": q_rolling_zscore,
     "ts_asof_sessionize": q_asof_sessionize,
 }
 
 ORACLE = {
+    "ts_anomaly_mad": """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+med AS (SELECT event_type, median(n) AS med FROM daily GROUP BY 1),
+dev AS (
+  SELECT daily.*, med.med, abs(n - med.med) AS absdev
+  FROM daily JOIN med USING (event_type)),
+mad AS (SELECT event_type, median(absdev) AS mad FROM dev GROUP BY 1)
+SELECT dev.event_type, strftime(d, '%Y-%m-%d') AS d, n,
+  round(dev.med, 4) AS med, round(mad.mad, 4) AS mad,
+  absdev > 3.0 * 1.4826 * mad.mad AS is_anomaly
+FROM dev JOIN mad ON dev.event_type = mad.event_type""",
+    "ts_time_to_convert": """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+p AS (
+  SELECT v.user_id, t_view, min(e.ts) AS t_buy
+  FROM v JOIN events e ON e.user_id = v.user_id
+    AND e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY 1, 2)
+SELECT CAST(floor((epoch_us(t_buy) - epoch_us(t_view)) / 86400000000.0)
+    AS INT) AS days_to_convert,
+  count(*) AS n_users
+FROM p GROUP BY 1""",
     "ts_holt_trend": """
 WITH RECURSIVE e AS (
   SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL),
