@@ -273,3 +273,92 @@ SELECT path, n_sessions, n_users,
   CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS INT)
     AS pos
 FROM r QUALIFY pos <= 15"""
+
+
+def q_ab_test_lift(spark, sf_dir):
+    """A/B experiment readout: users hash-split 50/50 (md5-derived,
+    deterministic and SQL-replayable), conversion = any purchase;
+    emits per-variant rates, absolute lift, and the two-proportion
+    pooled z statistic with a significance flag.  All inputs are
+    exact integers, so the float pipeline is identical arithmetic in
+    both engines (rounded at 6/4dp).  One per-user aggregate, then a
+    2-row rollup."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    variant = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        % 100
+        < 50,
+        "A",
+    ).otherwise("B")
+    v = per_user.withColumn("variant", variant)
+    counts = v.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    a = counts.filter("variant = 'A'").select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    b = counts.filter("variant = 'B'").select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    )
+    j = a.crossJoin(b)
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cb") / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    # pool can be exactly 0 or 1 (nobody / everybody converts — the
+    # degenerate experiment); the z denominator is then 0 and ANSI
+    # mode raises.  NULL z with significant=false is the honest read.
+    denom = F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    z = F.when(denom > 0, (pb - pa) / denom)
+    return j.select(
+        "na", "ca", "nb", "cb",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(pb - pa, 6).alias("lift_abs"),
+        F.round(z, 4).alias("z_stat"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant_95"),
+    )
+
+
+QUERIES["agg_ab_test_lift"] = q_ab_test_lift
+
+ORACLE["agg_ab_test_lift"] = """
+WITH per_user AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1),
+v AS (
+  SELECT *, CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+      1, 8)) AS UBIGINT) % 100 < 50 THEN 'A' ELSE 'B' END AS variant
+  FROM per_user),
+c AS (
+  SELECT variant, count(*) AS n_users,
+    CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM v GROUP BY 1),
+j AS (
+  SELECT a.n_users AS na, a.n_converted AS ca,
+         b.n_users AS nb, b.n_converted AS cb
+  FROM (SELECT * FROM c WHERE variant = 'A') a
+  CROSS JOIN (SELECT * FROM c WHERE variant = 'B') b)
+SELECT na, ca, nb, cb,
+  round(ca / na, 6) AS rate_a,
+  round(cb / nb, 6) AS rate_b,
+  round(cb / nb - ca / na, 6) AS lift_abs,
+  round(CASE WHEN denom > 0 THEN (cb / nb - ca / na) / denom END, 4)
+    AS z_stat,
+  coalesce(abs(CASE WHEN denom > 0 THEN (cb / nb - ca / na) / denom END)
+           > 1.96, FALSE) AS significant_95
+FROM (
+  SELECT *, sqrt(((ca + cb) / (na + nb)) * (1 - (ca + cb) / (na + nb))
+           * (1.0 / na + 1.0 / nb)) AS denom
+  FROM j)"""
