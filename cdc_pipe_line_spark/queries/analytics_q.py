@@ -362,3 +362,80 @@ FROM (
   SELECT *, sqrt(((ca + cb) / (na + nb)) * (1 - (ca + cb) / (na + nb))
            * (1.0 / na + 1.0 / nb)) AS denom
   FROM j)"""
+
+
+def q_session_duration_stats(spark, sf_dir):
+    """Session-length distribution (exact percentiles): 30-min-gap
+    sessions -> per-session duration/event-count -> one summary row.
+    Spark percentile() and DuckDB quantile_cont are both exact
+    interpolated quantiles over integer seconds, so the distribution
+    stats bind without tolerance."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("ts").over(w)
+    sess = (
+        ev.withColumn(
+            "__new",
+            F.when(
+                prev.isNull()
+                | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__sess",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "__sess")
+        .agg(
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("dur_us"),
+            F.count("*").alias("n_ev"),
+        )
+    )
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.expr("percentile(dur_us, 0.5)") / 1e6, 4).alias(
+            "median_dur_s"
+        ),
+        F.round(F.expr("percentile(dur_us, 0.9)") / 1e6, 4).alias(
+            "p90_dur_s"
+        ),
+        F.round(F.avg("n_ev"), 6).alias("avg_events_per_session"),
+        F.max("n_ev").alias("max_events"),
+    )
+
+
+QUERIES["ts_session_duration_stats"] = q_session_duration_stats
+
+ORACLE["ts_session_duration_stats"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+s AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM x),
+per AS (
+  SELECT user_id, sess,
+    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+    count(*) AS n_ev
+  FROM s GROUP BY 1, 2)
+SELECT count(*) AS n_sessions,
+  round(quantile_cont(dur_us, 0.5) / 1e6, 4) AS median_dur_s,
+  round(quantile_cont(dur_us, 0.9) / 1e6, 4) AS p90_dur_s,
+  round(avg(n_ev), 6) AS avg_events_per_session,
+  CAST(max(n_ev) AS BIGINT) AS max_events
+FROM per"""

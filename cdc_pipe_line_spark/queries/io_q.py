@@ -177,6 +177,46 @@ def q_io_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderstatus").alias("n_statuses"),
     )
 
+def q_io_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row quarantine on a CSV scan (S1 at 100 TB): the
+    PERMISSIVE reader routes unparseable lines into a corrupt-record
+    column instead of failing the job — the file-format twin of the
+    multimodal poison-row policy.  Every 7th nation row is written
+    deliberately broken (wrong arity + non-numeric key); the scan
+    must count and carry them while the good rows aggregate."""
+    import os as _os
+
+    path, ready = _cache(sf_dir, "nation_dirty_csv")
+    if not ready:
+        rows = (
+            _t(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        _os.makedirs(path, exist_ok=True)
+        with open(_os.path.join(path, "part-00000.csv"), "w") as fh:
+            for r in rows:
+                if r.n_nationkey % 7 == 0:
+                    fh.write(f"BROKEN_{r.n_nationkey},oops\n")
+                else:
+                    fh.write(
+                        f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n"
+                    )
+        _mark(path)
+    df = spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int, _corrupt string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).csv(path)
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count("_corrupt").alias("n_quarantined"),
+        F.sum("n_nationkey").cast("bigint").alias("sum_good_keys"),
+        F.count_distinct("n_regionkey").alias("n_regions"),
+    )
+
 # ------------------------------------------------------------------ S2
 
 
@@ -325,12 +365,24 @@ QUERIES = {
     "io_partitioned_prune": q_io_partitioned_prune,
     "io_dpp_join": q_io_dpp_join,
     "io_mergeschema_scan": q_io_mergeschema,
+    "io_csv_quarantine": q_io_csv_quarantine,
     "io_office_ingest": q_io_office_ingest,
     "io_zip_consolidated": q_io_zip_consolidated,
     "io_jdbc_roundtrip": q_io_jdbc_roundtrip,
 }
 
 ORACLE = {
+    "io_csv_quarantine": """
+SELECT count(*) AS n_rows,
+  CAST(sum(CASE WHEN n_nationkey % 7 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_good,
+  CAST(sum(CASE WHEN n_nationkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quarantined,
+  CAST(sum(CASE WHEN n_nationkey % 7 != 0 THEN n_nationkey END) AS BIGINT)
+    AS sum_good_keys,
+  count(DISTINCT CASE WHEN n_nationkey % 7 != 0 THEN n_regionkey END)
+    AS n_regions
+FROM nation""",
     "io_mergeschema_scan": """
 SELECT count(*) AS n_rows,
   round(avg(o_totalprice), 2) AS avg_price,
