@@ -796,6 +796,37 @@ def q_column_profile(spark, sf_dir):
         f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)"
     )
 
+def q_period_over_period(spark, sf_dir):
+    """Week-over-week revenue change per market segment (the BI
+    period-over-period read): weekly aggregate -> lag window ->
+    guarded percent change (first week and zero-revenue priors go
+    NULL, not a division error under ANSI mode)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    weekly = (
+        orders.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .groupBy(
+            "c_mktsegment",
+            F.date_trunc("week", "o_orderdate").cast("date").alias("wk"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("wk")
+    prev = F.lag("rev").over(w)
+    return weekly.select(
+        "c_mktsegment",
+        F.date_format("wk", "yyyy-MM-dd").alias("wk"),
+        "rev",
+        F.round(
+            F.when(prev > 0, (F.col("rev") - prev) / prev * 100.0), 4
+        ).alias("wow_pct"),
+    )
+
 QUERIES = {
     "agg_pricing_summary": q_pricing_summary,
     "join_bucketed_colocated": q_join_bucketed_colocated,
@@ -816,6 +847,7 @@ QUERIES = {
     "agg_value_histogram": q_value_histogram,
     "agg_calendar_heatmap": q_calendar_heatmap,
     "proj_column_profile": q_column_profile,
+    "window_period_change": q_period_over_period,
     "window_range_frame": q_range_frame_window,
     "join_q22_anti_subquery": q_q22_anti_subquery,
     "set_ops": q_set_ops,
@@ -825,6 +857,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "window_period_change": """
+WITH weekly AS (
+  SELECT c_mktsegment, CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+    round(sum(o_totalprice), 2) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2)
+SELECT c_mktsegment, strftime(wk, '%Y-%m-%d') AS wk, rev,
+  round(CASE WHEN lag(rev) OVER w > 0
+        THEN (rev - lag(rev) OVER w) / lag(rev) OVER w * 100.0 END, 4)
+    AS wow_pct
+FROM weekly WINDOW w AS (PARTITION BY c_mktsegment ORDER BY wk)""",
     "agg_calendar_heatmap": """
 SELECT CAST(date_part('dow', ts) AS INT) AS dow,
   CAST(date_part('hour', ts) AS INT) AS hod,

@@ -731,12 +731,38 @@ def q_dedup_savings(spark, sf_dir):
         ).alias("savings_pct"),
     )
 
+def q_ascii_ratio(spark, sf_dir):
+    """Script-mix profiling: per-language non-ASCII character ratio
+    (the cheap script-consistency signal a multilingual pipeline uses
+    to catch mislabeled or transliterated docs).  Same regex in both
+    engines; per-doc ratios aggregate to per-lang stats."""
+    docs = _t(spark, sf_dir, "documents")
+    n_total = F.length("text").cast("double")
+    n_ascii = F.length(
+        F.regexp_replace("text", r"[^\x00-\x7F]", "")
+    ).cast("double")
+    per = docs.select(
+        "lang",
+        F.when(n_total > 0, (n_total - n_ascii) / n_total)
+        .otherwise(0.0)
+        .alias("r"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("r"), 6).alias("avg_nonascii_ratio"),
+        F.round(F.max("r"), 6).alias("max_nonascii_ratio"),
+        F.sum((F.col("r") > 0.5).cast("int")).cast("bigint").alias(
+            "n_majority_nonascii"
+        ),
+    )
+
 QUERIES = {
     "text_tfidf_terms": q_tfidf_terms,
     "text_char_entropy": q_char_entropy,
     "llm_weighted_sample": q_weighted_sample,
     "scalar_url_extract": q_url_extract,
     "text_dedup_savings": q_dedup_savings,
+    "text_ascii_ratio": q_ascii_ratio,
     "text_profile": q_text_profile,
     "text_exact_dedup": q_exact_dedup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -842,6 +868,21 @@ _COS64 = (
 )
 
 ORACLE = {
+    "text_ascii_ratio": """
+WITH per AS (
+  SELECT lang,
+    CASE WHEN len(text) > 0
+      THEN (CAST(len(text) AS DOUBLE)
+            - len(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')))
+           / CAST(len(text) AS DOUBLE)
+      ELSE 0.0 END AS r
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+  round(avg(r), 6) AS avg_nonascii_ratio,
+  round(max(r), 6) AS max_nonascii_ratio,
+  CAST(sum(CASE WHEN r > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_majority_nonascii
+FROM per GROUP BY lang""",
     "scalar_url_extract": """
 WITH u AS (
   SELECT doc_id,
