@@ -595,3 +595,120 @@ def session_paths(
         .filter(F.col("pos") <= top)
     )
     return ranked
+
+
+def triangle_count(edges: DataFrame, *, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle enumeration over an undirected edge list given
+    in canonical orientation (``a < b``, deduplicated).
+
+    The classic degeneracy trick is built into the orientation: every
+    triangle {x, y, z} with x < y < z is found exactly once as the
+    wedge (x,y)+(y,z) closed by (x,z), so no triangle is counted 6x
+    and no post-hoc division is needed.  Cost: one self-join on the
+    shared middle vertex (shuffle on ``b``/``a``) followed by one
+    closure semi-join on the (x,z) pair — both plain hash joins
+    Catalyst can run broadcast or shuffled per AQE stats.  At 100 TB
+    the wedge count is the budget; orientation by id bounds it by the
+    out-degree of the *smaller* endpoint, the standard mitigation for
+    skewed (celebrity) vertices.
+
+    Returns the closed triangles, one row per (x, y, z).
+    """
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    return wedge.join(
+        e.alias("e3"),
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+        "left_semi",
+    )
+
+
+def khop_reach(
+    edges: DataFrame,
+    seed,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+) -> DataFrame:
+    """Breadth-first k-hop reachability from ``seed`` over a directed
+    edge list: returns ``(node, hop)`` with the MINIMUM hop count
+    (<= k) at which each node is first reached (seed itself = hop 0).
+
+    Shape: k rounds of frontier-join + anti-join dedup — each round
+    shuffles only the *frontier* (nodes first reached last round),
+    never the visited set, and the visited set is pinned per round so
+    Catalyst doesn't replay the whole chain (lineage depth stays
+    linear, plan reuse via localCheckpoint like :func:`pagerank`).
+    The oracle replays this as a bounded RECURSIVE CTE.
+    """
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).localCheckpoint(eager=True)
+    visited = (
+        e.sparkSession.createDataFrame([(seed, 0)], ["node", "hop"])
+        if not isinstance(seed, DataFrame)
+        else seed
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, k + 1):
+        new = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return visited
+
+
+def markov_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next state | current state), with a synthetic
+    ``_start`` state for each user's first event.  ONE window pass
+    (lag over (ts, tiebreak)) + one aggregate; probabilities are
+    n / row-total, rounded 6dp.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    trans = events.select(
+        F.coalesce(F.lag(type_col).over(w), F.lit("_start")).alias("src"),
+        F.col(type_col).alias("dst"),
+    )
+    counts = trans.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        # floor round-half-up, not round(): k/total can land exactly
+        # on a 6dp tie boundary (e.g. total=128 -> 7dp ending in 5)
+        # where Spark and DuckDB round() disagree
+        (
+            F.floor(
+                F.col("n") / F.sum("n").over(wt).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("p"),
+    )

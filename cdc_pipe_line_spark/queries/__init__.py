@@ -15,6 +15,7 @@ from cdc_pipe_line_spark.queries import (
     analytics_q,
     cdc_q,
     io_q,
+    quality_q,
     relational_q,
     reshape_q,
     scd2_q,
@@ -40,6 +41,7 @@ _MODULES = [
     reshape_q,
     relational_q,
     analytics_q,
+    quality_q,
 ]
 
 

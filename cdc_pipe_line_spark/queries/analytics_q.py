@@ -439,3 +439,168 @@ SELECT count(*) AS n_sessions,
   round(avg(n_ev), 6) AS avg_events_per_session,
   CAST(max(n_ev) AS BIGINT) AS max_events
 FROM per"""
+
+
+def q_triangle_parts(spark, sf_dir):
+    """Triangle census over the part co-occurrence graph (parts
+    appearing in the same order are connected): total triangles /
+    edges / nodes plus the top-10 parts by triangle participation —
+    the clustering-structure probe of a similarity or co-purchase
+    graph.  Edges are canonically oriented (a < b) so each triangle
+    is found exactly once (degeneracy orientation — bounds the wedge
+    fanout by the smaller endpoint's degree, the skew mitigation);
+    the basket->pairs fanout is bounded by per-order line counts
+    (TPC-H: <= 7 lines/order -> <= 21 pairs).  The co-occurrence
+    projection is pinned once (localCheckpoint) because three
+    consumers reference it; unpinned, Catalyst would re-scan lineitem
+    per reference."""
+    from pyspark.sql.window import Window
+
+    from cdc_pipe_line_spark.analytics import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", F.col("l_partkey").alias("p")).distinct()
+    pairs = (
+        op.alias("x")
+        .join(op.alias("y"), "l_orderkey")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tri = triangle_count(pairs).localCheckpoint(eager=True)
+    null_pos = F.lit(None).cast("int")
+    s_tri = tri.agg(F.count("*").alias("v")).select(
+        F.lit("summary").alias("probe"), F.lit("triangles").alias("k"),
+        F.col("v"), null_pos.alias("pos"),
+    )
+    s_edge = pairs.agg(F.count("*").alias("v")).select(
+        F.lit("summary").alias("probe"), F.lit("edges").alias("k"),
+        F.col("v"), null_pos.alias("pos"),
+    )
+    nodes = pairs.select(F.col("a").alias("n")).union(
+        pairs.select("b")
+    ).distinct()
+    s_node = nodes.agg(F.count("*").alias("v")).select(
+        F.lit("summary").alias("probe"), F.lit("nodes").alias("k"),
+        F.col("v"), null_pos.alias("pos"),
+    )
+    member = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
+    ).groupBy("node").agg(F.count("*").alias("v"))
+    top = (
+        member.withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(F.col("v").desc(), F.col("node").asc())
+            ),
+        )
+        .filter(F.col("pos") <= 10)
+        .select(
+            F.lit("top").alias("probe"),
+            F.col("node").cast("string").alias("k"),
+            "v",
+            "pos",
+        )
+    )
+    return s_tri.unionByName(s_edge).unionByName(s_node).unionByName(top)
+
+
+def q_khop_reach(spark, sf_dir):
+    """3-hop BFS reachability from the smallest part id over the
+    undirected co-occurrence graph: nodes first reached at each hop.
+    The iterative frontier-expansion shape (k bounded rounds, each
+    shuffling only the frontier); the oracle replays it as a bounded
+    RECURSIVE CTE."""
+    from cdc_pipe_line_spark.analytics import khop_reach
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", F.col("l_partkey").alias("p")).distinct()
+    pairs = (
+        op.alias("x")
+        .join(op.alias("y"), "l_orderkey")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+    )
+    und = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(pairs.select(F.col("b"), F.col("a")))
+    seed = pairs.agg(F.min("a").alias("node")).withColumn(
+        "hop", F.lit(0)
+    )
+    reached = khop_reach(und, seed, k=3)
+    return reached.groupBy("hop").agg(F.count("*").alias("n_reached"))
+
+
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (with a ``_start`` state): the behavioral-model shape
+    behind next-event prediction and anomaly scoring."""
+    from cdc_pipe_line_spark.analytics import markov_transitions
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+QUERIES["graph_triangle_parts"] = q_triangle_parts
+QUERIES["graph_khop_reach"] = q_khop_reach
+QUERIES["reshape_markov_transitions"] = q_markov_transitions
+
+_COOC_SQL = """
+op AS (SELECT DISTINCT l_orderkey, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM op x JOIN op y USING (l_orderkey) WHERE x.p < y.p)"""
+
+ORACLE["graph_triangle_parts"] = f"""
+WITH {_COOC_SQL},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  WHERE EXISTS (
+    SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+member AS (
+  SELECT node, count(*) AS v FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY 1),
+top AS (
+  SELECT 'top' AS probe, CAST(node AS VARCHAR) AS k,
+    CAST(v AS BIGINT) AS v,
+    CAST(row_number() OVER (ORDER BY v DESC, node ASC) AS INT) AS pos
+  FROM member QUALIFY pos <= 10)
+SELECT 'summary' AS probe, 'triangles' AS k, CAST(count(*) AS BIGINT)
+  AS v, CAST(NULL AS INT) AS pos FROM tri
+UNION ALL
+SELECT 'summary', 'edges', CAST(count(*) AS BIGINT), NULL FROM e
+UNION ALL
+SELECT 'summary', 'nodes', CAST(count(*) AS BIGINT), NULL FROM (
+  SELECT DISTINCT n FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b FROM e))
+UNION ALL
+SELECT probe, k, v, pos FROM top"""
+
+ORACLE["graph_khop_reach"] = f"""
+WITH RECURSIVE {_COOC_SQL},
+und AS (
+  SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+r AS (
+  SELECT (SELECT min(a) FROM e) AS node, 0 AS hop
+  UNION
+  SELECT u.d, r.hop + 1 FROM r JOIN und u ON u.s = r.node
+  WHERE r.hop < 3)
+SELECT hop, count(*) AS n_reached FROM (
+  SELECT node, min(hop) AS hop FROM r GROUP BY 1)
+GROUP BY 1"""
+
+ORACLE["reshape_markov_transitions"] = """
+WITH t AS (
+  SELECT coalesce(lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC), '_start')
+    AS src, event_type AS dst
+  FROM events),
+c AS (SELECT src, dst, count(*) AS n FROM t GROUP BY 1, 2)
+SELECT src, dst, n,
+  floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src)
+    AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p
+FROM c"""

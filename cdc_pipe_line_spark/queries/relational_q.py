@@ -1123,3 +1123,84 @@ SELECT 'json', event_id, NULL, NULL, NULL, NULL, NULL,
   CAST(json_extract(props, '$.k') AS BIGINT)
 FROM events""",
 }
+
+
+def q_percentile_bands(spark, sf_dir):
+    """Exact per-group percentile profile: p25/p50/p75/p90 of customer
+    account balance per market segment + IQR — Spark ``percentile()``
+    and DuckDB ``quantile_cont`` are both exact interpolated
+    quantiles, so the profile binds without tolerance.  One
+    sort-based aggregate per group; at 100 TB the exact percentile
+    needs a per-group sort (the price of exactness — the sketch slot
+    ``agg_sketch_sample_profile`` carries the approx_percentile
+    alternative at fixed memory)."""
+    c = _t(spark, sf_dir, "customer")
+    pc = lambda q: F.expr(f"percentile(c_acctbal, {q})")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(pc(0.25), 4).alias("p25"),
+        F.round(pc(0.5), 4).alias("p50"),
+        F.round(pc(0.75), 4).alias("p75"),
+        F.round(pc(0.9), 4).alias("p90"),
+        F.round(pc(0.75) - pc(0.25), 4).alias("iqr"),
+    )
+
+
+def q_q11_important_share(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose lineitem revenue exceeds 0.1% of
+    the global total — the global-threshold HAVING via a scalar
+    subquery.  All arithmetic in integer CENTS (the 4dp-exact revenue
+    expression scaled to int64 and summed exactly), so the threshold
+    comparison `part_cents * 1000 > total_cents` is exact integer
+    math on BOTH engines — immune to the double-accumulation-order
+    drift that makes a raw double global sum unusable as a cut line
+    (the sf1 lesson recorded in BENCH_NOTES round 6).  Plan: one
+    partial-aggregated shuffle on l_partkey, the 1-row total
+    broadcast into the filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(cents).alias("cents"), F.count("*").alias("n_lines")
+    )
+    total = per_part.agg(F.sum("cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("cents") * 1000 > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            (F.col("cents") / 100.0).alias("revenue"),
+            "n_lines",
+            F.round(
+                F.col("cents") / F.col("total_cents") * 100.0, 4
+            ).alias("share_pct"),
+        )
+    )
+
+
+QUERIES["agg_percentile_bands"] = q_percentile_bands
+QUERIES["join_q11_important_share"] = q_q11_important_share
+
+ORACLE["agg_percentile_bands"] = """
+SELECT c_mktsegment, count(*) AS n,
+  round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+  round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+  round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+  round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+  round(quantile_cont(c_acctbal, 0.75) - quantile_cont(c_acctbal, 0.25),
+    4) AS iqr
+FROM customer GROUP BY 1"""
+
+ORACLE["join_q11_important_share"] = """
+WITH pp AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      AS BIGINT)) AS BIGINT) AS cents,
+    count(*) AS n_lines
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM pp)
+SELECT l_partkey, CAST(cents AS DOUBLE) / 100.0 AS revenue, n_lines,
+  round(CAST(cents AS DOUBLE) / total_cents * 100.0, 4) AS share_pct
+FROM pp CROSS JOIN tot
+WHERE cents * 1000 > total_cents"""

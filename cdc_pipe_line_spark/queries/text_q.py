@@ -1338,3 +1338,117 @@ SELECT count(*) AS n_docs,
         / CAST(sum(n_chars) AS DOUBLE) * 100.0, 4) AS savings_pct
 FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id""",
 )
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style document quality gate (Rae et al. 2021, table A1
+    subset): word-count bounds, mean-word-length bounds, alphabetic-
+    word fraction, stopword floor, symbol ratio and ellipsis-line
+    cap — the rule battery an LLM pretraining pipeline applies before
+    dedup.  ONE narrow codegen pass over the text column: the word
+    array is materialized once per row and every metric derives from
+    it (no per-rule re-split), so at 100 TB this is a single
+    map-only scan with no shuffle at all.
+
+    Ratio outputs use floor-half-up (identical double arithmetic in
+    both engines) because k/n ratios land exactly on decimal rounding
+    boundaries where Spark and DuckDB round() disagree.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words).cast("bigint")
+    total_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wl = total_chars / F.greatest(n_words, F.lit(1)).cast("double")
+    alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    frac_alpha = alpha / F.greatest(n_words, F.lit(1)).cast("double")
+    stop = F.array(
+        *[F.lit(s) for s in (
+            "the", "a", "of", "to", "and", "in", "that", "is", "be",
+            "with",
+        )]
+    )
+    n_stop = F.size(
+        F.filter(words, lambda w: F.array_contains(stop, F.lower(w)))
+    ).cast("bigint")
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    sym_ratio = (n_hash + n_ell) / F.greatest(n_words, F.lit(1)).cast(
+        "double"
+    )
+    lines = F.split(t, "\n")
+    frac_ell_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    ) / F.greatest(F.size(lines), F.lit(1)).cast("double")
+
+    r = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    fails = F.array(
+        F.when((n_words < 50) | (n_words > 100000), "word_count"),
+        F.when((mean_wl < 3) | (mean_wl > 10), "mean_word_len"),
+        F.when(frac_alpha < 0.8, "alpha_frac"),
+        F.when(n_stop < 2, "stopwords"),
+        F.when(sym_ratio > 0.1, "symbol_ratio"),
+        F.when(frac_ell_lines > 0.3, "ellipsis_lines"),
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r(mean_wl).alias("mean_word_len"),
+        r(frac_alpha).alias("frac_alpha"),
+        n_stop.alias("n_stopwords"),
+        r(sym_ratio).alias("symbol_ratio"),
+        F.concat_ws(",", fails).alias("fail_reasons"),
+        (F.size(F.array_compact(fails)) == 0).alias("keep"),
+    )
+
+
+QUERIES["text_gopher_rules"] = q_gopher_rules
+
+ORACLE["text_gopher_rules"] = """
+WITH m AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+      AS w,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS total_chars,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+    string_split(text, chr(10)) AS lines
+  FROM documents),
+x AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    total_chars / CAST(greatest(len(w), 1) AS DOUBLE) AS mean_wl,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+      AS BIGINT) AS alpha,
+    CAST(len(list_filter(w, x -> lower(x) IN ('the','a','of','to',
+      'and','in','that','is','be','with'))) AS BIGINT) AS n_stop,
+    (n_hash + n_ell) / CAST(greatest(len(w), 1) AS DOUBLE)
+      AS sym_ratio,
+    len(list_filter(lines, l -> l LIKE '%...'))
+      / CAST(greatest(len(lines), 1) AS DOUBLE) AS frac_ell_lines
+  FROM m),
+f AS (
+  SELECT *,
+    alpha / CAST(greatest(n_words, 1) AS DOUBLE) AS frac_alpha,
+    [CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count' END,
+     CASE WHEN mean_wl < 3 OR mean_wl > 10 THEN 'mean_word_len' END,
+     CASE WHEN alpha / CAST(greatest(n_words, 1) AS DOUBLE) < 0.8
+       THEN 'alpha_frac' END,
+     CASE WHEN n_stop < 2 THEN 'stopwords' END,
+     CASE WHEN sym_ratio > 0.1 THEN 'symbol_ratio' END,
+     CASE WHEN frac_ell_lines > 0.3 THEN 'ellipsis_lines' END]
+      AS fails
+  FROM x)
+SELECT doc_id, n_words,
+  floor(mean_wl * 10000 + 0.5) / 10000 AS mean_word_len,
+  floor(frac_alpha * 10000 + 0.5) / 10000 AS frac_alpha,
+  n_stop AS n_stopwords,
+  floor(sym_ratio * 10000 + 0.5) / 10000 AS symbol_ratio,
+  coalesce(array_to_string(list_filter(fails, x -> x IS NOT NULL),
+    ','), '') AS fail_reasons,
+  len(list_filter(fails, x -> x IS NOT NULL)) = 0 AS keep
+FROM f"""

@@ -184,7 +184,145 @@ def q_time_to_convert(spark, sf_dir):
         .agg(F.count("*").alias("n_users"))
     )
 
+def q_ohlc_bars(spark, sf_dir):
+    """OHLC downsampling — the classic time-series resample: per
+    (event_type, day) the opening/closing values (first/last by
+    (ts, event_id), tie-broken deterministically), high/low, volume,
+    and the day's summed value.  ONE hash-aggregate pass: open/close
+    use ``min_by``/``max_by`` with a struct ordering key, so there is
+    no window sort — at 100 TB this is a single map-side-combinable
+    shuffle on the bar key, not a per-key ordered repartition."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+        )
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count("*").alias("volume"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.round("open", 4).alias("open"),
+            F.round("high", 4).alias("high"),
+            F.round("low", 4).alias("low"),
+            F.round("close", 4).alias("close"),
+            "volume",
+            "total_value",
+        )
+    )
+
+
+def q_interpolate_gaps(spark, sf_dir):
+    """Linear interpolation over a gappy hourly series: per-type
+    hourly mean value joined onto the full hour spine; missing hours
+    are linearly interpolated between the nearest observed neighbors
+    (IGNORE NULLS window carries), edges take the nearest value.
+
+    Scale shape: the spine is time-span-bound (hours x types), NOT
+    row-count-bound — at 100 TB the aggregate shrinks the input to the
+    same spine size before any window runs; the two IGNORE-NULLS
+    passes then sort a bounded frame.  Output rows: one per
+    (type, hour) — constant across scale factors."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # integer hour buckets (epoch-hours) so spine arithmetic is exact
+    hr = F.expr("unix_micros(ts) div 3600000000")
+    # round the observed series to 6dp BEFORE interpolating: per-hour
+    # avg() accumulates in engine-specific order, and an unrounded
+    # last-ulp difference flips the 4dp output rounding on boundary
+    # values — pinning the inputs makes the interpolation arithmetic
+    # bit-identical across engines
+    known = ev.groupBy(
+        F.col("event_type"), hr.alias("h")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    rng = known.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = (
+        rng.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+        .crossJoin(known.select("event_type").distinct())
+    )
+    g = spine.join(known, ["event_type", "h"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pv = F.last("v", ignorenulls=True).over(wb)
+    ph = F.last(F.when(F.col("v").isNotNull(), F.col("h")), True).over(wb)
+    nv = F.first("v", ignorenulls=True).over(wf)
+    nh = F.first(F.when(F.col("v").isNotNull(), F.col("h")), True).over(wf)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(
+            ph.isNotNull() & nh.isNotNull(),
+            pv + (nv - pv) * (F.col("h") - ph) / (nh - ph),
+        ).otherwise(F.coalesce(pv, nv))
+    )
+    src = F.when(F.col("v").isNotNull(), "obs").otherwise(
+        F.when(ph.isNotNull() & nh.isNotNull(), "interp").otherwise("edge")
+    )
+    # NOT round(): midpoint interpolation between 6dp knowns lands
+    # exactly on 4dp tie boundaries (…x5), where Spark (BigDecimal
+    # HALF_UP on the true binary value) and DuckDB disagree.  floor
+    # round-half-up is the same double arithmetic in both engines.
+    rounded = F.floor(interp * 10000 + F.lit(0.5)) / 10000
+    return g.select(
+        "event_type",
+        "h",
+        rounded.alias("value"),
+        src.alias("src"),
+    )
+
+
+def q_dow_seasonality(spark, sf_dir):
+    """Weekly seasonal decomposition (STL-lite): daily event counts
+    per type, detrended by a centered 7-day moving average; the
+    seasonal index is the mean deviation per (type, day-of-week).
+    Two shrinking passes: a daily aggregate, then one bounded window
+    over the day spine (span-sized, not row-sized)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    det = daily.withColumn("trend", F.avg("n").over(w)).withColumn(
+        "dev", F.col("n") - F.col("trend")
+    )
+    # ISO-agnostic dow: Spark dayofweek is 1=Sunday..7=Saturday
+    return (
+        det.groupBy("event_type", F.dayofweek("d").alias("dow"))
+        .agg(
+            F.round(F.avg("dev"), 4).alias("seasonal"),
+            F.count("*").alias("n_days"),
+        )
+    )
+
+
 QUERIES = {
+    "ts_ohlc_bars": q_ohlc_bars,
+    "ts_interpolate_gaps": q_interpolate_gaps,
+    "ts_dow_seasonality": q_dow_seasonality,
     "ts_ewma": q_ewma,
     "ts_holt_trend": q_holt,
     "ts_anomaly_mad": q_anomaly_mad,
@@ -194,6 +332,77 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ts_ohlc_bars": """
+WITH e AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+    ts, event_id, value
+  FROM events WHERE value IS NOT NULL),
+w AS (
+  SELECT event_type, d, value,
+    first_value(value) OVER win AS open,
+    last_value(value) OVER win AS close
+  FROM e
+  WINDOW win AS (PARTITION BY event_type, d ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT event_type, strftime(d, '%Y-%m-%d') AS d,
+  round(max(open), 4) AS open,
+  round(max(value), 4) AS high,
+  round(min(value), 4) AS low,
+  round(max(close), 4) AS close,
+  count(*) AS volume,
+  round(sum(value), 2) AS total_value
+FROM w GROUP BY 1, 2""",
+    "ts_interpolate_gaps": """
+WITH known AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+    round(avg(value), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+rng AS (SELECT min(h) AS h0, max(h) AS h1 FROM known),
+spine AS (
+  SELECT et.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM known) et
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT h0 FROM rng),
+                                  (SELECT h1 FROM rng))) AS h) s),
+g AS (
+  SELECT sp.event_type, sp.h, k.v FROM spine sp
+  LEFT JOIN known k ON k.event_type = sp.event_type AND k.h = sp.h),
+x AS (
+  SELECT event_type, h, v,
+    last_value(v IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      OVER wb AS ph,
+    first_value(v IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      OVER wf AS nh
+  FROM g
+  WINDOW
+    wb AS (PARTITION BY event_type ORDER BY h ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY event_type ORDER BY h ASC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, h,
+  floor((CASE WHEN v IS NOT NULL THEN v
+    WHEN ph IS NOT NULL AND nh IS NOT NULL
+      THEN pv + (nv - pv) * (h - ph) / (nh - ph)
+    ELSE coalesce(pv, nv) END) * 10000 + 0.5) / 10000 AS value,
+  CASE WHEN v IS NOT NULL THEN 'obs'
+    WHEN ph IS NOT NULL AND nh IS NOT NULL THEN 'interp'
+    ELSE 'edge' END AS src
+FROM x""",
+    "ts_dow_seasonality": """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+det AS (
+  SELECT event_type, d, n,
+    n - avg(n) OVER (PARTITION BY event_type ORDER BY d ASC
+      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS dev
+  FROM daily)
+SELECT event_type, dayofweek(d) + 1 AS dow,
+  round(avg(dev), 4) AS seasonal, count(*) AS n_days
+FROM det GROUP BY 1, 2""",
     "ts_anomaly_mad": """
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
