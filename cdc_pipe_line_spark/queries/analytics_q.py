@@ -604,3 +604,169 @@ SELECT src, dst, n,
   floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src)
     AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p
 FROM c"""
+
+
+def q_market_basket(spark, sf_dir):
+    """Association rules (support / confidence / lift) over per-user
+    event-type baskets — the market-basket shape.  The basket table
+    collapses to distinct (user, item) FIRST (one shuffle, orders of
+    magnitude smaller than raw events); the pair join is bounded by
+    items-per-user (<= 5 types here; capped by basket width in
+    general).  Ratios floor-rounded (k/n tie boundaries)."""
+    ev = _t(spark, sf_dir, "events")
+    ub = ev.select("user_id", F.col("event_type").alias("item")).distinct()
+    n_users = ub.select("user_id").distinct().agg(
+        F.count("*").alias("n_users")
+    )
+    item = ub.groupBy("item").agg(F.count("*").alias("n_item"))
+    pairs = (
+        ub.alias("x")
+        .join(ub.alias("y"), "user_id")
+        .filter(F.col("x.item") < F.col("y.item"))
+        .groupBy(
+            F.col("x.item").alias("a"), F.col("y.item").alias("b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    rules = pairs.select("a", "b", "n_ab").unionByName(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "n_ab"
+        )
+    )
+    fl = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    out = (
+        rules.join(
+            F.broadcast(item.withColumnRenamed("item", "a")), "a"
+        )
+        .withColumnRenamed("n_item", "n_a")
+        .join(
+            F.broadcast(
+                item.select(
+                    F.col("item").alias("b"),
+                    F.col("n_item").alias("n_b"),
+                )
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_users))
+    )
+    conf = F.col("n_ab") / F.col("n_a").cast("double")
+    supp = F.col("n_ab") / F.col("n_users").cast("double")
+    p_b = F.col("n_b") / F.col("n_users").cast("double")
+    return out.select(
+        F.col("a").alias("antecedent"),
+        F.col("b").alias("consequent"),
+        "n_ab",
+        fl(supp).alias("support"),
+        fl(conf).alias("confidence"),
+        fl(conf / p_b).alias("lift"),
+    )
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation:
+    per-user purchase recency vs the global anchor, purchase count,
+    and spend, each quartile-scored (ntile with a full deterministic
+    tie-break) into a 3-digit segment label.
+
+    Scale note: ntile over an unpartitioned window is a single-sort
+    bottleneck at extreme cardinality — the production variant cuts
+    on approx_percentile boundaries instead (sketch slot shows the
+    pattern); at the dashboard cardinalities this query serves
+    (users with >= 1 purchase), the exact quartile is the product
+    requirement and one global sort of per-user rows is the price."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    anchor = p.agg(F.max(F.date_trunc("day", "ts")).alias("a0"))
+    per_user = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.round(
+                F.coalesce(F.sum("value"), F.lit(0.0)), 2
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days",
+            F.datediff("a0", F.date_trunc("day", "last_ts")),
+        )
+    )
+    r_score = F.ntile(4).over(
+        Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    )
+    f_score = F.ntile(4).over(
+        Window.orderBy(F.col("frequency").asc(), F.col("user_id"))
+    )
+    m_score = F.ntile(4).over(
+        Window.orderBy(F.col("monetary").asc(), F.col("user_id"))
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_score.alias("r"),
+        f_score.alias("f"),
+        m_score.alias("m"),
+    ).withColumn(
+        "segment",
+        F.concat(F.col("r"), F.col("f"), F.col("m")).cast("string"),
+    )
+
+
+QUERIES["agg_market_basket"] = q_market_basket
+QUERIES["agg_rfm_segments"] = q_rfm_segments
+
+ORACLE["agg_market_basket"] = """
+WITH ub AS (SELECT DISTINCT user_id, event_type AS item FROM events),
+nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ub),
+it AS (SELECT item, count(*) AS n_item FROM ub GROUP BY 1),
+pr AS (
+  SELECT x.item AS a, y.item AS b, count(*) AS n_ab
+  FROM ub x JOIN ub y USING (user_id) WHERE x.item < y.item
+  GROUP BY 1, 2),
+rules AS (
+  SELECT a, b, n_ab FROM pr
+  UNION ALL SELECT b, a, n_ab FROM pr)
+SELECT r.a AS antecedent, r.b AS consequent, r.n_ab,
+  floor(r.n_ab / CAST(nu.n_users AS DOUBLE) * 1000000 + 0.5)
+    / 1000000 AS support,
+  floor(r.n_ab / CAST(ia.n_item AS DOUBLE) * 1000000 + 0.5)
+    / 1000000 AS confidence,
+  floor((r.n_ab / CAST(ia.n_item AS DOUBLE))
+    / (ib.n_item / CAST(nu.n_users AS DOUBLE)) * 1000000 + 0.5)
+    / 1000000 AS lift
+FROM rules r
+JOIN it ia ON ia.item = r.a
+JOIN it ib ON ib.item = r.b
+CROSS JOIN nu"""
+
+ORACLE["agg_rfm_segments"] = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+anchor AS (
+  SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS a0 FROM p),
+per AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+    round(coalesce(sum(value), 0.0), 2) AS monetary
+  FROM p GROUP BY 1),
+scored AS (
+  SELECT user_id,
+    date_diff('day', CAST(date_trunc('day', last_ts) AS DATE),
+      (SELECT a0 FROM anchor)) AS recency_days,
+    frequency, monetary,
+    ntile(4) OVER (ORDER BY date_diff('day',
+      CAST(date_trunc('day', last_ts) AS DATE),
+      (SELECT a0 FROM anchor)) DESC, user_id) AS r,
+    ntile(4) OVER (ORDER BY frequency ASC, user_id) AS f,
+    ntile(4) OVER (ORDER BY monetary ASC, user_id) AS m
+  FROM per)
+SELECT user_id, CAST(recency_days AS INT) AS recency_days, frequency,
+  monetary, CAST(r AS INT) AS r, CAST(f AS INT) AS f,
+  CAST(m AS INT) AS m,
+  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+    AS segment
+FROM scored"""

@@ -436,3 +436,52 @@ SELECT s_nationkey, count(*) AS n_suppliers,
        min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal
 FROM supplier GROUP BY s_nationkey""",
 }
+
+
+def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (the columnar alternative Spark supports
+    natively alongside parquet): orders -> zlib-compressed ORC
+    partitioned by o_orderstatus -> pruned scan of TWO of three
+    partitions with a pushed residual predicate, aggregated per
+    (status, priority).  The hash binds the full round trip —
+    timestamps, doubles and strings surviving the ORC writer/reader
+    pair losslessly; the oracle computes the same aggregate from the
+    original parquet.  Plan shape: partition pruning on the directory
+    column plus ORC predicate pushdown on o_totalprice (both visible
+    in the scan node), identical to the parquet path — format choice
+    does not change the pruning story at 100 TB."""
+    path, ready = _cache(sf_dir, "orders_orc")
+    if not ready:
+        orders = _t(spark, sf_dir, "orders")
+        (
+            orders.write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .option("compression", "zlib")
+            .orc(path)
+        )
+        _mark(path)
+    df = (
+        spark.read.orc(path)
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .filter(F.col("o_totalprice") > 1000.0)
+    )
+    return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias(
+            "max_date"
+        ),
+        F.sum("o_orderkey").alias("sum_key"),
+    )
+
+
+QUERIES["io_orc_roundtrip"] = q_io_orc_roundtrip
+
+ORACLE["io_orc_roundtrip"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS sum_price,
+  max(strftime(o_orderdate, '%Y-%m-%d')) AS max_date,
+  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+FROM orders
+WHERE o_orderstatus IN ('O', 'F') AND o_totalprice > 1000.0
+GROUP BY 1, 2"""

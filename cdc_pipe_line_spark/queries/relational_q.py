@@ -1204,3 +1204,158 @@ SELECT l_partkey, CAST(cents AS DOUBLE) / 100.0 AS revenue, n_lines,
   round(CAST(cents AS DOUBLE) / total_cents * 100.0, 4) AS share_pct
 FROM pp CROSS JOIN tot
 WHERE cents * 1000 > total_cents"""
+
+
+_BENFORD = {
+    1: 0.3010299956639812, 2: 0.17609125905568124,
+    3: 0.12493873660829992, 4: 0.09691001300805642,
+    5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def q_benford_price(spark, sf_dir):
+    """Benford first-digit audit of order totals — the fraud/anomaly
+    screen a finance consumer runs on a CDC-landed ledger.  The first
+    significant digit comes from the '%.2f' rendering (NOT log10 —
+    engine libm differences on near-power-of-10 values would flip
+    digits), expected fractions are inlined literals (identical
+    doubles both sides), and the chi-square statistic is one extra
+    window sum.  One scan, one 9-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    digit = F.substring(
+        F.format_string("%.2f", F.col("o_totalprice")), 1, 1
+    ).cast("int")
+    n_tot = F.sum("n").over(Window.partitionBy())
+    exp_frac = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    d = (
+        o.filter(F.col("o_totalprice") >= 1.0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    withexp = d.withColumn("exp_n", exp_frac * n_tot)
+    return withexp.select(
+        "digit",
+        "n",
+        fl(F.col("exp_n")).alias("expected_n"),
+        fl(
+            (F.col("n") - F.col("exp_n")) ** 2 / F.col("exp_n")
+        ).alias("chi2_term"),
+        fl(
+            F.sum(
+                (F.col("n") - F.col("exp_n")) ** 2 / F.col("exp_n")
+            ).over(Window.partitionBy())
+        ).alias("chi2_total"),
+    )
+
+
+def q_pareto_share(spark, sf_dir):
+    """Revenue-concentration (Pareto) analysis per market segment:
+    how many customers cover 80% of segment revenue.  All running
+    arithmetic in exact integer cents so the 80% cut is integer math
+    (5*running >= 4*total) — no double-accumulation drift at any
+    scale.  One shuffle on custkey (pre-aggregated), one window per
+    segment, one summary row per segment."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    per_cust = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    seg = per_cust.join(
+        c.select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        "o_custkey",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cents").desc(), F.col("o_custkey").asc()
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    ranked = seg.withColumn(
+        "run", F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ).withColumn("total", F.sum("cents").over(wseg))
+    fl = lambda col: F.floor(col * 10000 + F.lit(0.5)) / 10000
+    return ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(
+            F.when(
+                (F.col("run") - F.col("cents")) * 5 < F.col("total") * 4,
+                1,
+            ).otherwise(0)
+        ).alias("n_for_80pct"),
+    ).select(
+        "c_mktsegment",
+        "n_customers",
+        "n_for_80pct",
+        fl(
+            F.col("n_for_80pct") / F.col("n_customers").cast("double")
+            * 100.0
+        ).alias("pct_customers_for_80pct"),
+    )
+
+
+QUERIES["agg_benford_price"] = q_benford_price
+QUERIES["window_pareto_share"] = q_pareto_share
+
+ORACLE["agg_benford_price"] = """
+WITH d AS (
+  SELECT CAST(substr(printf('%.2f', o_totalprice), 1, 1) AS INT)
+    AS digit, count(*) AS n
+  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+e AS (
+  SELECT digit, n,
+    n_tot * CASE digit
+      WHEN 1 THEN 0.3010299956639812
+      WHEN 2 THEN 0.17609125905568124
+      WHEN 3 THEN 0.12493873660829992
+      WHEN 4 THEN 0.09691001300805642
+      WHEN 5 THEN 0.07918124604762482
+      WHEN 6 THEN 0.06694678963061322
+      WHEN 7 THEN 0.05799194697768673
+      WHEN 8 THEN 0.05115252244738129
+      WHEN 9 THEN 0.04575749056067514
+    END AS exp_n
+  FROM d CROSS JOIN (
+    SELECT CAST(sum(n) AS DOUBLE) AS n_tot FROM d))
+SELECT digit, n,
+  floor(exp_n * 10000 + 0.5) / 10000 AS expected_n,
+  floor((n - exp_n) ** 2 / exp_n * 10000 + 0.5) / 10000 AS chi2_term,
+  floor(sum((n - exp_n) ** 2 / exp_n) OVER () * 10000 + 0.5) / 10000
+    AS chi2_total
+FROM e"""
+
+ORACLE["window_pareto_share"] = """
+WITH pc AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY 1),
+seg AS (
+  SELECT pc.*, c.c_mktsegment FROM pc
+  JOIN customer c ON c.c_custkey = pc.o_custkey),
+r AS (
+  SELECT c_mktsegment, cents, o_custkey,
+    CAST(sum(cents) OVER (PARTITION BY c_mktsegment
+      ORDER BY cents DESC, o_custkey ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS run,
+    CAST(sum(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+      AS total
+  FROM seg)
+SELECT c_mktsegment, count(*) AS n_customers,
+  CAST(sum(CASE WHEN (run - cents) * 5 < total * 4 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_for_80pct,
+  floor(sum(CASE WHEN (run - cents) * 5 < total * 4 THEN 1 ELSE 0 END)
+    / CAST(count(*) AS DOUBLE) * 100.0 * 10000 + 0.5) / 10000
+    AS pct_customers_for_80pct
+FROM r GROUP BY 1"""

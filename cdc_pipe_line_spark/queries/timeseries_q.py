@@ -504,3 +504,85 @@ SELECT 'sess', user_id, CAST(sum(new_sess) AS BIGINT),
   CAST(count(*) AS DOUBLE)
 FROM x GROUP BY user_id""",
 }
+
+
+def q_cross_corr(spark, sf_dir):
+    """Pearson correlation matrix between event-type daily series —
+    the co-movement screen behind metric clustering and root-cause
+    dashboards.  The correlation is computed FROM EXACT INTEGER SUMS
+    (n, Σx, Σy, Σxy, Σx², Σy² as int64 over integer daily counts) and
+    only then combined in double arithmetic: bit-identical inputs in
+    both engines, so the matrix binds without tolerance — corr() as
+    an aggregate would accumulate doubles in engine-specific order.
+    Shape: daily aggregate, one self-join on day (spine-sized), one
+    pair aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.count("*").alias("n"))
+    j = (
+        daily.alias("x")
+        .join(daily.alias("y"), "d")
+        .filter(F.col("x.et") < F.col("y.et"))
+        .select(
+            F.col("x.et").alias("a"),
+            F.col("y.et").alias("b"),
+            F.col("x.n").alias("xv"),
+            F.col("y.n").alias("yv"),
+        )
+    )
+    s = j.groupBy("a", "b").agg(
+        F.count("*").alias("n"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sx2"),
+        F.sum(F.col("yv") * F.col("yv")).alias("sy2"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    corr = F.when(den > 0, num / den)
+    return s.select(
+        "a",
+        "b",
+        "n",
+        (F.floor(corr * 10000 + F.lit(0.5)) / 10000).alias("corr"),
+    )
+
+
+QUERIES["ts_cross_corr"] = q_cross_corr
+
+ORACLE["ts_cross_corr"] = """
+WITH daily AS (
+  SELECT event_type AS et, CAST(date_trunc('day', ts) AS DATE) AS d,
+    count(*) AS n
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT x.et AS a, y.et AS b, x.n AS xv, y.n AS yv
+  FROM daily x JOIN daily y USING (d) WHERE x.et < y.et),
+s AS (
+  SELECT a, b, count(*) AS n,
+    CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+    CAST(sum(xv * yv) AS BIGINT) AS sxy,
+    CAST(sum(xv * xv) AS BIGINT) AS sx2,
+    CAST(sum(yv * yv) AS BIGINT) AS sy2
+  FROM j GROUP BY 1, 2)
+SELECT a, b, n,
+  floor(CASE WHEN sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+           * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)) > 0
+    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+      / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+         * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
+    END * 10000 + 0.5) / 10000 AS corr
+FROM s"""
