@@ -459,7 +459,13 @@ def q_triangle_parts(spark, sf_dir):
     from cdc_pipe_line_spark.analytics import triangle_count
 
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", F.col("l_partkey").alias("p")).distinct()
+    # op feeds both sides of the pair self-join — pin it so lineitem
+    # is scanned once, not twice
+    op = (
+        li.select("l_orderkey", F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     pairs = (
         op.alias("x")
         .join(op.alias("y"), "l_orderkey")
@@ -515,7 +521,11 @@ def q_khop_reach(spark, sf_dir):
     from cdc_pipe_line_spark.analytics import khop_reach
 
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", F.col("l_partkey").alias("p")).distinct()
+    op = (
+        li.select("l_orderkey", F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     pairs = (
         op.alias("x")
         .join(op.alias("y"), "l_orderkey")
@@ -555,10 +565,13 @@ e AS (
 ORACLE["graph_triangle_parts"] = f"""
 WITH {_COOC_SQL},
 tri AS (
+  -- plain hash join, not correlated EXISTS (edges are distinct, so
+  -- the inner join is exactly the closure semi-join — and orders of
+  -- magnitude faster on a dense graph)
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
-  FROM e e1 JOIN e e2 ON e1.b = e2.a
-  WHERE EXISTS (
-    SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
 member AS (
   SELECT node, count(*) AS v FROM (
     SELECT x AS node FROM tri
@@ -614,18 +627,29 @@ def q_market_basket(spark, sf_dir):
     items-per-user (<= 5 types here; capped by basket width in
     general).  Ratios floor-rounded (k/n tie boundaries)."""
     ev = _t(spark, sf_dir, "events")
-    ub = ev.select("user_id", F.col("event_type").alias("item")).distinct()
-    n_users = ub.select("user_id").distinct().agg(
-        F.count("*").alias("n_users")
+    # ONE scan: per-user basket via collect_set, then pairs from the
+    # sorted array in-expression (a self-join formulation would scan
+    # and shuffle events twice — the frame-self-join trap).  Pinned
+    # because three consumers derive from it.
+    b = (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("items"))
+        .localCheckpoint(eager=True)
     )
-    item = ub.groupBy("item").agg(F.count("*").alias("n_item"))
+    n_users = b.agg(F.count("*").alias("n_users"))
+    item = (
+        b.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("n_item"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(items, (x, i) ->"
+        " transform(slice(items, i + 2, size(items)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
     pairs = (
-        ub.alias("x")
-        .join(ub.alias("y"), "user_id")
-        .filter(F.col("x.item") < F.col("y.item"))
-        .groupBy(
-            F.col("x.item").alias("a"), F.col("y.item").alias("b")
-        )
+        b.select(F.explode(pair_expr).alias("pr"))
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
         .agg(F.count("*").alias("n_ab"))
     )
     rules = pairs.select("a", "b", "n_ab").unionByName(

@@ -189,3 +189,170 @@ SELECT 'consistency_documents_n_chars', 'documents',
   sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) = 0
 FROM documents""",
 }
+
+
+def q_gdpr_purge_audit(spark, sf_dir):
+    """Right-to-be-forgotten purge with audit trail: a deterministic
+    deletion-request set (user_id % 97 == 0 stands in for the request
+    table) is anti-joined out of the event store, and the audit emits
+    per-table before/after row counts plus a verified-zero-remaining
+    flag — the compliance evidence a data-subject-erasure job must
+    produce.  Scale shape: the request set is broadcast into both the
+    purge anti-join and the residual check, so the fact table is
+    scanned once per leg with no shuffle; counts are shrinking
+    aggregates.  The purged frame is pinned — audit counts and the
+    residual check both derive from it."""
+    ev = _t(spark, sf_dir, "events")
+    requests = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 97 == 0)
+        .localCheckpoint(eager=True)
+    )
+    purged = ev.join(
+        F.broadcast(requests), "user_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    before = ev.agg(
+        F.count("*").alias("rows_before"),
+        F.count_distinct("user_id").alias("users_before"),
+    )
+    after = purged.agg(
+        F.count("*").alias("rows_after"),
+        F.count_distinct("user_id").alias("users_after"),
+    )
+    residual = (
+        purged.join(F.broadcast(requests), "user_id", "left_semi")
+        .agg(F.count("*").alias("rows_residual"))
+    )
+    n_req = requests.agg(F.count("*").alias("n_requests"))
+    return (
+        before.crossJoin(after)
+        .crossJoin(residual)
+        .crossJoin(n_req)
+        .select(
+            "n_requests",
+            "rows_before",
+            "rows_after",
+            (F.col("rows_before") - F.col("rows_after")).alias(
+                "rows_purged"
+            ),
+            "users_before",
+            "users_after",
+            "rows_residual",
+            (F.col("rows_residual") == 0).alias("purge_verified"),
+        )
+    )
+
+
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics — the pre-flight a 100 TB join wants
+    before choosing salting / AQE skew handling: per candidate key,
+    the cardinality, the hottest key's share of rows, and the
+    max/mean rows-per-key ratio.  One shuffle per key column
+    (pre-aggregated histograms); the per-key histogram never leaves
+    the executors — only the 1-row summary does."""
+
+    def profile(df: DataFrame, table: str, col: str) -> DataFrame:
+        hist = df.groupBy(F.col(col).alias("k")).agg(
+            F.count("*").alias("n")
+        )
+        fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+        return hist.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(col).alias("key_col"),
+            F.count("*").alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_per_key"),
+        ).select(
+            "table_name",
+            "key_col",
+            "n_keys",
+            "n_rows",
+            "max_per_key",
+            fl(
+                F.col("max_per_key") / F.col("n_rows").cast("double")
+                * 100.0
+            ).alias("hot_key_pct"),
+            fl(
+                F.col("max_per_key")
+                / (F.col("n_rows") / F.col("n_keys").cast("double"))
+            ).alias("max_over_mean"),
+        )
+
+    ev = _t(spark, sf_dir, "events")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    out = profile(ev, "events", "user_id")
+    for frame in (
+        profile(ev, "events", "event_type"),
+        profile(li, "lineitem", "l_orderkey"),
+        profile(li, "lineitem", "l_partkey"),
+        profile(o, "orders", "o_custkey"),
+    ):
+        out = out.unionByName(frame)
+    return out
+
+
+QUERIES["qa_gdpr_purge_audit"] = q_gdpr_purge_audit
+QUERIES["qa_skew_report"] = q_skew_report
+
+ORACLE["qa_gdpr_purge_audit"] = """
+WITH req AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+purged AS (
+  SELECT * FROM events WHERE user_id NOT IN (SELECT user_id FROM req))
+SELECT
+  (SELECT count(*) FROM req) AS n_requests,
+  (SELECT count(*) FROM events) AS rows_before,
+  (SELECT count(*) FROM purged) AS rows_after,
+  (SELECT count(*) FROM events) - (SELECT count(*) FROM purged)
+    AS rows_purged,
+  (SELECT count(DISTINCT user_id) FROM events) AS users_before,
+  (SELECT count(DISTINCT user_id) FROM purged) AS users_after,
+  (SELECT count(*) FROM purged
+   WHERE user_id IN (SELECT user_id FROM req)) AS rows_residual,
+  (SELECT count(*) FROM purged
+   WHERE user_id IN (SELECT user_id FROM req)) = 0 AS purge_verified"""
+
+ORACLE["qa_skew_report"] = """
+WITH h1 AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+h2 AS (SELECT event_type AS k, count(*) AS n FROM events GROUP BY 1),
+h3 AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+h4 AS (SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+h5 AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1)
+SELECT 'events' AS table_name, 'user_id' AS key_col,
+  count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+  CAST(max(n) AS BIGINT) AS max_per_key,
+  floor(max(n) / CAST(sum(n) AS DOUBLE) * 100.0 * 10000 + 0.5) / 10000
+    AS hot_key_pct,
+  floor(max(n) / (CAST(sum(n) AS DOUBLE) / count(*)) * 10000 + 0.5)
+    / 10000 AS max_over_mean
+FROM h1
+UNION ALL
+SELECT 'events', 'event_type', count(*), CAST(sum(n) AS BIGINT),
+  CAST(max(n) AS BIGINT),
+  floor(max(n) / CAST(sum(n) AS DOUBLE) * 100.0 * 10000 + 0.5) / 10000,
+  floor(max(n) / (CAST(sum(n) AS DOUBLE) / count(*)) * 10000 + 0.5)
+    / 10000
+FROM h2
+UNION ALL
+SELECT 'lineitem', 'l_orderkey', count(*), CAST(sum(n) AS BIGINT),
+  CAST(max(n) AS BIGINT),
+  floor(max(n) / CAST(sum(n) AS DOUBLE) * 100.0 * 10000 + 0.5) / 10000,
+  floor(max(n) / (CAST(sum(n) AS DOUBLE) / count(*)) * 10000 + 0.5)
+    / 10000
+FROM h3
+UNION ALL
+SELECT 'lineitem', 'l_partkey', count(*), CAST(sum(n) AS BIGINT),
+  CAST(max(n) AS BIGINT),
+  floor(max(n) / CAST(sum(n) AS DOUBLE) * 100.0 * 10000 + 0.5) / 10000,
+  floor(max(n) / (CAST(sum(n) AS DOUBLE) / count(*)) * 10000 + 0.5)
+    / 10000
+FROM h4
+UNION ALL
+SELECT 'orders', 'o_custkey', count(*), CAST(sum(n) AS BIGINT),
+  CAST(max(n) AS BIGINT),
+  floor(max(n) / CAST(sum(n) AS DOUBLE) * 100.0 * 10000 + 0.5) / 10000,
+  floor(max(n) / (CAST(sum(n) AS DOUBLE) / count(*)) * 10000 + 0.5)
+    / 10000
+FROM h5"""

@@ -1161,9 +1161,13 @@ def q_q11_important_share(spark, sf_dir):
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("bigint")
+    # pinned: the total derives from per_part — unpinned, Catalyst
+    # re-plans the subtree and scans lineitem TWICE (the
+    # self-derivation trap); the pinned frame is part-cardinality,
+    # post-aggregation, far smaller than the fact table
     per_part = li.groupBy("l_partkey").agg(
         F.sum(cents).alias("cents"), F.count("*").alias("n_lines")
-    )
+    ).localCheckpoint(eager=True)
     total = per_part.agg(F.sum("cents").alias("total_cents"))
     return (
         per_part.crossJoin(F.broadcast(total))

@@ -962,3 +962,35 @@ FROM documents,
 LATERAL (SELECT unnest(range(0,
     least(greatest(octet_length(encode(text)) // 1024, 1), 8))) AS frame_no) f""",
 }
+
+
+def q_knn_filtered(spark, sf_dir):
+    """Metadata-filtered exact top-5 (same-label nearest neighbors,
+    every 100th vector a query) — the vector-DB filtered-search shape:
+    the label equi-join prunes candidates BEFORE any distance math
+    (pre-filter strategy, exact recall under selective filters)."""
+    from cdc_pipe_line_spark.similarity import filtered_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "label", "embedding"
+    )
+    return filtered_topk(q, emb, k=5)
+
+
+QUERIES["sim_knn_filtered"] = q_knn_filtered
+
+ORACLE["sim_knn_filtered"] = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label, embedding AS qv
+  FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, q.label, e.vec_id,
+    {_COS.format(a='q.qv', b='e.embedding')} AS cos_sim
+  FROM embeddings e JOIN q ON e.label = q.label
+  WHERE e.vec_id != q.q_id)
+SELECT q_id, label, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 5"""

@@ -517,10 +517,12 @@ def q_cross_corr(spark, sf_dir):
     Shape: daily aggregate, one self-join on day (spine-sized), one
     pair aggregate."""
     ev = _t(spark, sf_dir, "events")
+    # pinned: the pair join references daily twice; unpinned, the
+    # events scan+aggregate would be planned (and run) twice
     daily = ev.groupBy(
         F.col("event_type").alias("et"),
         F.date_trunc("day", "ts").cast("date").alias("d"),
-    ).agg(F.count("*").alias("n"))
+    ).agg(F.count("*").alias("n")).localCheckpoint(eager=True)
     j = (
         daily.alias("x")
         .join(daily.alias("y"), "d")

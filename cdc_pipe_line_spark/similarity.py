@@ -855,3 +855,56 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def filtered_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Metadata-filtered exact top-k (the vector-DB "filtered search"
+    shape: nearest neighbors WITHIN the query's category).
+
+    This is the PRE-filter strategy: the equi-join on ``filter_col``
+    prunes the candidate set *before* any distance is computed, so
+    cost is sum of per-category candidate counts — not corpus x
+    queries.  (Post-filtering a global top-k is cheaper per query but
+    under-fills k when the filter is selective; pre-filter is the
+    exact-recall choice.)  The join broadcasts the query set and the
+    per-query ranking reuses the same window as
+    :func:`brute_force_topk`.
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(filter_col).alias("__f"),
+        F.col(vec_col).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(filter_col).alias("__f"),
+        F.col(vec_col).alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__f")
+        .filter(F.col("__cid") != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__f").alias(filter_col),
+            F.col("__cid").alias(corpus_id),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cos_sim"), F.asc(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -207,3 +207,85 @@ def test_attribution_no_prior_touch_is_none(spark):
            for r in last_touch_attribution(_events(spark, rows)).collect()}
     assert got["__none__"] == (1, pytest.approx(33.33))
     assert got["click"] == (2, pytest.approx(66.67))
+
+
+# ------------------------------------------------ graph operators (round 5)
+
+
+def test_triangle_count_exact(spark):
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5 (0 new)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "a long, b long",
+    )
+    from cdc_pipe_line_spark.analytics import triangle_count
+
+    tri = {tuple(r) for r in triangle_count(edges).collect()}
+    assert tri == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+
+
+def test_triangle_count_no_triangles(spark):
+    from cdc_pipe_line_spark.analytics import triangle_count
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    assert triangle_count(edges).count() == 0
+
+
+def test_khop_reach_min_hop(spark):
+    # path 1-2-3-4-5 plus shortcut 1-4: node 4 is hop 1, node 5 hop 2,
+    # and k=3 must NOT relabel already-visited nodes
+    from cdc_pipe_line_spark.analytics import khop_reach
+
+    und = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5),
+           (5, 4), (1, 4), (4, 1)]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    out = {r["node"]: r["hop"] for r in khop_reach(edges, 1, k=3).collect()}
+    assert out == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_khop_reach_isolated_seed(spark):
+    from cdc_pipe_line_spark.analytics import khop_reach
+
+    edges = spark.createDataFrame([(7, 8)], "src long, dst long")
+    out = {r["node"]: r["hop"] for r in khop_reach(edges, 1, k=2).collect()}
+    assert out == {1: 0}
+
+
+def test_markov_transitions_rows_and_probs(spark):
+    from cdc_pipe_line_spark.analytics import markov_transitions
+
+    rows = [
+        (1, TS(2024, 1, 1, 0, 0), 1, "view", None),
+        (2, TS(2024, 1, 1, 0, 1), 1, "click", None),
+        (3, TS(2024, 1, 1, 0, 2), 1, "view", None),
+        (4, TS(2024, 1, 1, 0, 0), 2, "view", None),
+        (5, TS(2024, 1, 1, 0, 1), 2, "purchase", None),
+    ]
+    out = {
+        (r["src"], r["dst"]): (r["n"], r["p"])
+        for r in markov_transitions(_events(spark, rows)).collect()
+    }
+    assert out[("_start", "view")] == (2, 1.0)
+    # from 'view': one click (u1) and one purchase (u2) -> 0.5 each
+    assert out[("view", "click")] == (1, 0.5)
+    assert out[("view", "purchase")] == (1, 0.5)
+    assert out[("click", "view")] == (1, 1.0)
+    # probabilities per src sum to 1
+    sums = {}
+    for (src, _), (n, p) in out.items():
+        sums[src] = sums.get(src, 0.0) + p
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+
+def test_markov_tie_break_deterministic(spark):
+    # identical ts: event_id orders the sequence
+    from cdc_pipe_line_spark.analytics import markov_transitions
+
+    rows = [
+        (2, TS(2024, 1, 1), 1, "click", None),
+        (1, TS(2024, 1, 1), 1, "view", None),
+    ]
+    out = {
+        (r["src"], r["dst"]) for r in markov_transitions(_events(spark, rows)).collect()
+    }
+    assert ("view", "click") in out and ("click", "view") not in out
