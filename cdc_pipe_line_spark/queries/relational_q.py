@@ -1147,9 +1147,12 @@ def q_percentile_bands(spark, sf_dir):
 
 
 def q_q11_important_share(spark, sf_dir):
-    """TPC-H Q11 shape: parts whose lineitem revenue exceeds 0.1% of
-    the global total — the global-threshold HAVING via a scalar
-    subquery.  All arithmetic in integer CENTS (the 4dp-exact revenue
+    """TPC-H Q11 shape: parts whose lineitem revenue exceeds 1.3x the
+    MEAN part share of the global total — the global-threshold HAVING
+    via a scalar subquery.  (Q11's fixed 0.0001 fraction returns zero
+    rows once part cardinality passes 1/fraction, and 2x mean is ~5
+    sigma out once every part has ~30 lines; 1.3x cuts the genuine
+    upper tail — 6-8% of parts — at every scale factor.)  All arithmetic in integer CENTS (the 4dp-exact revenue
     expression scaled to int64 and summed exactly), so the threshold
     comparison `part_cents * 1000 > total_cents` is exact integer
     math on BOTH engines — immune to the double-accumulation-order
@@ -1168,10 +1171,18 @@ def q_q11_important_share(spark, sf_dir):
     per_part = li.groupBy("l_partkey").agg(
         F.sum(cents).alias("cents"), F.count("*").alias("n_lines")
     ).localCheckpoint(eager=True)
-    total = per_part.agg(F.sum("cents").alias("total_cents"))
+    total = per_part.agg(
+        F.sum("cents").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("cents") * 1000 > F.col("total_cents"))
+        # "share > 1.3x mean share" as exact integer math:
+        # cents/total > 1.3/n  <=>  cents * n * 10 > 13 * total
+        .filter(
+            F.col("cents") * F.col("n_parts") * 10
+            > F.lit(13) * F.col("total_cents")
+        )
         .select(
             "l_partkey",
             (F.col("cents") / 100.0).alias("revenue"),
@@ -1203,11 +1214,12 @@ WITH pp AS (
       AS BIGINT)) AS BIGINT) AS cents,
     count(*) AS n_lines
   FROM lineitem GROUP BY 1),
-tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM pp)
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+  count(*) AS n_parts FROM pp)
 SELECT l_partkey, CAST(cents AS DOUBLE) / 100.0 AS revenue, n_lines,
   round(CAST(cents AS DOUBLE) / total_cents * 100.0, 4) AS share_pct
 FROM pp CROSS JOIN tot
-WHERE cents * 1000 > total_cents"""
+WHERE cents * n_parts * 10 > 13 * total_cents"""
 
 
 _BENFORD = {
