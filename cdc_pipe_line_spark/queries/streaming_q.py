@@ -492,3 +492,74 @@ SELECT event_type AS group_key, count(*) AS events_seen,
        count(*) // 10 AS triggers_fired
 FROM events GROUP BY event_type""",
 }
+
+
+def q_stream_sliding_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window trending (T8's third window kind, after
+    tumbling and session): 6-hour windows sliding every 3 hours —
+    each event lands in exactly two overlapping windows — counted per
+    event type under a watermark, then the per-window top type
+    (deterministic tie-break).  The streaming state is keyed on
+    (window, type): bounded by span x types, independent of row
+    volume.  The oracle replays the slide assignment arithmetically
+    (each event's two window starts from its epoch-hour) — no window
+    function needed until the final rank."""
+    from pyspark.sql.window import Window
+
+    base = _stage(spark, sf_dir, "raw")
+    counts = (
+        _read_raw(spark, base)
+        .withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q, out = st.start_to_memory(counts, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q.awaitTermination()
+    rank = F.row_number().over(
+        Window.partitionBy("ws").orderBy(
+            F.col("n").desc(), F.col("event_type").asc()
+        )
+    )
+    return (
+        out.select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "ws"
+            ),
+            "event_type",
+            "n",
+        )
+        .withColumn("rnk", rank)
+        .filter(F.col("rnk") <= 1)
+        .select("ws", F.col("event_type").alias("top_type"), "n")
+    )
+
+
+QUERIES["stream_sliding_trending"] = q_stream_sliding_trending
+
+# Slide replay: a 6h/3h window pair for an event at epoch-second t has
+# starts s0 = floor(t/10800)*10800 and s0 - 10800 (both valid: s+6h>t).
+ORACLE["stream_sliding_trending"] = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS t FROM events),
+wins AS (
+  SELECT event_type,
+    unnest([ (t // 10800) * 10800, (t // 10800) * 10800 - 10800 ])
+      AS ws
+  FROM ev),
+counts AS (
+  SELECT ws, event_type, count(*) AS n FROM wins GROUP BY 1, 2),
+ranked AS (
+  SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M') AS ws,
+    event_type AS top_type, n,
+    row_number() OVER (PARTITION BY ws ORDER BY n DESC,
+      event_type ASC) AS rnk
+  FROM counts)
+SELECT ws, top_type, n FROM ranked WHERE rnk = 1"""

@@ -639,3 +639,81 @@ def test_heavy_hitters_partitioning_invariant(spark):
             ).collect()
         })
     assert outs[0] == outs[1]
+
+
+# -------------------------------------------- round-5 graph operators
+
+
+_edge_lists = st_.lists(
+    st_.tuples(
+        st_.integers(min_value=1, max_value=8),
+        st_.integers(min_value=1, max_value=8),
+    ).filter(lambda e: e[0] < e[1]),
+    max_size=14,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edge_lists)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Distributed wedge-closure enumeration == O(n^3) reference on
+    arbitrary small graphs (canonical a<b orientation)."""
+    from itertools import combinations
+
+    from cdc_pipe_line_spark.analytics import triangle_count
+
+    eset = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    expect = {
+        (x, y, z)
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    }
+    if not edges:
+        df = spark.createDataFrame([], "a long, b long")
+    else:
+        df = spark.createDataFrame(edges, "a long, b long")
+    got = {tuple(r) for r in triangle_count(df).collect()}
+    assert got == expect
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edge_lists, k=st_.integers(min_value=1, max_value=3))
+def test_khop_matches_bfs(spark, edges, k):
+    """Frontier iteration == textbook BFS hop levels from node 1."""
+    from collections import deque
+
+    from cdc_pipe_line_spark.analytics import khop_reach
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # reference BFS
+    expect = {1: 0}
+    dq = deque([(1, 0)])
+    while dq:
+        n, h = dq.popleft()
+        if h == k:
+            continue
+        for m in adj.get(n, ()):  # noqa: B905
+            if m not in expect:
+                expect[m] = h + 1
+                dq.append((m, h + 1))
+    und = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    df = (
+        spark.createDataFrame(und, "src long, dst long")
+        if und
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    got = {r["node"]: r["hop"] for r in khop_reach(df, 1, k=k).collect()}
+    assert got == expect
