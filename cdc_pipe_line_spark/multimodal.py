@@ -1147,3 +1147,61 @@ def decimate_audio(media: DataFrame, k: int = 4) -> DataFrame:
         "media_id bigint, in_frames bigint, out_frames bigint, "
         "channels int, rms double, peak int, decode_err string",
     )
+
+
+def image_channel_stats(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-channel (R/G/B) pixel statistics over REAL decoded netpbm
+    rasters — the normalization-constant pass of an image training
+    pipeline (channel means feed the model's input scaling).
+
+    One Arrow-batched ``mapInPandas`` pass, one narrow output row per
+    image, no shuffle; numpy does the per-channel reduction in C.
+    Malformed payloads quarantine into ``stats_err`` (poison-row
+    policy: a bad image must never fail a 100 TB scan).  Means are
+    floor-half-up 4dp so the oracle's integer-sum / wh replay binds
+    exactly.
+    """
+    import math
+
+    schema = (
+        f"{id_col} bigint, w int, h int, "
+        "r_sum bigint, g_sum bigint, b_sum bigint, "
+        "r_mean double, g_mean double, b_mean double, stats_err string"
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {
+                    id_col: mid, "w": None, "h": None,
+                    "r_sum": None, "g_sum": None, "b_sum": None,
+                    "r_mean": None, "g_mean": None, "b_mean": None,
+                    "stats_err": None,
+                }
+                try:
+                    if payload is None:
+                        raise MediaDecodeError("null payload")
+                    w, h, arr = _ppm_pixels(bytes(payload))
+                    sums = arr.sum(axis=(0, 1), dtype=np.int64)
+                    wh = w * h
+                    fl = lambda x: math.floor(x * 1e4 + 0.5) / 1e4
+                    base.update(
+                        w=w, h=h,
+                        r_sum=int(sums[0]), g_sum=int(sums[1]),
+                        b_sum=int(sums[2]),
+                        r_mean=fl(int(sums[0]) / wh),
+                        g_mean=fl(int(sums[1]) / wh),
+                        b_mean=fl(int(sums[2]) / wh),
+                    )
+                except MediaDecodeError as exc:
+                    base["stats_err"] = str(exc)
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, payload_col).mapInPandas(_stats, schema)

@@ -994,3 +994,90 @@ FROM (
   SELECT *, row_number() OVER (
     PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
   FROM scored) WHERE rank <= 5"""
+
+
+def q_image_channel_stats(spark, sf_dir):
+    """Per-channel pixel means over real decoded netpbm rasters — the
+    normalization-constant pass before model input scaling.  Same
+    md5-fill PPM construction as mm_image_resize, so the oracle
+    replays the channel sums in CLOSED FORM: the byte stream cycles
+    with period lcm(32, 3) = 96, within which each channel visits all
+    32 md5 positions exactly once (gcd(3, 32) = 1) — so a full cycle
+    contributes the same total to every channel, and only the
+    sub-cycle remainder needs element-wise replay (<= 93 terms/doc
+    instead of w*h*3)."""
+    from cdc_pipe_line_spark.multimodal import (
+        as_media_table,
+        image_channel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        ((F.octet_length("text") % 64) + 1).alias("__w"),
+        ((F.octet_length("text") % 48) + 1).alias("__h"),
+        "text",
+    ).withColumn("__npix", F.col("__w") * F.col("__h") * 3).withColumn(
+        "__payload",
+        F.concat(
+            F.lit("P6\n"),
+            F.col("__w").cast("string"), F.lit(" "),
+            F.col("__h").cast("string"),
+            F.lit("\n255\n"),
+            F.expr(
+                "substring(repeat(md5(text), cast(floor(__npix / 32) as int) + 1),"
+                " 1, __npix)"
+            ),
+        ).cast("binary"),
+    ).withColumn(
+        "__payload",
+        F.when(
+            F.col("doc_id") % 50 == 0, F.lit(b"P6")
+        ).otherwise(F.col("__payload")),
+    )
+    media = as_media_table(
+        src, id_col="doc_id", payload_col="__payload",
+        media_type="image/ppm",
+    )
+    return image_channel_stats(media)
+
+
+QUERIES["mm_image_channel_stats"] = q_image_channel_stats
+
+ORACLE["mm_image_channel_stats"] = """
+WITH d AS (
+  SELECT doc_id, (octet_length(encode(text)) % 64) + 1 AS w,
+         (octet_length(encode(text)) % 48) + 1 AS h, md5(text) AS m
+  FROM documents),
+x AS (
+  SELECT doc_id, w, h, w * h AS wh,
+    (w * h) // 32 AS fb, 3 * ((w * h) % 32) AS rem,
+    list_sum(list_transform(range(0, 32),
+      i -> ascii(substr(m, CAST(i AS INT) + 1, 1)))) AS tot,
+    list_transform(range(0, 96),
+      r -> ascii(substr(m, CAST(r % 32 AS INT) + 1, 1))) AS cyc
+  FROM d),
+s AS (
+  SELECT doc_id, w, h, wh,
+    fb * tot + coalesce(list_sum(list_transform(
+      list_filter(range(0, rem), r -> r % 3 = 0),
+      r -> cyc[CAST(r AS INT) + 1])), 0) AS rs,
+    fb * tot + coalesce(list_sum(list_transform(
+      list_filter(range(0, rem), r -> r % 3 = 1),
+      r -> cyc[CAST(r AS INT) + 1])), 0) AS gs,
+    fb * tot + coalesce(list_sum(list_transform(
+      list_filter(range(0, rem), r -> r % 3 = 2),
+      r -> cyc[CAST(r AS INT) + 1])), 0) AS bs
+  FROM x)
+SELECT doc_id AS media_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+  CAST(rs AS BIGINT) AS r_sum, CAST(gs AS BIGINT) AS g_sum,
+  CAST(bs AS BIGINT) AS b_sum,
+  floor(rs / CAST(wh AS DOUBLE) * 1e4 + 0.5) / 1e4 AS r_mean,
+  floor(gs / CAST(wh AS DOUBLE) * 1e4 + 0.5) / 1e4 AS g_mean,
+  floor(bs / CAST(wh AS DOUBLE) * 1e4 + 0.5) / 1e4 AS b_mean,
+  CAST(NULL AS VARCHAR) AS stats_err
+FROM s WHERE doc_id % 50 != 0
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+  'netpbm: truncated header'
+FROM d WHERE doc_id % 50 = 0"""

@@ -588,3 +588,78 @@ SELECT a, b, n,
          * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
     END * 10000 + 0.5) / 10000 AS corr
 FROM s"""
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """Two-sided CUSUM change-point detection over per-type daily
+    counts — the sequential drift detector whose max(0,...) reset
+    makes it inherently recursive (no window-aggregate form exists):
+    the sanctioned applyInPandas custom-stateful-operator shape, over
+    a spine-sized series.  The oracle replays the full recursion with
+    a RECURSIVE CTE (same floor-pinned standardization inputs)."""
+    from cdc_pipe_line_spark.timeseries import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count("*").cast("double").alias("value"))
+    return cusum_changepoints(
+        daily,
+        group_cols=["event_type"],
+        value_col="value",
+        ts_col="day",
+    )
+
+
+QUERIES["ts_cusum_changepoint"] = q_cusum_changepoint
+
+ORACLE["ts_cusum_changepoint"] = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+    CAST(count(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type,
+    floor(avg(value) * 1e6 + 0.5) / 1e6 AS mu,
+    floor(coalesce(stddev_samp(value), 0.0) * 1e6 + 0.5) / 1e6 AS sd
+  FROM daily GROUP BY 1),
+g AS (
+  SELECT d.event_type,
+    list(CAST(d.value AS DOUBLE) ORDER BY d.day) AS vs,
+    list(strftime(d.day, '%Y-%m-%d') ORDER BY d.day) AS ds,
+    any_value(s.mu) AS mu, any_value(s.sd) AS sd
+  FROM daily d JOIN stats s USING (event_type)
+  GROUP BY 1),
+seq AS (
+  SELECT event_type, vs, ds, mu, sd, 0 AS i,
+    CAST(0.0 AS DOUBLE) AS s_hi, CAST(0.0 AS DOUBLE) AS s_lo,
+    CAST(0 AS BIGINT) AS n_alarms, CAST(0.0 AS DOUBLE) AS z,
+    FALSE AS alarm
+  FROM g
+  UNION ALL
+  SELECT event_type, vs, ds, mu, sd, i + 1,
+    CASE WHEN a THEN 0.0 ELSE nh END,
+    CASE WHEN a THEN 0.0 ELSE nl END,
+    n_alarms + CASE WHEN a THEN 1 ELSE 0 END,
+    zz, a
+  FROM (
+    SELECT *,
+      greatest(0.0, s_hi + zz - 0.5) AS nh,
+      greatest(0.0, s_lo - zz - 0.5) AS nl,
+      greatest(0.0, s_hi + zz - 0.5) > 4.0
+        OR greatest(0.0, s_lo - zz - 0.5) > 4.0 AS a
+    FROM (
+      SELECT *,
+        CASE WHEN sd > 0 THEN (vs[i + 1] - mu) / sd
+          ELSE 0.0 END AS zz
+      FROM seq WHERE i < len(vs)))
+)
+SELECT event_type, ds[i] AS d,
+  floor(z * 1e4 + 0.5) / 1e4 AS z,
+  floor(CASE WHEN alarm THEN 0.0 ELSE s_hi END * 1e4 + 0.5) / 1e4
+    AS s_hi,
+  floor(CASE WHEN alarm THEN 0.0 ELSE s_lo END * 1e4 + 0.5) / 1e4
+    AS s_lo,
+  alarm, n_alarms AS n_alarms_so_far
+FROM seq WHERE i >= 1"""

@@ -12,6 +12,8 @@ expressions, per-series parallel, no data leaves the cluster.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -341,3 +343,106 @@ def holt_by_key(
         F.round(state["b"], 4).alias("trend"),
         F.round(state["l"] + state["b"], 4).alias("forecast_next"),
     )
+
+
+def cusum_changepoints(
+    daily: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str = "value",
+    ts_col: str = "timestamp",
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per group: the classic
+    sequential drift detector (Page 1954) over a per-group series.
+
+    ``S+_t = max(0, S+_{t-1} + z_t - k)``, ``S-_t = max(0, S-_{t-1}
+    - z_t - k)`` with ``z_t`` the per-group standardized value; an
+    alarm fires when either statistic crosses ``h`` and the statistic
+    resets.  The max(0, ...) reset makes the recursion inherently
+    sequential — not expressible as a window aggregate — so each
+    group's series runs through ``applyInPandas`` (Arrow-batched, one
+    group per call).  That is the sanctioned custom-stateful-operator
+    shape: the SERIES is spine-sized (days x groups), not row-sized —
+    the raw table never reaches Python; at 100 TB the aggregate that
+    builds ``daily`` does all the heavy lifting JVM-side.
+
+    Standardization uses the per-group mean/std of the WHOLE series
+    (retrospective monitoring); mean/std are floor-rounded to 6dp so
+    the recursion's inputs are bit-identical across engines (the
+    oracle replays it with a RECURSIVE CTE).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stats = daily.groupBy(*group_cols).agg(
+        (
+            F.floor(F.avg(value_col) * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("__mu"),
+        (
+            F.floor(
+                F.coalesce(F.stddev_samp(value_col), F.lit(0.0)) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("__sd"),
+    )
+    joined = daily.join(F.broadcast(stats), group_cols)
+
+    out_schema = StructType(
+        [
+            *[StructField(c, StringType(), True) for c in group_cols],
+            StructField("d", StringType(), True),
+            StructField("z", DoubleType(), True),
+            StructField("s_hi", DoubleType(), True),
+            StructField("s_lo", DoubleType(), True),
+            StructField("alarm", BooleanType(), True),
+            StructField("n_alarms_so_far", LongType(), True),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        mu = pdf["__mu"].iloc[0]
+        sd = pdf["__sd"].iloc[0]
+        s_hi = s_lo = 0.0
+        n_alarms = 0
+        rows = []
+        for _, r in pdf.iterrows():
+            z = (r[value_col] - mu) / sd if sd > 0 else 0.0
+            s_hi = max(0.0, s_hi + z - k)
+            s_lo = max(0.0, s_lo - z - k)
+            alarm = s_hi > h or s_lo > h
+            if alarm:
+                n_alarms += 1
+                s_hi = s_lo = 0.0
+            rows.append(
+                {
+                    **{c: r[c] for c in group_cols},
+                    "d": r["d"],
+                    "z": math.floor(z * 1e4 + 0.5) / 1e4,
+                    "s_hi": math.floor(s_hi * 1e4 + 0.5) / 1e4,
+                    "s_lo": math.floor(s_lo * 1e4 + 0.5) / 1e4,
+                    "alarm": alarm,
+                    "n_alarms_so_far": n_alarms,
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    prepped = joined.select(
+        *group_cols,
+        F.date_format(ts_col, "yyyy-MM-dd").alias("d"),
+        F.col(value_col),
+        "__mu",
+        "__sd",
+    )
+    return prepped.groupBy(*group_cols).applyInPandas(run, out_schema)
