@@ -794,3 +794,83 @@ SELECT user_id, CAST(recency_days AS INT) AS recency_days, frequency,
   CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
     AS segment
 FROM scored"""
+
+
+def q_bounce_rate(spark, sf_dir):
+    """Daily bounce rate: share of 30-minute-gap sessions containing
+    exactly one event, per session-start day — the engagement KPI on
+    every product dashboard.  One lag window (same partitioning as the
+    other session queries) + two shrinking aggregates; the ratio is
+    floor-rounded (k/n tie boundaries)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("ts").over(w)
+    sess = (
+        ev.withColumn(
+            "__new",
+            F.when(
+                prev.isNull()
+                | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__sess",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "__sess")
+        .agg(
+            F.date_format(
+                F.date_trunc("day", F.min("ts")), "yyyy-MM-dd"
+            ).alias("day"),
+            F.count("*").alias("n_ev"),
+        )
+    )
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    return sess.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0)).alias(
+            "n_bounces"
+        ),
+        fl(
+            F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+            / F.count("*").cast("double")
+            * 100.0
+        ).alias("bounce_pct"),
+    )
+
+
+QUERIES["agg_bounce_rate"] = q_bounce_rate
+
+ORACLE["agg_bounce_rate"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+s AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM x),
+per AS (
+  SELECT user_id, sess,
+    strftime(CAST(date_trunc('day', min(ts)) AS DATE), '%Y-%m-%d')
+      AS day,
+    count(*) AS n_ev
+  FROM s GROUP BY 1, 2)
+SELECT day, count(*) AS n_sessions,
+  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bounces,
+  floor(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+    / CAST(count(*) AS DOUBLE) * 100.0 * 10000 + 0.5) / 10000
+    AS bounce_pct
+FROM per GROUP BY 1"""

@@ -485,3 +485,80 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
 FROM orders
 WHERE o_orderstatus IN ('O', 'F') AND o_totalprice > 1000.0
 GROUP BY 1, 2"""
+
+
+def q_io_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine on a JSON-lines scan (S12 at
+    100 TB) — the JSON twin of the CSV leg: PERMISSIVE mode routes
+    syntactically broken lines AND schema-violating values into the
+    corrupt-record column while good rows aggregate.  Every 7th
+    region row is written broken (truncated JSON); every 11th carries
+    a non-numeric key (schema violation — parses as JSON but fails
+    the column cast)."""
+    import os as _os
+
+    path, ready = _cache(sf_dir, "region_dirty_json")
+    if not ready:
+        rows = (
+            _t(spark, sf_dir, "region")
+            .select("r_regionkey", "r_name")
+            .orderBy("r_regionkey")
+            .collect()
+        )
+        nations = (
+            _t(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        _os.makedirs(path, exist_ok=True)
+        with open(_os.path.join(path, "part-00000.json"), "w") as fh:
+            for r in nations:
+                if r.n_nationkey % 7 == 0:
+                    fh.write(
+                        '{"n_nationkey": %d, "n_name": "tr'
+                        "\n" % r.n_nationkey
+                    )
+                elif r.n_nationkey % 11 == 0 and r.n_nationkey > 0:
+                    fh.write(
+                        '{"n_nationkey": "NOT_A_NUMBER", '
+                        '"n_name": "%s"}\n' % r.n_name
+                    )
+                else:
+                    fh.write(
+                        '{"n_nationkey": %d, "n_name": "%s"}\n'
+                        % (r.n_nationkey, r.n_name)
+                    )
+        _mark(path)
+    df = spark.read.schema(
+        "n_nationkey int, n_name string, _corrupt string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).json(path)
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count("_corrupt").alias("n_quarantined"),
+        F.sum("n_nationkey").cast("bigint").alias("sum_good_keys"),
+    )
+
+
+QUERIES["io_json_quarantine"] = q_io_json_quarantine
+
+# Oracle mirrors the writer's arithmetic: nations 0..24; %7==0 ->
+# broken JSON (quarantined, key NULL), %11==0 (and >0) -> numeric
+# cast failure (quarantined, key NULL); all others good.
+ORACLE["io_json_quarantine"] = """
+WITH n AS (SELECT n_nationkey FROM nation),
+cls AS (
+  SELECT n_nationkey,
+    (n_nationkey % 7 = 0)
+      OR (n_nationkey % 11 = 0 AND n_nationkey > 0) AS bad
+  FROM n)
+SELECT count(*) AS n_rows,
+  CAST(sum(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quarantined,
+  CAST(sum(CASE WHEN NOT bad THEN n_nationkey END) AS BIGINT)
+    AS sum_good_keys
+FROM cls"""
