@@ -874,3 +874,96 @@ SELECT day, count(*) AS n_sessions,
     / CAST(count(*) AS DOUBLE) * 100.0 * 10000 + 0.5) / 10000
     AS bounce_pct
 FROM per GROUP BY 1"""
+
+
+def q_dau_wau_mau(spark, sf_dir):
+    """DAU / WAU / MAU and the DAU/MAU stickiness ratio — the
+    engagement triple on every growth dashboard.  Rolling DISTINCT
+    counts do not fit a window frame (COUNT(DISTINCT) OVER RANGE is
+    unsupported in both engines at scale), so the standard listing
+    trick applies: dedup to (user, day) FIRST, then explode each pair
+    into the trailing days it contributes to (7 for WAU, 28 for MAU)
+    and count distinct per target day.  The fanout multiplies the
+    DEDUPED pair set, not raw events — at 100 TB the pairs are
+    users x active-days, orders smaller than the event table."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).distinct().localCheckpoint(eager=True)
+    rng = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    days = rng.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+
+    def trailing(n: int, name: str) -> DataFrame:
+        contrib = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"), F.date_add(F.col("d"), n - 1)
+                )
+            ).alias("d"),
+        )
+        return (
+            contrib.groupBy("d")
+            .agg(F.count_distinct("user_id").alias(name))
+        )
+
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    out = (
+        days.join(dau, "d", "left")
+        .join(trailing(7, "wau"), "d", "left")
+        .join(trailing(28, "mau"), "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.coalesce("wau", F.lit(0)).alias("wau"),
+            F.coalesce("mau", F.lit(0)).alias("mau"),
+        )
+        .withColumn(
+            "stickiness",
+            F.when(
+                F.col("mau") > 0,
+                fl(F.col("dau") / F.col("mau").cast("double")),
+            ),
+        )
+    )
+    return out
+
+
+QUERIES["agg_dau_wau_mau"] = q_dau_wau_mau
+
+ORACLE["agg_dau_wau_mau"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events),
+rng AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+days AS (
+  SELECT CAST(unnest(generate_series((SELECT d0 FROM rng),
+    (SELECT d1 FROM rng), INTERVAL 1 DAY)) AS DATE) AS d),
+dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+wau AS (
+  SELECT td AS d, count(DISTINCT user_id) AS wau FROM (
+    SELECT user_id,
+      CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS DATE)
+        AS td
+    FROM ud) GROUP BY 1),
+mau AS (
+  SELECT td AS d, count(DISTINCT user_id) AS mau FROM (
+    SELECT user_id,
+      CAST(unnest(generate_series(d, d + 27, INTERVAL 1 DAY)) AS DATE)
+        AS td
+    FROM ud) GROUP BY 1)
+SELECT strftime(days.d, '%Y-%m-%d') AS d,
+  coalesce(dau.dau, 0) AS dau,
+  coalesce(wau.wau, 0) AS wau,
+  coalesce(mau.mau, 0) AS mau,
+  CASE WHEN coalesce(mau.mau, 0) > 0 THEN
+    floor(coalesce(dau.dau, 0) / CAST(mau.mau AS DOUBLE) * 10000
+      + 0.5) / 10000 END AS stickiness
+FROM days
+LEFT JOIN dau ON dau.d = days.d
+LEFT JOIN wau ON wau.d = days.d
+LEFT JOIN mau ON mau.d = days.d"""

@@ -562,3 +562,54 @@ SELECT count(*) AS n_rows,
   CAST(sum(CASE WHEN NOT bad THEN n_nationkey END) AS BIGINT)
     AS sum_good_keys
 FROM cls"""
+
+
+def q_io_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source (the media-lake ingestion surface: one
+    row per file with path/length/content) — how image/audio corpora
+    enter the multimodal pipeline before ``mapInPandas`` decoding.
+    One deterministic blob per nation is staged; the scan parses the
+    file id from the path and fingerprints the payload — the hash
+    binds path handling, length metadata, AND byte-exact content
+    round trip.  Pushdown note: binaryFile supports a length-based
+    filter (`length < N`) at the scan; path-derived filters prune via
+    pathGlobFilter without reading bytes."""
+    import os as _os
+
+    path, ready = _cache(sf_dir, "nation_blobs")
+    if not ready:
+        rows = (
+            _t(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        _os.makedirs(path, exist_ok=True)
+        for r in rows:
+            blob = (r.n_name * (r.n_nationkey + 1)).encode("utf-8")
+            with open(
+                _os.path.join(path, f"blob_{r.n_nationkey}.bin"), "wb"
+            ) as fh:
+                fh.write(blob)
+        _mark(path)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), r"blob_(\d+)\.bin", 1)
+        .cast("int")
+        .alias("n_nationkey"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+QUERIES["io_binary_files"] = q_io_binary_files
+
+ORACLE["io_binary_files"] = """
+SELECT n_nationkey,
+  CAST(length(repeat(n_name, n_nationkey + 1)) AS BIGINT) AS n_bytes,
+  md5(repeat(n_name, n_nationkey + 1)) AS content_md5
+FROM nation"""

@@ -1081,3 +1081,104 @@ UNION ALL
 SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
   'netpbm: truncated header'
 FROM d WHERE doc_id % 50 = 0"""
+
+
+def q_source_centroids(spark, sf_dir):
+    """Source-level centroid similarity: per-source mean document
+    embedding (element-wise average of the md5-derived 16-dim
+    vectors), then pairwise cosine between source centroids — the
+    corpus-curation view that surfaces near-duplicate SOURCES (mirror
+    sites, re-crawls) rather than near-duplicate documents.
+
+    Scale shape: the centroid is ONE posexplode + hash aggregate on
+    (source, dim) — 20 x 16 cells regardless of corpus size — and the
+    pairwise cosine runs on the tiny centroid table.  Per-dim means
+    floor-pinned to 6dp before the cosine so both engines fold
+    identical doubles."""
+    docs = _t(spark, sf_dir, "documents")
+    dims = F.array(
+        *[
+            F.ascii(F.substring(F.md5("text"), i, 1)).cast("double")
+            for i in range(1, 17)
+        ]
+    )
+    cells = (
+        docs.select("source", F.posexplode(dims).alias("pos", "x"))
+        .groupBy("source", "pos")
+        .agg(
+            (F.floor(F.avg("x") * 1e6 + F.lit(0.5)) / 1e6).alias("m")
+        )
+    )
+    cent = (
+        cells.groupBy("source")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm")
+        )
+        .select(
+            "source",
+            F.expr("transform(pm, s -> s.m)").alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    na = F.sqrt(
+        F.expr(
+            "aggregate(transform(a.v, x -> x * x),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    )
+    nb = F.sqrt(
+        F.expr(
+            "aggregate(transform(b.v, x -> x * x),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    )
+    pairs = (
+        cent.alias("a")
+        .join(
+            cent.alias("b"),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            (
+                F.floor(dot / (na * nb) * 10000 + F.lit(0.5)) / 10000
+            ).alias("centroid_cos"),
+        )
+    )
+    return pairs
+
+
+QUERIES["sim_source_centroids"] = q_source_centroids
+
+ORACLE["sim_source_centroids"] = """
+WITH emb AS (
+  SELECT source,
+    list_transform(range(1, 17),
+      i -> CAST(ascii(substr(md5(text), CAST(i AS INT), 1)) AS DOUBLE))
+      AS v
+  FROM documents),
+cells AS (
+  SELECT source, pos, floor(avg(x) * 1e6 + 0.5) / 1e6 AS m
+  FROM (
+    SELECT source, unnest(range(1, 17)) AS pos, unnest(v) AS x
+    FROM emb)
+  GROUP BY 1, 2),
+cent AS (
+  SELECT source, list(m ORDER BY pos) AS v FROM cells GROUP BY 1)
+SELECT a.source AS src_a, b.source AS src_b,
+  floor(
+    list_sum(list_transform(range(1, 17),
+      i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]))
+    / (sqrt(list_sum(list_transform(range(1, 17),
+        i -> a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)])))
+       * sqrt(list_sum(list_transform(range(1, 17),
+        i -> b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]))))
+    * 10000 + 0.5) / 10000 AS centroid_cos
+FROM cent a JOIN cent b ON a.source < b.source"""
