@@ -287,3 +287,118 @@ GROUP BY event_type""",
     "  CASE WHEN event_type = 'update' THEN changed_cols_csv ELSE '' END AS changed_cols_csv\n"
     "FROM j WHERE event_type IS NOT NULL",
 }
+
+
+def q_scd3_prev_current(spark, sf_dir):
+    """SCD Type 3 — previous-and-current columns (the third classic
+    slowly-changing-dimension strategy next to the repo's Type 1
+    current-view and Type 2 history): per user, the latest purchase
+    value, the immediately-previous one, the change timestamp and the
+    delta.  ONE window pass (lag over the same (ts, event_id) order
+    every CDC query uses) + latest-row filter via WindowGroupLimit —
+    no self-join, no full history materialization."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hist = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round("value", 4).alias("curr_value"),
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+    )
+    latest = hist.withColumn(
+        "__rn", F.row_number().over(wd)
+    ).filter(F.col("__rn") == 1)
+    return latest.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("changed_at"),
+        "curr_value",
+        "prev_value",
+        F.round(
+            F.col("curr_value") - F.coalesce("prev_value", "curr_value"),
+            4,
+        ).alias("delta"),
+    )
+
+
+def q_sequence_gap_audit(spark, sf_dir):
+    """CDC feed integrity: detect dropped records by auditing the
+    monotone sequence id (event_id stands in for the source LSN) per
+    id-range quartile — expected span vs observed count, missing
+    total, and a contiguous flag.  Shrinking aggregate per quartile;
+    the quartile bounds derive from one 1-row min/max broadcast, so
+    the audit is two passes of pure map-reduce at any volume."""
+    ev = _t(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    )
+    with_q = ev.crossJoin(F.broadcast(rng)).select(
+        "event_id",
+        # integer div, not cast(double): CAST(double AS INT) truncates
+        # in Spark but ROUNDS in DuckDB (the recorded parity trap)
+        F.least(
+            F.expr("(event_id - lo) * 4 div (hi - lo + 1)").cast("int"),
+            F.lit(3),
+        ).alias("quartile"),
+    )
+    return (
+        with_q.groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.min("event_id").alias("first_id"),
+            F.max("event_id").alias("last_id"),
+        )
+        .select(
+            "quartile",
+            "n_present",
+            "first_id",
+            "last_id",
+            (
+                F.col("last_id") - F.col("first_id") + 1 - F.col("n_present")
+            ).alias("n_missing"),
+            (
+                F.col("last_id") - F.col("first_id") + 1
+                == F.col("n_present")
+            ).alias("contiguous"),
+        )
+    )
+
+
+QUERIES["scd3_prev_current"] = q_scd3_prev_current
+QUERIES["cdc_sequence_gap_audit"] = q_sequence_gap_audit
+
+ORACLE["scd3_prev_current"] = """
+WITH p AS (
+  SELECT user_id, ts, event_id, round(value, 4) AS curr_value,
+    round(lag(value) OVER (PARTITION BY user_id
+      ORDER BY ts ASC, event_id ASC), 4) AS prev_value,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS changed_at,
+  curr_value, prev_value,
+  round(curr_value - coalesce(prev_value, curr_value), 4) AS delta
+FROM p WHERE rn = 1"""
+
+ORACLE["cdc_sequence_gap_audit"] = """
+WITH rng AS (
+  SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+q AS (
+  SELECT event_id,
+    least(CAST((event_id - lo) * 4 // (hi - lo + 1) AS INT), 3)
+      AS quartile
+  FROM events CROSS JOIN rng)
+SELECT quartile, count(*) AS n_present,
+  min(event_id) AS first_id, max(event_id) AS last_id,
+  max(event_id) - min(event_id) + 1 - count(*) AS n_missing,
+  max(event_id) - min(event_id) + 1 = count(*) AS contiguous
+FROM q GROUP BY 1"""

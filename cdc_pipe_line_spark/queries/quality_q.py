@@ -356,3 +356,68 @@ SELECT 'orders', 'o_custkey', count(*), CAST(sum(n) AS BIGINT),
   floor(max(n) / (CAST(sum(n) AS DOUBLE) / count(*)) * 10000 + 0.5)
     / 10000
 FROM h5"""
+
+
+def q_observe_metrics(spark, sf_dir):
+    """Pipeline instrumentation via the Observation API: metrics
+    (row count, null count, value sum, distinct-day count) are
+    attached to a REAL transformation pipeline with ``df.observe`` and
+    collected as a side effect of the pipeline's own action — zero
+    extra passes over the data, the production pattern for data-volume
+    SLO monitoring inside an ETL job (vs. re-scanning the table to
+    audit it afterwards).  The observed values are returned as a 1-row
+    frame; the oracle recomputes them relationally, proving the
+    instrumented numbers equal the ground truth.  The only
+    driver-side transfer is the bounded metrics row — the API's
+    contract."""
+    from pyspark.sql import Observation
+
+    ev = _t(spark, sf_dir, "events")
+    obs = Observation("etl_metrics")
+    pipeline = ev.filter(F.col("event_type") != "error").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+            "n_null_values"
+        ),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        # DISTINCT aggregates are rejected in observed metrics
+        # (INVALID_OBSERVED_METRICS) — span is the deterministic stand-in
+        (
+            F.datediff(
+                F.max(F.date_trunc("day", "ts").cast("date")),
+                F.min(F.date_trunc("day", "ts").cast("date")),
+            )
+            + 1
+        ).alias("n_days"),
+    )
+    # the pipeline's own terminal action drives metric collection
+    n_written = pipeline.groupBy("event_type").count().count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_values"]),
+                float(m["sum_value"]),
+                int(m["n_days"]),
+                int(n_written),
+            )
+        ],
+        "n_rows long, n_null_values long, sum_value double, "
+        "n_days long, n_groups long",
+    )
+
+
+QUERIES["qa_observe_metrics"] = q_observe_metrics
+
+ORACLE["qa_observe_metrics"] = """
+SELECT count(*) AS n_rows,
+  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_values,
+  round(sum(value), 2) AS sum_value,
+  CAST(date_diff('day', min(CAST(date_trunc('day', ts) AS DATE)),
+    max(CAST(date_trunc('day', ts) AS DATE))) + 1 AS BIGINT) AS n_days,
+  (SELECT count(DISTINCT event_type) FROM events
+   WHERE event_type != 'error') AS n_groups
+FROM events WHERE event_type != 'error'"""

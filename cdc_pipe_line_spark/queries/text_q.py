@@ -1452,3 +1452,120 @@ SELECT doc_id, n_words,
     ','), '') AS fail_reasons,
   len(list_filter(fails, x -> x IS NOT NULL)) = 0 AS keep
 FROM f"""
+
+
+def q_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): 8-char k-grams hashed, a sliding window of 4
+    keeps each window's MINIMUM hash — guaranteeing any shared
+    substring of length >= k + w - 1 = 11 produces a shared
+    fingerprint — then an inverted-index self-join surfaces document
+    pairs sharing >= 5 fingerprints.  The per-doc fingerprint SET is
+    w-fold smaller than the gram stream (the whole point of
+    winnowing: bounded index size); the pair join runs on the
+    deduped (fingerprint, doc) index like the other dedup families.
+    Hashes are md5-derived (first 8 hex digits), so DuckDB replays
+    the entire pipeline."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    k, w = 8, 4
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {k - 1},"
+                f" 1)), i -> conv(substring(md5(substring(text, i, {k})),"
+                " 1, 8), 16, 10))"
+            )
+        ).alias("pos", "h"),
+    ).select("doc_id", "pos", F.col("h").cast("bigint").alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        0, w - 1
+    )
+    n_wins = Window.partitionBy("doc_id")
+    fps = (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .withColumn("n", F.max("pos").over(n_wins))
+        # only full windows (pos <= n - w + 1) emit a fingerprint
+        .filter(F.col("pos") <= F.col("n") - (w - 1))
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("n_fp").alias("fp_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("n_fp").alias("fp_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            fl(
+                F.col("n_shared")
+                / (
+                    F.col("fp_a") + F.col("fp_b") - F.col("n_shared")
+                ).cast("double")
+            ).alias("fp_jaccard"),
+        )
+    )
+
+
+QUERIES["text_winnowing"] = q_winnowing
+
+ORACLE["text_winnowing"] = """
+WITH grams AS (
+  SELECT doc_id, pos,
+    CAST(('0x' || substr(md5(substr(text, CAST(pos AS INT), 8)), 1, 8))
+      AS BIGINT) AS h,
+    n
+  FROM (
+    SELECT doc_id, text,
+      unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS pos,
+      greatest(length(text) - 7, 1) AS n
+    FROM documents)),
+wm AS (
+  SELECT doc_id, pos, n,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM grams),
+fps AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM wm WHERE pos <= n - 3),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT id_a, id_b, n_shared,
+  floor(n_shared / CAST(sa.n_fp + sb.n_fp - n_shared AS DOUBLE)
+    * 10000 + 0.5) / 10000 AS fp_jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b"""
