@@ -1375,3 +1375,73 @@ SELECT c_mktsegment, count(*) AS n_customers,
     / CAST(count(*) AS DOUBLE) * 100.0 * 10000 + 0.5) / 10000
     AS pct_customers_for_80pct
 FROM r GROUP BY 1"""
+
+
+def q_q7_trade_flows(spark, sf_dir):
+    """TPC-H Q7 shape — cross-nation trade flows: revenue between
+    (supplier nation, customer nation) pairs per year, for a chosen
+    nation pair in either direction.  The two nation dims broadcast
+    into supplier and customer, the fact join shuffles once on
+    orderkey and once on the already-aggregated custkey/suppkey sides;
+    revenue in exact integer cents (engine-portable global sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            (F.sum(cents) / 100.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+QUERIES["join_q7_trade_flows"] = q_q7_trade_flows
+
+ORACLE["join_q7_trade_flows"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3"""
