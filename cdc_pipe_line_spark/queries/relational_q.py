@@ -1445,3 +1445,96 @@ JOIN nation n2 ON c_nationkey = n2.n_nationkey
 WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
 GROUP BY 1, 2, 3"""
+
+
+def q_q4_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape — order-priority checking: orders in a date
+    window having AT LEAST ONE lineitem shipped after the order date
+    (EXISTS -> left-semi join), counted per priority.  The semi join
+    shuffles distinct qualifying orderkeys, never the lineitem
+    payload."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        o.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape — disjunctive bracket predicates: three OR'd
+    (brand, size-range, quantity-range) brackets evaluated in one
+    join.  Catalyst extracts the common `l_partkey = p_partkey`
+    conjunct so the join stays an equi hash join with the disjunction
+    as a post-join filter, and pushes the per-side OR residuals
+    (brand/size on part, quantity on lineitem) into both scans —
+    the plan a naive engine turns into three unions of joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    return j.filter(bracket).agg(
+        (F.sum(cents) / 100.0).alias("revenue"),
+        F.count("*").alias("n_items"),
+        F.count_distinct("p_brand").alias("n_brands"),
+    )
+
+
+QUERIES["join_q4_late_orders"] = q_q4_late_orders
+QUERIES["join_q19_disjunctive"] = q_q19_disjunctive
+
+ORACLE["join_q4_late_orders"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1"""
+
+ORACLE["join_q19_disjunctive"] = """
+SELECT
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+  count(*) AS n_items,
+  count(DISTINCT p_brand) AS n_brands
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)"""

@@ -1463,9 +1463,14 @@ def q_winnowing(spark, sf_dir):
     pairs sharing >= 5 fingerprints.  The per-doc fingerprint SET is
     w-fold smaller than the gram stream (the whole point of
     winnowing: bounded index size); the pair join runs on the
-    deduped (fingerprint, doc) index like the other dedup families.
-    Hashes are md5-derived (first 8 hex digits), so DuckDB replays
-    the entire pipeline."""
+    deduped (fingerprint, doc) index like the other dedup families,
+    WITH the max_df cap (fingerprints present in > 64 documents are
+    dropped before pairing): a ubiquitous fingerprint is
+    non-discriminative for plagiarism AND quadratic in the join —
+    without the cap the sf1 corpus (31-word vocabulary, so common
+    grams appear corpus-wide) produces a >1 GiB pair set.  Hashes are
+    md5-derived (first 8 hex digits), so DuckDB replays the entire
+    pipeline including the cap."""
     from pyspark.sql.window import Window
 
     docs = _t(spark, sf_dir, "documents")
@@ -1493,6 +1498,12 @@ def q_winnowing(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 64)
+    )
+    fps = fps.join(hot, "fp", "left_anti").localCheckpoint(eager=True)
     pairs = (
         fps.alias("a")
         .join(
@@ -1556,8 +1567,10 @@ wm AS (
     min(h) OVER (PARTITION BY doc_id ORDER BY pos
       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
   FROM grams),
-fps AS (
+fps0 AS (
   SELECT DISTINCT doc_id, wmin AS fp FROM wm WHERE pos <= n - 3),
+hot AS (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) > 64),
+fps AS (SELECT * FROM fps0 WHERE fp NOT IN (SELECT fp FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
@@ -1569,3 +1582,89 @@ SELECT id_a, id_b, n_shared,
 FROM pairs
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b"""
+
+
+def q_length_buckets(spark, sf_dir):
+    """Length-bucket batching plan — the inference-efficiency prep
+    step: documents grouped into power-of-two token buckets so a
+    serving batch pads to the bucket ceiling, not the corpus max.
+    Emits per-bucket counts, token stats, and the padding-waste
+    fraction both bucketed and unbucketed — the measurement that
+    justifies the bucketing.  One map-only pass + one 10-row
+    aggregate; global ceilings ride along as a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    with_b = docs.select(
+        toks.alias("n_tok"),
+        F.pow(
+            F.lit(2.0), F.ceil(F.log2(F.greatest(toks, F.lit(1))))
+        ).cast("bigint").alias("bucket_cap"),
+    ).localCheckpoint(eager=True)
+    glob = with_b.agg(
+        F.max("n_tok").alias("global_max"),
+        F.sum("n_tok").alias("total_tok"),
+        F.count("*").alias("n_docs"),
+    )
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    return (
+        with_b.groupBy("bucket_cap")
+        .agg(
+            F.count("*").alias("n_docs_bucket"),
+            F.sum("n_tok").alias("tok_bucket"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "bucket_cap",
+            "n_docs_bucket",
+            "min_tok",
+            "max_tok",
+            fl(
+                (
+                    F.col("bucket_cap") * F.col("n_docs_bucket")
+                    - F.col("tok_bucket")
+                )
+                / (F.col("bucket_cap") * F.col("n_docs_bucket")).cast(
+                    "double"
+                )
+            ).alias("pad_waste_bucketed"),
+            fl(
+                (
+                    F.col("global_max") * F.col("n_docs_bucket")
+                    - F.col("tok_bucket")
+                )
+                / (F.col("global_max") * F.col("n_docs_bucket")).cast(
+                    "double"
+                )
+            ).alias("pad_waste_unbucketed"),
+        )
+    )
+
+
+QUERIES["llm_length_buckets"] = q_length_buckets
+
+ORACLE["llm_length_buckets"] = """
+WITH t AS (
+  SELECT CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ',
+    'g')), ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+b AS (
+  SELECT n_tok,
+    CAST(pow(2.0, ceil(log2(greatest(n_tok, 1)))) AS BIGINT)
+      AS bucket_cap
+  FROM t),
+gl AS (
+  SELECT max(n_tok) AS global_max, sum(n_tok) AS total_tok,
+    count(*) AS n_docs
+  FROM b)
+SELECT bucket_cap, count(*) AS n_docs_bucket,
+  min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+  floor((bucket_cap * count(*) - sum(n_tok))
+    / CAST(bucket_cap * count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+    AS pad_waste_bucketed,
+  floor((any_value(g.global_max) * count(*) - sum(n_tok))
+    / CAST(any_value(g.global_max) * count(*) AS DOUBLE) * 10000
+    + 0.5) / 10000 AS pad_waste_unbucketed
+FROM b CROSS JOIN gl g
+GROUP BY bucket_cap"""
