@@ -967,3 +967,64 @@ FROM days
 LEFT JOIN dau ON dau.d = days.d
 LEFT JOIN wau ON wau.d = days.d
 LEFT JOIN mau ON mau.d = days.d"""
+
+
+def q_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning user split — the acquisition/retention
+    overlay on every growth chart.  First-seen day via one window min
+    over the deduped (user, day) pairs (the join formulation would
+    re-scan events; the window is one exchange on the already-small
+    pair set), then a day rollup."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).distinct()
+    first = F.min("d").over(Window.partitionBy("user_id"))
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    return (
+        ud.withColumn("is_new", F.col("d") == first)
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias(
+                "new_users"
+            ),
+            F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias(
+                "returning_users"
+            ),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "new_users",
+            "returning_users",
+            fl(
+                F.col("new_users")
+                / (F.col("new_users") + F.col("returning_users")).cast(
+                    "double"
+                )
+                * 100.0
+            ).alias("new_pct"),
+        )
+    )
+
+
+QUERIES["agg_new_vs_returning"] = q_new_vs_returning
+
+ORACLE["agg_new_vs_returning"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events),
+x AS (
+  SELECT d, d = min(d) OVER (PARTITION BY user_id) AS is_new
+  FROM ud)
+SELECT strftime(d, '%Y-%m-%d') AS d,
+  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+    AS new_users,
+  CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT)
+    AS returning_users,
+  floor(sum(CASE WHEN is_new THEN 1 ELSE 0 END)
+    / CAST(count(*) AS DOUBLE) * 100.0 * 10000 + 0.5) / 10000
+    AS new_pct
+FROM x GROUP BY d"""

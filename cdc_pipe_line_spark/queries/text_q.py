@@ -1668,3 +1668,110 @@ SELECT bucket_cap, count(*) AS n_docs_bucket,
     + 0.5) / 10000 AS pad_waste_unbucketed
 FROM b CROSS JOIN gl g
 GROUP BY bucket_cap"""
+
+
+def q_pmi_cooccur(spark, sf_dir):
+    """Word-pair PMI (pointwise mutual information) over document
+    co-occurrence — the collocation/association signal behind phrase
+    mining and embedding evaluation.  Same single-scan basket shape
+    as the market-basket query: per-doc distinct word sets via ONE
+    collect_set aggregate, pairs expanded in-expression from the
+    sorted array (bounded by per-doc vocabulary), unigram and pair
+    counts both derive from the pinned basket frame.  PMI's log2 is
+    the only libm call — floor-rounded 4dp (both engines compute it
+    from identical integer-ratio doubles).  min_count=20 keeps the
+    tail noise out."""
+    docs = _t(spark, sf_dir, "documents")
+    b = (
+        docs.select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+            ).alias("ws"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = b.agg(F.count("*").alias("n_docs"))
+    uni = (
+        b.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ws, (x, i) ->"
+        " transform(slice(ws, i + 2, size(ws)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    pairs = (
+        b.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    j = (
+        pairs.join(
+            F.broadcast(
+                uni.select(F.col("w").alias("a"), F.col("n_w").alias("n_a"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("b"), F.col("n_w").alias("n_b"))
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+    pmi = F.log2(
+        F.col("n_ab") * F.col("n_docs")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    from pyspark.sql.window import Window
+
+    ranked = j.select(
+        "a", "b", "n_ab", fl(pmi).alias("pmi")
+    ).withColumn(
+        "pos",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("pos") <= 20)
+
+
+QUERIES["text_pmi_cooccur"] = q_pmi_cooccur
+
+ORACLE["text_pmi_cooccur"] = """
+WITH b AS (
+  SELECT doc_id,
+    list_sort(list_distinct(string_split(trim(regexp_replace(
+      lower(text), '\\s+', ' ', 'g')), ' '))) AS ws
+  FROM documents),
+nd AS (SELECT count(*) AS n_docs FROM b),
+uni AS (
+  SELECT w, count(*) AS n_w
+  FROM (SELECT unnest(ws) AS w FROM b) GROUP BY 1),
+pr AS (
+  SELECT x.w1 AS a, x.w2 AS b, count(*) AS n_ab FROM (
+    SELECT a1.doc_id, a1.w AS w1, a2.w AS w2
+    FROM (SELECT doc_id, unnest(ws) AS w FROM b) a1
+    JOIN (SELECT doc_id, unnest(ws) AS w FROM b) a2
+      ON a1.doc_id = a2.doc_id AND a1.w < a2.w) x
+  GROUP BY 1, 2 HAVING count(*) >= 20),
+j AS (
+  SELECT pr.a, pr.b, pr.n_ab,
+    floor(log2(pr.n_ab * nd.n_docs
+      / CAST(ua.n_w * ub.n_w AS DOUBLE)) * 10000 + 0.5) / 10000
+      AS pmi
+  FROM pr
+  JOIN uni ua ON ua.w = pr.a
+  JOIN uni ub ON ub.w = pr.b
+  CROSS JOIN nd)
+SELECT a, b, n_ab, pmi,
+  CAST(row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS INT)
+    AS pos
+FROM j QUALIFY pos <= 20"""
