@@ -663,3 +663,104 @@ SELECT event_type, ds[i] AS d,
     AS s_lo,
   alarm, n_alarms AS n_alarms_so_far
 FROM seq WHERE i >= 1"""
+
+
+def q_holt_backtest(spark, sf_dir):
+    """Forecast backtesting: Holt level+trend (alpha .25, beta .125)
+    run one-step-ahead over each event type's daily count series,
+    scoring MAE and MAPE against the actuals — the evaluation loop
+    that decides whether a forecaster ships.  Same sanctioned
+    applyInPandas shape as the CUSUM detector (the coupled recursion
+    has no window form; the series is spine-sized); the oracle
+    replays the recursion with a RECURSIVE CTE and aggregates the
+    same errors.  Inputs are integer counts, so both engines fold
+    identical doubles."""
+    import math as _math
+
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count("*").cast("double").alias("v"))
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType(), True),
+            StructField("n_days", LongType(), True),
+            StructField("mae", DoubleType(), True),
+            StructField("mape_pct", DoubleType(), True),
+            StructField("forecast_next", DoubleType(), True),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        vs = pdf["v"].tolist()
+        lvl, tr = vs[0], 0.0
+        abs_err = pct_err = 0.0
+        n_scored = 0
+        for v in vs[1:]:
+            f = lvl + tr
+            abs_err += abs(v - f)
+            if v != 0:
+                pct_err += abs(v - f) / v
+            n_scored += 1
+            new_l = v * 0.25 + 0.75 * (lvl + tr)
+            tr = (new_l - lvl) * 0.125 + 0.875 * tr
+            lvl = new_l
+        fl = lambda x: _math.floor(x * 1e4 + 0.5) / 1e4
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_days": len(vs),
+                    "mae": fl(abs_err / n_scored) if n_scored else None,
+                    "mape_pct": fl(pct_err / n_scored * 100.0)
+                    if n_scored
+                    else None,
+                    "forecast_next": fl(lvl + tr),
+                }
+            ]
+        )
+
+    return daily.groupBy("event_type").applyInPandas(run, schema)
+
+
+QUERIES["ts_holt_backtest"] = q_holt_backtest
+
+ORACLE["ts_holt_backtest"] = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+    CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+g AS (
+  SELECT event_type, list(v ORDER BY day) AS vs, count(*) AS n
+  FROM daily GROUP BY 1),
+seq AS (
+  SELECT event_type, vs, n, 1 AS i, vs[1] AS l,
+    CAST(0.0 AS DOUBLE) AS b,
+    CAST(0.0 AS DOUBLE) AS abs_err, CAST(0.0 AS DOUBLE) AS pct_err
+  FROM g
+  UNION ALL
+  SELECT event_type, vs, n, i + 1,
+    vs[i + 1] * 0.25 + 0.75 * (l + b),
+    ((vs[i + 1] * 0.25 + 0.75 * (l + b)) - l) * 0.125 + 0.875 * b,
+    abs_err + abs(vs[i + 1] - (l + b)),
+    pct_err + CASE WHEN vs[i + 1] != 0
+      THEN abs(vs[i + 1] - (l + b)) / vs[i + 1] ELSE 0.0 END
+  FROM seq WHERE i < len(vs))
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  floor(abs_err / (n - 1) * 1e4 + 0.5) / 1e4 AS mae,
+  floor(pct_err / (n - 1) * 100.0 * 1e4 + 0.5) / 1e4 AS mape_pct,
+  floor((l + b) * 1e4 + 0.5) / 1e4 AS forecast_next
+FROM seq WHERE i = len(vs)"""
