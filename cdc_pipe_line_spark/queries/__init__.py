@@ -25,11 +25,12 @@ from cdc_pipe_line_spark.queries import (
     timeseries_q,
 )
 
-# Round-1's driver correctness run covered exactly the first 50
-# registered queries; the registry is now <=49 queries AND ordered so
-# the packs that went unverified in round 1 (text/similarity/streaming)
-# register first — under either a count cap or a time budget the
-# weakest-evidence queries get checked earliest.
+# Ordering note (kept from round 2, still deliberate): round-1's
+# driver correctness run truncated at the first 50 registered queries,
+# so the packs with historically weakest external evidence
+# (text/similarity/streaming) register FIRST — under any count cap or
+# time budget the driver checks them earliest.  The registry has since
+# grown far past 50 (148 as of round 5); every entry carries an oracle.
 _MODULES = [
     text_q,
     similarity_q,
