@@ -1538,3 +1538,167 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
        AND l_quantity BETWEEN 20 AND 30)"""
+
+
+def q_lorenz_gini(spark, sf_dir):
+    """Gini coefficient of customer spend per market segment — the
+    inequality complement to the Pareto query.  Rank formula
+    ``G = 2*Σ(i*x_i) / (n*Σx) - (n+1)/n`` over ascending spend, all
+    inputs exact integers (cents, ranks), so the final division is
+    the only float op — engine-identical.  One window rank per
+    segment + one aggregate."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    per_cust = o.groupBy("o_custkey").agg(F.sum(cents).alias("x"))
+    seg = per_cust.join(
+        c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("x").asc(), F.col("o_custkey").asc()
+    )
+    ranked = seg.withColumn("i", F.row_number().over(w))
+    fl = lambda col: F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("i") * F.col("x")).alias("six"),
+        )
+        .select(
+            "c_mktsegment",
+            "n",
+            (F.col("sx") / 100.0).alias("total_spend"),
+            fl(
+                F.lit(2.0) * F.col("six")
+                / (F.col("n") * F.col("sx")).cast("double")
+                - (F.col("n") + 1) / F.col("n").cast("double")
+            ).alias("gini"),
+        )
+    )
+
+
+def q_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape — shipping priority: top-10 unshipped-revenue
+    orders for one market segment (orders placed before, lineitems
+    shipped after a cut date).  Exact integer-cents revenue; the
+    top-10 runs as TakeOrderedAndProject, not a full sort."""
+    cut = F.lit("1996-06-30").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "o_orderdate"
+            ),
+            "o_orderpriority",
+        )
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+        .orderBy(
+            F.col("revenue").desc(), F.col("l_orderkey").asc()
+        )
+        .limit(10)
+    )
+
+
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape — returned-item reporting: revenue lost to
+    returned lineitems per customer in a quarter, top 20.  The
+    return-flag filter pushes to the lineitem scan; customer/nation
+    broadcast."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            (F.sum(cents) / 100.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "revenue", "n_items",
+        )
+    )
+
+
+QUERIES["agg_lorenz_gini"] = q_lorenz_gini
+QUERIES["join_q3_shipping_priority"] = q_q3_shipping_priority
+QUERIES["join_q10_returned_items"] = q_q10_returned_items
+
+ORACLE["agg_lorenz_gini"] = """
+WITH pc AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      AS x
+  FROM orders GROUP BY 1),
+seg AS (
+  SELECT pc.*, c.c_mktsegment FROM pc
+  JOIN customer c ON c.c_custkey = pc.o_custkey),
+r AS (
+  SELECT c_mktsegment, x,
+    row_number() OVER (PARTITION BY c_mktsegment
+      ORDER BY x ASC, o_custkey ASC) AS i
+  FROM seg)
+SELECT c_mktsegment, count(*) AS n,
+  CAST(sum(x) AS DOUBLE) / 100.0 AS total_spend,
+  floor((2.0 * CAST(sum(i * x) AS DOUBLE)
+      / CAST(count(*) * sum(x) AS DOUBLE)
+    - (count(*) + 1) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+    AS gini
+FROM r GROUP BY 1"""
+
+ORACLE["join_q3_shipping_priority"] = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o_orderpriority,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-30'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+
+ORACLE["join_q10_returned_items"] = """
+SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS c_acctbal,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""

@@ -764,3 +764,116 @@ SELECT event_type, CAST(n AS BIGINT) AS n_days,
   floor(pct_err / (n - 1) * 100.0 * 1e4 + 0.5) / 1e4 AS mape_pct,
   floor((l + b) * 1e4 + 0.5) / 1e4 AS forecast_next
 FROM seq WHERE i = len(vs)"""
+
+
+def q_autocorrelation(spark, sf_dir):
+    """Autocorrelation function (ACF) at lags 1..7 over per-type
+    daily counts — the diagnostic that picks seasonal periods and
+    validates model residuals.  Pearson-at-lag computed FROM EXACT
+    INTEGER SUMS (like ts_cross_corr): the lag pairing is one window
+    lag per type, the per-(type, lag) sums are int64, and only the
+    final correlation combines them in float — binds bit-for-bit.
+    One daily aggregate + one 7-lag explode of the spine-sized
+    series."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    # window expressions can't live inside the explode projection —
+    # materialize the 7 lag columns in one window pass, THEN explode
+    with_lags = daily.select(
+        "event_type",
+        "n",
+        *[F.lag("n", k).over(w).alias(f"__l{k}") for k in range(1, 8)],
+    )
+    lagged = with_lags.select(
+        "event_type",
+        F.col("n").alias("x"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col(f"__l{k}").alias("prev"),
+                    )
+                    for k in range(1, 8)
+                ]
+            )
+        ).alias("lp"),
+    ).select(
+        "event_type",
+        F.col("lp.lag").alias("lag"),
+        "x",
+        F.col("lp.prev").alias("y"),
+    ).filter(F.col("y").isNotNull())
+    s = lagged.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    acf = F.when(den > 0, num / den)
+    return s.select(
+        "event_type",
+        "lag",
+        "n",
+        (F.floor(acf * 10000 + F.lit(0.5)) / 10000).alias("acf"),
+    )
+
+
+QUERIES["ts_autocorrelation"] = q_autocorrelation
+
+ORACLE["ts_autocorrelation"] = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+    count(*) AS n
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, lag, x, y FROM (
+    SELECT event_type, lg.lag, n AS x,
+      CASE lg.lag
+        WHEN 1 THEN lag(n, 1) OVER w WHEN 2 THEN lag(n, 2) OVER w
+        WHEN 3 THEN lag(n, 3) OVER w WHEN 4 THEN lag(n, 4) OVER w
+        WHEN 5 THEN lag(n, 5) OVER w WHEN 6 THEN lag(n, 6) OVER w
+        WHEN 7 THEN lag(n, 7) OVER w END AS y
+    FROM daily
+    CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) lg
+    WINDOW w AS (PARTITION BY event_type, lg.lag ORDER BY d ASC))
+  WHERE y IS NOT NULL),
+s AS (
+  SELECT event_type, CAST(lag AS INT) AS lag, count(*) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sx2,
+    CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM lagged GROUP BY 1, 2)
+SELECT event_type, lag, n,
+  floor(CASE WHEN sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+           * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)) > 0
+    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+      / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+         * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
+    END * 10000 + 0.5) / 10000 AS acf
+FROM s"""
