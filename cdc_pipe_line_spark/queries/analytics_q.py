@@ -1028,3 +1028,65 @@ SELECT strftime(d, '%Y-%m-%d') AS d,
     / CAST(count(*) AS DOUBLE) * 100.0 * 10000 + 0.5) / 10000
     AS new_pct
 FROM x GROUP BY d"""
+
+
+def q_degree_distribution(spark, sf_dir):
+    """Degree distribution of the part co-occurrence graph — the
+    structural profile (hub detection, power-law check) that sizes
+    every downstream graph job: per-degree node counts plus summary
+    quantiles.  Degree = one aggregate over the undirected edge list;
+    the distribution is a second tiny aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = (
+        li.select("l_orderkey", F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        op.alias("x")
+        .join(op.alias("y"), "l_orderkey")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .union(pairs.select("b"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    dist = deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+    summary = deg.agg(
+        F.lit(-1).cast("bigint").alias("degree"),
+        F.count("*").alias("n_nodes"),
+        F.max("degree").alias("max_degree"),
+        F.round(F.expr("percentile(degree, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(degree, 0.99)"), 4).alias("p99"),
+    )
+    return dist.select(
+        "degree",
+        "n_nodes",
+        F.lit(None).cast("bigint").alias("max_degree"),
+        F.lit(None).cast("double").alias("p50"),
+        F.lit(None).cast("double").alias("p99"),
+    ).unionByName(summary)
+
+
+QUERIES["graph_degree_dist"] = q_degree_distribution
+
+ORACLE["graph_degree_dist"] = f"""
+WITH {_COOC_SQL},
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY 1)
+SELECT degree, count(*) AS n_nodes,
+  CAST(NULL AS BIGINT) AS max_degree,
+  CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p99
+FROM deg GROUP BY 1
+UNION ALL
+SELECT -1, count(*), CAST(max(degree) AS BIGINT),
+  round(quantile_cont(degree, 0.5), 4),
+  round(quantile_cont(degree, 0.99), 4)
+FROM deg"""

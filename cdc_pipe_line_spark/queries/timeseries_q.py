@@ -877,3 +877,55 @@ SELECT event_type, lag, n,
          * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
     END * 10000 + 0.5) / 10000 AS acf
 FROM s"""
+
+
+def q_rolling_median(spark, sf_dir):
+    """Rolling 7-day MEDIAN smoothing per event type — the robust
+    twin of the moving average (one outlier day doesn't drag the
+    smooth).  Exact: the trailing window materializes as a bounded
+    collect_list (<= 7 values) sorted in-expression, median by
+    element arithmetic — the bounded-frame trick that keeps an exact
+    order statistic inside codegen instead of a per-group sort or
+    UDF.  DuckDB replays with windowed quantile_cont."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("n").over(w))
+    sz = F.size(arr)
+    mid = (sz / 2).cast("int")
+    med = F.when(
+        sz % 2 == 1, F.element_at(arr, mid + 1)
+    ).otherwise(
+        (F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / 2.0
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n",
+        F.round(med, 4).alias("rolling_median_7"),
+        sz.alias("window_n"),
+    )
+
+
+QUERIES["ts_rolling_median"] = q_rolling_median
+
+ORACLE["ts_rolling_median"] = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS d, n,
+  round(quantile_cont(n, 0.5) OVER w, 4) AS rolling_median_7,
+  CAST(count(*) OVER w AS INT) AS window_n
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY d ASC
+  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""

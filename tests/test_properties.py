@@ -717,3 +717,59 @@ def test_khop_matches_bfs(spark, edges, k):
     )
     got = {r["node"]: r["hop"] for r in khop_reach(df, 1, k=k).collect()}
     assert got == expect
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st_.lists(
+        st_.integers(min_value=0, max_value=50), min_size=2, max_size=20
+    )
+)
+def test_cusum_matches_reference(spark, vals):
+    """applyInPandas CUSUM == a pure-python reference recursion on
+    arbitrary integer series (one group, ordered days)."""
+    import datetime as _dt
+    import math as _math
+
+    from cdc_pipe_line_spark.timeseries import cusum_changepoints
+
+    rows = [
+        ("g", _dt.date(2024, 1, 1) + _dt.timedelta(days=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    daily = spark.createDataFrame(
+        rows, "grp string, day date, value double"
+    )
+    got = {
+        r["d"]: (r["s_hi"], r["s_lo"], r["alarm"], r["n_alarms_so_far"])
+        for r in cusum_changepoints(
+            daily, group_cols=["grp"], value_col="value", ts_col="day"
+        ).collect()
+    }
+    # reference
+    n = len(vals)
+    mu = _math.floor(sum(vals) / n * 1e6 + 0.5) / 1e6
+    if n > 1:
+        var = sum((v - sum(vals) / n) ** 2 for v in vals) / (n - 1)
+        sd = _math.floor(_math.sqrt(var) * 1e6 + 0.5) / 1e6
+    else:
+        sd = 0.0
+    s_hi = s_lo = 0.0
+    alarms = 0
+    for i, v in enumerate(vals):
+        z = (v - mu) / sd if sd > 0 else 0.0
+        s_hi = max(0.0, s_hi + z - 0.5)
+        s_lo = max(0.0, s_lo - z - 0.5)
+        alarm = s_hi > 4.0 or s_lo > 4.0
+        if alarm:
+            alarms += 1
+            s_hi = s_lo = 0.0
+        d = (_dt.date(2024, 1, 1) + _dt.timedelta(days=i)).isoformat()
+        fl = lambda x: _math.floor(x * 1e4 + 0.5) / 1e4
+        assert got[d][2] == alarm and got[d][3] == alarms, d
+        assert abs(got[d][0] - fl(s_hi)) < 1e-9, d
+        assert abs(got[d][1] - fl(s_lo)) < 1e-9, d
