@@ -1090,3 +1090,78 @@ SELECT -1, count(*), CAST(max(degree) AS BIGINT),
   round(quantile_cont(degree, 0.5), 4),
   round(quantile_cont(degree, 0.99), 4)
 FROM deg"""
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves: cumulative purchase value per signup-week
+    cohort by weeks-since-signup — the revenue companion to the
+    retention matrix (which counts users; this follows the money).
+    Value in exact integer micro-units before the running sum, so the
+    cumulative column binds without tolerance; one window over the
+    tiny (cohort x offset) grid."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cw")
+    )
+    p = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .join(first, "user_id")
+        .select(
+            "cw",
+            (
+                F.datediff(
+                    F.date_trunc("week", "ts").cast("date"), F.col("cw")
+                )
+                / 7
+            ).cast("int").alias("wk"),
+            F.round(F.col("value") * 1e6, 0)
+            .cast("bigint")
+            .alias("micros"),
+        )
+    )
+    grid = p.groupBy("cw", "wk").agg(
+        F.sum("micros").alias("rev_micros"),
+        F.count("*").alias("n_purchases"),
+    )
+    w = (
+        Window.partitionBy("cw")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        "wk",
+        "n_purchases",
+        (F.col("rev_micros") / 1e6).alias("week_revenue"),
+        (F.sum("rev_micros").over(w) / 1e6).alias("cum_revenue"),
+    )
+
+
+QUERIES["agg_cohort_ltv"] = q_cohort_ltv
+
+ORACLE["agg_cohort_ltv"] = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+  FROM events GROUP BY 1),
+p AS (
+  SELECT cw,
+    CAST(date_diff('day', cw,
+      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT) AS wk,
+    CAST(round(e.value * 1e6, 0) AS BIGINT) AS micros
+  FROM events e JOIN first USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL),
+grid AS (
+  SELECT cw, wk, CAST(sum(micros) AS BIGINT) AS rev_micros,
+    count(*) AS n_purchases
+  FROM p GROUP BY 1, 2)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, wk, n_purchases,
+  CAST(rev_micros AS DOUBLE) / 1e6 AS week_revenue,
+  CAST(CAST(sum(rev_micros) OVER (PARTITION BY cw ORDER BY wk ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS DOUBLE) / 1e6 AS cum_revenue
+FROM grid"""

@@ -613,3 +613,60 @@ SELECT n_nationkey,
   CAST(length(repeat(n_name, n_nationkey + 1)) AS BIGINT) AS n_bytes,
   md5(repeat(n_name, n_nationkey + 1)) AS content_md5
 FROM nation"""
+
+
+def q_io_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (the lakehouse backfill primitive:
+    INSERT OVERWRITE replaces ONLY the partitions present in the
+    incoming batch).  orders lands partitioned by status; a corrected
+    batch for status 'P' (prices doubled) overwrites in dynamic mode;
+    the scan proves 'P' was replaced while 'O'/'F' bytes are
+    untouched.  This is how a 100 TB lake reprocesses one day/status
+    without rewriting the table — the overwrite's write amplification
+    is the target partition, not the dataset."""
+    path, ready = _cache(sf_dir, "orders_dynover")
+    if not ready:
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        (
+            orders.write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+        fixed = (
+            orders.filter(F.col("o_orderstatus") == "P")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                fixed.write.mode("overwrite")
+                .partitionBy("o_orderstatus")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+        _mark(path)
+    df = spark.read.parquet(path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum("o_orderkey").alias("sum_key"),
+    )
+
+
+QUERIES["io_dynamic_overwrite"] = q_io_dynamic_overwrite
+
+# 'P' rows carry doubled prices (the overwritten batch); O/F original.
+ORACLE["io_dynamic_overwrite"] = """
+SELECT o_orderstatus, count(*) AS n_orders,
+  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+    ELSE o_totalprice END), 2) AS sum_price,
+  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+FROM orders GROUP BY 1"""

@@ -1775,3 +1775,82 @@ SELECT a, b, n_ab, pmi,
   CAST(row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS INT)
     AS pos
 FROM j QUALIFY pos <= 20"""
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffling for training reproducibility:
+    each epoch orders the corpus by an md5-derived key (doc_id ||
+    epoch) and deals documents round-robin into 8 shards — any worker
+    can recompute its shard contents from the seed, no shuffle
+    manifest to ship.  Emits per-(epoch, shard) fill counts, token
+    load, and the balance ratio that proves the deal is even.  The
+    rank is one window per epoch over (hash, doc_id); everything
+    else is a shrinking aggregate."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    out = []
+    for epoch in (0, 1):
+        key = F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(f":{epoch}")
+            )
+        )
+        rn = F.row_number().over(
+            Window.orderBy(key.asc(), F.col("doc_id").asc())
+        )
+        out.append(
+            docs.select(
+                F.lit(epoch).alias("epoch"),
+                toks.alias("n_tok"),
+                ((rn - 1) % 8).alias("shard"),
+            )
+        )
+    both = out[0].unionByName(out[1])
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    per_shard = both.groupBy("epoch", "shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens")
+    )
+    w = Window.partitionBy("epoch")
+    return per_shard.select(
+        "epoch",
+        "shard",
+        "n_docs",
+        "tokens",
+        fl(
+            F.col("tokens")
+            / (F.sum("tokens").over(w) / F.count("*").over(w)).cast(
+                "double"
+            )
+        ).alias("load_vs_mean"),
+    )
+
+
+QUERIES["llm_epoch_shuffle"] = q_epoch_shuffle
+
+ORACLE["llm_epoch_shuffle"] = """
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ',
+      'g')), ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+e AS (
+  SELECT ep.epoch, doc_id, n_tok,
+    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(ep.epoch AS VARCHAR))
+      AS key
+  FROM t CROSS JOIN (SELECT unnest([0, 1]) AS epoch) ep),
+r AS (
+  SELECT epoch, n_tok,
+    (row_number() OVER (PARTITION BY epoch
+       ORDER BY key ASC, doc_id ASC) - 1) % 8 AS shard
+  FROM e),
+per AS (
+  SELECT epoch, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+    CAST(sum(n_tok) AS BIGINT) AS tokens
+  FROM r GROUP BY 1, 2)
+SELECT CAST(epoch AS INT) AS epoch, shard, n_docs, tokens,
+  floor(tokens / (CAST(sum(tokens) OVER (PARTITION BY epoch)
+    AS DOUBLE) / count(*) OVER (PARTITION BY epoch)) * 10000 + 0.5)
+    / 10000 AS load_vs_mean
+FROM per"""
