@@ -1182,3 +1182,94 @@ SELECT a.source AS src_a, b.source AS src_b,
         i -> b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]))))
     * 10000 + 0.5) / 10000 AS centroid_cos
 FROM cent a JOIN cent b ON a.source < b.source"""
+
+
+def q_recall_at_k(spark, sf_dir):
+    """ANN evaluation readout — recall@k (k = 1, 5, 10) of the
+    hyperplane-LSH path against exact brute force, per the "measure,
+    don't guess" rule: the number every ANN deployment decision
+    hangs on, produced by the engine itself.  Both pipelines are the
+    registered ones (literal planes, md5-free exact cosine), the
+    truth and candidate top-10 sets join on (q_id, vec_id), and
+    recall is hits/k averaged over queries — all integer counting
+    until the final division."""
+    from cdc_pipe_line_spark.similarity import brute_force_topk, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    truth = brute_force_topk(q, emb, k=10).select(
+        "q_id", "vec_id", F.col("rank").alias("t_rank")
+    ).localCheckpoint(eager=True)
+    approx = lsh_topk(q, emb, k=10, n_planes=6, dim=64).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    ).localCheckpoint(eager=True)
+    j = truth.join(approx, ["q_id", "vec_id"], "left")
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    per_q = j.groupBy("q_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("t_rank") <= k) & F.col("hit").isNotNull(), 1
+                ).otherwise(0)
+            ).alias(f"h{k}")
+            for k in (1, 5, 10)
+        ]
+    )
+    n_q = F.count("*").cast("double")
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        fl(F.sum("h1") / n_q).alias("recall_at_1"),
+        fl(F.sum("h5") / (n_q * 5)).alias("recall_at_5"),
+        fl(F.sum("h10") / (n_q * 10)).alias("recall_at_10"),
+    )
+
+
+QUERIES["sim_recall_at_k"] = q_recall_at_k
+
+ORACLE["sim_recall_at_k"] = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 100 = 0),
+truth AS (
+  SELECT q_id, vec_id, rank AS t_rank FROM (
+    SELECT q.q_id, e.vec_id,
+      row_number() OVER (PARTITION BY q.q_id
+        ORDER BY {_COS.format(a='q.qv', b='e.embedding')} DESC,
+                 e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.q_id)
+  WHERE rank <= 10),
+cb AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings),
+qb AS (
+  SELECT vec_id AS q_id, embedding AS qv, bucket
+  FROM cb WHERE vec_id % 100 = 0),
+approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT qb.q_id, cb.vec_id,
+      row_number() OVER (PARTITION BY qb.q_id
+        ORDER BY {_COS.format(a='qb.qv', b='cb.embedding')} DESC,
+                 cb.vec_id ASC) AS rank
+    FROM cb JOIN qb USING (bucket) WHERE cb.vec_id != qb.q_id)
+  WHERE rank <= 10),
+j AS (
+  SELECT t.q_id, t.t_rank,
+    CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t LEFT JOIN approx a
+    ON a.q_id = t.q_id AND a.vec_id = t.vec_id),
+per_q AS (
+  SELECT q_id,
+    sum(CASE WHEN t_rank <= 1 THEN hit ELSE 0 END) AS h1,
+    sum(CASE WHEN t_rank <= 5 THEN hit ELSE 0 END) AS h5,
+    sum(CASE WHEN t_rank <= 10 THEN hit ELSE 0 END) AS h10
+  FROM j GROUP BY 1)
+SELECT count(*) AS n_queries,
+  floor(CAST(sum(h1) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+    AS recall_at_1,
+  floor(CAST(sum(h5) AS DOUBLE) / (count(*) * 5) * 10000 + 0.5)
+    / 10000 AS recall_at_5,
+  floor(CAST(sum(h10) AS DOUBLE) / (count(*) * 10) * 10000 + 0.5)
+    / 10000 AS recall_at_10
+FROM per_q"""

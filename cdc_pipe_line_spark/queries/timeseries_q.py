@@ -929,3 +929,98 @@ SELECT event_type, strftime(d, '%Y-%m-%d') AS d, n,
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY d ASC
   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+
+
+def q_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day — the capacity-planning
+    number (license seats, connection pools, GPU slots).  Classic
+    sweep-line: 30-min-gap sessions become +1/-1 boundary events, a
+    running sum over (ts, +1-before--1) gives instantaneous
+    concurrency, one max per day.  Two windows over session-sized
+    (not event-sized) data; ties resolve starts before ends at the
+    same instant (concurrency counts touching sessions as
+    overlapping), pinned deterministically in both engines."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("ts").over(w)
+    sess = (
+        ev.withColumn(
+            "__new",
+            F.when(
+                prev.isNull()
+                | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__sess",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "__sess")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    bounds = sess.select(
+        F.col("t0").alias("t"), F.lit(0).alias("kind"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(
+            F.col("t1").alias("t"), F.lit(1).alias("kind"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    sweep = Window.orderBy(
+        F.col("t").asc(), F.col("kind").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    conc = bounds.withColumn("c", F.sum("delta").over(sweep))
+    return (
+        conc.groupBy(
+            F.date_format(F.date_trunc("day", "t"), "yyyy-MM-dd").alias(
+                "d"
+            )
+        )
+        .agg(
+            F.max("c").alias("peak_concurrency"),
+            F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).alias(
+                "n_sessions_started"
+            ),
+        )
+    )
+
+
+QUERIES["ts_peak_concurrency"] = q_peak_concurrency
+
+ORACLE["ts_peak_concurrency"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+s AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM x),
+per AS (
+  SELECT user_id, sess, min(ts) AS t0, max(ts) AS t1
+  FROM s GROUP BY 1, 2),
+b AS (
+  SELECT t0 AS t, 0 AS kind, 1 AS delta FROM per
+  UNION ALL
+  SELECT t1, 1, -1 FROM per),
+c AS (
+  SELECT t, kind, CAST(sum(delta) OVER (ORDER BY t ASC, kind ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS c
+  FROM b)
+SELECT strftime(CAST(date_trunc('day', t) AS DATE), '%Y-%m-%d') AS d,
+  max(c) AS peak_concurrency,
+  CAST(sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_sessions_started
+FROM c GROUP BY 1"""
