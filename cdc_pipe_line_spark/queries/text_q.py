@@ -1854,3 +1854,105 @@ SELECT CAST(epoch AS INT) AS epoch, shard, n_docs, tokens,
     AS DOUBLE) / count(*) OVER (PARTITION BY epoch)) * 10000 + 0.5)
     / 10000 AS load_vs_mean
 FROM per"""
+
+
+def q_langid_eval(spark, sf_dir):
+    """Language-ID evaluation: confusion matrix of the heuristic
+    classifier against the labeled ``lang`` column, plus per-language
+    precision/recall and a 1-row overall accuracy — the model-eval
+    loop run entirely inside the engine.  Classifier output reuses
+    :func:`text.language_id` (one scan); everything downstream is
+    tiny aggregates over the (true, pred) grid."""
+    from cdc_pipe_line_spark.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang", "lang_pred")
+    grid = pred.groupBy(
+        F.col("lang").alias("true_lang"),
+        F.col("lang_pred").alias("pred_lang"),
+    ).agg(F.count("*").alias("n")).localCheckpoint(eager=True)
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    conf = grid.select(
+        F.lit("confusion").alias("probe"),
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.lit(None).cast("double").alias("metric"),
+    )
+    from pyspark.sql.window import Window
+
+    per_true = F.sum("n").over(Window.partitionBy("true_lang"))
+    per_pred = F.sum("n").over(Window.partitionBy("pred_lang"))
+    diag = grid.filter(F.col("true_lang") == F.col("pred_lang"))
+    recall = grid.withColumn("tot", per_true).filter(
+        F.col("true_lang") == F.col("pred_lang")
+    ).select(
+        F.lit("recall").alias("probe"),
+        "true_lang",
+        "pred_lang",
+        "n",
+        fl(F.col("n") / F.col("tot").cast("double")).alias("metric"),
+    )
+    precision = grid.withColumn("tot", per_pred).filter(
+        F.col("true_lang") == F.col("pred_lang")
+    ).select(
+        F.lit("precision").alias("probe"),
+        "true_lang",
+        "pred_lang",
+        "n",
+        fl(F.col("n") / F.col("tot").cast("double")).alias("metric"),
+    )
+    overall = grid.agg(
+        F.sum(
+            F.when(F.col("true_lang") == F.col("pred_lang"), F.col("n"))
+            .otherwise(0)
+        ).alias("hit"),
+        F.sum("n").alias("tot"),
+    ).select(
+        F.lit("accuracy").alias("probe"),
+        F.lit("__all__").alias("true_lang"),
+        F.lit("__all__").alias("pred_lang"),
+        F.col("tot").alias("n"),
+        fl(F.col("hit") / F.col("tot").cast("double")).alias("metric"),
+    )
+    return conf.unionByName(recall).unionByName(precision).unionByName(
+        overall
+    )
+
+
+QUERIES["text_langid_eval"] = q_langid_eval
+
+ORACLE["text_langid_eval"] = f"""
+WITH {_WORDS},
+lw_t AS (SELECT doc_id, list_transform(w, x -> lower(x)) AS lw FROM words),
+hits AS (SELECT doc_id, {{hits}} FROM lw_t),
+scored AS (SELECT doc_id, h_de, h_en, h_es, h_fr,
+           greatest(h_de, h_en, h_es, h_fr) AS g FROM hits),
+pred AS (
+  SELECT d.doc_id, d.lang AS true_lang,
+    CASE WHEN g = 0 THEN 'und'
+         WHEN h_fr = g THEN 'fr'
+         WHEN h_es = g THEN 'es'
+         WHEN h_en = g THEN 'en'
+         ELSE 'de' END AS pred_lang
+  FROM documents d JOIN scored s ON d.doc_id = s.doc_id),
+grid AS (
+  SELECT true_lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2)
+SELECT 'confusion' AS probe, true_lang, pred_lang, n,
+  CAST(NULL AS DOUBLE) AS metric
+FROM grid
+UNION ALL
+SELECT 'recall', true_lang, pred_lang, n,
+  floor(n / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE)
+    * 10000 + 0.5) / 10000
+FROM grid QUALIFY true_lang = pred_lang
+UNION ALL
+SELECT 'precision', true_lang, pred_lang, n,
+  floor(n / CAST(sum(n) OVER (PARTITION BY pred_lang) AS DOUBLE)
+    * 10000 + 0.5) / 10000
+FROM grid QUALIFY true_lang = pred_lang
+UNION ALL
+SELECT 'accuracy', '__all__', '__all__', CAST(sum(n) AS BIGINT),
+  floor(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+    / CAST(sum(n) AS DOUBLE) * 10000 + 0.5) / 10000
+FROM grid""".replace("{hits}", _lang_hits_sql())
