@@ -1165,3 +1165,62 @@ SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, wk, n_purchases,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
     AS DOUBLE) / 1e6 AS cum_revenue
 FROM grid"""
+
+
+def q_cumulative_unique_users(spark, sf_dir):
+    """Total unique users to date, per day — the audience-size curve.
+    NOT a rolling distinct: a user counts from their FIRST day
+    forever, so the cumulative distinct collapses to first-seen days
+    + one running sum over the day spine.  Compare agg_dau_wau_mau,
+    where the trailing windows genuinely need the listing trick."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0")
+    )
+    news = first.groupBy("d0").agg(F.count("*").alias("new_users"))
+    rng = ev.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("lo"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("hi"),
+    )
+    spine = rng.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(news, spine["d"] == news["d0"], "left")
+        .select(
+            "d", F.coalesce("new_users", F.lit(0)).alias("new_users")
+        )
+        .withColumn("cum_unique_users", F.sum("new_users").over(w))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "new_users",
+            "cum_unique_users",
+        )
+    )
+
+
+QUERIES["agg_cumulative_unique_users"] = q_cumulative_unique_users
+
+ORACLE["agg_cumulative_unique_users"] = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS d0
+  FROM events GROUP BY 1),
+news AS (SELECT d0, count(*) AS new_users FROM first GROUP BY 1),
+rng AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS lo,
+    CAST(date_trunc('day', max(ts)) AS DATE) AS hi
+  FROM events),
+spine AS (
+  SELECT CAST(unnest(generate_series((SELECT lo FROM rng),
+    (SELECT hi FROM rng), INTERVAL 1 DAY)) AS DATE) AS d)
+SELECT strftime(d, '%Y-%m-%d') AS d,
+  coalesce(new_users, 0) AS new_users,
+  CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY d ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_unique_users
+FROM spine LEFT JOIN news ON news.d0 = spine.d"""

@@ -670,3 +670,58 @@ SELECT o_orderstatus, count(*) AS n_orders,
     ELSE o_totalprice END), 2) AS sum_price,
   CAST(sum(o_orderkey) AS BIGINT) AS sum_key
 FROM orders GROUP BY 1"""
+
+
+def q_io_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec matrix (snappy / zstd / gzip / lz4 /
+    uncompressed): the same slice written under each codec and read
+    back, probe-tagged — proving the engine round-trips every codec a
+    lake is likely to contain (mixed-codec tables are normal after
+    config changes; the reader handles them per row group).  The
+    hash binds CONTENT equality per codec; file sizes are
+    deliberately not emitted (codec/version dependent)."""
+    codecs = ["snappy", "zstd", "gzip", "lz4", "none"]
+    out = None
+    for codec in codecs:
+        path, ready = _cache(sf_dir, f"li_codec_{codec}")
+        if not ready:
+            li = _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_returnflag"
+            )
+            (
+                li.write.mode("overwrite")
+                .option("compression", codec)
+                .parquet(path)
+            )
+            _mark(path)
+        df = (
+            spark.read.parquet(path)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.sum("l_orderkey").alias("sum_key"),
+            )
+            .select(
+                F.lit(codec).alias("codec"),
+                "l_returnflag",
+                "n",
+                "sum_qty",
+                "sum_key",
+            )
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+QUERIES["io_codec_matrix"] = q_io_codec_matrix
+
+ORACLE["io_codec_matrix"] = """
+WITH agg AS (
+  SELECT l_returnflag, count(*) AS n,
+    round(sum(l_quantity), 2) AS sum_qty,
+    CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+  FROM lineitem GROUP BY 1)
+SELECT c.codec, a.l_returnflag, a.n, a.sum_qty, a.sum_key
+FROM agg a CROSS JOIN (
+  SELECT unnest(['snappy', 'zstd', 'gzip', 'lz4', 'none']) AS codec) c"""
