@@ -1224,3 +1224,89 @@ SELECT strftime(d, '%Y-%m-%d') AS d,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
     AS cum_unique_users
 FROM spine LEFT JOIN news ON news.d0 = spine.d"""
+
+
+def q_funnel_windowed(spark, sf_dir):
+    """Time-capped funnel: each stage must convert WITHIN 24 hours of
+    the previous stage (the product-team variant the uncapped funnel
+    can't answer — intent decays).  Same per-user min-over-slice join
+    chain as agg_funnel_stages, with the window cap as an extra join
+    predicate; every shuffle stays on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", F.col("event_type").alias("et"), "ts")
+    cap = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        e.filter(F.col("et") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        s1.join(e.filter(F.col("et") == "click"), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + cap)
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        s2.join(e.filter(F.col("et") == "purchase"), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + cap)
+        )
+        .groupBy("user_id", "t2")
+        .agg(F.min("ts").alias("t3"))
+    )
+    base = s1.agg(F.count("*").alias("base"))
+    fl = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100
+    rows = []
+    for idx, (stage, frame) in enumerate(
+        [("view", s1), ("click_24h", s2), ("purchase_24h", s3)], start=1
+    ):
+        rows.append(
+            frame.agg(F.count("*").alias("n_users"))
+            .crossJoin(F.broadcast(base))
+            .select(
+                F.lit(idx).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+                fl(
+                    F.col("n_users") / F.col("base").cast("double")
+                    * 100.0
+                ).alias("conv_pct"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+QUERIES["agg_funnel_windowed"] = q_funnel_windowed
+
+ORACLE["agg_funnel_windowed"] = """
+WITH e AS (SELECT user_id, event_type AS et, ts FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE et = 'view'
+       GROUP BY 1),
+s2 AS (
+  SELECT s1.user_id, t1, min(ts) AS t2
+  FROM s1 JOIN e ON e.user_id = s1.user_id AND e.et = 'click'
+    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+  GROUP BY 1, 2),
+s3 AS (
+  SELECT s2.user_id, t2, min(ts) AS t3
+  FROM s2 JOIN e ON e.user_id = s2.user_id AND e.et = 'purchase'
+    AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+  GROUP BY 1, 2),
+b AS (SELECT count(*) AS base FROM s1)
+SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users,
+  floor(count(*) / CAST(b.base AS DOUBLE) * 100.0 * 100 + 0.5) / 100
+    AS conv_pct
+FROM s1 CROSS JOIN b GROUP BY b.base
+UNION ALL
+SELECT 2, 'click_24h', count(*),
+  floor(count(*) / CAST(b.base AS DOUBLE) * 100.0 * 100 + 0.5) / 100
+FROM s2 CROSS JOIN b GROUP BY b.base
+UNION ALL
+SELECT 3, 'purchase_24h', count(*),
+  floor(count(*) / CAST(b.base AS DOUBLE) * 100.0 * 100 + 0.5) / 100
+FROM s3 CROSS JOIN b GROUP BY b.base"""

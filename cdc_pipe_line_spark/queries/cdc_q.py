@@ -402,3 +402,50 @@ SELECT quartile, count(*) AS n_present,
   max(event_id) - min(event_id) + 1 - count(*) AS n_missing,
   max(event_id) - min(event_id) + 1 = count(*) AS contiguous
 FROM q GROUP BY 1"""
+
+
+def q_column_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column churn profile of the CDC update stream — which
+    columns actually change — the signal that drives SCD type
+    choices (hot columns -> Type 2 history; cold -> Type 1 overwrite)
+    and column-level replication filters.  One explode of the diff's
+    ``changed_cols`` array + a tiny aggregate; the diff itself is the
+    registered one-full-outer-join plan."""
+    d = _orders_diff(spark, sf_dir)
+    upd = d.filter(F.col("event_type") == "update").localCheckpoint(
+        eager=True
+    )
+    n_upd = upd.agg(F.count("*").alias("n_updates"))
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    return (
+        upd.select(F.explode("changed_cols").alias("col"))
+        .groupBy("col")
+        .agg(F.count("*").alias("n_changed"))
+        .crossJoin(F.broadcast(n_upd))
+        .select(
+            "col",
+            "n_changed",
+            "n_updates",
+            fl(
+                F.col("n_changed") / F.col("n_updates").cast("double")
+                * 100.0
+            ).alias("churn_pct"),
+        )
+    )
+
+
+QUERIES["cdc_column_churn"] = q_column_churn
+
+ORACLE["cdc_column_churn"] = _DIFF_CTE + """
+, upd AS (
+  SELECT string_split(changed_cols_csv, ',') AS cols FROM j
+  WHERE event_type = 'update'),
+n AS (SELECT count(*) AS n_updates FROM upd),
+x AS (
+  SELECT col FROM (SELECT unnest(cols) AS col FROM upd)
+  WHERE col != '')
+SELECT col, count(*) AS n_changed,
+  any_value(n.n_updates) AS n_updates,
+  floor(count(*) / CAST(any_value(n.n_updates) AS DOUBLE) * 100.0
+    * 10000 + 0.5) / 10000 AS churn_pct
+FROM x CROSS JOIN n GROUP BY col"""
