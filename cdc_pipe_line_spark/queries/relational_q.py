@@ -1702,3 +1702,39 @@ WHERE l_returnflag = 'R'
   AND o_orderdate < TIMESTAMP '1996-07-01'
 GROUP BY 1, 2, 3, 4
 ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
+
+
+def q_bitwise_ops(spark, sf_dir):
+    """Bitwise scalar + aggregate surface: per event-type AND/OR/XOR
+    aggregates over event ids, popcount sums, and shift arithmetic —
+    the bit-packing toolkit behind bitmap indexes, feature flags, and
+    the engine's own bucket/banding tricks (SimHash bit votes, LSH
+    sign bits).  One codegen pass + one aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("bit_and(event_id)").alias("band"),
+            F.expr("bit_or(event_id)").alias("bor"),
+            F.expr("bit_xor(event_id)").alias("bxor"),
+            F.sum(F.bit_count("event_id")).alias("popcount_sum"),
+            F.sum(
+                F.shiftright("event_id", 3)
+                + F.shiftleft(F.col("event_id") % 8, 1)
+            ).alias("shift_mix"),
+        )
+    )
+
+
+QUERIES["scalar_bitwise_ops"] = q_bitwise_ops
+
+ORACLE["scalar_bitwise_ops"] = """
+SELECT event_type, count(*) AS n,
+  CAST(bit_and(event_id) AS BIGINT) AS band,
+  CAST(bit_or(event_id) AS BIGINT) AS bor,
+  CAST(bit_xor(event_id) AS BIGINT) AS bxor,
+  CAST(sum(bit_count(event_id)) AS BIGINT) AS popcount_sum,
+  CAST(sum((event_id >> 3) + ((event_id % 8) << 1)) AS BIGINT)
+    AS shift_mix
+FROM events GROUP BY 1"""
