@@ -39,6 +39,23 @@ HEADLINE = [
     "stream_windowed_counts",  # bounded streams: tumbling + session windows (T8)
 ]
 
+# Round-6 addition (VERDICT r5 item 5): a second tracked group over the
+# round-5 surface, so a perf regression in the newer operator families
+# is visible round-over-round, not only in one-off BENCH_NOTES soaks.
+# One representative per family, weighted toward the scale-sensitive
+# shapes (multi-stage LLM pipeline, fingerprint self-join, iterative
+# graph traversal, global-distribution aggregates).
+EXTENDED = [
+    "llm_quality_pipeline",  # composed gate->dedup->quota->pack pipeline
+    "agg_percentile_bands",  # global percentile banding (sketch path)
+    "text_winnowing",  # winnowing fingerprints + capped pair join
+    "graph_khop_reach",  # iterative k-hop BFS frontier expansion
+    "join_q3_shipping_priority",  # TPC-H Q3 join+agg+top-k shape
+    "agg_heavy_hitters",  # two-pass exact Misra-Gries heavy hitters
+    "ts_rolling_median",  # exact rolling median (RANGE-frame window)
+    "qa_constraint_suite",  # Deequ-style multi-constraint verification
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -130,10 +147,12 @@ def main() -> None:
     _q1.awaitTermination()
     _q2.awaitTermination()
 
-    def run_all(label: str) -> tuple[dict[str, float], float]:
+    def run_all(
+        label: str, names: list[str]
+    ) -> tuple[dict[str, float], float]:
         timings: dict[str, float] = {}
         t_all = time.perf_counter()
-        for name in HEADLINE:
+        for name in names:
             t0 = time.perf_counter()
             df = registry[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -152,9 +171,13 @@ def main() -> None:
     # the JSON carries {median,min,max,n} spreads so a reader can tell
     # run variance from a real movement without re-running.
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
-    _, cold_total = run_all("cold")
+    _, cold_total = run_all("cold", HEADLINE)
     passes: list[tuple[dict[str, float], float]] = [
-        run_all(f"steady{i + 1}") for i in range(n_passes)
+        run_all(f"steady{i + 1}", HEADLINE) for i in range(n_passes)
+    ]
+    _, ext_cold_total = run_all("ext-cold", EXTENDED)
+    ext_passes: list[tuple[dict[str, float], float]] = [
+        run_all(f"ext-steady{i + 1}", EXTENDED) for i in range(n_passes)
     ]
 
     def _median(vals: list[float]) -> float:
@@ -162,19 +185,23 @@ def main() -> None:
         m = len(s) // 2
         return s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
 
-    timings = {
-        name: _median([p[0][name] for p in passes]) for name in HEADLINE
-    }
-    spread = {
-        name: {
-            "median": timings[name],
-            "min": min(p[0][name] for p in passes),
-            "max": max(p[0][name] for p in passes),
-            "n": n_passes,
+    def _summarize(
+        names: list[str], runs: list[tuple[dict[str, float], float]]
+    ) -> tuple[dict[str, float], dict[str, dict], list[float]]:
+        meds = {n: _median([p[0][n] for p in runs]) for n in names}
+        spreads = {
+            n: {
+                "median": meds[n],
+                "min": min(p[0][n] for p in runs),
+                "max": max(p[0][n] for p in runs),
+                "n": len(runs),
+            }
+            for n in names
         }
-        for name in HEADLINE
-    }
-    totals = [p[1] for p in passes]
+        return meds, spreads, [p[1] for p in runs]
+
+    timings, spread, totals = _summarize(HEADLINE, passes)
+    ext_timings, ext_spread, ext_totals = _summarize(EXTENDED, ext_passes)
 
     print(
         json.dumps(
@@ -186,6 +213,11 @@ def main() -> None:
                 "queries_spread": spread,
                 "steady_totals_sec": totals,
                 "cold_total_sec": cold_total,
+                "extended_total_sec": _median(ext_totals),
+                "extended": ext_timings,
+                "extended_spread": ext_spread,
+                "extended_steady_totals_sec": ext_totals,
+                "extended_cold_total_sec": ext_cold_total,
                 "sf": sf,
             }
         )

@@ -1097,8 +1097,14 @@ def resize_image_nearest(
                 except MediaDecodeError as exc:
                     base["resize_err"] = str(exc)
                 rows.append(base)
-            yield pd.DataFrame(rows)
+            # Explicit columns: a zero-row Arrow batch otherwise yields
+            # a column-less frame that fails mapInPandas alignment.
+            yield pd.DataFrame(rows, columns=_resize_cols)
 
+    _resize_cols = [
+        id_col, "src_w", "src_h", "out_w", "out_h", "n_out_bytes",
+        "pix_sum", "corner_tl", "corner_br", "resize_err",
+    ]
     return media.select(id_col, payload_col).mapInPandas(_resize, schema)
 
 
@@ -1202,6 +1208,12 @@ def image_channel_stats(
                 except MediaDecodeError as exc:
                     base["stats_err"] = str(exc)
                 rows.append(base)
-            yield pd.DataFrame(rows)
+            # Explicit columns: a zero-row Arrow batch otherwise yields
+            # a column-less frame that fails mapInPandas alignment.
+            yield pd.DataFrame(rows, columns=_stats_cols)
 
+    _stats_cols = [
+        id_col, "w", "h", "r_sum", "g_sum", "b_sum",
+        "r_mean", "g_mean", "b_mean", "stats_err",
+    ]
     return media.select(id_col, payload_col).mapInPandas(_stats, schema)

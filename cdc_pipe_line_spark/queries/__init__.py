@@ -25,12 +25,18 @@ from cdc_pipe_line_spark.queries import (
     timeseries_q,
 )
 
-# Ordering note (kept from round 2, still deliberate): round-1's
-# driver correctness run truncated at the first 50 registered queries,
-# so the packs with historically weakest external evidence
-# (text/similarity/streaming) register FIRST — under any count cap or
-# time budget the driver checks them earliest.  The registry has since
-# grown far past 50 (148 as of round 5); every entry carries an oracle.
+# Ordering note: the driver's per-round correctness budget checks the
+# FIRST ~50 registered queries, so registration order decides which
+# queries get fresh external evidence each round.  Round 2 pinned
+# text/similarity/streaming first (then the weakest-evidence packs);
+# rounds 3-5 therefore re-checked the same registry[0:50] while 79
+# later registrations never saw a driver run (VERDICT.md round 5,
+# item 1).  Round 6 rotates: the names in ``_DRIVER_ROTATION`` — the
+# exact set absent from CORRECTNESS_r01..r05 — register first, in a
+# fixed order, so the driver's budget lands on never-driver-checked
+# queries.  Each future round, names that have since appeared in a
+# CORRECTNESS file move out of the rotation; new queries register
+# after the rotation block and enter it once the backlog drains.
 _MODULES = [
     text_q,
     similarity_q,
@@ -45,6 +51,100 @@ _MODULES = [
     quality_q,
 ]
 
+#: Names with no row in any CORRECTNESS_r{01..05}.json, in original
+#: registration order.  79 names; the driver's ~50-query budget covers
+#: the first 50 this round, the remainder next round.
+_DRIVER_ROTATION = (
+    "sim_source_centroids",
+    "sim_recall_at_k",
+    "stream_doc_gate",
+    "stream_sliding_trending",
+    "ts_ohlc_bars",
+    "ts_interpolate_gaps",
+    "ts_dow_seasonality",
+    "ts_ewma",
+    "ts_holt_trend",
+    "ts_anomaly_mad",
+    "ts_time_to_convert",
+    "ts_cross_corr",
+    "ts_cusum_changepoint",
+    "ts_holt_backtest",
+    "ts_autocorrelation",
+    "ts_rolling_median",
+    "ts_peak_concurrency",
+    "cdc_changelog_compact",
+    "join_fact_scd2_enrich",
+    "cdc_bitemporal_asof",
+    "scd3_prev_current",
+    "cdc_sequence_gap_audit",
+    "cdc_column_churn",
+    "io_dpp_join",
+    "io_mergeschema_scan",
+    "io_csv_quarantine",
+    "io_orc_roundtrip",
+    "io_json_quarantine",
+    "io_binary_files",
+    "io_dynamic_overwrite",
+    "io_codec_matrix",
+    "scd2_wide_drift",
+    "agg_sketch_set_ops",
+    "join_correlated_subquery",
+    "join_exists_chain",
+    "window_ntile_bands",
+    "agg_value_histogram",
+    "agg_calendar_heatmap",
+    "proj_column_profile",
+    "window_period_change",
+    "window_range_frame",
+    "join_q22_anti_subquery",
+    "agg_percentile_bands",
+    "join_q11_important_share",
+    "agg_benford_price",
+    "window_pareto_share",
+    "join_q7_trade_flows",
+    "join_q4_late_orders",
+    "join_q19_disjunctive",
+    "agg_lorenz_gini",
+    "join_q3_shipping_priority",
+    "join_q10_returned_items",
+    "scalar_bitwise_ops",
+    "agg_cohort_retention",
+    "ts_activity_streaks",
+    "agg_funnel_stages",
+    "agg_heavy_hitters",
+    "agg_incremental_rollup",
+    "graph_pagerank_sources",
+    "agg_attribution_last_touch",
+    "reshape_session_paths",
+    "agg_ab_test_lift",
+    "ts_session_duration_stats",
+    "graph_triangle_parts",
+    "graph_khop_reach",
+    "reshape_markov_transitions",
+    "agg_market_basket",
+    "agg_rfm_segments",
+    "agg_bounce_rate",
+    "agg_dau_wau_mau",
+    "agg_new_vs_returning",
+    "graph_degree_dist",
+    "agg_cohort_ltv",
+    "agg_cumulative_unique_users",
+    "agg_funnel_windowed",
+    "qa_constraint_suite",
+    "qa_gdpr_purge_audit",
+    "qa_skew_report",
+    "qa_observe_metrics",
+)
+
+
+def _rotated(merged: dict) -> dict:
+    """Reorder a merged registry dict: rotation names first (in
+    ``_DRIVER_ROTATION`` order), everything else after in module
+    order.  Keys only reorder — never appear or vanish."""
+    front = {n: merged[n] for n in _DRIVER_ROTATION if n in merged}
+    rest = {n: v for n, v in merged.items() if n not in front}
+    return {**front, **rest}
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -52,14 +152,16 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dup = set(out) & set(m.QUERIES)
         assert not dup, f"duplicate query names: {dup}"
         out.update(m.QUERIES)
-    return out
+    missing = set(_DRIVER_ROTATION) - set(out)
+    assert not missing, f"rotation names not registered: {missing}"
+    return _rotated(out)
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
         out.update(m.ORACLE)
-    return out
+    return _rotated(out)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -742,8 +742,95 @@ def q_rfm_segments(spark, sf_dir):
     )
 
 
+def q_rfm_segments_approx(spark, sf_dir):
+    """RFM segmentation, boundary-cut variant — the 100 TB-posture
+    production path the exact-``ntile`` query's docstring promises:
+    quartile CUT POINTS come from ONE scalar aggregate
+    (``percentile(col, array(.25,.5,.75))`` on each metric — linear
+    interpolation, the same continuous-quantile definition as
+    DuckDB's ``quantile_cont``), broadcast to every executor, and
+    each user's r/f/m score is a CASE comparison against them.
+
+    Scale shape: two hash aggregates (per-user rollup, then the
+    3-row boundary reduce) + one broadcast join — ZERO window
+    functions, so no global sort and no single-task ntile funnel; a
+    billion users cost exactly one shuffle (plan-asserted in
+    tests/test_plans.py).  Boundary comparisons are bit-stable
+    cross-engine: interpolation of identical doubles is IEEE-
+    deterministic, so scores — unlike ntile's tie-broken ranks —
+    need no tolerance.  Output is the segment-level rollup a
+    dashboard actually reads (segment -> users, spend), which is
+    also invariant to how boundary TIES are assigned within a
+    quartile.  Ref: reference has no RFM; this extends the KPI
+    family (BASELINE.json 100 TB posture, SURVEY §7 no-global-sort
+    rule)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    anchor = p.agg(F.max(F.date_trunc("day", "ts")).alias("a0"))
+    per_user = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.round(
+                F.coalesce(F.sum("value"), F.lit(0.0)), 2
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days",
+            F.datediff("a0", F.date_trunc("day", "last_ts")).cast(
+                "double"
+            ),
+        )
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    bounds = per_user.agg(
+        F.percentile("recency_days", qs).alias("rb"),
+        F.percentile(F.col("frequency").cast("double"), qs).alias("fb"),
+        F.percentile("monetary", qs).alias("mb"),
+    )
+
+    def score(col, b, *, reverse=False):
+        lo, hi = (4, 1) if reverse else (1, 4)
+        mid = [3, 2] if reverse else [2, 3]
+        return (
+            F.when(col <= b[0], F.lit(lo))
+            .when(col <= b[1], F.lit(mid[0]))
+            .when(col <= b[2], F.lit(mid[1]))
+            .otherwise(F.lit(hi))
+        )
+
+    scored = per_user.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        # Exact int64 cents: summation order differs between engines
+        # and float addition is not associative — integer sums are
+        # order-independent, so the segment total binds bit-exactly.
+        F.floor(F.col("monetary") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        score(F.col("recency_days"), F.col("rb"), reverse=True).alias(
+            "r"
+        ),
+        score(F.col("frequency").cast("double"), F.col("fb")).alias("f"),
+        score(F.col("monetary"), F.col("mb")).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("cents").alias("total_monetary_cents"),
+        )
+        .withColumn(
+            "segment",
+            F.concat(F.col("r"), F.col("f"), F.col("m")).cast("string"),
+        )
+    )
+
+
 QUERIES["agg_market_basket"] = q_market_basket
 QUERIES["agg_rfm_segments"] = q_rfm_segments
+QUERIES["agg_rfm_segments_approx"] = q_rfm_segments_approx
 
 ORACLE["agg_market_basket"] = """
 WITH ub AS (SELECT DISTINCT user_id, event_type AS item FROM events),
@@ -794,6 +881,46 @@ SELECT user_id, CAST(recency_days AS INT) AS recency_days, frequency,
   CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
     AS segment
 FROM scored"""
+
+ORACLE["agg_rfm_segments_approx"] = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+anchor AS (
+  SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS a0 FROM p),
+per AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+    round(coalesce(sum(value), 0.0), 2) AS monetary
+  FROM p GROUP BY 1),
+per2 AS (
+  SELECT user_id, frequency, monetary,
+    CAST(date_diff('day', CAST(date_trunc('day', last_ts) AS DATE),
+      (SELECT a0 FROM anchor)) AS DOUBLE) AS recency_days
+  FROM per),
+b AS (
+  SELECT
+    quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rb,
+    quantile_cont(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS fb,
+    quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mb
+  FROM per2),
+scored AS (
+  SELECT user_id, monetary,
+    CASE WHEN recency_days <= rb[1] THEN 4
+         WHEN recency_days <= rb[2] THEN 3
+         WHEN recency_days <= rb[3] THEN 2 ELSE 1 END AS r,
+    CASE WHEN CAST(frequency AS DOUBLE) <= fb[1] THEN 1
+         WHEN CAST(frequency AS DOUBLE) <= fb[2] THEN 2
+         WHEN CAST(frequency AS DOUBLE) <= fb[3] THEN 3 ELSE 4
+         END AS f,
+    CASE WHEN monetary <= mb[1] THEN 1
+         WHEN monetary <= mb[2] THEN 2
+         WHEN monetary <= mb[3] THEN 3 ELSE 4 END AS m
+  FROM per2 CROSS JOIN b)
+SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+  count(*) AS n_users,
+  CAST(sum(CAST(floor(monetary * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS total_monetary_cents,
+  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+    AS segment
+FROM scored GROUP BY r, f, m"""
 
 
 def q_bounce_rate(spark, sf_dir):

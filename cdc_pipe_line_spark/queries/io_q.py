@@ -492,19 +492,13 @@ def q_io_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB) — the JSON twin of the CSV leg: PERMISSIVE mode routes
     syntactically broken lines AND schema-violating values into the
     corrupt-record column while good rows aggregate.  Every 7th
-    region row is written broken (truncated JSON); every 11th carries
+    nation row is written broken (truncated JSON); every 11th carries
     a non-numeric key (schema violation — parses as JSON but fails
     the column cast)."""
     import os as _os
 
-    path, ready = _cache(sf_dir, "region_dirty_json")
+    path, ready = _cache(sf_dir, "nation_dirty_json")
     if not ready:
-        rows = (
-            _t(spark, sf_dir, "region")
-            .select("r_regionkey", "r_name")
-            .orderBy("r_regionkey")
-            .collect()
-        )
         nations = (
             _t(spark, sf_dir, "nation")
             .select("n_nationkey", "n_name")

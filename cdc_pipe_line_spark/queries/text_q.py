@@ -1470,7 +1470,14 @@ def q_winnowing(spark, sf_dir):
     without the cap the sf1 corpus (31-word vocabulary, so common
     grams appear corpus-wide) produces a >1 GiB pair set.  Hashes are
     md5-derived (first 8 hex digits), so DuckDB replays the entire
-    pipeline including the cap."""
+    pipeline including the cap.
+
+    No-silent-caps telemetry (round 6): every output row carries
+    ``n_hot_fp`` (distinct fingerprints the max_df cap removed) and
+    ``n_postings_dropped`` (index postings those fingerprints
+    carried) — the cap's data loss is an oracle-checked OUTPUT, not
+    a log line, the same observability contract the dedup families'
+    ``max_df`` follows."""
     from pyspark.sql.window import Window
 
     docs = _t(spark, sf_dir, "documents")
@@ -1502,8 +1509,17 @@ def q_winnowing(spark, sf_dir):
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > 64)
+        .localCheckpoint(eager=True)
     )
-    fps = fps.join(hot, "fp", "left_anti").localCheckpoint(eager=True)
+    # Cap telemetry: how much the max_df cut dropped (tiny 1-row agg).
+    cap_audit = hot.agg(
+        F.coalesce(F.count("*"), F.lit(0)).alias("n_hot_fp"),
+        F.coalesce(F.sum("df"), F.lit(0)).alias("n_postings_dropped"),
+    )
+    fps = (
+        fps.join(hot.select("fp"), "fp", "left_anti")
+        .localCheckpoint(eager=True)
+    )
     pairs = (
         fps.alias("a")
         .join(
@@ -1546,6 +1562,7 @@ def q_winnowing(spark, sf_dir):
                 ).cast("double")
             ).alias("fp_jaccard"),
         )
+        .crossJoin(F.broadcast(cap_audit))
     )
 
 
@@ -1569,7 +1586,13 @@ wm AS (
   FROM grams),
 fps0 AS (
   SELECT DISTINCT doc_id, wmin AS fp FROM wm WHERE pos <= n - 3),
-hot AS (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) > 64),
+hot AS (
+  SELECT fp, count(*) AS df FROM fps0 GROUP BY fp
+  HAVING count(*) > 64),
+audit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hot_fp,
+    CAST(coalesce(sum(df), 0) AS BIGINT) AS n_postings_dropped
+  FROM hot),
 fps AS (SELECT * FROM fps0 WHERE fp NOT IN (SELECT fp FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
 pairs AS (
@@ -1578,10 +1601,12 @@ pairs AS (
   GROUP BY 1, 2 HAVING count(*) >= 5)
 SELECT id_a, id_b, n_shared,
   floor(n_shared / CAST(sa.n_fp + sb.n_fp - n_shared AS DOUBLE)
-    * 10000 + 0.5) / 10000 AS fp_jaccard
+    * 10000 + 0.5) / 10000 AS fp_jaccard,
+  audit.n_hot_fp, audit.n_postings_dropped
 FROM pairs
 JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b"""
+JOIN sizes sb ON sb.doc_id = id_b
+CROSS JOIN audit"""
 
 
 def q_length_buckets(spark, sf_dir):
@@ -1680,7 +1705,12 @@ def q_pmi_cooccur(spark, sf_dir):
     counts both derive from the pinned basket frame.  PMI's log2 is
     the only libm call — floor-rounded 4dp (both engines compute it
     from identical integer-ratio doubles).  min_count=20 keeps the
-    tail noise out."""
+    tail noise out.
+
+    No-silent-caps telemetry (round 6): every output row carries
+    ``n_pairs_below_min`` (distinct pairs the min-count floor
+    removed) and ``n_pairs_kept`` — the floor's data loss is an
+    oracle-checked OUTPUT, not a silent filter."""
     docs = _t(spark, sf_dir, "documents")
     b = (
         docs.select(
@@ -1702,12 +1732,23 @@ def q_pmi_cooccur(spark, sf_dir):
         " transform(slice(ws, i + 2, size(ws)),"
         " y -> struct(x AS a, y AS b))))"
     )
-    pairs = (
+    pairs_all = (
         b.select(F.explode(pair_expr).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= 20)
+        # Two consumers (kept pairs, floor telemetry): pin the pair
+        # aggregate — distinct-pair-sized, not token-stream-sized.
+        .localCheckpoint(eager=True)
     )
+    floor_audit = pairs_all.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("n_ab") < 20, 1)), F.lit(0)
+        ).alias("n_pairs_below_min"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_ab") >= 20, 1)), F.lit(0)
+        ).alias("n_pairs_kept"),
+    )
+    pairs = pairs_all.filter(F.col("n_ab") >= 20)
     j = (
         pairs.join(
             F.broadcast(
@@ -1730,8 +1771,9 @@ def q_pmi_cooccur(spark, sf_dir):
     fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
     from pyspark.sql.window import Window
 
-    ranked = j.select(
-        "a", "b", "n_ab", fl(pmi).alias("pmi")
+    ranked = j.crossJoin(F.broadcast(floor_audit)).select(
+        "a", "b", "n_ab", fl(pmi).alias("pmi"),
+        "n_pairs_below_min", "n_pairs_kept",
     ).withColumn(
         "pos",
         F.row_number().over(
@@ -1755,23 +1797,32 @@ nd AS (SELECT count(*) AS n_docs FROM b),
 uni AS (
   SELECT w, count(*) AS n_w
   FROM (SELECT unnest(ws) AS w FROM b) GROUP BY 1),
-pr AS (
+pr_all AS (
   SELECT x.w1 AS a, x.w2 AS b, count(*) AS n_ab FROM (
     SELECT a1.doc_id, a1.w AS w1, a2.w AS w2
     FROM (SELECT doc_id, unnest(ws) AS w FROM b) a1
     JOIN (SELECT doc_id, unnest(ws) AS w FROM b) a2
       ON a1.doc_id = a2.doc_id AND a1.w < a2.w) x
-  GROUP BY 1, 2 HAVING count(*) >= 20),
+  GROUP BY 1, 2),
+audit AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN n_ab < 20 THEN 1 END), 0) AS BIGINT)
+      AS n_pairs_below_min,
+    CAST(coalesce(sum(CASE WHEN n_ab >= 20 THEN 1 END), 0) AS BIGINT)
+      AS n_pairs_kept
+  FROM pr_all),
+pr AS (SELECT * FROM pr_all WHERE n_ab >= 20),
 j AS (
   SELECT pr.a, pr.b, pr.n_ab,
     floor(log2(pr.n_ab * nd.n_docs
       / CAST(ua.n_w * ub.n_w AS DOUBLE)) * 10000 + 0.5) / 10000
-      AS pmi
+      AS pmi,
+    audit.n_pairs_below_min, audit.n_pairs_kept
   FROM pr
   JOIN uni ua ON ua.w = pr.a
   JOIN uni ub ON ub.w = pr.b
-  CROSS JOIN nd)
-SELECT a, b, n_ab, pmi,
+  CROSS JOIN nd CROSS JOIN audit)
+SELECT a, b, n_ab, pmi, n_pairs_below_min, n_pairs_kept,
   CAST(row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS INT)
     AS pos
 FROM j QUALIFY pos <= 20"""
@@ -1883,7 +1934,6 @@ def q_langid_eval(spark, sf_dir):
 
     per_true = F.sum("n").over(Window.partitionBy("true_lang"))
     per_pred = F.sum("n").over(Window.partitionBy("pred_lang"))
-    diag = grid.filter(F.col("true_lang") == F.col("pred_lang"))
     recall = grid.withColumn("tot", per_true).filter(
         F.col("true_lang") == F.col("pred_lang")
     ).select(

@@ -936,10 +936,22 @@ def q_peak_concurrency(spark, sf_dir):
     number (license seats, connection pools, GPU slots).  Classic
     sweep-line: 30-min-gap sessions become +1/-1 boundary events, a
     running sum over (ts, +1-before--1) gives instantaneous
-    concurrency, one max per day.  Two windows over session-sized
-    (not event-sized) data; ties resolve starts before ends at the
-    same instant (concurrency counts touching sessions as
-    overlapping), pinned deterministically in both engines."""
+    concurrency, one max per day.  Ties resolve starts before ends
+    at the same instant (touching sessions count as overlapping),
+    pinned deterministically in both engines.
+
+    Scale shape (round 6, VERDICT item 3): the sweep is a
+    DISTRIBUTED prefix sum, not one global-window task.  Day(t) is
+    monotone in t, so the global running sum factors into (a) a
+    per-DAY partitioned running sum — each day's boundary events
+    sort and sweep in their own task — plus (b) an exclusive
+    carry-in of prior days' delta totals, computed on the tiny
+    one-row-per-day aggregate via a broadcast ``b.d < a.d``
+    self-join (the ``pack_sequences`` keyed-exclusive-sum pattern,
+    text.py:781, with the cross-day carry on a days-sized table —
+    thousands of rows even at 100 TB).  Zero unpartitioned Window
+    nodes (plan-asserted); ``bounds`` is localCheckpoint-pinned so
+    the session-build subtree runs once, not once per consumer."""
     from pyspark.sql.window import Window
 
     ev = _t(spark, sf_dir, "events")
@@ -965,24 +977,44 @@ def q_peak_concurrency(spark, sf_dir):
         .groupBy("user_id", "__sess")
         .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
     )
-    bounds = sess.select(
-        F.col("t0").alias("t"), F.lit(0).alias("kind"), F.lit(1).alias("delta")
-    ).unionByName(
+    bounds = (
         sess.select(
-            F.col("t1").alias("t"), F.lit(1).alias("kind"),
-            F.lit(-1).alias("delta"),
+            F.col("t0").alias("t"), F.lit(0).alias("kind"),
+            F.lit(1).alias("delta"),
         )
-    )
-    sweep = Window.orderBy(
-        F.col("t").asc(), F.col("kind").asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    conc = bounds.withColumn("c", F.sum("delta").over(sweep))
-    return (
-        conc.groupBy(
-            F.date_format(F.date_trunc("day", "t"), "yyyy-MM-dd").alias(
-                "d"
+        .unionByName(
+            sess.select(
+                F.col("t1").alias("t"), F.lit(1).alias("kind"),
+                F.lit(-1).alias("delta"),
             )
         )
+        .withColumn("d", F.date_trunc("day", "t"))
+        # Two consumers (per-day sweep, day-total carry): pin so the
+        # two-window session build runs once, not twice.
+        .localCheckpoint(eager=True)
+    )
+    wday = Window.partitionBy("d").orderBy(
+        F.col("t").asc(), F.col("kind").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = bounds.withColumn("local_c", F.sum("delta").over(wday))
+    day_tot = bounds.groupBy("d").agg(F.sum("delta").alias("tot"))
+    carry = (
+        day_tot.alias("a")
+        .join(
+            F.broadcast(day_tot.select(
+                F.col("d").alias("bd"), F.col("tot").alias("btot")
+            )),
+            F.col("bd") < F.col("a.d"),
+            "left",
+        )
+        .groupBy("a.d")
+        .agg(F.coalesce(F.sum("btot"), F.lit(0)).alias("carry_in"))
+    )
+    conc = local.join(F.broadcast(carry), "d").withColumn(
+        "c", F.col("carry_in") + F.col("local_c")
+    )
+    return (
+        conc.groupBy(F.date_format("d", "yyyy-MM-dd").alias("d"))
         .agg(
             F.max("c").alias("peak_concurrency"),
             F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).alias(

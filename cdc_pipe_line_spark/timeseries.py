@@ -373,6 +373,7 @@ def cusum_changepoints(
     the recursion's inputs are bit-identical across engines (the
     oracle replays it with a RECURSIVE CTE).
     """
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import (
@@ -398,9 +399,15 @@ def cusum_changepoints(
     )
     joined = daily.join(F.broadcast(stats), group_cols)
 
+    # Group-key output types mirror the input schema (a long key must
+    # not be declared StringType — Arrow conversion would reject it).
+    in_type = {f.name: f.dataType for f in daily.schema.fields}
     out_schema = StructType(
         [
-            *[StructField(c, StringType(), True) for c in group_cols],
+            *[
+                StructField(c, in_type.get(c, StringType()), True)
+                for c in group_cols
+            ],
             StructField("d", StringType(), True),
             StructField("z", DoubleType(), True),
             StructField("s_hi", DoubleType(), True),
@@ -409,34 +416,51 @@ def cusum_changepoints(
             StructField("n_alarms_so_far", LongType(), True),
         ]
     )
+    out_cols = [f.name for f in out_schema]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized kernel: z standardization, rounding, and output
+        # assembly are numpy array ops; only the inherently sequential
+        # max(0, ...) recursion stays a scalar loop — over raw float64
+        # values, no per-row pandas indexing or dict building.  The
+        # recursion keeps the exact evaluation order of the original
+        # ((s + z) - k, not s + (z - k)): float addition is not
+        # associative and the oracle's RECURSIVE CTE replays the
+        # left-to-right order bit-for-bit.
         pdf = pdf.sort_values("d").reset_index(drop=True)
-        mu = pdf["__mu"].iloc[0]
-        sd = pdf["__sd"].iloc[0]
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(columns=out_cols)
+        mu = float(pdf["__mu"].iloc[0])
+        sd = float(pdf["__sd"].iloc[0])
+        v = pdf[value_col].to_numpy(dtype="float64")
+        z = (v - mu) / sd if sd > 0 else np.zeros(n, dtype="float64")
+        s_hi_a = np.empty(n, dtype="float64")
+        s_lo_a = np.empty(n, dtype="float64")
+        alarm_a = np.empty(n, dtype=bool)
+        alarms_a = np.empty(n, dtype="int64")
         s_hi = s_lo = 0.0
         n_alarms = 0
-        rows = []
-        for _, r in pdf.iterrows():
-            z = (r[value_col] - mu) / sd if sd > 0 else 0.0
-            s_hi = max(0.0, s_hi + z - k)
-            s_lo = max(0.0, s_lo - z - k)
+        for i in range(n):
+            zi = z[i]
+            s_hi = max(0.0, (s_hi + zi) - k)
+            s_lo = max(0.0, (s_lo - zi) - k)
             alarm = s_hi > h or s_lo > h
             if alarm:
                 n_alarms += 1
                 s_hi = s_lo = 0.0
-            rows.append(
-                {
-                    **{c: r[c] for c in group_cols},
-                    "d": r["d"],
-                    "z": math.floor(z * 1e4 + 0.5) / 1e4,
-                    "s_hi": math.floor(s_hi * 1e4 + 0.5) / 1e4,
-                    "s_lo": math.floor(s_lo * 1e4 + 0.5) / 1e4,
-                    "alarm": alarm,
-                    "n_alarms_so_far": n_alarms,
-                }
-            )
-        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+            s_hi_a[i] = s_hi
+            s_lo_a[i] = s_lo
+            alarm_a[i] = alarm
+            alarms_a[i] = n_alarms
+        out = {c: pdf[c] for c in group_cols}
+        out["d"] = pdf["d"]
+        out["z"] = np.floor(z * 1e4 + 0.5) / 1e4
+        out["s_hi"] = np.floor(s_hi_a * 1e4 + 0.5) / 1e4
+        out["s_lo"] = np.floor(s_lo_a * 1e4 + 0.5) / 1e4
+        out["alarm"] = alarm_a
+        out["n_alarms_so_far"] = alarms_a
+        return pd.DataFrame(out, columns=out_cols)
 
     prepped = joined.select(
         *group_cols,

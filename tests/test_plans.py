@@ -199,6 +199,32 @@ def test_cohort_retention_one_scan_no_join(spark):
     assert "Join" not in plan
 
 
+def test_rfm_approx_no_window_no_single_partition(spark):
+    """The boundary-cut RFM variant must keep its 100 TB shape: zero
+    Window nodes (scores are CASE comparisons against broadcast
+    percentile boundaries, never ntile) and zero single-partition
+    exchanges (no global sort funnel)."""
+    plan = _plan(spark, "agg_rfm_segments_approx")
+    assert not re.search(r"\bWindow\b \[", plan), plan
+    # no global sort of the per-user frame (ntile's funnel); the
+    # SinglePartition exchanges that remain feed the 1-row scalar
+    # boundary reduce (partials-of-partials), not per-user data
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan  # boundaries broadcast, not shuffled
+
+
+def test_peak_concurrency_distributed_sweep(spark):
+    """The sweep-line must stay a distributed prefix sum: the running
+    concurrency is a per-day PARTITIONED window plus a broadcast
+    carry-in — never an unpartitioned window, whose
+    Exchange SinglePartition funnels every boundary event through one
+    task at 100x."""
+    plan = _plan(spark, "ts_peak_concurrency")
+    assert "Exchange SinglePartition" not in plan, plan
+    # the carry joins must broadcast (days-sized tables)
+    assert "BroadcastExchange" in plan
+
+
 def test_heavy_hitters_no_full_cardinality_shuffle_before_filter(spark):
     """The recount must filter the raw table through a broadcast
     semi-join against the (pinned) candidate sketch, never a plain
