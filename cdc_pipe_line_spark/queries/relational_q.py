@@ -1738,3 +1738,580 @@ SELECT event_type, count(*) AS n,
   CAST(sum((event_id >> 3) + ((event_id % 8) << 1)) AS BIGINT)
     AS shift_mix
 FROM events GROUP BY 1"""
+
+
+# ------------------------------------------------- TPC-H shape pack 2 (round 6)
+# Completes the TPC-H query-shape inventory begun in round 5
+# (Q3/Q4/Q7/Q10/Q11/Q17/Q19/Q22): the remaining canonical join/agg/
+# subquery shapes, adapted where the synthetic schema lacks partsupp
+# (adaptations documented per query).  Revenue follows the pack's
+# exact-cents idiom: CAST(round(price*(1-disc)*100, 0) AS BIGINT),
+# summed as order-independent int64, divided once at the end.
+
+
+def q_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape — local supplier volume: revenue from orders
+    where the customer and the lineitem's supplier share a nation,
+    restricted to one region and one order year.
+
+    Scale shape: lineitem |><| orders is the ONE shuffle join (both
+    big sides, keyed on orderkey, order-date filter pushed to the
+    orders scan); customer / supplier / nation / region broadcast.
+    The c_nationkey = s_nationkey locality condition rides the
+    supplier broadcast join.  Output is the per-nation rollup
+    (<= 25 rows) — presentation ordering left to the reader, the
+    compare is order-insensitive."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(cents) / 100.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — forecasting revenue change: one filtered scan
+    (date window + discount band + quantity cap, ALL pushed to
+    parquet), one scalar aggregate.  The whole query is a single
+    codegen stage ending in a 1-row reduce — the cheapest shape in
+    the book, here to pin that the pushdown actually happens (the
+    oracle's count binds the filter, the sum binds the arithmetic)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100, 0
+    ).cast("bigint")
+    return li.agg(
+        (F.sum(cents) / 100.0).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — national market share: of the PROMO-part
+    revenue sold into one region, what fraction was supplied by one
+    nation, per order year.  The two-level conditional-share
+    aggregate (sum(case)/sum) over a 5-way join.
+
+    Scale shape: lineitem |><| orders shuffles once; part (filtered),
+    customer, supplier, nation, region broadcast.  Share is an
+    integer-cents ratio, floor-rounded 6dp (exact cross-engine)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n_c = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", cents).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            (
+                F.floor(
+                    F.col("nation_cents")
+                    / F.col("total_cents").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def q_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape — product-type profit by supplier nation and
+    order year.  ADAPTED: the synthetic schema has no partsupp, so
+    supply cost is proxied as p_retailprice * l_quantity (the shape —
+    revenue minus a part-priced cost over a part-name-filtered 4-way
+    join — is what's exercised; the reference constant ps_supplycost
+    does not exist here).  Profit stays exact int64 cents end to end."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    cost_cents = F.round(
+        F.col("p_retailprice") * F.col("l_quantity") * 100, 0
+    ).cast("bigint")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (F.sum(rev_cents - cost_cents) / 100.0).alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — customer order-count distribution: LEFT
+    OUTER join customer -> orders (zero-order customers must
+    survive), count orders per customer, then the distribution of
+    customers per order count.  Two shrinking aggregates; the outer
+    join shuffles once (customer is the small side but the SHAPE
+    under test is the outer join + histogram, and at 100 TB customer
+    does not broadcast — leave it keyed)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape — promotion revenue share: in one ship month,
+    the percentage of revenue from PROMO-type parts.  One broadcast
+    join (part), one scalar conditional aggregate; the date filter
+    pushes to the lineitem scan.  Share = integer-cents ratio,
+    floor-rounded 6dp."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+            ).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        (
+            F.floor(
+                F.col("promo_cents")
+                / F.col("total_cents").cast("double")
+                * 100
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("promo_pct"),
+    )
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape — top supplier(s): per-supplier revenue over
+    one quarter, then the supplier(s) whose revenue EQUALS the
+    maximum (the classic scalar-subquery-on-a-view shape).  The max
+    is a 1-row aggregate broadcast back over the revenue frame —
+    the decorrelated plan Catalyst produces for the SQL view form;
+    revenue compares as exact int64 cents so the equality join is
+    bit-safe.  The revenue frame is localCheckpoint-pinned: it feeds
+    both the max reduce and the final filter (two consumers, one
+    computation)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+        .localCheckpoint(eager=True)
+    )
+    mx = rev.agg(F.max("rev_cents").alias("max_cents"))
+    return (
+        rev.join(
+            F.broadcast(mx), F.col("rev_cents") == F.col("max_cents")
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+def q_q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    quantity exceeds a threshold, joined back to customer and order
+    detail.  The HAVING-subquery IN becomes a direct join against
+    the qualifying aggregate.
+
+    The cut is MEAN-RELATIVE (order qty-sum > 2x the mean qty-sum),
+    not a fixed constant — the r5 Q11 lesson: a fixed threshold goes
+    vacuous when the driver's scale factor moves.  Quantities are
+    integral doubles, summed as exact int64; the cut compares
+    cross-multiplied integers (q * n * 10 > 20 * tot), zero float
+    boundaries."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per_order.agg(
+        F.sum("qty_sum").alias("tot"), F.count("*").alias("n_orders")
+    )
+    big = (
+        per_order.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("qty_sum") * F.col("n_orders") * 10
+            > 20 * F.col("tot")
+        )
+        .select("l_orderkey", "qty_sum")
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "o_orderdate"
+            ),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "qty_sum",
+        )
+    )
+
+
+def q_q20_dominant_supplier(spark, sf_dir):
+    """TPC-H Q20 shape — the nested-IN supplier filter.  ADAPTED: no
+    partsupp/availqty in the synthetic schema, so the inner
+    correlated predicate ("availqty > half the part's shipped
+    quantity") becomes "this supplier shipped MORE THAN 2x the mean
+    per-supplier share of that PROMO part" — same nested aggregate-
+    vs-aggregate comparison, expressed decorrelated (part totals
+    aggregate joined to supplier-part aggregates), with the
+    mean-relative cut that stays non-vacuous as supplier-per-part
+    cardinality grows with scale.  Integer quantity sums, cross-
+    multiplied comparison — no float boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    sp = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+        .localCheckpoint(eager=True)
+    )
+    pt = sp.groupBy("l_partkey").agg(
+        F.sum("q").alias("tot"), F.count("*").alias("ns")
+    )
+    dominant = sp.join(F.broadcast(pt), "l_partkey").filter(
+        F.col("q") * F.col("ns") > 2 * F.col("tot")
+    )
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_dominant_parts"),
+            F.sum("q").alias("qty_dominated"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_dominant_parts", "qty_dominated")
+    )
+
+
+def q_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape — suppliers who kept orders waiting: on
+    finished multi-supplier orders, the supplier who was the ONLY
+    late one.  ADAPTED: no commit/receipt dates in the synthetic
+    schema, so "late" = shipped > 90 days after the order date.
+
+    The canonical form is EXISTS(another supplier on the order) AND
+    NOT EXISTS(another LATE supplier) — written here directly in the
+    decorrelated form Catalyst rewrites those to: one per-order
+    aggregate (distinct suppliers, distinct late suppliers) joined
+    back to the late lineitems.  One lineitem |><| orders shuffle,
+    one per-order aggregate, supplier broadcast at the end."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    lo = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            late.cast("int").alias("is_late"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        lo.filter(F.col("is_late") == 1)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+QUERIES["join_q5_local_supplier"] = q_q5_local_supplier
+QUERIES["agg_q6_forecast_revenue"] = q_q6_forecast_revenue
+QUERIES["join_q8_market_share"] = q_q8_market_share
+QUERIES["join_q9_product_profit"] = q_q9_product_profit
+QUERIES["join_q13_customer_distribution"] = q_q13_customer_distribution
+QUERIES["join_q14_promo_revenue"] = q_q14_promo_revenue
+QUERIES["join_q15_top_supplier"] = q_q15_top_supplier
+QUERIES["join_q18_large_volume"] = q_q18_large_volume_customer
+QUERIES["join_q20_dominant_supplier"] = q_q20_dominant_supplier
+QUERIES["join_q21_waiting_supplier"] = q_q21_waiting_supplier
+
+ORACLE["join_q5_local_supplier"] = """
+SELECT n_name,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1"""
+
+ORACLE["agg_q6_forecast_revenue"] = """
+SELECT
+  CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0)
+    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+ORACLE["join_q8_market_share"] = """
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+    CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+      AS cents,
+    ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'AMERICA')
+SELECT CAST(o_year AS INT) AS o_year,
+  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+    AS BIGINT) AS nation_cents,
+  CAST(sum(cents) AS BIGINT) AS total_cents,
+  floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+    / CAST(sum(cents) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mkt_share
+FROM j GROUP BY 1"""
+
+ORACLE["join_q9_product_profit"] = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(sum(
+    CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+    - CAST(round(p_retailprice * l_quantity * 100, 0) AS BIGINT)
+  ) AS DOUBLE) / 100.0 AS profit,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'STANDARD'
+GROUP BY 1, 2"""
+
+ORACLE["join_q13_customer_distribution"] = """
+WITH per AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1)
+SELECT c_count, count(*) AS custdist
+FROM per GROUP BY 1"""
+
+ORACLE["join_q14_promo_revenue"] = """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+    AS BIGINT) AS cents, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01')
+SELECT
+  CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+    AS BIGINT) AS promo_cents,
+  CAST(sum(cents) AS BIGINT) AS total_cents,
+  floor(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+    / CAST(sum(cents) AS DOUBLE) * 100 * 1e4 + 0.5) / 1e4
+    AS promo_pct
+FROM j"""
+
+ORACLE["join_q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name,
+  CAST(rev_cents AS DOUBLE) / 100.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_cents = (SELECT max(rev_cents) FROM rev)"""
+
+ORACLE["join_q18_large_volume"] = """
+WITH per AS (
+  SELECT l_orderkey,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+  FROM lineitem GROUP BY 1),
+t AS (
+  SELECT CAST(sum(qty_sum) AS BIGINT) AS tot, count(*) AS n_orders
+  FROM per),
+big AS (
+  SELECT l_orderkey, qty_sum FROM per, t
+  WHERE qty_sum * n_orders * 10 > 20 * tot)
+SELECT c_custkey, c_name, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  round(o_totalprice, 2) AS o_totalprice, qty_sum
+FROM big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey"""
+
+ORACLE["join_q20_dominant_supplier"] = """
+WITH sp AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY 1, 2),
+pt AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tot,
+    count(*) AS ns
+  FROM sp GROUP BY 1),
+dom AS (
+  SELECT sp.l_partkey, sp.l_suppkey, sp.q
+  FROM sp JOIN pt USING (l_partkey)
+  WHERE sp.q * pt.ns > 2 * pt.tot)
+SELECT s_suppkey, s_name,
+  count(*) AS n_dominant_parts,
+  CAST(sum(q) AS BIGINT) AS qty_dominated
+FROM dom JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2"""
+
+ORACLE["join_q21_waiting_supplier"] = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+    CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      THEN 1 ELSE 0 END AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+    count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END)
+      AS n_late_supp
+  FROM lo GROUP BY 1),
+w AS (
+  SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+  FROM lo JOIN per USING (l_orderkey)
+  WHERE lo.is_late = 1 AND per.n_supp > 1 AND per.n_late_supp = 1)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM w JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2"""

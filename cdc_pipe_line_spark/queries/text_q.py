@@ -2006,3 +2006,176 @@ SELECT 'accuracy', '__all__', '__all__', CAST(sum(n) AS BIGINT),
   floor(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
     / CAST(sum(n) AS DOUBLE) * 10000 + 0.5) / 10000
 FROM grid""".replace("{hits}", _lang_hits_sql())
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit over the corpus vocabulary — the
+    curation diagnostic that tells you whether a corpus has natural
+    token statistics (slope near -1) or synthetic/boilerplate
+    skew.  Tokens hash-aggregate to a vocabulary-sized frequency
+    table; ranks come from one window over that VOCABULARY (not the
+    token stream — the same hash-the-vocabulary rule the TF-IDF
+    family follows), capped at the top 200 ranks; the log-log slope
+    and intercept are closed-form least squares from six scalar
+    sums, all computed in one reduce.
+
+    Cross-engine exactness: ranks order by (freq DESC, word ASC) —
+    fully deterministic; ln() of identical integer inputs is
+    IEEE-identical; the slope/intercept divisions are the only
+    compound float ops and both engines fold the same doubles, with
+    the floor-4dp idiom on output.  Output: one row per top-20 rank
+    (rank, word, freq) + the fitted slope/intercept/n_vocab riding
+    along as constants — rank curve AND fit in one oracle-checked
+    result."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    n_vocab = freq.agg(F.count("*").alias("n_vocab"))
+    ranked = (
+        freq.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+            ),
+        )
+        .filter(F.col("rank") <= 200)
+        .localCheckpoint(eager=True)
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    fit = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    coeffs = fit.select(
+        fl(slope).alias("zipf_slope"),
+        fl(intercept).alias("zipf_intercept"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 20)
+        .select("rank", "w", "freq")
+        .crossJoin(F.broadcast(coeffs))
+        .crossJoin(F.broadcast(n_vocab))
+    )
+
+
+QUERIES["text_zipf_fit"] = q_zipf_fit
+
+ORACLE["text_zipf_fit"] = """
+WITH freq AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text),
+      '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents) t
+  WHERE w <> '' GROUP BY 1),
+nv AS (SELECT count(*) AS n_vocab FROM freq),
+ranked AS (
+  SELECT w, freq,
+    CAST(row_number() OVER (ORDER BY freq DESC, w ASC) AS INT)
+      AS rank
+  FROM freq QUALIFY rank <= 200),
+fit AS (
+  SELECT count(*) AS n,
+    sum(ln(CAST(rank AS DOUBLE))) AS sx,
+    sum(ln(CAST(freq AS DOUBLE))) AS sy,
+    sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS sxy,
+    sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
+  FROM ranked),
+co AS (
+  SELECT
+    floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000 + 0.5)
+      / 10000 AS zipf_slope,
+    floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+      / n * 10000 + 0.5) / 10000 AS zipf_intercept
+  FROM fit)
+SELECT rank, w, freq, zipf_slope, zipf_intercept, n_vocab
+FROM ranked CROSS JOIN co CROSS JOIN nv
+WHERE rank <= 20"""
+
+
+def q_source_kl(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution
+    — the domain-shift measurement behind training-mix decisions
+    (which source's token statistics deviate most from the blend).
+    Token explode -> one corpus frequency aggregate + one
+    (source, word) aggregate, broadcast-joined on the word key;
+    KL(Q_source || P_corpus) = sum q*log2(q/p) folds from exact
+    integer counts (the only floats are the final per-term ratio
+    and log2, IEEE-identical across engines from identical integer
+    inputs, because each term is floor-8dp-pinned before the sum —
+    summation order then cannot shift the total).  Smoothing-free:
+    every source word is by construction in the corpus, so q/p is
+    always finite."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "").localCheckpoint(eager=True)
+    corpus = toks.groupBy("w").agg(F.count("*").alias("n_w"))
+    corpus_tot = toks.agg(F.count("*").alias("n_tot"))
+    per_src = toks.groupBy("source", "w").agg(F.count("*").alias("n_sw"))
+    src_tot = toks.groupBy("source").agg(F.count("*").alias("n_s"))
+    j = (
+        per_src.join(F.broadcast(corpus), "w")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    q = F.col("n_sw") / F.col("n_s").cast("double")
+    p = F.col("n_w") / F.col("n_tot").cast("double")
+    term = F.floor(
+        q * F.log2(q / p) * 1e8 + F.lit(0.5)
+    ) / 1e8
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    return (
+        j.select("source", "n_s", term.alias("term"))
+        .groupBy("source", "n_s")
+        .agg(
+            fl(F.sum("term")).alias("kl_bits"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+
+
+QUERIES["text_source_kl"] = q_source_kl
+
+ORACLE["text_source_kl"] = """
+WITH toks AS (
+  SELECT source, w FROM (
+    SELECT source, unnest(string_split(trim(regexp_replace(
+      lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents) t
+  WHERE w <> ''),
+corpus AS (SELECT w, count(*) AS n_w FROM toks GROUP BY 1),
+ct AS (SELECT count(*) AS n_tot FROM toks),
+ps AS (SELECT source, w, count(*) AS n_sw FROM toks GROUP BY 1, 2),
+st AS (SELECT source, count(*) AS n_s FROM toks GROUP BY 1),
+terms AS (
+  SELECT ps.source, st.n_s,
+    floor((ps.n_sw / CAST(st.n_s AS DOUBLE))
+      * log2((ps.n_sw / CAST(st.n_s AS DOUBLE))
+        / (corpus.n_w / CAST(ct.n_tot AS DOUBLE))) * 1e8 + 0.5) / 1e8
+      AS term
+  FROM ps
+  JOIN corpus ON corpus.w = ps.w
+  JOIN st ON st.source = ps.source
+  CROSS JOIN ct)
+SELECT source, CAST(n_s AS BIGINT) AS n_s,
+  floor(sum(term) * 10000 + 0.5) / 10000 AS kl_bits,
+  count(*) AS n_terms
+FROM terms GROUP BY 1, 2"""
