@@ -10,12 +10,14 @@ parser can handle — binary PPM/PGM (netpbm P6/P5), uncompressed BMP
 pixel-count validation — two compressed formats through the
 real-codec path) — and :func:`extract_media_meta` routes on
 ``media_type``, quarantining undecodable payloads into a
-``decode_err`` column instead of failing the job.  JPEG and
-MP4/ISO-BMFF get header-tier parsing (marker/box walks to real
-dimensions; entropy-coded payload untouched) — full pixel/sample
-decode for those still needs a real codec at deployment, through the
-same hook, so swapping in PIL/soundfile/pyav remains a one-function
-change.  ``*/fake`` types
+``decode_err`` column instead of failing the job.  JPEG gets a REAL
+baseline-DCT grayscale decode (huffman entropy decode, dequantize,
+inverse zigzag, IDCT — :func:`_jpeg_gray_pixels`, round 6) alongside
+the header-tier marker walk :func:`decode_media` uses for metadata;
+MP4/ISO-BMFF stays header+sample-table tier (box walk to dimensions
+and exact per-sample byte ranges) — full video frame decode still
+needs a real codec at deployment, through the same hook, so swapping
+in PIL/soundfile/pyav remains a one-function change.  ``*/fake`` types
 keep the deterministic length-derived stand-in
 (:func:`fake_decode_meta`) used by oracle-replayable fixtures.
 """
@@ -1216,4 +1218,415 @@ def image_channel_stats(
         id_col, "w", "h", "r_sum", "g_sum", "b_sum",
         "r_mean", "g_mean", "b_mean", "stats_err",
     ]
+    return media.select(id_col, payload_col).mapInPandas(_stats, schema)
+
+
+# --------------------------------------------------------- JPEG baseline codec
+# Round 6: the carried JPEG watch item closed — a REAL baseline-DCT
+# grayscale decode path (huffman entropy decode + dequantize + inverse
+# zigzag + IDCT), pure stdlib + numpy, plus the matching encoder so
+# fixtures are genuine JFIF files.  Scope: baseline sequential (SOF0),
+# single 8-bit component, no restart intervals — the progressive /
+# chroma-subsampled / DRI cases still quarantine with a precise error,
+# through the same poison-row hook a PIL/libjpeg swap-in would use.
+# Ref tables: ITU T.81 Annex K (the public spec's example luminance
+# tables), so the emitted files decode in any standard viewer.
+
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """Standard zigzag scan order as (row, col) pairs, generated (not
+    typed) so it cannot be mistranscribed."""
+    out = []
+    for d in range(15):
+        rows = range(max(0, d - 7), min(d, 7) + 1)
+        if d % 2 == 0:
+            rows = reversed(list(rows))
+        out.extend((r, d - r) for r in rows)
+    return out
+
+
+_JPEG_ZIG = _jpeg_zigzag()
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1)u
+    pi/16).  Forward F = A f A^T, inverse f = A^T F A."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_JPEG_A = _jpeg_dct_matrix()
+
+
+def _huff_canonical(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG huffman assignment: value -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[tuple[int, int], int]:
+    """(length, code) -> value, for the bit-serial decoder."""
+    return {
+        (ln, code): v for v, (code, ln) in _huff_canonical(bits, vals).items()
+    }
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def make_jpeg_gray(arr: np.ndarray, quant: int = 16) -> bytes:
+    """Encode a uint8 grayscale array (dims multiples of 8) as a real
+    baseline JFIF: level shift, 8x8 DCT, uniform ``quant`` table,
+    Annex-K huffman coding with DC prediction, byte stuffing, 1-bit
+    padding.  With even pixel values and ``quant=16``, per-block
+    CONSTANT rasters quantize losslessly (DC = 8*(v-128) is a
+    multiple of 16), so decode returns the input exactly — the
+    property the oracle-checked fixture query builds on."""
+    h, w = arr.shape
+    assert h % 8 == 0 and w % 8 == 0, "fixture dims are block multiples"
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev_dc = 0
+
+    def put_val(v: int, s: int) -> None:
+        if v < 0:
+            v += (1 << s) - 1
+        bw.write(v, s)
+
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = (
+                arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                    np.float64
+                )
+                - 128.0
+            )
+            coef = _JPEG_A @ block @ _JPEG_A.T
+            q = np.round(coef / float(quant)).astype(np.int64)
+            zz = [int(q[r, c]) for (r, c) in _JPEG_ZIG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = int(abs(diff)).bit_length()
+            bw.write(*dc_codes[s])
+            if s:
+                put_val(diff, s)
+            run = 0
+            nz = [k for k in range(1, 64) if zz[k] != 0]
+            last_nz = nz[-1] if nz else 0
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.write(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                s = int(abs(v)).bit_length()
+                bw.write(*ac_codes[(run << 4) | s])
+                put_val(v, s)
+                run = 0
+            if last_nz < 63:
+                bw.write(*ac_codes[0x00])  # EOB
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qtab_zz = bytes(quant for _ in range(64))
+    dqt = seg(0xDB, b"\x00" + qtab_zz)
+    sof = seg(
+        0xC0,
+        b"\x08" + struct.pack(">HH", h, w) + b"\x01" + b"\x01\x11\x00",
+    )
+    dht = seg(
+        0xC4,
+        b"\x00"
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+        + b"\x10"
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS),
+    )
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00")
+    sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    )
+
+
+def _jpeg_gray_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL baseline JPEG decode for single-component 8-bit images:
+    marker walk, DQT/DHT/SOF0/SOS parse, huffman entropy decode with
+    0xFF00 unstuffing, dequantize, inverse zigzag, IDCT, level shift.
+    Raises :class:`MediaDecodeError` (callers quarantine) on anything
+    outside baseline grayscale — progressive (SOF2), multi-component,
+    restart intervals, truncated streams."""
+    if payload[:2] != b"\xff\xd8":
+        raise MediaDecodeError("jpeg: bad SOI")
+    i = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = -1
+    q_id = -1
+    dc_id = ac_id = -1
+    entropy_start = -1
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise MediaDecodeError(f"jpeg: bad marker byte at {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise MediaDecodeError(f"jpeg: truncated segment {marker:#x}")
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise MediaDecodeError("jpeg: 16-bit quant unsupported")
+                tab = np.zeros((8, 8), dtype=np.int64)
+                for k, (r, c) in enumerate(_JPEG_ZIG):
+                    tab[r, c] = body[j + 1 + k]
+                qtabs[tq] = tab
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = tuple(body[j + 1 : j + 17])
+                n = sum(bits)
+                vals = tuple(body[j + 17 : j + 17 + n])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                j += 17 + n
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise MediaDecodeError("jpeg: only 8-bit baseline")
+            h = struct.unpack(">H", body[1:3])[0]
+            w = struct.unpack(">H", body[3:5])[0]
+            if body[5] != 1:
+                raise MediaDecodeError(
+                    "jpeg: only single-component grayscale"
+                )
+            if body[7] != 0x11:
+                raise MediaDecodeError("jpeg: subsampling unsupported")
+            q_id = body[8]
+        elif marker in _JPEG_SOF:
+            raise MediaDecodeError("jpeg: only baseline SOF0 decoded")
+        elif marker == 0xDD:
+            raise MediaDecodeError("jpeg: restart intervals unsupported")
+        elif marker == 0xDA:
+            if body[0] != 1:
+                raise MediaDecodeError(
+                    "jpeg: only single-component grayscale"
+                )
+            dc_id = body[2] >> 4
+            ac_id = body[2] & 0x0F
+            entropy_start = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if entropy_start < 0 or w <= 0 or h <= 0:
+        raise MediaDecodeError("jpeg: truncated before SOS")
+    if q_id not in qtabs or (0, dc_id) not in htabs or (1, ac_id) not in htabs:
+        raise MediaDecodeError("jpeg: missing quant/huffman tables")
+    qtab = qtabs[q_id]
+    dc_tab = htabs[(0, dc_id)]
+    ac_tab = htabs[(1, ac_id)]
+
+    # unstuff entropy bytes up to EOI
+    data = bytearray()
+    j = entropy_start
+    while j < len(payload):
+        b = payload[j]
+        if b == 0xFF:
+            if j + 1 >= len(payload):
+                raise MediaDecodeError("jpeg: truncated entropy stream")
+            nxt = payload[j + 1]
+            if nxt == 0x00:
+                data.append(0xFF)
+                j += 2
+                continue
+            if nxt == 0xD9:
+                break
+            raise MediaDecodeError(
+                f"jpeg: unexpected marker {nxt:#x} in scan"
+            )
+        data.append(b)
+        j += 1
+    else:
+        raise MediaDecodeError("jpeg: missing EOI")
+
+    pos = 0  # bit cursor
+
+    def read_bit() -> int:
+        nonlocal pos
+        if pos >= 8 * len(data):
+            raise MediaDecodeError("jpeg: entropy stream exhausted")
+        byte = data[pos >> 3]
+        bit = (byte >> (7 - (pos & 7))) & 1
+        pos += 1
+        return bit
+
+    def read_huff(tab: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | read_bit()
+            v = tab.get((ln, code))
+            if v is not None:
+                return v
+        raise MediaDecodeError("jpeg: invalid huffman code")
+
+    def read_val(s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | read_bit()
+        if s and v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+    bx_n = (w + 7) // 8
+    by_n = (h + 7) // 8
+    out = np.zeros((by_n * 8, bx_n * 8), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            zz = np.zeros(64, dtype=np.int64)
+            s = read_huff(dc_tab)
+            prev_dc += read_val(s)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = read_huff(ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise MediaDecodeError("jpeg: AC index overrun")
+                zz[k] = read_val(rs & 0x0F)
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            for kk, (r, c) in enumerate(_JPEG_ZIG):
+                coef[r, c] = zz[kk] * qtab[r, c]
+            block = _JPEG_A.T @ coef @ _JPEG_A + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(block), 0, 255
+            ).astype(np.uint8)
+    return w, h, out[:h, :w]
+
+
+def jpeg_gray_stats(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-image statistics over REAL baseline-decoded JPEG rasters
+    (huffman + dequant + IDCT, :func:`_jpeg_gray_pixels`) — the same
+    normalization-pass shape as :func:`image_channel_stats`, now for
+    the entropy-coded format.  One Arrow-batched ``mapInPandas``
+    pass, one narrow row per image, no shuffle; malformed payloads
+    quarantine into ``decode_err`` (poison-row policy)."""
+    schema = (
+        f"{id_col} bigint, w int, h int, n_blocks int, "
+        "pix_sum bigint, pix_min int, pix_max int, "
+        "corner_tl int, corner_br int, decode_err string"
+    )
+    cols = [
+        id_col, "w", "h", "n_blocks", "pix_sum", "pix_min", "pix_max",
+        "corner_tl", "corner_br", "decode_err",
+    ]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {c: None for c in cols}
+                base[id_col] = mid
+                try:
+                    if payload is None:
+                        raise MediaDecodeError("null payload")
+                    w, h, arr = _jpeg_gray_pixels(bytes(payload))
+                    base.update(
+                        w=w, h=h,
+                        n_blocks=(w // 8) * (h // 8),
+                        pix_sum=int(arr.sum(dtype=np.int64)),
+                        pix_min=int(arr.min()),
+                        pix_max=int(arr.max()),
+                        corner_tl=int(arr[0, 0]),
+                        corner_br=int(arr[-1, -1]),
+                    )
+                except MediaDecodeError as exc:
+                    base["decode_err"] = str(exc)
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=cols)
+
     return media.select(id_col, payload_col).mapInPandas(_stats, schema)

@@ -17,7 +17,9 @@ from cdc_pipe_line_spark.multimodal import (
     audio_stats,
     embed_media,
     extract_media_meta,
+    jpeg_gray_stats,
     make_gif,
+    make_jpeg_gray,
     make_mp4_sampled,
     make_wav,
     mp4_sample_index,
@@ -638,7 +640,63 @@ def q_audio_decimate(spark, sf_dir):
     )
     return decimate_audio(media, k=4)
 
+
+
+def q_jpeg_decode(spark, sf_dir):
+    """JPEG through the REAL baseline decoder (huffman entropy decode
+    + dequantize + inverse zigzag + IDCT — multimodal.make_jpeg_gray /
+    _jpeg_gray_pixels): every document becomes a genuine Annex-K
+    baseline JFIF whose 8x8 blocks are per-block constants
+    ``base + 2*(b % 5)`` (even values, uniform quant 16, so DC
+    quantization is LOSSLESS and the decoded raster equals the
+    encoded pattern exactly — the encode side still walks DC
+    prediction across magnitude categories, EOB coding, byte
+    stuffing and bit padding, and the decode side undoes all of it
+    plus the IDCT).  Pixel stats are therefore closed-form in
+    doc_id, which is what the oracle replays; every 43rd payload is
+    cut inside the APP0 segment for the deterministic quarantine
+    leg.  The general-content path (dense ACs, ZRL runs, clipping)
+    is pinned in tests/test_multimodal_codec.py against an
+    independent numpy quant-roundtrip reference."""
+    import numpy as np
+
+    @F.pandas_udf("binary")
+    def _jpeg_payload(
+        w: pd.Series, h: pd.Series, base: pd.Series, cut: pd.Series
+    ) -> pd.Series:
+        out = []
+        for a, b, v0, k in zip(w, h, base, cut):
+            a, b, v0 = int(a), int(b), int(v0)
+            arr = np.zeros((b, a), dtype=np.uint8)
+            blk = 0
+            for by in range(b // 8):
+                for bx in range(a // 8):
+                    arr[
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = v0 + 2 * (blk % 5)
+                    blk += 1
+            enc = make_jpeg_gray(arr)
+            out.append(enc[:20] if k else enc)
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (8 * ((F.col("doc_id") % 3) + 1)).alias("__w"),
+        (8 * ((F.col("doc_id") % 2) + 1)).alias("__h"),
+        (100 + 2 * (F.col("doc_id") % 20)).alias("__base"),
+        (F.col("doc_id") % 43 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_jpeg_payload("__w", "__h", "__base", "__cut"),
+        media_type="image/jpeg",
+    )
+    return jpeg_gray_stats(media)
+
+
 QUERIES = {
+    "mm_jpeg_decode": q_jpeg_decode,
     "sim_range_search": q_range_search,
     "mm_image_resize": q_image_resize,
     "sim_knn_bruteforce": q_knn_bruteforce,
@@ -664,6 +722,41 @@ _SQ8_CODE = (
 )
 
 ORACLE = {
+    "mm_jpeg_decode": """
+WITH p AS (
+  SELECT doc_id,
+    8 * ((doc_id % 3) + 1) AS w,
+    8 * ((doc_id % 2) + 1) AS h,
+    100 + 2 * (doc_id % 20) AS base,
+    doc_id % 43 = 0 AS cut
+  FROM documents),
+blocks AS (
+  SELECT doc_id, unnest(range(0, (w // 8) * (h // 8))) AS b
+  FROM p),
+agg AS (
+  SELECT blocks.doc_id,
+    CAST(sum(64 * (p.base + 2 * (b % 5))) AS BIGINT) AS pix_sum,
+    CAST(min(p.base + 2 * (b % 5)) AS INT) AS pix_min,
+    CAST(max(p.base + 2 * (b % 5)) AS INT) AS pix_max,
+    CAST(max(CASE WHEN b = 0 THEN p.base + 2 * (b % 5) END) AS INT)
+      AS corner_tl,
+    CAST(max(CASE WHEN b = (p.w // 8) * (p.h // 8) - 1
+      THEN p.base + 2 * (b % 5) END) AS INT) AS corner_br
+  FROM blocks JOIN p ON p.doc_id = blocks.doc_id
+  GROUP BY 1)
+SELECT p.doc_id AS media_id,
+  CASE WHEN cut THEN NULL ELSE CAST(w AS INT) END AS w,
+  CASE WHEN cut THEN NULL ELSE CAST(h AS INT) END AS h,
+  CASE WHEN cut THEN NULL
+    ELSE CAST((w // 8) * (h // 8) AS INT) END AS n_blocks,
+  CASE WHEN cut THEN NULL ELSE agg.pix_sum END AS pix_sum,
+  CASE WHEN cut THEN NULL ELSE agg.pix_min END AS pix_min,
+  CASE WHEN cut THEN NULL ELSE agg.pix_max END AS pix_max,
+  CASE WHEN cut THEN NULL ELSE agg.corner_tl END AS corner_tl,
+  CASE WHEN cut THEN NULL ELSE agg.corner_br END AS corner_br,
+  CASE WHEN cut THEN 'jpeg: truncated before SOS'
+       ELSE CAST(NULL AS VARCHAR) END AS decode_err
+FROM p JOIN agg ON agg.doc_id = p.doc_id""",
     "mm_audio_decimate": """
 WITH p AS (
   SELECT doc_id, ((doc_id % 40) + 1) * 16 AS frames,

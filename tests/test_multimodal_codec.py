@@ -659,3 +659,123 @@ def test_resize_quarantines_malformed(spark):
     assert "truncated" in got[3].resize_err
     assert "null payload" in got[4].resize_err
     assert "16-bit" in got[5].resize_err
+
+
+# --------------------------------------------------- JPEG baseline DCT decode
+
+
+def _jpeg_reference_roundtrip(arr, quant=16):
+    """Independent decode reference: what ANY correct baseline codec
+    must return for make_jpeg_gray output — DCT -> round/quantize ->
+    dequantize -> IDCT -> clip, with no huffman/bitstream involvement,
+    so an exact match proves the entropy layer is lossless and the
+    transform math is right."""
+    import numpy as np
+
+    from cdc_pipe_line_spark.multimodal import _JPEG_A
+
+    h, w = arr.shape
+    out = np.zeros_like(arr)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = (
+                arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                    np.float64
+                )
+                - 128.0
+            )
+            q = np.round(_JPEG_A @ blk @ _JPEG_A.T / quant)
+            rec = _JPEG_A.T @ (q * quant) @ _JPEG_A + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(rec), 0, 255
+            ).astype(np.uint8)
+    return out
+
+
+def test_jpeg_constant_blocks_decode_losslessly():
+    """Even per-block constants with quant=16 quantize losslessly:
+    decode must return the encoded raster EXACTLY (the property the
+    mm_jpeg_decode oracle builds on)."""
+    import numpy as np
+
+    from cdc_pipe_line_spark.multimodal import (
+        _jpeg_gray_pixels,
+        make_jpeg_gray,
+    )
+
+    arr = np.zeros((16, 24), dtype=np.uint8)
+    blk = 0
+    for by in range(2):
+        for bx in range(3):
+            arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 100 + 2 * (
+                blk % 5
+            )
+            blk += 1
+    w, h, dec = _jpeg_gray_pixels(make_jpeg_gray(arr))
+    assert (w, h) == (24, 16)
+    assert np.array_equal(dec, arr)
+
+
+def test_jpeg_general_content_matches_independent_reference():
+    """Noise (dense ACs, all magnitude categories), gradients,
+    sparse impulses (ZRL long-zero runs) and checkerboards (extreme
+    ACs + clipping) must all decode bit-identically to the
+    numpy quant-roundtrip reference — proving huffman AC/DC decode,
+    byte unstuffing, inverse zigzag and IDCT end to end."""
+    import numpy as np
+
+    from cdc_pipe_line_spark.multimodal import (
+        _jpeg_gray_pixels,
+        make_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        h, w = 8 * int(rng.integers(1, 9)), 8 * int(rng.integers(1, 9))
+        kind = trial % 4
+        if kind == 0:
+            arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        elif kind == 1:
+            arr = np.tile(
+                np.linspace(0, 255, w, dtype=np.uint8), (h, 1)
+            )
+        elif kind == 2:
+            arr = np.full((h, w), 128, np.uint8)
+            arr[int(rng.integers(0, h)), int(rng.integers(0, w))] = 255
+        else:
+            arr = (
+                (np.add.outer(np.arange(h), np.arange(w)) % 2) * 255
+            ).astype(np.uint8)
+        w2, h2, dec = _jpeg_gray_pixels(make_jpeg_gray(arr))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(dec, _jpeg_reference_roundtrip(arr)), (
+            trial,
+            kind,
+        )
+
+
+def test_jpeg_adversarial_quarantines_cleanly():
+    """Every truncation prefix and the unsupported-feature cases must
+    raise MediaDecodeError (quarantine), never decode garbage or
+    crash with a foreign exception."""
+    import numpy as np
+    import pytest
+
+    from cdc_pipe_line_spark.multimodal import (
+        MediaDecodeError,
+        _jpeg_gray_pixels,
+        make_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    enc = make_jpeg_gray(rng.integers(0, 256, (16, 16)).astype(np.uint8))
+    for cut in range(2, len(enc) - 1, 5):
+        with pytest.raises(MediaDecodeError):
+            _jpeg_gray_pixels(enc[:cut])
+    with pytest.raises(MediaDecodeError, match="bad SOI"):
+        _jpeg_gray_pixels(b"\x00\x00" + enc[2:])
+    # progressive SOF2 must quarantine, not mis-decode
+    sof0 = enc.find(b"\xff\xc0")
+    prog = enc[:sof0] + b"\xff\xc2" + enc[sof0 + 2 :]
+    with pytest.raises(MediaDecodeError, match="baseline SOF0"):
+        _jpeg_gray_pixels(prog)
