@@ -719,3 +719,122 @@ WITH agg AS (
 SELECT c.codec, a.l_returnflag, a.n, a.sum_qty, a.sum_key
 FROM agg a CROSS JOIN (
   SELECT unnest(['snappy', 'zstd', 'gzip', 'lz4', 'none']) AS codec) c"""
+
+
+def q_io_zorder_clustering(spark, sf_dir):
+    """Z-order (Morton) layout clustering — the multi-dimensional
+    data-layout optimization behind Delta/Iceberg ``OPTIMIZE ZORDER
+    BY``: interleaving the bits of two scan dimensions gives file
+    cells whose min/max envelopes are TIGHT IN BOTH dimensions, so
+    min/max-based file skipping prunes on either predicate; a linear
+    (row-major) sort key gives tight envelopes on the leading key
+    only.  This query computes the 16-bit Morton key of
+    (user_id % 256, day_index % 256) over events, cells rows into
+    64-key ranges for BOTH layouts, and emits each cell's row count
+    + per-dimension min/max envelope + bounding-box area — the
+    pruning-effectiveness evidence, one row per (layout, cell).
+
+    Pure integer bit arithmetic end to end (shift/and/or in both
+    engines — the SQL replays the interleave exactly), so the oracle
+    binds the whole layout.  Scale shape: one scan, one projection
+    (16-term codegen'd bit expression), one cell-keyed hash
+    aggregate per layout from the same pinned frame; at 100 TB the
+    same key feeds ``repartitionByRange(z)`` + a partitioned write
+    (the write path is S5/S14's, already covered)."""
+    ev = _t(spark, sf_dir, "events")
+    u8 = (F.col("user_id") % 256).cast("int")
+    d8 = (
+        F.datediff(
+            F.date_trunc("day", "ts"),
+            F.lit("2024-01-01").cast("timestamp"),
+        )
+        % 256
+    ).cast("int")
+    base = ev.select(u8.alias("u"), d8.alias("d")).localCheckpoint(
+        eager=True
+    )
+    z = F.lit(0)
+    for i in range(8):
+        z = (
+            z
+            + F.shiftleft(
+                F.shiftright(F.col("u"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+            + F.shiftleft(
+                F.shiftright(F.col("d"), i).bitwiseAND(F.lit(1)), 2 * i
+            )
+        )
+    keyed = base.select(
+        "u",
+        "d",
+        (z / 64).cast("int").alias("z_cell"),
+        ((F.col("u") * 256 + F.col("d")) / 64).cast("int").alias(
+            "lin_cell"
+        ),
+    )
+
+    def spans(cell_col, layout):
+        return (
+            keyed.groupBy(F.col(cell_col).alias("cell"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("u").alias("u_min"),
+                F.max("u").alias("u_max"),
+                F.min("d").alias("d_min"),
+                F.max("d").alias("d_max"),
+            )
+            .select(
+                F.lit(layout).alias("layout"),
+                "cell",
+                "n_rows",
+                "u_min",
+                "u_max",
+                "d_min",
+                "d_max",
+                (
+                    (F.col("u_max") - F.col("u_min") + 1)
+                    * (F.col("d_max") - F.col("d_min") + 1)
+                ).alias("bbox_area"),
+            )
+        )
+
+    return spans("z_cell", "zorder").unionByName(
+        spans("lin_cell", "linear")
+    )
+
+
+QUERIES["io_zorder_clustering"] = q_io_zorder_clustering
+
+ORACLE["io_zorder_clustering"] = """
+WITH base AS (
+  SELECT CAST(user_id % 256 AS INT) AS u,
+    CAST(date_diff('day', DATE '2024-01-01',
+      CAST(date_trunc('day', ts) AS DATE)) % 256 AS INT) AS d
+  FROM events),
+keyed AS (
+  SELECT u, d,
+    CAST((
+        ((u >> 0) & 1) * 2 + ((d >> 0) & 1) * 1
+      + ((u >> 1) & 1) * 8 + ((d >> 1) & 1) * 4
+      + ((u >> 2) & 1) * 32 + ((d >> 2) & 1) * 16
+      + ((u >> 3) & 1) * 128 + ((d >> 3) & 1) * 64
+      + ((u >> 4) & 1) * 512 + ((d >> 4) & 1) * 256
+      + ((u >> 5) & 1) * 2048 + ((d >> 5) & 1) * 1024
+      + ((u >> 6) & 1) * 8192 + ((d >> 6) & 1) * 4096
+      + ((u >> 7) & 1) * 32768 + ((d >> 7) & 1) * 16384
+    ) // 64 AS INT) AS z_cell,
+    CAST((u * 256 + d) // 64 AS INT) AS lin_cell
+  FROM base),
+z AS (
+  SELECT 'zorder' AS layout, z_cell AS cell, count(*) AS n_rows,
+    min(u) AS u_min, max(u) AS u_max,
+    min(d) AS d_min, max(d) AS d_max
+  FROM keyed GROUP BY 2),
+l AS (
+  SELECT 'linear' AS layout, lin_cell AS cell, count(*) AS n_rows,
+    min(u) AS u_min, max(u) AS u_max,
+    min(d) AS d_min, max(d) AS d_max
+  FROM keyed GROUP BY 2)
+SELECT layout, cell, n_rows, u_min, u_max, d_min, d_max,
+  CAST((u_max - u_min + 1) * (d_max - d_min + 1) AS INT) AS bbox_area
+FROM (SELECT * FROM z UNION ALL SELECT * FROM l)"""

@@ -421,3 +421,138 @@ SELECT count(*) AS n_rows,
   (SELECT count(DISTINCT event_type) FROM events
    WHERE event_type != 'error') AS n_groups
 FROM events WHERE event_type != 'error'"""
+
+
+def q_psi_drift(spark, sf_dir):
+    """PSI (population stability index) drift monitor — the standard
+    ML-ops check that a feature's distribution hasn't shifted between
+    a reference window and the current one (PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 action).  The time range splits at its
+    integer-microsecond midpoint into reference (A) and current (B);
+    bucket edges are the reference deciles from ONE scalar
+    ``percentile`` reduce (broadcast — the RFM-approx boundary
+    pattern, never a global sort); each period's bucket shares then
+    fold into PSI = sum((qB - qA) * ln(qB / qA)).
+
+    Cross-engine exactness: the midpoint is integer microseconds
+    (``unix_micros`` both engines, no fractional-second rounding),
+    decile edges are IEEE-identical interpolations of identical
+    doubles, bucket assignment is pure comparison, counts are
+    integers, and each PSI term is floor-8dp-pinned before the sum
+    so summation order cannot move the total.  Laplace-smoothed
+    shares ((n+1)/(N+10)) keep empty buckets finite.  Scale shape:
+    two scans of events (range pins + decile reduce), one 20-row
+    aggregate — no shuffle beyond the bucket rollup."""
+    ev = _t(spark, sf_dir, "events").select(
+        "value", F.unix_micros("ts").alias("us")
+    )
+    rng = ev.agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    ).select(
+        "lo", "hi",
+        ((F.col("lo") + F.col("hi")) / F.lit(2)).cast("bigint").alias("mid"),
+    )
+    tagged = ev.crossJoin(F.broadcast(rng)).select(
+        "value",
+        F.when(F.col("us") < F.col("mid"), F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("period"),
+    ).localCheckpoint(eager=True)
+    qs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    edges = tagged.filter(F.col("period") == "A").agg(
+        F.percentile("value", qs).alias("e")
+    )
+    e = F.col("e")
+    bucket = F.when(F.col("value") <= e[0], 0)
+    for i in range(1, 9):
+        bucket = bucket.when(F.col("value") <= e[i], i)
+    bucket = bucket.otherwise(9)
+    counts = (
+        tagged.crossJoin(F.broadcast(edges))
+        .groupBy(bucket.alias("bucket"), "period")
+        .agg(F.count("*").alias("n"))
+    )
+    tots = tagged.groupBy("period").agg(F.count("*").alias("n_tot"))
+    q_share = (F.col("n") + 1) / (F.col("n_tot") + 10).cast("double")
+    shares = counts.join(F.broadcast(tots), "period").select(
+        "bucket", "period", "n", q_share.alias("q")
+    )
+    a = shares.filter(F.col("period") == "A").select(
+        "bucket", F.col("n").alias("n_a"), F.col("q").alias("qa")
+    )
+    b = shares.filter(F.col("period") == "B").select(
+        "bucket", F.col("n").alias("n_b"), F.col("q").alias("qb")
+    )
+    term = F.floor(
+        (F.col("qb") - F.col("qa")) * F.log(F.col("qb") / F.col("qa")) * 1e8
+        + F.lit(0.5)
+    ) / 1e8
+    per_bucket = (
+        a.join(b, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            term.alias("psi_term"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fl = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    psi = per_bucket.agg(fl(F.sum("psi_term")).alias("psi"))
+    return per_bucket.select(
+        "bucket", "n_a", "n_b", fl(F.col("psi_term")).alias("psi_term")
+    ).crossJoin(F.broadcast(psi))
+
+
+QUERIES["qa_psi_drift"] = q_psi_drift
+
+ORACLE["qa_psi_drift"] = """
+WITH ev AS (
+  SELECT value, epoch_us(ts) AS us FROM events),
+rng AS (
+  SELECT min(us) AS lo, max(us) AS hi,
+    CAST((min(us) + max(us)) / 2.0 AS BIGINT) AS mid
+  FROM ev),
+tagged AS (
+  SELECT value,
+    CASE WHEN us < (SELECT mid FROM rng) THEN 'A' ELSE 'B' END
+      AS period
+  FROM ev),
+edges AS (
+  SELECT quantile_cont(value,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+  FROM tagged WHERE period = 'A'),
+bucketed AS (
+  SELECT period,
+    CASE WHEN value <= e[1] THEN 0
+         WHEN value <= e[2] THEN 1
+         WHEN value <= e[3] THEN 2
+         WHEN value <= e[4] THEN 3
+         WHEN value <= e[5] THEN 4
+         WHEN value <= e[6] THEN 5
+         WHEN value <= e[7] THEN 6
+         WHEN value <= e[8] THEN 7
+         WHEN value <= e[9] THEN 8
+         ELSE 9 END AS bucket
+  FROM tagged CROSS JOIN edges),
+counts AS (
+  SELECT bucket, period, count(*) AS n
+  FROM bucketed GROUP BY 1, 2),
+tots AS (SELECT period, count(*) AS n_tot FROM bucketed GROUP BY 1),
+shares AS (
+  SELECT bucket, counts.period, n,
+    (n + 1) / CAST(n_tot + 10 AS DOUBLE) AS q
+  FROM counts JOIN tots ON tots.period = counts.period),
+ab AS (
+  SELECT coalesce(a.bucket, b.bucket) AS bucket,
+    coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b,
+    floor((b.q - a.q) * ln(b.q / a.q) * 1e8 + 0.5) / 1e8 AS psi_term
+  FROM (SELECT * FROM shares WHERE period = 'A') a
+  FULL JOIN (SELECT * FROM shares WHERE period = 'B') b
+    ON a.bucket = b.bucket),
+tot_psi AS (
+  SELECT floor(sum(psi_term) * 1e6 + 0.5) / 1e6 AS psi FROM ab)
+SELECT CAST(bucket AS INT) AS bucket,
+  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  floor(psi_term * 1e6 + 0.5) / 1e6 AS psi_term, psi
+FROM ab CROSS JOIN tot_psi"""
