@@ -2013,11 +2013,15 @@ def q_zipf_fit(spark, sf_dir):
     curation diagnostic that tells you whether a corpus has natural
     token statistics (slope near -1) or synthetic/boilerplate
     skew.  Tokens hash-aggregate to a vocabulary-sized frequency
-    table; ranks come from one window over that VOCABULARY (not the
-    token stream — the same hash-the-vocabulary rule the TF-IDF
-    family follows), capped at the top 200 ranks; the log-log slope
-    and intercept are closed-form least squares from six scalar
-    sums, all computed in one reduce.
+    table; the top-200 candidates come from a DISTRIBUTED top-k
+    (``orderBy().limit()`` plans as TakeOrderedAndProject — each
+    task keeps 200, never a global sort), and only that bounded
+    200-row frame passes through the rank window (the same
+    hash-the-vocabulary rule the TF-IDF family follows: no operator
+    touches the token stream or the full vocabulary with a
+    single-task sort); the log-log slope and intercept are
+    closed-form least squares from six scalar sums, all computed in
+    one reduce.
 
     Cross-engine exactness: ranks order by (freq DESC, word ASC) —
     fully deterministic; ln() of identical integer inputs is
@@ -2038,14 +2042,16 @@ def q_zipf_fit(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     n_vocab = freq.agg(F.count("*").alias("n_vocab"))
+    top200 = freq.orderBy(F.col("freq").desc(), F.col("w").asc()).limit(
+        200
+    )
     ranked = (
-        freq.withColumn(
+        top200.withColumn(
             "rank",
             F.row_number().over(
                 Window.orderBy(F.col("freq").desc(), F.col("w").asc())
             ),
         )
-        .filter(F.col("rank") <= 200)
         .localCheckpoint(eager=True)
     )
     x = F.log(F.col("rank").cast("double"))
