@@ -213,6 +213,63 @@ def test_rfm_approx_no_window_no_single_partition(spark):
     assert "BroadcastExchange" in plan  # boundaries broadcast, not shuffled
 
 
+def test_q5_pushdown_and_broadcast_dims(spark):
+    """TPC-H Q5: the order-date range must reach the orders scan as a
+    pushed filter, the region literal must reach the region scan, and
+    no join may plan as a cartesian.  (Join strategy is AQE/size-
+    adaptive — broadcast at test SF, SMJ at scale — so only the
+    invariants are pinned.)"""
+    plan = _plan(spark, "join_q5_local_supplier")
+    assert re.search(
+        r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan
+    ), plan
+    assert re.search(r"PushedFilters: \[.*EqualTo\(r_name,ASIA", plan), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_all_filters_pushed_single_stage(spark):
+    """TPC-H Q6 is the pushdown canary: date window, discount band
+    and quantity cap must ALL reach the lineitem scan; the rest of
+    the query is one scalar reduce."""
+    plan = _plan(spark, "agg_q6_forecast_revenue")
+    # toString elides long PushedFilters lists with "..."; assert the
+    # date filter made the pushed list and the band/cap filters sit in
+    # the scan-adjacent DataFilters (i.e. nothing migrated above a
+    # join/exchange — there is none), scan read exactly 4 columns.
+    assert re.search(
+        r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipda", plan
+    ), plan
+    assert re.search(r"DataFilters: \[.*l_discount", plan), plan
+    assert plan.count("FileScan") == 1
+    assert re.search(
+        r"ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        r"l_discount:double,l_shipdate:timestamp", plan
+    ), plan
+
+
+def test_zipf_topk_never_sorts_vocabulary(spark):
+    """The Zipf rank cut must stay a distributed top-k: the
+    pre-checkpoint subtree plans TakeOrderedAndProject, never a
+    global Sort of the vocabulary."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark.queries import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = freq.orderBy(F.col("freq").desc(), F.col("w").asc()).limit(200)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
 def test_peak_concurrency_distributed_sweep(spark):
     """The sweep-line must stay a distributed prefix sum: the running
     concurrency is a per-day PARTITIONED window plus a broadcast
