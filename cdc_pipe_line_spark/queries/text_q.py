@@ -2185,3 +2185,153 @@ SELECT source, CAST(n_s AS BIGINT) AS n_s,
   floor(sum(term) * 10000 + 0.5) / 10000 AS kl_bits,
   count(*) AS n_terms
 FROM terms GROUP BY 1, 2"""
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training — three byte-pair-encoding merge rounds
+    learned from the corpus, the vocabulary-induction step of every
+    modern tokenizer.  Exactly how production BPE trainers work
+    (Sennrich et al. 2016; HuggingFace tokenizers): statistics fold
+    over the WORD-FREQUENCY table, never the token stream, so each
+    round costs one vocabulary-sized aggregate + a 1-row argmax
+    broadcast — scale-independent of corpus size after the first
+    count.
+
+    Mechanics: each word becomes a space-joined symbol string whose
+    symbols are bracketed by sentinel bytes (\\x01 char \\x02), so
+    the merge of pair (a, b) is ONE exact ``replace`` — sentinels
+    make the pattern match complete symbols only (no suffix/prefix
+    collisions), and left-to-right non-overlapping replacement is
+    precisely BPE's greedy merge order, identically in both engines.
+    Adjacent-pair counts weight by word frequency; the argmax
+    tie-breaks (count DESC, pair ASC) deterministically.  Output:
+    the three learned merges (round, left symbol, right symbol,
+    weighted count) with sentinels stripped for display.
+
+    Scale shape: the word-frequency aggregate is the only
+    stream-sized shuffle; per round, pair counting is a
+    vocabulary-sized hash aggregate, the argmax a distributed top-1
+    (``orderBy().limit(1)`` -> TakeOrderedAndProject), the merge a
+    codegen'd string op; each round's frame is localCheckpoint-
+    pinned (two consumers: counting and merging)."""
+    S1, S2 = "\x01", "\x02"
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.trim(
+                F.regexp_replace("w", "(.)", S1 + "$1" + S2 + " ")
+            ).alias("t"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # NOTE: sequence(1, n-1) is a trap for n=1 — Spark generates the
+    # DESCENDING [1, 0], not an empty array — so single-symbol words
+    # (1-char words after three merges, or 'a'/'i' from the start)
+    # blow up element_at.  Enumerate via the array's own transform
+    # index + try_element_at and drop the final partial pair instead.
+    pair_expr = F.expr(
+        "filter(transform(split(t, ' '), (x, i) -> struct(x AS a,"
+        " try_element_at(split(t, ' '), i + 2) AS b)),"
+        " p -> p.b IS NOT NULL)"
+    )
+    merges = []
+    cur = words
+    for rnd in range(1, 4):
+        best = (
+            cur.select(F.explode(pair_expr).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(
+                F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+            )
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            best.select(
+                F.lit(rnd).alias("round"),
+                F.replace(
+                    F.replace("a", F.lit(S1)), F.lit(S2)
+                ).alias("left_sym"),
+                F.replace(
+                    F.replace("b", F.lit(S1)), F.lit(S2)
+                ).alias("right_sym"),
+                "cnt",
+            )
+        )
+        pat = F.concat(F.col("a"), F.lit(" "), F.col("b"))
+        rep = F.concat(
+            F.expr("substring(a, 1, length(a) - 1)"),
+            F.expr("substring(b, 2)"),
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(F.replace("t", pat, rep).alias("t"), "freq")
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+QUERIES["llm_bpe_merges"] = q_bpe_merges
+
+ORACLE["llm_bpe_merges"] = r"""
+WITH w0 AS (
+  SELECT trim(regexp_replace(w, '(.)', chr(1) || '\1' || chr(2) || ' ',
+    'g')) AS t, count(*) AS freq
+  FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text),
+      '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents) x
+  WHERE w <> '' GROUP BY 1),
+p1 AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b,
+    CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(t, ' ') AS syms, freq FROM w0) l,
+    unnest(range(1, length(syms))) AS u(i)
+  GROUP BY 1, 2),
+b1 AS (SELECT * FROM p1 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+w1 AS (
+  SELECT replace(t, b1.a || ' ' || b1.b,
+    substring(b1.a, 1, length(b1.a) - 1) || substring(b1.b, 2)) AS t,
+    freq
+  FROM w0 CROSS JOIN b1),
+p2 AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b,
+    CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(t, ' ') AS syms, freq FROM w1) l,
+    unnest(range(1, length(syms))) AS u(i)
+  GROUP BY 1, 2),
+b2 AS (SELECT * FROM p2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+w2 AS (
+  SELECT replace(t, b2.a || ' ' || b2.b,
+    substring(b2.a, 1, length(b2.a) - 1) || substring(b2.b, 2)) AS t,
+    freq
+  FROM w1 CROSS JOIN b2),
+p3 AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b,
+    CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(t, ' ') AS syms, freq FROM w2) l,
+    unnest(range(1, length(syms))) AS u(i)
+  GROUP BY 1, 2),
+b3 AS (SELECT * FROM p3 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)
+SELECT 1 AS round,
+  replace(replace(a, chr(1), ''), chr(2), '') AS left_sym,
+  replace(replace(b, chr(1), ''), chr(2), '') AS right_sym, cnt
+FROM b1
+UNION ALL
+SELECT 2, replace(replace(a, chr(1), ''), chr(2), ''),
+  replace(replace(b, chr(1), ''), chr(2), ''), cnt FROM b2
+UNION ALL
+SELECT 3, replace(replace(a, chr(1), ''), chr(2), ''),
+  replace(replace(b, chr(1), ''), chr(2), ''), cnt FROM b3"""
