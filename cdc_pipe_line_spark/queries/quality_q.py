@@ -556,3 +556,123 @@ SELECT CAST(bucket AS INT) AS bucket,
   CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
   floor(psi_term * 1e6 + 0.5) / 1e6 AS psi_term, psi
 FROM ab CROSS JOIN tot_psi"""
+
+
+def q_referential_audit(spark, sf_dir):
+    """Referential-integrity audit across the lake — the cross-table
+    verification a CDC pipeline runs after every batch: orphaned
+    facts (lineitem rows whose order key has no orders row), dangling
+    dimension references (orders -> customer), and coverage ratios.
+    Pure anti-join arithmetic: each check is one left-anti join (the
+    scale shape — anti joins shuffle once on the key, no row survives
+    that doesn't violate) + integer counts; ratios are
+    floor-6dp-pinned integer quotients.  One output row per check so
+    a new violation class is a new ROW, not a schema change."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def check(name, child, parent, child_key, parent_key):
+        n_child = child.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("check"),
+            F.col("n").alias("n_child_rows"),
+        )
+        orphans = (
+            child.join(
+                parent,
+                child[child_key] == parent[parent_key],
+                "left_anti",
+            )
+            .agg(
+                F.count("*").alias("n_orphans"),
+                F.countDistinct(child_key).alias("n_orphan_keys"),
+            )
+        )
+        return n_child.crossJoin(F.broadcast(orphans)).select(
+            "check",
+            "n_child_rows",
+            "n_orphans",
+            "n_orphan_keys",
+            (
+                F.floor(
+                    (F.col("n_child_rows") - F.col("n_orphans"))
+                    / F.col("n_child_rows").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("coverage"),
+        )
+
+    return check(
+        "lineitem_orders", li, o, "l_orderkey", "o_orderkey"
+    ).unionByName(
+        check("orders_customer", o, c, "o_custkey", "c_custkey")
+    )
+
+
+QUERIES["qa_referential_audit"] = q_referential_audit
+
+ORACLE["qa_referential_audit"] = """
+WITH lo AS (
+  SELECT count(*) AS n_orphans,
+    count(DISTINCT l_orderkey) AS n_orphan_keys
+  FROM lineitem WHERE l_orderkey NOT IN
+    (SELECT o_orderkey FROM orders)),
+ln AS (SELECT count(*) AS n FROM lineitem),
+oc AS (
+  SELECT count(*) AS n_orphans,
+    count(DISTINCT o_custkey) AS n_orphan_keys
+  FROM orders WHERE o_custkey NOT IN
+    (SELECT c_custkey FROM customer)),
+onn AS (SELECT count(*) AS n FROM orders)
+SELECT 'lineitem_orders' AS check, ln.n AS n_child_rows,
+  lo.n_orphans, lo.n_orphan_keys,
+  floor((ln.n - lo.n_orphans) / CAST(ln.n AS DOUBLE) * 1e6 + 0.5)
+    / 1e6 AS coverage
+FROM ln CROSS JOIN lo
+UNION ALL
+SELECT 'orders_customer', onn.n, oc.n_orphans, oc.n_orphan_keys,
+  floor((onn.n - oc.n_orphans) / CAST(onn.n AS DOUBLE) * 1e6 + 0.5)
+    / 1e6
+FROM onn CROSS JOIN oc"""
+
+
+def q_freshness_slo(spark, sf_dir):
+    """Per-source data-freshness SLO check — the ops dashboard that
+    pages someone: each document source's latest arrival lag behind
+    the corpus watermark, with the SLO breach as an oracle-checked
+    BOOLEAN (the sketch-claim pattern: a silent pipeline stall flips
+    the bit and fails the hash).  Events drive the clock: per
+    event_type max ts vs the global max, lag in whole minutes
+    (integer — no float boundary), breach = lag > 60 min.  One
+    grouped aggregate + a 1-row broadcast watermark."""
+    ev = _t(spark, sf_dir, "events")
+    wm = ev.agg(F.max(F.unix_micros(F.col("ts"))).alias("wm_us"))
+    per = ev.groupBy("event_type").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+        F.count("*").alias("n_events"),
+    )
+    lag_min = (
+        (F.col("wm_us") - F.col("last_us")) / F.lit(60_000_000)
+    ).cast("bigint")
+    return per.crossJoin(F.broadcast(wm)).select(
+        "event_type",
+        "n_events",
+        lag_min.alias("lag_minutes"),
+        (lag_min > 60).alias("slo_breach"),
+    )
+
+
+QUERIES["qa_freshness_slo"] = q_freshness_slo
+
+ORACLE["qa_freshness_slo"] = """
+WITH wm AS (SELECT max(epoch_us(ts)) AS wm_us FROM events),
+per AS (
+  SELECT event_type, max(epoch_us(ts)) AS last_us,
+    count(*) AS n_events
+  FROM events GROUP BY 1)
+SELECT event_type, n_events,
+  CAST((wm_us - last_us) // 60000000 AS BIGINT) AS lag_minutes,
+  ((wm_us - last_us) // 60000000) > 60 AS slo_breach
+FROM per CROSS JOIN wm"""
