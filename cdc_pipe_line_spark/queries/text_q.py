@@ -2335,3 +2335,67 @@ SELECT 2, replace(replace(a, chr(1), ''), chr(2), ''),
 UNION ALL
 SELECT 3, replace(replace(a, chr(1), ''), chr(2), ''),
   replace(replace(b, chr(1), ''), chr(2), ''), cnt FROM b3"""
+
+
+def q_dedup_keep_canonical(spark, sf_dir):
+    """Canonical-representative selection — the curation step AFTER
+    near-dup clustering: each dup group keeps its best version
+    (longest text, doc_id tie-break) and drops the rest.  Per group:
+    the canonical doc, member count, and the byte savings the drop
+    realizes — the number a dedup run is judged by.
+
+    The selection is ONE ``max_by(doc_id, struct(n_chars, -doc_id))``
+    aggregate on the components output (no window sort — the
+    min_by/max_by struct-key idiom), composed on the same
+    connected-components machinery ``dedup_components`` verifies; the
+    oracle extends that query's recursive-CTE closure with a windowed
+    first-value replay of the argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+    comp = dedup_connected_components(pairs)
+    sized = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        sized.groupBy("keeper_id")
+        .agg(
+            F.expr(
+                "max_by(doc_id, struct(n_chars, -doc_id))"
+            ).alias("canonical_id"),
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").alias("chars_total"),
+            F.expr(
+                "max_by(n_chars, struct(n_chars, -doc_id))"
+            ).alias("__chars_keep"),
+        )
+        .select(
+            "keeper_id",
+            "canonical_id",
+            "n_members",
+            "chars_total",
+            (F.col("chars_total") - F.col("__chars_keep")).alias(
+                "chars_dropped"
+            ),
+        )
+    )
+
+
+QUERIES["dedup_keep_canonical"] = q_dedup_keep_canonical
+
+ORACLE["dedup_keep_canonical"] = ORACLE["dedup_components"].replace(
+    "SELECT src AS doc_id, min(dst) AS keeper_id FROM reach GROUP BY src",
+    """, comp AS (
+  SELECT src AS doc_id, min(dst) AS keeper_id FROM reach GROUP BY src),
+csized AS (
+  SELECT comp.doc_id, comp.keeper_id, d.n_chars
+  FROM comp JOIN documents d ON d.doc_id = comp.doc_id),
+cranked AS (
+  SELECT *, row_number() OVER (PARTITION BY keeper_id
+    ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM csized)
+SELECT keeper_id,
+  max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+  count(*) AS n_members,
+  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+  CAST(sum(n_chars) - max(CASE WHEN rn = 1 THEN n_chars END)
+    AS BIGINT) AS chars_dropped
+FROM cranked GROUP BY 1""",
+)
