@@ -422,7 +422,34 @@ def q_stream_doc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState: per-
+    user 30-min-gap sessions assembled in keyed state, a row emitted
+    per CLOSED session (closure-by-data — a later same-user event
+    past the gap — so the emitted set is micro-batch-invariant and
+    equals the batch replay minus each user's final open session).
+    Output is the per-user closed-session rollup in exact integer
+    microseconds; the oracle replays the gap rule over events and
+    drops each user's last session."""
+    base = _stage(spark, sf_dir, "raw")
+    stream = _read_raw(spark, base)
+    sess = st.session_assembler(stream, gap_minutes=30)
+    out = st.run_to_memory(sess, output_mode="append")
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_closed_sessions"),
+        F.sum("n_events").alias("events_in_closed"),
+        F.sum(
+            F.col("session_end_us") - F.col("session_start_us")
+        ).alias("total_duration_us"),
+        F.min("session_start_us").alias("first_start_us"),
+        F.max("session_end_us").alias("last_end_us"),
+    )
+
+
 QUERIES = {
+    "stream_sessions": q_stream_sessions,
     "stream_doc_gate": q_stream_doc_gate,
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_joins": q_stream_joins,
@@ -563,3 +590,31 @@ ranked AS (
       event_type ASC) AS rnk
   FROM counts)
 SELECT ws, top_type, n FROM ranked WHERE rnk = 1"""
+ORACLE["stream_sessions"] = """
+WITH x AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events),
+o AS (
+  SELECT user_id, us,
+    CASE WHEN lag(us) OVER w IS NULL
+           OR us - lag(us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us ASC)),
+s AS (
+  SELECT user_id, us, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY us ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM o),
+per AS (
+  SELECT user_id, sess, min(us) AS st, max(us) AS en,
+    count(*) AS n
+  FROM s GROUP BY 1, 2),
+lastx AS (SELECT user_id, max(sess) AS mx FROM per GROUP BY 1)
+SELECT per.user_id,
+  count(*) AS n_closed_sessions,
+  CAST(sum(n) AS BIGINT) AS events_in_closed,
+  CAST(sum(en - st) AS BIGINT) AS total_duration_us,
+  CAST(min(st) AS BIGINT) AS first_start_us,
+  CAST(max(en) AS BIGINT) AS last_end_us
+FROM per JOIN lastx ON lastx.user_id = per.user_id
+WHERE per.sess < lastx.mx
+GROUP BY 1"""

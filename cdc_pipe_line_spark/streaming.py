@@ -790,3 +790,101 @@ def every_n_trigger(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+#: Output of the stateful session assembler: one row per CLOSED session.
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start_us", LongType(), False),
+        StructField("session_end_us", LongType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType(), False),
+        StructField("last_us", LongType(), False),
+        StructField("n", LongType(), False),
+    ]
+)
+
+
+def session_assembler(
+    stream: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful sessionization (T6-family; the second
+    ``applyInPandasWithState`` operator next to :func:`every_n_trigger`):
+    per-user 30-min-gap sessions assembled in keyed state, emitting a
+    row the moment a session CLOSES — i.e. when a LATER event from
+    the same user arrives beyond the gap.  The still-open tail
+    session stays in state (emitted by a later batch if its closer
+    arrives; never guessed).
+
+    Closure-by-data makes the emitted set independent of micro-batch
+    boundaries: a session is closed iff a later same-user event
+    exists past the gap, which is a property of the DATA, not of
+    watermark timing — so the bounded-drain run equals the batch
+    replay minus each user's final (open) session, and the oracle
+    binds exactly.  Timestamps fold as integer microseconds end to
+    end (the cross-engine epoch rule).
+
+    Scale shape: state is one (start, last, n) triple per user —
+    bounded by key cardinality, partitioned with the shuffle,
+    checkpointed with the query; each batch's per-key work is a sort
+    of that key's batch slice.
+    """
+
+    def _fn(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        gap_us = gap_minutes * 60_000_000
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        chunks = [pdf for pdf in pdf_iter]
+        us_sorted = (
+            pd.concat(chunks)["us"].sort_values().tolist() if chunks else []
+        )
+        rows = []
+        for t in us_sorted:
+            t = int(t)
+            if start is None:
+                start = last = t
+                n = 1
+            elif t - last > gap_us:
+                rows.append((int(key[0]), start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        if start is not None:
+            state.update((start, last, n))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "session_start_us", "session_end_us", "n_events",
+            ],
+        )
+
+    keyed = stream.select(
+        F.col(user_col).cast("bigint").alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
