@@ -449,3 +449,121 @@ SELECT col, count(*) AS n_changed,
   floor(count(*) / CAST(any_value(n.n_updates) AS DOUBLE) * 100.0
     * 10000 + 0.5) / 10000 AS churn_pct
 FROM x CROSS JOIN n GROUP BY col"""
+
+
+def q_restatement_diff(spark, sf_dir):
+    """Bitemporal restatement diff — the audit question behind every
+    late-correction investigation: comparing what we believed at
+    transaction time T1 vs T2 about the SAME valid-time point V,
+    which users' facts were restated (belief changed), which appeared
+    (first learned between T1 and T2), which disappeared (expired on
+    the valid axis as knowledge advanced)?
+
+    Mechanics: one bitemporal frame (tx intervals lead-chained per
+    user, synthesized valid intervals — the cdc_bitemporal_asof
+    fixture), localCheckpoint-pinned, read at two tx anchors
+    (T1 = watermark - 20d, T2 = watermark - 5d) for one valid point
+    (V = watermark-day - 10).  Per user each read yields <= 1 row (tx
+    intervals are disjoint by construction), so the comparison is ONE
+    full-outer join on user_id + a CASE classification — the same
+    shape as the snapshot diff (J1-J3), here applied across the
+    belief axis.  Value deltas compare as exact integer cents."""
+    from cdc_pipe_line_spark.cdc.bitemporal import (
+        add_tx_intervals,
+        as_of_bitemporal,
+    )
+    from cdc_pipe_line_spark.queries import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bt = (
+        add_tx_intervals(
+            ev, key_cols=["user_id"], ts_col="ts", tiebreak_col="event_id"
+        )
+        .withColumn(
+            "valid_from",
+            F.date_sub(F.to_date("ts"), (F.col("event_id") % 7).cast("int")),
+        )
+        .withColumn("valid_to", F.date_add("valid_from", 14))
+        .localCheckpoint(eager=True)
+    )
+    anchors = ev.agg(F.max("ts").alias("__mx"))
+
+    def snap(tx_days_back, tag):
+        s = as_of_bitemporal(
+            bt.crossJoin(F.broadcast(anchors)),
+            tx_at=F.col("__mx") - F.expr(f"INTERVAL {tx_days_back} DAYS"),
+            valid_at=F.date_sub(F.to_date("__mx"), 10),
+        )
+        return s.select(
+            "user_id",
+            F.col("event_id").alias(f"{tag}_version"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias(f"{tag}_cents"),
+        )
+
+    t1, t2 = snap(20, "t1"), snap(5, "t2")
+    j = t1.join(t2, "user_id", "full")
+    status = (
+        F.when(F.col("t1_version").isNull(), F.lit("appeared"))
+        .when(F.col("t2_version").isNull(), F.lit("disappeared"))
+        .when(
+            F.col("t1_version") != F.col("t2_version"), F.lit("restated")
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            "user_id",
+            F.coalesce("t2_cents", F.lit(0)).alias("c2"),
+            F.coalesce("t1_cents", F.lit(0)).alias("c1"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.col("c2") - F.col("c1")).alias("net_cents_delta"),
+        )
+    )
+
+
+QUERIES["cdc_restatement_diff"] = q_restatement_diff
+
+ORACLE["cdc_restatement_diff"] = """
+WITH mx AS (SELECT max(ts) AS mx FROM events),
+bt AS (
+  SELECT user_id, event_id, value, ts AS tx_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tx_to,
+    CAST(date_trunc('day', ts) AS DATE) - CAST(event_id % 7 AS INT)
+      AS valid_from
+  FROM events),
+bt2 AS (SELECT *, valid_from + 14 AS valid_to FROM bt),
+t1 AS (
+  SELECT user_id, event_id AS v,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM bt2 CROSS JOIN mx
+  WHERE tx_from <= mx - INTERVAL 20 DAY
+    AND (tx_to IS NULL OR tx_to > mx - INTERVAL 20 DAY)
+    AND valid_from <= CAST(date_trunc('day', mx) AS DATE) - 10
+    AND (valid_to IS NULL
+         OR valid_to > CAST(date_trunc('day', mx) AS DATE) - 10)),
+t2 AS (
+  SELECT user_id, event_id AS v,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM bt2 CROSS JOIN mx
+  WHERE tx_from <= mx - INTERVAL 5 DAY
+    AND (tx_to IS NULL OR tx_to > mx - INTERVAL 5 DAY)
+    AND valid_from <= CAST(date_trunc('day', mx) AS DATE) - 10
+    AND (valid_to IS NULL
+         OR valid_to > CAST(date_trunc('day', mx) AS DATE) - 10)),
+j AS (
+  SELECT coalesce(t1.user_id, t2.user_id) AS user_id,
+    CASE WHEN t1.v IS NULL THEN 'appeared'
+         WHEN t2.v IS NULL THEN 'disappeared'
+         WHEN t1.v != t2.v THEN 'restated'
+         ELSE 'unchanged' END AS status,
+    coalesce(t2.cents, 0) - coalesce(t1.cents, 0) AS delta
+  FROM t1 FULL JOIN t2 ON t1.user_id = t2.user_id)
+SELECT status, count(*) AS n_users,
+  CAST(sum(delta) AS BIGINT) AS net_cents_delta
+FROM j GROUP BY 1"""
