@@ -1437,3 +1437,151 @@ UNION ALL
 SELECT 3, 'purchase_24h', count(*),
   floor(count(*) / CAST(b.base AS DOUBLE) * 100.0 * 100 + 0.5) / 100
 FROM s3 CROSS JOIN b GROUP BY b.base"""
+
+
+def q_geo_grid_neighbors(spark, sf_dir):
+    """Spatial proximity join via grid blocking — the scale shape of
+    every geo join (geohash/S2/H3 bucketing): points bucket into
+    grid cells, candidate pairs come from an equi-join on the 3x3
+    neighborhood cells (each left point explodes to 9 cell keys —
+    bounded fan-out), and the exact distance predicate verifies
+    candidates only — never O(n^2).
+
+    Fixture: each user gets a deterministic md5-derived home point in
+    a 1-degree city box, in INTEGER MICRO-DEGREES; cells are 0.1
+    degree; the radius predicate is squared planar distance in
+    micro-degree^2 — all integer arithmetic, so the DuckDB oracle
+    replays coordinates, blocking and verification bit-for-bit (the
+    haversine upgrade is a verify-stage swap; blocking is the
+    operator under test, and trig would put libm parity on the hash
+    path for no structural gain).
+
+    Output: per-cell occupancy + the verified neighbor-pair rollup
+    (pair count, min/sum of squared distances) — probe-tagged in one
+    result."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    lat = (
+        F.expr(
+            "conv(substring(md5(concat('lat:', cast(user_id as string))),"
+            " 1, 8), 16, 10)"
+        ).cast("bigint")
+        % 1_000_000
+    )
+    lon = (
+        F.expr(
+            "conv(substring(md5(concat('lon:', cast(user_id as string))),"
+            " 1, 8), 16, 10)"
+        ).cast("bigint")
+        % 1_000_000
+    )
+    cell = 100_000
+    pts = users.select(
+        "user_id",
+        lat.alias("lat"),
+        lon.alias("lon"),
+    ).withColumns(
+        {
+            "cx": (F.col("lat") / cell).cast("bigint"),
+            "cy": (F.col("lon") / cell).cast("bigint"),
+        }
+    ).localCheckpoint(eager=True)
+    occupancy = (
+        pts.groupBy("cx", "cy")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("cell").alias("probe"),
+            F.col("cx").cast("string").alias("k1"),
+            F.col("cy").cast("string").alias("k2"),
+            F.col("n").alias("v1"),
+            F.lit(None).cast("bigint").alias("v2"),
+        )
+    )
+    offsets = F.expr(
+        "explode(array(-1, 0, 1))"
+    )
+    probe_cells = (
+        pts.select(
+            F.col("user_id").alias("a_id"),
+            F.col("lat").alias("a_lat"),
+            F.col("lon").alias("a_lon"),
+            offsets.alias("dx"),
+            "cx",
+            "cy",
+        )
+        .select(
+            "a_id", "a_lat", "a_lon",
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            offsets.alias("dy"),
+            "cy",
+        )
+        .select(
+            "a_id", "a_lat", "a_lon", "jx",
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    r2 = 50_000 * 50_000
+    d2 = (
+        (F.col("a_lat") - F.col("lat")) * (F.col("a_lat") - F.col("lat"))
+        + (F.col("a_lon") - F.col("lon")) * (F.col("a_lon") - F.col("lon"))
+    )
+    pairs = (
+        probe_cells.join(
+            pts,
+            (F.col("jx") == F.col("cx")) & (F.col("jy") == F.col("cy")),
+        )
+        .filter(F.col("a_id") < F.col("user_id"))
+        .filter(d2 <= r2)
+        .select(F.col("a_id"), F.col("user_id").alias("b_id"), d2.alias("d2"))
+    )
+    pair_stats = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.coalesce(F.min("d2"), F.lit(0)).alias("min_d2"),
+    ).select(
+        F.lit("pairs").alias("probe"),
+        F.lit(None).cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_pairs").alias("v1"),
+        F.col("min_d2").alias("v2"),
+    )
+    return occupancy.unionByName(pair_stats)
+
+
+QUERIES["geo_grid_neighbors"] = q_geo_grid_neighbors
+
+ORACLE["geo_grid_neighbors"] = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+pts AS (
+  SELECT user_id,
+    CAST(('0x' || substr(md5('lat:' || CAST(user_id AS VARCHAR)),
+      1, 8)) AS BIGINT) % 1000000 AS lat,
+    CAST(('0x' || substr(md5('lon:' || CAST(user_id AS VARCHAR)),
+      1, 8)) AS BIGINT) % 1000000 AS lon
+  FROM u),
+cells AS (
+  SELECT user_id, lat, lon,
+    CAST(lat // 100000 AS BIGINT) AS cx,
+    CAST(lon // 100000 AS BIGINT) AS cy
+  FROM pts),
+occupancy AS (
+  SELECT 'cell' AS probe, CAST(cx AS VARCHAR) AS k1,
+    CAST(cy AS VARCHAR) AS k2, count(*) AS v1,
+    CAST(NULL AS BIGINT) AS v2
+  FROM cells GROUP BY cx, cy),
+cand AS (
+  SELECT a.user_id AS a_id, b.user_id AS b_id,
+    (a.lat - b.lat) * (a.lat - b.lat)
+      + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+  FROM cells a
+  JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox ON true
+  JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy ON true
+  JOIN cells b
+    ON b.cx = a.cx + ox.dx AND b.cy = a.cy + oy.dy
+  WHERE a.user_id < b.user_id),
+pairs AS (SELECT * FROM cand WHERE d2 <= 2500000000),
+ps AS (
+  SELECT 'pairs' AS probe, CAST(NULL AS VARCHAR) AS k1,
+    CAST(NULL AS VARCHAR) AS k2, count(*) AS v1,
+    CAST(coalesce(min(d2), 0) AS BIGINT) AS v2
+  FROM pairs)
+SELECT * FROM occupancy UNION ALL SELECT * FROM ps"""
