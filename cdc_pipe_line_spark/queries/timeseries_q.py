@@ -1056,3 +1056,90 @@ SELECT strftime(CAST(date_trunc('day', t) AS DATE), '%Y-%m-%d') AS d,
   CAST(sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS BIGINT)
     AS n_sessions_started
 FROM c GROUP BY 1"""
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test per event type — the nonparametric
+    "is this metric actually trending" check (no distribution
+    assumption, robust to outliers) that belongs next to CUSUM in
+    the monitoring pack.  S = sum over day pairs of
+    sign(count_later - count_earlier); positive S = upward trend.
+
+    Shape: the pair enumeration is a per-key self-join of the DAILY
+    aggregate — day-count-squared per key, and day count is bounded
+    (a year of days is 365 rows per key even at 100 TB; the fact
+    table never self-joins).  Everything folds as integers: S, the
+    concordant/discordant counts, and n — zero float boundaries."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("d"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("n").alias("n1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("n").alias("n2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2")),
+    )
+    sgn = F.when(F.col("n2") > F.col("n1"), 1).when(
+        F.col("n2") < F.col("n1"), -1
+    ).otherwise(0)
+    stats = pairs.groupBy("event_type").agg(
+        F.sum(sgn).alias("s_stat"),
+        F.sum(F.when(sgn == 1, 1).otherwise(0)).alias("concordant"),
+        F.sum(F.when(sgn == -1, 1).otherwise(0)).alias("discordant"),
+        F.count("*").alias("n_pairs"),
+    )
+    days = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    return stats.join(F.broadcast(days), "event_type").select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        "concordant",
+        "discordant",
+        F.when(F.col("s_stat") > 0, F.lit("up"))
+        .when(F.col("s_stat") < 0, F.lit("down"))
+        .otherwise(F.lit("flat"))
+        .alias("trend"),
+    )
+
+
+QUERIES["ts_mann_kendall"] = q_mann_kendall
+
+ORACLE["ts_mann_kendall"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type,
+    CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END
+      AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d),
+stats AS (
+  SELECT event_type,
+    CAST(sum(sgn) AS BIGINT) AS s_stat,
+    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS concordant,
+    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS discordant,
+    count(*) AS n_pairs
+  FROM pairs GROUP BY 1),
+days AS (
+  SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+SELECT stats.event_type, n_days, n_pairs, s_stat, concordant,
+  discordant,
+  CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+       ELSE 'flat' END AS trend
+FROM stats JOIN days ON days.event_type = stats.event_type"""
