@@ -838,3 +838,48 @@ l AS (
 SELECT layout, cell, n_rows, u_min, u_max, d_min, d_max,
   CAST((u_max - u_min + 1) * (d_max - d_min + 1) AS INT) AS bbox_area
 FROM (SELECT * FROM z UNION ALL SELECT * FROM l)"""
+
+
+def q_io_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API (the
+    jar-free pattern for this container's Kafka gap — see
+    cdc_pipe_line_spark/pydatasource.py): an 8-shard cursor feed
+    registered as ``format("cursor_feed")``, scanned with one task
+    per shard, rows generated executor-side from a closed-form the
+    oracle replays with generate_series.  The aggregate binds
+    per-shard row counts, id checksums, and the mixed-value sum —
+    any partition-planning or generator drift fails the hash."""
+    from cdc_pipe_line_spark.pydatasource import CursorFeedDataSource
+
+    try:
+        spark.dataSource.register(CursorFeedDataSource)
+    except Exception:  # noqa: BLE001 — already registered in-session
+        pass
+    df = (
+        spark.read.format("cursor_feed")
+        .option("shards", "8")
+        .option("rowsPerShard", "10000")
+        .load()
+    )
+    return df.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").alias("sum_id"),
+        F.sum("value").alias("sum_value"),
+        F.max("offset").alias("max_offset"),
+    )
+
+
+QUERIES["io_python_datasource"] = q_io_python_datasource
+
+ORACLE["io_python_datasource"] = """
+WITH feed AS (
+  SELECT CAST(event_id // 10000 AS INT) AS shard,
+    event_id % 10000 AS off,
+    event_id,
+    (event_id * 2654435761) % 1000003 AS value
+  FROM (SELECT unnest(range(0, 80000)) AS event_id))
+SELECT shard, count(*) AS n_rows,
+  CAST(sum(event_id) AS BIGINT) AS sum_id,
+  CAST(sum(value) AS BIGINT) AS sum_value,
+  CAST(max(off) AS BIGINT) AS max_offset
+FROM feed GROUP BY 1"""

@@ -618,3 +618,49 @@ SELECT per.user_id,
 FROM per JOIN lastx ON lastx.user_id = per.user_id
 WHERE per.sess < lastx.mx
 GROUP BY 1"""
+
+
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest through a PYTHON-hosted custom source (the
+    Spark 4 DataSource API's streamReader — the jar-free pattern for
+    this container's Kafka gap): an offset-tracked cursor feed whose
+    position Spark checkpoints exactly like Kafka offsets (T1/T2),
+    drained bounded and aggregated per shard against the same
+    closed-form the batch connector binds."""
+    from cdc_pipe_line_spark.pydatasource import CursorFeedDataSource
+
+    try:
+        spark.dataSource.register(CursorFeedDataSource)
+    except Exception:  # noqa: BLE001 — already registered in-session
+        pass
+    stream = (
+        spark.readStream.format("cursor_feed")
+        .option("shards", "4")
+        .option("rowsPerShard", "5000")
+        .load()
+    )
+    agg = stream.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("event_id").alias("sum_id"),
+        F.sum("value").alias("sum_value"),
+        F.max("offset").alias("max_offset"),
+    )
+    q, out = st.start_to_memory(agg, output_mode="complete")
+    q.awaitTermination()
+    return out
+
+
+QUERIES["stream_python_source"] = q_stream_python_source
+
+ORACLE["stream_python_source"] = """
+WITH feed AS (
+  SELECT CAST(event_id // 5000 AS INT) AS shard,
+    event_id % 5000 AS off,
+    event_id,
+    (event_id * 2654435761) % 1000003 AS value
+  FROM (SELECT unnest(range(0, 20000)) AS event_id))
+SELECT shard, count(*) AS n_rows,
+  CAST(sum(event_id) AS BIGINT) AS sum_id,
+  CAST(sum(value) AS BIGINT) AS sum_value,
+  CAST(max(off) AS BIGINT) AS max_offset
+FROM feed GROUP BY 1"""
