@@ -1585,3 +1585,119 @@ ps AS (
     CAST(coalesce(min(d2), 0) AS BIGINT) AS v2
   FROM pairs)
 SELECT * FROM occupancy UNION ALL SELECT * FROM ps"""
+
+
+def q_survival_retention(spark, sf_dir):
+    """Kaplan-Meier survival curve over user lifetimes — the
+    churn-analysis estimator (Kaplan & Meier 1958, public) that
+    handles RIGHT-CENSORING correctly: users still active at the end
+    of the observation window must not count as churned, which naive
+    retention curves get wrong.
+
+    Lifetime = days between a user's first and last event; a user
+    whose last event falls within 3 days of the corpus end is
+    censored (still alive).  Per observed duration d:
+    ``n_at_risk(d)`` = users with lifetime >= d, and
+    ``S(d) = prod_{d' <= d} (1 - churned(d')/n_at_risk(d'))``,
+    computed as ``exp(cumsum(ln(...)))`` over the duration-ordered
+    strata — the cumulative sum runs in a defined order so both
+    engines fold identical doubles; the published survival gets the
+    floor-1e6 idiom to absorb libm ulp noise in ln/exp.
+
+    Shape: one user-keyed aggregate over the fact table; everything
+    after is arithmetic on the DURATION strata — a frame bounded by
+    the calendar (|distinct lifetimes| <= observation days), so the
+    one unpartitioned cumulative window is a constant-size reduce,
+    the same bounded-spine exemption ``text_zipf_fit`` documents.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(F.max("ts").alias("max_ts"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .join(F.broadcast(span))
+        .select(
+            F.datediff("last_ts", "first_ts").alias("duration_d"),
+            (
+                F.col("last_ts")
+                < F.col("max_ts") - F.expr("INTERVAL 3 DAYS")
+            ).alias("churned"),
+        )
+    )
+    total = users.agg(F.count("*").alias("n_users"))
+    strata = (
+        users.groupBy("duration_d")
+        .agg(
+            F.sum(F.col("churned").cast("bigint")).alias("n_churned"),
+            F.sum((~F.col("churned")).cast("bigint")).alias("n_censored"),
+            F.count("*").alias("n_total"),
+        )
+        .join(F.broadcast(total))
+    )
+    w = Window.orderBy("duration_d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcur = Window.orderBy("duration_d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = F.col("n_users") - F.coalesce(
+        F.sum("n_total").over(w), F.lit(0)
+    )
+    hazard_ln = F.log(
+        F.lit(1.0)
+        - F.col("n_churned") / F.col("n_at_risk").cast("double")
+    )
+    return (
+        strata.withColumn("n_at_risk", at_risk)
+        .withColumn(
+            "survival_micro",
+            F.floor(
+                F.exp(F.sum(hazard_ln).over(wcur)) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .select(
+            "duration_d",
+            "n_at_risk",
+            "n_churned",
+            "n_censored",
+            "survival_micro",
+        )
+    )
+
+
+QUERIES["agg_survival_km"] = q_survival_retention
+
+ORACLE["agg_survival_km"] = """
+WITH span AS (SELECT max(ts) AS max_ts FROM events),
+users AS (
+  SELECT date_diff('day', min(ts), max(ts)) AS duration_d,
+    max(ts) < (SELECT max_ts FROM span) - INTERVAL 3 DAY AS churned
+  FROM events GROUP BY user_id),
+total AS (SELECT count(*) AS n_users FROM users),
+strata AS (
+  SELECT duration_d,
+    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_churned,
+    CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+      AS n_censored,
+    count(*) AS n_total
+  FROM users GROUP BY 1),
+risk AS (
+  SELECT *,
+    (SELECT n_users FROM total)
+      - coalesce(sum(n_total) OVER (ORDER BY duration_d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS n_at_risk
+  FROM strata)
+SELECT duration_d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+  n_churned, n_censored,
+  CAST(floor(
+    exp(sum(ln(CAST(1.0 AS DOUBLE)
+               - n_churned / CAST(n_at_risk AS DOUBLE)))
+        OVER (ORDER BY duration_d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS survival_micro
+FROM risk"""

@@ -2399,3 +2399,81 @@ SELECT keeper_id,
     AS BIGINT) AS chars_dropped
 FROM cranked GROUP BY 1""",
 )
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 ranked retrieval: a 3-query lexical workload over
+    the corpus (hash/join/table, window/sort, stream/batch/merge),
+    top-10 per query.  Per-term scores publish as integer micro-units
+    before the per-doc sum so ranks are ulp-stable; the oracle replays
+    tokenization, idf, length norm and the tiebreak verbatim."""
+    from cdc_pipe_line_spark.text import bm25_search
+
+    qt = spark.createDataFrame(
+        [
+            ("q_hash_join", "hash"),
+            ("q_hash_join", "join"),
+            ("q_hash_join", "table"),
+            ("q_window_sort", "window"),
+            ("q_window_sort", "sort"),
+            ("q_stream_batch", "stream"),
+            ("q_stream_batch", "batch"),
+            ("q_stream_batch", "merge"),
+        ],
+        ["query_id", "term"],
+    )
+    return bm25_search(_t(spark, sf_dir, "documents"), qt, top_k=10)
+
+
+QUERIES["text_bm25_search"] = q_bm25_search
+
+ORACLE["text_bm25_search"] = """
+WITH q(query_id, term) AS (VALUES
+  ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
+  ('q_hash_join', 'table'),
+  ('q_window_sort', 'window'), ('q_window_sort', 'sort'),
+  ('q_stream_batch', 'stream'), ('q_stream_batch', 'batch'),
+  ('q_stream_batch', 'merge')),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+'))
+    AS term
+  FROM documents),
+matrix AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE len(term) >= 3 GROUP BY 1, 2),
+dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM matrix GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+    CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+      / (SELECT count(*) FROM documents) AS avgdl),
+dft AS (SELECT term, count(*) AS df FROM matrix GROUP BY 1),
+post AS (
+  SELECT q.query_id, m.doc_id, m.tf, dft.df, dl.dl,
+    s.n_docs, s.avgdl
+  FROM matrix m
+  JOIN q USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON m.doc_id = dl.doc_id
+  CROSS JOIN stats s),
+term_scores AS (
+  SELECT query_id, doc_id,
+    CAST(floor(
+      ln(CAST(1.0 AS DOUBLE)
+         + (n_docs - df + CAST(0.5 AS DOUBLE))
+           / (df + CAST(0.5 AS DOUBLE)))
+      * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         / (tf + CAST(1.2 AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * (dl / avgdl))))
+      * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS m
+  FROM post),
+scored AS (
+  SELECT query_id, doc_id,
+    CAST(sum(m) AS BIGINT) AS score_micro,
+    CAST(count(*) AS BIGINT) AS n_hit_terms
+  FROM term_scores GROUP BY 1, 2)
+SELECT query_id, doc_id, score_micro, n_hit_terms,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= 10"""

@@ -1143,3 +1143,82 @@ SELECT stats.event_type, n_days, n_pairs, s_stat, concordant,
   CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
        ELSE 'flat' END AS trend
 FROM stats JOIN days ON days.event_type = stats.event_type"""
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust slope per event type — the estimator that
+    pairs with the Mann-Kendall test (same pair enumeration, now
+    yielding a magnitude): median over all day pairs of
+    (value_j - value_i) / (day_j - day_i).  Outlier-robust where OLS
+    is not; the standard monitoring answer to "HOW fast is it
+    trending".
+
+    Shape: identical to ``ts_mann_kendall`` — the self-join runs on
+    the DAILY aggregate (bounded by the calendar, not the fact
+    table), daily values fold as integer cents so every slope is an
+    exact double (int/int division), and the published median gets
+    the floor-1e6 idiom because the two engines' 0.5-quantile
+    interpolation can differ in the last ulp."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("cents").alias("c1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("cents").alias("c2"),
+    )
+    slope = (F.col("c2") - F.col("c1")) / F.datediff(
+        F.col("d2"), F.col("d1")
+    ).cast("double")
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2")),
+    ).select("event_type", slope.alias("slope"))
+    med = F.expr("percentile(slope, 0.5)")
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.floor(med * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias(
+                "slope_micro_cents"
+            ),
+            F.sum(
+                F.when(F.col("slope") > 0, 1).otherwise(0)
+            ).cast("bigint").alias("n_up_pairs"),
+        )
+    )
+
+
+QUERIES["ts_theil_sen"] = q_theil_sen
+
+ORACLE["ts_theil_sen"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type,
+    (b.cents - a.cents)
+      / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d)
+SELECT event_type, count(*) AS n_pairs,
+  CAST(floor(quantile_cont(slope, CAST(0.5 AS DOUBLE)) * 1e6
+    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS slope_micro_cents,
+  CAST(sum(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_up_pairs
+FROM pairs GROUP BY 1"""

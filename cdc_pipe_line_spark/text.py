@@ -1780,3 +1780,115 @@ def weighted_sample(
             "pos",
         )
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    min_len: int = 3,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the corpus — the lexical
+    retrieval baseline every RAG / dedup-adjudication pipeline needs
+    next to the ANN stack (Robertson & Zaragoza 2009, public).
+
+    ``query_terms`` is a (query_id, term) frame (a handful of rows —
+    the query workload).  Scoring: per query term,
+
+        idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        norm = tf * (k1 + 1) / (tf + k1 * (1 - b + b * (dl / avgdl)))
+
+    summed over the query's terms.  Every per-term score is published
+    as integer micro-units (``floor(x * 1e6 + 0.5)``) BEFORE the
+    per-document sum, so the total is an order-independent integer —
+    cross-engine ulp noise in the float sum can't reorder ranks (the
+    exact-integer formulation the revenue/Gini queries use).
+
+    Scale shape: the corpus tokenizes ONCE into the (doc, term, tf)
+    matrix (pinned — two consumers: postings probe + doc lengths);
+    the query-term list broadcasts into the matrix, so only postings
+    for queried terms survive the probe (inverted-index access path —
+    at 100 TB the scored frame is |matching postings|, not |corpus|).
+    Doc lengths join the *filtered* postings on the doc key; the
+    final top-k is a per-query WindowGroupLimit.  No Python anywhere.
+    """
+    matrix = (
+        docs.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") >= min_len)
+        .groupBy("__doc", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = matrix.groupBy("__doc").agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    )
+    # Corpus stats as a 1-row frame (docs with zero kept tokens still
+    # count toward N and avgdl) — broadcast, never collected.
+    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg(F.sum("dl").alias("total_dl"))
+    ).select(
+        "n_docs",
+        (F.col("total_dl").cast("double") / F.col("n_docs")).alias(
+            "avgdl"
+        ),
+    )
+    df_t = matrix.groupBy("term").agg(F.count("*").alias("df"))
+    qt = query_terms.join(df_t, "term").join(F.broadcast(stats))
+    postings = matrix.join(
+        F.broadcast(qt), "term"
+    ).join(dl, "__doc")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = (
+        F.col("tf")
+        * (F.lit(k1) + F.lit(1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0)
+                - F.lit(b)
+                + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+            )
+        )
+    )
+    term_micro = F.floor(idf * norm * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    scored = (
+        postings.select(
+            "query_id",
+            F.col("__doc").alias(id_col),
+            term_micro.alias("m"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("m").alias("score_micro"),
+            F.count("*").alias("n_hit_terms"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("score_micro").desc(), F.col(id_col).asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id", id_col, "score_micro", "n_hit_terms", "rank"
+        )
+    )
