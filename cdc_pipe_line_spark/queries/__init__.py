@@ -51,60 +51,11 @@ _MODULES = [
     quality_q,
 ]
 
-#: Names with no row in any CORRECTNESS_r{01..05}.json, in original
-#: registration order.  79 names; the driver's ~50-query budget covers
-#: the first 50 this round, the remainder next round.
+#: Names with no row in any CORRECTNESS_r{01..06}.json, in original
+#: registration order.  61 names as of round 7; the driver's
+#: ~50-query budget covers the first 50 this round, the remainder
+#: (plus round-7 additions, which register after this block) next.
 _DRIVER_ROTATION = (
-    "sim_source_centroids",
-    "sim_recall_at_k",
-    "stream_doc_gate",
-    "stream_sliding_trending",
-    "ts_ohlc_bars",
-    "ts_interpolate_gaps",
-    "ts_dow_seasonality",
-    "ts_ewma",
-    "ts_holt_trend",
-    "ts_anomaly_mad",
-    "ts_time_to_convert",
-    "ts_cross_corr",
-    "ts_cusum_changepoint",
-    "ts_holt_backtest",
-    "ts_autocorrelation",
-    "ts_rolling_median",
-    "ts_peak_concurrency",
-    "cdc_changelog_compact",
-    "join_fact_scd2_enrich",
-    "cdc_bitemporal_asof",
-    "scd3_prev_current",
-    "cdc_sequence_gap_audit",
-    "cdc_column_churn",
-    "io_dpp_join",
-    "io_mergeschema_scan",
-    "io_csv_quarantine",
-    "io_orc_roundtrip",
-    "io_json_quarantine",
-    "io_binary_files",
-    "io_dynamic_overwrite",
-    "io_codec_matrix",
-    "scd2_wide_drift",
-    "agg_sketch_set_ops",
-    "join_correlated_subquery",
-    "join_exists_chain",
-    "window_ntile_bands",
-    "agg_value_histogram",
-    "agg_calendar_heatmap",
-    "proj_column_profile",
-    "window_period_change",
-    "window_range_frame",
-    "join_q22_anti_subquery",
-    "agg_percentile_bands",
-    "join_q11_important_share",
-    "agg_benford_price",
-    "window_pareto_share",
-    "join_q7_trade_flows",
-    "join_q4_late_orders",
-    "join_q19_disjunctive",
-    "agg_lorenz_gini",
     "join_q3_shipping_priority",
     "join_q10_returned_items",
     "scalar_bitwise_ops",
@@ -134,7 +85,40 @@ _DRIVER_ROTATION = (
     "qa_gdpr_purge_audit",
     "qa_skew_report",
     "qa_observe_metrics",
+    "text_zipf_fit",
+    "text_source_kl",
+    "llm_bpe_merges",
+    "dedup_keep_canonical",
+    "text_bm25_search",
+    "mm_jpeg_decode",
+    "stream_sessions",
+    "stream_python_source",
+    "ts_mann_kendall",
+    "ts_theil_sen",
+    "cdc_restatement_diff",
+    "io_zorder_clustering",
+    "io_python_datasource",
+    "join_q5_local_supplier",
+    "agg_q6_forecast_revenue",
+    "join_q8_market_share",
+    "join_q9_product_profit",
+    "join_q13_customer_distribution",
+    "join_q14_promo_revenue",
+    "join_q15_top_supplier",
+    "join_q18_large_volume",
+    "join_q20_dominant_supplier",
+    "join_q21_waiting_supplier",
+    "join_q2_min_cost_supplier",
+    "join_q12_ship_priority",
+    "join_q16_supplier_count",
+    "agg_rfm_segments_approx",
+    "geo_grid_neighbors",
+    "agg_survival_km",
+    "qa_psi_drift",
+    "qa_referential_audit",
+    "qa_freshness_slo",
 )
+
 
 
 def _rotated(merged: dict) -> dict:

@@ -1645,9 +1645,18 @@ def q_survival_retention(spark, sf_dir):
     at_risk = F.col("n_users") - F.coalesce(
         F.sum("n_total").over(w), F.lit(0)
     )
+    # A stratum where every at-risk user churns (hazard = 1) makes
+    # ln(0): Spark returns NULL (silently dropped by the window sum,
+    # inflating survival) while DuckDB raises.  Clamp the argument to
+    # 1e-300 in BOTH engines: exp(cumsum) underflows to ~0 and the
+    # published survival_micro floors to 0 for that stratum and every
+    # later one — the correct KM behavior once S(t) reaches zero.
     hazard_ln = F.log(
-        F.lit(1.0)
-        - F.col("n_churned") / F.col("n_at_risk").cast("double")
+        F.greatest(
+            F.lit(1.0)
+            - F.col("n_churned") / F.col("n_at_risk").cast("double"),
+            F.lit(1e-300),
+        )
     )
     return (
         strata.withColumn("n_at_risk", at_risk)
@@ -1695,8 +1704,9 @@ risk AS (
 SELECT duration_d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
   n_churned, n_censored,
   CAST(floor(
-    exp(sum(ln(CAST(1.0 AS DOUBLE)
-               - n_churned / CAST(n_at_risk AS DOUBLE)))
+    exp(sum(ln(greatest(CAST(1.0 AS DOUBLE)
+               - n_churned / CAST(n_at_risk AS DOUBLE),
+               CAST(1e-300 AS DOUBLE))))
         OVER (ORDER BY duration_d
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
     * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS survival_micro

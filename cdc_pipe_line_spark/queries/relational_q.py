@@ -2516,7 +2516,8 @@ ORACLE["join_q16_supplier_count"] = """
 WITH ps AS (
   SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
   WHERE l_suppkey NOT IN
-    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000))
+    (SELECT s_suppkey FROM supplier
+     WHERE s_acctbal < 1000 AND s_suppkey IS NOT NULL))
 SELECT p_brand, p_type, p_size,
   count(DISTINCT l_suppkey) AS supplier_cnt
 FROM ps JOIN part ON l_partkey = p_partkey

@@ -295,11 +295,14 @@ def q_stream_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_every_n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyed every-10th-event trigger via applyInPandasWithState (T6)."""
+    """Keyed every-10th-event trigger via transformWithStateInPandas
+    (T6; Spark 4's arbitrary-stateful successor API, RocksDB-backed
+    state scoped to this query start)."""
     base = _stage(spark, sf_dir, "raw")
     stream = _read_raw(spark, base)
     trig = st.every_n_trigger(stream, group_col="event_type", n=10)
-    out = st.run_to_memory(trig, output_mode="update")
+    with st.rocksdb_state_store(spark):
+        out = st.run_to_memory(trig, output_mode="update")
     # one emitted row per (key, batch); the final cumulative row per
     # key is the answer
     return out.groupBy("group_key").agg(
@@ -425,7 +428,8 @@ def q_stream_doc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful sessionization via applyInPandasWithState: per-
+    """Custom stateful sessionization via transformWithStateInPandas
+    (RocksDB-backed state scoped to this query start): per-
     user 30-min-gap sessions assembled in keyed state, a row emitted
     per CLOSED session (closure-by-data — a later same-user event
     past the gap — so the emitted set is micro-batch-invariant and
@@ -436,7 +440,8 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _stage(spark, sf_dir, "raw")
     stream = _read_raw(spark, base)
     sess = st.session_assembler(stream, gap_minutes=30)
-    out = st.run_to_memory(sess, output_mode="append")
+    with st.rocksdb_state_store(spark):
+        out = st.run_to_memory(sess, output_mode="append")
     return out.groupBy("user_id").agg(
         F.count("*").alias("n_closed_sessions"),
         F.sum("n_events").alias("events_in_closed"),

@@ -2477,3 +2477,92 @@ SELECT query_id, doc_id, score_micro, n_hit_terms,
   CAST(row_number() OVER (PARTITION BY query_id
     ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
 FROM scored QUALIFY rank <= 10"""
+
+
+def q_pii_audit(spark, sf_dir):
+    """Extended-PII audit rollup (phones / IPv4 / SSN-shaped /
+    card-shaped / Luhn-VALID cards) per source — the release gate a
+    training-data pipeline runs after the URL/email scrub
+    (``text_scrub_apply``); ref ``utils.py`` column-hygiene intent,
+    re-expressed as a corpus audit.
+
+    The synthetic corpus contains no numeric PII, so each document is
+    salted with one deterministic specimen of each family, the card
+    number derived from ``doc_id`` (identically in both engines) so
+    Luhn validity VARIES across rows — the checksum is exercised on
+    both branches, not vacuously.  One narrow codegen'd projection
+    (four ``regexp_extract_all`` + an in-array Luhn fold from
+    :func:`cdc_pipe_line_spark.text.luhn_valid`, no UDF) then a single
+    hash-agg by source; at 100 TB this pipelines with the scan.
+    """
+    from cdc_pipe_line_spark.text import pii_audit
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    card = F.lpad(
+        ((F.col("doc_id") % 100000) * 987654321 + F.col("doc_id"))
+        .cast("string"),
+        16,
+        "0",
+    )
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" call +1-555-123-4567 host 10.0.0.1 ssn 123-45-6789 card "),
+            card,
+        ),
+    )
+    return (
+        pii_audit(salted)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_phones").alias("phones"),
+            F.sum("n_ipv4").alias("ipv4s"),
+            F.sum("n_ssn_shaped").alias("ssn_shaped"),
+            F.sum("n_card_shaped").alias("card_shaped"),
+            F.sum("n_cards_luhn_valid").alias("cards_luhn_valid"),
+        )
+    )
+
+
+QUERIES["text_pii_audit"] = q_pii_audit
+
+ORACLE["text_pii_audit"] = """
+WITH salted AS (
+  SELECT doc_id, source,
+    concat(text, ' call +1-555-123-4567 host 10.0.0.1 ssn 123-45-6789 card ',
+      lpad(CAST((doc_id % 100000) * 987654321 + doc_id AS VARCHAR),
+           16, '0')) AS t
+  FROM documents),
+per_doc AS (
+  SELECT source,
+    len(regexp_extract_all(t, '\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}'))
+      AS n_phones,
+    len(regexp_extract_all(t,
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+    len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+      AS n_ssn_shaped,
+    regexp_extract_all(t, '\\b\\d{16}\\b') AS cards
+  FROM salted),
+luhn AS (
+  SELECT source, n_phones, n_ipv4, n_ssn_shaped,
+    len(cards) AS n_card_shaped,
+    len(list_filter(cards, c ->
+      list_sum(list_transform(range(1, 17), j ->
+        CASE WHEN j % 2 = 0 THEN
+          CASE WHEN CAST(substr(reverse(c), j, 1) AS INT) * 2 > 9
+            THEN CAST(substr(reverse(c), j, 1) AS INT) * 2 - 9
+            ELSE CAST(substr(reverse(c), j, 1) AS INT) * 2 END
+        ELSE CAST(substr(reverse(c), j, 1) AS INT) END)) % 10 = 0
+    )) AS n_cards_luhn_valid
+  FROM per_doc)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(n_phones) AS BIGINT) AS phones,
+  CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+  CAST(sum(n_ssn_shaped) AS BIGINT) AS ssn_shaped,
+  CAST(sum(n_card_shaped) AS BIGINT) AS card_shaped,
+  CAST(sum(n_cards_luhn_valid) AS BIGINT) AS cards_luhn_valid
+FROM luhn GROUP BY source"""

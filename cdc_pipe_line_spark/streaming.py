@@ -12,8 +12,8 @@ write (consumer.py:209-220), and a Redis every-10th-event trigger
   dedup instead of an unbounded Postgres conflict table.
 - T5: side-effects folded into ``foreachBatch`` (transactional,
   ordered) instead of daemon threads.
-- T6: every-N trigger as keyed state (``applyInPandasWithState``)
-  instead of Redis INCR.
+- T6: every-N trigger as keyed state (``transformWithStateInPandas``,
+  Spark 4's arbitrary-stateful API) instead of Redis INCR.
 - T8: event-time watermark + tumbling window replaces the reference's
   processing-time daily batch, so late data lands in its true day.
 
@@ -29,12 +29,12 @@ from __future__ import annotations
 import json
 import uuid
 from collections.abc import Callable, Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
     MapType,
@@ -744,6 +744,57 @@ _TRIGGER_STATE = StructType(
 )
 
 
+def _tws_available() -> bool:
+    """Whether Spark 4's ``transformWithStateInPandas`` can run here.
+
+    The API's Python<->JVM state server speaks protobuf
+    (``pyspark/sql/streaming/proto/StateMessage_pb2``), so it needs
+    ``google.protobuf`` in the worker environment — absent from this
+    container (installs prohibited; same environment gate as
+    delta-spark / the Kafka connector jar).  On a real cluster with
+    ``protobuf`` installed the new API is used automatically."""
+    from importlib.util import find_spec
+
+    try:
+        return find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no `google` namespace package at all
+        return False
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Scope the RocksDB state-store provider to one query start.
+
+    ``transformWithState`` refuses the default HDFS-backed provider;
+    a streaming query snapshots session confs at ``start()``, so
+    set-before-start / restore-after-start pins RocksDB to exactly the
+    queries that need it without changing the provider for the rest of
+    a (possibly vanilla, driver-owned) session.  A no-op when the
+    operators run on the ``applyInPandasWithState`` fallback (no
+    protobuf in the environment): the fallback has no provider
+    requirement, and silently flipping its provider would change its
+    performance profile for nothing."""
+    if not _tws_available():
+        yield
+        return
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def every_n_trigger(
     stream: DataFrame,
     *,
@@ -754,12 +805,61 @@ def every_n_trigger(
 
     The reference used Redis ``INCR`` with a 24 h TTL to fire an
     anomaly run every 10th event per (company, table).  Here the
-    counter is keyed state inside the stream (``applyInPandasWithState``)
-    — partitioned with the shuffle, checkpointed with the query, no
-    external service.  Emits one row per (group, batch) with the
-    cumulative count and how many triggers have fired
-    (``floor(events_seen / n)``).
+    counter is keyed state inside the stream — partitioned with the
+    shuffle, checkpointed with the query, no external service.  Emits
+    one row per (group, batch) with the cumulative count and how many
+    triggers have fired (``floor(events_seen / n)``).
+
+    Implemented on Spark 4's ``transformWithStateInPandas`` (the
+    supported successor of ``applyInPandasWithState``: typed state
+    variables, timers, TTL, initial state); state is one ``ValueState``
+    tuple per key in the RocksDB store — start the query under
+    :func:`rocksdb_state_store`.  When the environment lacks
+    ``google.protobuf`` (the new API's state-server wire format; this
+    container — see :func:`_tws_available`), the SAME per-key recurrence
+    runs on the ``applyInPandasWithState`` fallback, so both paths emit
+    identical rows and share one oracle.
     """
+    keyed = stream.withColumn(
+        "group_key", F.col(group_col).cast("string")
+    ).groupBy("group_key")
+
+    if _tws_available():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _EveryN(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._st = handle.getValueState("counts", _TRIGGER_STATE)
+
+            def handleInputRows(self, key, rows, timerValues):
+                prev = self._st.get() if self._st.exists() else (0, 0)
+                seen = int(prev[0])
+                for pdf in rows:
+                    seen += len(pdf)
+                fired = seen // n
+                self._st.update((seen, fired))
+                yield pd.DataFrame(
+                    {
+                        "group_key": [str(key[0])],
+                        "events_seen": [seen],
+                        "triggers_fired": [fired],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return keyed.transformWithStateInPandas(
+            statefulProcessor=_EveryN(),
+            outputStructType=TRIGGER_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def _fn(
         key: tuple,
@@ -779,16 +879,12 @@ def every_n_trigger(
             }
         )
 
-    return (
-        stream.withColumn("group_key", F.col(group_col).cast("string"))
-        .groupBy("group_key")
-        .applyInPandasWithState(
-            _fn,
-            outputStructType=TRIGGER_SCHEMA,
-            stateStructType=_TRIGGER_STATE,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    return keyed.applyInPandasWithState(
+        _fn,
+        outputStructType=TRIGGER_SCHEMA,
+        stateStructType=_TRIGGER_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
@@ -819,7 +915,8 @@ def session_assembler(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Custom stateful sessionization (T6-family; the second
-    ``applyInPandasWithState`` operator next to :func:`every_n_trigger`):
+    ``transformWithStateInPandas`` operator next to
+    :func:`every_n_trigger` — same RocksDB-provider requirement):
     per-user 30-min-gap sessions assembled in keyed state, emitting a
     row the moment a session CLOSES — i.e. when a LATER event from
     the same user arrives beyond the gap.  The still-open tail
@@ -840,48 +937,91 @@ def session_assembler(
     of that key's batch slice.
     """
 
-    def _fn(
-        key: tuple,
-        pdf_iter: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        gap_us = gap_minutes * 60_000_000
-        if state.exists:
-            start, last, n = state.get
-        else:
-            start = last = None
-            n = 0
-        chunks = [pdf for pdf in pdf_iter]
-        us_sorted = (
-            pd.concat(chunks)["us"].sort_values().tolist() if chunks else []
-        )
-        rows = []
+    gap_us = gap_minutes * 60_000_000
+
+    def _fold(key, start, last, n, us_sorted):
+        """Shared per-key session fold: one pass over this batch's
+        sorted timestamps; returns (closed rows, new open state)."""
+        out = []
         for t in us_sorted:
             t = int(t)
             if start is None:
                 start = last = t
                 n = 1
             elif t - last > gap_us:
-                rows.append((int(key[0]), start, last, n))
+                out.append((int(key), start, last, n))
                 start = last = t
                 n = 1
             else:
                 last = t
                 n += 1
-        if start is not None:
-            state.update((start, last, n))
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "user_id", "session_start_us", "session_end_us", "n_events",
-            ],
-        )
+        return out, (start, last, n)
 
     keyed = stream.select(
         F.col(user_col).cast("bigint").alias("user_id"),
         F.unix_micros(F.col(ts_col)).alias("us"),
-    )
-    return keyed.groupBy("user_id").applyInPandasWithState(
+    ).groupBy("user_id")
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+
+    if _tws_available():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _Sessions(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._st = handle.getValueState(
+                    "open_session", _SESSION_STATE
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                if self._st.exists():
+                    start, last, n = (int(v) for v in self._st.get())
+                else:
+                    start, last, n = None, None, 0
+                chunks = list(rows)
+                us_sorted = (
+                    pd.concat(chunks)["us"].sort_values().tolist()
+                    if chunks
+                    else []
+                )
+                out, new_state = _fold(key[0], start, last, n, us_sorted)
+                if new_state[0] is not None:
+                    self._st.update(new_state)
+                yield pd.DataFrame(out, columns=cols)
+
+            def close(self) -> None:
+                pass
+
+        return keyed.transformWithStateInPandas(
+            statefulProcessor=_Sessions(),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _fn(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        chunks = [pdf for pdf in pdf_iter]
+        us_sorted = (
+            pd.concat(chunks)["us"].sort_values().tolist() if chunks else []
+        )
+        out, new_state = _fold(key[0], start, last, n, us_sorted)
+        if new_state[0] is not None:
+            state.update(new_state)
+        yield pd.DataFrame(out, columns=cols)
+
+    return keyed.applyInPandasWithState(
         _fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_SESSION_STATE,

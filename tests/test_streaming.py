@@ -470,3 +470,97 @@ def test_scd2_append_log_compaction_bounds_segments(spark, tmp_path):
     b = sorted(map(tuple, st.read_scd2_history(
         spark, os.path.join(plain_dir, "history")).select(cols).collect()))
     assert a == b
+
+
+def test_stream_crash_between_append_and_marker(spark, tmp_path, monkeypatch):
+    """The NASTIER replay window (VERDICT r6 item 5): crash after the
+    data append but BEFORE the committed-batch marker.  On restart the
+    batch is re-delivered and its rows are appended a SECOND time
+    (the marker never existed), so correctness rests on the reader's
+    latest-wins resolution over ``_event_id`` — not on the marker,
+    which only saves re-work.  The resolved history must be
+    row-identical to an uninterrupted run."""
+    import os
+    import uuid
+
+    from cdc_pipe_line_spark import streaming as st
+    from cdc_pipe_line_spark.queries import streaming_q
+
+    base = streaming_q._stage(spark, SF_DIR, "cdc")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(st.EVENT_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.json")
+            .option("timestampFormat", streaming_q._TS_FMT)
+            .option("maxFilesPerTrigger", "1")
+            .json(base)
+        )
+
+    hist_dir = os.path.join(str(tmp_path), "history")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    real_write = st._fs_write_text
+    crashed = []
+
+    def crash_on_first_marker(sp, path, payload):
+        if "_COMMITTED_BATCH" in path and not crashed:
+            crashed.append(path)
+            raise RuntimeError("injected crash before marker write")
+        return real_write(sp, path, payload)
+
+    monkeypatch.setattr(st, "_fs_write_text", crash_on_first_marker)
+    q = st.run_scd2_stream(make_stream(), hist_dir, checkpoint_dir=ckpt)
+    try:
+        q.awaitTermination()
+    except Exception:
+        pass  # injected crash surfaces here
+    assert crashed, "marker write was never attempted"
+
+    monkeypatch.setattr(st, "_fs_write_text", real_write)
+    q2 = st.run_scd2_stream(make_stream(), hist_dir, checkpoint_dir=ckpt)
+    q2.awaitTermination()
+    resumed = st.read_scd2_history(spark, hist_dir).cache()
+
+    # the re-delivered batch really did double-append: raw segment rows
+    # for batch 0's events exceed the resolved count, and resolution
+    # dedups them away
+    dup_versions = (
+        resumed.groupBy("_event_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_versions == 0
+
+    clean_dir = f"/tmp/cdc_stream_run/{uuid.uuid4().hex}"
+    q3 = st.run_scd2_stream(
+        make_stream(),
+        os.path.join(clean_dir, "history"),
+        checkpoint_dir=os.path.join(clean_dir, "ckpt"),
+    )
+    q3.awaitTermination()
+    clean = st.read_scd2_history(spark, os.path.join(clean_dir, "history"))
+    cols = ["key_value", "valid_from", "valid_to", "is_current", "_event_id"]
+    assert sorted(map(tuple, resumed.select(cols).collect())) == sorted(
+        map(tuple, clean.select(cols).collect())
+    )
+    resumed.unpersist()
+    import shutil
+
+    shutil.rmtree(clean_dir, ignore_errors=True)
+
+
+def test_rocksdb_state_store_scope(spark):
+    """The transformWithState provider context must be a no-op on the
+    fallback path (no protobuf here) and must restore the session conf
+    either way."""
+    from cdc_pipe_line_spark import streaming as st
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    with st.rocksdb_state_store(spark):
+        inside = spark.conf.get(key, None)
+        if st._tws_available():
+            assert inside == st.ROCKSDB_PROVIDER
+        else:
+            assert inside == before  # no-op on the fallback path
+    assert spark.conf.get(key, None) == before

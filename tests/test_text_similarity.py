@@ -680,3 +680,43 @@ def test_chunk_documents_window_semantics(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_size=4, overlap=4)
+
+
+def test_luhn_valid_known_cards(spark):
+    from cdc_pipe_line_spark.text import luhn_valid
+
+    # 4532015112830366 is a canonical Luhn-valid test number; flipping
+    # the check digit must invalidate it.
+    df = spark.createDataFrame(
+        [("4532015112830366",), ("4532015112830367",),
+         ("0000000000000000",)],
+        "card string",
+    ).withColumn("ok", luhn_valid(F.col("card")))
+    got = {r.card: r.ok for r in df.collect()}
+    assert got["4532015112830366"] is True
+    assert got["4532015112830367"] is False
+    assert got["0000000000000000"] is True  # sum 0 % 10 == 0
+
+
+def test_pii_audit_counts(spark):
+    from cdc_pipe_line_spark.text import pii_audit
+
+    rows = [
+        (1, "call +1-555-123-4567 or +44-201-711-2345 now"),
+        (2, "server 192.168.0.1 talks to 10.0.0.2"),
+        (3, "ssn 123-45-6789 card 4532015112830366 junk 4532015112830367"),
+        (4, "no pii here at all"),
+    ]
+    df = pii_audit(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got = {r.doc_id: r for r in df.collect()}
+    assert got[1].n_phones == 2
+    assert got[2].n_ipv4 == 2
+    assert got[3].n_ssn_shaped == 1
+    assert got[3].n_card_shaped == 2
+    assert got[3].n_cards_luhn_valid == 1  # only the valid specimen
+    assert (
+        got[4].n_phones == got[4].n_ipv4 == got[4].n_ssn_shaped
+        == got[4].n_card_shaped == got[4].n_cards_luhn_valid == 0
+    )
