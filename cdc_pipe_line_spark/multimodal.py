@@ -1338,6 +1338,52 @@ class _JpegBitWriter:
         return bytes(self.out)
 
 
+def _jpeg_encode_block(
+    bw: "_JpegBitWriter",
+    block_u8: np.ndarray,
+    quant: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    prev_dc: int,
+) -> int:
+    """Encode one 8x8 block (level shift, DCT, quantize, zigzag,
+    huffman with DC prediction) into ``bw``; returns the block's DC
+    for the caller's per-component predictor chain."""
+
+    def put_val(v: int, s: int) -> None:
+        if v < 0:
+            v += (1 << s) - 1
+        bw.write(v, s)
+
+    block = block_u8.astype(np.float64) - 128.0
+    coef = _JPEG_A @ block @ _JPEG_A.T
+    q = np.round(coef / float(quant)).astype(np.int64)
+    zz = [int(q[r, c]) for (r, c) in _JPEG_ZIG]
+    diff = zz[0] - prev_dc
+    s = int(abs(diff)).bit_length()
+    bw.write(*dc_codes[s])
+    if s:
+        put_val(diff, s)
+    run = 0
+    nz = [k for k in range(1, 64) if zz[k] != 0]
+    last_nz = nz[-1] if nz else 0
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s = int(abs(v)).bit_length()
+        bw.write(*ac_codes[(run << 4) | s])
+        put_val(v, s)
+        run = 0
+    if last_nz < 63:
+        bw.write(*ac_codes[0x00])  # EOB
+    return zz[0]
+
+
 def make_jpeg_gray(arr: np.ndarray, quant: int = 16) -> bytes:
     """Encode a uint8 grayscale array (dims multiples of 8) as a real
     baseline JFIF: level shift, 8x8 DCT, uniform ``quant`` table,
@@ -1352,46 +1398,16 @@ def make_jpeg_gray(arr: np.ndarray, quant: int = 16) -> bytes:
     ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _JpegBitWriter()
     prev_dc = 0
-
-    def put_val(v: int, s: int) -> None:
-        if v < 0:
-            v += (1 << s) - 1
-        bw.write(v, s)
-
     for by in range(h // 8):
         for bx in range(w // 8):
-            block = (
-                arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
-                    np.float64
-                )
-                - 128.0
+            prev_dc = _jpeg_encode_block(
+                bw,
+                arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                quant,
+                dc_codes,
+                ac_codes,
+                prev_dc,
             )
-            coef = _JPEG_A @ block @ _JPEG_A.T
-            q = np.round(coef / float(quant)).astype(np.int64)
-            zz = [int(q[r, c]) for (r, c) in _JPEG_ZIG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = int(abs(diff)).bit_length()
-            bw.write(*dc_codes[s])
-            if s:
-                put_val(diff, s)
-            run = 0
-            nz = [k for k in range(1, 64) if zz[k] != 0]
-            last_nz = nz[-1] if nz else 0
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw.write(*ac_codes[0xF0])  # ZRL
-                    run -= 16
-                s = int(abs(v)).bit_length()
-                bw.write(*ac_codes[(run << 4) | s])
-                put_val(v, s)
-                run = 0
-            if last_nz < 63:
-                bw.write(*ac_codes[0x00])  # EOB
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1630,3 +1646,342 @@ def jpeg_gray_stats(
             yield pd.DataFrame(rows, columns=cols)
 
     return media.select(id_col, payload_col).mapInPandas(_stats, schema)
+
+def make_jpeg_color(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, quant: int = 16
+) -> bytes:
+    """Encode YCbCr planes as a real baseline 4:2:0 JFIF: ``y`` is the
+    full-resolution luma (H x W, multiples of 16) and ``cb``/``cr``
+    the subsampled chroma planes (H/2 x W/2).  MCUs are interleaved
+    exactly as libjpeg writes them — four Y blocks (2x2), one Cb, one
+    Cr per MCU — with per-COMPONENT DC prediction, one uniform quant
+    table per luma/chroma class, and the Annex-K luma huffman pair
+    serving both classes (legal: the SOS maps each component to a
+    table id).  Same losslessness property as :func:`make_jpeg_gray`:
+    even per-block-constant planes with ``quant=16`` survive the
+    quantizer exactly."""
+    h, w = y.shape
+    assert h % 16 == 0 and w % 16 == 0, "fixture dims are MCU multiples"
+    assert cb.shape == cr.shape == (h // 2, w // 2)
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    dc_y = dc_cb = dc_cr = 0
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for sub in range(4):  # Y blocks, raster order within MCU
+                by = my * 2 + sub // 2
+                bx = mx * 2 + sub % 2
+                dc_y = _jpeg_encode_block(
+                    bw,
+                    y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    quant, dc_codes, ac_codes, dc_y,
+                )
+            dc_cb = _jpeg_encode_block(
+                bw,
+                cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                quant, dc_codes, ac_codes, dc_cb,
+            )
+            dc_cr = _jpeg_encode_block(
+                bw,
+                cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                quant, dc_codes, ac_codes, dc_cr,
+            )
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qtab_zz = bytes(quant for _ in range(64))
+    dqt = seg(0xDB, b"\x00" + qtab_zz + b"\x01" + qtab_zz)
+    sof = seg(
+        0xC0,
+        b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+        + b"\x01\x22\x00"  # Y: 2x2 sampling, qtab 0
+        + b"\x02\x11\x01"  # Cb: 1x1, qtab 1
+        + b"\x03\x11\x01",  # Cr: 1x1, qtab 1
+    )
+    dht = seg(
+        0xC4,
+        b"\x00"
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+        + b"\x10"
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS)
+        + b"\x01"
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+        + b"\x11"
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS),
+    )
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00")
+    sos = seg(
+        0xDA,
+        b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00",
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    )
+
+
+def _jpeg_ycbcr_to_rgb(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> np.ndarray:
+    """JFIF (BT.601 full-range) YCbCr -> RGB on float64 planes with the
+    engine-neutral ``floor(x + 0.5)`` rounding idiom — the same double
+    arithmetic a SQL oracle replays bit-for-bit, unlike np.round
+    (banker's) vs DuckDB round() (half-away)."""
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = np.floor(yf + 1.402 * crf + 0.5)
+    g = np.floor(yf - 0.344136 * cbf - 0.714136 * crf + 0.5)
+    b = np.floor(yf + 1.772 * cbf + 0.5)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _jpeg_color_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL baseline 4:2:0 color JPEG decode: marker walk, 3-component
+    SOF0 with (2,2)/(1,1)/(1,1) sampling, MCU-interleaved huffman
+    entropy decode with per-component DC prediction and quant tables,
+    IDCT per block, nearest-neighbor chroma upsample, BT.601 YCbCr ->
+    RGB (:func:`_jpeg_ycbcr_to_rgb`).  Returns ``(w, h, H x W x 3
+    uint8)``.  Raises :class:`MediaDecodeError` (callers quarantine)
+    outside this subset — progressive, restart intervals, other
+    sampling factors, partial MCUs (dims must be multiples of 16)."""
+    if payload[:2] != b"\xff\xd8":
+        raise MediaDecodeError("jpeg: bad SOI")
+    i = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = -1
+    comp_q: dict[int, int] = {}
+    comp_samp: dict[int, int] = {}
+    scan_tabs: dict[int, tuple[int, int]] = {}
+    comp_order: list[int] = []
+    entropy_start = -1
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise MediaDecodeError(f"jpeg: bad marker byte at {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise MediaDecodeError(f"jpeg: truncated segment {marker:#x}")
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise MediaDecodeError("jpeg: 16-bit quant unsupported")
+                tab = np.zeros((8, 8), dtype=np.int64)
+                for k, (r, c) in enumerate(_JPEG_ZIG):
+                    tab[r, c] = body[j + 1 + k]
+                qtabs[tq] = tab
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = tuple(body[j + 1 : j + 17])
+                n = sum(bits)
+                vals = tuple(body[j + 17 : j + 17 + n])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                j += 17 + n
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise MediaDecodeError("jpeg: only 8-bit baseline")
+            h = struct.unpack(">H", body[1:3])[0]
+            w = struct.unpack(">H", body[3:5])[0]
+            if body[5] != 3:
+                raise MediaDecodeError("jpeg: color path needs 3 components")
+            for c in range(3):
+                cid = body[6 + 3 * c]
+                comp_samp[cid] = body[7 + 3 * c]
+                comp_q[cid] = body[8 + 3 * c]
+                comp_order.append(cid)
+            if (
+                comp_samp[comp_order[0]] != 0x22
+                or comp_samp[comp_order[1]] != 0x11
+                or comp_samp[comp_order[2]] != 0x11
+            ):
+                raise MediaDecodeError("jpeg: only 4:2:0 subsampling")
+            if w % 16 or h % 16:
+                raise MediaDecodeError("jpeg: partial MCUs unsupported")
+        elif marker in _JPEG_SOF:
+            raise MediaDecodeError("jpeg: only baseline SOF0 decoded")
+        elif marker == 0xDD:
+            raise MediaDecodeError("jpeg: restart intervals unsupported")
+        elif marker == 0xDA:
+            if body[0] != 3:
+                raise MediaDecodeError("jpeg: color path needs 3 components")
+            for c in range(3):
+                cid = body[1 + 2 * c]
+                tb = body[2 + 2 * c]
+                scan_tabs[cid] = (tb >> 4, tb & 0x0F)
+            entropy_start = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if entropy_start < 0 or w <= 0 or h <= 0 or len(comp_order) != 3:
+        raise MediaDecodeError("jpeg: truncated before SOS")
+    for cid in comp_order:
+        if comp_q[cid] not in qtabs:
+            raise MediaDecodeError("jpeg: missing quant table")
+        dc_id, ac_id = scan_tabs[cid]
+        if (0, dc_id) not in htabs or (1, ac_id) not in htabs:
+            raise MediaDecodeError("jpeg: missing huffman tables")
+
+    # unstuff entropy bytes up to EOI
+    data = bytearray()
+    j = entropy_start
+    while j < len(payload):
+        b = payload[j]
+        if b == 0xFF:
+            if j + 1 >= len(payload):
+                raise MediaDecodeError("jpeg: truncated entropy stream")
+            nxt = payload[j + 1]
+            if nxt == 0x00:
+                data.append(0xFF)
+                j += 2
+                continue
+            if nxt == 0xD9:
+                break
+            raise MediaDecodeError(f"jpeg: unexpected marker {nxt:#x} in scan")
+        data.append(b)
+        j += 1
+    else:
+        raise MediaDecodeError("jpeg: missing EOI")
+
+    pos = 0
+
+    def read_bit() -> int:
+        nonlocal pos
+        if pos >= 8 * len(data):
+            raise MediaDecodeError("jpeg: entropy stream exhausted")
+        byte = data[pos >> 3]
+        bit = (byte >> (7 - (pos & 7))) & 1
+        pos += 1
+        return bit
+
+    def read_huff(tab: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | read_bit()
+            v = tab.get((ln, code))
+            if v is not None:
+                return v
+        raise MediaDecodeError("jpeg: invalid huffman code")
+
+    def read_val(s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | read_bit()
+        if s and v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+    def decode_block(cid: int, prev_dc: int) -> tuple[np.ndarray, int]:
+        dc_id, ac_id = scan_tabs[cid]
+        dc_tab, ac_tab = htabs[(0, dc_id)], htabs[(1, ac_id)]
+        qtab = qtabs[comp_q[cid]]
+        zz = np.zeros(64, dtype=np.int64)
+        s = read_huff(dc_tab)
+        prev_dc += read_val(s)
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = read_huff(ac_tab)
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise MediaDecodeError("jpeg: AC index overrun")
+            zz[k] = read_val(rs & 0x0F)
+            k += 1
+        coef = np.zeros((8, 8), dtype=np.float64)
+        for kk, (r, c) in enumerate(_JPEG_ZIG):
+            coef[r, c] = zz[kk] * qtab[r, c]
+        block = _JPEG_A.T @ coef @ _JPEG_A + 128.0
+        return np.clip(np.round(block), 0, 255).astype(np.uint8), prev_dc
+
+    y_id, cb_id, cr_id = comp_order
+    y_plane = np.zeros((h, w), dtype=np.uint8)
+    cb_plane = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    cr_plane = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    dc = {y_id: 0, cb_id: 0, cr_id: 0}
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for sub in range(4):
+                blk, dc[y_id] = decode_block(y_id, dc[y_id])
+                by = my * 16 + (sub // 2) * 8
+                bx = mx * 16 + (sub % 2) * 8
+                y_plane[by : by + 8, bx : bx + 8] = blk
+            blk, dc[cb_id] = decode_block(cb_id, dc[cb_id])
+            cb_plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blk
+            blk, dc[cr_id] = decode_block(cr_id, dc[cr_id])
+            cr_plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blk
+    cb_up = cb_plane.repeat(2, axis=0).repeat(2, axis=1)
+    cr_up = cr_plane.repeat(2, axis=0).repeat(2, axis=1)
+    return w, h, _jpeg_ycbcr_to_rgb(y_plane, cb_up, cr_up)
+
+
+def jpeg_color_stats(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-image per-CHANNEL statistics over real baseline-4:2:0 color
+    decodes (:func:`_jpeg_color_pixels`: MCU-interleaved huffman +
+    IDCT + chroma upsample + BT.601) — the chroma extension of
+    :func:`jpeg_gray_stats`.  One Arrow-batched ``mapInPandas`` pass,
+    one narrow row per image, no shuffle; malformed payloads
+    quarantine into ``decode_err``."""
+    schema = (
+        f"{id_col} bigint, w int, h int, "
+        "r_sum bigint, g_sum bigint, b_sum bigint, "
+        "r_min int, r_max int, g_min int, g_max int, "
+        "b_min int, b_max int, decode_err string"
+    )
+    cols = [
+        id_col, "w", "h", "r_sum", "g_sum", "b_sum",
+        "r_min", "r_max", "g_min", "g_max", "b_min", "b_max",
+        "decode_err",
+    ]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {c: None for c in cols}
+                base[id_col] = mid
+                try:
+                    if payload is None:
+                        raise MediaDecodeError("null payload")
+                    w, h, rgb = _jpeg_color_pixels(bytes(payload))
+                    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+                    base.update(
+                        w=w, h=h,
+                        r_sum=int(r.sum(dtype=np.int64)),
+                        g_sum=int(g.sum(dtype=np.int64)),
+                        b_sum=int(b.sum(dtype=np.int64)),
+                        r_min=int(r.min()), r_max=int(r.max()),
+                        g_min=int(g.min()), g_max=int(g.max()),
+                        b_min=int(b.min()), b_max=int(b.max()),
+                    )
+                except MediaDecodeError as exc:
+                    base["decode_err"] = str(exc)
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, payload_col).mapInPandas(_stats, schema)
+

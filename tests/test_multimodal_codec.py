@@ -779,3 +779,126 @@ def test_jpeg_adversarial_quarantines_cleanly():
     prog = enc[:sof0] + b"\xff\xc2" + enc[sof0 + 2 :]
     with pytest.raises(MediaDecodeError, match="baseline SOF0"):
         _jpeg_gray_pixels(prog)
+
+
+def test_jpeg_color_constant_mcus_decode_losslessly():
+    """Per-MCU constant even YCbCr planes with quant=16 quantize
+    losslessly; the decoded RGB must equal the direct BT.601
+    conversion of the input planes (the property the
+    mm_jpeg_color_decode oracle builds on)."""
+    import numpy as np
+
+    from cdc_pipe_line_spark.multimodal import (
+        _jpeg_color_pixels,
+        _jpeg_ycbcr_to_rgb,
+        make_jpeg_color,
+    )
+
+    h, w = 32, 48
+    y = np.zeros((h, w), np.uint8)
+    cb = np.zeros((h // 2, w // 2), np.uint8)
+    cr = np.zeros((h // 2, w // 2), np.uint8)
+    m = 0
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = 100 + 2 * (m % 20)
+            cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = 90 + 4 * (m % 10)
+            cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = 120 + 2 * (m % 15)
+            m += 1
+    w2, h2, rgb = _jpeg_color_pixels(make_jpeg_color(y, cb, cr))
+    assert (w2, h2) == (w, h)
+    expect = _jpeg_ycbcr_to_rgb(
+        y, cb.repeat(2, 0).repeat(2, 1), cr.repeat(2, 0).repeat(2, 1)
+    )
+    assert np.array_equal(rgb, expect)
+
+
+def test_jpeg_color_general_content_matches_independent_reference():
+    """Random/gradient/impulse planes must decode bit-identically to an
+    independent numpy quant-roundtrip of each plane followed by the
+    same BT.601 conversion — proving the MCU-interleaved entropy
+    decode, per-component DC prediction, chroma upsample and
+    conversion end to end."""
+    import numpy as np
+
+    from cdc_pipe_line_spark.multimodal import (
+        _JPEG_A,
+        _jpeg_color_pixels,
+        _jpeg_ycbcr_to_rgb,
+        make_jpeg_color,
+    )
+
+    def quant_roundtrip(plane, q=16):
+        hh, ww = plane.shape
+        out = np.zeros_like(plane)
+        for by in range(hh // 8):
+            for bx in range(ww // 8):
+                blk = (
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                        np.float64
+                    )
+                    - 128.0
+                )
+                coef = _JPEG_A @ blk @ _JPEG_A.T
+                rec = _JPEG_A.T @ (np.round(coef / q) * q) @ _JPEG_A + 128.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(rec), 0, 255
+                )
+        return out
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        h = 16 * int(rng.integers(1, 4))
+        w = 16 * int(rng.integers(1, 4))
+        if trial % 3 == 0:
+            y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            cb = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+            cr = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        elif trial % 3 == 1:
+            y = np.tile(np.linspace(0, 255, w, dtype=np.uint8), (h, 1))
+            cb = np.full((h // 2, w // 2), 128, np.uint8)
+            cr = np.tile(
+                np.linspace(0, 255, w // 2, dtype=np.uint8), (h // 2, 1)
+            )
+        else:
+            y = np.full((h, w), 128, np.uint8)
+            y[int(rng.integers(0, h)), int(rng.integers(0, w))] = 255
+            cb = np.full((h // 2, w // 2), 255, np.uint8)
+            cr = np.zeros((h // 2, w // 2), np.uint8)
+        w2, h2, rgb = _jpeg_color_pixels(make_jpeg_color(y, cb, cr))
+        assert (w2, h2) == (w, h)
+        expect = _jpeg_ycbcr_to_rgb(
+            quant_roundtrip(y),
+            quant_roundtrip(cb).repeat(2, 0).repeat(2, 1),
+            quant_roundtrip(cr).repeat(2, 0).repeat(2, 1),
+        )
+        assert np.array_equal(rgb, expect), f"trial {trial} diverged"
+
+
+def test_jpeg_color_adversarial_quarantines_cleanly():
+    """Malformed color payloads raise MediaDecodeError (quarantine
+    path), never crash: truncations, grayscale fed to the color
+    decoder, unsupported subsampling."""
+    import numpy as np
+    import pytest
+
+    from cdc_pipe_line_spark.multimodal import (
+        MediaDecodeError,
+        _jpeg_color_pixels,
+        make_jpeg_color,
+        make_jpeg_gray,
+    )
+
+    y = np.full((16, 16), 128, np.uint8)
+    c = np.full((8, 8), 128, np.uint8)
+    good = make_jpeg_color(y, c, c)
+    for cut in (2, 20, len(good) // 2, len(good) - 3):
+        with pytest.raises(MediaDecodeError):
+            _jpeg_color_pixels(good[:cut])
+    with pytest.raises(MediaDecodeError):
+        _jpeg_color_pixels(make_jpeg_gray(np.full((8, 8), 128, np.uint8)))
+    bad_samp = bytearray(good)
+    i = bad_samp.find(b"\x01\x22\x00")
+    bad_samp[i + 1] = 0x21  # claim 2x1 subsampling
+    with pytest.raises(MediaDecodeError):
+        _jpeg_color_pixels(bytes(bad_samp))
