@@ -28,6 +28,7 @@ from cdc_pipe_line_spark.multimodal import (
     sample_frames,
 )
 from cdc_pipe_line_spark.similarity import (
+    semantic_dedup,
     brute_force_topk,
     cosine_near_dup_pairs,
     ivf_sq8_topk,
@@ -759,7 +760,25 @@ def q_jpeg_color_decode(spark, sf_dir):
     return jpeg_color_stats(media)
 
 
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023): cluster the
+    embedding space (deterministic stride-seeded centroids, broadcast
+    argmax assignment in one aggregate) and emit near-dup pairs only
+    WITHIN clusters — candidate work O(n * stride), never O(n^2).
+    Threshold 0.35 ~= the tail of the within-cluster cosine
+    distribution in the synthetic embeddings (no true semantic dups
+    planted), keeping the output non-trivial; production uses ~0.95
+    plus Lloyd-refined centroids.  Per-cluster sizes, pair counts,
+    drop counts and an id checksum are the oracle-checked output, so
+    cluster skew is measured, not assumed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, stride=64, threshold=0.35)
+
+
 QUERIES = {
+    "dedup_semantic": q_semantic_dedup,
     "mm_jpeg_decode": q_jpeg_decode,
     "mm_jpeg_color_decode": q_jpeg_color_decode,
     "sim_range_search": q_range_search,
@@ -787,6 +806,37 @@ _SQ8_CODE = (
 )
 
 ORACLE = {
+    "dedup_semantic": f"""
+WITH seeds AS (
+  SELECT vec_id AS cent_id, embedding AS cv
+  FROM embeddings WHERE vec_id % 64 = 0),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS cluster_id
+  FROM (
+    SELECT e.vec_id, e.embedding, s.cent_id,
+      {_COS.format(a='e.embedding', b='s.cv')} AS sim
+    FROM embeddings e CROSS JOIN seeds s)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+    ORDER BY sim DESC, cent_id ASC) = 1),
+pairs AS (
+  SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.35),
+drops AS (SELECT cluster_id, id_b FROM pairs GROUP BY 1, 2),
+pc AS (SELECT cluster_id, count(*) AS n_vecs FROM assigned GROUP BY 1),
+ps AS (SELECT cluster_id, count(*) AS n_pairs FROM pairs GROUP BY 1),
+ds AS (
+  SELECT cluster_id, count(*) AS n_dropped,
+    CAST(sum(id_b) AS BIGINT) AS dropped_id_sum
+  FROM drops GROUP BY 1)
+SELECT pc.cluster_id, pc.n_vecs,
+  CAST(coalesce(ps.n_pairs, 0) AS BIGINT) AS n_pairs,
+  CAST(coalesce(ds.n_dropped, 0) AS BIGINT) AS n_dropped,
+  CAST(coalesce(ds.dropped_id_sum, 0) AS BIGINT) AS dropped_id_sum
+FROM pc
+LEFT JOIN ps ON ps.cluster_id = pc.cluster_id
+LEFT JOIN ds ON ds.cluster_id = pc.cluster_id""",
     "mm_jpeg_color_decode": """
 WITH p AS (
   SELECT doc_id,

@@ -2566,3 +2566,52 @@ SELECT source, count(*) AS n_docs,
   CAST(sum(n_card_shaped) AS BIGINT) AS card_shaped,
   CAST(sum(n_cards_luhn_valid) AS BIGINT) AS cards_luhn_valid
 FROM luhn GROUP BY source"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing per source shard (GPT-style
+    pretraining batch construction): cumulative token positions via a
+    shard-partitioned window, pack spans by integer division, a
+    bounded explode over each doc's 1-2 packs, then a per-pack
+    rollup.  Every pack is exactly ``budget`` tokens except each
+    shard's ragged tail — an invariant the oracle re-derives row by
+    row, including boundary-straddling docs."""
+    from cdc_pipe_line_spark.text import chunk_pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return chunk_pack_sequences(docs, budget=512)
+
+
+QUERIES["llm_pack_sequences"] = q_pack_sequences
+
+ORACLE["llm_pack_sequences"] = """
+WITH t AS (
+  SELECT source AS shard, doc_id,
+    CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+      ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+pos AS (
+  SELECT shard, n_tok,
+    CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS c
+  FROM t),
+spans AS (
+  SELECT shard, n_tok, c,
+    c // 512 AS first_pack,
+    (c + n_tok - 1) // 512 AS last_pack
+  FROM pos),
+exploded AS (
+  SELECT shard, n_tok, c, first_pack, last_pack,
+    unnest(range(first_pack, last_pack + 1)) AS pack_id
+  FROM spans)
+SELECT shard, pack_id,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN first_pack <> last_pack THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_split_docs,
+  CAST(sum(
+    greatest(0, least(c + n_tok, (pack_id + 1) * 512)
+      - greatest(c, pack_id * 512))) AS BIGINT) AS n_tokens
+FROM exploded GROUP BY 1, 2"""

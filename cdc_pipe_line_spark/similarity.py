@@ -333,6 +333,102 @@ def cosine_near_dup_pairs(
     )
 
 
+# ------------------------------------------------- semantic dedup
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = 64,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
+    semantic near-duplicate removal by CLUSTERING the embedding space
+    and comparing pairs only WITHIN clusters, never across the corpus.
+
+    - **Centroids**: every ``stride``-th id (deterministic, so the
+      oracle replays seed selection exactly; production would Lloyd-
+      refine them — :func:`ivf_assign` has that machinery — at the
+      cost of SQL replay).  Centroid count grows WITH the corpus
+      (n/stride), which is the SemDeDup scale contract: expected
+      cluster size stays ~``stride`` regardless of corpus size, so
+      within-cluster pair work is O(n * stride), not O(n^2).
+    - **Assignment**: one broadcast of the centroid table, cosine
+      argmax per vector folded in ONE hash aggregate
+      (``max_by(cent_id, struct(sim, -cent_id))`` — ties break to the
+      lowest centroid id deterministically, no per-vector window).
+    - **Dedup**: within-cluster pairs with cosine >= ``threshold``;
+      the higher id of each pair is dropped (keep-lowest canonical
+      rule, same as :func:`~cdc_pipe_line_spark.text.dedup_exact`).
+
+    Returns one row per cluster: size, candidate-pair count, dropped
+    count and an id checksum over dropped vectors — per-cluster skew
+    is thereby an oracle-checked OUTPUT, not a silent assumption.
+    """
+    seeds = corpus.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cv")
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__cv")), 4)
+    assigned = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(seeds))
+        .select(id_col, vec_col, "cent_id", sim.alias("__sim"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("__sim"), -F.col("cent_id"))
+            ).alias("cluster_id"),
+            F.first(vec_col).alias(vec_col),
+        )
+        # referenced three times below (both pair sides + the size
+        # aggregate): pin it, or Catalyst re-plans the n*K assignment
+        # sweep per reference (the measured self-derivation trap)
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    pair_sim = F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+    pairs = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cluster_id", "id_a", "id_b", pair_sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    dropped = pairs.groupBy("cluster_id", F.col("id_b").alias("__id")).agg(
+        F.lit(1).alias("__one")
+    )
+    per_cluster = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vecs")
+    )
+    pair_stats = pairs.groupBy("cluster_id").agg(
+        F.count("*").alias("n_pairs")
+    )
+    drop_stats = dropped.groupBy("cluster_id").agg(
+        F.count("*").alias("n_dropped"),
+        F.sum("__id").alias("dropped_id_sum"),
+    )
+    return (
+        per_cluster.join(pair_stats, "cluster_id", "left")
+        .join(drop_stats, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_vecs",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.coalesce("dropped_id_sum", F.lit(0)).alias("dropped_id_sum"),
+        )
+    )
+
+
 # ------------------------------------------------- scalar quantization
 
 def sq8_bounds(

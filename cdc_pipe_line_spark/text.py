@@ -1959,3 +1959,78 @@ def pii_audit(
             ),
         }
     )
+
+
+def chunk_pack_sequences(
+    df: DataFrame,
+    *,
+    budget: int = 512,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    batch construction (public: Brown et al. 2020 §2.1 'documents are
+    concatenated and split into sequences of N tokens'): within each
+    ``part_col`` shard, documents are concatenated in ``order_col``
+    order and the token stream is cut every ``budget`` tokens, so a
+    document can straddle a pack boundary.  The DOCUMENT-level
+    variant (each doc whole, bin = where it starts) is
+    :func:`pack_sequences`; this one accounts tokens exactly —
+    every non-tail pack is exactly ``budget`` tokens.
+
+    Each document's pack span is pure window arithmetic — exclusive
+    running token sum ``c``, first pack ``floor(c/budget)``, last pack
+    ``floor((c + n_tok - 1)/budget)`` — then an explode over the
+    (bounded, usually 1-2 element) pack range.  The cumulative window
+    is PARTITIONED by the shard column: packing is a per-shard
+    sequential contract in production anyway (each data shard packs
+    independently on its executor), so no global sort exists anywhere.
+
+    Returns one row per (shard, pack): documents touching the pack,
+    documents SPLIT across its boundary, and the pack's token count
+    (= budget except each shard's ragged last pack).
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = df.select(
+        F.col(part_col).alias("shard"),
+        toks.alias("n_tok"),
+        F.coalesce(F.sum(toks).over(w), F.lit(0)).alias("c"),
+    ).select(
+        "shard",
+        "n_tok",
+        F.floor(F.col("c") / budget).alias("first_pack"),
+        F.floor((F.col("c") + F.col("n_tok") - 1) / budget).alias(
+            "last_pack"
+        ),
+        F.col("c"),
+    )
+    exploded = spans.select(
+        "shard",
+        "n_tok",
+        "c",
+        "first_pack",
+        "last_pack",
+        F.explode(
+            F.sequence(F.col("first_pack"), F.col("last_pack"))
+        ).alias("pack_id"),
+    )
+    tok_in_pack = F.greatest(
+        F.lit(0),
+        F.least(F.col("c") + F.col("n_tok"), (F.col("pack_id") + 1) * budget)
+        - F.greatest(F.col("c"), F.col("pack_id") * budget),
+    )
+    return exploded.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("first_pack") != F.col("last_pack")).cast("bigint")).alias(
+            "n_split_docs"
+        ),
+        F.sum(tok_in_pack).alias("n_tokens"),
+    )

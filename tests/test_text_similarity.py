@@ -720,3 +720,46 @@ def test_pii_audit_counts(spark):
         got[4].n_phones == got[4].n_ipv4 == got[4].n_ssn_shaped
         == got[4].n_card_shaped == got[4].n_cards_luhn_valid == 0
     )
+
+
+def test_semantic_dedup_drops_within_cluster_dups(spark):
+    from cdc_pipe_line_spark.similarity import semantic_dedup
+
+    # ids 0 and 4 are centroid seeds (stride=4); 1 duplicates 0's
+    # direction (same cluster, cosine 1.0 -> dropped), 5 is opposite
+    # to 4 (own cluster, not similar), 2 is orthogonal.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),   # dup of 0 (cosine 1)
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, -1.0, 0.0]),  # anti-parallel: same cluster? no
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, stride=4, threshold=0.95)
+    got = {r.cluster_id: r for r in out.collect()}
+    c0 = got[0]
+    assert c0.n_pairs >= 1 and c0.n_dropped == 1 and c0.dropped_id_sum == 1
+    total_dropped = sum(r.n_dropped for r in got.values())
+    assert total_dropped == 1  # only the true duplicate is dropped
+
+
+def test_pack_sequences_budget_invariants(spark):
+    from cdc_pipe_line_spark.text import chunk_pack_sequences
+
+    # shard A: 3+4+5=12 tokens, budget 8 -> pack0 = 8 tokens
+    # (doc2 splits), pack1 = 4 tokens
+    rows = [
+        (1, "A", "a b c"),
+        (2, "A", "d e f g"),
+        (3, "A", "h i j k l"),
+        (4, "B", "x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.shard, r.pack_id): r for r in chunk_pack_sequences(df, budget=8).collect()}
+    a0, a1, b0 = out[("A", 0)], out[("A", 1)], out[("B", 0)]
+    assert a0.n_tokens == 8 and a1.n_tokens == 4
+    assert a0.n_docs == 3 and a1.n_docs == 1
+    assert a0.n_split_docs == 1 and a1.n_split_docs == 1  # doc3 in both
+    assert b0.n_tokens == 2 and b0.n_docs == 1 and b0.n_split_docs == 0
+    # every non-tail pack is exactly the budget
