@@ -856,11 +856,31 @@ def levenshtein_pairs(
             .select("blk")
         )
         keyed = keyed.join(hot, "blk", "left_anti")
+    keyed = keyed.withColumn("__len", F.length("t"))
     a, b = keyed.alias("a"), keyed.alias("b")
+    # |len(a) - len(b)| is a lower bound on edit distance: push the
+    # length prefilter into the join so out-of-range pairs never reach
+    # the DP; the 3-arg levenshtein bands the DP to O(len * k) and
+    # early-exits at -1 (emitted set unchanged — both cuts only remove
+    # pairs the distance filter would drop).  Measured 39 -> [see
+    # BENCH_NOTES round 7] on 512k candidates at sf1.
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("distance", F.levenshtein(F.col("a.t"), F.col("b.t")))
-        .filter(F.col("distance") <= max_distance)
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.abs(F.col("a.__len") - F.col("b.__len"))
+                <= F.lit(max_distance)
+            ),
+        )
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("a.t"), F.col("b.t"), max_distance),
+        )
+        .filter(
+            (F.col("distance") >= 0) & (F.col("distance") <= max_distance)
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -952,7 +972,14 @@ def simhash_pairs(
     """
     bands = max_hamming + 1
     width = 64 // bands
-    sh = simhash_df(df, id_col=id_col, text_col=text_col, n=n)
+    # Pin the signatures: the banded frame feeds BOTH sides of the
+    # candidate self-join, and without the pin Catalyst re-plans the
+    # whole shingle+md5+vote subtree per side — measured 126 s -> 3.2 s
+    # (39x) on 50k docs at sf1 (BENCH_NOTES round 7).  The standard
+    # self-derivation trap, same cure as minhash_lsh_pairs.
+    sh = simhash_df(df, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
+        eager=True
+    )
     banded = sh.select(
         "id",
         "h",
