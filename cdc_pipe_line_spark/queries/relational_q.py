@@ -2524,3 +2524,69 @@ FROM ps JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
   AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
 GROUP BY 1, 2, 3"""
+
+
+def q_scalar_variant_json(spark, sf_dir):
+    """Semi-structured ingestion through Spark 4's VARIANT type (the
+    parse-once binary-encoded JSON column that replaces repeated
+    get_json_object string re-parsing — the 100 TB answer to schema-
+    on-read event payloads).  ``props`` parses to VARIANT once;
+    ``variant_get`` extracts a typed path; ``schema_of_variant``
+    reports the inferred per-row shape; a deterministically corrupted
+    copy (every 97th event id) exercises ``try_parse_json``'s
+    null-on-malformed contract next to the throwing parse.  Rolled up
+    per event type with the k-extraction stats, so parse fidelity,
+    typed extraction, and malformed accounting all bind to the hash."""
+    ev = _t(spark, sf_dir, "events")
+    # leading garbage: rejected by BOTH parsers (Spark's Jackson path
+    # tolerates trailing bytes after a complete value, so a trailing
+    # corruption would diverge from DuckDB's json_valid)
+    raw = F.when(
+        F.col("event_id") % 97 == 0,
+        F.concat(F.lit("x"), F.col("props")),
+    ).otherwise(F.col("props"))
+    v = F.try_parse_json(raw)
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select(
+            "event_type",
+            v.alias("v"),
+            k.alias("k"),
+            F.schema_of_variant(F.parse_json(F.col("props"))).alias("shape"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("v").isNull().cast("bigint")).alias("n_malformed"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("shape").alias("n_shapes"),
+            F.min("shape").alias("shape_min"),
+        )
+    )
+
+
+QUERIES["scalar_variant_json"] = q_scalar_variant_json
+
+ORACLE["scalar_variant_json"] = """
+WITH e AS (
+  SELECT event_type,
+    CASE WHEN event_id % 97 = 0 THEN 'x' || props ELSE props END AS raw,
+    props
+  FROM events),
+p AS (
+  SELECT event_type,
+    CASE WHEN json_valid(raw) THEN raw END AS v,
+    CASE WHEN json_valid(raw)
+      THEN CAST(json_extract(raw, '$.k') AS INT) END AS k
+  FROM e)
+SELECT event_type, count(*) AS n_events,
+  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_malformed,
+  CAST(sum(k) AS BIGINT) AS k_sum,
+  CAST(min(k) AS INT) AS k_min,
+  CAST(max(k) AS INT) AS k_max,
+  CAST(1 AS BIGINT) AS n_shapes,
+  'OBJECT<k: BIGINT>' AS shape_min
+FROM p GROUP BY 1"""

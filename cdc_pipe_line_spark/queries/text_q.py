@@ -2615,3 +2615,141 @@ SELECT shard, pack_id,
     greatest(0, least(c + n_tok, (pack_id + 1) * 512)
       - greatest(c, pack_id * 512))) AS BIGINT) AS n_tokens
 FROM exploded GROUP BY 1, 2"""
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """BPE tokenizer APPLY — the other half of ``llm_bpe_merges``:
+    the three learned merges are applied to the whole corpus and the
+    result is reported as per-source tokenizer fertility (BPE tokens
+    per word / per char), the metric tokenizer changes are judged by.
+
+    Scale shape: training is vocabulary-sized as before; APPLICATION
+    is a broadcast join from the exploded word stream to the merged
+    vocabulary (word -> symbol count) — the token stream is never
+    re-merged per occurrence, each distinct word is merged once.
+    """
+    S1, S2 = "\x01", "\x02"
+    docs = _t(spark, sf_dir, "documents")
+    word_stream = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = (
+        word_stream.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "w",
+            F.trim(
+                F.regexp_replace("w", "(.)", S1 + "$1" + S2 + " ")
+            ).alias("t"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    pair_expr = F.expr(
+        "filter(transform(split(t, ' '), (x, i) -> struct(x AS a,"
+        " try_element_at(split(t, ' '), i + 2) AS b)),"
+        " p -> p.b IS NOT NULL)"
+    )
+    cur = vocab
+    for _rnd in range(3):
+        best = (
+            cur.select(F.explode(pair_expr).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        pat = F.concat(F.col("a"), F.lit(" "), F.col("b"))
+        rep = F.concat(
+            F.expr("substring(a, 1, length(a) - 1)"),
+            F.expr("substring(b, 2)"),
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select("w", F.replace("t", pat, rep).alias("t"), "freq")
+            .localCheckpoint(eager=True)
+        )
+    sym_counts = cur.select(
+        "w",
+        F.size(F.split("t", " ")).cast("bigint").alias("n_sym"),
+        F.length("w").cast("bigint").alias("n_chars"),
+    )
+    fl6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("bigint")
+    return (
+        word_stream.join(F.broadcast(sym_counts), "w")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            fl6(F.sum("n_sym") / F.count("*")).alias("fertility_micro"),
+        )
+    )
+
+
+QUERIES["llm_bpe_tokenize"] = q_bpe_tokenize
+
+ORACLE["llm_bpe_tokenize"] = r"""
+WITH ws AS (
+  SELECT source, doc_id, w
+  FROM (
+    SELECT source, doc_id,
+      unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+        'g')), ' ')) AS w
+    FROM documents) x
+  WHERE w <> ''),
+w0 AS (
+  SELECT w, trim(regexp_replace(w, '(.)', chr(1) || '\1' || chr(2)
+    || ' ', 'g')) AS t, count(*) AS freq
+  FROM ws GROUP BY 1),
+p1 AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b,
+    CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(t, ' ') AS syms, freq FROM w0) l,
+    unnest(range(1, length(syms))) AS u(i)
+  GROUP BY 1, 2),
+b1 AS (SELECT * FROM p1 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+w1 AS (
+  SELECT w, replace(t, b1.a || ' ' || b1.b,
+    substring(b1.a, 1, length(b1.a) - 1) || substring(b1.b, 2)) AS t,
+    freq
+  FROM w0 CROSS JOIN b1),
+p2 AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b,
+    CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(t, ' ') AS syms, freq FROM w1) l,
+    unnest(range(1, length(syms))) AS u(i)
+  GROUP BY 1, 2),
+b2 AS (SELECT * FROM p2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+w2 AS (
+  SELECT w, replace(t, b2.a || ' ' || b2.b,
+    substring(b2.a, 1, length(b2.a) - 1) || substring(b2.b, 2)) AS t,
+    freq
+  FROM w1 CROSS JOIN b2),
+p3 AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b,
+    CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(t, ' ') AS syms, freq FROM w2) l,
+    unnest(range(1, length(syms))) AS u(i)
+  GROUP BY 1, 2),
+b3 AS (SELECT * FROM p3 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+w3 AS (
+  SELECT w, replace(t, b3.a || ' ' || b3.b,
+    substring(b3.a, 1, length(b3.a) - 1) || substring(b3.b, 2)) AS t
+  FROM w2 CROSS JOIN b3),
+sym AS (
+  SELECT w, CAST(len(string_split(t, ' ')) AS BIGINT) AS n_sym,
+    CAST(length(w) AS BIGINT) AS n_chars
+  FROM w3)
+SELECT source, count(DISTINCT doc_id) AS n_docs,
+  count(*) AS n_words,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+  CAST(floor(CAST(sum(n_sym) AS DOUBLE) / count(*) * 1e6
+    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS fertility_micro
+FROM ws JOIN sym USING (w)
+GROUP BY 1"""
