@@ -54,6 +54,13 @@ EXTENDED = [
     "agg_heavy_hitters",  # two-pass exact Misra-Gries heavy hitters
     "ts_rolling_median",  # exact rolling median (RANGE-frame window)
     "qa_constraint_suite",  # Deequ-style multi-constraint verification
+    # round-7 additions: the two post-soak dedup optimizations (39x /
+    # 8x at sf1 — BENCH_NOTES round 7) plus the new SemDeDup operator,
+    # tracked so a regression in the pinned/banded paths is visible.
+    # extended_total_sec therefore steps up vs r6 by construction.
+    "dedup_simhash",  # banded simhash pairs (signature frame pinned)
+    "dedup_levenshtein",  # prefix-blocked edit distance (banded verify)
+    "dedup_semantic",  # SemDeDup cluster-blocked embedding dedup
 ]
 
 
