@@ -276,8 +276,17 @@ def decontaminate(
     side is the same exploded-shingle stream every dedup operator
     here uses; nothing is ever O(train x benchmark).
     """
-    tr = shingle_df(train, id_col=id_col, text_col=text_col, n=n)
-    bm = shingle_df(benchmark, id_col=id_col, text_col=text_col, n=n)
+    # Pin both shingle frames: the shingle column is an expensive
+    # higher-order expression, and downstream Project collapse inlines
+    # it into EVERY consumer (size + explode + join key each recompute
+    # it from text) — measured 52 s -> 5.2 s (10x) on 50k docs at sf1
+    # with both pins (BENCH_NOTES round 7).
+    tr = shingle_df(
+        train, id_col=id_col, text_col=text_col, n=n
+    ).localCheckpoint(eager=True)
+    bm = shingle_df(
+        benchmark, id_col=id_col, text_col=text_col, n=n
+    ).localCheckpoint(eager=True)
     bm_grams = bm.select(F.explode("sh").alias("gram")).distinct()
     return (
         tr.select("id", F.size("sh").alias("__n_sh"), F.explode("sh").alias("gram"))
