@@ -344,3 +344,49 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_triangles_use_adjacency_intersection_not_wedges(spark):
+    """Triangle enumeration must keep the adjacency-intersection shape
+    (one row per EDGE through the closure, the intersection inside
+    codegen) — the wedge formulation shuffles one row per wedge and
+    measured 8x slower at sf1 (493M wedges; BENCH_NOTES round 7).
+    The registered query checkpoints the triangle frame, so assert on
+    the operator's own plan."""
+    from cdc_pipe_line_spark.analytics import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a long, b long"
+    )
+    plan = (
+        triangle_count(edges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "array_intersect" in plan, plan
+    # the closure never re-materializes wedges: exactly the two
+    # adjacency joins, no third join
+    assert plan.count("Join") <= 2, plan
+
+
+def test_simhash_signature_subtree_pinned(spark):
+    """dedup_simhash's candidate self-join must run over the PINNED
+    signature frame: no parquet scan (and no pandas-UDF signature
+    evaluation) may appear in the pair plan — re-planning the
+    UDF-bearing subtree through the join measured 39x slower at sf1
+    (BENCH_NOTES round 7)."""
+    plan = _plan(spark, "dedup_simhash")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_decontaminate_shingle_frames_pinned(spark):
+    """text_decontaminate's gram join must consume checkpointed
+    shingle frames: Project collapse otherwise inlines the
+    higher-order shingle expression into every consumer (measured
+    10x at sf1, BENCH_NOTES round 7)."""
+    plan = _plan(spark, "text_decontaminate")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan
