@@ -567,3 +567,86 @@ j AS (
 SELECT status, count(*) AS n_users,
   CAST(sum(delta) AS BIGINT) AS net_cents_delta
 FROM j GROUP BY 1"""
+
+
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-interval coalescing — the gaps-and-islands merge every
+    temporal/CDC store needs (fold overlapping or adjacent validity
+    ranges into maximal covered intervals; ref: the SCD2 history's
+    interval algebra, here applied to per-user activity ranges).
+
+    Each event opens a deterministic interval ``[ts, ts +
+    (floor(value) + 1) minutes)`` in integer microseconds (the
+    cross-engine epoch rule; floor() because bare double->int casts
+    truncate in Spark but round in DuckDB).  Classic islands: an interval STARTS a new island iff its
+    start exceeds the running max of all previous ends (per user, in
+    start order); island id = cumulative sum of start flags; one
+    aggregate per (user, island), rolled up per user.  Both windows
+    are keyed by user — no global sort anywhere.
+    """
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + (F.floor("value").cast("bigint") + 1) * 60_000_000
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        (
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1))
+        ).cast("bigint"),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    merged = flagged.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+        F.count("*").alias("n_raw"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum("n_raw").alias("n_intervals"),
+        F.count("*").alias("n_merged"),
+        F.sum(F.col("me") - F.col("ms")).alias("covered_us"),
+        F.max(F.col("me") - F.col("ms")).alias("longest_us"),
+    )
+
+
+QUERIES["cdc_interval_coalesce"] = q_interval_coalesce
+
+ORACLE["cdc_interval_coalesce"] = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+    epoch_us(ts) + (CAST(floor(value) AS BIGINT) + 1) * 60000000 AS e
+  FROM events),
+flagged AS (
+  SELECT user_id, s, e,
+    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id
+      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      -1) THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+islands AS (
+  SELECT user_id, s, e,
+    sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged),
+merged AS (
+  SELECT user_id, island, min(s) AS ms, max(e) AS me,
+    count(*) AS n_raw
+  FROM islands GROUP BY 1, 2)
+SELECT user_id,
+  CAST(sum(n_raw) AS BIGINT) AS n_intervals,
+  count(*) AS n_merged,
+  CAST(sum(me - ms) AS BIGINT) AS covered_us,
+  CAST(max(me - ms) AS BIGINT) AS longest_us
+FROM merged GROUP BY 1"""

@@ -2590,3 +2590,64 @@ SELECT event_type, count(*) AS n_events,
   CAST(1 AS BIGINT) AS n_shapes,
   'OBJECT<k: BIGINT>' AS shape_min
 FROM p GROUP BY 1"""
+
+
+def q_salted_skew_join(spark, sf_dir):
+    """Key-salting for a skewed join — the manual mitigation the brief
+    calls out next to AQE skew handling (insurance for engines/paths
+    where AQE's runtime split cannot fire, e.g. a broadcast-ineligible
+    dim under a fixed partitioning contract).
+
+    A deliberately skewed fact is built from events (30% of rows
+    collapse onto one hot key); the dim side is a per-user tier
+    table.  The fact salts every key with ``pmod(event_id, 16)``
+    (deterministic, replayable — production uses rand(), same
+    algebra), the dim EXPLODES x16, and the join runs on
+    ``(key, salt)`` so the hot key spreads over 16 reducers instead
+    of one.  The per-tier rollup is provably salt-invariant: the
+    oracle replays the UNSALTED join, and n_salts_touched pins that
+    the salted path actually fanned out.
+    """
+    ev = _t(spark, sf_dir, "events")
+    fact = ev.select(
+        F.when(F.col("event_id") % 10 < 3, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        (F.col("event_id") % 16).alias("salt"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"),
+    )
+    # dim derives from the same scan: pin it so the profile builds once
+    dim = (
+        ev.select(F.col("user_id").alias("k"))
+        .distinct()
+        .select("k", (F.col("k") % 5).alias("tier"))
+        .localCheckpoint(eager=True)
+    )
+    dim_salted = dim.select(
+        "k", "tier", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("salt")
+    )
+    joined = fact.join(dim_salted, ["k", "salt"])
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("cents"),
+        F.countDistinct("k").alias("n_keys"),
+        F.countDistinct("salt").alias("n_salts_touched"),
+    )
+
+
+QUERIES["join_salted_skew"] = q_salted_skew_join
+
+ORACLE["join_salted_skew"] = """
+WITH fact AS (
+  SELECT CASE WHEN event_id % 10 < 3 THEN 1 ELSE user_id END AS k,
+    event_id % 16 AS salt,
+    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM events),
+dim AS (
+  SELECT DISTINCT user_id AS k, user_id % 5 AS tier FROM events)
+SELECT tier, count(*) AS n_events,
+  CAST(sum(cents) AS BIGINT) AS cents,
+  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+  CAST(count(DISTINCT salt) AS BIGINT) AS n_salts_touched
+FROM fact JOIN dim USING (k)
+GROUP BY 1"""
