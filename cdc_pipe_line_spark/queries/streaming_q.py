@@ -453,7 +453,81 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_stream_psi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE drift gate — the streaming twin of ``qa_psi_drift``:
+    the reference window (period A, first half by integer-microsecond
+    midpoint) profiles BATCH-side into decile edges and bucket
+    shares; the CURRENT window (period B) arrives as the event
+    STREAM, bucketed against the broadcast reference edges inside a
+    complete-mode stateful count.  After the bounded drain the two
+    profiles fold into per-bucket PSI terms + the total — the
+    ML-ops deployment shape (reference profile precomputed/static,
+    live traffic scored online).  Term/total pinning identical to
+    the batch query, so both share one oracle formulation.
+
+    The midpoint and the 9 decile edges are SCALARS (one reduce
+    each, collected and re-broadcast as literals into the stream
+    plan — at any scale these are O(1) rows, the boundary-reduce
+    pattern of rfm_approx)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "value", F.unix_micros("ts").alias("us")
+    )
+    lo, hi = ev.agg(F.min("us"), F.max("us")).first()
+    mid = int((lo + hi) / 2)
+    ref = ev.filter(F.col("us") < mid).localCheckpoint(eager=True)
+    qs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    edges = list(ref.agg(F.percentile("value", qs)).first()[0])
+
+    def bucket_of(col):
+        b = F.when(col <= F.lit(edges[0]), 0)
+        for i in range(1, 9):
+            b = b.when(col <= F.lit(edges[i]), i)
+        return b.otherwise(9)
+
+    n_a_tot = ref.count()
+    counts_a = (
+        ref.groupBy(bucket_of(F.col("value")).alias("bucket"))
+        .agg(F.count("*").alias("n_a"))
+        .localCheckpoint(eager=True)
+    )
+
+    base = _stage(spark, sf_dir, "raw")
+    cur = (
+        _read_raw(spark, base)
+        .filter(F.unix_micros("ts") >= F.lit(mid))
+        .groupBy(bucket_of(F.col("value")).alias("bucket"))
+        .agg(F.count("*").alias("n_b"))
+    )
+    q, counts_b = st.start_to_memory(cur, output_mode="complete")
+    q.awaitTermination()
+    n_b_tot = counts_b.agg(F.sum("n_b")).first()[0] or 0
+
+    qa = (F.col("n_a") + 1) / F.lit(float(n_a_tot + 10))
+    qb = (F.col("n_b") + 1) / F.lit(float(n_b_tot + 10))
+    term = (
+        F.floor((qb - qa) * F.log(qb / qa) * 1e8 + F.lit(0.5)) / 1e8
+    )
+    per_bucket = (
+        counts_a.join(counts_b, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .select("bucket", "n_a", "n_b", term.alias("psi_term"))
+        .localCheckpoint(eager=True)
+    )
+    fl = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    psi = per_bucket.agg(fl(F.sum("psi_term")).alias("psi"))
+    return per_bucket.select(
+        "bucket", "n_a", "n_b", fl(F.col("psi_term")).alias("psi_term")
+    ).crossJoin(F.broadcast(psi))
+
+
 QUERIES = {
+    "stream_psi_gate": q_stream_psi_gate,
     "stream_sessions": q_stream_sessions,
     "stream_doc_gate": q_stream_doc_gate,
     "stream_windowed_counts": q_stream_windowed_counts,
@@ -464,6 +538,54 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_psi_gate": """
+WITH ev AS (
+  SELECT value, epoch_us(ts) AS us FROM events),
+rng AS (
+  SELECT CAST((min(us) + max(us)) / 2.0 AS BIGINT) AS mid FROM ev),
+tagged AS (
+  SELECT value,
+    CASE WHEN us < (SELECT mid FROM rng) THEN 'A' ELSE 'B' END
+      AS period
+  FROM ev),
+edges AS (
+  SELECT quantile_cont(value,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+  FROM tagged WHERE period = 'A'),
+bucketed AS (
+  SELECT period,
+    CASE WHEN value <= e[1] THEN 0
+         WHEN value <= e[2] THEN 1
+         WHEN value <= e[3] THEN 2
+         WHEN value <= e[4] THEN 3
+         WHEN value <= e[5] THEN 4
+         WHEN value <= e[6] THEN 5
+         WHEN value <= e[7] THEN 6
+         WHEN value <= e[8] THEN 7
+         WHEN value <= e[9] THEN 8
+         ELSE 9 END AS bucket
+  FROM tagged CROSS JOIN edges),
+counts AS (
+  SELECT bucket, period, count(*) AS n
+  FROM bucketed GROUP BY 1, 2),
+tots AS (SELECT period, count(*) AS n_tot FROM bucketed GROUP BY 1),
+shares AS (
+  SELECT bucket, counts.period, n,
+    (n + 1) / CAST(n_tot + 10 AS DOUBLE) AS q
+  FROM counts JOIN tots ON tots.period = counts.period),
+ab AS (
+  SELECT coalesce(a.bucket, b.bucket) AS bucket,
+    coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b,
+    floor((b.q - a.q) * ln(b.q / a.q) * 1e8 + 0.5) / 1e8 AS psi_term
+  FROM (SELECT * FROM shares WHERE period = 'A') a
+  FULL JOIN (SELECT * FROM shares WHERE period = 'B') b
+    ON a.bucket = b.bucket),
+tot_psi AS (
+  SELECT floor(sum(psi_term) * 1e6 + 0.5) / 1e6 AS psi FROM ab)
+SELECT bucket, n_a, n_b,
+  floor(psi_term * 1e6 + 0.5) / 1e6 AS psi_term,
+  (SELECT psi FROM tot_psi) AS psi
+FROM ab""",
     "stream_doc_gate": """
 WITH f AS (
   SELECT lang,
