@@ -408,17 +408,77 @@ def mp4_sample_index(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, SAMPLE_INDEX_SCHEMA)
 
 
-def make_mp4_sampled(n_samples: int, base_size: int, seed: int = 0) -> bytes:
+def scene_cuts(
+    sample_index: DataFrame,
+    *,
+    threshold: int = 30,
+) -> DataFrame:
+    """Container-level scene-cut detection — the frame-sampling
+    heuristic a video training-data pipeline runs BEFORE any pixel
+    decode: I-frames (keyframes) are materially larger than predicted
+    frames, so a jump of >= ``threshold`` bytes in consecutive
+    sample sizes marks a likely cut/GOP boundary, and downstream
+    decoding touches only the flagged samples' byte ranges.
+
+    Input is :func:`mp4_sample_index` output; quarantined rows
+    (null ``sample_id``) pass through with null stats.  One keyed
+    window (per media, by sample order) + one aggregate — no pixel
+    work, no shuffle beyond the media key.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("media_id").orderBy("sample_id")
+    flagged = sample_index.withColumn(
+        "__delta",
+        F.col("sample_size")
+        - F.lag("sample_size").over(w),
+    ).withColumn(
+        "__cut",
+        (F.col("__delta") >= threshold).cast("bigint"),
+    )
+    return flagged.groupBy("media_id").agg(
+        F.max("decode_err").alias("decode_err"),
+        F.count("sample_id").alias("n_samples"),
+        F.coalesce(F.sum("__cut"), F.lit(0)).alias("n_cuts"),
+        F.min(F.when(F.col("__cut") == 1, F.col("sample_id"))).alias(
+            "first_cut_sample"
+        ),
+        F.sum(
+            F.when(F.col("__cut") == 1, F.col("sample_size"))
+        ).alias("cut_bytes"),
+        F.sum("sample_size").alias("total_bytes"),
+    )
+
+
+def make_mp4_sampled(
+    n_samples: int,
+    base_size: int,
+    seed: int = 0,
+    *,
+    keyframe_every: int | None = None,
+    keyframe_extra: int = 40,
+) -> bytes:
     """Deterministic minimal MP4 twin of :func:`mp4_sample_table`:
     one chunk, per-sample sizes ``base_size + (i % 7)``, real
     ftyp/moov/stbl framing and an mdat holding the samples.  The
     layout is ARITHMETIC from (n_samples, base_size):
     ``mdat data starts at 132 + 4*n`` and sample i's offset adds
     ``i*base + 21*(i//7) + tri(i%7)`` — the formula the SQL oracle
-    replays."""
+    replays.  ``keyframe_every``: every k-th sample additionally
+    carries ``keyframe_extra`` bytes — the I-frame size signature
+    scene-cut detection keys on (closed-form, oracle-replayable)."""
     import struct as _struct
 
-    sizes = [base_size + (i % 7) for i in range(n_samples)]
+    sizes = [
+        base_size
+        + (i % 7)
+        + (
+            keyframe_extra
+            if keyframe_every and i % keyframe_every == 0
+            else 0
+        )
+        for i in range(n_samples)
+    ]
 
     def box(name: bytes, body: bytes) -> bytes:
         return _struct.pack(">I", 8 + len(body)) + name + body

@@ -777,7 +777,50 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, stride=64, threshold=0.35)
 
 
+
+
+def q_video_scene_cuts(spark, sf_dir):
+    """Container-level scene-cut detection over real ISO-BMFF sample
+    tables: keyframes (every 10th sample, +40 bytes — the I-frame
+    size signature) are planted in the fixture MP4s, mp4_sample_index
+    parses the genuine stsz/stco/stsc layout, and scene_cuts flags
+    size jumps >= 30 bytes — the decode-nothing frame-sampling
+    heuristic of a video training-data pipeline (only flagged byte
+    ranges would be pixel-decoded downstream).  Sizes are closed-form
+    in doc_id so the oracle replays the parse AND the lag-window cut
+    logic; every 43rd payload loses its mdat body and quarantines."""
+    from cdc_pipe_line_spark.multimodal import scene_cuts
+
+    @F.pandas_udf("binary")
+    def _mp4_payload(
+        n: pd.Series, base: pd.Series, cut: pd.Series
+    ) -> pd.Series:
+        out = []
+        for a, b, k in zip(n, base, cut):
+            m = make_mp4_sampled(
+                int(a), int(b), seed=int(a) * 3 + int(b),
+                keyframe_every=10, keyframe_extra=40,
+            )
+            out.append(m[: 132 + 4 * int(a)] if k else m)
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 25) + 12).alias("__n"),
+        ((F.col("doc_id") % 50) + 10).alias("__base"),
+        (F.col("doc_id") % 43 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_mp4_payload("__n", "__base", "__cut"),
+        media_type="video/mp4",
+    )
+    return scene_cuts(mp4_sample_index(media), threshold=30)
+
+
 QUERIES = {
+    "mm_video_scene_cuts": q_video_scene_cuts,
     "dedup_semantic": q_semantic_dedup,
     "mm_jpeg_decode": q_jpeg_decode,
     "mm_jpeg_color_decode": q_jpeg_color_decode,
@@ -806,6 +849,42 @@ _SQ8_CODE = (
 )
 
 ORACLE = {
+    "mm_video_scene_cuts": """
+WITH p AS (
+  SELECT doc_id,
+    (doc_id % 25) + 12 AS n,
+    (doc_id % 50) + 10 AS base,
+    doc_id % 43 = 0 AS cut
+  FROM documents),
+samples AS (
+  SELECT doc_id, n, base, unnest(range(0, n)) AS i FROM p
+  WHERE NOT cut),
+sized AS (
+  SELECT doc_id, i,
+    CAST(base + (i % 7)
+      + CASE WHEN i % 10 = 0 THEN 40 ELSE 0 END AS BIGINT) AS sz
+  FROM samples),
+flagged AS (
+  SELECT doc_id, i, sz,
+    CASE WHEN sz - lag(sz) OVER (PARTITION BY doc_id ORDER BY i)
+      >= 30 THEN 1 ELSE 0 END AS c
+  FROM sized)
+SELECT doc_id AS media_id,
+  CAST(NULL AS VARCHAR) AS decode_err,
+  count(*) AS n_samples,
+  CAST(sum(c) AS BIGINT) AS n_cuts,
+  CAST(min(CASE WHEN c = 1 THEN i END) AS BIGINT)
+    AS first_cut_sample,
+  CAST(sum(CASE WHEN c = 1 THEN sz END) AS BIGINT) AS cut_bytes,
+  CAST(sum(sz) AS BIGINT) AS total_bytes
+FROM flagged GROUP BY 1
+UNION ALL
+SELECT doc_id,
+  'mp4: sample 0 (' || CAST(132 + 4 * n AS VARCHAR) || '+'
+    || CAST(base + 40 AS VARCHAR) || ') beyond EOF '
+    || CAST(132 + 4 * n AS VARCHAR),
+  0, 0, NULL, NULL, NULL
+FROM p WHERE cut""",
     "dedup_semantic": f"""
 WITH seeds AS (
   SELECT vec_id AS cent_id, embedding AS cv
