@@ -1217,6 +1217,71 @@ def decimate_audio(media: DataFrame, k: int = 4) -> DataFrame:
     )
 
 
+def dhash_images(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    grid_w: int = 9,
+    grid_h: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash, public: Krawetz 2013) over
+    REAL decoded netpbm rasters — the standard pre-embedding image
+    dedup signal: nearest-neighbor downsample to ``grid_w x grid_h``
+    grayscale, then one bit per horizontally-adjacent pixel pair
+    (``g[x] < g[x+1]``), packed into a 64-bit signature.  Identical
+    content hashes identically regardless of uniform brightness
+    shifts (comparisons are invariant to adding a constant) — the
+    perceptual property exact byte hashing lacks.
+
+    One Arrow-batched ``mapInPandas`` pass; candidates downstream go
+    through :func:`cdc_pipe_line_spark.text.hamming_pairs` (banded,
+    never all-pairs).  Malformed payloads quarantine via
+    ``decode_err``.
+    """
+    schema = f"{id_col} bigint, dhash bigint, decode_err string"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(grid_w)
+        ys = np.arange(grid_h)
+        shifts = (
+            np.arange((grid_w - 1) * grid_h, dtype=np.uint64)
+        )
+        for pdf in batches:
+            ids, hs, errs = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(mid)
+                try:
+                    if payload is None:
+                        raise MediaDecodeError("null payload")
+                    w, h, arr = _ppm_pixels(bytes(payload))
+                    gray = (
+                        arr.astype(np.int64).sum(axis=2) // arr.shape[2]
+                    )
+                    sx = (xs * w) // grid_w
+                    sy = (ys * h) // grid_h
+                    g = gray[np.ix_(sy, sx)]  # grid_h x grid_w
+                    bits = (g[:, :-1] < g[:, 1:]).astype(np.uint64)
+                    hval = np.bitwise_or.reduce(
+                        np.where(
+                            bits.reshape(-1) == 1,
+                            np.uint64(1) << shifts,
+                            np.uint64(0),
+                        )
+                    )
+                    hs.append(int(hval.astype(np.int64)))
+                    errs.append(None)
+                except MediaDecodeError as exc:
+                    hs.append(None)
+                    errs.append(str(exc))
+            yield pd.DataFrame(
+                {id_col: ids, "dhash": pd.Series(hs, dtype="object"),
+                 "decode_err": errs}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(_hash, schema)
+
+
 def image_channel_stats(
     media: DataFrame,
     *,

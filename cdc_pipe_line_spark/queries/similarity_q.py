@@ -819,7 +819,85 @@ def q_video_scene_cuts(spark, sf_dir):
     return scene_cuts(mp4_sample_index(media), threshold=30)
 
 
+
+
+def q_image_dhash_dedup(spark, sf_dir):
+    """Perceptual image dedup: dHash (difference hash) over REAL
+    decoded PPM rasters, candidate pairs via the banded Hamming
+    engine (pigeonhole recall 1.0, never all-pairs on the Spark
+    side).  Fixture images render a modular gradient
+    ``v(x, y) = ((a*x + b*y) % 16) * 12 + c`` (r=g=b): 16 (a, b)
+    pattern classes, with ``c`` a per-doc brightness offset that
+    dHash provably IGNORES (comparisons are invariant to adding a
+    constant) — the perceptual property exact byte hashing lacks,
+    pinned by the oracle which replays hash construction from the
+    closed form and verifies pairs ALL-PAIRS with bit_count(xor).
+    Every 37th payload truncates mid-raster and quarantines.
+    Output: per-Hamming pair census + quarantine census (id
+    checksums bind membership)."""
+    from cdc_pipe_line_spark.multimodal import dhash_images
+    from cdc_pipe_line_spark.text import hamming_pairs
+
+    @F.pandas_udf("binary")
+    def _ppm(
+        a: pd.Series, b: pd.Series, c: pd.Series, cut: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        out = []
+        w, h = 36, 24
+        for av, bv, cv, k in zip(a, b, c, cut):
+            av, bv, cv = int(av), int(bv), int(cv)
+            x = np.arange(w)
+            y = np.arange(h)
+            v = ((av * x[None, :] + bv * y[:, None]) % 16) * 12 + cv
+            rgb = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+            payload = b"P6\n36 24\n255\n" + rgb.tobytes()
+            out.append(payload[: len(payload) // 2] if k else payload)
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (1 + F.col("doc_id") % 4).alias("__a"),
+        (1 + (F.col("doc_id") / 4).cast("bigint") % 4).alias("__b"),
+        (40 * (F.col("doc_id") % 2)).alias("__c"),
+        (F.col("doc_id") % 37 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_ppm("__a", "__b", "__c", "__cut"),
+        media_type="image/x-portable-pixmap",
+    )
+    hashed = dhash_images(media, id_col="media_id").localCheckpoint(
+        eager=True
+    )
+    pairs = hamming_pairs(
+        hashed.filter(F.col("dhash").isNotNull()),
+        id_col="media_id",
+        hash_col="dhash",
+        max_hamming=3,
+    )
+    census = pairs.groupBy("hamming").agg(
+        F.count("*").alias("n"),
+        (F.sum("id_a") + F.sum("id_b")).alias("id_sum"),
+    ).select(
+        F.lit("pairs").alias("probe"),
+        F.col("hamming").cast("int").alias("hamming"),
+        "n",
+        "id_sum",
+    )
+    quar = hashed.filter(F.col("decode_err").isNotNull()).agg(
+        F.lit("quarantined").alias("probe"),
+        F.lit(None).cast("int").alias("hamming"),
+        F.count("*").alias("n"),
+        F.sum("media_id").alias("id_sum"),
+    )
+    return census.unionByName(quar)
+
+
 QUERIES = {
+    "mm_image_dhash_dedup": q_image_dhash_dedup,
     "mm_video_scene_cuts": q_video_scene_cuts,
     "dedup_semantic": q_semantic_dedup,
     "mm_jpeg_decode": q_jpeg_decode,
@@ -849,6 +927,41 @@ _SQ8_CODE = (
 )
 
 ORACLE = {
+    "mm_image_dhash_dedup": """
+WITH p AS (
+  SELECT doc_id,
+    1 + doc_id % 4 AS a,
+    1 + (doc_id // 4) % 4 AS b,
+    doc_id % 37 = 0 AS cut
+  FROM documents),
+grid AS (
+  SELECT doc_id, a, b, gy.y, gx.x,
+    CAST(y * 8 + x AS BIGINT) AS i,
+    CASE WHEN (a * (4 * x) + b * (3 * y)) % 16
+            < (a * (4 * (x + 1)) + b * (3 * y)) % 16
+      THEN 1 ELSE 0 END AS bit
+  FROM p, (SELECT unnest(range(0, 8)) AS x) gx,
+       (SELECT unnest(range(0, 8)) AS y) gy
+  WHERE NOT cut),
+hashes AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN i = 63
+      THEN CASE WHEN bit = 1 THEN -9223372036854775807 - 1 ELSE 0 END
+      ELSE bit * (CAST(1 AS BIGINT) << i) END) AS BIGINT) AS h
+  FROM grid GROUP BY 1),
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+    bit_count(xor(x.h, y.h)) AS hamming
+  FROM hashes x JOIN hashes y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.h, y.h)) <= 3)
+SELECT 'pairs' AS probe, CAST(hamming AS INT) AS hamming,
+  count(*) AS n,
+  CAST(sum(id_a) + sum(id_b) AS BIGINT) AS id_sum
+FROM pairs GROUP BY 2
+UNION ALL
+SELECT 'quarantined', CAST(NULL AS INT), count(*),
+  CAST(sum(doc_id) AS BIGINT)
+FROM p WHERE cut""",
     "mm_video_scene_cuts": """
 WITH p AS (
   SELECT doc_id,

@@ -979,8 +979,6 @@ def simhash_pairs(
     least one exact band.  Join per band, then verify the true Hamming
     distance with bit_count(xor).
     """
-    bands = max_hamming + 1
-    width = 64 // bands
     # Pin the signatures: the banded frame feeds BOTH sides of the
     # candidate self-join, and without the pin Catalyst re-plans the
     # whole shingle+md5+vote subtree per side — measured 126 s -> 3.2 s
@@ -989,6 +987,31 @@ def simhash_pairs(
     sh = simhash_df(df, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
         eager=True
     )
+    return hamming_pairs(sh, id_col="id", hash_col="h", max_hamming=max_hamming)
+
+
+def hamming_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    hash_col: str = "h",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All (id_a < id_b) pairs whose 64-bit ``hash_col`` values are
+    within ``max_hamming`` — the shared banded-candidate engine behind
+    :func:`simhash_pairs` (text) and perceptual-hash image dedup
+    (multimodal dHash).
+
+    Pigeonhole banding: split the hash into ``max_hamming + 1``
+    bands; any pair within the radius agrees exactly on at least one
+    band, so the equi-join on (band, piece) has recall 1.0 by
+    construction and the bit_count(xor) verify touches candidates
+    only.  Callers pass a MATERIALIZED frame (pin expensive upstreams
+    first — see simhash_pairs).
+    """
+    bands = max_hamming + 1
+    width = 64 // bands
+    sh = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
     banded = sh.select(
         "id",
         "h",

@@ -902,3 +902,37 @@ def test_jpeg_color_adversarial_quarantines_cleanly():
     bad_samp[i + 1] = 0x21  # claim 2x1 subsampling
     with pytest.raises(MediaDecodeError):
         _jpeg_color_pixels(bytes(bad_samp))
+
+
+def test_dhash_brightness_invariant_and_pattern_sensitive(spark):
+    """dHash must ignore uniform brightness shifts (same comparisons)
+    but distinguish different gradients; malformed payloads
+    quarantine."""
+    import numpy as np
+
+    from cdc_pipe_line_spark.multimodal import as_media_table, dhash_images
+    from pyspark.sql import functions as F
+
+    def ppm(a, b, c, trunc=False):
+        x = np.arange(36)
+        y = np.arange(24)
+        v = ((a * x[None, :] + b * y[:, None]) % 16) * 12 + c
+        rgb = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+        p = b"P6\n36 24\n255\n" + rgb.tobytes()
+        return p[: len(p) // 2] if trunc else p
+
+    rows = [
+        (1, ppm(2, 3, 0)),
+        (2, ppm(2, 3, 40)),   # same pattern, brighter
+        (3, ppm(3, 1, 0)),    # different pattern
+        (4, ppm(2, 3, 0, trunc=True)),  # malformed
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = as_media_table(
+        df, id_col="media_id", payload_col=F.col("payload"),
+        media_type="image/x-portable-pixmap",
+    )
+    got = {r.media_id: r for r in dhash_images(media).collect()}
+    assert got[1].dhash == got[2].dhash          # brightness-invariant
+    assert got[1].dhash != got[3].dhash          # pattern-sensitive
+    assert got[4].dhash is None and got[4].decode_err
