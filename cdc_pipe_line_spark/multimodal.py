@@ -985,6 +985,96 @@ def make_wav(
     return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
+def make_wav_gated(
+    n_samples: int,
+    amp: int,
+    *,
+    block: int = 64,
+    period: int = 4,
+    active: int = 3,
+    channels: int = 1,
+    rate: int = 16000,
+) -> bytes:
+    """:func:`make_wav` with PLANTED SILENCE: frames are grouped into
+    ``block``-frame windows; window ``j`` carries the square wave iff
+    ``j % period < active``, else digital zero.  Window-aligned
+    gating keeps every statistic arithmetic (a window's RMS is
+    exactly ``amp`` or exactly 0), which is what lets the VAD oracle
+    replay the whole segmentation closed-form."""
+    import struct as _struct
+
+    frames = bytearray()
+    for i in range(n_samples):
+        on = (i // block) % period < active
+        v = (amp if i % 2 == 0 else -amp) if on else 0
+        frames += _struct.pack("<h", v) * channels
+    block_align = 2 * channels
+    fmt = _struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16
+    )
+    data = bytes(frames)
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def audio_window_rms(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    window: int = 64,
+) -> DataFrame:
+    """Per-window RMS over real decoded PCM — the feature pass under
+    voice-activity detection: one row per ``window``-frame slice with
+    its integer-milli RMS (mono mix).  Arrow-batched numpy; the frame
+    count is truncated to whole windows (the ragged tail carries no
+    decision value at VAD granularity).  Malformed payloads emit one
+    quarantine row (null window)."""
+    schema = (
+        f"{id_col} bigint, win_id bigint, rms_milli bigint, "
+        "decode_err string"
+    )
+
+    def _rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, rms, errs = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    if payload is None:
+                        raise MediaDecodeError("null payload")
+                    rate, ch, samples = _wav_pcm(bytes(payload))
+                    mono = samples.reshape(-1, ch).astype(np.float64).mean(
+                        axis=1
+                    )
+                    n_w = len(mono) // window
+                    if n_w == 0:
+                        raise MediaDecodeError("audio: shorter than one window")
+                    w = mono[: n_w * window].reshape(n_w, window)
+                    r = np.sqrt((w * w).mean(axis=1))
+                    for j in range(n_w):
+                        ids.append(mid)
+                        wins.append(j)
+                        rms.append(int(np.floor(r[j] * 1000 + 0.5)))
+                        errs.append(None)
+                except MediaDecodeError as exc:
+                    ids.append(mid); wins.append(None)
+                    rms.append(None); errs.append(str(exc))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "win_id": pd.Series(wins, dtype="object"),
+                    "rms_milli": pd.Series(rms, dtype="object"),
+                    "decode_err": errs,
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(_rms, schema)
+
+
 def _wav_pcm(payload: bytes):
     """(rate, channels, int16 sample ndarray) of a PCM RIFF/WAVE
     payload; raises :class:`MediaDecodeError` on malformed input

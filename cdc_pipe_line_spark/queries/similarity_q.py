@@ -896,7 +896,93 @@ def q_image_dhash_dedup(spark, sf_dir):
     return census.unionByName(quar)
 
 
+
+
+def q_audio_vad_segments(spark, sf_dir):
+    """VAD-lite speech segmentation — the audio-pipeline preprocessing
+    step that splits a recording into voiced segments before
+    transcription/training: real PCM decode -> per-64-frame-window
+    RMS (numpy, Arrow-batched) -> threshold -> gaps-and-islands
+    segment assembly in keyed Spark windows.  Fixture WAVs plant
+    silence window-aligned (``make_wav_gated``: active iff
+    ``j % period < period - 1``), so window RMS is EXACTLY amp or 0
+    and the oracle replays windowing, thresholding AND the island
+    fold closed-form.  Every 37th payload truncates mid-PCM and
+    quarantines."""
+    from pyspark.sql.window import Window
+
+    from cdc_pipe_line_spark.multimodal import (
+        audio_window_rms,
+        make_wav_gated,
+    )
+
+    @F.pandas_udf("binary")
+    def _wav(
+        n: pd.Series, amp: pd.Series, period: pd.Series, cut: pd.Series
+    ) -> pd.Series:
+        out = []
+        for nv, av, pv, k in zip(n, amp, period, cut):
+            w = make_wav_gated(
+                int(nv), int(av), block=64, period=int(pv),
+                active=int(pv) - 1,
+            )
+            out.append(w[: len(w) // 2] if k else w)
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (64 * ((F.col("doc_id") % 20) + 4)).alias("__n"),
+        ((F.col("doc_id") % 2000) + 1).alias("__amp"),
+        (2 + F.col("doc_id") % 3).alias("__period"),
+        (F.col("doc_id") % 37 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_wav("__n", "__amp", "__period", "__cut"),
+        media_type="audio/wav",
+    )
+    wins = audio_window_rms(media, window=64).localCheckpoint(eager=True)
+    w_prev = Window.partitionBy("media_id").orderBy("win_id")
+    flagged = (
+        wins.filter(F.col("win_id").isNotNull())
+        .withColumn("active", (F.col("rms_milli") > 0).cast("bigint"))
+        .withColumn(
+            "new_seg",
+            (
+                (F.col("active") == 1)
+                & (
+                    F.coalesce(
+                        F.lag("active").over(w_prev), F.lit(0)
+                    )
+                    == 0
+                )
+            ).cast("bigint"),
+        )
+    )
+    good = flagged.groupBy("media_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("active").alias("n_active"),
+        F.sum("new_seg").alias("n_segments"),
+        F.max("rms_milli").alias("peak_rms_milli"),
+        F.lit(None).cast("string").alias("decode_err"),
+    )
+    quar = (
+        wins.filter(F.col("win_id").isNull())
+        .select(
+            "media_id",
+            F.lit(None).cast("bigint").alias("n_windows"),
+            F.lit(None).cast("bigint").alias("n_active"),
+            F.lit(None).cast("bigint").alias("n_segments"),
+            F.lit(None).cast("bigint").alias("peak_rms_milli"),
+            "decode_err",
+        )
+    )
+    return good.unionByName(quar)
+
+
 QUERIES = {
+    "mm_audio_vad_segments": q_audio_vad_segments,
     "mm_image_dhash_dedup": q_image_dhash_dedup,
     "mm_video_scene_cuts": q_video_scene_cuts,
     "dedup_semantic": q_semantic_dedup,
@@ -927,6 +1013,40 @@ _SQ8_CODE = (
 )
 
 ORACLE = {
+    "mm_audio_vad_segments": """
+WITH p AS (
+  SELECT doc_id,
+    (doc_id % 20) + 4 AS n_w,
+    (doc_id % 2000) + 1 AS amp,
+    2 + doc_id % 3 AS period,
+    doc_id % 37 = 0 AS cut
+  FROM documents),
+wins AS (
+  SELECT doc_id, amp, period, unnest(range(0, n_w)) AS j
+  FROM p WHERE NOT cut),
+flagged AS (
+  SELECT doc_id, j,
+    CASE WHEN j % period < period - 1 THEN 1 ELSE 0 END AS active,
+    CASE WHEN j % period < period - 1 THEN amp * 1000 ELSE 0 END
+      AS rms_milli
+  FROM wins),
+seg AS (
+  SELECT doc_id, j, active, rms_milli,
+    CASE WHEN active = 1 AND coalesce(lag(active) OVER (
+      PARTITION BY doc_id ORDER BY j), 0) = 0 THEN 1 ELSE 0 END
+      AS new_seg
+  FROM flagged)
+SELECT doc_id AS media_id,
+  count(*) AS n_windows,
+  CAST(sum(active) AS BIGINT) AS n_active,
+  CAST(sum(new_seg) AS BIGINT) AS n_segments,
+  CAST(max(rms_milli) AS BIGINT) AS peak_rms_milli,
+  CAST(NULL AS VARCHAR) AS decode_err
+FROM seg GROUP BY 1
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL,
+  'wav: data chunk truncated'
+FROM p WHERE cut""",
     "mm_image_dhash_dedup": """
 WITH p AS (
   SELECT doc_id,
