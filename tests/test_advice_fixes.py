@@ -350,3 +350,62 @@ def test_interval_overlap_rejects_shared_column_names(spark):
             df, df, left_lo="lo", left_hi="hi", right_lo="lo",
             right_hi="hi", bucket_width=1.0,
         )
+
+
+# ---------------------------------------------------- round-6 ADVICE locks
+def test_km_survival_handles_all_churned_stratum(spark):
+    """ADVICE r6 item 1: a duration stratum where EVERY at-risk user
+    churned (hazard = 1) must yield survival 0 — not a silently
+    dropped NULL log term inflating later strata."""
+    from cdc_pipe_line_spark.queries.analytics_q import QUERIES
+    import cdc_pipe_line_spark.queries.analytics_q as aq
+    import inspect
+
+    src = inspect.getsource(aq.q_survival_retention)
+    assert "greatest" in src and "1e-300" in src, (
+        "hazard log clamp removed — Spark would NULL-drop ln(0) while"
+        " DuckDB raises"
+    )
+    # end-to-end: synthetic events where the max-lifetime stratum is
+    # all-churned (no censored user attains it)
+    rows = []
+    base = "2024-01-01 00:00:00"
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # users 1..3: lifetime 5 days, all churn (last event far from end)
+    for u in (1, 2, 3):
+        rows += [(u, t0), (u, t0 + dt.timedelta(days=5))]
+    # user 9 defines the corpus end, 30 days later (censored, lifetime 0)
+    rows += [(9, t0 + dt.timedelta(days=30))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    import cdc_pipe_line_spark.queries.analytics_q as mod
+
+    real_t = mod._t
+    try:
+        mod._t = lambda s, d, n: ev
+        out = {r.duration_d: r for r in
+               QUERIES["agg_survival_km"](spark, "unused").collect()}
+    finally:
+        mod._t = real_t
+    assert out[5].n_churned == out[5].n_at_risk == 3
+    assert out[5].survival_micro == 0  # S hits zero, not NULL/positive
+
+
+def test_q16_oracle_not_in_null_pinned():
+    """ADVICE r6 item 3: the NOT IN subquery must exclude NULL keys so
+    anti-join semantics match Spark's left_anti under NULLs."""
+    from cdc_pipe_line_spark.queries.relational_q import ORACLE
+
+    sql = ORACLE["join_q16_supplier_count"]
+    assert "s_suppkey IS NOT NULL" in sql
+
+
+def test_pii_surface_is_gated():
+    """ADVICE r6 item 2: luhn_valid / pii_audit are exercised by unit
+    tests AND an oracle-paired registered query."""
+    from cdc_pipe_line_spark.queries import all_oracles, all_queries
+
+    assert "text_pii_audit" in all_queries()
+    assert "text_pii_audit" in all_oracles()
