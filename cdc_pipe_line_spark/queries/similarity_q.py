@@ -872,16 +872,57 @@ def q_image_dhash_dedup(spark, sf_dir):
     hashed = dhash_images(media, id_col="media_id").localCheckpoint(
         eager=True
     )
-    pairs = hamming_pairs(
-        hashed.filter(F.col("dhash").isNotNull()),
-        id_col="media_id",
-        hash_col="dhash",
-        max_hamming=3,
+    # 100 TB shape: NEVER enumerate pairs of identical images.  The
+    # corpus collapses to DISTINCT hash values with (count, id-sum)
+    # group stats — at any scale this frame is |distinct dhash| rows —
+    # and the census derives arithmetically: within-group (Hamming 0)
+    # pairs are C(n,2) with each id counted (n-1) times; cross-group
+    # pairs go through the banded engine over the DISTINCT hashes and
+    # weight by count products.  Naive pair enumeration measured
+    # 25.2 s / x13 superlinear at sf1 (class sizes x10 -> pairs x100);
+    # this form is O(distinct hashes) after the group-by.
+    groups = (
+        hashed.filter(F.col("dhash").isNotNull())
+        .groupBy("dhash")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("media_id").alias("sid"),
+        )
+        .localCheckpoint(eager=True)
     )
-    census = pairs.groupBy("hamming").agg(
-        F.count("*").alias("n"),
-        (F.sum("id_a") + F.sum("id_b")).alias("id_sum"),
-    ).select(
+    within = groups.agg(
+        F.lit(0).alias("hamming"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("n"),
+        F.sum((F.col("n") - 1) * F.col("sid")).alias("id_sum"),
+    ).filter(F.col("n") > 0)
+    hp = hamming_pairs(
+        groups.select(F.col("dhash").alias("id"), F.col("dhash").alias("h")),
+        id_col="id",
+        hash_col="h",
+        max_hamming=3,
+    ).filter(F.col("hamming") > 0)
+    ga = groups.select(
+        F.col("dhash").alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("sid").alias("sid_a"),
+    )
+    gb = groups.select(
+        F.col("dhash").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("sid").alias("sid_b"),
+    )
+    cross = (
+        hp.join(ga, "id_a")
+        .join(gb, "id_b")
+        .groupBy("hamming")
+        .agg(
+            F.sum(F.col("n_a") * F.col("n_b")).alias("n"),
+            F.sum(
+                F.col("n_b") * F.col("sid_a") + F.col("n_a") * F.col("sid_b")
+            ).alias("id_sum"),
+        )
+    )
+    census = within.unionByName(cross).select(
         F.lit("pairs").alias("probe"),
         F.col("hamming").cast("int").alias("hamming"),
         "n",
