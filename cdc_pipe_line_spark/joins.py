@@ -102,3 +102,99 @@ def interval_overlap_join(
     return joined.filter(
         (F.col(left_lo) < F.col(right_hi)) & (F.col(right_lo) < F.col(left_hi))
     )
+
+
+def bloom_filter_build(
+    keys: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom-filter bitmap over ``keys[key_col]`` as a pure
+    DataFrame aggregation (public construction: Bloom 1970; Spark's
+    own runtime row-level filter, SPARK-32268, builds the same bitmap
+    inside the optimizer).
+
+    Each key sets ``num_hashes`` bits at positions
+    ``pmod(xxhash64(key, seed), num_bits)``.  Bits explode to
+    (word_index, bit_mask) entries, ``bit_or`` collapses them per
+    64-bit word — ONE shuffle whose cardinality is at most
+    ``num_bits / 64`` words regardless of key count — and the words
+    assemble into a single-row ``map<int, bigint>`` (absent word ==
+    0, so the map stays sparse when few bits are set).
+
+    Returns a one-row DataFrame with column ``bloom``; broadcast it
+    into :func:`bloom_prefilter`.  At 1M bits the bitmap is <=128 KiB
+    — broadcastable at any dim cardinality, with FPP ~ (1 - e^{-kn/m})^k.
+    """
+    # shiftleft's Python wrapper only takes a literal shift count, so
+    # the per-seed (word_index, bit_mask) struct is built as a SQL
+    # expression (same Catalyst tree either way).
+    pos = "pmod(xxhash64(`{k}`, {s}), {m})"
+    entry = (
+        "struct(cast(" + pos + " div 64 as int) as widx, "
+        "shiftleft(1L, cast(" + pos + " % 64 as int)) as mask)"
+    )
+    entries = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(entry.format(k=key_col, s=s, m=num_bits))
+                    for s in range(num_hashes)
+                ]
+            )
+        ).alias("e")
+    )
+    words = entries.groupBy(F.col("e.widx").alias("widx")).agg(
+        F.bit_or("e.mask").alias("word")
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("widx", "word"))
+        ).alias("bloom")
+    )
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Filter ``fact`` to rows whose ``key_col`` MIGHT be in the key
+    set behind ``bloom`` (built with the same ``num_bits`` /
+    ``num_hashes`` by :func:`bloom_filter_build`).
+
+    No false negatives: every true match survives, so
+    ``bloom_prefilter(fact, ...).join(dim, key)`` equals
+    ``fact.join(dim, key)`` exactly — the filter only sheds
+    guaranteed-non-matching rows BEFORE the join's shuffle, which at
+    100 TB is the difference between shuffling the whole fact table
+    and shuffling the ~matching slice.  Spark's optimizer injects
+    this automatically when its thresholds line up
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``); this
+    explicit form covers the shapes the optimizer misses — filters
+    derived from a different stage, pre-aggregation before the join,
+    or a reusable filter applied to several facts.
+
+    The membership test is whole-stage-codegen'd column arithmetic:
+    map lookup + shift + mask per hash, AND-folded.
+    """
+    probe = F.broadcast(bloom)
+    # try_element_at: a missing word means no bit in that word was
+    # ever set -> treat as 0 (plain element_at throws under ANSI).
+    pos = "pmod(xxhash64(`{k}`, {s}), {m})"
+    test = (
+        "(shiftrightunsigned(coalesce(try_element_at(bloom, cast("
+        + pos
+        + " div 64 as int)), 0L), cast("
+        + pos
+        + " % 64 as int)) & 1L) = 1L"
+    )
+    keep = F.lit(True)
+    for s in range(num_hashes):
+        keep = keep & F.expr(test.format(k=key_col, s=s, m=num_bits))
+    return fact.crossJoin(probe).filter(keep).drop("bloom")

@@ -2651,3 +2651,60 @@ SELECT tier, count(*) AS n_events,
   CAST(count(DISTINCT salt) AS BIGINT) AS n_salts_touched
 FROM fact JOIN dim USING (k)
 GROUP BY 1"""
+
+
+def q_bloom_prefilter_join(spark, sf_dir):
+    """Runtime Bloom-filter semi-join reduction — the row-level
+    runtime filter Spark's optimizer injects when its thresholds
+    line up (SPARK-32268), built EXPLICITLY as a declarative
+    aggregation so it also covers the shapes the optimizer misses
+    (reusable filters, cross-stage derivation).
+
+    A selective customer dim (one market segment, positive balance)
+    collapses to a <=8 KiB bitmap via explode + bit_or — one shuffle
+    bounded by the word count, NOT the key count — which broadcasts
+    and sheds non-matching orders BEFORE the join's shuffle.  Bloom
+    filters have no false negatives, so the prefiltered join is
+    row-identical to the plain join the oracle runs; at 100 TB the
+    prefilter is the difference between shuffling the whole fact
+    table and shuffling the matching slice.  ``bloom_rows_max``
+    pins that the probe side was the single-row bitmap (a fused
+    cross-join of anything larger would explode the count).
+
+    Ref parity: the reference joins per-event frames against config
+    tables row-at-a-time in pandas (app/app.py event processing); the
+    Spark-first form makes the reduction explicit and distributed.
+    """
+    from cdc_pipe_line_spark.joins import bloom_filter_build, bloom_prefilter
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dim = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0)
+    ).select("c_custkey", "c_nationkey")
+    bloom = bloom_filter_build(
+        dim.select("c_custkey"), "c_custkey", num_bits=1 << 16, num_hashes=5
+    )
+    pre = bloom_prefilter(
+        orders, bloom, "o_custkey", num_bits=1 << 16, num_hashes=5
+    )
+    return (
+        pre.join(dim, pre.o_custkey == dim.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.floor(F.sum("o_totalprice")).alias("revenue_floor"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+QUERIES["join_bloom_prefilter"] = q_bloom_prefilter_join
+
+ORACLE["join_bloom_prefilter"] = """
+SELECT o_orderpriority, count(*) AS n_orders,
+  CAST(floor(sum(o_totalprice)) AS BIGINT) AS revenue_floor,
+  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+GROUP BY 1"""

@@ -773,3 +773,48 @@ def test_cusum_matches_reference(spark, vals):
         assert got[d][2] == alarm and got[d][3] == alarms, d
         assert abs(got[d][0] - fl(s_hi)) < 1e-9, d
         assert abs(got[d][1] - fl(s_lo)) < 1e-9, d
+
+
+def test_bloom_prefilter_no_false_negatives_and_sheds(spark):
+    """The explicit Bloom prefilter (joins.bloom_filter_build /
+    bloom_prefilter) must keep EVERY true member (no false negatives
+    -> prefiltered join == plain join) while shedding most
+    non-members at these m/k/n parameters (m=65536 bits, k=5, n=200
+    keys -> FPP ~ 1e-6; assert a loose <5% bound so the test never
+    flakes on hash luck)."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark.joins import bloom_filter_build, bloom_prefilter
+
+    members = spark.range(0, 200).select((F.col("id") * 7 + 3).alias("k"))
+    # facts: every member plus 5000 ids from a disjoint range
+    facts = (
+        spark.range(0, 5000)
+        .select((F.col("id") + 1_000_000).alias("k"))
+        .unionAll(members)
+    )
+    bloom = bloom_filter_build(members, "k", num_bits=1 << 16, num_hashes=5)
+    assert bloom.count() == 1
+    pre = bloom_prefilter(facts, bloom, "k", num_bits=1 << 16, num_hashes=5)
+    kept = pre.count()
+    # all 200 members survive
+    assert pre.join(members, "k", "left_semi").count() == 200
+    # non-member shed rate: >95% of the 5000 non-members gone
+    assert kept - 200 < 250
+    # prefilter-then-join equals plain join exactly
+    assert (
+        pre.join(members, "k").count() == facts.join(members, "k").count() == 200
+    )
+
+
+def test_bloom_bitmap_bounded_by_word_count(spark):
+    """The bitmap aggregation's cardinality is bounded by num_bits/64
+    words however many keys go in — the property that makes the build
+    a safe single shuffle at any dim size."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark.joins import bloom_filter_build
+
+    keys = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    row = bloom_filter_build(keys, "k", num_bits=1 << 10, num_hashes=3).head()
+    assert len(row.bloom) <= (1 << 10) // 64
