@@ -26,7 +26,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 #: Knuth multiplicative hash constant; modulus a prime > 1e6 so the
@@ -118,3 +120,117 @@ class _CursorFeedStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+class _LedgerCommit(WriterCommitMessage):
+    """Per-task commit message: which staged file this task wrote,
+    plus row count and id checksum so the driver-side commit can
+    audit before publishing."""
+
+    def __init__(self, file: str, rows: int, id_sum: int) -> None:
+        self.file = file
+        self.rows = rows
+        self.id_sum = id_sum
+
+
+class _LedgerWriter(DataSourceWriter):
+    """Two-phase-commit batch sink, entirely in Python.
+
+    Phase 1 (executors): each task stages its partition's rows as a
+    JSON-lines file under ``<path>/_staged/<epoch>/`` named by
+    (partitionId, taskAttemptId) — attempts never collide, and a
+    failed/speculative attempt leaves only an ORPHAN staged file that
+    no manifest will ever reference.  Phase 2 (driver): ``commit``
+    receives one ``WriterCommitMessage`` per SUCCESSFUL task and
+    publishes the manifest with an atomic ``os.replace`` — readers
+    see the old ledger or the new one, never a torn mix.  This is
+    the same V2 writer contract a jar-backed Kafka/JDBC sink speaks
+    (and the transactional-sink shape of streaming.idempotent_sink),
+    hosted in Python.
+
+    ``mode("overwrite")`` is the supported mode: each writer stages
+    into a fresh epoch dir (driver-side uuid, shared by all tasks of
+    this write) and the manifest swap retires the previous epoch, so
+    re-running a query is idempotent — the read path follows the
+    manifest, never the directory listing.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        import uuid
+
+        self.path = options["path"]
+        self.overwrite = overwrite
+        self.epoch = uuid.uuid4().hex[:12]
+
+    def write(self, iterator) -> _LedgerCommit:
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        stage_dir = os.path.join(self.path, "_staged", self.epoch)
+        os.makedirs(stage_dir, exist_ok=True)
+        fname = f"part-{tc.partitionId():05d}-{tc.taskAttemptId()}.jsonl"
+        fpath = os.path.join(stage_dir, fname)
+        rows = 0
+        id_sum = 0
+        with open(fpath, "w") as fh:
+            for row in iterator:
+                d = row.asDict()
+                rows += 1
+                id_sum += int(d.get("event_id", 0) or 0)
+                fh.write(json.dumps(d, default=str) + "\n")
+        return _LedgerCommit(os.path.join("_staged", self.epoch, fname), rows, id_sum)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "epoch": self.epoch,
+            "files": [
+                {"file": m.file, "rows": m.rows, "id_sum": m.id_sum}
+                for m in messages
+            ],
+        }
+        tmp = os.path.join(self.path, f"_LEDGER.{self.epoch}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, "_LEDGER"))
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path, "_staged", self.epoch), ignore_errors=True
+        )
+
+
+class LedgerSinkDataSource(DataSource):
+    """``df.write.format("ledger_sink").mode("overwrite")
+    .option("path", dir).save()`` after
+    ``spark.dataSource.register(LedgerSinkDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ledger_sink"
+
+    def writer(self, schema, overwrite: bool) -> _LedgerWriter:
+        return _LedgerWriter(self.options, overwrite)
+
+
+def read_ledger(spark, path: str, schema: str):
+    """Read back exactly the committed ledger: the manifest names the
+    files; orphaned staged files (failed or speculative attempts, or
+    a superseded epoch) are invisible because no manifest references
+    them.  Returns (DataFrame, manifest dict)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_LEDGER")) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f["file"]) for f in manifest["files"]]
+    df = spark.read.schema(schema).json(files)
+    return df, manifest

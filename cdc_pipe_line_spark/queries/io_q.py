@@ -883,3 +883,68 @@ SELECT shard, count(*) AS n_rows,
   CAST(sum(value) AS BIGINT) AS sum_value,
   CAST(max(off) AS BIGINT) AS max_offset
 FROM feed GROUP BY 1"""
+
+
+def q_io_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Spark 4 Python DataSource writer API — the
+    other half of the jar-free connector pattern
+    (``io_python_datasource`` is the read side): a two-phase-commit
+    ledger sink where executors stage JSON-lines files per task and
+    the driver's ``commit`` publishes an atomic manifest
+    (``os.replace``), exactly the V2 writer contract a Kafka/JDBC
+    sink jar speaks (ref: the reference's producer,
+    app/app.py:266-287, which had no transactional story at all).
+
+    The write round-trips: events project to (event_id, user_id,
+    cents), 8 repartitioned tasks stage, commit publishes, and the
+    read-back follows the MANIFEST (orphaned attempts invisible —
+    pinned by unit test).  The returned rollup binds row counts, the
+    cents sum, the id checksum AND the committed-file count, so a
+    torn commit, lost task, or double-published epoch all fail the
+    hash.  ``mode("overwrite")`` stages into a fresh epoch dir and
+    swaps, so re-runs are idempotent."""
+    from cdc_pipe_line_spark.pydatasource import (
+        LedgerSinkDataSource,
+        read_ledger,
+    )
+
+    try:
+        spark.dataSource.register(LedgerSinkDataSource)
+    except Exception:  # noqa: BLE001 — already registered in-session
+        pass
+    path, _ready = _cache(sf_dir, "ledger_sink")
+    ev = _t(spark, sf_dir, "events")
+    frame = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    (
+        frame.repartition(8)
+        .write.format("ledger_sink")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    back, manifest = read_ledger(
+        spark, path, "event_id bigint, user_id bigint, cents bigint"
+    )
+    return (
+        back.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("cents"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        .withColumn("n_committed_files", F.lit(len(manifest["files"])))
+    )
+
+
+QUERIES["io_python_datasink"] = q_io_python_datasink
+
+ORACLE["io_python_datasink"] = """
+SELECT user_id % 10 AS bucket, count(*) AS n,
+  CAST(sum(CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS cents,
+  CAST(sum(event_id) AS BIGINT) AS id_sum,
+  CAST(8 AS INT) AS n_committed_files
+FROM events GROUP BY 1"""

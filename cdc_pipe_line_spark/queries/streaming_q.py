@@ -791,3 +791,38 @@ SELECT shard, count(*) AS n_rows,
   CAST(sum(value) AS BIGINT) AS sum_value,
   CAST(max(off) AS BIGINT) AS max_offset
 FROM feed GROUP BY 1"""
+
+
+def q_stream_abandoned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-timeout alerting via EVENT-TIME TIMERS — the timer
+    leg of the stateful API (``registerTimer`` /
+    ``handleExpiredTimer`` on ``transformWithStateInPandas``;
+    ``EventTimeTimeout`` on the fallback): a user who goes quiet for
+    6 h of DATA time EMITS WITHOUT ANY FURTHER INPUT — the
+    abandoned-cart / dead-sensor alert the reference's Redis-TTL
+    trigger (utils.py:73-98) could only approximate in wall-clock.
+    The bounded drain runs one data batch plus the no-data TIMEOUT
+    batch Spark schedules when the final watermark advances; with a
+    0 s watermark delay the fired set is exactly the users whose
+    last activity sits more than the gap before the stream's max
+    event time, which the oracle replays closed-form (boundary
+    margin measured >=3.2 s at sf0.1, so ms-vs-us watermark flooring
+    cannot flip a row)."""
+    base = _stage(spark, sf_dir, "raw")
+    stream = _read_raw(spark, base).withWatermark("ts", "0 seconds")
+    mon = st.inactivity_monitor(stream, gap_minutes=360)
+    with st.rocksdb_state_store(spark):
+        out = st.run_to_memory(mon, output_mode="append")
+    return out.select("user_id", "last_us", "n_events")
+
+
+QUERIES["stream_abandoned_users"] = q_stream_abandoned_users
+
+ORACLE["stream_abandoned_users"] = """
+WITH la AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS n_events
+  FROM events GROUP BY 1),
+mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+SELECT user_id, last_us, n_events
+FROM la, mx
+WHERE last_us + CAST(21600000000 AS BIGINT) < m"""

@@ -1028,3 +1028,156 @@ def session_assembler(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ABANDON_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("last_us", LongType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+_ABANDON_STATE = StructType(
+    [
+        StructField("last_us", LongType(), False),
+        StructField("n", LongType(), False),
+    ]
+)
+
+
+def inactivity_monitor(
+    stream: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Inactivity-timeout alerting — the TIMER leg of the stateful
+    API that :func:`session_assembler` (closure-by-data) deliberately
+    avoids: a key that goes quiet EMITS WITHOUT ANY FURTHER INPUT,
+    the abandoned-cart / dead-sensor / stalled-feed alert shape.
+
+    Per key, state holds (last activity, event count); every batch
+    re-arms an EVENT-TIME timer at ``last + gap``.  When the
+    watermark passes that mark the key fires once — (user, last
+    activity, count) — and its state clears.  Event-time (not
+    processing-time) timers make the alert a property of the DATA
+    CLOCK: a key fires iff the watermark — driven by other keys'
+    progress — moves ``gap`` past its last event, so a bounded
+    ``availableNow`` drain (one data batch + the no-data timeout
+    batch) fires exactly the keys with
+    ``last_us + gap < max(event time)``, which is what the oracle
+    replays.  Under incremental multi-batch delivery the SAME rule
+    holds per batch — a key can fire, return, and fire again; the
+    alert history then depends on delivery timing, which is inherent
+    to any alerting operator, not to this implementation.
+
+    On Spark 4's ``transformWithStateInPandas`` this is
+    ``timeMode="eventTime"`` + ``registerTimer`` /
+    ``handleExpiredTimer`` (stale timers deleted on re-arm); without
+    worker protobuf (this container — :func:`_tws_available`) the
+    SAME semantics run on ``applyInPandasWithState`` with
+    ``EventTimeTimeout``, whose single implicit timer re-arms via
+    ``setTimeoutTimestamp``.  Both paths emit identical rows and
+    share one oracle.
+
+    Scale shape: one (last_us, n) pair per key, partitioned with the
+    shuffle; the timeout sweep touches only keys whose timer falls
+    below the new watermark (RocksDB range scan on the tws path).
+    ``stream`` must already carry a watermark on ``ts_col``.
+    """
+    gap_us = gap_minutes * 60_000_000
+
+    keyed = stream.select(
+        F.col(user_col).cast("bigint").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    ).groupBy("user_id")
+
+    if _tws_available():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _Monitor(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._h = handle
+                self._st = handle.getValueState("activity", _ABANDON_STATE)
+
+            def handleInputRows(self, key, rows, timerValues):
+                last_us, n = (
+                    (int(v) for v in self._st.get())
+                    if self._st.exists()
+                    else (0, 0)
+                )
+                if self._st.exists():
+                    # re-arm: drop the stale timer or it fires early
+                    self._h.deleteTimer((last_us + gap_us) // 1000)
+                for pdf in rows:
+                    if len(pdf):
+                        last_us = max(last_us, int(pdf["us"].max()))
+                        n += len(pdf)
+                self._st.update((last_us, n))
+                self._h.registerTimer((last_us + gap_us) // 1000)
+                yield pd.DataFrame(
+                    {"user_id": [], "last_us": [], "n_events": []}
+                )
+
+            def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+                if self._st.exists():
+                    last_us, n = (int(v) for v in self._st.get())
+                    self._st.clear()
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [int(key[0])],
+                            "last_us": [last_us],
+                            "n_events": [n],
+                        }
+                    )
+
+            def close(self) -> None:
+                pass
+
+        return keyed.transformWithStateInPandas(
+            statefulProcessor=_Monitor(),
+            outputStructType=ABANDON_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _fn(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "last_us": [int(last_us)],
+                    "n_events": [int(n)],
+                }
+            )
+        else:
+            last_us, n = state.get if state.exists else (0, 0)
+            for pdf in pdf_iter:
+                if len(pdf):
+                    last_us = max(last_us, int(pdf["us"].max()))
+                    n += len(pdf)
+            state.update((int(last_us), int(n)))
+            state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+            yield pd.DataFrame({"user_id": [], "last_us": [], "n_events": []})
+
+    return keyed.applyInPandasWithState(
+        _fn,
+        outputStructType=ABANDON_SCHEMA,
+        stateStructType=_ABANDON_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

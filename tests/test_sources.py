@@ -125,3 +125,52 @@ def test_jdbc_parallel_read_and_pushdown(spark, tmp_path):
 
     with pytest.raises(ValueError, match="requires"):
         sources.read_jdbc(spark, url, "t", partition_column="k", properties=props)
+
+
+def test_ledger_sink_commit_protocol(spark, tmp_path):
+    """Two-phase-commit contract of LedgerSinkDataSource: (a) the
+    read path follows the manifest, so an orphaned staged file (a
+    failed or speculative attempt that never reached commit) is
+    invisible; (b) overwrite stages a fresh epoch and the manifest
+    swap atomically retires the old one."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark.pydatasource import (
+        LedgerSinkDataSource,
+        read_ledger,
+    )
+
+    try:
+        spark.dataSource.register(LedgerSinkDataSource)
+    except Exception:
+        pass
+    path = str(tmp_path / "ledger")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("k")
+    )
+    df.repartition(8).write.format("ledger_sink").mode("overwrite").option(
+        "path", path
+    ).save()
+    back, manifest = read_ledger(spark, path, "event_id bigint, k bigint")
+    assert len(manifest["files"]) == 8
+    assert back.count() == 1000
+    assert back.agg(F.sum("event_id")).first()[0] == 499500
+    # (a) orphan staged file: invisible to the manifest-driven read
+    orphan = os.path.join(
+        path, "_staged", manifest["epoch"], "part-00099-99999.jsonl"
+    )
+    with open(orphan, "w") as fh:
+        fh.write(json.dumps({"event_id": 10**9, "k": 0}) + "\n")
+    back2, _ = read_ledger(spark, path, "event_id bigint, k bigint")
+    assert back2.count() == 1000
+    # (b) overwrite swaps epochs; the old epoch's files stop mattering
+    df.filter("event_id < 100").repartition(3).write.format(
+        "ledger_sink"
+    ).mode("overwrite").option("path", path).save()
+    back3, m3 = read_ledger(spark, path, "event_id bigint, k bigint")
+    assert m3["epoch"] != manifest["epoch"]
+    assert len(m3["files"]) == 3
+    assert back3.count() == 100

@@ -564,3 +564,49 @@ def test_rocksdb_state_store_scope(spark):
         else:
             assert inside == before  # no-op on the fallback path
     assert spark.conf.get(key, None) == before
+
+
+def test_inactivity_monitor_fires_only_quiet_users(spark, tmp_path):
+    """Event-time-timer semantics of st.inactivity_monitor: a user
+    whose last event sits > gap before the final watermark fires
+    exactly once with their last-activity state; a user active
+    within the gap stays silent (no guessed emission at end of
+    stream)."""
+    import pandas as pd
+
+    from cdc_pipe_line_spark import streaming as st
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),
+        (2, "2024-01-01 00:00:00", 2),
+        (3, "2024-01-01 01:00:00", 3),
+        (1, "2024-01-01 00:10:00", 4),
+        (2, "2024-01-01 02:00:00", 5),
+        (2, "2024-01-01 02:25:00", 6),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    src = str(tmp_path / "feed")
+    (
+        spark.createDataFrame(pdf)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+        .write.json(src)
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint")
+        .json(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    mon = st.inactivity_monitor(stream, gap_minutes=30)
+    with st.rocksdb_state_store(spark):
+        out = st.run_to_memory(mon, output_mode="append")
+    got = {
+        (r.user_id, r.last_us, r.n_events)
+        for r in out.collect()
+    }
+    jan1 = 1704067200_000000
+    assert got == {
+        (1, jan1 + 10 * 60_000_000, 2),   # quiet since 00:10
+        (3, jan1 + 3600_000_000, 1),      # quiet since 01:00
+        # user 2: last event 02:25, watermark 02:25 -> timer not passed
+    }
