@@ -1711,3 +1711,70 @@ SELECT duration_d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
     * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS survival_micro
 FROM risk"""
+
+
+def q_hierarchy_rollup(spark, sf_dir):
+    """Adjacency-list hierarchy rollup via Spark 4's RECURSIVE CTE
+    (SPARK-24497, new in 4.0) — the org-chart / bill-of-materials
+    recursion the hand-rolled BFS (`graph_khop_reach`) implements
+    imperatively, here left entirely to the engine: the planner
+    materializes each recursion step and re-joins the FRONTIER
+    against the child table, so per-step work shuffles one
+    generation, never the accumulated result.
+
+    The hierarchy is the implicit binary tree ``parent(k) = k div 2``
+    over customer keys (deterministic, needs no extra fixture table);
+    depth is log2(n) — ~14 levels at sf1 and ~27 at 100 TB key
+    cardinality, comfortably inside the engine's recursion ceiling
+    (``spark.sql.cteRecursionLevelLimit`` = 100), which is the
+    scale-correct property of hierarchy recursion: step count grows
+    with DEPTH, not row count.  Per-depth rollup binds node counts,
+    id checksums, and account-balance cents; DuckDB replays the
+    identical WITH RECURSIVE."""
+    import os
+    import re
+
+    cust = _t(spark, sf_dir, "customer")
+    sf_tag = re.sub(
+        r"[^0-9A-Za-z_]", "_", os.path.basename(sf_dir.rstrip("/"))
+    )
+    view = f"__hier_cust_{sf_tag}"
+    cust.select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    ).createOrReplaceTempView(view)
+    return spark.sql(f"""
+        WITH RECURSIVE r AS (
+          SELECT c_custkey AS node, 0 AS depth, cents
+          FROM {view} WHERE c_custkey = 1
+          UNION ALL
+          SELECT c.c_custkey, r.depth + 1, c.cents
+          FROM {view} c JOIN r ON c.c_custkey DIV 2 = r.node
+          WHERE c.c_custkey > 1)
+        SELECT depth, count(*) AS n_nodes,
+          CAST(sum(node) AS BIGINT) AS id_sum,
+          CAST(sum(cents) AS BIGINT) AS cents
+        FROM r GROUP BY depth""")
+
+
+QUERIES["graph_hierarchy_rollup"] = q_hierarchy_rollup
+
+ORACLE["graph_hierarchy_rollup"] = """
+WITH RECURSIVE c AS (
+  SELECT c_custkey,
+    CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+      AS cents
+  FROM customer),
+r AS (
+  SELECT c_custkey AS node, 0 AS depth, cents
+  FROM c WHERE c_custkey = 1
+  UNION ALL
+  SELECT c.c_custkey, r.depth + 1, c.cents
+  FROM c JOIN r ON c.c_custkey // 2 = r.node
+  WHERE c.c_custkey > 1)
+SELECT depth, count(*) AS n_nodes,
+  CAST(sum(node) AS BIGINT) AS id_sum,
+  CAST(sum(cents) AS BIGINT) AS cents
+FROM r GROUP BY depth"""

@@ -811,9 +811,20 @@ def q_stream_abandoned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _stage(spark, sf_dir, "raw")
     stream = _read_raw(spark, base).withWatermark("ts", "0 seconds")
     mon = st.inactivity_monitor(stream, gap_minutes=360)
-    with st.rocksdb_state_store(spark):
-        out = st.run_to_memory(mon, output_mode="append")
-    return out.select("user_id", "last_us", "n_events")
+    # right-size state partitions for the bounded drain (pin-where-
+    # measured idiom, see q_stream_windowed_counts): both the data
+    # batch and the no-data timeout batch pay per-partition state
+    # store setup, so a vanilla 200-partition session costs ~2x 200
+    # store inits for ~150 keys.  Restored immediately after start.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with st.rocksdb_state_store(spark):
+            q, table = st.start_to_memory(mon, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q.awaitTermination()
+    return table.select("user_id", "last_us", "n_events")
 
 
 QUERIES["stream_abandoned_users"] = q_stream_abandoned_users
