@@ -390,3 +390,24 @@ def test_decontaminate_shingle_frames_pinned(spark):
     plan = _plan(spark, "text_decontaminate")
     assert "Scan parquet" not in plan, plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_bloom_prefilter_probe_is_single_row_broadcast(spark):
+    """The explicit Bloom prefilter's probe side must be ONE
+    broadcast bitmap row fused as a BroadcastNestedLoopJoin (never a
+    shuffled cartesian), with the membership tests folded into a
+    Filter above the fact scan — the shape whose cost is one bitmap
+    lookup per fact row and zero extra shuffles."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark.joins import bloom_filter_build, bloom_prefilter
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = bloom_filter_build(dim, "c_custkey", num_bits=1 << 16, num_hashes=5)
+    pre = bloom_prefilter(orders, bloom, "o_custkey", num_bits=1 << 16, num_hashes=5)
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan  # membership tests stayed column arithmetic
