@@ -119,3 +119,40 @@ def salted_aggregate(
         .groupBy(*group_cols)
         .agg(*final_exprs)
     )
+
+
+class TokenSpansUDTF:
+    """Python user-defined TABLE function (Spark 4 UDTF, SPARK-43798):
+    one input string row -> N ``(pos, token, n_chars)`` rows, consumed
+    through ``LATERAL`` in SQL.
+
+    This is the governed replacement for the reference's imperative
+    row-expansion loops (``app/app.py:160-171`` — ``iterrows`` turning
+    each snapshot row into a list of CDCEvent rows): the same
+    one-row-to-many-rows Python escape hatch, but planned by Catalyst
+    (column-pruned scan below, map-side partial aggregation above) and
+    executed Arrow-batched (``ArrowEvalPythonUDTF`` when
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` is set — plan-
+    asserted in tests/test_plans.py).  Built-ins still win where they
+    can express the op (this particular expansion IS expressible as
+    ``posexplode(split(...))``, which the oracle exploits); the UDTF
+    surface exists for expansions that are not.
+    """
+
+    def eval(self, text: str):  # noqa: D102 — contract method
+        if text is None:
+            return
+        for i, tok in enumerate(text.split(" ")):
+            if tok:
+                yield i + 1, tok, len(tok)
+
+
+def register_token_spans(spark) -> None:
+    """Register :class:`TokenSpansUDTF` as SQL table function
+    ``token_spans`` (idempotent — re-registration replaces)."""
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(
+        "token_spans",
+        udtf(TokenSpansUDTF, returnType="pos int, token string, n_chars int"),
+    )

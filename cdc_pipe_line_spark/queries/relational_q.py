@@ -2708,3 +2708,52 @@ SELECT o_orderpriority, count(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
 GROUP BY 1"""
+
+
+def q_scalar_python_udtf(spark, sf_dir):
+    """Python user-defined TABLE function through SQL ``LATERAL``
+    (Spark 4 UDTF, SPARK-43798) — the planned, Arrow-batched version
+    of the reference's one-row-to-many-rows Python loops
+    (``app/app.py:160-171``: ``iterrows`` expanding each snapshot row
+    into CDCEvent rows).  ``token_spans(p_name)`` yields one
+    ``(pos, token, n_chars)`` row per word; the lateral join keeps the
+    expansion inside the plan, so Catalyst prunes the scan to
+    ``p_name`` alone and puts a map-side partial aggregate directly
+    above the UDTF (plan-asserted in tests/test_plans.py).
+
+    Scale shape: the expansion is narrow (no shuffle — each input row
+    expands within its partition); the only exchange is the final
+    aggregate on the bounded token vocabulary.  Arrow batching is
+    enabled per-session here; without it the same plan runs pickled
+    row-at-a-time (BatchEvalPythonUDTF) — correct but the slow path.
+    """
+    from cdc_pipe_line_spark.functions import register_token_spans
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    register_token_spans(spark)
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_udtf_v")
+    return spark.sql(
+        """
+        SELECT t.token,
+               count(*) AS n_uses,
+               min(t.pos) AS min_pos,
+               max(t.pos) AS max_pos,
+               CAST(sum(t.n_chars) AS BIGINT) AS total_chars
+        FROM part_udtf_v, LATERAL token_spans(p_name) t
+        GROUP BY t.token
+        """
+    )
+
+
+QUERIES["scalar_python_udtf"] = q_scalar_python_udtf
+
+ORACLE["scalar_python_udtf"] = """
+WITH toks AS (
+  SELECT unnest(string_split(p_name, ' ')) AS token,
+         generate_subscripts(string_split(p_name, ' '), 1) AS pos
+  FROM part)
+SELECT token, count(*) AS n_uses,
+  CAST(min(pos) AS INT) AS min_pos,
+  CAST(max(pos) AS INT) AS max_pos,
+  CAST(sum(length(token)) AS BIGINT) AS total_chars
+FROM toks WHERE token <> '' GROUP BY token"""

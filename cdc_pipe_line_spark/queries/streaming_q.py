@@ -837,3 +837,70 @@ mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
 SELECT user_id, last_us, n_events
 FROM la, mx
 WHERE last_us + CAST(21600000000 AS BIGINT) < m"""
+
+
+def q_stream_state_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store READER (Spark 4 `statestore` / `state-metadata`
+    data sources, SPARK-45511): run a keyed streaming aggregation to a
+    checkpoint, then open the operator's internal state as a DataFrame
+    and publish it — per-key counts straight from the HDFS-backed
+    store, cross-checked against the batch aggregate by the oracle.
+
+    This is the Spark-native answer to the reference's state
+    debugging: the consumer's only window into "what has been
+    processed" is re-querying its ``cdc_events`` side table
+    (``consumer.py:126-149``, ON CONFLICT DO NOTHING + re-select).
+    Here the streaming engine's own state is first-class queryable —
+    no side table, works on any checkpoint, per-partition — which is
+    how you audit a 1000-executor stateful job's skew or a stuck key
+    at 100 TB (the reader also exposes ``partition_id``; the
+    ``state-metadata`` source binds operator name and store partition
+    count into the published row, so a re-partitioned or renamed
+    operator fails the hash, not just a comment).
+
+    The drained memory sink is discarded deliberately: the published
+    result is read ONLY from the checkpoint's state files.
+    """
+    base = _stage(spark, sf_dir, "raw")
+    ckpt = f"/tmp/cdc_stream_cache/ckpt_{uuid.uuid4().hex[:12]}"
+    counts = _read_raw(spark, base).groupBy("user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q, _sink = st.start_to_memory(
+            counts, output_mode="update", checkpoint_dir=ckpt
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q.awaitTermination()
+
+    meta = (
+        spark.read.format("state-metadata")
+        .load(ckpt)
+        .select(
+            "operatorName",
+            F.col("numPartitions").cast("int").alias("n_state_partitions"),
+        )
+    )
+    state = spark.read.format("statestore").load(ckpt)
+    return (
+        state.select(
+            F.col("key.user_id").alias("user_id"),
+            # the store keeps the aggregation BUFFER schema — the
+            # internal `count` field, not the query-level alias
+            F.col("value.count").alias("n_events"),
+        )
+        .join(F.broadcast(meta))
+        .select("user_id", "n_events", "operatorName", "n_state_partitions")
+    )
+
+
+QUERIES["stream_state_introspect"] = q_stream_state_introspect
+
+ORACLE["stream_state_introspect"] = """
+SELECT user_id, count(*) AS n_events,
+  'stateStoreSave' AS operatorName,
+  CAST(8 AS INT) AS n_state_partitions
+FROM events GROUP BY 1"""

@@ -411,3 +411,15 @@ def test_bloom_prefilter_probe_is_single_row_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "xxhash64" in plan  # membership tests stayed column arithmetic
+
+
+def test_python_udtf_arrow_pruned_scan(spark):
+    """The UDTF lateral expansion must run Arrow-batched (not pickled
+    row-at-a-time), read ONLY the expanded column from parquet, and
+    aggregate with a map-side partial directly above the expansion —
+    the shape whose only exchange is the bounded token vocabulary."""
+    plan = _plan(spark, "scalar_python_udtf")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
+    assert "ReadSchema: struct<p_name:string>" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

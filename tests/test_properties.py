@@ -818,3 +818,14 @@ def test_bloom_bitmap_bounded_by_word_count(spark):
     keys = spark.range(0, 20_000).select(F.col("id").alias("k"))
     row = bloom_filter_build(keys, "k", num_bits=1 << 10, num_hashes=3).head()
     assert len(row.bloom) <= (1 << 10) // 64
+
+
+def test_token_spans_udtf_eval_contract():
+    """Pure-Python contract of the UDTF: 1-based positions, empty
+    tokens from repeated spaces dropped, None row yields nothing."""
+    from cdc_pipe_line_spark.functions import TokenSpansUDTF
+
+    t = TokenSpansUDTF()
+    assert list(t.eval("a bb  ccc")) == [(1, "a", 1), (2, "bb", 2), (4, "ccc", 3)]
+    assert list(t.eval(None)) == []
+    assert list(t.eval("")) == []

@@ -610,3 +610,51 @@ def test_inactivity_monitor_fires_only_quiet_users(spark, tmp_path):
         (3, jan1 + 3600_000_000, 1),      # quiet since 01:00
         # user 2: last event 02:25, watermark 02:25 -> timer not passed
     }
+
+
+def test_state_introspect_matches_batch_counts(spark, tmp_path):
+    """The statestore reader must see EXACTLY the per-key aggregation
+    state the stream committed: per-user counts equal to the batch
+    aggregate, every configured store partition addressable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark import streaming as st
+
+    src_dir = os.path.join(str(tmp_path), "in")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_type"
+    )
+    ev.coalesce(2).write.mode("overwrite").json(src_dir)
+    stream = spark.readStream.schema("user_id bigint, event_type string").json(
+        src_dir
+    )
+    counts = stream.groupBy("user_id").agg(F.count("*").alias("n"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q, _ = st.start_to_memory(counts, output_mode="update", checkpoint_dir=ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+
+    state = spark.read.format("statestore").load(ckpt)
+    got = {
+        r["user_id"]: r["n"]
+        for r in state.select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.count").alias("n"),
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    # all 4 configured store partitions exist and are addressable
+    n_parts = state.select("partition_id").distinct().count()
+    meta = spark.read.format("state-metadata").load(ckpt).first()
+    assert meta["numPartitions"] == 4
+    assert n_parts <= 4 and len(got) == len(want)
