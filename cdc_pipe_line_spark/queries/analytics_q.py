@@ -1778,3 +1778,46 @@ SELECT depth, count(*) AS n_nodes,
   CAST(sum(node) AS BIGINT) AS id_sum,
   CAST(sum(cents) AS BIGINT) AS cents
 FROM r GROUP BY depth"""
+
+
+def q_approx_topk_merge(spark, sf_dir):
+    """Mergeable frequent-items sketches (Spark 4.1
+    ``approx_top_k_accumulate / _combine / _estimate``, SPARK-52588) —
+    the heavy-hitters twin of the HLL set-ops query
+    (`agg_sketch_set_ops`): per-group PARTIAL sketches built where the
+    data lives, one tiny combine at the top, estimate over the merged
+    state.  That partial->merge algebra is the whole 100 TB story —
+    per-partition sketches shuffle bytes, not rows, and the same
+    binary state serves rollups at any grouping level.
+
+    Partials are per ``l_returnflag`` (the natural per-shard build);
+    ``maxItemsTracked`` is sized ABOVE the supplier cardinality at
+    every tested SF (100 @ sf0.01, 1000 @ sf0.1, 10k @ sf1 << 65536),
+    so the estimates are provably exact and the oracle checks them as
+    plain counts — the sketch earns its keep when cardinality passes
+    the budget, and the sizing rule is the documented contract
+    (undersized sketches degrade to true approximation; the
+    correctness gate pins the exact regime).
+    """
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_topk_v")
+    return spark.sql(
+        """
+        WITH acc AS (
+          SELECT l_returnflag,
+                 approx_top_k_accumulate(l_suppkey, 65536) AS sk
+          FROM li_topk_v GROUP BY l_returnflag),
+        est AS (
+          SELECT explode(
+                   approx_top_k_estimate(approx_top_k_combine(sk), 65536)
+                 ) AS t
+          FROM acc)
+        SELECT t.item AS l_suppkey, t.count AS n_lineitems FROM est
+        """
+    )
+
+
+QUERIES["agg_approx_topk_merge"] = q_approx_topk_merge
+
+ORACLE["agg_approx_topk_merge"] = """
+SELECT l_suppkey, count(*) AS n_lineitems
+FROM lineitem GROUP BY 1"""

@@ -948,3 +948,74 @@ SELECT user_id % 10 AS bucket, count(*) AS n,
   CAST(sum(event_id) AS BIGINT) AS id_sum,
   CAST(8 AS INT) AS n_committed_files
 FROM events GROUP BY 1"""
+
+
+def q_io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML sink + scan (built into Spark 4, SPARK-44265 — no
+    spark-xml package): customer -> element-per-row XML -> read back
+    with an EXPLICIT schema (inference would widen longs/doubles),
+    aggregated per market segment.
+
+    The hash binds ESCAPING fidelity, the part of an XML round trip
+    that actually breaks: every 13th customer's name gets the five
+    XML metacharacters (``<&>"'``) plus a literal ``<tag>`` injected,
+    so the writer must entity-escape and the reader must restore them
+    byte-for-byte — bound via name length sums and a count of
+    names still containing the raw ``<tag>`` substring after the
+    round trip.  The oracle applies the same injection to the parquet
+    originals.  Scale posture: one XML file per input partition like
+    any FileFormat; schema-explicit reads keep the scan single-pass
+    (no sampling job), which is the 100 TB discipline for ANY
+    self-describing text format.
+    """
+    inject = F.when(
+        F.col("c_custkey") % 13 == 0,
+        F.concat(F.col("c_name"), F.lit(" <&>\"'<tag>")),
+    ).otherwise(F.col("c_name"))
+    path, ready = _cache(sf_dir, "customer_xml")
+    if not ready:
+        cust = _t(spark, sf_dir, "customer").withColumn("c_name", inject)
+        (
+            cust.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+            .write.mode("overwrite")
+            .option("rootTag", "customers")
+            .option("rowTag", "customer")
+            .format("xml")
+            .save(path)
+        )
+        _mark(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema(
+            "c_custkey bigint, c_name string, c_mktsegment string, "
+            "c_acctbal double"
+        )
+        .load(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.sum("c_custkey").alias("sum_key"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.sum(F.length("c_name")).alias("sum_name_len"),
+        F.sum(F.col("c_name").contains("<tag>").cast("bigint")).alias(
+            "n_meta_roundtrip"
+        ),
+    )
+
+
+QUERIES["io_xml_roundtrip"] = q_io_xml_roundtrip
+
+ORACLE["io_xml_roundtrip"] = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+    CASE WHEN c_custkey % 13 = 0
+      THEN c_name || ' <&>"''<tag>' ELSE c_name END AS c_name
+  FROM customer)
+SELECT c_mktsegment, count(*) AS n_cust,
+  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+  round(sum(c_acctbal), 2) AS sum_bal,
+  CAST(sum(length(c_name)) AS BIGINT) AS sum_name_len,
+  CAST(sum(CASE WHEN c_name LIKE '%<tag>%' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_meta_roundtrip
+FROM c GROUP BY 1"""
