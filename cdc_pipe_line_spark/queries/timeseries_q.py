@@ -1222,3 +1222,118 @@ SELECT event_type, count(*) AS n_pairs,
   CAST(sum(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT)
     AS n_up_pairs
 FROM pairs GROUP BY 1"""
+
+
+def q_stl_decompose(spark, sf_dir):
+    """Full classical additive decomposition (the moving-average STL
+    ancestor: Persons 1919 / Macaulay 1931 ratio-to-moving-average,
+    additive form): per (event_type, day) the series splits into
+    ``n = trend + seasonal + remainder`` — `ts_dow_seasonality`
+    publishes only the seasonal INDEX; this publishes the complete
+    per-day decomposition, with the reconstruction identity bound
+    into the hash (remainder is derived, so a wrong trend or seasonal
+    cannot cancel out).
+
+    Cross-engine discipline: counts are integer-valued doubles (exact
+    in IEEE), the 7-day centered trend is restricted to FULL windows
+    (edge days carry no decomposition), deviations are pinned to 4 dp
+    integer scale BEFORE the seasonal aggregate so the cross-day sum
+    is an exact bigint sum (aggregate double summation is
+    order-sensitive across engines), and every published double goes
+    through the floor-pin idiom.
+
+    Scale shape: one shrinking daily aggregate, one bounded window
+    over the day spine per type, one broadcast-sized seasonal join
+    (|types| x 7 rows).  Identical to `ts_dow_seasonality`'s cost.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    det = (
+        daily.withColumn("trend", F.avg("n").over(w))
+        .withColumn("n_frame", F.count("*").over(w))
+        .filter(F.col("n_frame") == 7)
+        .withColumn(
+            "dev_s",
+            F.floor((F.col("n") - F.col("trend")) * 1e4 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+        # referenced twice (seasonal + final join): pin so the daily
+        # aggregate subtree plans once, and the lineage split also
+        # resolves the self-join ambiguity.  Day-spine-sized frame.
+        .localCheckpoint(eager=True)
+    )
+    seasonal = det.groupBy(
+        F.col("event_type").alias("et"), F.dayofweek("d").alias("dow")
+    ).agg(
+        (
+            F.floor(
+                F.sum("dev_s").cast("double") / F.count("*") + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("seasonal"),
+    )
+    return (
+        det.join(
+            F.broadcast(seasonal),
+            (F.col("event_type") == F.col("et"))
+            & (F.dayofweek(F.col("d")) == F.col("dow")),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("d"), "yyyy-MM-dd").alias("d"),
+            "n",
+            (F.floor(F.col("trend") * 1e4 + F.lit(0.5)) / F.lit(1e4)).alias(
+                "trend"
+            ),
+            "seasonal",
+            (
+                F.floor(
+                    (F.col("dev_s") / F.lit(1e4) - F.col("seasonal"))
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("remainder"),
+        )
+    )
+
+
+QUERIES["ts_stl_decompose"] = q_stl_decompose
+
+ORACLE["ts_stl_decompose"] = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+det AS (
+  SELECT event_type, d, n,
+    avg(n) OVER w AS trend,
+    count(*) OVER w AS n_frame
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d ASC
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+full_w AS (
+  SELECT event_type, d, n, trend,
+    CAST(floor((n - trend) * 1e4 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+      AS dev_s
+  FROM det WHERE n_frame = 7),
+seas AS (
+  SELECT event_type, dayofweek(d) + 1 AS dow,
+    floor(CAST(sum(dev_s) AS DOUBLE) / count(*)
+          + CAST(0.5 AS DOUBLE)) / 1e4 AS seasonal
+  FROM full_w GROUP BY 1, 2)
+SELECT f.event_type, strftime(f.d, '%Y-%m-%d') AS d, f.n,
+  floor(f.trend * 1e4 + CAST(0.5 AS DOUBLE)) / 1e4 AS trend,
+  s.seasonal,
+  floor((CAST(f.dev_s AS DOUBLE) / 1e4 - s.seasonal) * 1e4
+        + CAST(0.5 AS DOUBLE)) / 1e4 AS remainder
+FROM full_w f
+JOIN seas s ON f.event_type = s.event_type
+  AND dayofweek(f.d) + 1 = s.dow"""
