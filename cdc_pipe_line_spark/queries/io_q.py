@@ -1019,3 +1019,56 @@ SELECT c_mktsegment, count(*) AS n_cust,
   CAST(sum(CASE WHEN c_name LIKE '%<tag>%' THEN 1 ELSE 0 END)
     AS BIGINT) AS n_meta_roundtrip
 FROM c GROUP BY 1"""
+
+
+def q_io_parquet_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM FILTERS for point lookups
+    (``parquet.bloom.filter.enabled#col``) — the data-skipping
+    complement to min/max stats (`io_zorder_clustering`): min/max
+    prune SORTED ranges; blooms prune UNSORTED high-cardinality point
+    predicates, the classic "find these 3 customer ids in 100 TB of
+    unclustered orders" shape where every row group's min/max spans
+    the whole key domain and stats prune nothing.
+
+    Two claims bind into the hash: (1) the footer actually CARRIES a
+    bloom for ``o_custkey`` in every file — parquet-mr silently skips
+    blooms for fully dictionary-encoded chunks (the measured trap
+    `sources.parquet_bloom_present` documents; the stage write
+    disables that column's dictionary to pin the real bloom path at
+    fixture NDV), and (2) the point-lookup aggregate over the
+    bloom-bearing files is row-identical to the plain-parquet oracle
+    (blooms have no false negatives, so pruning never changes
+    results).  The IN predicate is pushed to the scan (plan-asserted
+    in tests/test_plans.py)."""
+    path, ready = _cache(sf_dir, "orders_bloom")
+    if not ready:
+        (
+            _t(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#o_custkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_custkey", "1000000")
+            .option("parquet.enable.dictionary#o_custkey", "false")
+            .parquet(path)
+        )
+        _mark(path)
+    from cdc_pipe_line_spark.sources import parquet_bloom_present
+
+    bloom_ok = parquet_bloom_present(spark, path, "o_custkey")
+    keys = [7, 21, 99]
+    sel = spark.read.parquet(path).filter(F.col("o_custkey").isin(keys))
+    return sel.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.lit(bloom_ok).alias("bloom_present"),
+    )
+
+
+QUERIES["io_parquet_bloom_prune"] = q_io_parquet_bloom_prune
+
+ORACLE["io_parquet_bloom_prune"] = """
+SELECT o_custkey, count(*) AS n_orders,
+  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+  round(sum(o_totalprice), 2) AS sum_price,
+  TRUE AS bloom_present
+FROM orders WHERE o_custkey IN (7, 21, 99) GROUP BY 1"""

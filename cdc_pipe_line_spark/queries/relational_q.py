@@ -2757,3 +2757,133 @@ SELECT token, count(*) AS n_uses,
   CAST(max(pos) AS INT) AS max_pos,
   CAST(sum(length(token)) AS BIGINT) AS total_chars
 FROM toks WHERE token <> '' GROUP BY token"""
+
+
+def q_scalar_collation_group(spark, sf_dir):
+    """Spark 4 string COLLATION surface (SPARK-46830): grouping on a
+    ``UTF8_LCASE``-collated key makes case-insensitive aggregation a
+    property of the TYPE, not an expression — the shuffle hash and the
+    aggregate comparator are both collation-aware, so at 100 TB the
+    case-folding happens inside the exchange instead of an extra
+    lower() projection feeding a binary group-by (and, unlike
+    lower(), collation composes with joins, DISTINCT, and window
+    PARTITION BY on the same column).
+
+    A deterministic case-mangled segment column (upper / lower /
+    manual title-case by ``c_custkey % 3``) groups back to exactly the
+    5 TPC-H segments under the collated key; ``n_case_variants``
+    (binary countDistinct of the raw strings inside each collated
+    group) pins that the input really carried 3 spellings per group —
+    if collation silently fell back to binary grouping the row count
+    triples and the hash fails.  The published key is lower()'d so
+    both engines emit identical bytes (a collated group key
+    surfaces an arbitrary member spelling)."""
+    c = _t(spark, sf_dir, "customer")
+    title = F.concat(
+        F.upper(F.substring("c_mktsegment", 1, 1)),
+        F.lower(F.expr("substring(c_mktsegment, 2)")),
+    )
+    d = c.select(
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, title)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_raw"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("acctbal_cents"),
+    )
+    return (
+        d.groupBy(F.collate("seg_raw", "UTF8_LCASE").alias("seg_ci"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.countDistinct("seg_raw").alias("n_case_variants"),
+            F.sum("acctbal_cents").alias("acctbal_cents"),
+        )
+        .select(
+            F.lower(F.col("seg_ci")).cast("string").alias("seg"),
+            "n_cust",
+            "n_case_variants",
+            "acctbal_cents",
+        )
+    )
+
+
+QUERIES["scalar_collation_group"] = q_scalar_collation_group
+
+ORACLE["scalar_collation_group"] = """
+WITH d AS (
+  SELECT CASE CAST(c_custkey % 3 AS INT)
+      WHEN 0 THEN lower(c_mktsegment)
+      WHEN 1 THEN upper(substr(c_mktsegment, 1, 1))
+                  || lower(substr(c_mktsegment, 2))
+      ELSE c_mktsegment END AS seg_raw,
+    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+  FROM customer)
+SELECT lower(seg_raw) AS seg, count(*) AS n_cust,
+  CAST(count(DISTINCT seg_raw) AS BIGINT) AS n_case_variants,
+  CAST(sum(acctbal_cents) AS BIGINT) AS acctbal_cents
+FROM d GROUP BY 1"""
+
+
+def q_scalar_sql_udf(spark, sf_dir):
+    """Declarative SQL UDFs (SPARK-46057, GA in Spark 4.1): business
+    logic packaged as ``CREATE FUNCTION ... RETURN <expr>`` is INLINED
+    by the analyzer into the calling plan — full codegen, predicate
+    pushdown THROUGH the function body, zero serialization — the
+    100 TB alternative to a Python UDF for pure expressions (the
+    reference centralizes this logic app-side in utils.py; here it
+    lives in the catalog where every query shares one definition).
+
+    Two functions compose: ``net_cents`` (discounted, taxed price in
+    exact int64 cents) and ``margin_band`` (CASE bucket over
+    ``net_cents``' output) — composition proves inlining is
+    recursive.  The rollup per (returnflag, band) binds both bodies
+    into the hash; tests/test_plans.py asserts the plan contains no
+    Python eval node, that the WHERE over the UDF call runs as a
+    plain inlined FLOOR expression directly above the 4-column
+    pruned scan (with the IsNotNull conjuncts pushed into parquet),
+    and that the whole query is the standard one-exchange
+    partial/final aggregate."""
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION net_cents(
+               price DOUBLE, disc DOUBLE, tax DOUBLE)
+           RETURNS BIGINT
+           RETURN CAST(floor(price * (1 - disc) * (1 + tax) * 100
+                             + 0.5) AS BIGINT)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION margin_band(cents BIGINT)
+           RETURNS STRING
+           RETURN CASE WHEN cents < 2000000 THEN 'low'
+                       WHEN cents < 5000000 THEN 'mid'
+                       ELSE 'high' END"""
+    )
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_udf_v")
+    return spark.sql(
+        """SELECT l_returnflag,
+                  margin_band(net_cents(l_extendedprice, l_discount,
+                                        l_tax)) AS band,
+                  count(*) AS n_items,
+                  CAST(sum(net_cents(l_extendedprice, l_discount,
+                                     l_tax)) AS BIGINT) AS net_cents
+           FROM lineitem_udf_v
+           WHERE net_cents(l_extendedprice, l_discount, l_tax) > 100000
+           GROUP BY 1, 2"""
+    )
+
+
+QUERIES["scalar_sql_udf"] = q_scalar_sql_udf
+
+ORACLE["scalar_sql_udf"] = """
+WITH n AS (
+  SELECT l_returnflag,
+    CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+               + 0.5) AS BIGINT) AS cents
+  FROM lineitem)
+SELECT l_returnflag,
+  CASE WHEN cents < 2000000 THEN 'low'
+       WHEN cents < 5000000 THEN 'mid'
+       ELSE 'high' END AS band,
+  count(*) AS n_items,
+  CAST(sum(cents) AS BIGINT) AS net_cents
+FROM n WHERE cents > 100000 GROUP BY 1, 2"""

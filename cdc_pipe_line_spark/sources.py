@@ -357,3 +357,47 @@ def _read_bytes(src: str | bytes) -> bytes:
         return src
     with open(src, "rb") as fh:
         return fh.read()
+
+
+def parquet_bloom_present(spark, directory: str, column: str) -> bool:
+    """True iff every parquet file in ``directory`` carries a written
+    Bloom filter for ``column`` (footer ``bloom_filter_offset`` >= 0
+    in every row group), checked through Spark's bundled
+    parquet-hadoop classes — metadata-only, no data pages read.
+
+    Measured trap this helper exists to catch: parquet-mr SKIPS the
+    Bloom filter for a column chunk that ends up fully
+    dictionary-encoded (the dictionary already gives exact membership)
+    — so a low-NDV fixture silently writes NO bloom even with
+    ``parquet.bloom.filter.enabled#col=true``, and a point-lookup
+    "optimization" you believe is deployed does nothing.  Disable the
+    column's dictionary (``parquet.enable.dictionary#col=false``) to
+    pin the bloom path at fixture scale; at production NDV the
+    dictionary falls away on its own.
+    """
+    import glob as _glob
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    files = sorted(_glob.glob(f"{directory}/*.parquet"))
+    if not files:
+        return False
+    for f in files:
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), hconf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            blocks = reader.getFooter().getBlocks()
+            for b in range(blocks.size()):
+                cols = blocks.get(b).getColumns()
+                found = False
+                for i in range(cols.size()):
+                    c = cols.get(i)
+                    if c.getPath().toDotString() == column:
+                        found = c.getBloomFilterOffset() >= 0
+                if not found:
+                    return False
+        finally:
+            reader.close()
+    return True

@@ -423,3 +423,63 @@ def test_python_udtf_arrow_pruned_scan(spark):
     assert "BatchEvalPythonUDTF" not in plan
     assert "ReadSchema: struct<p_name:string>" in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_bloom_prune_pushes_point_lookup_to_scan(spark):
+    """The IN point-lookup must reach the parquet scan as a pushed
+    filter (row-group + bloom evaluation happens below the engine),
+    and the staged files must actually carry the bloom — parquet-mr
+    silently skips blooms on dictionary-encoded chunks."""
+    plan = _plan(spark, "io_parquet_bloom_prune")
+    assert re.search(r"PushedFilters: \[.*In\(o_custkey", plan), plan
+
+    from cdc_pipe_line_spark.queries.io_q import _cache
+    from cdc_pipe_line_spark.sources import parquet_bloom_present
+
+    path, ready = _cache(SF_DIR, "orders_bloom")
+    assert ready and parquet_bloom_present(spark, path, "o_custkey")
+    # negative control: a bloom-free write of the same data reports no
+    # bloom, proving the helper reads the footer rather than trusting
+    # the write option.
+    neg, neg_ready = _cache(SF_DIR, "orders_nobloom_ctl")
+    if not neg_ready:
+        spark.read.parquet(path).limit(100).write.mode("overwrite").parquet(neg)
+        from cdc_pipe_line_spark.queries.io_q import _mark
+
+        _mark(neg)
+    assert not parquet_bloom_present(spark, neg, "o_custkey")
+
+
+def test_sql_udf_is_inlined_not_python(spark):
+    """SQL UDFs must inline into the calling plan: no Python eval
+    node anywhere, the net_cents body visible as a plain FLOOR
+    expression in the Filter, the scan pruned to the 4 referenced
+    columns, and one partial/final aggregate exchange."""
+    plan = _plan(spark, "scalar_sql_udf")
+    assert "EvalPython" not in plan
+    assert re.search(r"Filter .*FLOOR", plan), plan
+    assert (
+        "ReadSchema: struct<l_extendedprice:double,l_discount:double,"
+        "l_tax:double,l_returnflag:string>" in plan
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_collation_group_is_collation_aware_aggregate(spark):
+    """The group key must be the COLLATED expression (shuffle
+    partitioning + aggregate comparator both collation-aware), not a
+    lower() rewrite; no Python nodes; scan pruned to the 3 referenced
+    customer columns.  Spark 4.1 plans collated group keys as
+    SortAggregate (collated strings are not hash-aggregable yet) with
+    the standard two-exchange distinct expansion — pinned so an
+    upgrade that changes the strategy is noticed, not silent."""
+    plan = _plan(spark, "scalar_collation_group")
+    assert "EvalPython" not in plan
+    assert "collate(seg_raw" in plan, plan
+    assert (
+        "ReadSchema: struct<c_custkey:bigint,c_acctbal:double,"
+        "c_mktsegment:string>" in plan
+        or "ReadSchema: struct<c_custkey:bigint,c_mktsegment:string,"
+        "c_acctbal:double>" in plan
+    ), plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
