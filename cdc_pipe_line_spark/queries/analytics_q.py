@@ -1821,3 +1821,70 @@ QUERIES["agg_approx_topk_merge"] = q_approx_topk_merge
 ORACLE["agg_approx_topk_merge"] = """
 SELECT l_suppkey, count(*) AS n_lineitems
 FROM lineitem GROUP BY 1"""
+
+
+def q_ordered_listagg(spark, sf_dir):
+    """Ordered-set + conditional aggregate surface in one rollup —
+    the Spark 4 additions that close long-standing ANSI gaps:
+    ``listagg(DISTINCT ..., ',') WITHIN GROUP (ORDER BY ...)``
+    (SPARK-42746, the deterministic CSV rollup that previously
+    required collect_list -> array_distinct -> array_sort ->
+    array_join), plus ``median``, ``count_if`` and ``bool_and``.
+
+    Per region over the customer->nation->region broadcast star:
+    the ordered DISTINCT nation CSV binds membership AND order into
+    one string (an unordered listagg would be nondeterministic across
+    partitions — WITHIN GROUP is what makes the hash stable); median
+    account balance interpolates identically from identical doubles
+    in both engines; count_if/bool_and replace the sum(CASE)/min(CASE)
+    idioms.  Shape: two broadcast joins (25-row nation, 5-row
+    region), one partial/final aggregate on 5 groups; listagg's sort
+    happens per-group over the bounded nation set, never globally."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    star = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    # NOTE: mixing listagg(DISTINCT) WITHIN GROUP with a second
+    # distinct aggregate (countDistinct) in one Aggregate trips a
+    # Spark 4.1 planner ClassCastException (AttributeReference ->
+    # SortOrder) in the distinct rewrite; n_nations therefore derives
+    # from the ordered CSV itself, which also binds it to the listagg
+    # output instead of a parallel code path.
+    return (
+        star.groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.expr(
+                "listagg(DISTINCT n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations_csv"),
+            (
+                F.floor(F.median("c_acctbal") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("median_acctbal"),
+            F.count_if(F.col("c_acctbal") > 0).alias("n_positive"),
+            F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        )
+        .withColumn(
+            "n_nations",
+            F.size(F.split("nations_csv", ",")).cast("bigint"),
+        )
+    )
+
+
+QUERIES["agg_ordered_listagg"] = q_ordered_listagg
+
+ORACLE["agg_ordered_listagg"] = """
+SELECT r_name, count(*) AS n_cust,
+  string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations_csv,
+  floor(median(c_acctbal) * 10000 + CAST(0.5 AS DOUBLE))
+    / CAST(10000 AS DOUBLE) AS median_acctbal,
+  CAST(count(*) FILTER (WHERE c_acctbal > 0) AS BIGINT) AS n_positive,
+  bool_and(c_acctbal > -1000) AS all_above_floor,
+  CAST(len(string_split(string_agg(DISTINCT n_name, ',' ORDER BY n_name),
+    ',')) AS BIGINT) AS n_nations
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""

@@ -1337,3 +1337,111 @@ SELECT f.event_type, strftime(f.d, '%Y-%m-%d') AS d, f.n,
 FROM full_w f
 JOIN seas s ON f.event_type = s.event_type
   AND dayofweek(f.d) + 1 = s.dow"""
+
+
+def q_holt_winters(spark, sf_dir):
+    """Holt-Winters ADDITIVE seasonal forecast (level + trend +
+    weekly seasonal state) over the per-type daily event series —
+    the seasonal tier that completes the classical smoothing family
+    (ewma -> holt -> holt-winters) next to the decomposition view
+    `ts_stl_decompose`: STL explains a series; HW extrapolates it,
+    publishing a 7-day forecast curve per event type.
+
+    Implementation is `timeseries.holt_winters_by_key` (position-
+    ordered F.aggregate fold, (level, trend, seasonal-ring) struct
+    accumulator, dyadic alpha/beta/gamma); the oracle replays the
+    coupled 3-field recursion with a RECURSIVE CTE (never
+    list_reduce — DuckDB aliases struct accumulator fields in-place).
+    Every published double gets the floor-1e4 pin AFTER the shared
+    forecast arithmetic, so the hash binds level, trend, all 7
+    seasonal components, and the h-step forecasts bit-for-bit.
+
+    Scale shape: the fact table collapses to the calendar-bounded
+    daily spine FIRST (one partial-agg shuffle); the fold and the
+    horizon explode run over |event_type| rows x 30-long arrays —
+    the state expression re-evaluates per output column, which is
+    free at spine size and why the raw table must never reach the
+    fold directly."""
+    from cdc_pipe_line_spark.timeseries import holt_winters_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.count("*").cast("double").alias("n"))
+    hw = holt_winters_by_key(
+        daily, key_col="event_type", order_col="d", value_col="n", period=7
+    )
+
+    def pin(c):
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+    st = hw.select(
+        "event_type",
+        "n_points",
+        "level",
+        "trend",
+        F.posexplode("seasonal").alias("pos", "s"),
+    )
+    h = F.col("pos") + 1
+    return st.select(
+        "event_type",
+        h.cast("int").alias("h"),
+        "n_points",
+        pin(F.col("level")).alias("level"),
+        pin(F.col("trend")).alias("trend"),
+        pin(F.col("s")).alias("seasonal"),
+        pin(F.col("level") + h * F.col("trend") + F.col("s")).alias(
+            "forecast"
+        ),
+    )
+
+
+QUERIES["ts_holt_winters"] = q_holt_winters
+
+ORACLE["ts_holt_winters"] = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+g AS (
+  SELECT event_type, list(n ORDER BY d) AS vs, count(*) AS n_points
+  FROM daily GROUP BY 1 HAVING count(*) >= 15),
+init AS (
+  SELECT event_type, vs, n_points,
+    list_sum(vs[1:7]) / CAST(7 AS DOUBLE) AS l0
+  FROM g),
+init2 AS (
+  SELECT event_type, vs, n_points, l0,
+    (list_sum(vs[8:14]) / CAST(7 AS DOUBLE) - l0) / CAST(7 AS DOUBLE)
+      AS b0,
+    list_transform(vs[1:7], x -> x - l0) AS s0
+  FROM init),
+rec AS (
+  SELECT event_type, vs, n_points, 7 AS i, l0 AS l, b0 AS b, s0 AS s
+  FROM init2
+  UNION ALL
+  SELECT event_type, vs, n_points, i + 1,
+    CAST(0.25 AS DOUBLE) * (vs[i + 1] - s[1])
+      + CAST(0.75 AS DOUBLE) * (l + b),
+    CAST(0.125 AS DOUBLE) * ((CAST(0.25 AS DOUBLE) * (vs[i + 1] - s[1])
+        + CAST(0.75 AS DOUBLE) * (l + b)) - l)
+      + CAST(0.875 AS DOUBLE) * b,
+    s[2:7] || [CAST(0.25 AS DOUBLE) * (vs[i + 1]
+        - (CAST(0.25 AS DOUBLE) * (vs[i + 1] - s[1])
+           + CAST(0.75 AS DOUBLE) * (l + b)))
+      + CAST(0.75 AS DOUBLE) * s[1]]
+  FROM rec WHERE i < n_points),
+fin AS (SELECT * FROM rec WHERE i = n_points),
+hz AS (SELECT unnest(generate_series(1, 7)) AS h)
+SELECT event_type, CAST(hz.h AS INT) AS h,
+  CAST(n_points AS BIGINT) AS n_points,
+  floor(l * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE)
+    AS level,
+  floor(b * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE)
+    AS trend,
+  floor(s[hz.h] * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE)
+    AS seasonal,
+  floor((l + hz.h * b + s[hz.h]) * 10000 + CAST(0.5 AS DOUBLE))
+    / CAST(10000 AS DOUBLE) AS forecast
+FROM fin CROSS JOIN hz"""

@@ -470,3 +470,99 @@ def cusum_changepoints(
         "__sd",
     )
     return prepped.groupBy(*group_cols).applyInPandas(run, out_schema)
+
+
+def holt_winters_by_key(
+    df: DataFrame,
+    *,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing per key —
+    the seasonal tier above :func:`holt_by_key` (level + trend +
+    ``period``-long seasonal state; Winters 1960, public):
+
+    ``l_t = a*(v_t - s_{t-m}) + (1-a)*(l + b)``
+    ``b_t = g*(l_t - l) + (1-g)*b``
+    ``s_t = d*(v_t - l_t) + (1-d)*s_{t-m}``
+
+    with the textbook init over the first two seasons: ``l_m =
+    avg(v_1..v_m)``, ``b_m = (avg(v_{m+1}..v_{2m}) - l_m)/m``,
+    ``s_i = v_i - l_m``.  Keys with fewer than ``2*period + 1``
+    points are dropped (init would be undefined).
+
+    Determinism contract (same as holt/ewma): the recursion is a
+    position-ordered :func:`F.aggregate` fold whose accumulator is a
+    (level, trend, seasonal-ring) struct — the ring rotates by
+    slice+append so ``s[1]`` is always the component that applies to
+    the NEXT step.  alpha/beta/gamma default to dyadic literals and
+    every operand sequence mirrors the DuckDB recursive-CTE oracle
+    token-for-token, so identical IEEE doubles fold on both engines.
+
+    Returns one row per key: ``n_points``, final ``level`` / ``trend``
+    (unrounded doubles — callers pin), and ``seasonal`` as the
+    ``period``-long array aligned so ``seasonal[h]`` applies to
+    horizon ``h``; the h-step forecast is ``level + h*trend +
+    seasonal[h]`` for ``h <= period``.
+
+    Scale shape: one hash shuffle on the key, per-key sorted collect
+    bounded by the series length (pre-aggregate to coarser ticks
+    beyond the aggregation buffer — the caller here folds a daily
+    spine, so the array is calendar-bounded).
+    """
+    m = int(period)
+    a, g, d = float(alpha), float(beta), float(gamma)
+    sorted_vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ),
+        lambda s: s["v"],
+    )
+    per_key = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count("*").cast("bigint").alias("n_points"), sorted_vals.alias("__vs"))
+        .filter(F.col("n_points") >= 2 * m + 1)
+    )
+    season1 = F.slice("__vs", 1, m)
+    season2 = F.slice("__vs", m + 1, m)
+    lsum = lambda arr: F.aggregate(  # noqa: E731 — ordered left-fold sum
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    l0 = lsum(season1) / F.lit(float(m))
+    b0 = (lsum(season2) / F.lit(float(m)) - l0) / F.lit(float(m))
+    s0 = F.transform(season1, lambda x: x - l0)
+
+    def _step(acc, v):
+        s1 = F.element_at(acc["s"], 1)
+        lnew = F.lit(a) * (v - s1) + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        bnew = F.lit(g) * (lnew - acc["l"]) + F.lit(1.0 - g) * acc["b"]
+        snew = F.lit(d) * (v - lnew) + F.lit(1.0 - d) * s1
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            F.concat(F.slice(acc["s"], 2, m - 1), F.array(snew)).alias("s"),
+        )
+
+    state = F.aggregate(
+        F.slice("__vs", m + 1, F.size("__vs") - m),
+        F.struct(l0.alias("l"), b0.alias("b"), s0.alias("s")),
+        _step,
+    )
+    return per_key.select(
+        key_col,
+        "n_points",
+        state["l"].alias("level"),
+        state["b"].alias("trend"),
+        state["s"].alias("seasonal"),
+    )
