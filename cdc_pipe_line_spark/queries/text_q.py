@@ -2753,3 +2753,79 @@ SELECT source, count(DISTINCT doc_id) AS n_docs,
     + CAST(0.5 AS DOUBLE)) AS BIGINT) AS fertility_micro
 FROM ws JOIN sym USING (w)
 GROUP BY 1"""
+
+
+def q_textrank_terms(spark, sf_dir):
+    """Top-15 TextRank keywords over the corpus (graph-based keyword
+    extraction: weighted PageRank on the ±2-window word co-occurrence
+    graph — `text.textrank_terms`).  The oracle replays tokenization,
+    the lead-window pair construction, edge/degree aggregation, and
+    all 4 unrolled iterations; ranks floor-1e8 pinned, ties broken by
+    word so the top-15 cut is engine-deterministic."""
+    from cdc_pipe_line_spark.text import textrank_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    pr = textrank_terms(docs, n_iter=4)
+    pinned = pr.select(
+        F.col("node").alias("word"),
+        (
+            F.floor(F.col("rank") * F.lit(100000000.0) + F.lit(0.5))
+            / F.lit(100000000.0)
+        ).alias("rank"),
+    )
+    top = pinned.orderBy(F.col("rank").desc(), F.col("word").asc()).limit(15)
+    w = Window.orderBy(F.col("rank").desc(), F.col("word").asc())
+    return top.withColumn("pos", F.row_number().over(w).cast("int"))
+
+
+QUERIES["text_textrank_terms"] = q_textrank_terms
+
+_TR_STEP = """
+SELECT v.node,
+  (1 - d) / nn + d * coalesce(s.inflow, CAST(0.0 AS DOUBLE)) AS rank
+FROM verts v CROSS JOIN n CROSS JOIN params LEFT JOIN (
+  SELECT e.dst AS node, sum((r.rank * e.wt) / dg.wdeg) AS inflow
+  FROM edges e JOIN {prev} r ON e.src = r.node
+  JOIN wdeg dg ON e.src = dg.src
+  GROUP BY 1) s ON v.node = s.node"""
+
+ORACLE["text_textrank_terms"] = f"""
+WITH params AS (SELECT CAST(0.85 AS DOUBLE) AS d),
+toks AS (
+  SELECT doc_id,
+    generate_subscripts(string_split(lower(text), ' '), 1) AS pos,
+    unnest(string_split(lower(text), ' ')) AS w
+  FROM documents),
+t AS (SELECT * FROM toks WHERE w <> ''),
+led AS (
+  SELECT w, lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2
+  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos ASC)),
+und AS (
+  SELECT w AS src, w1 AS dst FROM led
+  WHERE w1 IS NOT NULL AND w <> w1
+  UNION ALL
+  SELECT w, w2 FROM led WHERE w2 IS NOT NULL AND w <> w2),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS wt FROM (
+    SELECT src, dst FROM und
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM und)
+  GROUP BY 1, 2),
+wdeg AS (SELECT src, CAST(sum(wt) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
+verts AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT count(*) AS nn FROM verts),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn AS rank
+       FROM verts CROSS JOIN n),
+r1 AS ({_TR_STEP.format(prev='r0')}),
+r2 AS ({_TR_STEP.format(prev='r1')}),
+r3 AS ({_TR_STEP.format(prev='r2')}),
+r4 AS ({_TR_STEP.format(prev='r3')}),
+top AS (
+  SELECT node AS word,
+    floor(rank * 100000000 + CAST(0.5 AS DOUBLE))
+      / CAST(100000000 AS DOUBLE) AS rank
+  FROM r4
+  ORDER BY 2 DESC, 1 ASC LIMIT 15)
+SELECT word, rank,
+  CAST(row_number() OVER (ORDER BY rank DESC, word ASC) AS INT) AS pos
+FROM top"""

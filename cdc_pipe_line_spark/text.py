@@ -2093,3 +2093,100 @@ def chunk_pack_sequences(
         ),
         F.sum(tok_in_pack).alias("n_tokens"),
     )
+
+
+def textrank_terms(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_iter: int = 4,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau 2004, public):
+    weighted PageRank over the word co-occurrence graph (±2-token
+    window), the unsupervised keyword extractor that needs no corpus
+    statistics beyond the co-occurrence counts themselves — the graph
+    sibling of the frequency views (`tfidf_terms`, `pmi_cooccur`).
+
+    Scale shape: co-occurrence pairs come from TWO lead() columns over
+    the position-ordered token stream (one shuffle on ``doc_col``) —
+    never a positional self-join of the token table against itself.
+    The edge list then collapses to the VOCABULARY² bound (one hash
+    aggregate), and every PageRank iteration joins/aggregates
+    vocab-sized frames only; edges/degrees/vertices are
+    localCheckpoint-pinned once so Catalyst never re-plans the token
+    scan per iteration (same discipline as `analytics.pagerank`).
+
+    Determinism: the update is ``(1-d)/N + d * sum(rank*w/wdeg)`` with
+    the teleport computed as the SAME runtime subtraction in both
+    engines; final ranks are floor-1e8 pinned by the caller.  Rank
+    mass is only approximately conserved (dangling words cannot occur:
+    the graph is symmetric), so the sum-order ulp noise the pin
+    absorbs is the only cross-engine drift.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(doc_col).alias("__doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "__pos", "__w"
+        ),
+    ).filter(F.col("__w") != "")
+    win = Window.partitionBy("__doc").orderBy("__pos")
+    led = toks.select(
+        F.col("__w").alias("w"),
+        F.lead("__w", 1).over(win).alias("w1"),
+        F.lead("__w", 2).over(win).alias("w2"),
+    )
+    und = led.select(
+        F.col("w").alias("src"), F.col("w1").alias("dst")
+    ).filter(F.col("w1").isNotNull() & (F.col("w") != F.col("w1"))).union(
+        led.select(F.col("w").alias("src"), F.col("w2").alias("dst")).filter(
+            F.col("w2").isNotNull() & (F.col("w") != F.col("w2"))
+        )
+    )
+    edges = (
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+    wdeg = (
+        edges.groupBy("src").agg(F.sum("wt").alias("__wdeg"))
+        .localCheckpoint(eager=True)
+    )
+    # symmetric graph: every vertex appears as a src
+    verts = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n = verts.agg(F.count("*").alias("__n"))
+    teleport = 1.0 - damping
+    ranks = verts.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .join(wdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                ((F.col("rank") * F.col("wt")) / F.col("__wdeg")).alias("__c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("__c").alias("__inflow"))
+        ranks = (
+            verts.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    F.lit(teleport) / F.col("__n")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

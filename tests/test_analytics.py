@@ -289,3 +289,25 @@ def test_markov_tie_break_deterministic(spark):
         (r["src"], r["dst"]) for r in markov_transitions(_events(spark, rows)).collect()
     }
     assert ("view", "click") in out and ("click", "view") not in out
+
+
+def test_listagg_distinct_plus_countdistinct_planner_bug_still_present(spark):
+    """Documents the Spark 4.1 planner bug that shaped
+    agg_ordered_listagg: mixing listagg(DISTINCT) WITHIN GROUP with a
+    second distinct aggregate in ONE Aggregate throws an internal
+    ClassCastException (AttributeReference -> SortOrder) in the
+    distinct-rewrite rule.  The query therefore derives n_nations
+    from the ordered CSV instead.  WHEN THIS TEST FAILS on a Spark
+    upgrade, the bug is fixed: simplify agg_ordered_listagg back to a
+    direct countDistinct and delete this test."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a"), (1, "b")], ["k", "s"])
+    df.createOrReplaceTempView("listagg_bug_v")
+    with _pytest.raises(Exception, match="SortOrder|INTERNAL"):
+        spark.sql(
+            """SELECT k, listagg(DISTINCT s, ',')
+                        WITHIN GROUP (ORDER BY s) AS csv,
+                      count(DISTINCT s) AS nd
+               FROM listagg_bug_v GROUP BY k"""
+        ).collect()

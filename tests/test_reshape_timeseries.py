@@ -204,3 +204,73 @@ def test_holt_single_point_is_level_only(spark):
     )
     r = holt_by_key(df).collect()[0]
     assert (r.level, r.trend, r.forecast_next) == (7.5, 0.0, 7.5)
+
+
+def test_holt_winters_constant_series_fixed_point(spark):
+    """A constant series is an exact fixed point of the additive HW
+    recursion: level == the constant, trend == 0, every seasonal
+    component == 0, so every h-step forecast == the constant.  All
+    arithmetic is dyadic-exact (constant 4.0), so equality is exact."""
+    import datetime as dt
+
+    from cdc_pipe_line_spark.timeseries import holt_winters_by_key
+
+    rows = [
+        ("k", dt.date(2024, 1, 1) + dt.timedelta(days=i), 4.0)
+        for i in range(21)
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, v double")
+    r = holt_winters_by_key(
+        df, key_col="k", order_col="d", value_col="v", period=7
+    ).collect()[0]
+    assert r.n_points == 21
+    assert r.level == 4.0
+    assert r.trend == 0.0
+    assert list(r.seasonal) == [0.0] * 7
+
+
+def test_holt_winters_pure_weekly_pattern_reproduced(spark):
+    """A zero-trend pure weekly pattern: the init already captures the
+    exact seasonals, the recursion keeps them (every update term is
+    exactly zero), and the h-step forecasts reproduce the pattern."""
+    import datetime as dt
+
+    from cdc_pipe_line_spark.timeseries import holt_winters_by_key
+
+    pattern = [8.0, 2.0, 4.0, 6.0, 1.0, 3.0, 4.0]  # mean = 4.0
+    rows = [
+        ("k", dt.date(2024, 1, 1) + dt.timedelta(days=i), pattern[i % 7])
+        for i in range(28)
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, v double")
+    r = holt_winters_by_key(
+        df, key_col="k", order_col="d", value_col="v", period=7
+    ).collect()[0]
+    assert r.level == 4.0
+    assert r.trend == 0.0
+    # ring aligned so seasonal[h-1] applies to horizon h = day 29, 30, ...
+    expected = [pattern[(28 + h) % 7] - 4.0 for h in range(7)]
+    assert list(r.seasonal) == expected
+    for h in range(1, 8):
+        assert r.level + h * r.trend + r.seasonal[h - 1] == pattern[(28 + h - 1) % 7]
+
+
+def test_holt_winters_drops_short_series(spark):
+    """Keys with fewer than 2*period+1 points have no defined init and
+    must be dropped, not emitted with garbage state."""
+    import datetime as dt
+
+    from cdc_pipe_line_spark.timeseries import holt_winters_by_key
+
+    rows = [
+        ("short", dt.date(2024, 1, 1) + dt.timedelta(days=i), 1.0)
+        for i in range(14)
+    ] + [
+        ("long", dt.date(2024, 1, 1) + dt.timedelta(days=i), 1.0)
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, v double")
+    out = holt_winters_by_key(
+        df, key_col="k", order_col="d", value_col="v", period=7
+    )
+    assert [r.k for r in out.collect()] == ["long"]
