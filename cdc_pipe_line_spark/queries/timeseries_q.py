@@ -1445,3 +1445,60 @@ SELECT event_type, CAST(hz.h AS INT) AS h,
   floor((l + hz.h * b + s[hz.h]) * 10000 + CAST(0.5 AS DOUBLE))
     / CAST(10000 AS DOUBLE) AS forecast
 FROM fin CROSS JOIN hz"""
+
+
+def q_session_window_tvf(spark, sf_dir):
+    """Native ``session_window`` grouping in BATCH mode — the built-in
+    session assembly (SPARK-36465) that `ts_asof_sessionize`'s manual
+    lag + cumulative-sum pattern predates: one groupBy call yields one
+    row per (user, session) with the engine-managed [start, last+gap)
+    window, and at 100 TB it is the same single hash shuffle on the
+    key with sessions merged inside the aggregate — no window-function
+    sort pass over the raw stream.
+
+    Boundary semantics pinned by probe (tests/test_reshape_timeseries
+    ::test_session_window_exact_gap_merges): per-event windows are
+    ``[ts, ts+gap)`` and Spark merges sessions whose windows overlap
+    OR TOUCH, so an exactly-30-minute silence stays ONE session — the
+    oracle's gaps-and-islands replay therefore breaks only on
+    ``ts > lag + gap`` (strict).  Timestamps bind as unix_micros;
+    values as exact per-event cents (summed as int64, immune to
+    double sum order)."""
+    ev = _t(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("value_cents"),
+    )
+    return sess.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("end_us"),
+        "n_events",
+        "value_cents",
+    )
+
+
+QUERIES["ts_session_window_tvf"] = q_session_window_tvf
+
+ORACLE["ts_session_window_tvf"] = """
+WITH x AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM x)
+SELECT user_id, epoch_us(min(ts)) AS start_us,
+  epoch_us(max(ts)) + 1800000000 AS end_us,
+  count(*) AS n_events,
+  CAST(sum(CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+    AS BIGINT) AS value_cents
+FROM s GROUP BY user_id, sid"""

@@ -274,3 +274,36 @@ def test_holt_winters_drops_short_series(spark):
         df, key_col="k", order_col="d", value_col="v", period=7
     )
     assert [r.k for r in out.collect()] == ["long"]
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pins the session_window boundary semantics the
+    ts_session_window_tvf oracle replays: per-event windows are
+    [ts, ts+gap) and sessions merge when windows overlap OR TOUCH —
+    an exactly-30-minute silence therefore stays ONE session; only a
+    strictly longer silence splits.  If a Spark upgrade flips this to
+    strict overlap, this fails before the oracle silently diverges on
+    boundary-landing data."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, t0),
+            (1, t0 + dt.timedelta(minutes=30)),  # exactly gap -> merge
+            (2, t0),
+            (2, t0 + dt.timedelta(minutes=30, microseconds=1)),  # split
+        ],
+        "u long, ts timestamp",
+    )
+    out = (
+        df.groupBy("u", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("u")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("u")
+        .collect()
+    )
+    assert [(r.u, r.n_sessions) for r in out] == [(1, 1), (2, 2)]
