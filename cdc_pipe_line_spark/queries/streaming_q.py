@@ -904,3 +904,101 @@ SELECT user_id, count(*) AS n_events,
   'stateStoreSave' AS operatorName,
   CAST(8 AS INT) AS n_state_partitions
 FROM events GROUP BY 1"""
+
+
+def q_stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the
+    inner-join funnel (`stream_joins`) cannot express: views with NO
+    purchase inside the 4h window must still emit (null-padded), and
+    Structured Streaming can only do that by holding each left row in
+    join state until the watermark proves no match can arrive, then
+    evicting it through a no-data micro-batch.
+
+    The eviction cutoff is part of the CONTRACT and the oracle replays
+    it (probe-verified on the fixture before registration): a view
+    emits unmatched iff ``view_ts + 4h < final_watermark`` where
+    ``final_watermark = min(max view_ts, max purchase_ts) - 1 day`` —
+    the GLOBAL watermark is the minimum over every watermark operator
+    in the query, so the slower side's clock gates both (measured: an
+    oracle using the overall event max over-evicts by the views
+    landing in the gap between the two sides' maxima).  Views in the
+    last ~28h of the stream stay buffered forever (their no-match
+    proof never arrives), so the batch replay must NOT count them.
+    Matched rows emit immediately and are watermark-independent,
+    giving the oracle's inner half.  State is O(watermark window) on
+    both sides.
+    """
+    base = _stage(spark, sf_dir, "raw")
+    views = _read_raw(spark, base).filter(F.col("event_type") == "view")
+    buys = _read_raw(spark, base).filter(F.col("event_type") == "purchase")
+    l = views.withWatermark("ts", "1 day").alias("l")
+    r = buys.withWatermark("ts", "1 day").alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 4 HOURS"))
+    )
+    joined = l.join(r, cond, "left_outer").select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    # right-size state partitions for the bounded drain (pin-where-
+    # measured idiom, see q_stream_abandoned_users): a stream-stream
+    # join keeps FOUR state stores per partition (left/right rows x
+    # key-to-numValues), so a vanilla 200-partition session pays ~800
+    # store inits per batch INCLUDING the final no-data eviction batch
+    # — measured 27.6 s -> 5.4 s at sf0.01.  Restored after start.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q, out = st.start_to_memory(joined, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q.awaitTermination()
+    matched = out.filter(F.col("purchase_id").isNotNull()).agg(
+        F.lit("matched").alias("probe"),
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("view_id").alias("view_id_sum"),
+        F.sum("purchase_id").alias("purchase_id_sum"),
+    )
+    unmatched = out.filter(F.col("purchase_id").isNull()).agg(
+        F.lit("unmatched").alias("probe"),
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("view_id").alias("view_id_sum"),
+        F.lit(None).cast("bigint").alias("purchase_id_sum"),
+    )
+    return matched.unionByName(unmatched)
+
+
+QUERIES["stream_join_left_outer"] = q_stream_join_left_outer
+
+ORACLE["stream_join_left_outer"] = """
+WITH v AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'view'),
+b AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+mx AS (SELECT least((SELECT max(ts) FROM v),
+                    (SELECT max(ts) FROM b)) AS max_ts),
+m AS (
+  SELECT v.user_id, v.event_id AS view_id, b.event_id AS purchase_id
+  FROM v JOIN b ON v.user_id = b.user_id AND b.ts >= v.ts
+    AND b.ts <= v.ts + INTERVAL 4 HOUR),
+um AS (
+  SELECT v.user_id, v.event_id AS view_id FROM v
+  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = v.user_id
+          AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 4 HOUR)
+    AND v.ts + INTERVAL 4 HOUR
+        < (SELECT max_ts FROM mx) - INTERVAL 1 DAY)
+SELECT 'matched' AS probe, count(*) AS n,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(sum(view_id) AS BIGINT) AS view_id_sum,
+  CAST(sum(purchase_id) AS BIGINT) AS purchase_id_sum
+FROM m
+UNION ALL
+SELECT 'unmatched', count(*),
+  CAST(count(DISTINCT user_id) AS BIGINT),
+  CAST(sum(view_id) AS BIGINT), CAST(NULL AS BIGINT)
+FROM um"""
