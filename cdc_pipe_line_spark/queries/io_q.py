@@ -1072,3 +1072,80 @@ SELECT o_custkey, count(*) AS n_orders,
   round(sum(o_totalprice), 2) AS sum_price,
   TRUE AS bloom_present
 FROM orders WHERE o_custkey IN (7, 21, 99) GROUP BY 1"""
+
+
+def q_io_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with EMBEDDED NEWLINES and quotes-in-quotes (RFC 4180
+    quoted fields) — the ingest mode `io_csv_quarantine`'s
+    line-oriented reader cannot handle: every 13th customer name gets
+    a literal newline plus a quoted ``"x,y"`` fragment injected, the
+    writer quotes/escapes them, and the reader must reassemble records
+    across physical lines (``multiLine=true``).
+
+    The 100 TB trap this query documents: ``multiLine=true`` makes a
+    CSV file NON-SPLITTABLE — record boundaries can no longer be found
+    by scanning for newlines, so one file = one task regardless of
+    size.  At scale the layout answer is many medium files (the staged
+    fixture keeps the default parallel write), never one giant
+    multiline CSV.
+
+    The hash binds parse fidelity: per-segment row counts, the exact
+    count of names that kept their embedded newline, total name chars,
+    and balance cents all diverge if the reader splits a quoted record
+    or mangles the escaped inner quotes."""
+    path, ready = _cache(sf_dir, "customer_multiline_csv")
+    dirty_name = F.when(
+        F.col("c_custkey") % 13 == 0,
+        F.concat(F.col("c_name"), F.lit('\n"x,y"')),
+    ).otherwise(F.col("c_name"))
+    if not ready:
+        (
+            _t(spark, sf_dir, "customer")
+            .select(
+                "c_custkey",
+                "c_mktsegment",
+                dirty_name.alias("c_name"),
+                "c_acctbal",
+            )
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("quoteAll", "true")
+            .csv(path)
+        )
+        _mark(path)
+    df = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("inferSchema", "false")
+        .schema(
+            "c_custkey bigint, c_mktsegment string, "
+            "c_name string, c_acctbal double"
+        )
+        .csv(path)
+    )
+    return df.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("c_name").contains("\n")).alias("n_multiline"),
+        F.sum(F.length("c_name")).alias("name_chars"),
+        F.sum(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("acctbal_cents"),
+    )
+
+
+QUERIES["io_csv_multiline"] = q_io_csv_multiline
+
+ORACLE["io_csv_multiline"] = """
+WITH d AS (
+  SELECT c_mktsegment,
+    CASE WHEN c_custkey % 13 = 0
+      THEN c_name || chr(10) || '"x,y"' ELSE c_name END AS nm,
+    c_acctbal
+  FROM customer)
+SELECT c_mktsegment, count(*) AS n_rows,
+  CAST(count(*) FILTER (WHERE contains(nm, chr(10))) AS BIGINT)
+    AS n_multiline,
+  CAST(sum(length(nm)) AS BIGINT) AS name_chars,
+  CAST(sum(CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+    AS BIGINT) AS acctbal_cents
+FROM d GROUP BY 1"""
