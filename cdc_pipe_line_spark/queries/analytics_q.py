@@ -1888,3 +1888,266 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name"""
+
+
+def q_attribution_markov(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl et al. 2014, public)
+    — the data-driven successor to `agg_attribution_last_touch`: model
+    journeys as a first-order chain over channels with CONV/NULL
+    absorbing, and credit each channel by how much the 16-step
+    conversion probability DROPS when that channel is removed (its
+    incoming edges redirect to NULL, its outgoing edges vanish).
+
+    Exactness contract — everything after the journey aggregate is
+    INTEGER arithmetic, so the hash needs no tolerance: transition
+    probabilities are fixed-point micros (``count*1e6 div out_count``),
+    the chain is raised to the 16th power by FOUR matrix squarings
+    with an integer-division renormalize per entry (products <= 1e12,
+    row sums <= 7e12 — safely inside int64), and effects/shares are
+    integer cross-multiplications.  Both engines fold identical
+    integers; summation order cannot matter.
+
+    Scale shape: ONE windowed pass over events builds the journey
+    transitions (per-user lag/lead after truncation at the first
+    purchase); the 7x7 chain then PACKS into a single 49-long array
+    column — one row per removal variant — and every squaring is an
+    in-row transform/aggregate expression: ZERO joins, ZERO shuffles
+    past the pack (a join-per-squaring draft spent 17 s on vanilla
+    200-partition stage scheduling for 245-row frames; this form runs
+    the same integers in narrow projections).  Each squaring level is
+    localCheckpoint-pinned — Project collapse would otherwise inline
+    level N-1's whole array expression into each of level N's 49
+    lanes (the no-CSE-in-HOF-lambdas trap, cost 49^4).  16 steps is a
+    deliberate fixed horizon (journeys longer than 16 hops contribute
+    through their prefix), making the metric deterministic rather
+    than convergence-dependent."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    first_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fp"))
+    )
+    kept = (
+        ev.join(first_p, "user_id", "left")
+        .filter(
+            F.col("fp").isNull()
+            | (F.struct("ts", "event_id") <= F.col("fp"))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # seq feeds THREE union branches; unpinned, each branch re-plans
+    # the scan + purchase join + window (pin-where-measured: 8.2 s ->
+    # 2.6 s for the journey stage on a vanilla 200-partition session)
+    seq = kept.select(
+        "st",
+        F.lag("st").over(w).alias("prev"),
+        F.lead("st").over(w).alias("nxt"),
+    ).localCheckpoint(eager=True)
+    trans = (
+        seq.filter(F.col("prev").isNull()).select(
+            F.lit("START").alias("src"), F.col("st").alias("dst")
+        )
+        .union(
+            seq.filter(F.col("nxt").isNotNull()).select(
+                F.col("st").alias("src"), F.col("nxt").alias("dst")
+            )
+        )
+        .union(
+            seq.filter(
+                F.col("nxt").isNull() & (F.col("st") != "CONV")
+            ).select(F.col("st").alias("src"), F.lit("NULL").alias("dst"))
+        )
+    )
+    counts = trans.groupBy("src", "dst").agg(F.count("*").alias("c"))
+    outs = counts.groupBy("src").agg(F.sum("c").alias("tot"))
+    probs = (
+        counts.join(outs, "src")
+        .select("src", "dst", F.expr("c * 1000000 div tot").alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    channels = ["view", "click", "signup", "error"]
+    variants = spark.createDataFrame(
+        [(v,) for v in ["base"] + channels], "variant string"
+    )
+    vmat = (
+        probs.crossJoin(F.broadcast(variants))
+        .filter(F.col("src") != F.col("variant"))
+        .select(
+            "variant",
+            "src",
+            F.when(F.col("dst") == F.col("variant"), F.lit("NULL"))
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "p",
+        )
+        .groupBy("variant", "src", "dst")
+        .agg(F.sum("p").alias("p"))
+    )
+    absorbing = spark.createDataFrame(
+        [
+            (v, s, s, 1000000)
+            for v in ["base"] + channels
+            for s in ("CONV", "NULL")
+        ],
+        "variant string, src string, dst string, p long",
+    )
+    idx = (
+        "CASE {c} WHEN 'START' THEN 0 WHEN 'view' THEN 1 "
+        "WHEN 'click' THEN 2 WHEN 'signup' THEN 3 WHEN 'error' THEN 4 "
+        "WHEN 'CONV' THEN 5 ELSE 6 END"
+    )
+    packed = (
+        vmat.unionByName(absorbing)
+        .select(
+            "variant",
+            F.expr(
+                f"({idx.format(c='src')}) * 7 + ({idx.format(c='dst')})"
+            ).alias("k"),
+            "p",
+        )
+        .groupBy("variant")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("k", "p"))
+            ).alias("mm")
+        )
+        .select(
+            "variant",
+            F.expr(
+                "transform(sequence(0, 48), "
+                "k -> coalesce(element_at(mm, k), 0L))"
+            ).alias("m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    square = (
+        "transform(sequence(0, 48), k -> "
+        "aggregate(sequence(0, 6), 0L, (acc, t) -> "
+        "acc + element_at(m, CAST((k div 7) * 7 + t + 1 AS INT)) "
+        "* element_at(m, t * 7 + (k % 7) + 1)) div 1000000)"
+    )
+    m = packed
+    for _ in range(4):
+        m = m.withColumn("m", F.expr(square)).localCheckpoint(eager=True)
+    # START row, CONV column: k = 0*7 + 5 -> element_at index 6
+    conv = m.select(
+        "variant", F.element_at("m", 6).alias("conv_micro")
+    )
+    base = conv.filter(F.col("variant") == "base").select(
+        F.col("conv_micro").alias("base_micro")
+    )
+    eff = (
+        conv.filter(F.col("variant") != "base")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("variant").alias("channel"),
+            "base_micro",
+            F.col("conv_micro").alias("removed_micro"),
+            F.expr(
+                "(base_micro - conv_micro) * 1000000 div base_micro"
+            ).alias("effect_micro"),
+        )
+    )
+    tot = eff.agg(F.sum("effect_micro").alias("eff_tot"))
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "base_micro",
+        "removed_micro",
+        "effect_micro",
+        F.when(
+            F.col("eff_tot") > 0,
+            F.expr("effect_micro * 1000000 div eff_tot"),
+        ).alias("share_micro"),
+    )
+
+
+QUERIES["agg_attribution_markov"] = q_attribution_markov
+
+_MK_SQ = """
+SELECT variant, list_transform(range(49), k ->
+  list_sum(list_transform(range(7), t ->
+    m[(k // 7) * 7 + t + 1] * m[t * 7 + (k % 7) + 1])) // 1000000) AS m
+FROM {prev}"""
+
+_MK_IDX = "CASE {c} WHEN 'START' THEN 0 WHEN 'view' THEN 1 " \
+    "WHEN 'click' THEN 2 WHEN 'signup' THEN 3 WHEN 'error' THEN 4 " \
+    "WHEN 'CONV' THEN 5 ELSE 6 END"
+
+ORACLE["agg_attribution_markov"] = f"""
+WITH fp AS (
+  SELECT user_id, min(ROW(ts, event_id)) AS f
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+kept AS (
+  SELECT e.user_id, e.ts, e.event_id,
+    CASE WHEN e.event_type = 'purchase' THEN 'CONV'
+         ELSE e.event_type END AS st
+  FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+  WHERE fp.f IS NULL OR ROW(e.ts, e.event_id) <= fp.f),
+seq AS (
+  SELECT st, lag(st) OVER w AS prev, lead(st) OVER w AS nxt
+  FROM kept
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+trans AS (
+  SELECT 'START' AS src, st AS dst FROM seq WHERE prev IS NULL
+  UNION ALL
+  SELECT st, nxt FROM seq WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT st, 'NULL' FROM seq WHERE nxt IS NULL AND st <> 'CONV'),
+counts AS (SELECT src, dst, count(*) AS c FROM trans GROUP BY 1, 2),
+outs AS (SELECT src, sum(c) AS tot FROM counts GROUP BY 1),
+probs AS (
+  SELECT counts.src, counts.dst,
+    CAST((c * 1000000) // tot AS BIGINT) AS p
+  FROM counts JOIN outs ON counts.src = outs.src),
+vars AS (SELECT unnest(['base', 'view', 'click', 'signup', 'error'])
+           AS variant),
+entries AS (
+  SELECT variant,
+    ({_MK_IDX.format(c='src')}) * 7
+      + ({_MK_IDX.format(c='dst')}) AS k,
+    CAST(sum(p) AS BIGINT) AS p
+  FROM (
+    SELECT variant, src,
+      CASE WHEN dst = variant THEN 'NULL' ELSE dst END AS dst, p
+    FROM probs CROSS JOIN vars
+    WHERE src <> variant
+    UNION ALL
+    SELECT variant, s, s, CAST(1000000 AS BIGINT)
+    FROM vars CROSS JOIN (SELECT unnest(['CONV', 'NULL']) AS s))
+  GROUP BY 1, 2),
+cells AS (
+  SELECT v.variant, gs.k, coalesce(e.p, 0) AS p
+  FROM vars v CROSS JOIN (SELECT unnest(range(49)) AS k) gs
+  LEFT JOIN entries e ON e.variant = v.variant AND e.k = gs.k),
+m0 AS (SELECT variant, list(p ORDER BY k) AS m FROM cells GROUP BY 1),
+m1 AS ({_MK_SQ.format(prev='m0')}),
+m2 AS ({_MK_SQ.format(prev='m1')}),
+m3 AS ({_MK_SQ.format(prev='m2')}),
+m4 AS ({_MK_SQ.format(prev='m3')}),
+conv AS (
+  SELECT variant, CAST(m[6] AS BIGINT) AS conv_micro FROM m4),
+eff AS (
+  SELECT c.variant AS channel,
+    b.conv_micro AS base_micro,
+    c.conv_micro AS removed_micro,
+    CAST(((b.conv_micro - c.conv_micro) * 1000000) // b.conv_micro
+      AS BIGINT) AS effect_micro
+  FROM conv c CROSS JOIN (
+    SELECT conv_micro FROM conv WHERE variant = 'base') b
+  WHERE c.variant <> 'base'),
+tot AS (SELECT sum(effect_micro) AS eff_tot FROM eff)
+SELECT channel, base_micro, removed_micro, effect_micro,
+  CASE WHEN eff_tot > 0
+    THEN CAST((effect_micro * 1000000) // eff_tot AS BIGINT)
+  END AS share_micro
+FROM eff CROSS JOIN tot"""
