@@ -483,3 +483,46 @@ def test_collation_group_is_collation_aware_aggregate(spark):
         "c_acctbal:double>" in plan
     ), plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The three join-strategy escape hatches must actually change the
+    physical plan — at 100 TB the difference between a sort-merge and
+    a shuffled-hash join on a skew-free key is a full sort per side.
+    Pins: default equi-join on unsorted parquet = SortMergeJoin;
+    hint('shuffle_hash') = ShuffledHashJoin (no sort);
+    hint('broadcast') on an over-threshold side = BroadcastHashJoin
+    (the hint overrides autoBroadcastJoinThreshold)."""
+    from cdc_pipe_line_spark.queries import load_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, SF_DIR, "orders")
+        c = load_table(spark, SF_DIR, "customer")
+        on = o.o_custkey == c.c_custkey
+
+        default_plan = (
+            o.join(c, on)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in default_plan
+
+        sh_plan = (
+            o.join(c.hint("shuffle_hash"), on)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ShuffledHashJoin" in sh_plan
+        assert "SortMergeJoin" not in sh_plan
+
+        bc_plan = (
+            o.join(c.hint("broadcast"), on)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in bc_plan
+        assert "Exchange hashpartitioning" not in bc_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
