@@ -52,9 +52,11 @@ _MODULES = [
 ]
 
 #: Names with no row in any CORRECTNESS_r{01..06}.json, in original
-#: registration order.  61 names as of round 7; the driver's
-#: ~50-query budget covers the first 50 this round, the remainder
-#: (plus round-7 additions, which register after this block) next.
+#: registration order — regenerate with ``python tools/gen_rotation.py``
+#: at each round start.  92 names as of late round 7 (the 61 from the
+#: round-6 rotation plus the 31 round-7 additions appended behind
+#: them); the driver's ~50-query budget covers the first 50 this
+#: round, the remainder over the following rounds.
 _DRIVER_ROTATION = (
     "join_q3_shipping_priority",
     "join_q10_returned_items",
@@ -117,6 +119,37 @@ _DRIVER_ROTATION = (
     "qa_psi_drift",
     "qa_referential_audit",
     "qa_freshness_slo",
+    "text_pii_audit",
+    "llm_pack_sequences",
+    "llm_bpe_tokenize",
+    "text_textrank_terms",
+    "mm_audio_vad_segments",
+    "mm_image_dhash_dedup",
+    "mm_video_scene_cuts",
+    "dedup_semantic",
+    "mm_jpeg_color_decode",
+    "stream_psi_gate",
+    "stream_abandoned_users",
+    "stream_state_introspect",
+    "stream_join_left_outer",
+    "ts_stl_decompose",
+    "ts_holt_winters",
+    "ts_session_window_tvf",
+    "cdc_interval_coalesce",
+    "io_python_datasink",
+    "io_xml_roundtrip",
+    "io_parquet_bloom_prune",
+    "io_csv_multiline",
+    "scalar_variant_json",
+    "join_salted_skew",
+    "join_bloom_prefilter",
+    "scalar_python_udtf",
+    "scalar_collation_group",
+    "scalar_sql_udf",
+    "graph_hierarchy_rollup",
+    "agg_approx_topk_merge",
+    "agg_ordered_listagg",
+    "agg_attribution_markov",
 )
 
 
