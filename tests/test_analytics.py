@@ -311,3 +311,43 @@ def test_listagg_distinct_plus_countdistinct_planner_bug_still_present(spark):
                       count(DISTINCT s) AS nd
                FROM listagg_bug_v GROUP BY k"""
         ).collect()
+
+
+def test_markov_attribution_invariants(spark):
+    from tests.conftest import SF_DIR
+    """Structural invariants of removal-effect attribution: removing a
+    channel can only LOWER 16-step conversion (base >= removed >= 0),
+    effects live in [0, 1e6] micro-units, and shares are a partition
+    of ~1e6 (integer floor division loses at most n_channels units)."""
+    from cdc_pipe_line_spark.queries import all_queries
+
+    rows = all_queries()["agg_attribution_markov"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == 4
+    base = rows[0].base_micro
+    assert all(r.base_micro == base for r in rows)
+    for r in rows:
+        assert 0 <= r.removed_micro <= base
+        assert 0 <= r.effect_micro <= 1000000
+    share_sum = sum(r.share_micro for r in rows)
+    assert 1000000 - 4 <= share_sum <= 1000000
+
+
+def test_textrank_rank_mass_conserved(spark):
+    """On the symmetric co-occurrence graph every vertex has outgoing
+    mass, so PageRank's total rank is conserved at ~1.0 after any
+    number of iterations (teleport + distributed mass partition the
+    unit); the top-15 cut must also be strictly rank-ordered."""
+    from cdc_pipe_line_spark.queries import all_queries, load_table
+    from cdc_pipe_line_spark.text import textrank_terms
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pr = textrank_terms(docs, n_iter=4)
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+    top = all_queries()["text_textrank_terms"](spark, SF_DIR).collect()
+    ranks = [r.rank for r in top]
+    assert ranks == sorted(ranks, reverse=True)
+    assert [r.pos for r in top] == list(range(1, len(top) + 1))
