@@ -2151,3 +2151,145 @@ SELECT channel, base_micro, removed_micro, effect_micro,
     THEN CAST((effect_micro * 1000000) // eff_tot AS BIGINT)
   END AS share_micro
 FROM eff CROSS JOIN tot"""
+
+
+def q_label_propagation(spark, sf_dir):
+    """Synchronous label propagation communities (Raghavan et al.
+    2007, public) over the word co-occurrence graph — the community-
+    detection sibling of `graph_pagerank_sources` (influence) and
+    `dedup_components` (reachability): each word starts as its own
+    label and, for 4 synchronous rounds, adopts the label with the
+    largest EDGE-WEIGHTED neighbor vote; ties break to the smallest
+    label so every round is engine-deterministic (votes are integer
+    co-occurrence counts — no float anywhere).
+
+    The fixed 4-round horizon is deliberate: sync LPA can oscillate
+    on bipartite structures, so the metric is "labels after 4 sync
+    rounds", not a convergence claim — both engines fold the same
+    integers to the same fixpoint-or-not.
+
+    Propagation runs on the TOP-3 mutual co-occurrence graph: each
+    word keeps only its 3 strongest edges (ties by neighbor) and the
+    graph re-symmetrizes by union — the standard kNN-graph
+    sparsification, chosen over an absolute weight threshold because
+    a threshold relative to the mean weight measured 14 communities
+    at 1.2x but ZERO surviving edges at 1.5x (brittle against the
+    per-round fixture regeneration), while the top-k cut yields 9-17
+    communities at every tested SF by construction.
+
+    Scale shape: the token stream collapses to the vocabulary²
+    edge list once (shared `word_cooccurrence_edges` builder, one
+    doc_id shuffle); the top-k cut is the WindowGroupLimit shape;
+    each round is one vocab-sized join + integer vote aggregate +
+    per-node rank cut, pinned per round so plans stay linear in
+    rounds.  Membership AND order bind into the hash via the ordered
+    per-community CSV."""
+    from cdc_pipe_line_spark.text import word_cooccurrence_edges
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    dense = word_cooccurrence_edges(docs)
+    wk = Window.partitionBy("src").orderBy(
+        F.col("wt").desc(), F.col("dst").asc()
+    )
+    topk = (
+        dense.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst", "wt")
+    )
+    edges = (
+        topk.union(
+            topk.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "wt"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("wt").alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    for _ in range(4):
+        votes = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.sum("wt").alias("votes"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.expr(
+                "listagg(node, ',') WITHIN GROUP (ORDER BY node)"
+            ).alias("words_csv"),
+        )
+        .select(F.col("label").alias("community"), "n_words", "words_csv")
+    )
+
+
+QUERIES["graph_label_propagation"] = q_label_propagation
+
+_LPA_STEP = """
+SELECT node, label FROM (
+  SELECT e.src AS node, l.label,
+    row_number() OVER (PARTITION BY e.src
+      ORDER BY sum(e.wt) DESC, l.label ASC) AS rn
+  FROM edges e JOIN {prev} l ON e.dst = l.node
+  GROUP BY e.src, l.label)
+WHERE rn = 1"""
+
+ORACLE["graph_label_propagation"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+    generate_subscripts(string_split(lower(text), ' '), 1) AS pos,
+    unnest(string_split(lower(text), ' ')) AS w
+  FROM documents),
+t AS (SELECT * FROM toks WHERE w <> ''),
+led AS (
+  SELECT w, lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2
+  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos ASC)),
+und AS (
+  SELECT w AS src, w1 AS dst FROM led
+  WHERE w1 IS NOT NULL AND w <> w1
+  UNION ALL
+  SELECT w, w2 FROM led WHERE w2 IS NOT NULL AND w <> w2),
+edges0 AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS wt FROM (
+    SELECT src, dst FROM und
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM und)
+  GROUP BY 1, 2),
+topk AS (
+  SELECT src, dst, wt FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+      ORDER BY wt DESC, dst ASC) AS rn
+    FROM edges0) WHERE rn <= 3),
+edges AS (
+  SELECT src, dst, CAST(max(wt) AS BIGINT) AS wt FROM (
+    SELECT src, dst, wt FROM topk
+    UNION ALL
+    SELECT dst AS src, src AS dst, wt FROM topk)
+  GROUP BY 1, 2),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+l1 AS ({_LPA_STEP.format(prev='l0')}),
+l2 AS ({_LPA_STEP.format(prev='l1')}),
+l3 AS ({_LPA_STEP.format(prev='l2')}),
+l4 AS ({_LPA_STEP.format(prev='l3')})
+SELECT label AS community, count(*) AS n_words,
+  string_agg(node, ',' ORDER BY node) AS words_csv
+FROM l4 GROUP BY 1"""

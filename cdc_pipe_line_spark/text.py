@@ -2095,6 +2095,51 @@ def chunk_pack_sequences(
     )
 
 
+def word_cooccurrence_edges(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Symmetric weighted word co-occurrence graph (±2-token window),
+    shared by :func:`textrank_terms` and the label-propagation
+    community query: pairs come from TWO lead() columns over the
+    position-ordered token stream — ONE shuffle on ``doc_col``, never
+    a positional self-join — then collapse to the vocabulary² bound
+    and pin (eager localCheckpoint) so downstream iterative consumers
+    never re-plan the token scan.  Returns ``(src, dst, wt)`` with
+    both directions present."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(doc_col).alias("__doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "__pos", "__w"
+        ),
+    ).filter(F.col("__w") != "")
+    win = Window.partitionBy("__doc").orderBy("__pos")
+    led = toks.select(
+        F.col("__w").alias("w"),
+        F.lead("__w", 1).over(win).alias("w1"),
+        F.lead("__w", 2).over(win).alias("w2"),
+    )
+    und = led.select(
+        F.col("w").alias("src"), F.col("w1").alias("dst")
+    ).filter(F.col("w1").isNotNull() & (F.col("w") != F.col("w1"))).union(
+        led.select(F.col("w").alias("src"), F.col("w2").alias("dst")).filter(
+            F.col("w2").isNotNull() & (F.col("w") != F.col("w2"))
+        )
+    )
+    return (
+        und.union(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def textrank_terms(
     docs: DataFrame,
     *,
@@ -2125,32 +2170,8 @@ def textrank_terms(
     the graph is symmetric), so the sum-order ulp noise the pin
     absorbs is the only cross-engine drift.
     """
-    from pyspark.sql.window import Window
-
-    toks = docs.select(
-        F.col(doc_col).alias("__doc"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
-            "__pos", "__w"
-        ),
-    ).filter(F.col("__w") != "")
-    win = Window.partitionBy("__doc").orderBy("__pos")
-    led = toks.select(
-        F.col("__w").alias("w"),
-        F.lead("__w", 1).over(win).alias("w1"),
-        F.lead("__w", 2).over(win).alias("w2"),
-    )
-    und = led.select(
-        F.col("w").alias("src"), F.col("w1").alias("dst")
-    ).filter(F.col("w1").isNotNull() & (F.col("w") != F.col("w1"))).union(
-        led.select(F.col("w").alias("src"), F.col("w2").alias("dst")).filter(
-            F.col("w2").isNotNull() & (F.col("w") != F.col("w2"))
-        )
-    )
-    edges = (
-        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("wt"))
-        .localCheckpoint(eager=True)
+    edges = word_cooccurrence_edges(
+        docs, text_col=text_col, doc_col=doc_col
     )
     wdeg = (
         edges.groupBy("src").agg(F.sum("wt").alias("__wdeg"))
