@@ -1022,7 +1022,71 @@ def q_audio_vad_segments(spark, sf_dir):
     return good.unionByName(quar)
 
 
+def q_knn_mips(spark, sf_dir):
+    """Maximum-inner-product top-10 (MIPS) with the augmentation
+    reduction verified in-query: corpus vectors get a deterministic
+    dyadic popularity scale ``1 + (vec_id % 8)/8`` (unit vectors make
+    plain cosine == MIPS, so the scale is what makes this a DIFFERENT
+    ranking problem), the exact path ranks ``s * <q, v>``, and the
+    Shrivastava-Li/Neyshabur-Srebro reduction path re-ranks through
+    cosine on vectors augmented with ``sqrt(M^2 - s^2)`` (constant
+    augmented norm M = max scale, query padded with 0).  The
+    reduction's top-10 must agree with the exact top-10 at recall
+    >= 0.9 per query — a boolean claim the oracle pins TRUE, so a
+    broken reduction flips the hash (sketch-claim pattern, cf.
+    `sim_knn_ivf`).  Exact scores floor-1e4 pinned before ranking;
+    the scale is dyadic so ``s * dot`` is one exactly-representable
+    multiply in both engines.
+
+    Scale shape: query set broadcast twice (exact + augmented),
+    corpus never self-joined; top-k per query via the rank window."""
+    from cdc_pipe_line_spark.similarity import brute_force_topk, mips_topk
+
+    q, emb = _queries_and_corpus(spark, sf_dir)
+    c = emb.select(
+        "vec_id",
+        (
+            F.lit(1.0) + (F.col("vec_id") % 8).cast("double") / F.lit(8.0)
+        ).alias("s"),
+        "embedding",
+    )
+    exact = mips_topk(q, c, k=10)
+    mx = c.agg(F.max("s").alias("M"))
+    aug_c = c.crossJoin(F.broadcast(mx)).select(
+        "vec_id",
+        F.concat(
+            F.transform("embedding", lambda x: x * F.col("s")),
+            F.array(
+                F.sqrt(F.col("M") * F.col("M") - F.col("s") * F.col("s"))
+            ),
+        ).alias("embedding"),
+    )
+    aug_q = q.select(
+        "q_id", F.concat("embedding", F.array(F.lit(0.0))).alias("embedding")
+    )
+    red = brute_force_topk(aug_q, aug_c, k=10)
+    hits = (
+        exact.select("q_id", "vec_id")
+        .join(red.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("__n_hit"))
+    )
+    return (
+        exact.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "vec_id",
+            "ip",
+            F.col("rank").cast("bigint").alias("rank"),
+            (F.coalesce(F.col("__n_hit"), F.lit(0)) >= 9).alias(
+                "reduction_ok"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "sim_knn_mips": q_knn_mips,
     "mm_audio_vad_segments": q_audio_vad_segments,
     "mm_image_dhash_dedup": q_image_dhash_dedup,
     "mm_video_scene_cuts": q_video_scene_cuts,
@@ -1502,6 +1566,26 @@ scored AS (
   FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.q_id)
 SELECT q_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10""",
+    "sim_knn_mips": """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id,
+        CAST(1 AS DOUBLE)
+          + (vec_id % 8) / CAST(8 AS DOUBLE) AS s,
+        embedding
+      FROM embeddings),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+    floor(list_sum(list_transform(range(1, 65),
+        i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      * c.s * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS ip
+  FROM c CROSS JOIN q WHERE c.vec_id != q.q_id)
+SELECT q_id, vec_id, ip, CAST(rank AS BIGINT) AS rank,
+  TRUE AS reduction_ok
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+    ORDER BY ip DESC, vec_id ASC) AS rank
   FROM scored) WHERE rank <= 10""",
     "sim_cosine_near_dup": f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1004,3 +1004,48 @@ def filtered_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def mips_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_col: str = "s",
+    k: int = 10,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k (MIPS) — the retrieval
+    ranking recommenders actually serve (popularity-scaled item
+    vectors make inner product differ from cosine): broadcast query
+    set against the corpus, score ``s * <q, v>``, rank per query.
+
+    Scores are floor-1e4 pinned BEFORE ranking so the order the
+    window sees is the order the oracle replays; the per-item scale
+    multiplies the finished dot product (same operand order both
+    engines)."""
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(scale_col).alias("__s"),
+        F.col(vec_col).alias("__cv"),
+    )
+    ip = dot(F.col("__qv"), F.col("__cv")) * F.col("__s")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("__cid") != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            (
+                F.floor(ip * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+            ).alias("ip"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("ip"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
