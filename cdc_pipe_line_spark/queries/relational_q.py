@@ -2887,3 +2887,48 @@ SELECT l_returnflag,
   count(*) AS n_items,
   CAST(sum(cents) AS BIGINT) AS net_cents
 FROM n WHERE cents > 100000 GROUP BY 1, 2"""
+
+
+def q_scalar_modern_sql(spark, sf_dir):
+    """Modern-SQL convenience surface in one oracle-checked rollup —
+    the four Spark 4 additions a SQL-first user leans on daily, each
+    of which silently changes SEMANTICS (not just syntax) and so needs
+    a hash: named PARAMETER MARKERS (``spark.sql(..., args=...)`` —
+    typed, injection-safe, vs f-string splicing), the ``IDENTIFIER()``
+    clause (parameterized table refs that stay analyzable), LATERAL
+    COLUMN ALIAS (``net`` reused in the same SELECT — previously a
+    subquery), and ``GROUP BY ALL`` (grouping derived from the
+    non-aggregate output list; a wrong derivation changes the row
+    set, which the hash catches).  The filter predicate arrives as a
+    typed parameter, not a spliced literal, and still pushes down."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_msql_v")
+    return spark.sql(
+        """SELECT o_orderpriority,
+                  o_orderstatus,
+                  count(*) AS n_orders,
+                  CAST(sum(net) AS BIGINT) AS net_cents
+           FROM (
+             SELECT o_orderpriority, o_orderstatus,
+                    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS gross,
+                    gross - (gross div 10) AS net
+             FROM IDENTIFIER(:tbl)
+             WHERE o_totalprice > :min_price
+           )
+           GROUP BY ALL""",
+        args={"tbl": "orders_msql_v", "min_price": 50000.0},
+    )
+
+
+QUERIES["scalar_modern_sql"] = q_scalar_modern_sql
+
+ORACLE["scalar_modern_sql"] = """
+WITH src AS (
+  SELECT o_orderpriority, o_orderstatus,
+    CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+      AS gross
+  FROM orders WHERE o_totalprice > 50000.0),
+n AS (SELECT o_orderpriority, o_orderstatus, gross,
+        gross - (gross // 10) AS net FROM src)
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+  CAST(sum(net) AS BIGINT) AS net_cents
+FROM n GROUP BY 1, 2"""

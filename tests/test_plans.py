@@ -526,3 +526,14 @@ def test_join_strategy_hints_are_honored(spark):
         assert "Exchange hashpartitioning" not in bc_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_modern_sql_parameter_pushes_down(spark):
+    """The typed parameter marker must behave exactly like a literal
+    once bound: the o_totalprice predicate reaches the parquet scan as
+    a pushed filter, and the lateral-alias net computation stays one
+    codegen projection (no subquery materialization)."""
+    plan = _plan(spark, "scalar_modern_sql")
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(o_totalprice,50000", plan), plan
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
