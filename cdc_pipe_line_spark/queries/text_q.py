@@ -2829,3 +2829,134 @@ top AS (
 SELECT word, rank,
   CAST(row_number() OVER (ORDER BY rank DESC, word ASC) AS INT) AS pos
 FROM top"""
+
+
+def q_dedup_lsh_recall(spark, sf_dir):
+    """Measured RECALL of the banded MinHash-LSH dedup path against
+    exhaustive ground truth — the dedup sibling of `sim_recall_at_k`
+    ("recall measured, not assumed"): the inverted-index n-gram path
+    (`dedup_ngram_jaccard`, candidates bounded by shared shingles but
+    otherwise exhaustive) defines the TRUE >= 0.5-Jaccard pair set;
+    the banded LSH path (`dedup_minhash_lsh`) finds what its 8x4-band
+    collision probability allows; both verify with the IDENTICAL exact
+    Jaccard, so found ⊆ true and the miss count is the banding's real
+    loss at this corpus's similarity profile (theory: a pair at
+    jaccard s collides with prob 1-(1-s^4)^8 ≈ 0.40 at s = 0.5,
+    → 1 as s → 1 — the measured recall_micro is the corpus-weighted
+    average of that curve).
+
+    All published columns are integers (counts + micro ratio via
+    integer division) — no tolerance; the oracle replays BOTH full
+    pipelines off one shared shingling CTE.  At 100 TB this query is
+    the periodic dedup-quality DIAGNOSTIC run on a sample: the
+    exhaustive truth side is what LSH exists to avoid."""
+    docs = _t(spark, sf_dir, "documents")
+    # both pair frames feed two consumers each (their count + the
+    # semi-join); pinned, each pipeline runs once — unpinned the
+    # self-references re-planned both full dedup pipelines (~17 s ->
+    # ~9 s at sf0.01 on a vanilla session)
+    truth = (
+        ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    found = (
+        minhash_lsh_pairs(docs, n=5, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    hits = found.join(truth, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_true_pairs"))
+        .crossJoin(found.agg(F.count("*").alias("n_lsh_pairs")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_true_pairs",
+            "n_lsh_pairs",
+            "n_hits",
+            (F.col("n_true_pairs") - F.col("n_hits")).alias("n_missed"),
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.expr("n_hits * 1000000 div n_true_pairs"),
+            ).alias("recall_micro"),
+        )
+    )
+
+
+QUERIES["dedup_lsh_recall"] = q_dedup_lsh_recall
+
+#: the signature CTE (32 literal affine permutations) sliced verbatim
+#: from the minhash oracle so the recall oracle replays the IDENTICAL
+#: probabilistic path — a drifting coefficient cannot silently diverge
+_MINHASH_SIG_SQL = ORACLE["dedup_minhash_lsh"][
+    ORACLE["dedup_minhash_lsh"].index("sig AS (") :
+    ORACLE["dedup_minhash_lsh"].index("banded AS (")
+]
+
+ORACLE["dedup_lsh_recall"] = (
+    # shared shingling prefix + both verified-pair pipelines, composed
+    # from the SAME CTE bodies the two constituent oracles use
+    """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3),
+                          i -> array_to_string(w[i:i+4], ' '))
+      ELSE [] END) AS sh
+  FROM words),
+sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
+ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM sized),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_shared
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+truth AS (
+  SELECT id_a, id_b FROM shared
+  WHERE round(n_shared / (n_a + n_b - n_shared), 4) >= 0.5),
+docs AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+hx AS (
+  SELECT doc_id,
+    list_transform(sh,
+      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 2147483647) AS hx
+  FROM docs),
+"""
+    + _MINHASH_SIG_SQL
+    + """
+banded AS (
+  SELECT doc_id, b.band,
+    array_to_string(sig[b.band*4+1 : b.band*4+4], '_') AS bucket
+  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    round(len(list_intersect(sa.sh, sb.sh)) /
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+      AS jaccard
+  FROM cand c
+  JOIN docs sa ON sa.doc_id = c.id_a
+  JOIN docs sb ON sb.doc_id = c.id_b),
+found AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+hits AS (
+  SELECT count(*) AS n FROM found f
+  WHERE EXISTS (SELECT 1 FROM truth t
+                WHERE t.id_a = f.id_a AND t.id_b = f.id_b)),
+tots AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+         (SELECT count(*) FROM found) AS n_lsh_pairs,
+         (SELECT n FROM hits) AS n_hits)
+SELECT n_true_pairs, n_lsh_pairs, n_hits,
+  n_true_pairs - n_hits AS n_missed,
+  CASE WHEN n_true_pairs > 0
+    THEN CAST((n_hits * 1000000) // n_true_pairs AS BIGINT)
+  END AS recall_micro
+FROM tots"""
+)
