@@ -1502,3 +1502,72 @@ SELECT user_id, epoch_us(min(ts)) AS start_us,
   CAST(sum(CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT))
     AS BIGINT) AS value_cents
 FROM s GROUP BY user_id, sid"""
+
+
+def q_anomaly_stl_residual(spark, sf_dir):
+    """Anomaly scoring on the DESEASONALIZED remainder — the composed
+    detector that fixes `ts_anomaly_mad`'s known blind spot: on a
+    series with real weekly structure, raw-value MAD flags every
+    strong weekday as anomalous and misses a genuinely odd Sunday.
+    Here `ts_stl_decompose` first explains trend + weekly seasonality,
+    and the MAD gate runs on what is LEFT, so a day is anomalous only
+    relative to its own calendar position.
+
+    Determinism: remainders arrive 4dp floor-pinned from the STL
+    query, so per-type median/MAD — and the 3-sigma-equivalent
+    ``|dev| > 3 * 1.4826 * MAD`` comparison — fold identical doubles
+    in both engines (`ts_anomaly_mad` precedent); published med/mad
+    get the floor-pin, the flag uses the raw values.
+
+    Scale shape: the decomposition frame (day-spine-sized) is pinned
+    once; everything after is two broadcast-sized median joins —
+    the cost profile of the STL query itself."""
+    dec = q_stl_decompose(spark, sf_dir).localCheckpoint(eager=True)
+    med = dec.groupBy("event_type").agg(F.median("remainder").alias("med"))
+    dev = dec.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("remainder") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("absdev").alias("mad"))
+
+    def pin(c):
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        "remainder",
+        pin(F.col("med")).alias("med"),
+        pin(F.col("mad")).alias("mad"),
+        (
+            F.col("absdev")
+            > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+        ).alias("is_anomaly"),
+    )
+
+
+QUERIES["ts_anomaly_stl_residual"] = q_anomaly_stl_residual
+
+#: the full STL oracle re-used as a CTE: slice everything before its
+#: final SELECT, wrap that SELECT as `dec` — the two queries can
+#: never drift apart silently (same discipline as the minhash
+#: signature slice in dedup_lsh_recall's oracle)
+_STL_SQL = ORACLE["ts_stl_decompose"]
+_STL_CUT = _STL_SQL.index("SELECT f.event_type")
+ORACLE["ts_anomaly_stl_residual"] = (
+    _STL_SQL[:_STL_CUT]
+    + ",\ndec AS (\n"
+    + _STL_SQL[_STL_CUT:]
+    + """),
+med AS (SELECT event_type, median(remainder) AS med
+        FROM dec GROUP BY 1),
+dev AS (SELECT dec.*, med.med, abs(remainder - med.med) AS absdev
+        FROM dec JOIN med USING (event_type)),
+mad AS (SELECT event_type, median(absdev) AS mad FROM dev GROUP BY 1)
+SELECT dev.event_type, d, n, remainder,
+  floor(dev.med * 1e4 + CAST(0.5 AS DOUBLE)) / 1e4 AS med,
+  floor(mad.mad * 1e4 + CAST(0.5 AS DOUBLE)) / 1e4 AS mad,
+  absdev > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad.mad
+    AS is_anomaly
+FROM dev JOIN mad ON dev.event_type = mad.event_type"""
+)
