@@ -2293,3 +2293,120 @@ l4 AS ({_LPA_STEP.format(prev='l3')})
 SELECT label AS community, count(*) AS n_words,
   string_agg(node, ',' ORDER BY node) AS words_csv
 FROM l4 GROUP BY 1"""
+
+
+def q_link_prediction(spark, sf_dir):
+    """Neighbor-Jaccard link prediction (Liben-Nowell & Kleinberg
+    2003, public) over the word co-occurrence graph — given the edges
+    that exist, which NON-edges are most likely: score every
+    non-adjacent pair that shares at least one neighbor by
+    ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` and publish the top 15.  The
+    graph trio is now complete: influence (`graph_pagerank_sources`),
+    communities (`graph_label_propagation`), missing-edge inference
+    (here) — all on the same shared edge builder.
+
+    Entirely INTEGER arithmetic: common-neighbor counts and degrees
+    are exact, the score is ``common * 1e6 div (d_a + d_b - common)``
+    (integer division), so ranking and hash are tolerance-free; ties
+    break on the pair itself.
+
+    Scale shape: candidates come from the shared-neighbor wedge join
+    (only pairs with a common neighbor exist — the same bound as
+    triangle counting, never all-pairs); the anti-join removes
+    existing edges; degrees broadcast.  At massive degree skew the
+    adjacency-intersection form (`graph_triangle_parts`'s packed-array
+    rewrite) applies verbatim."""
+    from cdc_pipe_line_spark.text import word_cooccurrence_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    und = word_cooccurrence_edges(docs).select("src", "dst")
+    deg = und.groupBy("src").agg(F.count("*").alias("d"))
+    common = (
+        und.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+        .join(
+            und.select(F.col("src").alias("b"), F.col("dst").alias("w")),
+            "w",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    nonadj = common.join(
+        und.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    scored = (
+        nonadj.join(
+            F.broadcast(deg.select(F.col("src").alias("a"), F.col("d").alias("d_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("src").alias("b"), F.col("d").alias("d_b"))),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.expr(
+                "n_common * 1000000 div (d_a + d_b - n_common)"
+            ).alias("score_micro"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    top = scored.orderBy(
+        F.col("score_micro").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(15)
+    w = _W.orderBy(
+        F.col("score_micro").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return top.withColumn("pos", F.row_number().over(w).cast("int"))
+
+
+QUERIES["graph_link_prediction"] = q_link_prediction
+
+ORACLE["graph_link_prediction"] = """
+WITH toks AS (
+  SELECT doc_id,
+    generate_subscripts(string_split(lower(text), ' '), 1) AS pos,
+    unnest(string_split(lower(text), ' ')) AS w
+  FROM documents),
+t AS (SELECT * FROM toks WHERE w <> ''),
+led AS (
+  SELECT w, lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2
+  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos ASC)),
+und0 AS (
+  SELECT w AS src, w1 AS dst FROM led
+  WHERE w1 IS NOT NULL AND w <> w1
+  UNION ALL
+  SELECT w, w2 FROM led WHERE w2 IS NOT NULL AND w <> w2),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM und0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM und0)),
+deg AS (SELECT src, count(*) AS d FROM und GROUP BY 1),
+common AS (
+  SELECT x.src AS a, y.src AS b, count(*) AS n_common
+  FROM und x JOIN und y ON x.dst = y.dst AND x.src < y.src
+  GROUP BY 1, 2),
+nonadj AS (
+  SELECT c.* FROM common c
+  WHERE NOT EXISTS (SELECT 1 FROM und e
+                    WHERE e.src = c.a AND e.dst = c.b)),
+scored AS (
+  SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+    CAST((n_common * 1000000) // (da.d + db.d - n_common) AS BIGINT)
+      AS score_micro
+  FROM nonadj
+  JOIN deg da ON da.src = a
+  JOIN deg db ON db.src = b),
+top AS (
+  SELECT * FROM scored
+  ORDER BY score_micro DESC, a ASC, b ASC LIMIT 15)
+SELECT a, b, n_common, score_micro,
+  CAST(row_number() OVER (ORDER BY score_micro DESC, a ASC, b ASC)
+    AS INT) AS pos
+FROM top"""
