@@ -53,8 +53,8 @@ _MODULES = [
 
 #: Names with no row in any CORRECTNESS_r{01..06}.json, in original
 #: registration order — regenerate with ``python tools/gen_rotation.py``
-#: at each round start.  98 names as of late round 7 (the 61 from the
-#: round-6 rotation plus the 37 round-7 additions appended behind
+#: at each round start.  99 names as of late round 7 (the 61 from the
+#: round-6 rotation plus the 38 round-7 additions appended behind
 #: them); the driver's ~50-query budget covers the first 50 this
 #: round, the remainder over the following rounds.
 _DRIVER_ROTATION = (
@@ -156,6 +156,7 @@ _DRIVER_ROTATION = (
     "graph_label_propagation",
     "ts_anomaly_stl_residual",
     "graph_link_prediction",
+    "stream_join_full_outer",
 )
 
 

@@ -1002,3 +1002,103 @@ SELECT 'unmatched', count(*),
   CAST(count(DISTINCT user_id) AS BIGINT),
   CAST(sum(view_id) AS BIGINT), CAST(NULL AS BIGINT)
 FROM um"""
+
+
+def q_stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both eviction legs of
+    the symmetric hash join, each with its OWN watermark contract
+    (probe-measured on the fixture, cf. `stream_join_left_outer` for
+    the left leg's derivation):
+
+    - a VIEW emits null-padded iff ``view_ts + 4h < W`` (its last
+      possible match time must pass the watermark);
+    - a PURCHASE emits null-padded iff ``purchase_ts < W`` (a
+      purchase only matches views AT OR BEFORE it, so its own
+      timestamp IS its last match time — the asymmetry of the
+      one-sided interval condition, and why the two legs evict on
+      different cutoffs);
+    - ``W = min(max view_ts, max purchase_ts) - 1 day`` — the global
+      watermark is the min over every watermark operator.
+
+    Matched rows emit immediately.  The oracle replays all three row
+    classes; id checksums bind exact membership of each."""
+    base = _stage(spark, sf_dir, "raw")
+    views = _read_raw(spark, base).filter(F.col("event_type") == "view")
+    buys = _read_raw(spark, base).filter(F.col("event_type") == "purchase")
+    l = views.withWatermark("ts", "1 day").alias("l")
+    r = buys.withWatermark("ts", "1 day").alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 4 HOURS"))
+    )
+    joined = l.join(r, cond, "full_outer").select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    # right-size state partitions for the bounded drain (measured on
+    # stream_join_left_outer: 27.6 s -> 5.4 s; a stream-stream join
+    # keeps 4 state stores per partition)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q, out = st.start_to_memory(joined, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q.awaitTermination()
+    matched = out.filter(
+        F.col("view_id").isNotNull() & F.col("purchase_id").isNotNull()
+    ).agg(
+        F.lit("matched").alias("probe"),
+        F.count("*").alias("n"),
+        F.sum("view_id").alias("view_id_sum"),
+        F.sum("purchase_id").alias("purchase_id_sum"),
+    )
+    lonely_v = out.filter(F.col("purchase_id").isNull()).agg(
+        F.lit("view_no_purchase").alias("probe"),
+        F.count("*").alias("n"),
+        F.sum("view_id").alias("view_id_sum"),
+        F.lit(None).cast("bigint").alias("purchase_id_sum"),
+    )
+    lonely_p = out.filter(F.col("view_id").isNull()).agg(
+        F.lit("purchase_no_view").alias("probe"),
+        F.count("*").alias("n"),
+        F.lit(None).cast("bigint").alias("view_id_sum"),
+        F.sum("purchase_id").alias("purchase_id_sum"),
+    )
+    return matched.unionByName(lonely_v).unionByName(lonely_p)
+
+
+QUERIES["stream_join_full_outer"] = q_stream_join_full_outer
+
+ORACLE["stream_join_full_outer"] = """
+WITH v AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'view'),
+b AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+mm AS (SELECT least((SELECT max(ts) FROM v),
+                    (SELECT max(ts) FROM b)) - INTERVAL 1 DAY AS wm),
+m AS (
+  SELECT v.event_id AS view_id, b.event_id AS purchase_id
+  FROM v JOIN b ON v.user_id = b.user_id AND b.ts >= v.ts
+    AND b.ts <= v.ts + INTERVAL 4 HOUR),
+lv AS (
+  SELECT v.event_id AS view_id FROM v, mm
+  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = v.user_id
+          AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 4 HOUR)
+    AND v.ts + INTERVAL 4 HOUR < mm.wm),
+lp AS (
+  SELECT b.event_id AS purchase_id FROM b, mm
+  WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = b.user_id
+          AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 4 HOUR)
+    AND b.ts < mm.wm)
+SELECT 'matched' AS probe, count(*) AS n,
+  CAST(sum(view_id) AS BIGINT) AS view_id_sum,
+  CAST(sum(purchase_id) AS BIGINT) AS purchase_id_sum
+FROM m
+UNION ALL
+SELECT 'view_no_purchase', count(*),
+  CAST(sum(view_id) AS BIGINT), CAST(NULL AS BIGINT) FROM lv
+UNION ALL
+SELECT 'purchase_no_view', count(*),
+  CAST(NULL AS BIGINT), CAST(sum(purchase_id) AS BIGINT) FROM lp"""
