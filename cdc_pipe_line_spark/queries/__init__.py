@@ -53,8 +53,8 @@ _MODULES = [
 
 #: Names with no row in any CORRECTNESS_r{01..06}.json, in original
 #: registration order — regenerate with ``python tools/gen_rotation.py``
-#: at each round start.  99 names as of late round 7 (the 61 from the
-#: round-6 rotation plus the 38 round-7 additions appended behind
+#: at each round start.  100 names as of late round 7 (the 61 from the
+#: round-6 rotation plus the 39 round-7 additions appended behind
 #: them); the driver's ~50-query budget covers the first 50 this
 #: round, the remainder over the following rounds.
 _DRIVER_ROTATION = (
@@ -157,6 +157,7 @@ _DRIVER_ROTATION = (
     "ts_anomaly_stl_residual",
     "graph_link_prediction",
     "stream_join_full_outer",
+    "agg_cms_rollup",
 )
 
 

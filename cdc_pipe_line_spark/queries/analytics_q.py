@@ -2410,3 +2410,103 @@ SELECT a, b, n_common, score_micro,
   CAST(row_number() OVER (ORDER BY score_micro DESC, a ASC, b ASC)
     AS INT) AS pos
 FROM top"""
+
+
+def q_cms_rollup(spark, sf_dir):
+    """Count-Min point-frequency sketches with MERGEABLE rollup —
+    completing the sketch trio (HLL distinct counts in
+    `agg_sketch_set_ops`, frequent items in `agg_approx_topk_merge`,
+    point frequencies here): per-day partial sketches build
+    distributed (one aggregate, sketches shuffle as bytes), the
+    30-day rollup merges the bounded sketch census driver-side
+    (`CountMinSketch.mergeInPlace` — the same tiny-bounded-collect
+    pattern as the HLL census), and the merged sketch answers
+    per-user frequency probes.
+
+    Three claims bind the algebra into the hash next to exact counts
+    the oracle recomputes: ``never_under`` (a CMS estimate can only
+    overcount — guaranteed, not probabilistic), ``within_bound``
+    (est <= exact + 3*eps*N at eps=0.001 — 3x the one-sided
+    guarantee's margin so fixture regeneration cannot flake it), and
+    ``merge_exact`` (the day-merged estimate EQUALS the single-pass
+    whole-table estimate for every probe key: same width/depth/seed
+    sketches merge by exact counter addition — the property that
+    makes per-partition/per-day rollup lossless at any scale)."""
+    ev = _t(spark, sf_dir, "events")
+    eps, conf, seed = 0.001, 0.99, 42
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.count_min_sketch(
+                "user_id", F.lit(eps), F.lit(conf), F.lit(seed)
+            ).alias("sk")
+        )
+        .collect()
+    )
+    single = ev.agg(
+        F.count_min_sketch(
+            "user_id", F.lit(eps), F.lit(conf), F.lit(seed)
+        ).alias("sk")
+    ).collect()[0][0]
+    jvm = spark._jvm
+    reader = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom
+    merged = None
+    for row in daily:
+        part = reader(bytes(row["sk"]))
+        if merged is None:
+            merged = part
+        else:
+            merged.mergeInPlace(part)
+    single_sk = reader(bytes(single))
+    total = int(merged.totalCount())
+    keys = list(range(1, 11))
+    probes = [
+        (
+            k,
+            int(merged.estimateCount(jvm.java.lang.Long(k))),
+            int(single_sk.estimateCount(jvm.java.lang.Long(k))),
+        )
+        for k in keys
+    ]
+    est = spark.createDataFrame(
+        probes, "user_key long, est_merged long, est_single long"
+    )
+    exact = (
+        ev.filter(F.col("user_id").isin(keys))
+        .groupBy(F.col("user_id").alias("user_key"))
+        .agg(F.count("*").alias("exact_n"))
+    )
+    bound = int(3 * eps * total) + 1
+    return (
+        est.join(exact, "user_key", "left")
+        # coalesce BEFORE the comparisons: a probe key absent from a
+        # regenerated fixture must yield exact_n=0 and true claims,
+        # never a NULL boolean
+        .withColumn("exact_n", F.coalesce(F.col("exact_n"), F.lit(0)))
+        .select(
+            "user_key",
+            "exact_n",
+            (F.col("est_merged") >= F.col("exact_n")).alias("never_under"),
+            (F.col("est_merged") <= F.col("exact_n") + F.lit(bound)).alias(
+                "within_bound"
+            ),
+            (F.col("est_merged") == F.col("est_single")).alias(
+                "merge_exact"
+            ),
+        )
+    )
+
+
+QUERIES["agg_cms_rollup"] = q_cms_rollup
+
+ORACLE["agg_cms_rollup"] = """
+WITH keys AS (SELECT unnest(range(1, 11)) AS user_key),
+exact AS (
+  SELECT user_id AS user_key, count(*) AS n
+  FROM events WHERE user_id BETWEEN 1 AND 10 GROUP BY 1)
+SELECT k.user_key,
+  CAST(coalesce(e.n, 0) AS BIGINT) AS exact_n,
+  TRUE AS never_under,
+  TRUE AS within_bound,
+  TRUE AS merge_exact
+FROM keys k LEFT JOIN exact e ON e.user_key = k.user_key"""
