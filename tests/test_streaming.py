@@ -658,3 +658,71 @@ def test_state_introspect_matches_batch_counts(spark, tmp_path):
     meta = spark.read.format("state-metadata").load(ckpt).first()
     assert meta["numPartitions"] == 4
     assert n_parts <= 4 and len(got) == len(want)
+
+
+def test_full_outer_eviction_legs_pinned(spark, tmp_path):
+    """Pins BOTH watermark-eviction contracts the full-outer oracle
+    replays, on crafted boundary data (the fixture's random
+    microsecond data never lands near a boundary, so only this test
+    notices a Spark upgrade changing the rule):
+
+    with W = min(max view_ts, max purchase_ts) - 1 day,
+    - an unmatched VIEW emits null-padded iff view_ts + 4h < W;
+    - an unmatched PURCHASE emits null-padded iff purchase_ts < W;
+    - rows past their cutoff stay in state and never emit.
+    """
+    import datetime as dt
+    import os
+
+    from cdc_pipe_line_spark import streaming as st
+    from cdc_pipe_line_spark.queries.streaming_q import RAW_SCHEMA, _TS_FMT
+
+    t0 = dt.datetime(2024, 1, 1)
+    h, d = dt.timedelta(hours=1), dt.timedelta(days=1)
+    rows = [
+        # (event_id, ts, user_id, event_type): W = t0 + 9d
+        (1, t0, 1, "view"),            # matched with 2
+        (2, t0 + h, 1, "purchase"),
+        (3, t0, 2, "view"),            # unmatched, +4h < W -> emits
+        (4, t0 + 9 * d - 2 * h, 3, "view"),  # +4h > W -> held
+        (5, t0 + d, 4, "purchase"),    # unmatched, ts < W -> emits
+        (6, t0 + 9 * d + h, 5, "purchase"),  # ts > W -> held
+        (7, t0 + 10 * d, 98, "view"),  # view clock; +4h > W -> held
+        (8, t0 + 10 * d, 99, "purchase"),  # purchase clock; > W -> held
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 1.0) for i, ts, u, et in rows], RAW_SCHEMA
+    )
+    base = str(tmp_path / "fo")
+    df.coalesce(1).write.option("timestampFormat", _TS_FMT).json(base)
+    stream = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("timestampFormat", _TS_FMT)
+        .json(base)
+    )
+    l = stream.filter(F.col("event_type") == "view").withWatermark(
+        "ts", "1 day"
+    ).alias("l")
+    r = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 day"
+    ).alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 4 HOURS"))
+    )
+    joined = l.join(r, cond, "full_outer").select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q, out = st.start_to_memory(joined, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    got = {
+        (r.view_id, r.purchase_id) for r in out.collect()
+    }
+    assert got == {(1, 2), (3, None), (None, 5)}, got
