@@ -51,63 +51,15 @@ _MODULES = [
     quality_q,
 ]
 
-#: Names with no row in any CORRECTNESS_r{01..06}.json, in original
+#: Names with no row in any CORRECTNESS_r{01..07}.json, in original
 #: registration order — regenerate with ``python tools/gen_rotation.py``
-#: at each round start.  100 names as of late round 7 (the 61 from the
-#: round-6 rotation plus the 39 round-7 additions appended behind
-#: them); the driver's ~50-query budget covers the first 50 this
-#: round, the remainder over the following rounds.
+#: at each round start.  50 names as of round-8 start (the round-7
+#: driver consumed the first 50 of the round-7 backlog; these are the
+#: remaining never-driver-checked names, exactly the set the round-7
+#: judge sim verified green).  The driver's ~50-query budget covers
+#: all of them this round, closing the registry to 236/236
+#: driver-verified; round-8 additions register behind them.
 _DRIVER_ROTATION = (
-    "join_q3_shipping_priority",
-    "join_q10_returned_items",
-    "scalar_bitwise_ops",
-    "agg_cohort_retention",
-    "ts_activity_streaks",
-    "agg_funnel_stages",
-    "agg_heavy_hitters",
-    "agg_incremental_rollup",
-    "graph_pagerank_sources",
-    "agg_attribution_last_touch",
-    "reshape_session_paths",
-    "agg_ab_test_lift",
-    "ts_session_duration_stats",
-    "graph_triangle_parts",
-    "graph_khop_reach",
-    "reshape_markov_transitions",
-    "agg_market_basket",
-    "agg_rfm_segments",
-    "agg_bounce_rate",
-    "agg_dau_wau_mau",
-    "agg_new_vs_returning",
-    "graph_degree_dist",
-    "agg_cohort_ltv",
-    "agg_cumulative_unique_users",
-    "agg_funnel_windowed",
-    "qa_constraint_suite",
-    "qa_gdpr_purge_audit",
-    "qa_skew_report",
-    "qa_observe_metrics",
-    "text_zipf_fit",
-    "text_source_kl",
-    "llm_bpe_merges",
-    "dedup_keep_canonical",
-    "text_bm25_search",
-    "mm_jpeg_decode",
-    "stream_sessions",
-    "stream_python_source",
-    "ts_mann_kendall",
-    "ts_theil_sen",
-    "cdc_restatement_diff",
-    "io_zorder_clustering",
-    "io_python_datasource",
-    "join_q5_local_supplier",
-    "agg_q6_forecast_revenue",
-    "join_q8_market_share",
-    "join_q9_product_profit",
-    "join_q13_customer_distribution",
-    "join_q14_promo_revenue",
-    "join_q15_top_supplier",
-    "join_q18_large_volume",
     "join_q20_dominant_supplier",
     "join_q21_waiting_supplier",
     "join_q2_min_cost_supplier",
