@@ -131,9 +131,9 @@ class TokenSpansUDTF:
     each snapshot row into a list of CDCEvent rows): the same
     one-row-to-many-rows Python escape hatch, but planned by Catalyst
     (column-pruned scan below, map-side partial aggregation above) and
-    executed Arrow-batched (``ArrowEvalPythonUDTF`` when
-    ``spark.sql.execution.pythonUDTF.arrow.enabled`` is set — plan-
-    asserted in tests/test_plans.py).  Built-ins still win where they
+    executed Arrow-batched (``ArrowEvalPythonUDTF`` via
+    ``udtf(..., useArrow=True)`` at registration — per-function, so no
+    session conf leaks; plan-asserted in tests/test_plans.py).  Built-ins still win where they
     can express the op (this particular expansion IS expressible as
     ``posexplode(split(...))``, which the oracle exploits); the UDTF
     surface exists for expansions that are not.
@@ -154,5 +154,9 @@ def register_token_spans(spark) -> None:
 
     spark.udtf.register(
         "token_spans",
-        udtf(TokenSpansUDTF, returnType="pos int, token string, n_chars int"),
+        udtf(
+            TokenSpansUDTF,
+            returnType="pos int, token string, n_chars int",
+            useArrow=True,
+        ),
     )

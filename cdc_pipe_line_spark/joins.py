@@ -183,12 +183,15 @@ def bloom_prefilter(
     The membership test is whole-stage-codegen'd column arithmetic:
     map lookup + shift + mask per hash, AND-folded.
     """
-    probe = F.broadcast(bloom)
+    # Collision-safe probe alias: a fact table that already carries a
+    # column literally named "bloom" must neither turn ambiguous nor
+    # lose its own column to the final drop (ADVICE r7).
+    probe = F.broadcast(bloom.select(F.col("bloom").alias("__bloom_filter")))
     # try_element_at: a missing word means no bit in that word was
     # ever set -> treat as 0 (plain element_at throws under ANSI).
     pos = "pmod(xxhash64(`{k}`, {s}), {m})"
     test = (
-        "(shiftrightunsigned(coalesce(try_element_at(bloom, cast("
+        "(shiftrightunsigned(coalesce(try_element_at(`__bloom_filter`, cast("
         + pos
         + " div 64 as int)), 0L), cast("
         + pos
@@ -197,4 +200,4 @@ def bloom_prefilter(
     keep = F.lit(True)
     for s in range(num_hashes):
         keep = keep & F.expr(test.format(k=key_col, s=s, m=num_bits))
-    return fact.crossJoin(probe).filter(keep).drop("bloom")
+    return fact.crossJoin(probe).filter(keep).drop("__bloom_filter")

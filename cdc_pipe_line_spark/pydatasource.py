@@ -152,7 +152,19 @@ class _LedgerWriter(DataSourceWriter):
     into a fresh epoch dir (driver-side uuid, shared by all tasks of
     this write) and the manifest swap retires the previous epoch, so
     re-running a query is idempotent — the read path follows the
-    manifest, never the directory listing.
+    manifest, never the directory listing.  ``commit`` prunes staged
+    epoch dirs the freshly-published manifest does not reference, so
+    reruns do not accumulate superseded epochs.
+
+    SINGLE-FILESYSTEM ASSUMPTION: tasks stage with ``open()`` on the
+    executor's local filesystem and the driver-side ``commit`` /
+    ``read_ledger`` resolve the same paths — correct on ``local[*]``
+    (this container) or any shared POSIX mount (NFS), but NOT on a
+    multi-node cluster with node-local disks.  The cluster deployment
+    swaps ``open``/``os.replace`` for a shared-store client (e.g.
+    fsspec / Hadoop FS) with the same stage-then-atomic-publish
+    contract; the two-phase-commit protocol itself is
+    placement-agnostic.
     """
 
     def __init__(self, options: dict, overwrite: bool) -> None:
@@ -198,6 +210,20 @@ class _LedgerWriter(DataSourceWriter):
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, os.path.join(self.path, "_LEDGER"))
+        # Retire superseded epochs: every staged dir the just-published
+        # manifest does not reference is garbage (either a prior
+        # overwrite's epoch or an abandoned write) — prune so reruns
+        # don't accumulate (ADVICE r7).  Published state is already
+        # durable, so a failure here at worst leaves the old garbage.
+        import shutil
+
+        staged_root = os.path.join(self.path, "_staged")
+        if os.path.isdir(staged_root):
+            for d in os.listdir(staged_root):
+                if d != self.epoch:
+                    shutil.rmtree(
+                        os.path.join(staged_root, d), ignore_errors=True
+                    )
 
     def abort(self, messages) -> None:
         import os

@@ -2724,12 +2724,15 @@ def q_scalar_python_udtf(spark, sf_dir):
     Scale shape: the expansion is narrow (no shuffle — each input row
     expands within its partition); the only exchange is the final
     aggregate on the bounded token vocabulary.  Arrow batching is
-    enabled per-session here; without it the same plan runs pickled
-    row-at-a-time (BatchEvalPythonUDTF) — correct but the slow path.
+    requested per-function (``udtf(..., useArrow=True)`` at
+    registration) rather than via the session-wide
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` conf, so nothing
+    leaks into later queries in the same session (ADVICE r7); without
+    it the same plan runs pickled row-at-a-time
+    (BatchEvalPythonUDTF) — correct but the slow path.
     """
     from cdc_pipe_line_spark.functions import register_token_spans
 
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     register_token_spans(spark)
     _t(spark, sf_dir, "part").createOrReplaceTempView("part_udtf_v")
     return spark.sql(

@@ -752,13 +752,22 @@ def _tws_available() -> bool:
     ``google.protobuf`` in the worker environment — absent from this
     container (installs prohibited; same environment gate as
     delta-spark / the Kafka connector jar).  On a real cluster with
-    ``protobuf`` installed the new API is used automatically."""
+    ``protobuf`` installed the new API is used automatically.
+
+    Gates on BOTH the protobuf wire dependency and pyspark actually
+    exposing the method (ADVICE r7: protobuf present + older pyspark
+    would otherwise raise AttributeError instead of falling back to
+    ``applyInPandasWithState``)."""
     from importlib.util import find_spec
 
     try:
-        return find_spec("google.protobuf") is not None
+        if find_spec("google.protobuf") is None:
+            return False
     except ModuleNotFoundError:  # no `google` namespace package at all
         return False
+    from pyspark.sql.group import GroupedData
+
+    return hasattr(GroupedData, "transformWithStateInPandas")
 
 
 ROCKSDB_PROVIDER = (

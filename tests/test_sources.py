@@ -174,3 +174,6 @@ def test_ledger_sink_commit_protocol(spark, tmp_path):
     assert m3["epoch"] != manifest["epoch"]
     assert len(m3["files"]) == 3
     assert back3.count() == 100
+    # (c) commit pruned the superseded epoch's staged dir (ADVICE r7:
+    # reruns must not accumulate garbage) — only the live epoch remains
+    assert os.listdir(os.path.join(path, "_staged")) == [m3["epoch"]]

@@ -725,18 +725,20 @@ def test_pii_audit_counts(spark):
 def test_semantic_dedup_drops_within_cluster_dups(spark):
     from cdc_pipe_line_spark.similarity import semantic_dedup
 
-    # ids 0 and 4 are centroid seeds (stride=4); 1 duplicates 0's
-    # direction (same cluster, cosine 1.0 -> dropped), 5 is opposite
-    # to 4 (own cluster, not similar), 2 is orthogonal.
+    # Multiplicative-hash seed ranks for these ids: 0 < 5 < 1 < 2 < 4,
+    # so with a budget of 2 the seeds are ids 0 and 5.  1 duplicates
+    # 0's direction (same cluster, cosine 1.0 -> dropped); 2 and 4 are
+    # orthogonal / anti-parallel to every centroid (tie or negative ->
+    # land in cluster 0, nothing similar); 5 anchors its own cluster.
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
         (1, [2.0, 0.0, 0.0, 0.0]),   # dup of 0 (cosine 1)
         (2, [0.0, 1.0, 0.0, 0.0]),
         (4, [0.0, 0.0, 1.0, 0.0]),
-        (5, [0.0, 0.0, -1.0, 0.0]),  # anti-parallel: same cluster? no
+        (5, [0.0, 0.0, -1.0, 0.0]),  # anti-parallel to 4
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    out = semantic_dedup(df, stride=4, threshold=0.95)
+    out = semantic_dedup(df, n_centroids=2, threshold=0.95)
     got = {r.cluster_id: r for r in out.collect()}
     c0 = got[0]
     assert c0.n_pairs >= 1 and c0.n_dropped == 1 and c0.dropped_id_sum == 1
