@@ -154,6 +154,33 @@ def main() -> None:
     _q1.awaitTermination()
     _q2.awaitTermination()
 
+    # Machine-load fingerprint (VERDICT r7 item 4): readings taken
+    # within ~2 min of another big JVM workload exiting run 30-40%
+    # high uniformly (BENCH_NOTES rounds 6-7 — two "regressions" that
+    # were contention).  Sample /proc/loadavg plus a fixed-shape JVM
+    # no-op before every pass and emit them into the JSON, so a
+    # contaminated run is machine-adjudicable from the artifact alone
+    # instead of from prose.
+    machine_samples: list[dict] = []
+
+    def _machine_probe(label: str) -> None:
+        try:
+            with open("/proc/loadavg") as fh:
+                load = [float(x) for x in fh.read().split()[:3]]
+        except OSError:
+            load = []
+        t0 = time.perf_counter()
+        spark.range(20_000_000, numPartitions=32).selectExpr(
+            "sum(id * 3 + 1)"
+        ).write.format("noop").mode("overwrite").save()
+        machine_samples.append(
+            {
+                "label": label,
+                "loadavg": load,
+                "probe_sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+
     def run_all(
         label: str, names: list[str]
     ) -> tuple[dict[str, float], float]:
@@ -178,14 +205,19 @@ def main() -> None:
     # the JSON carries {median,min,max,n} spreads so a reader can tell
     # run variance from a real movement without re-running.
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    _machine_probe("pre-cold")
     _, cold_total = run_all("cold", HEADLINE)
-    passes: list[tuple[dict[str, float], float]] = [
-        run_all(f"steady{i + 1}", HEADLINE) for i in range(n_passes)
-    ]
+    passes: list[tuple[dict[str, float], float]] = []
+    for i in range(n_passes):
+        _machine_probe(f"pre-steady{i + 1}")
+        passes.append(run_all(f"steady{i + 1}", HEADLINE))
+    _machine_probe("pre-ext-cold")
     _, ext_cold_total = run_all("ext-cold", EXTENDED)
-    ext_passes: list[tuple[dict[str, float], float]] = [
-        run_all(f"ext-steady{i + 1}", EXTENDED) for i in range(n_passes)
-    ]
+    ext_passes: list[tuple[dict[str, float], float]] = []
+    for i in range(n_passes):
+        _machine_probe(f"pre-ext-steady{i + 1}")
+        ext_passes.append(run_all(f"ext-steady{i + 1}", EXTENDED))
+    _machine_probe("post")
 
     def _median(vals: list[float]) -> float:
         s = sorted(vals)
@@ -225,6 +257,7 @@ def main() -> None:
                 "extended_spread": ext_spread,
                 "extended_steady_totals_sec": ext_totals,
                 "extended_cold_total_sec": ext_cold_total,
+                "machine": machine_samples,
                 "sf": sf,
             }
         )
