@@ -467,6 +467,49 @@ def q_media_embed_knn(spark, sf_dir):
     )
 
 
+def q_media_embed_lsh(spark, sf_dir):
+    """Scale-path twin of ``mm_media_embed_knn`` (VERDICT r7 item 6):
+    the same binary-payload -> mapInPandas 16-dim encoder feed, but
+    candidates come from hyperplane-LSH buckets instead of the q x n
+    brute-force sweep — the corpus is hashed once (narrow), the only
+    join is a bucket equi-join against the broadcast query set, and
+    exact cosine re-ranks within the bucket.  Sublinear in corpus
+    growth where the brute-force twin soaked x6.3 on 10x data; the
+    DuckDB oracle replays the encoder, the plane projections, the
+    bucket join and the re-rank end-to-end (no exact sweep anywhere —
+    recall for this plane family is measured separately by
+    ``dedup_lsh_recall``)."""
+    from cdc_pipe_line_spark.similarity import lsh_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=F.col("text").cast("binary"),
+        media_type="image/fake",
+    )
+    # Materialize the embedding once (the query side derives from the
+    # corpus side — without the pin the mapInPandas encoder subtree
+    # plans twice), and fan back out: AQE coalesces the tiny frame to
+    # ~1 partition otherwise.
+    emb = (
+        embed_media(media, dim=16)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    q = emb.filter(F.col("media_id") % 100 == 0).select(
+        F.col("media_id").alias("q_id"), "embedding"
+    )
+    out = lsh_topk(
+        q, emb, query_id="q_id", corpus_id="media_id",
+        k=5, n_planes=6, dim=16,
+    )
+    return out.select(
+        "q_id", "media_id", "cos_sim",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 _COS = (
     "round(list_sum(list_transform(range(1, 65), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
@@ -477,9 +520,11 @@ _COS = (
 )
 
 
-def _lsh_bucket_sql(vec: str) -> str:
+def _lsh_bucket_sql(
+    vec: str, *, dim: int = 64, n_planes: int = 6, seed: int = 42
+) -> str:
     """DuckDB expression reproducing :func:`similarity.lsh_bucket` for
-    the registered query's planes (64-dim, 6 planes, seed 42): the
+    the given plane config (default 64-dim, 6 planes, seed 42): the
     plane weights are the same 6-decimal literals Spark folds, and the
     dot product is the same left-to-right double sum, so the sign —
     hence the bucket id — matches exactly (verified corpus-wide at
@@ -487,10 +532,10 @@ def _lsh_bucket_sql(vec: str) -> str:
     from cdc_pipe_line_spark.similarity import random_hyperplanes
 
     terms = []
-    for i, plane in enumerate(random_hyperplanes(64, 6, 42)):
+    for i, plane in enumerate(random_hyperplanes(dim, n_planes, seed)):
         lits = ", ".join(repr(float(x)) for x in plane)
         terms.append(
-            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
             f"j -> CAST({vec}[j] AS DOUBLE) * ([{lits}])[j])) > 0 "
             f"THEN {1 << i} ELSE 0 END)"
         )
@@ -764,17 +809,20 @@ def q_jpeg_color_decode(spark, sf_dir):
 
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup semantic dedup (Abbas et al. 2023): cluster the
-    embedding space (deterministic stride-seeded centroids, broadcast
-    argmax assignment in one aggregate) and emit near-dup pairs only
-    WITHIN clusters — candidate work O(n * stride), never O(n^2).
-    Threshold 0.35 ~= the tail of the within-cluster cosine
-    distribution in the synthetic embeddings (no true semantic dups
-    planted), keeping the output non-trivial; production uses ~0.95
-    plus Lloyd-refined centroids.  Per-cluster sizes, pair counts,
-    drop counts and an id checksum are the oracle-checked output, so
-    cluster skew is measured, not assumed."""
+    embedding space (deterministic hash-ranked centroids, budget
+    ceil(sqrt(n)) so the broadcast side is SUBLINEAR in the corpus —
+    VERDICT r7) and emit near-dup pairs only WITHIN clusters —
+    assignment n x sqrt(n) cosines, expected cluster size sqrt(n), so
+    total candidate work O(n^1.5), never O(n^2) and never a
+    corpus-sized broadcast.  Threshold 0.35 ~= the tail of the
+    within-cluster cosine distribution in the synthetic embeddings
+    (no true semantic dups planted), keeping the output non-trivial;
+    production uses ~0.95 plus Lloyd-refined centroids.  Per-cluster
+    sizes, pair counts, drop counts and an id checksum are the
+    oracle-checked output, so cluster skew is measured, not
+    assumed."""
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, stride=64, threshold=0.35)
+    return semantic_dedup(emb, threshold=0.35)
 
 
 
@@ -1108,6 +1156,7 @@ QUERIES = {
     "sim_cosine_near_dup": q_cosine_near_dup,
     "mm_media_pipeline": q_media_pipeline,
     "mm_media_embed_knn": q_media_embed_knn,
+    "mm_media_embed_lsh": q_media_embed_lsh,
 }
 
 _SQ8_CODE = (
@@ -1225,8 +1274,14 @@ SELECT doc_id,
 FROM p WHERE cut""",
     "dedup_semantic": f"""
 WITH seeds AS (
-  SELECT vec_id AS cent_id, embedding AS cv
-  FROM embeddings WHERE vec_id % 64 = 0),
+  SELECT cent_id, cv FROM (
+    SELECT vec_id AS cent_id, embedding AS cv,
+      row_number() OVER (
+        ORDER BY ((vec_id % 1000000007) * 2654435761) % 2147483648,
+                 vec_id) AS rk,
+      (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings) AS k
+    FROM embeddings)
+  WHERE rk <= k),
 assigned AS (
   SELECT vec_id, embedding, cent_id AS cluster_id
   FROM (
@@ -1607,6 +1662,28 @@ scored AS (
        sqrt(list_sum(list_transform(range(1, 17), i -> e.v[i] * e.v[i])))), 4)
       AS cos_sim
   FROM emb e CROSS JOIN q WHERE e.media_id != q.q_id)
+SELECT q_id, media_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos_sim DESC, media_id ASC) AS rank
+  FROM scored) WHERE rank <= 5""",
+    "mm_media_embed_lsh": f"""
+WITH emb AS (
+  SELECT doc_id AS media_id,
+    list_transform(range(1, 17),
+      i -> CAST(ascii(substr(md5(text), CAST(i AS INT), 1)) AS DOUBLE)) AS v
+  FROM documents),
+cb AS (
+  SELECT media_id, v, {_lsh_bucket_sql('v', dim=16)} AS bucket FROM emb),
+qb AS (
+  SELECT media_id AS q_id, v AS qv, bucket
+  FROM cb WHERE media_id % 100 = 0),
+scored AS (
+  SELECT qb.q_id, cb.media_id,
+    round(list_sum(list_transform(range(1, 17), i -> qv[i] * cb.v[i])) /
+      (sqrt(list_sum(list_transform(range(1, 17), i -> qv[i] * qv[i]))) *
+       sqrt(list_sum(list_transform(range(1, 17), i -> cb.v[i] * cb.v[i])))),
+      4) AS cos_sim
+  FROM cb JOIN qb USING (bucket) WHERE cb.media_id != qb.q_id)
 SELECT q_id, media_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id
       ORDER BY cos_sim DESC, media_id ASC) AS rank

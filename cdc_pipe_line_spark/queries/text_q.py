@@ -283,6 +283,36 @@ def q_hash_embed_knn(spark, sf_dir):
     return brute_force_topk(q, emb, corpus_id="doc_id", k=5)
 
 
+def q_hash_embed_lsh(spark, sf_dir):
+    """Scale-path twin of ``text_hash_embed_knn`` (VERDICT r7 item 6):
+    the same feature-hashing embedding feed, but candidates come from
+    hyperplane-LSH buckets (the standard 64-dim / 6-plane / seed-42
+    family ``sim_knn_lsh`` uses) instead of the q x n brute-force
+    sweep — corpus hashed once, one bucket equi-join against the
+    broadcast query set, exact cosine re-rank within the bucket.
+    Sublinear in corpus growth where the brute-force twin soaked
+    x10.3 on 10x data; the oracle replays featurizer, projections,
+    bucket join and re-rank end-to-end."""
+    from cdc_pipe_line_spark.similarity import lsh_topk
+    from cdc_pipe_line_spark.text import hash_tf_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = (
+        hash_tf_embed(docs, dim=64)
+        .select(F.col("id").alias("doc_id"), "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    q = emb.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("q_id"), "embedding"
+    )
+    out = lsh_topk(q, emb, query_id="q_id", corpus_id="doc_id", k=5)
+    return out.select(
+        "q_id", "doc_id", "cos_sim",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_scrub_apply(spark, sf_dir):
     """PII scrubbing APPLIED (text_profile binds only the counts):
     every document gains a deterministic doc_id-derived email and URL
@@ -781,6 +811,7 @@ QUERIES = {
     "llm_quality_pipeline": q_llm_quality_pipeline,
     "text_strip_spans": q_strip_spans,
     "text_hash_embed_knn": q_hash_embed_knn,
+    "text_hash_embed_lsh": q_hash_embed_lsh,
     "dedup_incremental": q_dedup_incremental,
     "text_scrub_apply": q_scrub_apply,
     "text_chunking": q_chunk_documents,
@@ -866,6 +897,14 @@ _COS64 = (
     "sqrt(list_sum(list_transform(range(1, 65), "
     "i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 4)"
 )
+
+
+def _bucket64(vec: str) -> str:
+    """The standard 64-dim/6-plane/seed-42 hyperplane bucket, shared
+    with the similarity family (same plane literals Spark folds)."""
+    from cdc_pipe_line_spark.queries.similarity_q import _lsh_bucket_sql
+
+    return _lsh_bucket_sql(vec, dim=64, n_planes=6, seed=42)
 
 ORACLE = {
     "text_ascii_ratio": """
@@ -1020,6 +1059,38 @@ scored AS (
   SELECT q.q_id, d.doc_id,
     {_COS64.format(a='q.qe', b='d.e')} AS cos_sim
   FROM emb d CROSS JOIN q WHERE d.doc_id != q.q_id)
+SELECT q_id, doc_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos_sim DESC, doc_id ASC) AS rank
+  FROM scored) WHERE rank <= 5""",
+    "text_hash_embed_lsh": f"""
+WITH words AS (
+  SELECT doc_id,
+    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' ')) AS w
+  FROM documents),
+bk AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64 AS b
+  FROM words),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY doc_id, b),
+pl AS (
+  SELECT doc_id, list(struct_pack(b := b, c := c)) AS pairs
+  FROM cnt GROUP BY doc_id),
+emb AS (
+  SELECT doc_id,
+    list_transform(range(0, 64), i ->
+      CAST(COALESCE(list_sum(list_transform(
+        list_filter(pairs, p -> p.b = i), p -> p.c)), 0) AS FLOAT))
+      AS e
+  FROM pl),
+cb AS (
+  SELECT doc_id, e, {_bucket64('e')} AS bucket FROM emb),
+qb AS (SELECT doc_id AS q_id, e AS qe, bucket FROM cb WHERE doc_id % 100 = 0),
+scored AS (
+  SELECT qb.q_id, cb.doc_id,
+    {_COS64.format(a='qb.qe', b='cb.e')} AS cos_sim
+  FROM cb JOIN qb USING (bucket) WHERE cb.doc_id != qb.q_id)
 SELECT q_id, doc_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id
       ORDER BY cos_sim DESC, doc_id ASC) AS rank
