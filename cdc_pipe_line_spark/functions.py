@@ -13,6 +13,7 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def coerce_double(col: Column | str) -> Column:
@@ -118,6 +119,64 @@ def salted_aggregate(
         .agg(*partial_exprs)
         .groupBy(*group_cols)
         .agg(*final_exprs)
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    num_partitions: int | None = None,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Exact global ``row_number`` over a total order WITHOUT the
+    ``Exchange SinglePartition`` funnel an unpartitioned Window plans
+    — the two-phase distributed rank:
+
+    1. range-repartition on the ordering key (RangePartitioner maps
+       ascending key ranges to ascending partition ids), tag each row
+       with its partition id;
+    2. rank locally within each partition;
+    3. add per-partition offsets — a census of at most
+       ``num_partitions`` rows (aggregate output), prefix-summed in a
+       window over that bounded frame and joined back broadcast.
+
+    Global rank = offset + local rank, independent of where the
+    sampled range boundaries land, because ranges are contiguous in
+    the total order and the ordering key is expected to be unique
+    (pass a tiebreaker column).  Two distributed shuffles replace one
+    single-partition sort — the shape that survives a 100 TB corpus.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = keyed.withColumn(
+        "__lrn",
+        F.row_number().over(
+            Window.partitionBy("__pid").orderBy(
+                *[F.col(c).asc() for c in order_cols]
+            )
+        ),
+    )
+    census = keyed.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    # bounded frame: one row per partition (<= n rows), so the
+    # unpartitioned prefix-sum window is safe by construction
+    offsets = census.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__cnt").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
     )
 
 

@@ -1599,22 +1599,43 @@ def _jpeg_encode_block(
     return zz[0]
 
 
-def make_jpeg_gray(arr: np.ndarray, quant: int = 16) -> bytes:
+def make_jpeg_gray(
+    arr: np.ndarray, quant: int = 16, restart_interval: int = 0
+) -> bytes:
     """Encode a uint8 grayscale array (dims multiples of 8) as a real
     baseline JFIF: level shift, 8x8 DCT, uniform ``quant`` table,
     Annex-K huffman coding with DC prediction, byte stuffing, 1-bit
     padding.  With even pixel values and ``quant=16``, per-block
     CONSTANT rasters quantize losslessly (DC = 8*(v-128) is a
     multiple of 16), so decode returns the input exactly — the
-    property the oracle-checked fixture query builds on."""
+    property the oracle-checked fixture query builds on.
+
+    ``restart_interval > 0`` emits a DRI segment and the common
+    in-the-wild RSTn structure (ITU T.81 §B.2.4.4/§E.1.4): the scan
+    splits into byte-aligned restart segments of that many MCUs, RST
+    markers cycling D0..D7 between them, DC prediction reset at each
+    — what every camera writes for error resilience."""
     h, w = arr.shape
     assert h % 8 == 0 and w % 8 == 0, "fixture dims are block multiples"
     dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _JpegBitWriter()
     prev_dc = 0
+    chunks: list[bytes] = []
+    mcu = 0
+    rst = 0
     for by in range(h // 8):
         for bx in range(w // 8):
+            if (
+                restart_interval
+                and mcu
+                and mcu % restart_interval == 0
+            ):
+                chunks.append(bw.flush())
+                chunks.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                bw = _JpegBitWriter()
+                prev_dc = 0
             prev_dc = _jpeg_encode_block(
                 bw,
                 arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
@@ -1623,7 +1644,9 @@ def make_jpeg_gray(arr: np.ndarray, quant: int = 16) -> bytes:
                 ac_codes,
                 prev_dc,
             )
-    entropy = bw.flush()
+            mcu += 1
+    chunks.append(bw.flush())
+    entropy = b"".join(chunks)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -1644,9 +1667,15 @@ def make_jpeg_gray(arr: np.ndarray, quant: int = 16) -> bytes:
         + bytes(_JPEG_AC_VALS),
     )
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00")
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
     return (
-        b"\xff\xd8" + app0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+        b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos + entropy
+        + b"\xff\xd9"
     )
 
 
@@ -1654,9 +1683,13 @@ def _jpeg_gray_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL baseline JPEG decode for single-component 8-bit images:
     marker walk, DQT/DHT/SOF0/SOS parse, huffman entropy decode with
     0xFF00 unstuffing, dequantize, inverse zigzag, IDCT, level shift.
+    DRI/RSTn restart intervals are decoded (VERDICT r7 item 7): the
+    scan splits at RST markers into byte-aligned segments, marker
+    sequence numbers must cycle D0..D7, and the DC predictor resets
+    per segment — the error-resilience structure cameras emit.
     Raises :class:`MediaDecodeError` (callers quarantine) on anything
-    outside baseline grayscale — progressive (SOF2), multi-component,
-    restart intervals, truncated streams."""
+    outside that — progressive (SOF2), multi-component, truncated
+    streams, out-of-order restart markers."""
     if payload[:2] != b"\xff\xd8":
         raise MediaDecodeError("jpeg: bad SOI")
     i = 2
@@ -1666,6 +1699,7 @@ def _jpeg_gray_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     q_id = -1
     dc_id = ac_id = -1
     entropy_start = -1
+    restart_interval = 0
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise MediaDecodeError(f"jpeg: bad marker byte at {i}")
@@ -1711,7 +1745,9 @@ def _jpeg_gray_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
         elif marker in _JPEG_SOF:
             raise MediaDecodeError("jpeg: only baseline SOF0 decoded")
         elif marker == 0xDD:
-            raise MediaDecodeError("jpeg: restart intervals unsupported")
+            if len(body) != 2:
+                raise MediaDecodeError("jpeg: malformed DRI segment")
+            restart_interval = struct.unpack(">H", body)[0]
         elif marker == 0xDA:
             if body[0] != 1:
                 raise MediaDecodeError(
@@ -1730,8 +1766,11 @@ def _jpeg_gray_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     dc_tab = htabs[(0, dc_id)]
     ac_tab = htabs[(1, ac_id)]
 
-    # unstuff entropy bytes up to EOI
-    data = bytearray()
+    # unstuff entropy bytes up to EOI, splitting byte-aligned restart
+    # segments at RSTn markers (sequence numbers must cycle D0..D7)
+    segments: list[bytearray] = [bytearray()]
+    data = segments[0]
+    expect_rst = 0
     j = entropy_start
     while j < len(payload):
         b = payload[j]
@@ -1745,6 +1784,22 @@ def _jpeg_gray_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
                 continue
             if nxt == 0xD9:
                 break
+            if 0xD0 <= nxt <= 0xD7:
+                if not restart_interval:
+                    raise MediaDecodeError(
+                        "jpeg: RST marker without DRI segment"
+                    )
+                if nxt - 0xD0 != expect_rst:
+                    raise MediaDecodeError(
+                        f"jpeg: restart marker out of order "
+                        f"(got {nxt:#x}, expected "
+                        f"{0xD0 + expect_rst:#x})"
+                    )
+                expect_rst = (expect_rst + 1) % 8
+                data = bytearray()
+                segments.append(data)
+                j += 2
+                continue
             raise MediaDecodeError(
                 f"jpeg: unexpected marker {nxt:#x} in scan"
             )
@@ -1753,7 +1808,9 @@ def _jpeg_gray_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     else:
         raise MediaDecodeError("jpeg: missing EOI")
 
-    pos = 0  # bit cursor
+    seg_idx = 0
+    data = segments[0]
+    pos = 0  # bit cursor within the current restart segment
 
     def read_bit() -> int:
         nonlocal pos
@@ -1783,10 +1840,32 @@ def _jpeg_gray_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
 
     bx_n = (w + 7) // 8
     by_n = (h + 7) // 8
+    n_mcus = bx_n * by_n
+    if restart_interval:
+        expected_segs = (n_mcus + restart_interval - 1) // restart_interval
+        if len(segments) != expected_segs:
+            raise MediaDecodeError(
+                f"jpeg: {len(segments)} restart segments for "
+                f"{n_mcus} MCUs at interval {restart_interval} "
+                f"(expected {expected_segs})"
+            )
     out = np.zeros((by_n * 8, bx_n * 8), dtype=np.uint8)
     prev_dc = 0
+    mcu = 0
     for by in range(by_n):
         for bx in range(bx_n):
+            if (
+                restart_interval
+                and mcu
+                and mcu % restart_interval == 0
+            ):
+                # byte-aligned restart: fresh segment, DC predictor
+                # reset (T.81 §E.2.4)
+                seg_idx += 1
+                data = segments[seg_idx]
+                pos = 0
+                prev_dc = 0
+            mcu += 1
             zz = np.zeros(64, dtype=np.int64)
             s = read_huff(dc_tab)
             prev_dc += read_val(s)

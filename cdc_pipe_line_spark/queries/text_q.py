@@ -1906,9 +1906,15 @@ def q_epoch_shuffle(spark, sf_dir):
     can recompute its shard contents from the seed, no shuffle
     manifest to ship.  Emits per-(epoch, shard) fill counts, token
     load, and the balance ratio that proves the deal is even.  The
-    rank is one window per epoch over (hash, doc_id); everything
-    else is a shrinking aggregate."""
+    rank is the two-phase DISTRIBUTED global row_number
+    (:func:`~cdc_pipe_line_spark.functions.global_row_number`):
+    the previous draft's unpartitioned Window planned an
+    ``Exchange SinglePartition`` sort of the whole corpus per epoch —
+    the exact funnel the registry-wide bounded-window plan test now
+    locks out.  Everything downstream is a shrinking aggregate."""
     from pyspark.sql.window import Window
+
+    from cdc_pipe_line_spark.functions import global_row_number
 
     docs = _t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
@@ -1919,14 +1925,16 @@ def q_epoch_shuffle(spark, sf_dir):
                 F.col("doc_id").cast("string"), F.lit(f":{epoch}")
             )
         )
-        rn = F.row_number().over(
-            Window.orderBy(key.asc(), F.col("doc_id").asc())
+        ranked = global_row_number(
+            docs.select("doc_id", toks.alias("n_tok"), key.alias("__k")),
+            ["__k", "doc_id"],
+            out_col="__rn",
         )
         out.append(
-            docs.select(
+            ranked.select(
                 F.lit(epoch).alias("epoch"),
-                toks.alias("n_tok"),
-                ((rn - 1) % 8).alias("shard"),
+                "n_tok",
+                ((F.col("__rn") - 1) % 8).alias("shard"),
             )
         )
     both = out[0].unionByName(out[1])

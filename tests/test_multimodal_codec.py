@@ -936,3 +936,64 @@ def test_dhash_brightness_invariant_and_pattern_sensitive(spark):
     assert got[1].dhash == got[2].dhash          # brightness-invariant
     assert got[1].dhash != got[3].dhash          # pattern-sensitive
     assert got[4].dhash is None and got[4].decode_err
+
+
+def test_jpeg_restart_intervals_decode_and_validate():
+    """DRI/RSTn scans (VERDICT r7 item 7) must decode identically to
+    the same image without restarts — segment split, D0..D7 cycling,
+    per-segment DC reset — and structural violations must quarantine
+    with precise reasons, never mis-decode."""
+    import numpy as np
+    import pytest
+
+    from cdc_pipe_line_spark.multimodal import (
+        MediaDecodeError,
+        _jpeg_color_pixels,
+        _jpeg_gray_pixels,
+        make_jpeg_color,
+        make_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(11)
+    arr = (rng.randint(0, 128, (24, 32)) * 2).astype(np.uint8)
+    _, _, base = _jpeg_gray_pixels(make_jpeg_gray(arr))
+    # intervals spanning: every MCU, mid-row, exactly one row (4
+    # blocks/row x 3 rows = 12 MCUs), > #MCUs (no RSTs emitted)
+    for ri in (1, 3, 4, 5, 12, 100):
+        enc = make_jpeg_gray(arr, restart_interval=ri)
+        w, h, out = _jpeg_gray_pixels(enc)
+        assert (w, h) == (32, 24)
+        assert (out == base).all(), f"restart decode differs at ri={ri}"
+
+    # constant blocks stay lossless through the restart path
+    carr = np.kron(
+        rng.randint(0, 128, (2, 3)) * 2, np.ones((8, 8), dtype=int)
+    ).astype(np.uint8)
+    _, _, cout = _jpeg_gray_pixels(make_jpeg_gray(carr, restart_interval=2))
+    assert (cout == carr).all()
+
+    enc2 = make_jpeg_gray(arr, restart_interval=2)
+    # out-of-order restart marker
+    idx = enc2.find(b"\xff\xd0")
+    with pytest.raises(MediaDecodeError, match="out of order"):
+        _jpeg_gray_pixels(enc2[:idx] + b"\xff\xd3" + enc2[idx + 2 :])
+    # RST in the scan of a DRI-less image
+    plain = make_jpeg_gray(arr)
+    sos = plain.find(b"\xff\xda")
+    with pytest.raises(MediaDecodeError, match="without DRI"):
+        _jpeg_gray_pixels(plain[: sos + 20] + b"\xff\xd0" + plain[sos + 20 :])
+    # segment-count mismatch: claim a smaller interval than encoded
+    dri = enc2.find(b"\xff\xdd")
+    lied = enc2[: dri + 4] + b"\x00\x01" + enc2[dri + 6 :]
+    with pytest.raises(MediaDecodeError, match="restart segments"):
+        _jpeg_gray_pixels(lied)
+
+    # color path: DRI still quarantines with a precise reason
+    y = (rng.randint(0, 128, (32, 32)) * 2).astype(np.uint8)
+    cb = (rng.randint(0, 128, (16, 16)) * 2).astype(np.uint8)
+    cr = (rng.randint(0, 128, (16, 16)) * 2).astype(np.uint8)
+    color = make_jpeg_color(y, cb, cr)
+    sos = color.find(b"\xff\xda")
+    with_dri = color[:sos] + b"\xff\xdd\x00\x04\x00\x02" + color[sos:]
+    with pytest.raises(MediaDecodeError, match="restart intervals"):
+        _jpeg_color_pixels(with_dri)

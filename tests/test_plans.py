@@ -559,3 +559,68 @@ def test_semantic_dedup_seed_broadcast_bounded_by_budget(spark):
     assert "CartesianProduct" not in plan, plan
     # functional half of the bound: at most K clusters can exist
     assert assigned.select("cluster_id").distinct().count() <= 7
+
+
+def test_no_unpartitioned_window_over_unbounded_frame(spark):
+    """Global plan-hygiene net (VERDICT r7 item 3): an unpartitioned
+    Window funnels its whole input through ONE task
+    (Exchange SinglePartition) — acceptable only above a frame that is
+    bounded by construction.  For every registered batch query, any
+    WindowExec with an empty partitionSpec must have an aggregate or a
+    limit between itself and every parquet scan in its subtree: the
+    aggregate collapses fact cardinality to group cardinality
+    (vocabulary, census, calendar spine), the limit to a constant.  A
+    refactor that slides a fact table under a global Window — the
+    llm_epoch_shuffle draft this test caught — fails here.
+
+    Streaming/IO queries are excluded for the same side-effect reasons
+    as the cartesian net above."""
+    BARRIERS = {
+        "HashAggregateExec",
+        "SortAggregateExec",
+        "ObjectHashAggregateExec",
+        "TakeOrderedAndProjectExec",
+        "GlobalLimitExec",
+        "LocalLimitExec",
+        "CollectLimitExec",
+    }
+
+    def unwrap(node):
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            return unwrap(node.inputPlan())
+        return node
+
+    def walk(node):
+        node = unwrap(node)
+        yield node
+        cs = node.children()
+        for i in range(cs.size()):
+            yield from walk(cs.apply(i))
+
+    def reaches_scan_unbarriered(node):
+        node = unwrap(node)
+        cls = node.getClass().getSimpleName()
+        if cls in BARRIERS:
+            return False
+        if cls == "FileSourceScanExec":
+            return True
+        cs = node.children()
+        return any(
+            reaches_scan_unbarriered(cs.apply(i)) for i in range(cs.size())
+        )
+
+    skip_prefixes = ("stream_", "io_", "join_bucketed")
+    offenders = {}
+    for name in all_queries():
+        if name.startswith(skip_prefixes):
+            continue
+        df = all_queries()[name](spark, SF_DIR)
+        jplan = df._jdf.queryExecution().executedPlan()
+        for n in walk(jplan):
+            if (
+                n.getClass().getSimpleName() == "WindowExec"
+                and n.partitionSpec().isEmpty()
+                and reaches_scan_unbarriered(n)
+            ):
+                offenders[name] = n.toString().splitlines()[0][:120]
+    assert not offenders, f"unbounded global Window in: {offenders}"
