@@ -2510,3 +2510,48 @@ SELECT k.user_key,
   TRUE AS within_bound,
   TRUE AS merge_exact
 FROM keys k LEFT JOIN exact e ON e.user_key = k.user_key"""
+
+
+def q_reservoir_sample(spark, sf_dir):
+    """Fixed-size deterministic uniform sample — the distributed
+    reservoir: rank every event by the md5 of its id and keep the
+    lowest 200.  Hash ranking gives the exact semantics of a
+    size-200 uniform-without-replacement draw (any id set is equally
+    likely under the hash's uniformity) while staying embarrassingly
+    distributable: Spark plans the cut as TakeOrderedAndProject —
+    each task emits at most 200 rows, no global sort, no shared
+    reservoir state to synchronize (the classic single-machine
+    Algorithm R cannot shard).  Re-running on a grown corpus keeps a
+    consistent sample (an id's hash never changes — ids only enter or
+    leave the cut), the property audit samplers need.  sample_rank is
+    a row_number over the 200 survivors (bounded window by
+    construction)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string").cast("binary"))
+    top = (
+        ev.select("event_id", "user_id", "event_type", h.alias("__h"))
+        .orderBy("__h")
+        .limit(200)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy("__h"))
+        .cast("bigint")
+        .alias("sample_rank"),
+        "event_id",
+        "user_id",
+        "event_type",
+    )
+
+
+QUERIES["agg_reservoir_sample"] = q_reservoir_sample
+
+ORACLE["agg_reservoir_sample"] = """
+WITH ranked AS (
+  SELECT event_id, user_id, event_type,
+    row_number() OVER (ORDER BY md5(CAST(event_id AS VARCHAR))) AS rk
+  FROM events)
+SELECT CAST(rk AS BIGINT) AS sample_rank, event_id, user_id, event_type
+FROM ranked WHERE rk <= 200"""

@@ -313,6 +313,90 @@ def q_hash_embed_lsh(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide line dedup (Raffel et al. 2020 §2.2):
+    8-word lines, first occurrence (lowest doc_id, line_no) survives,
+    documents rebuilt from surviving lines.  The md5 of each rebuilt
+    document is part of the hash, so the oracle binds the
+    reconstruction itself.  Two hash shuffles + an equi-join on the
+    line text — the election is an aggregate min(struct) with
+    map-side partials, so corpus-wide boilerplate collapses inside
+    each task before it travels."""
+    from cdc_pipe_line_spark.text import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return line_dedup(docs, line_words=8)
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup (the RefinedWeb/CCNet pre-step:
+    arXiv:2306.01116 — public): scheme/case/www/tracking-param/
+    trailing-slash variants of the same address collapse to one
+    canonical form, first doc_id per canonical survives.  Every
+    document synthesizes a deterministic messy URL (scheme case by
+    doc_id % 2, www on % 5, utm_ tracking param on % 3, trailing
+    slash on % 7) so every normalization rule fires corpus-wide; the
+    canonical recipe is five regexp/lower steps that behave
+    identically in Java regex and DuckDB RE2.  One hash aggregate on
+    the canonical string — counts, keeper id and dropped-id checksum
+    are the oracle-checked output."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+                F.lit("http://")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("www.")).otherwise(
+                F.lit("")
+            ),
+            F.lit("Host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM/Path/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("?utm_source=feed&utm_campaign=x&id="),
+                    (F.col("doc_id") % 4).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    canon = F.regexp_replace(  # 5. trailing slash
+        F.regexp_replace(  # 4. dangling ? or & after param strip
+            F.regexp_replace(  # 3. tracking params
+                F.regexp_replace(  # 2. leading www.
+                    F.regexp_replace(  # 1. scheme
+                        F.lower(F.col("url")), "^https?://", ""
+                    ),
+                    "^www\\.",
+                    "",
+                ),
+                "utm_[a-z]+=[^&]*&?",
+                "",
+            ),
+            "[?&]$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        docs.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            (F.sum("doc_id") - F.min("doc_id"))
+            .cast("bigint")
+            .alias("dropped_id_sum"),
+        )
+    )
+
+
 def q_scrub_apply(spark, sf_dir):
     """PII scrubbing APPLIED (text_profile binds only the counts):
     every document gains a deterministic doc_id-derived email and URL
@@ -812,6 +896,8 @@ QUERIES = {
     "text_strip_spans": q_strip_spans,
     "text_hash_embed_knn": q_hash_embed_knn,
     "text_hash_embed_lsh": q_hash_embed_lsh,
+    "text_line_dedup": q_line_dedup,
+    "llm_url_dedup": q_url_dedup,
     "dedup_incremental": q_dedup_incremental,
     "text_scrub_apply": q_scrub_apply,
     "text_chunking": q_chunk_documents,
@@ -1063,6 +1149,62 @@ SELECT q_id, doc_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id
       ORDER BY cos_sim DESC, doc_id ASC) AS rank
   FROM scored) WHERE rank <= 5""",
+    "text_line_dedup": """
+WITH toks AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS ws
+  FROM documents),
+words AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+  FROM toks),
+lines AS (
+  SELECT doc_id, (pos - 1) // 8 AS line_no,
+    string_agg(w, ' ' ORDER BY pos) AS line_text,
+    count(*) AS n_words
+  FROM words WHERE w <> '' GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY line_text ORDER BY doc_id, line_no) = 1 AS kept
+  FROM lines)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+  CAST(coalesce(sum(CASE WHEN kept THEN n_words END), 0) AS BIGINT)
+    AS kept_words,
+  md5(coalesce(string_agg(CASE WHEN kept THEN line_text END,
+      ' ' ORDER BY line_no), '')) AS clean_md5
+FROM ranked GROUP BY 1""",
+    "llm_url_dedup": """
+WITH urls AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+    || 'Host' || CAST(doc_id % 7 AS VARCHAR)
+    || '.Example.COM/Path/' || CAST(doc_id % 40 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0
+        THEN '?utm_source=feed&utm_campaign=x&id='
+             || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) AS url
+  FROM documents),
+canon AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(url), '^https?://', ''),
+            '^www\\.', ''),
+          'utm_[a-z]+=[^&]*&?', '', 'g'),
+        '[?&]$', ''),
+      '/$', '') AS canonical_url
+  FROM urls)
+SELECT canonical_url,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  min(doc_id) AS keeper_doc_id,
+  CAST(sum(doc_id) - min(doc_id) AS BIGINT) AS dropped_id_sum
+FROM canon GROUP BY 1""",
     "text_hash_embed_lsh": f"""
 WITH words AS (
   SELECT doc_id,

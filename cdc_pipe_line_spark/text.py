@@ -1595,6 +1595,91 @@ def incremental_minhash_dedup(
     return verified.select("id_new", "id_old", "jaccard")
 
 
+def line_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_words: int = 8,
+) -> DataFrame:
+    """C4-style corpus-wide LINE deduplication (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2 — public): every document splits into
+    consecutive ``line_words``-word lines, a line occurring anywhere
+    else in the corpus keeps only its FIRST occurrence (lowest
+    ``(doc_id, line_no)``), and each document is rebuilt from its
+    surviving lines.  The intra-document twin of the doc-level dedup
+    family: boilerplate (navigation, license headers) dies corpus-wide
+    without dropping whole documents.
+
+    Returns one row per document: ``n_lines / n_kept / n_dropped /
+    kept_words`` and ``clean_md5`` — the md5 of the rebuilt text, so
+    the oracle binds the RECONSTRUCTION, not just the counts.
+
+    Scale shape: one shuffle to assemble lines (per-doc hash
+    aggregate), one to elect first occurrences — an aggregate
+    ``min(struct(doc, line_no))`` per line text with map-side
+    partials, so a line duplicated 10M times collapses inside each
+    task before it travels (the skew-resistant alternative to a
+    row_number window over the duplicate class) — and a join of lines
+    against winners on the line hash.  Never all-pairs, never a
+    global sort."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    lines = (
+        words.groupBy(
+            "id", (F.floor(F.col("pos") / line_words)).alias("line_no")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.getField("w"),
+                ),
+                " ",
+            ).alias("line_text"),
+            F.count("*").alias("n_words"),
+        )
+    )
+    firsts = lines.groupBy("line_text").agg(
+        F.min(F.struct(F.col("id"), F.col("line_no"))).alias("__first")
+    )
+    flagged = lines.join(firsts, "line_text").withColumn(
+        "__kept",
+        (F.col("id") == F.col("__first.id"))
+        & (F.col("line_no") == F.col("__first.line_no")),
+    )
+    kept_line = F.when(
+        F.col("__kept"), F.struct(F.col("line_no"), F.col("line_text"))
+    )
+    return flagged.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("__kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("__kept"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.coalesce(
+            F.sum(F.when(F.col("__kept"), F.col("n_words"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("kept_words"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_line)),
+                    lambda s: s.getField("line_text"),
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     *,

@@ -765,3 +765,35 @@ def test_pack_sequences_budget_invariants(spark):
     assert a0.n_split_docs == 1 and a1.n_split_docs == 1  # doc3 in both
     assert b0.n_tokens == 2 and b0.n_docs == 1 and b0.n_split_docs == 0
     # every non-tail pack is exactly the budget
+
+
+def test_line_dedup_first_occurrence_and_reconstruction(spark):
+    from cdc_pipe_line_spark.text import line_dedup
+
+    # 2-word lines: doc 1 = [a b][c d], doc 2 repeats [a b] then has
+    # its own [e f]; doc 3 repeats BOTH of doc 1's lines (drops to
+    # zero kept lines); within-doc duplicate line in doc 4 keeps only
+    # the first copy.
+    rows = [
+        (1, "a b c d"),
+        (2, "a b e f"),
+        (3, "a b c d"),
+        (4, "g h g h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in line_dedup(df, line_words=2).collect()
+    }
+    assert (got[1].n_lines, got[1].n_kept, got[1].n_dropped) == (2, 2, 0)
+    assert (got[2].n_lines, got[2].n_kept) == (2, 1)  # [a b] lost
+    assert (got[3].n_kept, got[3].n_dropped) == (0, 2)  # fully boilerplate
+    assert (got[4].n_kept, got[4].n_dropped) == (1, 1)  # intra-doc dup
+    assert got[1].kept_words == 4 and got[2].kept_words == 2
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1].clean_md5 == md5("a b c d")
+    assert got[2].clean_md5 == md5("e f")
+    assert got[3].clean_md5 == md5("")
+    assert got[4].clean_md5 == md5("g h")
