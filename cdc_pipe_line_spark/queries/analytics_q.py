@@ -2555,3 +2555,165 @@ WITH ranked AS (
   FROM events)
 SELECT CAST(rk AS BIGINT) AS sample_rank, event_id, user_id, event_type
 FROM ranked WHERE rk <= 200"""
+
+
+def q_log_histogram_quantiles(spark, sf_dir):
+    """Mergeable log-linear histogram quantiles (the DDSketch /
+    HdrHistogram family — Masson et al. 2019, arXiv:1908.10693;
+    both public): values bucket by binary octave (floor log2 via
+    ``length(bin(cents)) - 1`` — INTEGER/string arithmetic, no libm
+    log whose last bit differs across engines) subdivided 8 ways
+    linearly, giving a <=12.5% relative-error guarantee per bucket.
+    Completes the sketch quartet (HLL distinct / approx_top_k
+    frequent / CMS point freq / log-histogram QUANTILES).
+
+    The mergeable algebra is the point: per-DAY partial bucket counts
+    roll up by plain addition, and ``merge_exact`` pins that the
+    day-merged histogram EQUALS the single-pass one bucket-for-bucket
+    — the property that lets 1000 executors sketch independently and
+    a coordinator merge bytes, never rows.  Estimates carry PROVABLE
+    claims next to oracle-exact values: ``le_exact`` (bucket lower
+    bound never exceeds the true k-th value — guaranteed, the k-th
+    element lives in the selected bucket) and ``rel_bound``
+    (integer-cross-multiplied 12.5%+1-cent envelope).  Rank
+    definition k = ceil(q*n/100) is shared with the oracle, so both
+    engines select the same element.
+
+    Scale shape: two hash aggregates (daily partials, merge), a
+    per-type cumulative window over <=128 buckets, and a partitioned
+    row_number for the exact twin — no global sort, no collect."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .filter(F.col("cents") >= 1)
+    )
+    b = (
+        ev.withColumn(
+            "e", (F.length(F.expr("bin(cents)")) - 1).cast("int")
+        )
+        .withColumn("p", F.expr("shiftleft(1L, e)"))
+        .withColumn("sub", F.expr("cast(((cents - p) * 8) div p as int)"))
+        .withColumn("bucket_id", F.col("e") * 8 + F.col("sub"))
+        .withColumn("lower_c", F.expr("p + (sub * p) div 8"))
+        # referenced by the daily-partial, single-pass and exact-rank
+        # branches: pin, or the scan + bucket arithmetic runs 3x
+        .localCheckpoint(eager=True)
+    )
+    daily = b.groupBy("event_type", "day", "bucket_id").agg(
+        F.count("*").alias("c"), F.min("lower_c").alias("lower_c")
+    )
+    merged = daily.groupBy("event_type", "bucket_id").agg(
+        F.sum("c").alias("cnt"), F.min("lower_c").alias("lower_c")
+    )
+    single = b.groupBy("event_type", "bucket_id").agg(
+        F.count("*").alias("cnt1")
+    )
+    hist = merged.join(single, ["event_type", "bucket_id"]).withColumn(
+        "mok", F.col("cnt") == F.col("cnt1")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    per_type = hist.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"), F.bool_and("mok").alias("merge_exact")
+    )
+    ks = per_type.select(
+        "event_type",
+        "n",
+        "merge_exact",
+        F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("q"),
+    ).withColumn("k", F.expr("(q * n + 99) div 100"))
+    est = (
+        ks.join(hist.select("event_type", "bucket_id", "lower_c", "cum"),
+                "event_type")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("event_type", "q", "n", "k", "merge_exact")
+        .agg(F.min_by("lower_c", "bucket_id").alias("est_cents"))
+    )
+    ranked = b.select(
+        F.col("event_type").alias("__et"),
+        F.col("cents").alias("__exact"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("cents"))
+        .alias("__rn"),
+    )
+    return (
+        est.join(
+            ranked,
+            (F.col("event_type") == F.col("__et"))
+            & (F.col("k") == F.col("__rn")),
+        )
+        .select(
+            "event_type",
+            F.col("q").cast("bigint").alias("q"),
+            "n",
+            "est_cents",
+            F.col("__exact").alias("exact_cents"),
+            (F.col("est_cents") <= F.col("__exact")).alias("le_exact"),
+            (
+                (F.col("__exact") - F.col("est_cents")) * 8
+                <= F.col("est_cents") + F.lit(8)
+            ).alias("rel_bound"),
+            "merge_exact",
+        )
+    )
+
+
+QUERIES["agg_log_histogram_quantiles"] = q_log_histogram_quantiles
+
+ORACLE["agg_log_histogram_quantiles"] = """
+WITH ev AS (
+  SELECT event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) >= 1),
+b AS (
+  SELECT event_type, cents,
+    length(bin(cents)) - 1 AS e,
+    (1::BIGINT << (length(bin(cents)) - 1)) AS p
+  FROM ev),
+bk AS (
+  SELECT event_type, cents, e, p,
+    ((cents - p) * 8) // p AS sub,
+    e * 8 + ((cents - p) * 8) // p AS bucket_id,
+    p + ((((cents - p) * 8) // p) * p) // 8 AS lower_c
+  FROM b),
+hist AS (
+  SELECT event_type, bucket_id, min(lower_c) AS lower_c,
+    count(*) AS cnt
+  FROM bk GROUP BY 1, 2),
+cum AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist),
+tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+ks AS (
+  SELECT event_type, n, q, (q * n + 99) // 100 AS k
+  FROM tot CROSS JOIN (SELECT unnest([50, 95, 99]) AS q)),
+est AS (
+  SELECT ks.event_type, ks.q, ks.n, ks.k,
+    min_by(cum.lower_c, cum.bucket_id) AS est_cents
+  FROM ks JOIN cum ON cum.event_type = ks.event_type AND cum.cum >= ks.k
+  GROUP BY 1, 2, 3, 4),
+ranked AS (
+  SELECT event_type, cents,
+    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn
+  FROM bk)
+SELECT est.event_type, CAST(est.q AS BIGINT) AS q, est.n,
+  est.est_cents,
+  ranked.cents AS exact_cents,
+  est.est_cents <= ranked.cents AS le_exact,
+  (ranked.cents - est.est_cents) * 8 <= est.est_cents + 8 AS rel_bound,
+  TRUE AS merge_exact
+FROM est JOIN ranked
+  ON ranked.event_type = est.event_type AND ranked.rn = est.k"""

@@ -152,6 +152,28 @@ def q_text_decontaminate(spark, sf_dir):
     )
 
 
+def q_text_decontaminate_bloom(spark, sf_dir):
+    """Decontamination through the explicit runtime Bloom prefilter
+    (the composition for LARGE eval-gram sets): a <=128 KiB bitmap
+    over the benchmark grams sheds clean train grams before the
+    join's shuffle; survivors pass the exact gram join, so the result
+    is row-identical to ``text_decontaminate`` — the oracle replays
+    the EXACT pipeline and thereby checks the Bloom's
+    no-false-negative contract end-to-end on real data."""
+    from cdc_pipe_line_spark.text import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    out = decontaminate_bloom(train, bench, n=8)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        "contamination_frac",
+        "example_gram",
+    )
+
+
 def q_llm_train_split(spark, sf_dir):
     """Leakage-free deterministic train/val/test split: every document
     hashes its dedup group's keeper (near-dup clusters move between
@@ -198,6 +220,25 @@ def q_text_lm_score(spark, sf_dir):
         "avg_logp",
         "min_logp",
         "ppl",
+    )
+
+
+def q_lm_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram document scoring (continuation-
+    count backoff — the standard upgrade over the add-one LM filter
+    for boilerplate-heavy web text).  n_bigrams binds the stream,
+    avg/min log-prob bind the full model (bigram counts, context
+    totals, left/right continuation counts, type total) through the
+    fixed probability AST and the position-ordered float fold; the
+    oracle recomputes every count and the same AST."""
+    from cdc_pipe_line_spark.text import kneser_ney_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return kneser_ney_score(docs).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        "avg_logp",
+        "min_logp",
     )
 
 
@@ -887,6 +928,8 @@ QUERIES = {
     "dedup_simhash": q_simhash,
     "llm_data_prep": q_llm_data_prep,
     "text_decontaminate": q_text_decontaminate,
+    "text_decontaminate_bloom": q_text_decontaminate_bloom,
+    "text_lm_kneser_ney": q_lm_kneser_ney,
     "llm_train_split": q_llm_train_split,
     "text_lm_score": q_text_lm_score,
     "llm_domain_mix": q_llm_domain_mix,
@@ -1149,6 +1192,47 @@ SELECT q_id, doc_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id
       ORDER BY cos_sim DESC, doc_id ASC) AS rank
   FROM scored) WHERE rank <= 5""",
+    "text_lm_kneser_ney": """
+WITH kn_words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS w
+  FROM documents),
+kn_docs AS (SELECT doc_id, w FROM kn_words WHERE len(w) >= 2),
+kn_bg AS (
+  SELECT doc_id,
+    unnest(range(1, len(w))) AS pos,
+    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+  FROM kn_docs),
+kn_grams AS (
+  SELECT w1, w2, count(*) AS c2 FROM kn_bg GROUP BY 1, 2),
+kn_c1b AS (SELECT w1, count(*) AS c1b FROM kn_bg GROUP BY 1),
+kn_n1v AS (SELECT w1, count(*) AS n1v FROM kn_grams GROUP BY 1),
+kn_nw AS (SELECT w2, count(*) AS nw FROM kn_grams GROUP BY 1),
+kn_nt AS (SELECT count(*) AS nt FROM kn_grams),
+kn_model AS (
+  SELECT g.w1, g.w2,
+    ln((g.c2 - CAST(0.75 AS DOUBLE)) / c.c1b
+       + (CAST(0.75 AS DOUBLE) * v.n1v / c.c1b) * (CAST(n.nw AS DOUBLE) / t.nt))
+      AS logp
+  FROM kn_grams g
+  JOIN kn_c1b c USING (w1)
+  JOIN kn_n1v v USING (w1)
+  JOIN kn_nw n USING (w2), kn_nt t),
+kn_scored AS (
+  SELECT b.doc_id, b.pos, m.logp
+  FROM kn_bg b JOIN kn_model m ON m.w1 = b.w1 AND m.w2 = b.w2),
+kn_per_doc AS (
+  SELECT doc_id, count(*) AS nb,
+    list(logp ORDER BY pos) AS terms,
+    min(logp) AS mn
+  FROM kn_scored GROUP BY 1)
+SELECT doc_id,
+  CAST(nb AS BIGINT) AS n_bigrams,
+  round(list_sum(terms) / nb, 4) AS avg_logp,
+  round(mn, 4) AS min_logp
+FROM kn_per_doc""",
     "text_line_dedup": """
 WITH toks AS (
   SELECT doc_id,
@@ -1328,6 +1412,27 @@ SELECT doc_id,
   round(exp(-round(list_sum(terms) / nb, 4)), 4) AS ppl
 FROM lm_per_doc""",
     "text_decontaminate": """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 8
+      THEN list_transform(range(1, len(w) - 6),
+                          i -> array_to_string(w[i:i+7], ' '))
+      ELSE [] END) AS sh
+  FROM words),
+bm AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS gram
+       FROM sh WHERE doc_id % 10 != 0)
+SELECT tr.doc_id,
+  CAST(count(*) AS BIGINT) AS n_contaminated,
+  round(count(*) / any_value(n_sh), 4) AS contamination_frac,
+  min(gram) AS example_gram
+FROM tr JOIN bm USING (gram)
+GROUP BY tr.doc_id""",
+    "text_decontaminate_bloom": """
 WITH words AS (
   SELECT doc_id,
     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w

@@ -302,6 +302,68 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """:func:`decontaminate` with an explicit runtime Bloom prefilter
+    on the training gram stream — the composition for the regime
+    where the benchmark gram set is large (millions of eval grams
+    across dozens of suites): instead of shuffling the ENTIRE
+    exploded train gram stream into the equi-join, a <=128 KiB bitmap
+    over the benchmark grams broadcasts to every task and sheds the
+    overwhelmingly-clean grams BEFORE the join's exchange.  At 100 TB
+    the train gram stream is ~10^11 rows and >99.9% of them match
+    nothing; the bitmap turns that into a scan-side filter.
+
+    No false negatives (Bloom guarantee), and survivors still pass
+    the EXACT gram join, so the output is row-identical to
+    :func:`decontaminate` — which is exactly what the oracle checks
+    (same contract as ``join_bloom_prefilter`` vs the plain join).
+    """
+    from cdc_pipe_line_spark.joins import bloom_filter_build, bloom_prefilter
+
+    tr = shingle_df(
+        train, id_col=id_col, text_col=text_col, n=n
+    ).localCheckpoint(eager=True)
+    bm = shingle_df(
+        benchmark, id_col=id_col, text_col=text_col, n=n
+    ).localCheckpoint(eager=True)
+    # referenced twice (bitmap build + exact verify join): pin, or the
+    # distinct-gram aggregate runs twice
+    bm_grams = (
+        bm.select(F.explode("sh").alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bloom = bloom_filter_build(
+        bm_grams, "gram", num_bits=num_bits, num_hashes=num_hashes
+    )
+    stream = tr.select(
+        "id", F.size("sh").alias("__n_sh"), F.explode("sh").alias("gram")
+    )
+    pre = bloom_prefilter(
+        stream, bloom, "gram", num_bits=num_bits, num_hashes=num_hashes
+    )
+    return (
+        pre.join(bm_grams, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.round(F.count("*") / F.first("__n_sh"), 4).alias(
+                "contamination_frac"
+            ),
+            F.min("gram").alias("example_gram"),
+        )
+    )
+
+
 def shingles(text: Column, n: int = 5) -> Column:
     """Distinct word n-gram shingles of a document.
 
@@ -1188,6 +1250,93 @@ def lm_score(
             F.array_min(F.transform("__terms", lambda t: t["logp"])), 4
         ).alias("min_logp"),
         F.round(F.exp(-avg), 4).alias("ppl"),
+    )
+
+
+def kneser_ney_score(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999 — public), the standard upgrade over the
+    additive-smoothed LM filter: ``P(w|v) = (c(v,w) - D)/c(v·) +
+    (D·N1+(v,·)/c(v·)) · N1+(·,w)/N1+(·,·)`` — the backoff mass goes
+    to words by how many CONTEXTS they follow (continuation counts),
+    not raw frequency, which is what makes KN the right filter for
+    boilerplate-heavy web text (a frequent-but-one-context token
+    stops looking probable everywhere).
+
+    Returns ``(id, n_bigrams, avg_logp, min_logp)`` per document,
+    scored against the corpus itself (the CCNet self-scoring setup).
+
+    Determinism contract: every model quantity is an exact integer
+    count (bigram counts, per-context totals, distinct-continuation
+    counts, distinct-type total); ``D`` is 0.75 (exact binary); the
+    probability AST is fixed as ``(c2 - D)/c1b + (D·n1v/c1b)·(nw/nt)``
+    so both engines fold identical doubles; the per-doc sum folds in
+    POSITION order (sorted-array aggregate) and rounds to 4 dp at the
+    end — the lm_score discipline.
+
+    Scale shape: one explode of the token stream, three vocab-sized
+    hash aggregates (context totals, left/right continuation counts),
+    one 1-row type total broadcast, ONE equi-join of the gram stream
+    against the assembled model.  Never corpus x corpus.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).filter(F.size("__w") >= 2)
+    bg = words.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - 1),
+                lambda i: F.struct(
+                    F.element_at("__w", i).alias("w1"),
+                    F.element_at("__w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("pos", "b"),
+    ).select("id", "pos", "b.w1", "b.w2")
+    # pinned once: the exploded stream feeds the model aggregates AND
+    # the scoring join (4 consumers otherwise re-explode the corpus)
+    bg = bg.localCheckpoint(eager=True)
+    grams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1b = bg.groupBy("w1").agg(F.count("*").alias("c1b"))
+    n1v = grams.groupBy("w1").agg(F.count("*").alias("n1v"))
+    nw = grams.groupBy("w2").agg(F.count("*").alias("nw"))
+    nt = grams.agg(F.count("*").alias("nt"))
+    model = (
+        grams.join(c1b, "w1")
+        .join(n1v, "w1")
+        .join(nw, "w2")
+        .crossJoin(F.broadcast(nt))
+    )
+    d = F.lit(discount)
+    p = (F.col("c2") - d) / F.col("c1b") + (
+        d * F.col("n1v") / F.col("c1b")
+    ) * (F.col("nw") / F.col("nt"))
+    scored = bg.join(model, ["w1", "w2"]).select(
+        "id", "pos", F.log(p).alias("logp")
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.array_sort(F.collect_list(F.struct("pos", "logp"))).alias(
+            "__terms"
+        ),
+        F.min("logp").alias("__mn"),
+    )
+    total = F.aggregate(
+        F.col("__terms"), F.lit(0.0), lambda acc, t: acc + t["logp"]
+    )
+    return per_doc.select(
+        "id",
+        "n_bigrams",
+        F.round(total / F.col("n_bigrams"), 4).alias("avg_logp"),
+        F.round(F.col("__mn"), 4).alias("min_logp"),
     )
 
 

@@ -797,3 +797,34 @@ def test_line_dedup_first_occurrence_and_reconstruction(spark):
     assert got[2].clean_md5 == md5("e f")
     assert got[3].clean_md5 == md5("")
     assert got[4].clean_md5 == md5("g h")
+
+
+def test_decontaminate_bloom_identical_to_exact(spark):
+    """The Bloom-prefiltered decontamination must be ROW-IDENTICAL to
+    the exact pipeline (no false negatives; false positives die in the
+    verify join) — including at a deliberately tiny bitmap where the
+    false-positive rate is high."""
+    from cdc_pipe_line_spark.text import decontaminate, decontaminate_bloom
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, f"doc {i} unique filler words number {i} " + base)
+            for i in range(1, 6)]
+    rows += [(100 + i, f"totally clean document {i} with nothing shared "
+              f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter("doc_id = 1")
+    train = docs.filter("doc_id <> 1")
+    exact = {
+        (r.id, r.n_contaminated, r.contamination_frac, r.example_gram)
+        for r in decontaminate(train, bench, n=8).collect()
+    }
+    for bits in (1 << 8, 1 << 16):  # tiny bitmap -> heavy FP pressure
+        bloomed = {
+            (r.id, r.n_contaminated, r.contamination_frac, r.example_gram)
+            for r in decontaminate_bloom(
+                train, bench, n=8, num_bits=bits
+            ).collect()
+        }
+        assert bloomed == exact, f"mismatch at num_bits={bits}"
+    assert exact  # the planted overlap must actually flag
