@@ -1149,3 +1149,108 @@ SELECT c_mktsegment, count(*) AS n_rows,
   CAST(sum(CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT))
     AS BIGINT) AS acctbal_cents
 FROM d GROUP BY 1"""
+
+
+def q_io_compaction_smallfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION — the table-maintenance answer to the
+    reference's one-parquet-file-per-event pathology (SURVEY.md §4
+    "severe": consumer.py writes ~3 events/s as individual files).
+    Stage: events land partitioned into 64 shard directories (the
+    fragmented layout a streaming sink accumulates).  Plan: shards
+    pack into row-budget bins by exclusive-running-sum division —
+    bin = prev_rows // ceil(total/8), the same deterministic packing
+    rule llm_pack_sequences uses, entirely replayable in SQL.
+    Execute: rows are hash-repartitioned ON THE BIN so each bin lands
+    wholly in one task, then written with partitionBy(bin) — one
+    output file per bin, verified against the REAL post-rewrite file
+    listing (``one_file_per_bin`` is measured, not assumed).  At
+    100 TB this is the nightly OPTIMIZE job: write amplification is
+    one pass, shuffle keyed on the bin, never a global sort.
+
+    The oracle recomputes the per-shard census, the packing
+    arithmetic and the id checksum from the events table — binding
+    that compaction preserved every row exactly."""
+    import os as _os
+
+    path, ready = _cache(sf_dir, "events_smallfiles")
+    if not ready:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", (F.col("event_id") % 64).alias("shard")
+        )
+        ev.write.mode("overwrite").partitionBy("shard").parquet(path)
+        _mark(path)
+    cpath, cready = _cache(sf_dir, "events_compacted")
+    if not cready:
+        from pyspark.sql.window import Window
+
+        frag = spark.read.parquet(path)
+        census = frag.groupBy("shard").agg(F.count("*").alias("c"))
+        wtot = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        wprev = Window.orderBy("shard").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        # 64-row frame (aggregate output): the windows are bounded
+        plan = census.withColumn("total", F.sum("c").over(wtot)).withColumn(
+            "prev", F.coalesce(F.sum("c").over(wprev), F.lit(0))
+        ).select(
+            "shard",
+            F.expr("prev div ((total + 7) div 8)").alias("bin"),
+        )
+        (
+            frag.join(F.broadcast(plan), "shard")
+            .repartition("bin")
+            .write.mode("overwrite")
+            .partitionBy("bin")
+            .parquet(cpath)
+        )
+        _mark(cpath)
+    compacted = spark.read.parquet(cpath)
+    per_bin = compacted.groupBy("bin").agg(
+        F.countDistinct("shard").cast("bigint").alias("n_shards"),
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+    )
+    files = {}
+    for d in _os.listdir(cpath):
+        if d.startswith("bin="):
+            n = sum(
+                1
+                for f in _os.listdir(_os.path.join(cpath, d))
+                if f.endswith(".parquet")
+            )
+            files[int(d.split("=")[1])] = n
+    listing = spark.createDataFrame(
+        [(b, n) for b, n in sorted(files.items())], "bin long, n_files int"
+    )
+    return per_bin.join(F.broadcast(listing), "bin").select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n_shards",
+        "n_rows",
+        "id_sum",
+        (F.col("n_files") == 1).alias("one_file_per_bin"),
+    )
+
+
+QUERIES["io_compaction_smallfiles"] = q_io_compaction_smallfiles
+
+ORACLE["io_compaction_smallfiles"] = """
+WITH sh AS (
+  SELECT event_id % 64 AS shard, count(*) AS c,
+    CAST(sum(event_id) AS BIGINT) AS s
+  FROM events GROUP BY 1),
+tot AS (SELECT sum(c) AS total FROM sh),
+plan AS (
+  SELECT shard, c, s,
+    COALESCE(sum(c) OVER (ORDER BY shard
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev,
+    total
+  FROM sh, tot),
+b AS (SELECT shard, c, s, prev // ((total + 7) // 8) AS bin FROM plan)
+SELECT CAST(bin AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS n_shards,
+  CAST(sum(c) AS BIGINT) AS n_rows,
+  CAST(sum(s) AS BIGINT) AS id_sum,
+  TRUE AS one_file_per_bin
+FROM b GROUP BY 1"""

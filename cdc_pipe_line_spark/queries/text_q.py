@@ -242,6 +242,82 @@ def q_lm_kneser_ney(spark, sf_dir):
     )
 
 
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled training-mixture weights (the Pile / GPT-3
+    recipe: sample source i proportional to n_i^alpha, alpha = 0.5, so
+    small domains are upweighted relative to raw size) with an EXACT
+    integer token-budget allocation via largest-remainder
+    apportionment — floor allocations plus one extra token-share to
+    the largest fractional remainders until the 1M budget is spent to
+    the token.  ``sqrt`` is IEEE correctly-rounded (unlike ln), so the
+    weights are bit-identical cross-engine; the sum of weights folds
+    in source order over the bounded source list; remainders re-derive
+    from the same fixed AST, so the apportionment ranking is
+    engine-deterministic (ties break by source name).  Everything
+    downstream of the per-source token aggregate operates on a
+    source-cardinality frame."""
+    from pyspark.sql.window import Window
+
+    B = 1_000_000
+    docs = _t(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+        .withColumn("w", F.sqrt(F.col("n_tokens")))
+    )
+    tot = per.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0),
+            lambda a, t: a + t["w"],
+        ).alias("tot")
+    )
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.floor(F.lit(float(B)) * F.col("w") / F.col("tot"))
+        .cast("bigint")
+        .alias("base"),
+        (
+            F.lit(float(B)) * F.col("w") / F.col("tot")
+            - F.floor(F.lit(float(B)) * F.col("w") / F.col("tot"))
+        ).alias("rem"),
+        F.floor(F.lit(1e6) * F.col("w") / F.col("tot"))
+        .cast("bigint")
+        .alias("weight_micro"),
+    )
+    wall = Window.orderBy(F.desc("rem"), F.asc("source"))
+    ranked = scored.select(
+        "source",
+        "n_tokens",
+        "weight_micro",
+        "base",
+        F.row_number().over(wall).alias("__rk"),
+        F.sum("base").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__base_sum"),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "weight_micro",
+        (
+            F.col("base")
+            + F.when(
+                F.col("__rk") <= F.lit(B) - F.col("__base_sum"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )
+
+
 def q_llm_domain_mix(spark, sf_dir):
     """Weighted training-mixture fill: upweighted sources (src0/src1,
     3000 tokens) vs the 1000-token long tail, documents taken in
@@ -930,6 +1006,7 @@ QUERIES = {
     "text_decontaminate": q_text_decontaminate,
     "text_decontaminate_bloom": q_text_decontaminate_bloom,
     "text_lm_kneser_ney": q_lm_kneser_ney,
+    "llm_mixture_temperature": q_mixture_temperature,
     "llm_train_split": q_llm_train_split,
     "text_lm_score": q_text_lm_score,
     "llm_domain_mix": q_llm_domain_mix,
@@ -1192,6 +1269,32 @@ SELECT q_id, doc_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id
       ORDER BY cos_sim DESC, doc_id ASC) AS rank
   FROM scored) WHERE rank <= 5""",
+    "llm_mixture_temperature": """
+WITH per AS (
+  SELECT source,
+    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+      AS n_tokens
+  FROM documents GROUP BY 1),
+w AS (SELECT source, n_tokens, sqrt(n_tokens) AS w FROM per),
+tot AS (
+  SELECT list_sum(list(w ORDER BY source)) AS tot FROM w),
+scored AS (
+  SELECT source, n_tokens,
+    CAST(floor(CAST(1000000 AS DOUBLE) * w / tot) AS BIGINT) AS base,
+    CAST(1000000 AS DOUBLE) * w / tot
+      - floor(CAST(1000000 AS DOUBLE) * w / tot) AS rem,
+    CAST(floor(CAST(1000000 AS DOUBLE) * w / tot) AS BIGINT)
+      AS weight_micro
+  FROM w, tot),
+ranked AS (
+  SELECT *,
+    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+    sum(base) OVER () AS base_sum
+  FROM scored)
+SELECT source, n_tokens, weight_micro,
+  CAST(base + (CASE WHEN rk <= 1000000 - base_sum THEN 1 ELSE 0 END)
+    AS BIGINT) AS alloc_tokens
+FROM ranked""",
     "text_lm_kneser_ney": """
 WITH kn_words AS (
   SELECT doc_id,
