@@ -2279,3 +2279,124 @@ def jpeg_color_stats(
 
     return media.select(id_col, payload_col).mapInPandas(_stats, schema)
 
+
+
+# ------------------------------------------------------------ EXIF
+
+
+def make_exif_app1(
+    orientation: int, *, little_endian: bool = True
+) -> bytes:
+    """Build a genuine EXIF APP1 segment: ``Exif\\0\\0`` preamble +
+    TIFF header (byte order, magic 42, IFD0 offset 8) + IFD0 with two
+    SHORT entries — Orientation (0x0112) and YCbCrPositioning
+    (0x0213, fixed 1) — and a zero next-IFD pointer.  Both byte
+    orders supported (cameras ship both; Intel 'II' and Motorola
+    'MM')."""
+    e = "<" if little_endian else ">"
+    bo = b"II" if little_endian else b"MM"
+    tiff = bo + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    entries = [
+        (0x0112, 3, 1, orientation),
+        (0x0213, 3, 1, 1),
+    ]
+    ifd = struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        # SHORT value is left-justified within the 4-byte value slot
+        ifd += struct.pack(e + "HHI", tag, typ, cnt) + struct.pack(
+            e + "H", val
+        ) + b"\x00\x00"
+    ifd += struct.pack(e + "I", 0)
+    body = b"Exif\x00\x00" + tiff + ifd
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def _exif_fields(payload: bytes) -> tuple[str, int, int]:
+    """Parse the EXIF APP1 of a JFIF payload: marker walk to APP1,
+    TIFF byte-order dispatch, IFD0 entry scan.  Returns
+    ``(byte_order, n_entries, orientation)``; raises
+    :class:`MediaDecodeError` (callers quarantine) on structural
+    damage — the metadata-tier twin of the pixel decoders (the
+    rotation-normalization pass of an image pipeline reads exactly
+    this tag before any pixel work)."""
+    if payload[:2] != b"\xff\xd8":
+        raise MediaDecodeError("exif: bad SOI")
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise MediaDecodeError(f"exif: bad marker byte at {i}")
+        marker = payload[i + 1]
+        if marker in (0xD9, 0xDA):
+            break
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise MediaDecodeError("exif: truncated segment")
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            if len(tiff) < 8:
+                raise MediaDecodeError("exif: truncated TIFF header")
+            if tiff[:2] == b"II":
+                e, bo = "<", "II"
+            elif tiff[:2] == b"MM":
+                e, bo = ">", "MM"
+            else:
+                raise MediaDecodeError("exif: bad TIFF byte order")
+            if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+                raise MediaDecodeError("exif: bad TIFF magic")
+            off = struct.unpack(e + "I", tiff[4:8])[0]
+            if off + 2 > len(tiff):
+                raise MediaDecodeError("exif: IFD0 offset out of range")
+            n = struct.unpack(e + "H", tiff[off : off + 2])[0]
+            orientation = None
+            for k in range(n):
+                ent = tiff[off + 2 + 12 * k : off + 2 + 12 * (k + 1)]
+                if len(ent) != 12:
+                    raise MediaDecodeError("exif: truncated IFD entry")
+                tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+                if tag == 0x0112:
+                    if typ != 3 or cnt != 1:
+                        raise MediaDecodeError(
+                            "exif: orientation must be one SHORT"
+                        )
+                    orientation = struct.unpack(e + "H", ent[8:10])[0]
+            if orientation is None:
+                raise MediaDecodeError("exif: no orientation tag")
+            return bo, n, orientation
+        i += 2 + seg_len
+    raise MediaDecodeError("exif: no APP1 segment")
+
+
+def exif_orientation(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-image EXIF orientation extraction over real APP1/TIFF
+    bytes — one Arrow-batched ``mapInPandas`` pass, one narrow row
+    per image, malformed payloads quarantine into ``decode_err``
+    (the same poison-row policy as every pixel decoder here)."""
+    schema = (
+        f"{id_col} bigint, byte_order string, n_entries int, "
+        "orientation int, decode_err string"
+    )
+    cols = [id_col, "byte_order", "n_entries", "orientation", "decode_err"]
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {c: None for c in cols}
+                base[id_col] = mid
+                try:
+                    if payload is None:
+                        raise MediaDecodeError("null payload")
+                    bo, n, o = _exif_fields(bytes(payload))
+                    base.update(byte_order=bo, n_entries=n, orientation=o)
+                except MediaDecodeError as exc:
+                    base["decode_err"] = str(exc)
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, payload_col).mapInPandas(_parse, schema)

@@ -2717,3 +2717,108 @@ SELECT est.event_type, CAST(est.q AS BIGINT) AS q, est.n,
   TRUE AS merge_exact
 FROM est JOIN ranked
   ON ranked.event_type = est.event_type AND ranked.rn = est.k"""
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient (Watts & Strogatz 1998) per node
+    of the part co-occurrence graph — how close each part's
+    neighborhood is to a clique, the standard community-tightness
+    metric next to the triangle census: ``C(v) = 2*tri(v) /
+    (deg(v)*(deg(v)-1))``, published as an exact integer micro-ratio
+    (numerator cross-multiplied, integer division — tolerance-free).
+    Reuses the degeneracy-oriented adjacency-intersection triangle
+    enumeration and the canonical edge list; degrees come from one
+    union-explode aggregate.  Output: the top-20 parts with deg >= 2
+    by (coefficient, node) plus each node's raw triangle and degree
+    counts, so the ranking is bound end-to-end.
+
+    Scale shape: the triangle subtree is the measured 6.8 s-at-sf1
+    array-intersection plan (BENCH_NOTES round 7); everything after
+    is vocabulary-sized aggregates and a top-20 TakeOrdered cut."""
+    from pyspark.sql.window import Window
+
+    from cdc_pipe_line_spark.analytics import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = (
+        li.select("l_orderkey", F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        op.alias("x")
+        .join(op.alias("y"), "l_orderkey")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tri = triangle_count(pairs)
+    tri_per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionAll(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    scored = (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            F.expr(
+                "(2 * coalesce(n_tri, 0) * 1000000) div (deg * (deg - 1))"
+            ).alias("coeff_micro"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc("coeff_micro"), F.desc("n_tri"), F.asc("node")
+    )
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 20)
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("node").cast("bigint").alias("node"),
+            F.col("deg").cast("bigint").alias("deg"),
+            "n_tri",
+            "coeff_micro",
+        )
+    )
+
+
+QUERIES["graph_clustering_coeff"] = q_clustering_coeff
+
+ORACLE["graph_clustering_coeff"] = f"""
+WITH {_COOC_SQL},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tpn AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY 1),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+scored AS (
+  SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+    (2 * COALESCE(t.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+      AS coeff_micro
+  FROM deg d LEFT JOIN tpn t USING (node) WHERE d.deg >= 2)
+SELECT CAST(pos AS BIGINT) AS pos, CAST(node AS BIGINT) AS node,
+  CAST(deg AS BIGINT) AS deg, CAST(n_tri AS BIGINT) AS n_tri,
+  CAST(coeff_micro AS BIGINT) AS coeff_micro
+FROM (
+  SELECT *, row_number() OVER (
+      ORDER BY coeff_micro DESC, n_tri DESC, node ASC) AS pos
+  FROM scored) WHERE pos <= 20"""

@@ -797,6 +797,59 @@ def q_jpeg_restart_decode(spark, sf_dir):
     return jpeg_gray_stats(media)
 
 
+def q_exif_orientation(spark, sf_dir):
+    """EXIF orientation extraction over genuine APP1/TIFF bytes — the
+    metadata tier every image pipeline reads BEFORE pixel work (the
+    rotation-normalization pass): marker walk to APP1, TIFF
+    byte-order dispatch (Intel 'II' on even ids, Motorola 'MM' on
+    odd — both wire formats cameras ship), IFD0 entry scan for tag
+    0x0112.  Orientation cycles all 8 EXIF values by doc_id; every
+    53rd payload carries a corrupt TIFF byte-order mark and
+    quarantines with a precise reason.  Closed-form in doc_id, so the
+    oracle replays field extraction AND the quarantine leg."""
+    import numpy as np
+
+    from cdc_pipe_line_spark.multimodal import make_exif_app1
+
+    base_img = make_jpeg_gray(
+        (np.arange(64, dtype=np.int64).reshape(8, 8) * 2 % 256).astype(
+            np.uint8
+        )
+    )
+    bad_app1 = (
+        b"\xff\xe1"
+        + __import__("struct").pack(">H", 2 + 6 + 8)
+        + b"Exif\x00\x00"
+        + b"XX\x00\x2a\x00\x00\x00\x08"
+    )
+
+    @F.pandas_udf("binary")
+    def _payload(o: pd.Series, le: pd.Series, cut: pd.Series) -> pd.Series:
+        out = []
+        for a, b, k in zip(o, le, cut):
+            app1 = bad_app1 if k else make_exif_app1(
+                int(a), little_endian=bool(b)
+            )
+            out.append(base_img[:2] + app1 + base_img[2:])
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 8) + 1).alias("__o"),
+        (F.col("doc_id") % 2 == 0).alias("__le"),
+        (F.col("doc_id") % 53 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_payload("__o", "__le", "__cut"),
+        media_type="image/jpeg",
+    )
+    from cdc_pipe_line_spark.multimodal import exif_orientation
+
+    return exif_orientation(media)
+
+
 def q_jpeg_color_decode(spark, sf_dir):
     """Color JPEG through the REAL baseline 4:2:0 decoder
     (MCU-interleaved huffman entropy decode + per-component
@@ -1193,6 +1246,7 @@ QUERIES = {
     "dedup_semantic": q_semantic_dedup,
     "mm_jpeg_decode": q_jpeg_decode,
     "mm_jpeg_restart_decode": q_jpeg_restart_decode,
+    "mm_exif_orientation": q_exif_orientation,
     "mm_jpeg_color_decode": q_jpeg_color_decode,
     "sim_range_search": q_range_search,
     "mm_image_resize": q_image_resize,
@@ -1447,6 +1501,16 @@ SELECT p.doc_id AS media_id,
   CASE WHEN cut THEN 'jpeg: truncated before SOS'
        ELSE CAST(NULL AS VARCHAR) END AS decode_err
 FROM p JOIN agg ON agg.doc_id = p.doc_id""",
+    "mm_exif_orientation": """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 53 = 0 THEN NULL
+       WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+  CASE WHEN doc_id % 53 = 0 THEN NULL ELSE 2 END AS n_entries,
+  CASE WHEN doc_id % 53 = 0 THEN NULL
+       ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation,
+  CASE WHEN doc_id % 53 = 0 THEN 'exif: bad TIFF byte order'
+       ELSE CAST(NULL AS VARCHAR) END AS decode_err
+FROM documents""",
     "mm_jpeg_restart_decode": """
 WITH p AS (
   SELECT doc_id,
