@@ -526,8 +526,80 @@ def q_stream_psi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(psi))
 
 
+def q_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE quantiles — the streaming twin of
+    ``agg_log_histogram_quantiles`` (the psi-gate pattern applied to
+    the sketch quartet): events bucket into the log-linear histogram
+    INSIDE a complete-mode stateful count — state is the bounded
+    bucket census (<=128 rows per event type), never the raw stream —
+    and after the bounded drain the quantile selection folds
+    batch-side over that tiny frame with the identical integer
+    arithmetic (octave via length(bin())-1, 8-way subdivision,
+    k = ceil(q*n/100), first bucket reaching k).  This is the
+    serving-latency-dashboard shape: p50/p95/p99 continuously
+    available from mergeable per-executor state, no raw retention.
+    One oracle formulation shared with the batch twin."""
+    from pyspark.sql.window import Window
+
+    base = _stage(spark, sf_dir, "raw")
+    cur = (
+        _read_raw(spark, base)
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .filter(F.col("cents") >= 1)
+        .withColumn("e", (F.length(F.expr("bin(cents)")) - 1).cast("int"))
+        .withColumn("p", F.expr("shiftleft(1L, e)"))
+        .withColumn("sub", F.expr("cast(((cents - p) * 8) div p as int)"))
+        .groupBy(
+            "event_type",
+            (F.col("e") * 8 + F.col("sub")).alias("bucket_id"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.expr("p + (sub * p) div 8")).alias("lower_c"),
+        )
+    )
+    q, hist = st.start_to_memory(cur, output_mode="complete")
+    q.awaitTermination()
+    hist = hist.localCheckpoint(eager=True)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    ks = (
+        hist.groupBy("event_type")
+        .agg(F.sum("cnt").alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("q"),
+        )
+        .withColumn("k", F.expr("(q * n + 99) div 100"))
+    )
+    return (
+        ks.join(cum.select("event_type", "bucket_id", "lower_c", "cum"),
+                "event_type")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("event_type", "q", "n")
+        .agg(F.min_by("lower_c", "bucket_id").alias("est_cents"))
+        .select(
+            "event_type",
+            F.col("q").cast("bigint").alias("q"),
+            F.col("n").cast("bigint").alias("n"),
+            "est_cents",
+        )
+    )
+
+
 QUERIES = {
     "stream_psi_gate": q_stream_psi_gate,
+    "stream_histogram_quantiles": q_stream_histogram_quantiles,
     "stream_sessions": q_stream_sessions,
     "stream_doc_gate": q_stream_doc_gate,
     "stream_windowed_counts": q_stream_windowed_counts,
@@ -538,6 +610,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_histogram_quantiles": """
+WITH ev AS (
+  SELECT event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) >= 1),
+b AS (
+  SELECT event_type, cents,
+    length(bin(cents)) - 1 AS e,
+    (1::BIGINT << (length(bin(cents)) - 1)) AS p
+  FROM ev),
+bk AS (
+  SELECT event_type,
+    e * 8 + ((cents - p) * 8) // p AS bucket_id,
+    p + ((((cents - p) * 8) // p) * p) // 8 AS lower_c
+  FROM b),
+hist AS (
+  SELECT event_type, bucket_id, min(lower_c) AS lower_c,
+    count(*) AS cnt
+  FROM bk GROUP BY 1, 2),
+cum AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist),
+tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+ks AS (
+  SELECT event_type, n, q, (q * n + 99) // 100 AS k
+  FROM tot CROSS JOIN (SELECT unnest([50, 95, 99]) AS q))
+SELECT ks.event_type, CAST(ks.q AS BIGINT) AS q, ks.n,
+  min_by(cum.lower_c, cum.bucket_id) AS est_cents
+FROM ks JOIN cum ON cum.event_type = ks.event_type AND cum.cum >= ks.k
+GROUP BY 1, 2, 3""",
     "stream_psi_gate": """
 WITH ev AS (
   SELECT value, epoch_us(ts) AS us FROM events),

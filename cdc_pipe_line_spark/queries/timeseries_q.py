@@ -1571,3 +1571,110 @@ SELECT dev.event_type, d, n, remainder,
     AS is_anomaly
 FROM dev JOIN mad ON dev.event_type = mad.event_type"""
 )
+
+
+def q_downsample_m4(spark, sf_dir):
+    """M4 visualization downsampling (Jugel et al., VLDB 2014 —
+    public): per series and per pixel-column time bucket, keep exactly
+    the FOUR points a pixel-perfect line rendering needs — first,
+    last, min, max — as one wide row per (event_type, bucket).
+    Deliberately M4 and not LTTB: LTTB's selection is a sequential
+    fold (each pick depends on the previous one — a one-task chain at
+    scale), while M4 is ONE hash aggregate with map-side partials and
+    is error-free for line rendering at the target width; at 100 TB
+    the dashboard query runs at interactive latency regardless of
+    input rows.
+
+    Determinism: values in integer cents; min/max/first/last selected
+    by ``min_by/max_by`` over ``struct(value-or-ts, us, event_id)``
+    orderings with total tie-break, so every selected point is unique
+    and engine-identical.  The bucket index is pure integer
+    arithmetic from the span scalars (one bounded reduce, broadcast
+    back as literals — the boundary-reduce pattern)."""
+    T = 32
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    lo, hi = ev.agg(F.min("us"), F.max("us")).first()
+    span = hi - lo + 1
+    b = ev.withColumn(
+        "bucket",
+        F.expr(f"((us - {lo}L) * {T}) div {span}L"),
+    )
+    pt = lambda c1, c2, c3: F.struct(
+        F.col(c1), F.col(c2), F.col(c3)
+    )
+    return (
+        b.groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min_by(
+                "cents", pt("us", "event_id", "cents")
+            ).alias("v_first"),
+            F.max_by(
+                "cents", pt("us", "event_id", "cents")
+            ).alias("v_last"),
+            F.min_by(
+                "us", pt("cents", "us", "event_id")
+            ).alias("t_min"),
+            F.min("cents").alias("v_min"),
+            F.max_by(
+                "us", F.struct(
+                    F.col("cents"),
+                    (-F.col("us")).alias("nus"),
+                    (-F.col("event_id")).alias("nid"),
+                )
+            ).alias("t_max"),
+            F.max("cents").alias("v_max"),
+        )
+        .select(
+            "event_type",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_points",
+            "v_first",
+            "v_last",
+            "t_min",
+            "v_min",
+            "t_max",
+            "v_max",
+        )
+    )
+
+
+QUERIES["ts_downsample_m4"] = q_downsample_m4
+
+ORACLE["ts_downsample_m4"] = """
+WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+span AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+b AS (
+  SELECT event_type, event_id, us, cents,
+    ((us - lo) * 32) // (hi - lo + 1) AS bucket
+  FROM ev, span),
+sel AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bucket
+      ORDER BY us, event_id, cents) AS rf,
+    row_number() OVER (PARTITION BY event_type, bucket
+      ORDER BY us DESC, event_id DESC, cents DESC) AS rl,
+    row_number() OVER (PARTITION BY event_type, bucket
+      ORDER BY cents, us, event_id) AS rmin,
+    row_number() OVER (PARTITION BY event_type, bucket
+      ORDER BY cents DESC, us ASC, event_id ASC) AS rmax
+  FROM b)
+SELECT event_type, bucket,
+  CAST(count(*) AS BIGINT) AS n_points,
+  max(CASE WHEN rf = 1 THEN cents END) AS v_first,
+  max(CASE WHEN rl = 1 THEN cents END) AS v_last,
+  max(CASE WHEN rmin = 1 THEN us END) AS t_min,
+  min(cents) AS v_min,
+  max(CASE WHEN rmax = 1 THEN us END) AS t_max,
+  max(cents) AS v_max
+FROM sel GROUP BY 1, 2"""
