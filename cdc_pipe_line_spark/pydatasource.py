@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -260,3 +261,112 @@ def read_ledger(spark, path: str, schema: str):
     files = [os.path.join(path, f["file"]) for f in manifest["files"]]
     df = spark.read.schema(schema).json(files)
     return df, manifest
+
+
+class _StreamLedgerCommit(WriterCommitMessage):
+    def __init__(self, file: str, rows: int, id_sum: int) -> None:
+        self.file = file
+        self.rows = rows
+        self.id_sum = id_sum
+
+
+class _StreamLedgerWriter(DataSourceStreamWriter):
+    """STREAMING two-phase-commit sink — the V2 ``StreamingWrite``
+    contract a jar-backed Kafka producer speaks (SURVEY §2.1 S8),
+    hosted in Python: per micro-batch, tasks stage JSONL under
+    ``<path>/_staged/`` (uuid names — attempts never collide), and the
+    driver-side ``commit(messages, batchId)`` publishes a per-batch
+    entry into the ``_STREAM_LEDGER`` manifest with an atomic
+    ``os.replace`` of the whole ledger.
+
+    Exactly-once across restarts comes from BATCH-ID IDEMPOTENCE: the
+    engine replays an uncommitted epoch after recovery with the SAME
+    batchId, and ``commit`` is a no-op when that batchId is already
+    in the ledger — the staged duplicates become unreferenced orphans
+    the read path never sees.  Same single-filesystem assumption as
+    :class:`_LedgerWriter` (documented there)."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _StreamLedgerCommit:
+        import json
+        import os
+        import uuid
+
+        stage_dir = os.path.join(self.path, "_staged")
+        os.makedirs(stage_dir, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        rows = 0
+        id_sum = 0
+        with open(os.path.join(stage_dir, fname), "w") as fh:
+            for row in iterator:
+                d = row.asDict()
+                rows += 1
+                id_sum += int(d.get("event_id", 0) or 0)
+                fh.write(json.dumps(d, default=str) + "\n")
+        return _StreamLedgerCommit(
+            os.path.join("_staged", fname), rows, id_sum
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        ledger_path = os.path.join(self.path, "_STREAM_LEDGER")
+        ledger = {"batches": []}
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as fh:
+                ledger = json.load(fh)
+        if any(b["batch_id"] == batchId for b in ledger["batches"]):
+            return  # replayed epoch after restart: idempotent no-op
+        ledger["batches"].append(
+            {
+                "batch_id": batchId,
+                "files": [
+                    {"file": m.file, "rows": m.rows, "id_sum": m.id_sum}
+                    for m in messages
+                    if m is not None
+                ],
+            }
+        )
+        tmp = ledger_path + f".{batchId}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(ledger, fh)
+        os.replace(tmp, ledger_path)
+
+    def abort(self, messages, batchId: int) -> None:
+        # staged files of an aborted epoch are unreferenced orphans;
+        # the read path follows the ledger, so nothing to undo
+        pass
+
+
+class StreamLedgerSinkDataSource(DataSource):
+    """``df.writeStream.format("stream_ledger_sink")
+    .option("path", dir).option("checkpointLocation", cp).start()``
+    after ``spark.dataSource.register(StreamLedgerSinkDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "stream_ledger_sink"
+
+    def streamWriter(self, schema, overwrite: bool) -> _StreamLedgerWriter:
+        return _StreamLedgerWriter(self.options)
+
+
+def read_stream_ledger(spark, path: str, schema: str):
+    """Read exactly the committed stream ledger (all committed
+    batches' files; staged orphans from failed attempts or aborted /
+    replayed epochs are invisible).  Returns (DataFrame, ledger)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_STREAM_LEDGER")) as fh:
+        ledger = json.load(fh)
+    files = [
+        os.path.join(path, f["file"])
+        for b in ledger["batches"]
+        for f in b["files"]
+    ]
+    df = spark.read.schema(schema).json(files)
+    return df, ledger

@@ -896,6 +896,89 @@ SELECT shard, count(*) AS n_rows,
 FROM feed GROUP BY 1"""
 
 
+def q_stream_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING two-phase-commit SINK through the Python DataSource
+    API (``streamWriter`` — the V2 StreamingWrite contract a
+    jar-backed Kafka producer speaks, S8's jar-free stand-in, paired
+    with the batch ``io_python_datasink``): the staged event stream
+    writes micro-batches into the stream-ledger sink (tasks stage
+    JSONL, the driver publishes one atomic per-batch manifest entry;
+    replayed batchIds are idempotent no-ops, so restarts stay
+    exactly-once).  The read-back follows the LEDGER, never the
+    directory; the published row binds totals, the id checksum, an
+    exactly-once claim (zero duplicate event_ids across all committed
+    batches) and ledger-vs-data file agreement."""
+    import os
+    import shutil
+
+    from cdc_pipe_line_spark.pydatasource import (
+        StreamLedgerSinkDataSource,
+        read_stream_ledger,
+    )
+
+    try:
+        spark.dataSource.register(StreamLedgerSinkDataSource)
+    except Exception:  # noqa: BLE001 — already registered in-session
+        pass
+    base = _stage(spark, sf_dir, "raw")
+    sink_dir = base.rstrip("/") + "_ledger_sink"
+    cp = base.rstrip("/") + "_ledger_cp"
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    src = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json")
+        .option("timestampFormat", _TS_FMT)
+        .option("maxFilesPerTrigger", "1")
+        .json(base)
+    )
+    q = (
+        src.select("event_id", "user_id", "event_type")
+        .writeStream.format("stream_ledger_sink")
+        .option("path", sink_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back, ledger = read_stream_ledger(
+        spark, sink_dir, "event_id bigint, user_id bigint, event_type string"
+    )
+    n_batches = len(ledger["batches"])
+    ledger_rows = sum(
+        f["rows"] for b in ledger["batches"] for f in b["files"]
+    )
+    ledger_id_sum = sum(
+        f["id_sum"] for b in ledger["batches"] for f in b["files"]
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+    ).select(
+        "n_rows",
+        "id_sum",
+        (F.col("n_distinct_ids") == F.col("n_rows")).alias("exactly_once"),
+        (
+            (F.col("n_rows") == F.lit(ledger_rows))
+            & (F.col("id_sum") == F.lit(ledger_id_sum))
+        ).alias("ledger_matches_data"),
+        F.lit(n_batches >= 1).alias("committed_batches_ge_1"),
+    )
+
+
+QUERIES["stream_python_datasink"] = q_stream_python_datasink
+
+ORACLE["stream_python_datasink"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(event_id) AS BIGINT) AS id_sum,
+  TRUE AS exactly_once,
+  TRUE AS ledger_matches_data,
+  TRUE AS committed_batches_ge_1
+FROM events"""
+
+
 def q_stream_abandoned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-timeout alerting via EVENT-TIME TIMERS — the timer
     leg of the stateful API (``registerTimer`` /

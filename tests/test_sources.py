@@ -177,3 +177,26 @@ def test_ledger_sink_commit_protocol(spark, tmp_path):
     # (c) commit pruned the superseded epoch's staged dir (ADVICE r7:
     # reruns must not accumulate garbage) — only the live epoch remains
     assert os.listdir(os.path.join(path, "_staged")) == [m3["epoch"]]
+
+
+def test_stream_ledger_sink_replayed_commit_is_noop(tmp_path):
+    """Exactly-once across restarts = batchId idempotence: Spark
+    replays an uncommitted epoch with the SAME batchId after
+    recovery; a second commit for an already-ledgered batch must not
+    double-publish."""
+    import json
+
+    from cdc_pipe_line_spark.pydatasource import (
+        _StreamLedgerCommit,
+        _StreamLedgerWriter,
+    )
+
+    w = _StreamLedgerWriter({"path": str(tmp_path)})
+    msgs = [_StreamLedgerCommit("_staged/x.jsonl", 5, 10)]
+    w.commit(msgs, 7)
+    w.commit(msgs, 7)  # replayed epoch
+    w.commit([_StreamLedgerCommit("_staged/y.jsonl", 3, 6)], 8)
+    with open(tmp_path / "_STREAM_LEDGER") as fh:
+        led = json.load(fh)
+    assert [b["batch_id"] for b in led["batches"]] == [7, 8]
+    assert sum(f["rows"] for b in led["batches"] for f in b["files"]) == 8
