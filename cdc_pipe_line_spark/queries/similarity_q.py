@@ -797,6 +797,55 @@ def q_jpeg_restart_decode(spark, sf_dir):
     return jpeg_gray_stats(media)
 
 
+def q_png_filter_decode(spark, sf_dir):
+    """PNG through REAL pixel reconstruction (CRC-verified chunk walk,
+    bounded inflate, and full scanline UNFILTERING — the fixture
+    cycles all five filter types by row, so None/Sub/Up/Average/Paeth
+    all decode corpus-wide, including the Paeth predictor's
+    tie-breaking).  Pixels are the closed-form gradient
+    ``(base + 3x + 7y) % 256``, so the oracle replays the raster
+    stats exactly; every 59th payload carries a corrupted IDAT CRC
+    and quarantines with the precise chunk-level reason (integrity
+    checking is the operator, not a by-product)."""
+    import numpy as np
+
+    from cdc_pipe_line_spark.multimodal import make_png_gray, png_gray_stats
+
+    @F.pandas_udf("binary")
+    def _png_payload(
+        w: pd.Series, h: pd.Series, base: pd.Series, cut: pd.Series
+    ) -> pd.Series:
+        out = []
+        for a, b, v0, k in zip(w, h, base, cut):
+            a, b, v0 = int(a), int(b), int(v0)
+            xs = np.arange(a, dtype=np.int64)
+            ys = np.arange(b, dtype=np.int64)
+            arr = ((v0 + 3 * xs[None, :] + 7 * ys[:, None]) % 256).astype(
+                np.uint8
+            )
+            enc = make_png_gray(arr)
+            if k:
+                i = 33 + 8  # first IDAT body byte
+                enc = enc[:i] + bytes([enc[i] ^ 0xFF]) + enc[i + 1 :]
+            out.append(enc)
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 24) + 4).alias("__w"),
+        ((F.col("doc_id") % 10) + 5).alias("__h"),
+        (F.col("doc_id") % 100).alias("__base"),
+        (F.col("doc_id") % 59 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_png_payload("__w", "__h", "__base", "__cut"),
+        media_type="image/png",
+    )
+    return png_gray_stats(media)
+
+
 def q_exif_orientation(spark, sf_dir):
     """EXIF orientation extraction over genuine APP1/TIFF bytes — the
     metadata tier every image pipeline reads BEFORE pixel work (the
@@ -1247,6 +1296,7 @@ QUERIES = {
     "mm_jpeg_decode": q_jpeg_decode,
     "mm_jpeg_restart_decode": q_jpeg_restart_decode,
     "mm_exif_orientation": q_exif_orientation,
+    "mm_png_filter_decode": q_png_filter_decode,
     "mm_jpeg_color_decode": q_jpeg_color_decode,
     "sim_range_search": q_range_search,
     "mm_image_resize": q_image_resize,
@@ -1499,6 +1549,38 @@ SELECT p.doc_id AS media_id,
   CASE WHEN cut THEN NULL ELSE agg.corner_tl END AS corner_tl,
   CASE WHEN cut THEN NULL ELSE agg.corner_br END AS corner_br,
   CASE WHEN cut THEN 'jpeg: truncated before SOS'
+       ELSE CAST(NULL AS VARCHAR) END AS decode_err
+FROM p JOIN agg ON agg.doc_id = p.doc_id""",
+    "mm_png_filter_decode": """
+WITH p AS (
+  SELECT doc_id,
+    (doc_id % 24) + 4 AS w,
+    (doc_id % 10) + 5 AS h,
+    doc_id % 100 AS base,
+    doc_id % 59 = 0 AS cut
+  FROM documents),
+px AS (
+  SELECT doc_id, x, y, (base + 3 * x + 7 * y) % 256 AS v
+  FROM (SELECT doc_id, base, h, unnest(range(0, w)) AS x FROM p),
+  LATERAL (SELECT unnest(range(0, h)) AS y)),
+agg AS (
+  SELECT doc_id,
+    CAST(sum(v) AS BIGINT) AS pix_sum,
+    CAST(min(v) AS INT) AS pix_min,
+    CAST(max(v) AS INT) AS pix_max
+  FROM px GROUP BY 1)
+SELECT p.doc_id AS media_id,
+  CASE WHEN cut THEN NULL ELSE CAST(w AS INT) END AS w,
+  CASE WHEN cut THEN NULL ELSE CAST(h AS INT) END AS h,
+  CASE WHEN cut THEN NULL ELSE agg.pix_sum END AS pix_sum,
+  CASE WHEN cut THEN NULL ELSE agg.pix_min END AS pix_min,
+  CASE WHEN cut THEN NULL ELSE agg.pix_max END AS pix_max,
+  CASE WHEN cut THEN NULL
+    ELSE CAST(base % 256 AS INT) END AS corner_tl,
+  CASE WHEN cut THEN NULL
+    ELSE CAST((base + 3 * (w - 1) + 7 * (h - 1)) % 256 AS INT)
+    END AS corner_br,
+  CASE WHEN cut THEN 'png: CRC mismatch in b''IDAT'' chunk'
        ELSE CAST(NULL AS VARCHAR) END AS decode_err
 FROM p JOIN agg ON agg.doc_id = p.doc_id""",
     "mm_exif_orientation": """

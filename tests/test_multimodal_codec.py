@@ -997,3 +997,30 @@ def test_jpeg_restart_intervals_decode_and_validate():
     with_dri = color[:sos] + b"\xff\xdd\x00\x04\x00\x02" + color[sos:]
     with pytest.raises(MediaDecodeError, match="restart intervals"):
         _jpeg_color_pixels(with_dri)
+
+
+def test_png_unfilter_all_five_types_roundtrip():
+    """The PNG pixel path must invert every filter type (the fixture
+    encoder cycles None/Sub/Up/Average/Paeth by row) exactly, for
+    random content and edge dims; corrupted chunk CRCs and non-gray
+    color types must quarantine."""
+    import numpy as np
+    import pytest
+
+    from cdc_pipe_line_spark.multimodal import (
+        MediaDecodeError,
+        _png_gray_pixels,
+        make_png_gray,
+    )
+
+    rng = np.random.RandomState(17)
+    for shape in [(16, 24), (5, 7), (1, 1), (10, 3), (6, 1)]:
+        arr = rng.randint(0, 256, shape).astype(np.uint8)
+        w, h, out = _png_gray_pixels(make_png_gray(arr))
+        assert (w, h) == (shape[1], shape[0])
+        assert (out == arr).all(), shape
+    enc = make_png_gray(rng.randint(0, 256, (8, 8)).astype(np.uint8))
+    i = 33 + 8
+    bad = enc[:i] + bytes([enc[i] ^ 0xFF]) + enc[i + 1 :]
+    with pytest.raises(MediaDecodeError, match="CRC mismatch"):
+        _png_gray_pixels(bad)
