@@ -650,3 +650,103 @@ SELECT user_id,
   CAST(sum(me - ms) AS BIGINT) AS covered_us,
   CAST(max(me - ms) AS BIGINT) AS longest_us
 FROM merged GROUP BY 1"""
+
+
+def q_disorder_audit(spark, sf_dir):
+    """Event-time DISORDER audit — the measurement that SIZES a
+    watermark: per user (arrival order = event_id, the ingest
+    sequence), an event is "late" when its event time sits behind the
+    running maximum already seen for that key; the lateness magnitude
+    distribution tells you exactly what ``withWatermark`` delay keeps
+    completeness (choose >= the observed p99, audit the tail beyond
+    it).  Per event type: event count, late count, the maximum
+    lateness, and the exact p99 lateness over late events (k-th
+    selection via a partitioned rank — no global sort, the shared rank
+    definition k = ceil(99n/100)).
+
+    All integer microseconds; the running max is a keyed window over
+    the arrival order — one hash shuffle on user_id."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    warr = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = ev.withColumn(
+        "disorder_us",
+        F.greatest(
+            F.coalesce(F.max("us").over(warr) - F.col("us"), F.lit(0)),
+            F.lit(0),
+        ),
+    )
+    late = d.filter(F.col("disorder_us") > 0)
+    ranked = late.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("disorder_us")
+        ),
+    )
+    per_type = d.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("disorder_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.max("disorder_us").alias("max_disorder_us"),
+    )
+    k = F.expr("(99 * n_late + 99) div 100")
+    p99 = per_type.select("event_type", "n_late", k.alias("__k")).join(
+        ranked.select("event_type", "__rn", "disorder_us"),
+        ["event_type"],
+    ).filter(F.col("__rn") == F.col("__k")).select(
+        "event_type", F.col("disorder_us").alias("p99_disorder_us")
+    )
+    return per_type.join(p99, "event_type", "left").select(
+        "event_type",
+        "n_events",
+        "n_late",
+        "max_disorder_us",
+        F.coalesce("p99_disorder_us", F.lit(0)).alias("p99_disorder_us"),
+    )
+
+
+QUERIES["cdc_disorder_audit"] = q_disorder_audit
+
+ORACLE["cdc_disorder_audit"] = """
+WITH ev AS (
+  SELECT event_type, user_id, event_id, epoch_us(ts) AS us
+  FROM events),
+d AS (
+  SELECT event_type,
+    greatest(COALESCE(max(us) OVER (PARTITION BY user_id
+      ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us, 0), 0)
+      AS disorder_us
+  FROM ev),
+per_type AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(CASE WHEN disorder_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_late,
+    CAST(max(disorder_us) AS BIGINT) AS max_disorder_us
+  FROM d GROUP BY 1),
+ranked AS (
+  SELECT event_type, disorder_us,
+    row_number() OVER (PARTITION BY event_type ORDER BY disorder_us)
+      AS rn
+  FROM d WHERE disorder_us > 0),
+p99 AS (
+  SELECT r.event_type, r.disorder_us AS p99_disorder_us
+  FROM per_type t JOIN ranked r
+    ON r.event_type = t.event_type
+   AND r.rn = (99 * t.n_late + 99) // 100)
+SELECT t.event_type, t.n_events, t.n_late, t.max_disorder_us,
+  CAST(COALESCE(p.p99_disorder_us, 0) AS BIGINT) AS p99_disorder_us
+FROM per_type t LEFT JOIN p99 p ON p.event_type = t.event_type"""
+

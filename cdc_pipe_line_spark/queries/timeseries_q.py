@@ -1678,3 +1678,67 @@ SELECT event_type, bucket,
   max(CASE WHEN rmax = 1 THEN us END) AS t_max,
   max(cents) AS v_max
 FROM sel GROUP BY 1, 2"""
+
+
+def q_linear_trend(spark, sf_dir):
+    """Per-type daily-volume OLS trend, entirely in EXACT integer
+    sums (n, Σx, Σy, Σxy, Σx² over day index x and daily count y):
+    ``slope_micro = (1e6 * (nΣxy - ΣxΣy)) div (nΣx² - (Σx)²)`` —
+    tolerance-free cross-engine, the Pearson/ACF integer discipline
+    applied to the regression everybody actually runs on volume
+    dashboards (Theil-Sen and Mann-Kendall next door are its robust
+    twins).  One shrinking daily aggregate, one per-type fold — the
+    fact table is touched once."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("y")
+    )
+    wmin = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    xy = daily.join(wmin, "event_type").select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("sy").cast("bigint").alias("total_events"),
+        F.expr(
+            "(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+        ).alias("slope_micro"),
+        F.expr("(1000000 * sy) div n").alias("daily_mean_micro"),
+    )
+
+
+QUERIES["ts_linear_trend"] = q_linear_trend
+
+ORACLE["ts_linear_trend"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2),
+d0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+xy AS (
+  SELECT d.event_type,
+    CAST(date_diff('day', d0.d0, d.day) AS BIGINT) AS x,
+    CAST(y AS BIGINT) AS y
+  FROM daily d JOIN d0 USING (event_type)),
+s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY 1)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n_days,
+  CAST(sy AS BIGINT) AS total_events,
+  CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+    AS slope_micro,
+  CAST((1000000 * sy) // n AS BIGINT) AS daily_mean_micro
+FROM s"""
