@@ -737,3 +737,66 @@ def markov_transitions(
             / 1000000
         ).alias("p"),
     )
+
+
+def kcore_peel(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    k: int,
+    rounds: int,
+    a: str = "a",
+    b: str = "b",
+) -> tuple[DataFrame, DataFrame]:
+    """k-core decomposition by SIMULTANEOUS peeling (Batagelj &
+    Zaversnik's iterative degree-prune, the distributed formulation):
+    each round drops every still-active node whose degree among
+    active nodes is below ``k``, for a FIXED ``rounds`` budget so the
+    result is engine-replayable round for round (an early fixpoint
+    just makes later rounds no-ops).
+
+    Returns ``(removed, last_removed)``: one row ``(node,
+    removed_round)`` per peeled node, and the final round's removals
+    (empty iff the peel converged within budget).
+
+    Scale shape: per round one degree hash-aggregate over the live
+    edge list plus two shrinking semi-joins, both sides
+    localCheckpoint-pinned — lineage stays flat (the khop
+    discipline) and every round's shuffle is on the SHRUNK edge
+    list, never the original graph.  Rounds are a fixed constant, so
+    the whole peel is O(rounds) shuffles.
+    """
+    active = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    active = active.localCheckpoint(eager=True)
+    live = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    live = live.localCheckpoint(eager=True)
+    removed_parts = []
+    last = None
+    for r in range(1, rounds + 1):
+        deg = (
+            live.select(F.col("a").alias("node"))
+            .unionAll(live.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("__c"))
+        )
+        rm = (
+            active.join(deg, "node", "left")
+            .filter(F.coalesce(F.col("__c"), F.lit(0)) < k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        removed_parts.append(
+            rm.select("node", F.lit(r).cast("bigint").alias("removed_round"))
+        )
+        last = removed_parts[-1]
+        active = active.join(rm, "node", "left_anti").localCheckpoint(eager=True)
+        live = (
+            live.join(active.select(F.col("node").alias("a")), "a", "semi")
+            .join(active.select(F.col("node").alias("b")), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    removed = removed_parts[0]
+    for part in removed_parts[1:]:
+        removed = removed.unionByName(part)
+    return removed, last

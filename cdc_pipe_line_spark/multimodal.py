@@ -2576,3 +2576,118 @@ def png_gray_stats(
             yield pd.DataFrame(rows, columns=cols)
 
     return media.select(id_col, payload_col).mapInPandas(_stats, schema)
+
+
+def make_bmp24(arr: np.ndarray, *, topdown: bool = False) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as a real 24-bpp BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, BGR byte order, rows padded
+    to 4-byte boundaries).  ``topdown=False`` writes the classic
+    bottom-up raster (positive biHeight); ``topdown=True`` writes the
+    top-down variant (negative biHeight) — both shapes ship in the
+    wild and both must decode.  Pure stdlib-struct + numpy; the
+    fixture-side twin of :func:`bmp_stats`."""
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = arr if topdown else arr[::-1]
+    body = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    for r in range(h):
+        body += rows[r, :, ::-1].tobytes() + pad  # RGB -> BGR
+    bih = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        w,
+        -h if topdown else h,
+        1,
+        24,
+        0,
+        len(body),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    bfh = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return bfh + bih + bytes(body)
+
+
+def _bmp_pixels(data: bytes) -> tuple[int, int, bool, np.ndarray]:
+    """Parse a 24-bpp uncompressed BMP into ``(w, h, topdown, rgb)``
+    with ``rgb`` in LOGICAL top-down row order regardless of the
+    stored raster direction.  Raises :class:`MediaDecodeError` with a
+    precise reason on anything outside that subset — palette/16-bpp/
+    RLE-compressed files and truncated pixel arrays quarantine."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise MediaDecodeError("bmp: missing BM signature")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise MediaDecodeError("bmp: pre-BITMAPINFOHEADER header")
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24:
+        raise MediaDecodeError(f"bmp: unsupported bpp {bpp}")
+    if compression != 0:
+        raise MediaDecodeError(f"bmp: unsupported compression {compression}")
+    if w <= 0 or h_raw == 0 or planes != 1:
+        raise MediaDecodeError("bmp: malformed dimensions")
+    topdown = h_raw < 0
+    h = -h_raw if topdown else h_raw
+    stride = (w * 3 + 3) // 4 * 4
+    need = off + stride * h
+    if len(data) < need:
+        raise MediaDecodeError("bmp: truncated pixel array")
+    raster = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    rows = raster.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    bgr = rows if topdown else rows[::-1]
+    return w, h, topdown, bgr[:, :, ::-1]
+
+
+def bmp_stats(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-image channel statistics over decoded 24-bpp BMP rasters —
+    the same one-pass Arrow-batched mapInPandas shape as
+    :func:`png_gray_stats`, with the identical quarantine policy.
+    ``corner_tl_r``/``corner_br_r`` are read AFTER orientation
+    normalization, so they bind the bottom-up/top-down row flip and
+    the row-padding skip, not just the header parse."""
+    schema = (
+        f"{id_col} bigint, w int, h int, topdown boolean, "
+        "r_sum bigint, g_sum bigint, b_sum bigint, "
+        "corner_tl_r int, corner_br_r int, decode_err string"
+    )
+    cols = [
+        id_col, "w", "h", "topdown", "r_sum", "g_sum", "b_sum",
+        "corner_tl_r", "corner_br_r", "decode_err",
+    ]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {c: None for c in cols}
+                base[id_col] = mid
+                try:
+                    if payload is None:
+                        raise MediaDecodeError("null payload")
+                    w, h, topdown, rgb = _bmp_pixels(bytes(payload))
+                    sums = rgb.sum(axis=(0, 1), dtype=np.int64)
+                    base.update(
+                        w=w, h=h, topdown=topdown,
+                        r_sum=int(sums[0]),
+                        g_sum=int(sums[1]),
+                        b_sum=int(sums[2]),
+                        corner_tl_r=int(rgb[0, 0, 0]),
+                        corner_br_r=int(rgb[-1, -1, 0]),
+                    )
+                except MediaDecodeError as exc:
+                    base["decode_err"] = str(exc)
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, payload_col).mapInPandas(_stats, schema)

@@ -2822,3 +2822,84 @@ FROM (
   SELECT *, row_number() OVER (
       ORDER BY coeff_micro DESC, n_tri DESC, node ASC) AS pos
   FROM scored) WHERE pos <= 20"""
+
+
+def q_kcore(spark, sf_dir):
+    """k-core decomposition (k=80, 10 simultaneous-peel rounds) of
+    the part co-occurrence graph: per part the round it was peeled
+    (NULL = survives in the 80-core) plus a converged flag proving
+    the fixpoint landed inside the round budget.  The oracle unrolls
+    the identical 10 peel stages in SQL, so every round's
+    simultaneous-removal semantics is hash-checked, not just the
+    final core."""
+    from cdc_pipe_line_spark.analytics import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = (
+        li.select("l_orderkey", F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = op.select(F.col("p").alias("node")).distinct()
+    pairs = (
+        op.alias("x")
+        .join(op.alias("y"), "l_orderkey")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+    )
+    removed, last = kcore_peel(nodes, pairs, k=80, rounds=10)
+    conv = last.agg((F.count("*") == 0).alias("converged"))
+    return (
+        nodes.join(removed, "node", "left")
+        .crossJoin(F.broadcast(conv))
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            "removed_round",
+            F.col("removed_round").isNull().alias("in_core"),
+            "converged",
+        )
+    )
+
+
+QUERIES["graph_kcore"] = q_kcore
+
+
+def _kcore_oracle_sql(k: int = 80, rounds: int = 10) -> str:
+    stages = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        stages.append(
+            f"""d{i} AS (
+  SELECT node, count(*) AS c FROM (
+    SELECT a AS node FROM e{p} UNION ALL SELECT b AS node FROM e{p})
+  GROUP BY 1),
+r{i} AS (
+  SELECT n{p}.node FROM n{p} LEFT JOIN d{i} USING (node)
+  WHERE COALESCE(c, 0) < {k}),
+n{i} AS (
+  SELECT node FROM n{p}
+  WHERE node NOT IN (SELECT node FROM r{i})),
+e{i} AS (
+  SELECT a, b FROM e{p}
+  WHERE a IN (SELECT node FROM n{i})
+    AND b IN (SELECT node FROM n{i}))"""
+        )
+    rm_union = "\nUNION ALL ".join(
+        f"SELECT node, {i} AS rr FROM r{i}" for i in range(1, rounds + 1)
+    )
+    return f"""
+WITH {_COOC_SQL},
+n0 AS (SELECT DISTINCT p AS node FROM op),
+e0 AS (SELECT a, b FROM e),
+{",".join(stages)},
+rm_all AS ({rm_union}),
+conv AS (SELECT count(*) = 0 AS converged FROM r{rounds})
+SELECT CAST(n0.node AS BIGINT) AS node,
+  CAST(rm_all.rr AS BIGINT) AS removed_round,
+  rm_all.rr IS NULL AS in_core,
+  conv.converged
+FROM n0 LEFT JOIN rm_all USING (node) CROSS JOIN conv"""
+
+
+ORACLE["graph_kcore"] = _kcore_oracle_sql()

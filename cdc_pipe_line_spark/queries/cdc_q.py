@@ -750,3 +750,125 @@ SELECT t.event_type, t.n_events, t.n_late, t.max_disorder_us,
   CAST(COALESCE(p.p99_disorder_us, 0) AS BIGINT) AS p99_disorder_us
 FROM per_type t LEFT JOIN p99 p ON p.event_type = t.event_type"""
 
+
+
+def q_apply_verify(spark, sf_dir):
+    """CDC round-trip self-check: APPLY the emitted diff events back
+    onto the previous snapshot — deletes anti-joined, updates and
+    inserts rebuilt from the STRING payload maps (the exact wire
+    format ``CDCEvent`` ships, app/app.py:80-89) — and reconcile the
+    result against the new snapshot with a null-safe full-outer
+    compare.  Proves the payload round-trip is lossless end to end
+    (double/timestamp columns survive the string map) and the diff is
+    complete: the oracle states the ground truth (applied == v2,
+    zero mismatch/missing/extra) that the rebuild must measure.
+
+    Scale shape: the diff is computed once and localCheckpoint-pinned
+    (it feeds four branches); apply is one anti-join plus a
+    map-projection union; reconcile is ONE full-outer SMJ on the key
+    — the same two-exchange profile as the diff itself.  All output
+    counts are aggregates; nothing row-level leaves the plan.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    v1 = fixtures.orders_snapshot_v1(orders)
+    v2 = fixtures.orders_snapshot_v2(orders)
+    d = cdc_diff.snapshot_diff(v2, v1, "o_orderkey").localCheckpoint(eager=True)
+
+    types = {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    }
+
+    def rebuild(events):
+        return events.select(
+            *[F.col("new_values")[c].cast(t).alias(c) for c, t in types.items()]
+        )
+
+    gone = d.filter(F.col("event_type").isin("update", "delete")).select(
+        F.col("key_value").alias("__k")
+    )
+    kept = v1.withColumn(
+        "__k", F.col("o_orderkey").cast("string")
+    ).join(gone, "__k", "left_anti").drop("__k")
+    applied = kept.unionByName(
+        rebuild(d.filter(F.col("event_type") == "update"))
+    ).unionByName(rebuild(d.filter(F.col("event_type") == "insert")))
+
+    a = applied.alias("a")
+    b = v2.alias("b")
+    recon = a.join(
+        b, F.col("a.o_orderkey").eqNullSafe(F.col("b.o_orderkey")), "full_outer"
+    )
+    cols = list(types)
+    any_diff = F.lit(False)
+    for c in cols:
+        any_diff = any_diff | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    recon_agg = recon.agg(
+        F.count("*").alias("__t"),
+        F.sum(
+            (
+                F.col("a.o_orderkey").isNotNull()
+                & F.col("b.o_orderkey").isNotNull()
+                & any_diff
+            ).cast("bigint")
+        ).alias("n_mismatch"),
+        F.sum(F.col("a.o_orderkey").isNull().cast("bigint")).alias("n_missing"),
+        F.sum(F.col("b.o_orderkey").isNull().cast("bigint")).alias("n_extra"),
+    )
+    ops = d.agg(
+        F.sum((F.col("event_type") == "insert").cast("bigint")).alias("n_insert"),
+        F.sum((F.col("event_type") == "update").cast("bigint")).alias("n_update"),
+        F.sum((F.col("event_type") == "delete").cast("bigint")).alias("n_delete"),
+    )
+    sizes = (
+        v1.agg(F.count("*").alias("n_v1"))
+        .crossJoin(v2.agg(F.count("*").alias("n_v2")))
+        .crossJoin(applied.agg(F.count("*").alias("n_applied")))
+    )
+    return (
+        sizes.crossJoin(F.broadcast(ops))
+        .crossJoin(F.broadcast(recon_agg))
+        .select(
+            "n_v1",
+            "n_v2",
+            "n_insert",
+            "n_update",
+            "n_delete",
+            "n_applied",
+            "n_mismatch",
+            "n_missing",
+            "n_extra",
+            (
+                (F.col("n_mismatch") == 0)
+                & (F.col("n_missing") == 0)
+                & (F.col("n_extra") == 0)
+            ).alias("reconciled"),
+        )
+    )
+
+
+QUERIES["cdc_apply_verify"] = q_apply_verify
+
+ORACLE["cdc_apply_verify"] = _DIFF_CTE + """
+, c AS (SELECT
+    CAST(sum(CASE WHEN event_type = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_insert,
+    CAST(sum(CASE WHEN event_type = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_update,
+    CAST(sum(CASE WHEN event_type = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_delete
+  FROM j)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM v1) AS n_v1,
+  (SELECT CAST(count(*) AS BIGINT) FROM v2) AS n_v2,
+  n_insert, n_update, n_delete,
+  (SELECT CAST(count(*) AS BIGINT) FROM v2) AS n_applied,
+  CAST(0 AS BIGINT) AS n_mismatch,
+  CAST(0 AS BIGINT) AS n_missing,
+  CAST(0 AS BIGINT) AS n_extra,
+  TRUE AS reconciled
+FROM c"""

@@ -676,3 +676,152 @@ SELECT event_type, n_events,
   CAST((wm_us - last_us) // 60000000 AS BIGINT) AS lag_minutes,
   ((wm_us - last_us) // 60000000) > 60 AS slo_breach
 FROM per CROSS JOIN wm"""
+
+
+def q_functional_deps(spark, sf_dir):
+    """Functional-dependency DISCOVERY (the profiling step schema
+    inference and key detection rest on — Papenbrock et al.'s FD
+    landscape, reduced to the deployed candidate-validation core):
+    for each candidate ``lhs -> rhs`` report group counts, violating
+    groups, the worst rhs fan-out, and a holds verdict.
+
+    Scale shape: every candidate from one table rides ONE melted
+    explode of that table (constant fan-out, map-side), then a
+    three-stage SHRINKING aggregate cascade — dedup (cand,lhs,rhs)
+    -> per-(cand,lhs) distinct counts -> per-cand verdict — so the
+    whole candidate set costs one scan per table and cascaded
+    hash-aggregates, never one job per candidate and never an exact
+    countDistinct expand over raw rows.
+    """
+    def melt(df, cands):
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("cand"),
+                            F.concat_ws(
+                                "|", *[F.col(c).cast("string") for c in lhs]
+                            ).alias("lhs"),
+                            F.col(rhs).cast("string").alias("rhs"),
+                        )
+                        for name, lhs, rhs in cands
+                    ]
+                )
+            ).alias("x")
+        ).select("x.cand", "x.lhs", "x.rhs")
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    melted = (
+        melt(
+            orders,
+            [
+                ("orders: o_orderkey -> o_custkey", ["o_orderkey"], "o_custkey"),
+                (
+                    "orders: o_custkey -> o_orderpriority",
+                    ["o_custkey"],
+                    "o_orderpriority",
+                ),
+            ],
+        )
+        .unionByName(
+            melt(
+                customer,
+                [
+                    (
+                        "customer: c_custkey -> c_mktsegment",
+                        ["c_custkey"],
+                        "c_mktsegment",
+                    ),
+                    (
+                        "customer: c_nationkey -> c_mktsegment",
+                        ["c_nationkey"],
+                        "c_mktsegment",
+                    ),
+                ],
+            )
+        )
+        .unionByName(
+            melt(nation, [("nation: n_name -> n_regionkey", ["n_name"], "n_regionkey")])
+        )
+        .unionByName(
+            melt(
+                lineitem,
+                [
+                    (
+                        "lineitem: l_orderkey,l_linenumber -> l_partkey",
+                        ["l_orderkey", "l_linenumber"],
+                        "l_partkey",
+                    ),
+                    (
+                        "lineitem: l_partkey -> l_suppkey",
+                        ["l_partkey"],
+                        "l_suppkey",
+                    ),
+                ],
+            )
+        )
+        .unionByName(melt(part, [("part: p_brand -> p_type", ["p_brand"], "p_type")]))
+    )
+    dedup = melted.groupBy("cand", "lhs", "rhs").agg(F.count("*").alias("nr"))
+    grp = dedup.groupBy("cand", "lhs").agg(
+        F.count("*").alias("d"), F.sum("nr").alias("nr")
+    )
+    return (
+        grp.groupBy("cand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum((F.col("d") > 1).cast("bigint")).alias("n_violating_groups"),
+            F.max("d").cast("bigint").alias("max_rhs_distinct"),
+            F.sum(F.col("d") - 1).cast("bigint").alias("n_extra_values"),
+            F.sum("nr").cast("bigint").alias("n_rows"),
+        )
+        .withColumn("holds", F.col("max_rhs_distinct") == 1)
+    )
+
+
+QUERIES["qa_functional_deps"] = q_functional_deps
+
+ORACLE["qa_functional_deps"] = """
+WITH fd_pairs AS (
+  SELECT 'orders: o_orderkey -> o_custkey' AS cand,
+    CAST(o_orderkey AS VARCHAR) AS lhs, CAST(o_custkey AS VARCHAR) AS rhs
+  FROM orders
+  UNION ALL
+  SELECT 'orders: o_custkey -> o_orderpriority',
+    CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'customer: c_custkey -> c_mktsegment',
+    CAST(c_custkey AS VARCHAR), c_mktsegment FROM customer
+  UNION ALL
+  SELECT 'customer: c_nationkey -> c_mktsegment',
+    CAST(c_nationkey AS VARCHAR), c_mktsegment FROM customer
+  UNION ALL
+  SELECT 'nation: n_name -> n_regionkey',
+    n_name, CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'lineitem: l_orderkey,l_linenumber -> l_partkey',
+    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR),
+    CAST(l_partkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem: l_partkey -> l_suppkey',
+    CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'part: p_brand -> p_type', p_brand, p_type FROM part),
+fd_dedup AS (
+  SELECT cand, lhs, rhs, count(*) AS nr FROM fd_pairs GROUP BY 1, 2, 3),
+fd_grp AS (
+  SELECT cand, lhs, count(*) AS d, sum(nr) AS nr FROM fd_dedup GROUP BY 1, 2)
+SELECT cand,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violating_groups,
+  CAST(max(d) AS BIGINT) AS max_rhs_distinct,
+  CAST(sum(d - 1) AS BIGINT) AS n_extra_values,
+  CAST(sum(nr) AS BIGINT) AS n_rows,
+  max(d) = 1 AS holds
+FROM fd_grp GROUP BY cand"""

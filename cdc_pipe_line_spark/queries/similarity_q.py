@@ -2279,3 +2279,101 @@ SELECT count(*) AS n_queries,
   floor(CAST(sum(h10) AS DOUBLE) / (count(*) * 10) * 10000 + 0.5)
     / 10000 AS recall_at_10
 FROM per_q"""
+
+
+def q_bmp_decode(spark, sf_dir):
+    """24-bpp BMP decode over REAL bytes: genuine file+info headers,
+    BGR byte order, 4-byte row padding, and BOTH raster directions —
+    bottom-up (positive biHeight, every non-multiple-of-3 id) and
+    top-down (negative biHeight) — decoded by one Arrow-batched
+    mapInPandas pass.  Pixels are the closed-form gradient
+    ``(base + 2x + 5y) % 256`` (and channel-specific twins), so the
+    oracle replays channel sums and both orientation-normalized
+    corners exactly; every 61st payload is truncated mid-pixel-array
+    and quarantines with the precise reason.  The corner values bind
+    the row flip AND the padding skip — a decoder that forgets
+    either fails the hash."""
+    import numpy as np
+
+    from cdc_pipe_line_spark.multimodal import bmp_stats, make_bmp24
+
+    @F.pandas_udf("binary")
+    def _bmp_payload(
+        w: pd.Series, h: pd.Series, base: pd.Series,
+        td: pd.Series, cut: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for a, b, v0, t, k in zip(w, h, base, td, cut):
+            a, b, v0 = int(a), int(b), int(v0)
+            xs = np.arange(a, dtype=np.int64)[None, :]
+            ys = np.arange(b, dtype=np.int64)[:, None]
+            arr = np.stack(
+                [
+                    (v0 + 2 * xs + 5 * ys) % 256,
+                    (v0 + 3 * xs + 1 * ys) % 256,
+                    (v0 + 1 * xs + 7 * ys) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            enc = make_bmp24(arr, topdown=bool(t))
+            if k:
+                enc = enc[:-3]
+            out.append(enc)
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 13) + 3).alias("__w"),
+        ((F.col("doc_id") % 7) + 3).alias("__h"),
+        (F.col("doc_id") % 97).alias("__base"),
+        (F.col("doc_id") % 3 == 0).alias("__td"),
+        (F.col("doc_id") % 61 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_bmp_payload("__w", "__h", "__base", "__td", "__cut"),
+        media_type="image/bmp",
+    )
+    return bmp_stats(media)
+
+
+QUERIES["mm_bmp_decode"] = q_bmp_decode
+
+ORACLE["mm_bmp_decode"] = """
+WITH p AS (
+  SELECT doc_id,
+    (doc_id % 13) + 3 AS w,
+    (doc_id % 7) + 3 AS h,
+    doc_id % 97 AS base,
+    doc_id % 3 = 0 AS topdown,
+    doc_id % 61 = 0 AS cut
+  FROM documents),
+px AS (
+  SELECT doc_id, unnest(range(0, w * h)) AS i FROM p),
+vals AS (
+  SELECT px.doc_id,
+    (p.base + 2 * (i % p.w) + 5 * (i // p.w)) % 256 AS r,
+    (p.base + 3 * (i % p.w) + 1 * (i // p.w)) % 256 AS g,
+    (p.base + 1 * (i % p.w) + 7 * (i // p.w)) % 256 AS b
+  FROM px JOIN p ON p.doc_id = px.doc_id),
+agg AS (
+  SELECT doc_id,
+    CAST(sum(r) AS BIGINT) AS r_sum,
+    CAST(sum(g) AS BIGINT) AS g_sum,
+    CAST(sum(b) AS BIGINT) AS b_sum
+  FROM vals GROUP BY 1)
+SELECT p.doc_id AS media_id,
+  CASE WHEN cut THEN NULL ELSE CAST(w AS INT) END AS w,
+  CASE WHEN cut THEN NULL ELSE CAST(h AS INT) END AS h,
+  CASE WHEN cut THEN NULL ELSE topdown END AS topdown,
+  CASE WHEN cut THEN NULL ELSE agg.r_sum END AS r_sum,
+  CASE WHEN cut THEN NULL ELSE agg.g_sum END AS g_sum,
+  CASE WHEN cut THEN NULL ELSE agg.b_sum END AS b_sum,
+  CASE WHEN cut THEN NULL ELSE CAST(base AS INT) END AS corner_tl_r,
+  CASE WHEN cut THEN NULL
+    ELSE CAST((base + 2 * (w - 1) + 5 * (h - 1)) % 256 AS INT)
+  END AS corner_br_r,
+  CASE WHEN cut THEN 'bmp: truncated pixel array'
+       ELSE CAST(NULL AS VARCHAR) END AS decode_err
+FROM p JOIN agg ON agg.doc_id = p.doc_id"""

@@ -3389,3 +3389,87 @@ SELECT n_true_pairs, n_lsh_pairs, n_hits,
   END AS recall_micro
 FROM tots"""
 )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance resampling weights (Xie et al. 2023): hashed-
+    unigram bucket distributions fitted on the English target subset
+    vs the raw corpus, per-doc log importance weight, exact global
+    rank (two-phase distributed — no single-partition sort), top-
+    quarter selection.  The oracle replays the bucket hash, both
+    distributions, the fixed-order float fold, and the rank."""
+    from cdc_pipe_line_spark.text import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en")
+
+
+QUERIES["llm_dsir_weights"] = q_dsir_weights
+
+ORACLE["llm_dsir_weights"] = """
+WITH dw AS (
+  SELECT doc_id, lang,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+dtok AS (
+  SELECT doc_id, lang = 'en' AS tgt, unnest(w) AS word FROM dw),
+dvoc AS (
+  SELECT word, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 64 AS b
+  FROM (SELECT DISTINCT word FROM dtok)),
+dbt AS (SELECT doc_id, tgt, b FROM dtok JOIN dvoc USING (word)),
+ddist AS (
+  SELECT b, count(*) AS n_raw, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+  FROM dbt GROUP BY b),
+dtot AS (SELECT sum(n_raw) AS R, sum(n_tgt) AS T FROM ddist),
+dlam AS (
+  SELECT b,
+    ln((n_tgt + 1.0) / (T + 64.0)) - ln((n_raw + 1.0) / (R + 64.0)) AS lam
+  FROM ddist, dtot),
+dcnt AS (SELECT doc_id, b, count(*) AS c FROM dbt GROUP BY 1, 2),
+dscored AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+    round(list_sum(list(CAST(c AS DOUBLE) * lam ORDER BY b)), 4) AS logw
+  FROM dcnt JOIN dlam USING (b) GROUP BY doc_id),
+dranked AS (
+  SELECT *, row_number() OVER (ORDER BY logw DESC, doc_id) AS rn,
+    count(*) OVER () AS n FROM dscored)
+SELECT doc_id, n_tokens, logw, CAST(rn AS BIGINT) AS rn,
+  rn <= ceil(n / 4.0) AS selected
+FROM dranked"""
+
+
+def q_quality_fasttext(spark, sf_dir):
+    """fastText-style hashed linear quality gate: bigram features via
+    the portable md5-60bit hash into 256 buckets, exact BIGINT dot
+    product with the fixed hash-derived weight vector, boolean keep.
+    Integer-exact end to end; the oracle replays hash, weights, and
+    sum."""
+    from cdc_pipe_line_spark.text import hashed_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_quality_score(docs)
+
+
+QUERIES["text_quality_fasttext"] = q_quality_fasttext
+
+ORACLE["text_quality_fasttext"] = """
+WITH qw AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+qd AS (SELECT doc_id, w FROM qw WHERE len(w) >= 2),
+qg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM qd),
+qv AS (
+  SELECT gram,
+    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 256 AS b
+  FROM (SELECT DISTINCT gram FROM qg)),
+qs AS (
+  SELECT doc_id, count(*) AS n_feats,
+    sum(((b + 1) * 2654435761) % 2001 - 1000) AS score
+  FROM qg JOIN qv USING (gram) GROUP BY doc_id)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+  CAST(score AS BIGINT) AS score, score > 0 AS keep
+FROM qs"""

@@ -1742,3 +1742,201 @@ SELECT event_type,
     AS slope_micro,
   CAST((1000000 * sy) // n AS BIGINT) AS daily_mean_micro
 FROM s"""
+
+
+def q_piecewise_trend(spark, sf_dir):
+    """Segmented (piecewise-linear) trend per event type: depth-2
+    binary segmentation — split at the argmax of the EXACT integer
+    CUSUM deviation ``|n*cum_t - t*total|`` (the fractional mean
+    cleared by cross-multiplication), once globally and once inside
+    each half — then an integer-exact OLS slope per segment (the
+    ts_linear_trend discipline).  Up to four segments per type; the
+    whole decision path (both argmax splits, tie-breaks, degenerate
+    one-day halves) is integer arithmetic, so the oracle replays it
+    without tolerances.
+
+    Scale shape: one daily aggregate off the fact table, then every
+    window is partitioned by event type over the CALENDAR-bounded
+    daily frame (days per type, not events) — the segmentation works
+    on at most a few thousand rows per type regardless of corpus
+    size, and the final stats are one shrinking aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .withColumn("cum", F.sum("y").over(w))
+    )
+    tot = d.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("y").alias("total")
+    )
+    j = d.join(tot, "event_type").withColumn(
+        "score",
+        F.abs(F.col("n") * F.col("cum") - F.col("rn") * F.col("total")),
+    )
+    pick1 = Window.partitionBy("event_type").orderBy(
+        F.desc("score"), F.asc("rn")
+    )
+    t1 = (
+        j.filter(F.col("rn") < F.col("n"))
+        .withColumn("__p", F.row_number().over(pick1))
+        .filter(F.col("__p") == 1)
+        .select("event_type", F.col("rn").alias("t1"))
+    )
+    halves = j.join(t1, "event_type", "left").withColumn(
+        "half",
+        F.when(F.col("rn") <= F.coalesce("t1", F.col("n")), F.lit(1)).otherwise(
+            F.lit(2)
+        ),
+    )
+    wh = Window.partitionBy("event_type", "half").orderBy("day")
+    h = (
+        halves.select("event_type", "half", "day", "y")
+        .withColumn("rn_h", F.row_number().over(wh))
+        .withColumn("cum_h", F.sum("y").over(wh))
+    )
+    tot_h = h.groupBy("event_type", "half").agg(
+        F.count("*").alias("n_h"), F.sum("y").alias("total_h")
+    )
+    jh = h.join(tot_h, ["event_type", "half"]).withColumn(
+        "score_h",
+        F.abs(
+            F.col("n_h") * F.col("cum_h") - F.col("rn_h") * F.col("total_h")
+        ),
+    )
+    pick2 = Window.partitionBy("event_type", "half").orderBy(
+        F.desc("score_h"), F.asc("rn_h")
+    )
+    t2 = (
+        jh.filter(F.col("rn_h") < F.col("n_h"))
+        .withColumn("__p", F.row_number().over(pick2))
+        .filter(F.col("__p") == 1)
+        .select("event_type", "half", F.col("rn_h").alias("t2"))
+    )
+    segs = (
+        jh.join(t2, ["event_type", "half"], "left")
+        .withColumn(
+            "seg",
+            (F.col("half") - 1) * 2
+            + F.when(
+                F.col("rn_h") <= F.coalesce("t2", F.col("n_h")), F.lit(1)
+            ).otherwise(F.lit(2)),
+        )
+        .select("event_type", "seg", "day", "y")
+    )
+    d0 = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    xy = segs.join(d0, "event_type").select(
+        "event_type",
+        "seg",
+        "day",
+        F.datediff("day", "d0").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    s = xy.groupBy("event_type", "seg").agg(
+        F.count("*").alias("n"),
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        F.col("seg").cast("bigint").alias("seg"),
+        F.date_format("start_day", "yyyy-MM-dd").alias("start_day"),
+        F.date_format("end_day", "yyyy-MM-dd").alias("end_day"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("sy").cast("bigint").alias("total_events"),
+        F.when(
+            (F.col("n") > 1) & (F.col("n") * F.col("sxx") != F.col("sx") * F.col("sx")),
+            F.expr("(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"),
+        ).alias("slope_micro"),
+        F.expr("(1000000 * sy) div n").alias("daily_mean_micro"),
+    )
+
+
+QUERIES["ts_piecewise_trend"] = q_piecewise_trend
+
+ORACLE["ts_piecewise_trend"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2),
+d AS (
+  SELECT event_type, day, y,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+      AS cum
+  FROM daily),
+tot AS (
+  SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS total
+  FROM daily GROUP BY 1),
+j AS (
+  SELECT d.*, tot.n, tot.total,
+    abs(tot.n * d.cum - d.rn * tot.total) AS score
+  FROM d JOIN tot USING (event_type)),
+t1 AS (
+  SELECT event_type, rn AS t1 FROM (
+    SELECT event_type, rn,
+      row_number() OVER (PARTITION BY event_type
+        ORDER BY score DESC, rn ASC) AS p
+    FROM j WHERE rn < n)
+  WHERE p = 1),
+halves AS (
+  SELECT j.event_type, j.day, j.y,
+    CASE WHEN j.rn <= COALESCE(t1.t1, j.n) THEN 1 ELSE 2 END AS half
+  FROM j LEFT JOIN t1 USING (event_type)),
+h AS (
+  SELECT event_type, half, day, y,
+    row_number() OVER (PARTITION BY event_type, half ORDER BY day)
+      AS rn_h,
+    CAST(sum(y) OVER (PARTITION BY event_type, half ORDER BY day)
+      AS BIGINT) AS cum_h
+  FROM halves),
+tot_h AS (
+  SELECT event_type, half, count(*) AS n_h,
+    CAST(sum(y) AS BIGINT) AS total_h
+  FROM halves GROUP BY 1, 2),
+jh AS (
+  SELECT h.*, tot_h.n_h, tot_h.total_h,
+    abs(tot_h.n_h * h.cum_h - h.rn_h * tot_h.total_h) AS score_h
+  FROM h JOIN tot_h USING (event_type, half)),
+t2 AS (
+  SELECT event_type, half, rn_h AS t2 FROM (
+    SELECT event_type, half, rn_h,
+      row_number() OVER (PARTITION BY event_type, half
+        ORDER BY score_h DESC, rn_h ASC) AS p
+    FROM jh WHERE rn_h < n_h)
+  WHERE p = 1),
+segs AS (
+  SELECT jh.event_type,
+    (jh.half - 1) * 2
+      + CASE WHEN jh.rn_h <= COALESCE(t2.t2, jh.n_h) THEN 1 ELSE 2 END
+      AS seg,
+    jh.day, jh.y
+  FROM jh LEFT JOIN t2 USING (event_type, half)),
+d0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+xy AS (
+  SELECT s.event_type, s.seg, s.day,
+    CAST(date_diff('day', d0.d0, s.day) AS BIGINT) AS x,
+    CAST(s.y AS BIGINT) AS y
+  FROM segs s JOIN d0 USING (event_type)),
+st AS (
+  SELECT event_type, seg, count(*) AS n,
+    min(day) AS start_day, max(day) AS end_day,
+    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY 1, 2)
+SELECT event_type, CAST(seg AS BIGINT) AS seg,
+  strftime(start_day, '%Y-%m-%d') AS start_day,
+  strftime(end_day, '%Y-%m-%d') AS end_day,
+  CAST(n AS BIGINT) AS n_days,
+  CAST(sy AS BIGINT) AS total_events,
+  CASE WHEN n > 1 AND n * sxx != sx * sx
+    THEN CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+      AS BIGINT) END AS slope_micro,
+  CAST((1000000 * sy) // n AS BIGINT) AS daily_mean_micro
+FROM st"""

@@ -2445,3 +2445,181 @@ def textrank_terms(
             )
         )
     return ranks
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-unigram bag is under the
+    TARGET domain's bucket distribution than under the RAW corpus's —
+    ``logw(d) = sum_b c_d[b] * (ln p_tgt[b] - ln p_raw[b])`` with
+    add-one smoothing over ``dim`` hash buckets.  ``target`` is a
+    boolean Column over ``df``'s rows marking the target-domain
+    documents (both distributions are fitted in ONE pass: the raw
+    count is every token, the target count is the flagged subset).
+
+    Mirrors the reference's quality-gating role (SURVEY §2 text
+    filtering; the reference gates rows imperatively in
+    ``app/app.py`` ingest) as a published, model-free selector.
+
+    Scale shape: the per-doc bucket histogram is ``hash_tf_embed``
+    (vocab-hashed, one conditional-sum pivot); the bucket
+    distributions are ONE extra hash-aggregate over the same token
+    stream reduced to ``dim`` rows; lambdas travel as a broadcast
+    one-row map, so scoring is a map-only pass over the histograms.
+    Float discipline: ln is evaluated on exact integer ratios and the
+    per-doc fold runs in fixed bucket order (zero-count terms add an
+    exact ``0.0``), so the DuckDB oracle replays bit-for-bit; the
+    final weight is rounded to 4dp (lm_score discipline).
+
+    Returns ``(doc_id, n_tokens, logw, rn, selected)`` where ``rn``
+    is the exact global rank by descending weight (two-phase
+    distributed rank — no single-partition sort) and ``selected``
+    keeps the top quarter (ceil) — the resampling budget.
+    """
+    flagged = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t"), target.alias("__tgt")
+    )
+    words = flagged.select(
+        "__tgt", F.explode(F.split(normalize_text(F.col("__t")), " ")).alias("w")
+    )
+    vocab = (
+        words.select("w").distinct().withColumn("b", shingle_hash60(F.col("w")) % dim)
+    )
+    bucketed = words.join(vocab, "w")
+    dist = bucketed.groupBy("b").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.col("__tgt").cast("bigint")).alias("n_tgt"),
+    )
+    # dim rows -> one row: totals + the per-bucket log-ratio map.
+    # ln((t_b+1)/(T+dim)) - ln((r_b+1)/(R+dim)) on exact ratios.
+    totals = dist.agg(
+        F.sum("n_raw").alias("__R"), F.sum("n_tgt").alias("__T")
+    )
+    lam = (
+        dist.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("n_tgt") + 1.0) / (F.col("__T") + float(dim)))
+                - F.log((F.col("n_raw") + 1.0) / (F.col("__R") + float(dim)))
+            ).alias("lam"),
+        )
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("b", "lam")))
+            ).alias("__lam")
+        )
+    )
+    hist = hash_tf_embed(df, id_col=id_col, text_col=text_col, dim=dim)
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    scored = hist.crossJoin(F.broadcast(lam)).select(
+        F.col("id").alias(id_col),
+        F.aggregate(
+            F.transform(idx, lambda i: F.element_at("embedding", i + 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, c: acc + c.cast("bigint"),
+        ).alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    idx,
+                    lambda i: F.element_at("embedding", i + 1).cast("double")
+                    * F.coalesce(
+                        F.element_at("__lam", i.cast("bigint")), F.lit(0.0)
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            4,
+        ).alias("logw"),
+    )
+    from cdc_pipe_line_spark.functions import global_row_number
+
+    ranked = global_row_number(
+        scored.select(
+            id_col, "n_tokens", "logw", (-F.col("logw")).alias("__neg")
+        ),
+        ["__neg", id_col],
+    ).drop("__neg")
+    n = scored.agg(F.count("*").alias("__n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        id_col,
+        "n_tokens",
+        "logw",
+        F.col("rn").cast("bigint").alias("rn"),
+        (F.col("rn") <= F.ceil(F.col("__n") / 4)).alias("selected"),
+    )
+
+
+def hashed_quality_score(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+) -> DataFrame:
+    """fastText-style hashed linear text classifier, integer-exact:
+    every word bigram maps to a ``dim``-bucket feature (the portable
+    md5-60bit hash) and the score is the exact BIGINT dot product of
+    the bigram counts with a fixed hash-derived weight vector
+    ``w[b] = ((b+1) * 2654435761) % 2001 - 1000`` — the deployed
+    shape of a linear quality filter (CCNet / fastText spam gate)
+    with the learned weights replaced by a deterministic stand-in so
+    the whole operator replays in SQL (the training step is out of
+    scope; serving is the data-pipeline operator).
+
+    Scale shape: bigrams explode from the same normalized token
+    stream every text operator shares; the feature hash is computed
+    on the DISTINCT-bigram vocabulary and equi-joined back (corpus
+    stream never feeds md5), then one hash-aggregate per doc sums
+    weights.  All integer arithmetic — no float traps.
+
+    Returns ``(doc_id, n_feats, score, keep)``.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).filter(F.size("__w") >= 2)
+    grams = words.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("__w", i), F.element_at("__w", i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    gvocab = (
+        grams.select("gram")
+        .distinct()
+        .withColumn("b", shingle_hash60(F.col("gram")) % dim)
+        .withColumn(
+            "wt", ((F.col("b") + 1) * F.lit(2654435761)) % 2001 - 1000
+        )
+    )
+    return (
+        grams.join(gvocab, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("wt").cast("bigint").alias("score"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_feats").cast("bigint").alias("n_feats"),
+            "score",
+            (F.col("score") > 0).alias("keep"),
+        )
+    )
