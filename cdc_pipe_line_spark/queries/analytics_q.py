@@ -2848,17 +2848,12 @@ def q_kcore(spark, sf_dir):
         .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
         .distinct()
     )
-    removed, last = kcore_peel(nodes, pairs, k=80, rounds=10)
-    conv = last.agg((F.count("*") == 0).alias("converged"))
-    return (
-        nodes.join(removed, "node", "left")
-        .crossJoin(F.broadcast(conv))
-        .select(
-            F.col("node").cast("bigint").alias("node"),
-            "removed_round",
-            F.col("removed_round").isNull().alias("in_core"),
-            "converged",
-        )
+    removed, converged = kcore_peel(nodes, pairs, k=80, rounds=10)
+    return nodes.join(removed, "node", "left").select(
+        F.col("node").cast("bigint").alias("node"),
+        "removed_round",
+        F.col("removed_round").isNull().alias("in_core"),
+        F.lit(converged).alias("converged"),
     )
 
 
@@ -2870,17 +2865,17 @@ def _kcore_oracle_sql(k: int = 80, rounds: int = 10) -> str:
     for i in range(1, rounds + 1):
         p = i - 1
         stages.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
   SELECT node, count(*) AS c FROM (
     SELECT a AS node FROM e{p} UNION ALL SELECT b AS node FROM e{p})
   GROUP BY 1),
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT n{p}.node FROM n{p} LEFT JOIN d{i} USING (node)
   WHERE COALESCE(c, 0) < {k}),
-n{i} AS (
+n{i} AS MATERIALIZED (
   SELECT node FROM n{p}
   WHERE node NOT IN (SELECT node FROM r{i})),
-e{i} AS (
+e{i} AS MATERIALIZED (
   SELECT a, b FROM e{p}
   WHERE a IN (SELECT node FROM n{i})
     AND b IN (SELECT node FROM n{i}))"""
@@ -2890,8 +2885,8 @@ e{i} AS (
     )
     return f"""
 WITH {_COOC_SQL},
-n0 AS (SELECT DISTINCT p AS node FROM op),
-e0 AS (SELECT a, b FROM e),
+n0 AS MATERIALIZED (SELECT DISTINCT p AS node FROM op),
+e0 AS MATERIALIZED (SELECT a, b FROM e),
 {",".join(stages)},
 rm_all AS ({rm_union}),
 conv AS (SELECT count(*) = 0 AS converged FROM r{rounds})

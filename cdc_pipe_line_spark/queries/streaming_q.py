@@ -129,6 +129,16 @@ def _stage(spark: SparkSession, sf_dir: str, variant: str) -> str:
                 cdc.filter((F.col("__id") >= lo) & (F.col("__id") < hi)).drop("__id"),
                 f"b{i}",
             )
+    elif variant == "wmsplit":
+        # three time-ordered single-file batches for watermark-lag
+        # observability: evens first (establishes the high watermark),
+        # then two odd quartiles — the THIRD batch's old-day rows are
+        # the ones the watermark filter drops (the filter watermark
+        # for batch N is computed from data through batch N-2, pinned
+        # by probe in q_stream_watermark_metrics).
+        _write(raw.filter(F.col("event_id") % 2 == 0), "b0")
+        _write(raw.filter(F.col("event_id") % 4 == 1), "b1")
+        _write(raw.filter(F.col("event_id") % 4 == 3), "b2")
     elif variant == "docs":
         # the documents table as a JSON doc stream (the "ingest feed"
         # of an LLM data pipeline: crawler output arriving as files)
@@ -1288,3 +1298,118 @@ SELECT 'view_no_purchase', count(*),
 UNION ALL
 SELECT 'purchase_no_view', count(*),
   CAST(NULL AS BIGINT), CAST(sum(purchase_id) AS BIGINT) FROM lp"""
+
+
+def q_stream_watermark_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OBSERVABILITY surface (T8 + the Observe API): a
+    watermarked daily-window aggregation over three time-ordered
+    micro-batches, returning the per-batch telemetry an operator
+    actually monitors — input rows, ``numRowsDroppedByWatermark``
+    from the state operator, and ``df.observe()`` metrics (count +
+    event-id span; DISTINCT aggregates are rejected in streaming
+    observe, so span stands in).
+
+    TWO contracts here are measured, not assumed (probe-pinned in
+    this docstring's development and re-checked by the oracle every
+    run):
+
+    1. **Watermark lag**: the filter watermark effective in batch N
+       is the one computed from data through batch N-2 (the progress
+       row for batch N displays the value computed from batch N-1 —
+       one batch AHEAD of what actually filtered batch N).  Hence
+       the three-batch staging: the evens batch sets the high
+       watermark, the first odd quartile rides the propagation lag
+       untouched, and only the second odd quartile is filtered,
+       against ``max(even ts) - 61 min``.
+    2. **What the drop metric counts**: the watermark filter sits at
+       the STATE-STORE boundary, after map-side partial aggregation
+       — so ``numRowsDroppedByWatermark`` counts combined partial
+       rows, not raw input rows.  Each staged batch is one JSON file
+       (one map task), so the partial agg emits exactly one row per
+       window touched, and the dropped count equals the number of
+       DISTINCT late windows (window.end <= watermark) in the batch
+       — which is what the oracle replays.
+
+    Scale shape: metrics are driver-side per-batch telemetry (a
+    handful of progress rows), never data; the aggregation itself is
+    the standard watermarked hash-agg whose state is bounded by live
+    windows."""
+    import json as _json
+
+    base = _stage(spark, sf_dir, "wmsplit")
+    stream = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json")
+        .option("timestampFormat", _TS_FMT)
+        .option("maxFilesPerTrigger", "1")
+        .json(base)
+    )
+    observed = stream.observe(
+        "gate",
+        F.count(F.lit(1)).alias("obs_rows"),
+        F.min("event_id").alias("obs_min_id"),
+        F.max("event_id").alias("obs_max_id"),
+    )
+    agg = (
+        observed.withWatermark("ts", "61 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q, _ = st.start_to_memory(agg, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q.awaitTermination()
+    rows = []
+    for p in q.recentProgress:
+        d = _json.loads(p.json)
+        ni = int(d.get("numInputRows", 0) or 0)
+        if ni == 0:
+            continue
+        so = d.get("stateOperators") or []
+        dropped = int(so[0].get("numRowsDroppedByWatermark", 0)) if so else 0
+        om = (d.get("observedMetrics") or {}).get("gate") or {}
+        rows.append(
+            (
+                int(d["batchId"]),
+                ni,
+                dropped,
+                int(om.get("obs_rows")),
+                int(om.get("obs_min_id")),
+                int(om.get("obs_max_id")),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_id bigint, n_input bigint, n_dropped bigint, "
+        "obs_rows bigint, obs_min_id bigint, obs_max_id bigint",
+    )
+
+
+QUERIES["stream_watermark_metrics"] = q_stream_watermark_metrics
+
+ORACLE["stream_watermark_metrics"] = """
+WITH ev0 AS (SELECT event_id, ts FROM events WHERE event_id % 2 = 0),
+ev1 AS (SELECT event_id, ts FROM events WHERE event_id % 4 = 1),
+ev2 AS (SELECT event_id, ts FROM events WHERE event_id % 4 = 3),
+wm AS (SELECT max(epoch_us(ts)) - 3660000000 AS wm_us FROM ev0),
+d2 AS (
+  SELECT count(DISTINCT date_trunc('day', ts)) AS n FROM ev2, wm
+  WHERE epoch_us(date_trunc('day', ts)) + 86400000000 <= wm_us)
+SELECT CAST(0 AS BIGINT) AS batch_id,
+  (SELECT CAST(count(*) AS BIGINT) FROM ev0) AS n_input,
+  CAST(0 AS BIGINT) AS n_dropped,
+  (SELECT CAST(count(*) AS BIGINT) FROM ev0) AS obs_rows,
+  (SELECT min(event_id) FROM ev0) AS obs_min_id,
+  (SELECT max(event_id) FROM ev0) AS obs_max_id
+UNION ALL
+SELECT 1, (SELECT count(*) FROM ev1), 0,
+  (SELECT count(*) FROM ev1),
+  (SELECT min(event_id) FROM ev1), (SELECT max(event_id) FROM ev1)
+UNION ALL
+SELECT 2, (SELECT count(*) FROM ev2), (SELECT n FROM d2),
+  (SELECT count(*) FROM ev2),
+  (SELECT min(event_id) FROM ev2), (SELECT max(event_id) FROM ev2)"""
