@@ -2691,3 +2691,187 @@ def bmp_stats(
             yield pd.DataFrame(rows, columns=cols)
 
     return media.select(id_col, payload_col).mapInPandas(_stats, schema)
+
+
+def make_tiff_gray(
+    arr: np.ndarray, *, little_endian: bool = True
+) -> bytes:
+    """Encode an ``(h, w)`` uint8 grayscale array as a REAL baseline
+    TIFF (8-bit, uncompressed, BlackIsZero) split into TWO strips
+    with the strip offset/count arrays stored via IFD offset
+    indirection — the layout wrinkle (value-vs-pointer entries) that
+    distinguishes a real IFD walker from a happy-path one.  Both
+    byte orders."""
+    e = "<" if little_endian else ">"
+    h, w = arr.shape
+    rps = (h + 1) // 2
+    strips = [arr[:rps].tobytes(), arr[rps:].tobytes()]
+    n_entries = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + n_entries * 12 + 4
+    so_off = data_off  # 2 LONG strip offsets
+    sc_off = so_off + 8  # 2 LONG strip byte counts
+    strip0_off = sc_off + 8
+    strip1_off = strip0_off + len(strips[0])
+
+    def entry(tag, typ, count, value):
+        return struct.pack(f"{e}HHII", tag, typ, count, value)
+
+    # SHORT (3) values sit left-justified in the 4-byte value slot:
+    # for big-endian that means the high half-word.
+    def short_val(v):
+        return v if little_endian else v << 16
+
+    ifd = b"".join(
+        [
+            entry(256, 3, 1, short_val(w)),
+            entry(257, 3, 1, short_val(h)),
+            entry(258, 3, 1, short_val(8)),
+            entry(259, 3, 1, short_val(1)),
+            entry(262, 3, 1, short_val(1)),
+            entry(273, 4, 2, so_off),
+            entry(277, 3, 1, short_val(1)),
+            entry(278, 3, 1, short_val(rps)),
+            entry(279, 4, 2, sc_off),
+        ]
+    )
+    out = (
+        (b"II" if little_endian else b"MM")
+        + struct.pack(f"{e}HI", 42, ifd_off)
+        + struct.pack(f"{e}H", n_entries)
+        + ifd
+        + struct.pack(f"{e}I", 0)
+        + struct.pack(f"{e}II", strip0_off, strip1_off)
+        + struct.pack(f"{e}II", len(strips[0]), len(strips[1]))
+        + strips[0]
+        + strips[1]
+    )
+    return out
+
+
+def _tiff_gray_pixels(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a baseline grayscale TIFF into ``(w, h, n_strips,
+    pixels)``; quarantines (with precise reasons) anything outside
+    the 8-bit/uncompressed/1-sample subset, bad byte-order marks or
+    magic, and truncated strips."""
+    if len(data) < 8:
+        raise MediaDecodeError("tiff: header truncated")
+    bom = data[:2]
+    if bom == b"II":
+        e = "<"
+    elif bom == b"MM":
+        e = ">"
+    else:
+        raise MediaDecodeError("tiff: bad byte-order mark")
+    magic, ifd_off = struct.unpack_from(f"{e}HI", data, 2)
+    if magic != 42:
+        raise MediaDecodeError(f"tiff: bad magic {magic}")
+    if ifd_off + 2 > len(data):
+        raise MediaDecodeError("tiff: IFD out of range")
+    (n_entries,) = struct.unpack_from(f"{e}H", data, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + i * 12
+        if off + 12 > len(data):
+            raise MediaDecodeError("tiff: IFD entry out of range")
+        tag, typ, count, raw = struct.unpack_from(f"{e}HHII", data, off)
+        tags[tag] = (typ, count, raw)
+
+    def scalar(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise MediaDecodeError(f"tiff: missing tag {tag}")
+            return default
+        typ, count, raw = tags[tag]
+        if typ == 3:  # SHORT, left-justified in the value slot
+            return raw & 0xFFFF if e == "<" else raw >> 16
+        return raw
+
+    def longs(tag):
+        typ, count, raw = tags[tag]
+        if count == 1:
+            return [scalar(tag)]
+        off = raw
+        if typ == 3:
+            fmt, size = "H", 2
+        else:
+            fmt, size = "I", 4
+        if off + count * size > len(data):
+            raise MediaDecodeError("tiff: value array out of range")
+        return list(struct.unpack_from(f"{e}{count}{fmt}", data, off))
+
+    w = scalar(256)
+    h = scalar(257)
+    bps = scalar(258, 1)
+    comp = scalar(259, 1)
+    spp = scalar(277, 1)
+    if comp != 1:
+        raise MediaDecodeError(f"tiff: unsupported compression {comp}")
+    if bps != 8 or spp != 1:
+        raise MediaDecodeError(
+            f"tiff: unsupported sample layout bps={bps} spp={spp}"
+        )
+    if 273 not in tags or 279 not in tags:
+        raise MediaDecodeError("tiff: missing strip tags")
+    offs = longs(273)
+    cnts = longs(279)
+    if len(offs) != len(cnts):
+        raise MediaDecodeError("tiff: strip tag count mismatch")
+    chunks = []
+    for o, c in zip(offs, cnts):
+        if o + c > len(data):
+            raise MediaDecodeError("tiff: truncated strip")
+        chunks.append(np.frombuffer(data, dtype=np.uint8, count=c, offset=o))
+    raster = np.concatenate(chunks) if chunks else np.empty(0, np.uint8)
+    if raster.size != w * h:
+        raise MediaDecodeError(
+            f"tiff: strip bytes {raster.size} != {w}*{h}"
+        )
+    return w, h, len(offs), raster.reshape(h, w)
+
+
+def tiff_gray_stats(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-image statistics over decoded baseline-TIFF rasters — the
+    png/jpeg/bmp one-pass Arrow-batched mapInPandas shape with the
+    identical quarantine policy; ``n_strips`` binds the multi-strip
+    assembly (a decoder that only reads strip 0 fails pix_sum AND
+    corner_br)."""
+    schema = (
+        f"{id_col} bigint, w int, h int, n_strips int, "
+        "pix_sum bigint, pix_min int, pix_max int, "
+        "corner_tl int, corner_br int, decode_err string"
+    )
+    cols = [
+        id_col, "w", "h", "n_strips", "pix_sum", "pix_min", "pix_max",
+        "corner_tl", "corner_br", "decode_err",
+    ]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {c: None for c in cols}
+                base[id_col] = mid
+                try:
+                    if payload is None:
+                        raise MediaDecodeError("null payload")
+                    w, h, ns, arr = _tiff_gray_pixels(bytes(payload))
+                    base.update(
+                        w=w, h=h, n_strips=ns,
+                        pix_sum=int(arr.sum(dtype=np.int64)),
+                        pix_min=int(arr.min()),
+                        pix_max=int(arr.max()),
+                        corner_tl=int(arr[0, 0]),
+                        corner_br=int(arr[-1, -1]),
+                    )
+                except MediaDecodeError as exc:
+                    base["decode_err"] = str(exc)
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, payload_col).mapInPandas(_stats, schema)

@@ -2898,3 +2898,111 @@ FROM n0 LEFT JOIN rm_all USING (node) CROSS JOIN conv"""
 
 
 ORACLE["graph_kcore"] = _kcore_oracle_sql()
+
+
+def q_bitmap_distinct(spark, sf_dir):
+    """EXACT mergeable distinct counting via fixed-width bitmap words
+    (the roaring-bitmap rollup shape, exact twin of the HLL sketch
+    family): user ids map to ``(word = id div 63, bit = id % 63)``,
+    per-type bitmaps are one ``bit_or`` hash-aggregate, distinct =
+    ``sum(bit_count(word))`` — and the ``__total__`` row is computed
+    by OR-MERGING the per-type word bitmaps, proving in-query that
+    the aggregate is mergeable without rescanning the fact (the
+    incremental-rollup property exact distinct normally lacks).  63
+    bits per word keeps every shift positive (bit 63 overflows
+    signed int64 in both engines).  Exact countDistinct rides along
+    per group; ``agree`` pins bitmap == exact."""
+    ev = _t(spark, sf_dir, "events")
+    chunks = (
+        ev.groupBy(
+            "event_type", (F.col("user_id") / 63).cast("bigint").alias("__w")
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(user_id % 63 AS INT)))"
+            ).alias("__bm")
+        )
+        .localCheckpoint(eager=True)
+    )
+    per_type = chunks.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.bit_count("__bm")).cast("bigint").alias("n_distinct_bitmap"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_distinct_exact"),
+    )
+    typed = per_type.join(exact, "event_type").select(
+        F.col("event_type").alias("grp"),
+        "n_events",
+        "n_words",
+        "n_distinct_bitmap",
+        "n_distinct_exact",
+        (F.col("n_distinct_bitmap") == F.col("n_distinct_exact")).alias(
+            "agree"
+        ),
+    )
+    merged = chunks.groupBy("__w").agg(
+        F.expr("bit_or(__bm)").alias("__bm")
+    )
+    tot = (
+        merged.agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.bit_count("__bm")).cast("bigint").alias(
+                "n_distinct_bitmap"
+            ),
+        )
+        .crossJoin(
+            F.broadcast(
+                ev.agg(
+                    F.count("*").cast("bigint").alias("n_events"),
+                    F.countDistinct("user_id").cast("bigint").alias(
+                        "n_distinct_exact"
+                    ),
+                )
+            )
+        )
+        .select(
+            F.lit("__total__").alias("grp"),
+            "n_events",
+            "n_words",
+            "n_distinct_bitmap",
+            "n_distinct_exact",
+            (F.col("n_distinct_bitmap") == F.col("n_distinct_exact")).alias(
+                "agree"
+            ),
+        )
+    )
+    return typed.unionByName(tot)
+
+
+QUERIES["agg_bitmap_distinct"] = q_bitmap_distinct
+
+ORACLE["agg_bitmap_distinct"] = """
+WITH bm_chunks AS MATERIALIZED (
+  SELECT event_type, user_id // 63 AS w,
+    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS bm
+  FROM events GROUP BY 1, 2),
+bm_type AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_words,
+    CAST(sum(bit_count(bm)) AS BIGINT) AS n_distinct_bitmap
+  FROM bm_chunks GROUP BY 1),
+bm_exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact
+  FROM events GROUP BY 1),
+bm_merged AS (
+  SELECT w, bit_or(bm) AS bm FROM bm_chunks GROUP BY 1)
+SELECT t.event_type AS grp, e.n_events, t.n_words,
+  t.n_distinct_bitmap, e.n_distinct_exact,
+  t.n_distinct_bitmap = e.n_distinct_exact AS agree
+FROM bm_type t JOIN bm_exact e USING (event_type)
+UNION ALL
+SELECT '__total__',
+  (SELECT CAST(count(*) AS BIGINT) FROM events),
+  (SELECT CAST(count(*) AS BIGINT) FROM bm_merged),
+  (SELECT CAST(sum(bit_count(bm)) AS BIGINT) FROM bm_merged),
+  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events),
+  (SELECT CAST(sum(bit_count(bm)) AS BIGINT) FROM bm_merged)
+    = (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)"""

@@ -825,3 +825,128 @@ SELECT cand,
   CAST(sum(nr) AS BIGINT) AS n_rows,
   max(d) = 1 AS holds
 FROM fd_grp GROUP BY cand"""
+
+
+def q_inclusion_deps(spark, sf_dir):
+    """Inclusion-dependency DISCOVERY (the Sindy/Binder problem —
+    FK-candidate detection schema inference rests on; the fixed-FK
+    twin of this is qa_referential_audit's violation gate): for each
+    candidate ``child.col c parent.col`` report child distinct
+    cardinality, values missing from the parent, a containment
+    verdict, and how much of the parent the child actually references
+    (coverage) — containment + high coverage is what promotes a
+    candidate to a real FK.  Both directions of each key pair are
+    tested, so genuine non-INDs are hash-bound too.
+
+    Scale shape: every candidate aggregates to DISTINCT KEYS before
+    any join (key cardinality, never table size), one full-outer
+    per candidate over those bounded key sets, one verdict row each —
+    independent small jobs AQE schedules in parallel off one action.
+    """
+    tables = {
+        "lineitem": _t(spark, sf_dir, "lineitem"),
+        "orders": _t(spark, sf_dir, "orders"),
+        "customer": _t(spark, sf_dir, "customer"),
+        "nation": _t(spark, sf_dir, "nation"),
+        "supplier": _t(spark, sf_dir, "supplier"),
+        "part": _t(spark, sf_dir, "part"),
+        "events": _t(spark, sf_dir, "events"),
+    }
+    cands = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    ]
+    outs = []
+    for ct, cc, pt, pc in cands:
+        name = f"{ct}.{cc} < {pt}.{pc}"
+        c = (
+            tables[ct]
+            .select(F.col(cc).cast("string").alias("v"))
+            .distinct()
+            .withColumn("__c", F.lit(1))
+        )
+        p = (
+            tables[pt]
+            .select(F.col(pc).cast("string").alias("v"))
+            .distinct()
+            .withColumn("__p", F.lit(1))
+        )
+        full = c.join(p, "v", "full_outer")
+        outs.append(
+            full.agg(
+                F.sum(F.col("__c").isNotNull().cast("bigint")).alias(
+                    "n_child_distinct"
+                ),
+                F.sum(
+                    (F.col("__c").isNotNull() & F.col("__p").isNull()).cast(
+                        "bigint"
+                    )
+                ).alias("n_missing"),
+                F.sum(F.col("__p").isNotNull().cast("bigint")).alias(
+                    "__n_parent"
+                ),
+                F.sum(
+                    (F.col("__c").isNotNull() & F.col("__p").isNotNull()).cast(
+                        "bigint"
+                    )
+                ).alias("__n_ref"),
+            ).select(
+                F.lit(name).alias("cand"),
+                "n_child_distinct",
+                "n_missing",
+                (F.col("n_missing") == 0).alias("contained"),
+                F.expr("(1000000 * __n_ref) div __n_parent").alias(
+                    "parent_coverage_micro"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+QUERIES["qa_inclusion_deps"] = q_inclusion_deps
+
+
+def _ind_oracle_sql() -> str:
+    cands = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    ]
+    parts = []
+    for ct, cc, pt, pc in cands:
+        name = f"{ct}.{cc} < {pt}.{pc}"
+        parts.append(
+            f"""SELECT '{name}' AS cand,
+  (SELECT CAST(count(DISTINCT {cc}) AS BIGINT) FROM {ct})
+    AS n_child_distinct,
+  (SELECT CAST(count(*) AS BIGINT) FROM
+    (SELECT DISTINCT {cc} FROM {ct}
+     EXCEPT SELECT DISTINCT {pc} FROM {pt}))
+    AS n_missing,
+  (SELECT count(*) FROM
+    (SELECT DISTINCT {cc} FROM {ct}
+     EXCEPT SELECT DISTINCT {pc} FROM {pt})) = 0 AS contained,
+  CAST((1000000 * (SELECT count(*) FROM
+    (SELECT DISTINCT {cc} FROM {ct}
+     INTERSECT SELECT DISTINCT {pc} FROM {pt})))
+    // (SELECT count(DISTINCT {pc}) FROM {pt}) AS BIGINT)
+    AS parent_coverage_micro"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE["qa_inclusion_deps"] = _ind_oracle_sql()

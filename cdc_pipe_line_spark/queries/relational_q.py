@@ -2935,3 +2935,66 @@ n AS (SELECT o_orderpriority, o_orderstatus, gross,
 SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
   CAST(sum(net) AS BIGINT) AS net_cents
 FROM n GROUP BY 1, 2"""
+
+
+def q_try_functions(spark, sf_dir):
+    """ANSI-safe ``try_*`` function surface (Spark 3.5/4 error-safe
+    arithmetic — the production alternative to failing a 100 TB job
+    on one bad row): try_divide by zero, try_add/try_multiply at
+    int64 overflow, try_cast of mixed garbage, try_element_at out of
+    bounds — each counted per event type so every null-producing
+    branch is hash-bound.  The oracle replays each failure condition
+    as an explicit predicate (DuckDB has no try_ arithmetic — the
+    CASE twin IS the specification of when each op nulls).
+    Integer-count output: no float traps.
+
+    Failure rates are deliberately ~1%: the try_ overflow path
+    THROWS internally before returning null (~2 us/row measured —
+    an everything-overflows draft spent 20 s per 10M rows purely in
+    exception unwinding at sf1).  try_* is the right tool for RARE
+    bad rows; a mostly-failing column should be pre-filtered with a
+    predicate instead, and this fixture models the former."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.select(
+        "event_type",
+        F.expr("try_divide(1, user_id % 7 - 3)").alias("__div"),
+        F.expr(
+            "try_add(9223372036854775807L, "
+            "CASE WHEN user_id % 97 = 13 THEN 1L ELSE 0L END)"
+        ).alias("__add"),
+        F.expr(
+            "try_multiply(4611686018427387904L, "
+            "CASE WHEN user_id % 89 = 7 THEN 2L ELSE 1L END)"
+        ).alias("__mul"),
+        F.expr(
+            "try_cast((CASE WHEN event_id % 5 = 0 THEN event_type "
+            "ELSE CAST(user_id AS STRING) END) AS INT)"
+        ).alias("__int"),
+        F.expr("try_element_at(split(event_type, 'i'), 2)").alias("__elem"),
+    )
+    return probe.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("__div").isNull().cast("bigint")).alias("n_div0"),
+        F.sum(F.col("__add").isNull().cast("bigint")).alias("n_add_ovf"),
+        F.sum(F.col("__mul").isNull().cast("bigint")).alias("n_mul_ovf"),
+        F.sum(F.col("__int").isNull().cast("bigint")).alias("n_bad_int"),
+        F.sum(F.col("__elem").isNotNull().cast("bigint")).alias("n_elem_ok"),
+    )
+
+
+QUERIES["scalar_try_functions"] = q_try_functions
+
+ORACLE["scalar_try_functions"] = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN user_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_div0,
+  CAST(sum(CASE WHEN user_id % 97 = 13 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_add_ovf,
+  CAST(sum(CASE WHEN user_id % 89 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_mul_ovf,
+  CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bad_int,
+  CAST(sum(CASE WHEN len(string_split(event_type, 'i')) >= 2
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_elem_ok
+FROM events GROUP BY event_type"""

@@ -2377,3 +2377,157 @@ SELECT p.doc_id AS media_id,
   CASE WHEN cut THEN 'bmp: truncated pixel array'
        ELSE CAST(NULL AS VARCHAR) END AS decode_err
 FROM p JOIN agg ON agg.doc_id = p.doc_id"""
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    Goldstein 1998) — the retrieval-serving step between ANN top-k
+    and what a RAG pipeline actually feeds the model: from each
+    query's exact top-20, greedily select 5 maximizing
+    ``0.7*rel - 0.3*max_sim_to_selected``, ties broken (score desc,
+    vec_id asc).  Every greedy step is hash-bound: the oracle unrolls
+    the identical four selection stages (MATERIALIZED — the chained
+    CTEs would otherwise inline exponentially), so a wrong max-sim
+    join or tie-break at ANY step fails the driver check.
+
+    Scale shape: the candidate frame (queries x 20) and its pairwise
+    sims (queries x 20 x 19, both checkpoint-pinned) are the ONLY
+    inputs to the greedy loop — corpus-scale work ends at the top-20
+    subtree; each unrolled step is joins over the bounded candidate
+    frame with per-query windows."""
+    from pyspark.sql.window import Window
+
+    from cdc_pipe_line_spark.similarity import brute_force_topk, cosine
+
+    q, emb = _queries_and_corpus(spark, sf_dir)
+    cand = brute_force_topk(q, emb, k=20).localCheckpoint(eager=True)
+    ce = cand.select("q_id", "vec_id", "cos_sim").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    pair = (
+        ce.alias("x")
+        .join(ce.alias("y"), "q_id")
+        .filter(F.col("x.vec_id") != F.col("y.vec_id"))
+        .select(
+            "q_id",
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+            F.round(
+                cosine(F.col("x.embedding"), F.col("y.embedding")), 4
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        cand.filter(F.col("rank") == 1)
+        .select(
+            "q_id",
+            "vec_id",
+            "cos_sim",
+            F.lit(1).cast("bigint").alias("pos"),
+            F.col("cos_sim").alias("mmr_score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for pos in range(2, 6):
+        remaining = cand.select("q_id", "vec_id", "cos_sim").join(
+            sel.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_anti"
+        )
+        ms = (
+            pair.join(
+                sel.select("q_id", F.col("vec_id").alias("b")),
+                ["q_id", "b"],
+                "semi",
+            )
+            .groupBy("q_id", F.col("a").alias("vec_id"))
+            .agg(F.max("s").alias("__ms"))
+        )
+        scored = remaining.join(ms, ["q_id", "vec_id"]).withColumn(
+            "__score",
+            F.lit(0.7) * F.col("cos_sim") - F.lit(0.3) * F.col("__ms"),
+        )
+        wpick = Window.partitionBy("q_id").orderBy(
+            F.desc("__score"), F.asc("vec_id")
+        )
+        nxt = (
+            scored.withColumn("__p", F.row_number().over(wpick))
+            .filter(F.col("__p") == 1)
+            .select(
+                "q_id",
+                "vec_id",
+                "cos_sim",
+                F.lit(pos).cast("bigint").alias("pos"),
+                F.col("__score").alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(nxt).localCheckpoint(eager=True)
+    return sel.select(
+        "q_id",
+        "vec_id",
+        "pos",
+        "cos_sim",
+        (F.floor(F.col("mmr_score") * 10000 + F.lit(0.5)) / 10000).alias(
+            "mmr_score"
+        ),
+    )
+
+
+QUERIES["sim_mmr_rerank"] = q_mmr_rerank
+
+
+def _mmr_oracle_sql() -> str:
+    cos_qc = _COS.format(a="mq.qv", b="e.embedding")
+    cos_cc = _COS.format(a="ex.embedding", b="ey.embedding")
+    steps = []
+    for i in range(2, 6):
+        p = i - 1
+        steps.append(
+            f"""msel{i} AS MATERIALIZED (
+  SELECT * FROM msel{p}
+  UNION ALL
+  SELECT q_id, vec_id, cos_sim, {i} AS pos, score AS mmr_score FROM (
+    SELECT c.q_id, c.vec_id, c.cos_sim,
+      CAST(0.7 AS DOUBLE) * c.cos_sim
+        - CAST(0.3 AS DOUBLE) * m.ms AS score,
+      row_number() OVER (PARTITION BY c.q_id
+        ORDER BY (CAST(0.7 AS DOUBLE) * c.cos_sim
+                  - CAST(0.3 AS DOUBLE) * m.ms) DESC,
+                 c.vec_id ASC) AS rk
+    FROM mcand c
+    JOIN (SELECT p2.q_id, p2.a, max(p2.s) AS ms FROM mpair p2
+          JOIN msel{p} s ON s.q_id = p2.q_id AND s.vec_id = p2.b
+          GROUP BY 1, 2) m
+      ON m.q_id = c.q_id AND m.a = c.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM msel{p} s2
+      WHERE s2.q_id = c.q_id AND s2.vec_id = c.vec_id))
+  WHERE rk = 1)"""
+        )
+    return f"""
+WITH mq AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+            WHERE vec_id % 100 = 0),
+mscored AS MATERIALIZED (
+  SELECT mq.q_id, e.vec_id, {cos_qc} AS cos_sim
+  FROM embeddings e CROSS JOIN mq WHERE e.vec_id != mq.q_id),
+mcand AS MATERIALIZED (
+  SELECT q_id, vec_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM mscored) WHERE rank <= 20),
+mpair AS MATERIALIZED (
+  SELECT x.q_id, x.vec_id AS a, y.vec_id AS b, {cos_cc} AS s
+  FROM mcand x JOIN mcand y
+    ON x.q_id = y.q_id AND x.vec_id != y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id),
+msel1 AS MATERIALIZED (
+  SELECT q_id, vec_id, cos_sim, 1 AS pos, cos_sim AS mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY cos_sim DESC, vec_id ASC) AS rk
+    FROM mcand) WHERE rk = 1),
+{",".join(steps)}
+SELECT q_id, vec_id, CAST(pos AS BIGINT) AS pos, cos_sim,
+  floor(mmr_score * 10000 + 0.5) / 10000 AS mmr_score
+FROM msel5"""
+
+
+ORACLE["sim_mmr_rerank"] = _mmr_oracle_sql()

@@ -3473,3 +3473,60 @@ qs AS (
 SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
   CAST(score AS BIGINT) AS score, score > 0 AS keep
 FROM qs"""
+
+
+def q_prefix_filter(spark, sf_dir):
+    """PPJoin-style prefix-filtered Jaccard-0.8 near-dup join: the
+    LOSSLESS scale path next to the max_df-capped inverted index —
+    candidates only from rarest-first prefix tokens, exact
+    cross-multiplied verification, jaccard as exact micro-ratio.
+    The oracle replays the df ordering, the integer prefix-length
+    bound, the candidate join, and the verification."""
+    from cdc_pipe_line_spark.text import prefix_filter_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_pairs(docs)
+
+
+QUERIES["dedup_prefix_filter"] = q_prefix_filter
+
+ORACLE["dedup_prefix_filter"] = """
+WITH pf_words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+pf_sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 5
+      THEN list_transform(range(1, len(w) - 3),
+                          i -> array_to_string(w[i:i+4], ' '))
+      ELSE [] END) AS sh
+  FROM pf_words),
+pf_tok AS (SELECT doc_id, unnest(sh) AS g FROM pf_sh),
+pf_df AS (SELECT g, count(*) AS dfreq FROM pf_tok GROUP BY 1),
+pf_rk AS (
+  SELECT t.doc_id, t.g, s.sz,
+    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.dfreq, t.g) AS rk
+  FROM pf_tok t JOIN pf_df d USING (g)
+  JOIN (SELECT doc_id, len(sh) AS sz FROM pf_sh) s USING (doc_id)),
+pf_pref AS (
+  SELECT doc_id, g FROM pf_rk
+  WHERE rk <= sz - ((4 * sz + 4) // 5) + 1),
+pf_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pf_pref a JOIN pf_pref b
+    ON a.g = b.g AND a.doc_id < b.doc_id),
+pf_ver AS (
+  SELECT c.id_a, c.id_b,
+    len(sa.sh) AS sz_a, len(sb.sh) AS sz_b,
+    len(list_intersect(sa.sh, sb.sh)) AS n_shared
+  FROM pf_cand c
+  JOIN pf_sh sa ON sa.doc_id = c.id_a
+  JOIN pf_sh sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b,
+  CAST(sz_a AS INT) AS sz_a, CAST(sz_b AS INT) AS sz_b,
+  CAST(n_shared AS INT) AS n_shared,
+  CAST((1000000 * n_shared) // (sz_a + sz_b - n_shared) AS BIGINT)
+    AS jac_micro
+FROM pf_ver
+WHERE 5 * n_shared >= 4 * (sz_a + sz_b - n_shared)"""

@@ -1940,3 +1940,129 @@ SELECT event_type, CAST(seg AS BIGINT) AS seg,
       AS BIGINT) END AS slope_micro,
   CAST((1000000 * sy) // n AS BIGINT) AS daily_mean_micro
 FROM st"""
+
+
+def q_forecast_baselines(spark, sf_dir):
+    """Forecast-baseline bake-off (Hyndman's naive / seasonal-naive /
+    drift — the baselines every model must beat) on a 7-day holdout
+    of per-type daily counts, ENTIRELY in exact integer arithmetic:
+    integer predictions for naive/snaive, micro-scaled integer drift
+    extrapolation, MAE as an exact micro-ratio, winner by (mae,
+    method) — tolerance-free cross-engine, the ts_holt_backtest
+    discipline without its float folds.  Types with under 15
+    observed days are excluded (snaive needs a full season of
+    train).
+
+    Scale shape: one daily aggregate off the fact, then per-type
+    windows over the calendar-bounded series; three baseline rows
+    per type."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.withColumn("rn", F.row_number().over(w)).withColumn(
+        "y_lag7", F.lag("y", 7).over(w)
+    )
+    tot = d.groupBy("event_type").agg(F.count("*").alias("n"))
+    j = d.join(tot, "event_type").filter(F.col("n") >= 15)
+    train = j.filter(F.col("rn") <= F.col("n") - 7)
+    anchors = train.groupBy("event_type").agg(
+        F.max(F.struct("rn", "y"))["y"].alias("y_last"),
+        F.min(F.struct("rn", "y"))["y"].alias("y_first"),
+        F.max("rn").alias("n_train"),
+    )
+    test = (
+        j.filter(F.col("rn") > F.col("n") - 7)
+        .join(anchors, "event_type")
+        .withColumn("h", F.col("rn") - (F.col("n") - 7))
+    )
+    errs = test.select(
+        "event_type",
+        F.abs(F.col("y") - F.col("y_last")).cast("bigint").alias("e_naive"),
+        F.abs(F.col("y") - F.col("y_lag7")).cast("bigint").alias("e_snaive"),
+        F.abs(
+            F.lit(1000000) * F.col("y")
+            - (
+                F.lit(1000000) * F.col("y_last")
+                + F.expr(
+                    "(1000000 * h * (y_last - y_first)) div (n_train - 1)"
+                )
+            )
+        ).cast("bigint").alias("e_drift_micro"),
+    )
+    mae = errs.groupBy("event_type").agg(
+        F.expr("(1000000 * sum(e_naive)) div 7").alias("naive"),
+        F.expr("(1000000 * sum(e_snaive)) div 7").alias("snaive"),
+        F.expr("sum(e_drift_micro) div 7").alias("drift"),
+    )
+    melted = mae.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.lit("drift").alias("method"), F.col("drift").alias("mae_micro")),
+                F.struct(F.lit("naive").alias("method"), F.col("naive").alias("mae_micro")),
+                F.struct(F.lit("snaive").alias("method"), F.col("snaive").alias("mae_micro")),
+            )
+        ).alias("m"),
+    ).select("event_type", "m.method", "m.mae_micro")
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.asc("mae_micro"), F.asc("method")
+    )
+    return melted.withColumn(
+        "best", F.row_number().over(wbest) == 1
+    )
+
+
+QUERIES["ts_forecast_baselines"] = q_forecast_baselines
+
+ORACLE["ts_forecast_baselines"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2),
+d AS (
+  SELECT event_type, day, y,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y_lag7
+  FROM daily),
+tot AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+j AS (
+  SELECT d.*, tot.n FROM d JOIN tot USING (event_type)
+  WHERE tot.n >= 15),
+anchors AS (
+  SELECT event_type,
+    max(CASE WHEN rn = n - 7 THEN y END) AS y_last,
+    max(CASE WHEN rn = 1 THEN y END) AS y_first,
+    max(CASE WHEN rn <= n - 7 THEN rn END) AS n_train
+  FROM j GROUP BY event_type),
+test AS (
+  SELECT j.event_type, j.y, j.y_lag7, a.y_last, a.y_first, a.n_train,
+    j.rn - (j.n - 7) AS h
+  FROM j JOIN anchors a USING (event_type)
+  WHERE j.rn > j.n - 7),
+errs AS (
+  SELECT event_type,
+    CAST(abs(y - y_last) AS BIGINT) AS e_naive,
+    CAST(abs(y - y_lag7) AS BIGINT) AS e_snaive,
+    CAST(abs(1000000 * y - (1000000 * y_last
+      + (1000000 * h * (y_last - y_first)) // (n_train - 1)))
+      AS BIGINT) AS e_drift_micro
+  FROM test),
+mae AS (
+  SELECT event_type,
+    CAST((1000000 * sum(e_naive)) // 7 AS BIGINT) AS naive,
+    CAST((1000000 * sum(e_snaive)) // 7 AS BIGINT) AS snaive,
+    CAST(sum(e_drift_micro) // 7 AS BIGINT) AS drift
+  FROM errs GROUP BY 1),
+melted AS (
+  SELECT event_type, 'drift' AS method, drift AS mae_micro FROM mae
+  UNION ALL
+  SELECT event_type, 'naive', naive FROM mae
+  UNION ALL
+  SELECT event_type, 'snaive', snaive FROM mae)
+SELECT event_type, method, mae_micro,
+  row_number() OVER (PARTITION BY event_type
+    ORDER BY mae_micro ASC, method ASC) = 1 AS best
+FROM melted"""

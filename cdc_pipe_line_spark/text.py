@@ -2623,3 +2623,82 @@ def hashed_quality_score(
             (F.col("score") > 0).alias("keep"),
         )
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Set-similarity self-join by PREFIX FILTERING (the AllPairs /
+    PPJoin candidate bound, Bayardo et al. 2007 / Xiao et al. 2008):
+    order every document's shingle set by ascending global document
+    frequency (rarest first, ties by shingle), index only the first
+    ``|x| - ceil(0.8|x|) + 1`` shingles, and join candidates on
+    shared PREFIX shingles — any pair with Jaccard >= 0.8 provably
+    shares at least one prefix token, so the index is ~20% of the
+    postings the plain inverted index carries and the hot
+    (high-df) shingles never enter the candidate join at all.
+    Verification is exact: full shingle arrays re-joined,
+    ``5*|A∩B| >= 4*|A∪B|`` cross-multiplied in integers, jaccard
+    emitted as an exact micro-ratio.
+
+    Complement to ``ngram_jaccard_pairs``'s max_df cap: the cap
+    DROPS hot postings (bounded loss, emitted as telemetry); prefix
+    filtering is LOSSLESS for the threshold — worst case (all
+    documents identical) the prefix index degenerates to
+    output-proportional work, which is the true duplicate mass.
+
+    Scale shape: one shingling pass (checkpoint-pinned, reused by
+    index and verify), one df aggregate over the exploded stream,
+    per-doc rank windows bounded by document length, and the
+    candidate join runs over the ~20% prefix postings only.
+    """
+    sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n)
+    sh = sh.localCheckpoint(eager=True)
+    tok = sh.select("id", F.explode("sh").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count("*").alias("__df"))
+    sized = sh.select("id", F.size("sh").alias("sz"))
+    wrk = Window.partitionBy("id").orderBy("__df", "g")
+    ranked = tok.join(dfreq, "g").withColumn("rk", F.row_number().over(wrk))
+    pref = (
+        ranked.join(sized, "id")
+        .filter(F.col("rk") <= F.col("sz") - F.expr("(4 * sz + 4) div 5") + 1)
+        .select("id", "g")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size("__sa").alias("sz_a"),
+            F.size("__sb").alias("sz_b"),
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_shared"),
+        )
+        .filter(F.expr("5 * n_shared >= 4 * (sz_a + sz_b - n_shared)"))
+        .withColumn(
+            "jac_micro",
+            F.expr(
+                "(1000000 * CAST(n_shared AS BIGINT)) "
+                "div (sz_a + sz_b - n_shared)"
+            ),
+        )
+    )
