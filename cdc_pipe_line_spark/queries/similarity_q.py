@@ -2531,3 +2531,92 @@ FROM msel5"""
 
 
 ORACLE["sim_mmr_rerank"] = _mmr_oracle_sql()
+
+
+def q_tiff_decode(spark, sf_dir):
+    """Baseline-TIFF decode over REAL bytes: IFD walk with BOTH byte
+    orders (II on even ids, MM on odd — reusing the EXIF TIFF
+    dispatch), SHORT values left-justified in the value slot,
+    MULTI-STRIP pixel assembly with the strip offset/count arrays
+    stored via IFD offset indirection (value-vs-pointer is the
+    layout wrinkle that separates a real IFD walker from a
+    happy-path one; ``n_strips`` binds it — reading only strip 0
+    fails pix_sum and corner_br).  Pixels are the closed-form
+    gradient ``(base + 3x + 5y) % 256``; every 67th payload carries
+    a corrupt magic and quarantines with the precise reason."""
+    import numpy as np
+
+    from cdc_pipe_line_spark.multimodal import make_tiff_gray, tiff_gray_stats
+
+    @F.pandas_udf("binary")
+    def _tiff_payload(
+        w: pd.Series, h: pd.Series, base: pd.Series,
+        le: pd.Series, cut: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for a, b, v0, l, k in zip(w, h, base, le, cut):
+            a, b, v0 = int(a), int(b), int(v0)
+            xs = np.arange(a, dtype=np.int64)[None, :]
+            ys = np.arange(b, dtype=np.int64)[:, None]
+            arr = ((v0 + 3 * xs + 5 * ys) % 256).astype(np.uint8)
+            enc = make_tiff_gray(arr, little_endian=bool(l))
+            if k:
+                bo = enc[:2]
+                fmt = "<H" if bo == b"II" else ">H"
+                enc = bo + __import__("struct").pack(fmt, 43) + enc[4:]
+            out.append(enc)
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 11) + 4).alias("__w"),
+        ((F.col("doc_id") % 6) + 4).alias("__h"),
+        (F.col("doc_id") % 89).alias("__base"),
+        (F.col("doc_id") % 2 == 0).alias("__le"),
+        (F.col("doc_id") % 67 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_tiff_payload("__w", "__h", "__base", "__le", "__cut"),
+        media_type="image/tiff",
+    )
+    return tiff_gray_stats(media)
+
+
+QUERIES["mm_tiff_decode"] = q_tiff_decode
+
+ORACLE["mm_tiff_decode"] = """
+WITH p AS (
+  SELECT doc_id,
+    (doc_id % 11) + 4 AS w,
+    (doc_id % 6) + 4 AS h,
+    doc_id % 89 AS base,
+    doc_id % 67 = 0 AS cut
+  FROM documents),
+px AS (
+  SELECT doc_id, unnest(range(0, w * h)) AS i FROM p),
+vals AS (
+  SELECT px.doc_id,
+    (p.base + 3 * (i % p.w) + 5 * (i // p.w)) % 256 AS v
+  FROM px JOIN p ON p.doc_id = px.doc_id),
+agg AS (
+  SELECT doc_id,
+    CAST(sum(v) AS BIGINT) AS pix_sum,
+    CAST(min(v) AS INT) AS pix_min,
+    CAST(max(v) AS INT) AS pix_max
+  FROM vals GROUP BY 1)
+SELECT p.doc_id AS media_id,
+  CASE WHEN cut THEN NULL ELSE CAST(w AS INT) END AS w,
+  CASE WHEN cut THEN NULL ELSE CAST(h AS INT) END AS h,
+  CASE WHEN cut THEN NULL ELSE 2 END AS n_strips,
+  CASE WHEN cut THEN NULL ELSE agg.pix_sum END AS pix_sum,
+  CASE WHEN cut THEN NULL ELSE agg.pix_min END AS pix_min,
+  CASE WHEN cut THEN NULL ELSE agg.pix_max END AS pix_max,
+  CASE WHEN cut THEN NULL ELSE CAST(base AS INT) END AS corner_tl,
+  CASE WHEN cut THEN NULL
+    ELSE CAST((base + 3 * (w - 1) + 5 * (h - 1)) % 256 AS INT)
+  END AS corner_br,
+  CASE WHEN cut THEN 'tiff: bad magic 43'
+       ELSE CAST(NULL AS VARCHAR) END AS decode_err
+FROM p JOIN agg ON agg.doc_id = p.doc_id"""
