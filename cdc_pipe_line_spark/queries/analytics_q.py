@@ -3006,3 +3006,126 @@ SELECT '__total__',
   (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events),
   (SELECT CAST(sum(bit_count(bm)) AS BIGINT) FROM bm_merged)
     = (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)"""
+
+
+def q_random_walks(spark, sf_dir):
+    """DeepWalk/node2vec-style random-walk CORPUS GENERATION over the
+    part co-occurrence graph (the graph-embedding training-data
+    pipeline step), with hash-deterministic "randomness": from each
+    seed (every 50th part), 4 steps where the next hop is the
+    neighbor minimizing the portable md5-60bit hash of
+    ``walk|step|cur|neighbor`` — statistically uniform over
+    neighbors, yet exactly replayable, so the ENTIRE walk corpus is
+    hash-checked hop by hop (the xxhash-seeded sampling queries bind
+    via claims instead; this one binds the path itself).
+
+    Scale shape: one frontier frame per step (seed-count rows)
+    joined against the edge list — 4 bounded shuffles; the per-walk
+    argmin window partitions on walk_id.  Walk count scales with the
+    seed stride, never the corpus."""
+    from pyspark.sql.window import Window
+
+    from cdc_pipe_line_spark.text import shingle_hash60
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = (
+        li.select("l_orderkey", F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        op.alias("x")
+        .join(op.alias("y"), "l_orderkey")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        op.select(F.col("p").alias("walk_id"))
+        .distinct()
+        .filter(F.col("walk_id") % 50 == 0)
+        .withColumn("cur", F.col("walk_id"))
+    )
+    out = cur.select(
+        "walk_id", F.lit(0).cast("bigint").alias("pos"),
+        F.col("cur").cast("bigint").alias("node"),
+    )
+    for s in range(1, 5):
+        hop = (
+            cur.join(edges, cur["cur"] == edges["u"])
+            .withColumn(
+                "__hk",
+                shingle_hash60(
+                    F.concat_ws(
+                        "|", "walk_id", F.lit(s), "u", "v"
+                    )
+                ),
+            )
+        )
+        wpick = Window.partitionBy("walk_id").orderBy(
+            F.asc("__hk"), F.asc("v")
+        )
+        cur = (
+            hop.withColumn("__rn", F.row_number().over(wpick))
+            .filter(F.col("__rn") == 1)
+            .select("walk_id", F.col("v").alias("cur"))
+        )
+        out = out.unionByName(
+            cur.select(
+                "walk_id",
+                F.lit(s).cast("bigint").alias("pos"),
+                F.col("cur").cast("bigint").alias("node"),
+            )
+        )
+    return out
+
+
+QUERIES["graph_random_walks"] = q_random_walks
+
+
+def _rw_oracle_sql(steps: int = 4) -> str:
+    def hk(step: int) -> str:
+        return (
+            "CAST('0x' || substr(md5(concat_ws('|', "
+            "CAST(w.walk_id AS VARCHAR), "
+            f"'{step}', "
+            "CAST(w.cur AS VARCHAR), CAST(e.v AS VARCHAR))), 1, 15) "
+            "AS BIGINT)"
+        )
+
+    stages = []
+    for s in range(1, steps + 1):
+        p = s - 1
+        stages.append(
+            f"""rws{s} AS MATERIALIZED (
+  SELECT walk_id, v AS cur FROM (
+    SELECT w.walk_id, e.v,
+      row_number() OVER (PARTITION BY w.walk_id
+        ORDER BY {hk(s)} ASC, e.v ASC) AS rn
+    FROM rws{p} w JOIN rw_e e ON e.u = w.cur)
+  WHERE rn = 1)"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT walk_id, {s} AS pos, cur AS node FROM rws{s}"
+        for s in range(1, steps + 1)
+    )
+    return f"""
+WITH {_COOC_SQL},
+rw_e AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+rws0 AS MATERIALIZED (
+  SELECT p AS walk_id, p AS cur FROM (SELECT DISTINCT p FROM op)
+  WHERE p % 50 = 0),
+{",".join(stages)}
+SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(pos AS BIGINT) AS pos,
+  CAST(node AS BIGINT) AS node
+FROM (SELECT walk_id, 0 AS pos, cur AS node FROM rws0
+UNION ALL {unions})"""
+
+
+ORACLE["graph_random_walks"] = _rw_oracle_sql()

@@ -1254,3 +1254,131 @@ SELECT CAST(bin AS BIGINT) AS bin,
   CAST(sum(s) AS BIGINT) AS id_sum,
   TRUE AS one_file_per_bin
 FROM b GROUP BY 1"""
+
+
+def q_delta_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Delta TRANSACTION-LOG read (S6/S7 read path WITHOUT
+    delta-spark — the public protocol spec implemented on Spark's
+    own JSON + parquet sources; see ``deltalog.py``): a three-commit
+    log (create + append + a compaction commit that REMOVES a file
+    and re-adds its rows as a new file) is replayed last-action-wins
+    and the reconstructed snapshot must equal the source orders
+    table row-for-row — count AND key checksum bound in-plan against
+    the source, so a reader that misses the tombstone (double-reads
+    part-3) or drops the re-add fails the hash."""
+    import json as _json
+    import shutil as _shutil
+
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_demo")
+    if not ready:
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(os.path.join(base, "_delta_log"))
+        orders = _t(spark, sf_dir, "orders")
+
+        def _part(i: int, pred) -> None:
+            tmp = os.path.join(base, f"__tmp{i}")
+            orders.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.replace(
+                os.path.join(tmp, src), os.path.join(base, f"part-{i}.parquet")
+            )
+            _shutil.rmtree(tmp, ignore_errors=True)
+
+        m = F.col("o_orderkey") % 4
+        for i in range(4):
+            _part(i, m == i)
+        _part(4, m == 3)  # the compaction rewrite of part-3's rows
+
+        def _commit(version: int, actions: list[dict]) -> None:
+            name = os.path.join(
+                base, "_delta_log", f"{version:020d}.json"
+            )
+            with open(name, "w") as fh:
+                for a in actions:
+                    fh.write(_json.dumps(a) + "\n")
+
+        def _add(i: int) -> dict:
+            p = f"part-{i}.parquet"
+            return {
+                "add": {
+                    "path": p,
+                    "size": os.path.getsize(os.path.join(base, p)),
+                    "dataChange": True,
+                }
+            }
+
+        _commit(
+            0,
+            [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {
+                    "metaData": {
+                        "id": "cdc-delta-demo",
+                        "format": {"provider": "parquet"},
+                        "schemaString": "{}",
+                    }
+                },
+                _add(0),
+                _add(1),
+                {"commitInfo": {"operation": "CREATE TABLE"}},
+            ],
+        )
+        _commit(1, [_add(2), _add(3), {"commitInfo": {"operation": "WRITE"}}])
+        _commit(
+            2,
+            [
+                {"remove": {"path": "part-3.parquet", "dataChange": False}},
+                _add(4),
+                {"commitInfo": {"operation": "OPTIMIZE"}},
+            ],
+        )
+        _mark(base)
+
+    actions = deltalog.read_log_actions(spark, base)
+    live = deltalog.live_files(actions)
+    snap = deltalog.read_snapshot(spark, base)
+    counts = actions.agg(
+        (F.max("version") + 1).cast("bigint").alias("n_commits"),
+        F.sum(F.col("add").isNotNull().cast("bigint")).alias("n_adds"),
+        F.sum(F.col("remove").isNotNull().cast("bigint")).alias("n_removes"),
+    )
+    nlive = live.agg(F.count("*").cast("bigint").alias("n_live_files"))
+    got = snap.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+    )
+    src = _t(spark, sf_dir, "orders").agg(
+        F.count("*").cast("bigint").alias("__src_n"),
+        F.sum("o_orderkey").cast("bigint").alias("__src_sum"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(nlive))
+        .crossJoin(F.broadcast(got))
+        .crossJoin(F.broadcast(src))
+        .select(
+            "n_commits",
+            "n_adds",
+            "n_removes",
+            "n_live_files",
+            "n_rows",
+            "key_checksum",
+            (
+                (F.col("n_rows") == F.col("__src_n"))
+                & (F.col("key_checksum") == F.col("__src_sum"))
+            ).alias("matches_source"),
+        )
+    )
+
+
+QUERIES["io_delta_log_scan"] = q_delta_log_scan
+
+ORACLE["io_delta_log_scan"] = """
+SELECT CAST(3 AS BIGINT) AS n_commits,
+  CAST(5 AS BIGINT) AS n_adds,
+  CAST(1 AS BIGINT) AS n_removes,
+  CAST(4 AS BIGINT) AS n_live_files,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders) AS key_checksum,
+  TRUE AS matches_source"""

@@ -187,3 +187,73 @@ class TestBitmapDistinct:
         )
         got = chunks.agg(F.sum(F.bit_count("bm"))).first()[0]
         assert got == len(set(ids))
+
+
+class TestDeltaLogReplay:
+    def test_last_action_wins_including_resurrection(self, spark, tmp_path):
+        """Spec rule: replay by version, last action per path wins —
+        a removed file must disappear, and a LATER re-add of the same
+        path must resurrect it."""
+        import json
+
+        from cdc_pipe_line_spark import deltalog
+
+        base = str(tmp_path / "tbl")
+        log = tmp_path / "tbl" / "_delta_log"
+        log.mkdir(parents=True)
+        df = spark.range(10).withColumnRenamed("id", "k")
+        for name, lo in (("a.parquet", 0), ("b.parquet", 5)):
+            tmp = str(tmp_path / "stage")
+            df.filter((F.col("k") >= lo) & (F.col("k") < lo + 5)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            import os as _os
+
+            src = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+            _os.replace(_os.path.join(tmp, src), _os.path.join(base, name))
+
+        def commit(v, actions):
+            with open(log / f"{v:020d}.json", "w") as fh:
+                for a in actions:
+                    fh.write(json.dumps(a) + "\n")
+
+        commit(0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"add": {"path": "a.parquet", "size": 1, "dataChange": True}},
+            {"add": {"path": "b.parquet", "size": 1, "dataChange": True}},
+        ])
+        commit(1, [{"remove": {"path": "b.parquet", "dataChange": True}}])
+        live = {
+            r.path
+            for r in deltalog.live_files(
+                deltalog.read_log_actions(spark, base)
+            ).collect()
+        }
+        assert live == {"a.parquet"}
+        assert deltalog.read_snapshot(spark, base).count() == 5
+        # resurrection: re-add b in a later commit
+        commit(2, [{"add": {"path": "b.parquet", "size": 1, "dataChange": True}}])
+        live2 = {
+            r.path
+            for r in deltalog.live_files(
+                deltalog.read_log_actions(spark, base)
+            ).collect()
+        }
+        assert live2 == {"a.parquet", "b.parquet"}
+        assert deltalog.read_snapshot(spark, base).count() == 10
+
+    def test_empty_live_set_raises(self, spark, tmp_path):
+        import json
+
+        from cdc_pipe_line_spark import deltalog
+
+        log = tmp_path / "t2" / "_delta_log"
+        log.mkdir(parents=True)
+        with open(log / ("0" * 20 + ".json"), "w") as fh:
+            fh.write(json.dumps({"add": {"path": "x.parquet", "size": 1, "dataChange": True}}) + "\n")
+        with open(log / ("0" * 19 + "1.json"), "w") as fh:
+            fh.write(json.dumps({"remove": {"path": "x.parquet", "dataChange": True}}) + "\n")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no live files"):
+            deltalog.read_snapshot(spark, str(log.parent))
