@@ -3129,3 +3129,87 @@ UNION ALL {unions})"""
 
 
 ORACLE["graph_random_walks"] = _rw_oracle_sql()
+
+
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (teleport restarts at the seed set only
+    — the recommendation/seed-expansion twin of the global
+    graph_pagerank_sources) over the part co-occurrence graph from
+    every-100th-part seeds, 3 unrolled iterations, top-20 by rank.
+    Same double-pinning discipline as the global PageRank oracle;
+    seeds score highest by construction and their neighborhoods
+    follow — the oracle replays the seed vector and every
+    iteration."""
+    from pyspark.sql.window import Window
+
+    from cdc_pipe_line_spark.analytics import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = (
+        li.select("l_orderkey", F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        op.alias("x")
+        .join(op.alias("y"), "l_orderkey")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    nodes = op.select(F.col("p").alias("node")).distinct()
+    seeds = nodes.filter(F.col("node") % 100 == 0)
+    pr = personalized_pagerank(edges, seeds, n_iter=3, damping=0.85)
+    top = (
+        pr.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.round("rank", 8).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return top.withColumn(
+        "pos", F.row_number().over(w).cast("bigint")
+    ).withColumn("is_seed", F.col("node") % 100 == 0)
+
+
+QUERIES["graph_personalized_pagerank"] = q_personalized_pagerank
+
+_PPR_STEP = """
+SELECT v.node, v.e,
+  (1 - d) * v.e + d * coalesce(s.inflow, CAST(0.0 AS DOUBLE)) AS rank
+FROM pp_verts v CROSS JOIN params LEFT JOIN (
+  SELECT e2.dst AS node, sum(r.rank / d2.outdeg) AS inflow
+  FROM pp_edges e2 JOIN {prev} r ON e2.src = r.node
+  JOIN pp_deg d2 ON e2.src = d2.src
+  GROUP BY 1) s ON v.node = s.node"""
+
+ORACLE["graph_personalized_pagerank"] = f"""
+WITH {_COOC_SQL},
+params AS (SELECT CAST(0.85 AS DOUBLE) AS d),
+pp_edges AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION ALL SELECT b AS src, a AS dst FROM e),
+pp_nodes AS (SELECT DISTINCT p AS node FROM op),
+pp_deg AS (SELECT src, count(*) AS outdeg FROM pp_edges GROUP BY 1),
+pp_ns AS (SELECT count(*) AS ns FROM pp_nodes WHERE node % 100 = 0),
+pp_verts AS (
+  SELECT node,
+    CASE WHEN node % 100 = 0 THEN CAST(1.0 AS DOUBLE) / ns
+         ELSE CAST(0.0 AS DOUBLE) END AS e
+  FROM pp_nodes CROSS JOIN pp_ns),
+pr0 AS (SELECT node, e, e AS rank FROM pp_verts),
+pr1 AS ({_PPR_STEP.format(prev='pr0')}),
+pr2 AS ({_PPR_STEP.format(prev='pr1')}),
+pr3 AS ({_PPR_STEP.format(prev='pr2')}),
+top AS (
+  SELECT node, round(rank, 8) AS rank FROM pr3
+  ORDER BY round(rank, 8) DESC, node ASC LIMIT 20)
+SELECT CAST(node AS BIGINT) AS node, rank,
+  CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS BIGINT) AS pos,
+  node % 100 = 0 AS is_seed
+FROM top"""

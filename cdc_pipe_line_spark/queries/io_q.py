@@ -1382,3 +1382,85 @@ SELECT CAST(3 AS BIGINT) AS n_commits,
   (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
   (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders) AS key_checksum,
   TRUE AS matches_source"""
+
+
+def q_json_parse_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSON malformed-record MODE MATRIX (S12/S13 hardening —
+    the three production answers to poison messages, contrasted in
+    one verdict row): PERMISSIVE keeps every line and captures the
+    raw bytes of bad ones in ``_corrupt_record`` (counted — Spark
+    requires materializing before filtering on the corrupt column,
+    hence the cache), DROPMALFORMED silently sheds them, FAILFAST
+    kills the job on the first one (asserted by catching the raised
+    error — the mode a replayable upstream wants).  Every 97th
+    staged line is mangled (the reference's poison shape,
+    consumer.py:394)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cdc_pipe_line_spark.queries.streaming_q import (
+        RAW_SCHEMA,
+        _TS_FMT,
+        _stage,
+    )
+
+    base = _stage(spark, sf_dir, "raw_corrupt")
+    path = os.path.join(base, "d0")
+    # StructType.add MUTATES in place — never extend the shared
+    # RAW_SCHEMA; build a fresh struct.
+    schema_c = StructType(
+        list(RAW_SCHEMA.fields)
+        + [StructField("_corrupt_record", StringType(), True)]
+    )
+    perm = (
+        spark.read.schema(schema_c)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", _TS_FMT)
+        .json(path)
+        .cache()
+    )
+    perm_counts = perm.agg(
+        F.count("*").cast("bigint").alias("n_permissive"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("bigint")).alias(
+            "n_corrupt"
+        ),
+    )
+    dropped = (
+        spark.read.schema(RAW_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .option("timestampFormat", _TS_FMT)
+        .json(path)
+        .agg(F.count("*").cast("bigint").alias("n_dropmalformed"))
+    )
+    try:
+        (
+            spark.read.schema(RAW_SCHEMA)
+            .option("mode", "FAILFAST")
+            .option("timestampFormat", _TS_FMT)
+            .json(path)
+            .count()
+        )
+        failfast_raised = False
+    except Exception:
+        failfast_raised = True
+    out = perm_counts.crossJoin(F.broadcast(dropped)).select(
+        "n_permissive",
+        "n_corrupt",
+        "n_dropmalformed",
+        F.lit(failfast_raised).alias("failfast_raised"),
+    )
+    out = out.localCheckpoint(eager=True)
+    perm.unpersist()
+    return out
+
+
+QUERIES["io_json_parse_modes"] = q_json_parse_modes
+
+ORACLE["io_json_parse_modes"] = """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_permissive,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 97 = 0)
+    AS n_corrupt,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 97 != 0)
+    AS n_dropmalformed,
+  TRUE AS failfast_raised"""

@@ -3530,3 +3530,66 @@ SELECT id_a, id_b,
     AS jac_micro
 FROM pf_ver
 WHERE 5 * n_shared >= 4 * (sz_a + sz_b - n_shared)"""
+
+
+def q_chat_template_render(spark, sf_dir):
+    """Chat-template rendering — the conversations -> SFT-corpus prep
+    step (events as turns, users as conversations): per conversation
+    the turns are ordered (event_id), role-tagged, rendered into one
+    ChatML-ish training string, and FINGERPRINTED with md5 so the
+    exact rendered bytes (ordering, separators, role tags) are
+    hash-bound, not just the counts.  One ordered-collect aggregate
+    per conversation (the agg_ordered_listagg discipline — an
+    unordered concat would be nondeterministic across partitions)."""
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "user_id",
+        "event_id",
+        F.concat(
+            F.lit("<|"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("user")).otherwise(
+                F.lit("assistant")
+            ),
+            F.lit("|>"),
+            F.col("event_type"),
+            F.lit(" "),
+            F.col("event_id").cast("string"),
+        ).alias("line"),
+    )
+    return (
+        lines.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("event_id", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("__r"),
+        )
+        .select(
+            "user_id",
+            "n_turns",
+            F.length("__r").cast("bigint").alias("n_chars"),
+            F.md5("__r").alias("fingerprint"),
+        )
+    )
+
+
+QUERIES["llm_chat_template_render"] = q_chat_template_render
+
+ORACLE["llm_chat_template_render"] = """
+WITH lines AS (
+  SELECT user_id, event_id,
+    '<|' || CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+    || '|>' || event_type || ' ' || CAST(event_id AS VARCHAR) AS line
+  FROM events),
+conv AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+    string_agg(line, chr(10) ORDER BY event_id) AS r
+  FROM lines GROUP BY 1)
+SELECT user_id, n_turns,
+  CAST(length(r) AS BIGINT) AS n_chars,
+  md5(r) AS fingerprint
+FROM conv"""
