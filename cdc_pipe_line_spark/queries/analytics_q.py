@@ -3213,3 +3213,72 @@ SELECT CAST(node AS BIGINT) AS node, rank,
   CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS BIGINT) AS pos,
   node % 100 = 0 AS is_seed
 FROM top"""
+
+
+def q_decay_engagement(spark, sf_dir):
+    """Exponential time-decay engagement scoring (the recency-
+    weighted feature every ranking/CRM pipeline computes):
+    ``score(u) = sum(value_i * exp(-0.1 * age_days_i))`` anchored at
+    the corpus max day.  Float discipline: exp sees only products of
+    exact integers with the pinned literal, and the per-user sum is
+    a FIXED-ORDER fold over (ts, event_id) — an unordered SUM of
+    doubles would be partial-aggregation-order nondeterministic and
+    could never hash-match; output rounded with the engine-neutral
+    floor(x*1e4+0.5)/1e4 idiom.
+
+    Scale shape: one ordered-collect aggregate per user (per-user
+    arrays bounded by activity, the ordered-listagg discipline), the
+    anchor is a broadcast 1-row aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    wm = ev.agg(F.max(F.to_date("ts")).alias("__d0"))
+    terms = ev.crossJoin(F.broadcast(wm)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.col("value")
+            * F.exp(
+                F.lit(-0.1)
+                * F.datediff("__d0", F.to_date("ts")).cast("double")
+            )
+        ).alias("__t"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "__t"))
+                    ),
+                    lambda x: x["__t"],
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("__s"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.floor(F.col("__s") * 10000 + F.lit(0.5)) / 10000).alias(
+                "decay_score"
+            ),
+        )
+    )
+
+
+QUERIES["agg_decay_engagement"] = q_decay_engagement
+
+ORACLE["agg_decay_engagement"] = """
+WITH d0 AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events),
+terms AS (
+  SELECT user_id, ts, event_id,
+    value * exp(CAST(-0.1 AS DOUBLE)
+      * CAST(date_diff('day', CAST(ts AS DATE), d0) AS DOUBLE)) AS t
+  FROM events CROSS JOIN d0)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  floor(list_sum(list(t ORDER BY ts, event_id)) * 10000 + 0.5) / 10000
+    AS decay_score
+FROM terms GROUP BY user_id"""

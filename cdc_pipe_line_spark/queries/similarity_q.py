@@ -2620,3 +2620,112 @@ SELECT p.doc_id AS media_id,
   CASE WHEN cut THEN 'tiff: bad magic 43'
        ELSE CAST(NULL AS VARCHAR) END AS decode_err
 FROM p JOIN agg ON agg.doc_id = p.doc_id"""
+
+
+def q_srt_parse(spark, sf_dir):
+    """SubRip (.srt) subtitle PARSING — the caption sidecar every
+    video-corpus pipeline ingests next to the MP4 track (cue index,
+    ``HH:MM:SS,mmm --> HH:MM:SS,mmm`` time range, text payload):
+    genuine SRT bytes are built per document (closed-form cue count,
+    offsets, durations), then parsed back ENTIRELY with engine
+    string operators — block split on blank lines, regexp timestamp
+    extraction, integer millisecond reassembly — no UDF.  The
+    oracle computes the expected per-doc aggregates straight from
+    the closed form, so a parser that drops a cue, misreads the
+    comma-millisecond field, or miscounts multi-word payloads fails
+    the hash.  Malformed every-71st docs carry a corrupted arrow
+    separator and must quarantine (cue count 0 + flag)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 5) + 1).alias("__n"),
+        (F.col("doc_id") % 7).alias("__o"),
+        (F.col("doc_id") % 13).alias("__d"),
+        (F.col("doc_id") % 71 == 0).alias("__bad"),
+    )
+
+    def ts_expr(ms_col):
+        h = (ms_col / 3600000).cast("bigint")
+        m = ((ms_col % 3600000) / 60000).cast("bigint")
+        s = ((ms_col % 60000) / 1000).cast("bigint")
+        ms = (ms_col % 1000).cast("bigint")
+        return F.concat(
+            F.lpad(h.cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(m.cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(s.cast("string"), 2, "0"), F.lit(","),
+            F.lpad(ms.cast("string"), 3, "0"),
+        )
+
+    cue = F.transform(
+        F.sequence(F.lit(0), F.col("__n") - 1),
+        lambda i: F.concat(
+            (i + 1).cast("string"),
+            F.lit("\n"),
+            ts_expr(F.lit(10000) * i + F.col("__o") * 111),
+            F.when(F.col("__bad"), F.lit(" ==> ")).otherwise(
+                F.lit(" --> ")
+            ),
+            ts_expr(
+                F.lit(10000) * i
+                + F.col("__o") * 111
+                + F.lit(900)
+                + F.col("__d") * 37
+            ),
+            F.lit("\n"),
+            F.format_string("line %s cue %s", F.col("doc_id"), i),
+        ),
+    )
+    srt = docs.select(
+        "doc_id", F.array_join(cue, "\n\n").alias("payload")
+    )
+    # ---- the parser: engine string ops only ----
+    blocks = srt.select(
+        "doc_id", F.explode(F.split("payload", "\n\n")).alias("b")
+    )
+    ts_re = r"(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})"
+
+    def ms(prefix_group):
+        g = prefix_group
+        return (
+            F.regexp_extract("b", ts_re, g).cast("bigint") * 3600000
+            + F.regexp_extract("b", ts_re, g + 1).cast("bigint") * 60000
+            + F.regexp_extract("b", ts_re, g + 2).cast("bigint") * 1000
+            + F.regexp_extract("b", ts_re, g + 3).cast("bigint")
+        )
+
+    parsed = blocks.select(
+        "doc_id",
+        F.when(F.regexp_extract("b", ts_re, 1) != "", ms(1)).alias("__s"),
+        F.when(F.regexp_extract("b", ts_re, 1) != "", ms(5)).alias("__e"),
+        F.element_at(F.split("b", "\n"), 3).alias("__txt"),
+    )
+    return parsed.groupBy("doc_id").agg(
+        F.sum(F.col("__s").isNotNull().cast("bigint")).alias("n_cues"),
+        F.coalesce(
+            F.sum(F.col("__e") - F.col("__s")), F.lit(0)
+        ).cast("bigint").alias("total_ms"),
+        F.sum(
+            F.when(
+                F.col("__s").isNotNull(),
+                F.size(F.split(F.col("__txt"), " ")),
+            ).otherwise(0)
+        ).cast("bigint").alias("n_words"),
+        (F.sum(F.col("__s").isNull().cast("bigint")) > 0).alias("malformed"),
+    )
+
+
+QUERIES["mm_srt_parse"] = q_srt_parse
+
+ORACLE["mm_srt_parse"] = """
+WITH p AS (
+  SELECT doc_id,
+    (doc_id % 5) + 1 AS n,
+    doc_id % 71 = 0 AS bad,
+    (doc_id % 13) AS d
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN bad THEN 0 ELSE CAST(n AS BIGINT) END AS n_cues,
+  CASE WHEN bad THEN 0
+       ELSE CAST(n * (900 + d * 37) AS BIGINT) END AS total_ms,
+  CASE WHEN bad THEN 0 ELSE CAST(4 * n AS BIGINT) END AS n_words,
+  bad AS malformed
+FROM p"""

@@ -2066,3 +2066,125 @@ SELECT event_type, method, mae_micro,
   row_number() OVER (PARTITION BY event_type
     ORDER BY mae_micro ASC, method ASC) = 1 AS best
 FROM melted"""
+
+
+def q_burst_kleinberg(spark, sf_dir):
+    """Kleinberg-style 2-state burst detection (Kleinberg, KDD 2002)
+    on per-type daily counts — the online FILTERING variant: states
+    are base rate ``r0 = total/n`` and burst rate ``r1 = 2*r0``,
+    per-day cost ``r - y*ln(r)`` (the Poisson NLL with the
+    state-independent ``ln y!`` dropped), burst-entry toll
+    ``gamma = ln n``, and the day's label is the cheaper cumulative
+    state so far (ties -> base).  No backtracking pass: the label is
+    the causal estimate a monitoring system can act on at day t —
+    documented as the filtering (not smoothing) variant.
+
+    Float discipline: every ln sees a pinned exact ratio, the DP is
+    ONE sequential fold in a fixed order (identical double ops both
+    engines — the Holt recursive-CTE pattern), margins rounded with
+    the engine-neutral floor idiom.  Scale shape: one daily
+    aggregate, then a per-type fold over the calendar-bounded
+    series."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("y"))
+    g = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.col("y").cast("bigint").alias("y"),
+                )
+            )
+        ).alias("arr"),
+        F.count("*").alias("n"),
+        F.sum("y").alias("total"),
+    ).select(
+        "event_type",
+        "arr",
+        (F.col("total").cast("double") / F.col("n").cast("double")).alias(
+            "r0"
+        ),
+        F.log(F.col("n").cast("double")).alias("gamma"),
+    ).withColumn("r1", F.lit(2.0) * F.col("r0"))
+
+    def cost(y, r):
+        return r - y * F.log(r)
+
+    acc0 = F.struct(
+        F.lit(None).cast("double").alias("c0"),
+        F.lit(None).cast("double").alias("c1"),
+        F.expr(
+            "CAST(array() AS "
+            "array<struct<day:string,y:bigint,burst:boolean,margin:double>>)"
+        ).alias("out"),
+    )
+
+    def step(acc, el):
+        y = el["y"].cast("double")
+        first = acc["c0"].isNull()
+        r0, r1, gamma = F.col("r0"), F.col("r1"), F.col("gamma")
+        c0n = F.when(first, cost(y, r0)).otherwise(
+            cost(y, r0) + F.least(acc["c0"], acc["c1"])
+        )
+        c1n = F.when(first, cost(y, r1) + gamma).otherwise(
+            cost(y, r1) + F.least(acc["c0"] + gamma, acc["c1"])
+        )
+        entry = F.struct(
+            el["day"].alias("day"),
+            el["y"].alias("y"),
+            (c1n < c0n).alias("burst"),
+            (F.floor((c0n - c1n) * 10000 + F.lit(0.5)) / 10000).alias(
+                "margin"
+            ),
+        )
+        return F.struct(
+            c0n.alias("c0"),
+            c1n.alias("c1"),
+            F.concat(acc["out"], F.array(entry)).alias("out"),
+        )
+
+    folded = g.select(
+        "event_type", F.aggregate("arr", acc0, step)["out"].alias("out")
+    )
+    return folded.select(
+        "event_type", F.explode("out").alias("o")
+    ).select(
+        "event_type",
+        F.col("o.day").alias("day"),
+        F.col("o.y").alias("y"),
+        F.col("o.burst").alias("burst"),
+        F.col("o.margin").alias("margin"),
+    )
+
+
+QUERIES["ts_burst_kleinberg"] = q_burst_kleinberg
+
+ORACLE["ts_burst_kleinberg"] = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2),
+g AS (
+  SELECT event_type,
+    list(strftime(day, '%Y-%m-%d') ORDER BY day) AS ds,
+    list(CAST(y AS BIGINT) ORDER BY day) AS ys,
+    count(*) AS n,
+    CAST(sum(y) AS DOUBLE) / count(*) AS r0,
+    ln(CAST(count(*) AS DOUBLE)) AS gamma
+  FROM daily GROUP BY event_type),
+seq AS (
+  SELECT event_type, ds, ys, n, r0, gamma, 1 AS i,
+    r0 - CAST(ys[1] AS DOUBLE) * ln(r0) AS c0,
+    (2 * r0) - CAST(ys[1] AS DOUBLE) * ln(2 * r0) + gamma AS c1
+  FROM g
+  UNION ALL
+  SELECT event_type, ds, ys, n, r0, gamma, i + 1,
+    (r0 - CAST(ys[i + 1] AS DOUBLE) * ln(r0)) + least(c0, c1),
+    ((2 * r0) - CAST(ys[i + 1] AS DOUBLE) * ln(2 * r0))
+      + least(c0 + gamma, c1)
+  FROM seq WHERE i < n)
+SELECT event_type, ds[i] AS day, ys[i] AS y,
+  c1 < c0 AS burst,
+  floor((c0 - c1) * 10000 + 0.5) / 10000 AS margin
+FROM seq"""
