@@ -148,8 +148,18 @@ def global_row_number(
     single-partition sort — the shape that survives a 100 TB corpus.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    keyed = df.repartitionByRange(n, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # The ranged frame feeds BOTH the local-rank branch and the census
+    # branch; left unpinned, each branch instantiates its own
+    # repartitionByRange job, and RangePartitioner's reservoir-sample
+    # seed derives from the RDD id — two jobs, two seeds, boundaries a
+    # few keys apart, so census offsets no longer match the pids the
+    # local ranks were computed under (duplicate/skipped global ranks;
+    # observed live on a 2550-row diff frame).  localCheckpoint pins
+    # ONE set of boundaries and partition ids for both branches.
+    keyed = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local = keyed.withColumn(
         "__lrn",

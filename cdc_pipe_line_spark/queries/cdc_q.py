@@ -872,3 +872,202 @@ SELECT
   CAST(0 AS BIGINT) AS n_extra,
   TRUE AS reconciled
 FROM c"""
+
+
+def q_incremental_snapshot(spark, sf_dir):
+    """DBLog-style CHUNKED INCREMENTAL SNAPSHOT (Andreakis & 
+    Papapanagiotou 2019; the Debezium incremental-snapshot algorithm):
+    backfill a table in key chunks WHILE a change stream flows,
+    merging per the protocol's watermark rule — a change landing
+    BEFORE its key's chunk is read is superseded by the chunk read
+    (the capture already sees it), a change landing AFTER is applied
+    on top.  Simulated deterministically: the diff events arrive in
+    key order, chunk i (keys ``k % 4 == i``) is captured after
+    ``(S*i) div 4`` changes, captures rebuild typed rows from the
+    string payload maps (the CDCEvent wire format), and the final
+    merged table is reconciled against the true v2 snapshot with a
+    null-safe full-outer compare — the protocol's exactly-once
+    claim, measured not assumed.
+
+    Scale shape: the diff is computed once and checkpoint-pinned;
+    chunk membership and cutoffs are arithmetic on the key (no
+    per-chunk jobs); capture/apply are anti-joins + map-projection
+    unions; reconcile is ONE full-outer SMJ.  Telemetry rows are
+    per-chunk aggregates."""
+    from cdc_pipe_line_spark.functions import global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    v1 = fixtures.orders_snapshot_v1(orders)
+    v2 = fixtures.orders_snapshot_v2(orders)
+    d = cdc_diff.snapshot_diff(v2, v1, "o_orderkey").localCheckpoint(
+        eager=True
+    )
+    ch = d.select(
+        "event_type",
+        "new_values",
+        F.col("key_value").cast("bigint").alias("kv"),
+    )
+    ch = global_row_number(ch, ["kv"], out_col="seq")
+    stot = ch.agg(F.count("*").alias("__S"))
+    ch = (
+        ch.crossJoin(F.broadcast(stot))
+        .withColumn("chunk", F.col("kv") % 4)
+        .withColumn("cutoff", F.expr("(__S * chunk) div 4"))
+        .withColumn("pre", F.col("seq") <= F.col("cutoff"))
+        .localCheckpoint(eager=True)
+    )
+
+    types = {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    }
+
+    def rebuild(events):
+        return events.select(
+            *[F.col("new_values")[c].cast(t).alias(c) for c, t in types.items()]
+        )
+
+    v1k = v1.withColumn("kv", F.col("o_orderkey"))
+    pre = ch.filter(F.col("pre"))
+    capture = (
+        v1k.join(pre.select("kv"), "kv", "left_anti")
+        .drop("kv")
+        .unionByName(rebuild(pre.filter(F.col("event_type") != "delete")))
+        .withColumn("kv", F.col("o_orderkey"))
+        .localCheckpoint(eager=True)
+    )
+    post = ch.filter(~F.col("pre"))
+    final = (
+        capture.join(post.select("kv"), "kv", "left_anti")
+        .drop("kv")
+        .unionByName(rebuild(post.filter(F.col("event_type") != "delete")))
+        .localCheckpoint(eager=True)
+    )
+
+    a = final.alias("a")
+    b = v2.alias("b")
+    cols = list(types)
+    any_diff = F.lit(False)
+    for c in cols:
+        any_diff = any_diff | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    recon = (
+        a.join(
+            b,
+            F.col("a.o_orderkey").eqNullSafe(F.col("b.o_orderkey")),
+            "full_outer",
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("a.o_orderkey").isNotNull()
+                    & F.col("b.o_orderkey").isNotNull()
+                    & any_diff
+                ).cast("bigint")
+            ).alias("__mis"),
+            F.sum(F.col("a.o_orderkey").isNull().cast("bigint")).alias(
+                "__missing"
+            ),
+            F.sum(F.col("b.o_orderkey").isNull().cast("bigint")).alias(
+                "__extra"
+            ),
+        )
+        .crossJoin(
+            F.broadcast(
+                final.agg(
+                    F.count("*").cast("bigint").alias("n_final_total"),
+                    F.sum("o_orderkey").cast("bigint").alias(
+                        "final_checksum"
+                    ),
+                )
+            )
+        )
+        .select(
+            "n_final_total",
+            "final_checksum",
+            (
+                (F.col("__mis") == 0)
+                & (F.col("__missing") == 0)
+                & (F.col("__extra") == 0)
+            ).alias("reconciled"),
+        )
+    )
+
+    per_chunk = (
+        v1k.groupBy((F.col("kv") % 4).alias("chunk"))
+        .agg(F.count("*").cast("bigint").alias("n_keys_v1"))
+        .join(
+            ch.groupBy("chunk").agg(
+                F.max("cutoff").cast("bigint").alias("cutoff_seq"),
+                F.sum(F.col("pre").cast("bigint")).alias("n_pre_superseded"),
+                F.sum((~F.col("pre")).cast("bigint")).alias(
+                    "n_post_applied"
+                ),
+            ),
+            "chunk",
+            "left",
+        )
+        .join(
+            capture.groupBy((F.col("kv") % 4).alias("chunk")).agg(
+                F.count("*").cast("bigint").alias("n_captured")
+            ),
+            "chunk",
+            "left",
+        )
+    )
+    return per_chunk.crossJoin(F.broadcast(recon)).select(
+        F.col("chunk").cast("bigint").alias("chunk"),
+        "cutoff_seq",
+        "n_keys_v1",
+        "n_captured",
+        "n_pre_superseded",
+        "n_post_applied",
+        "n_final_total",
+        "final_checksum",
+        "reconciled",
+    )
+
+
+QUERIES["cdc_incremental_snapshot"] = q_incremental_snapshot
+
+ORACLE["cdc_incremental_snapshot"] = _DIFF_CTE + """
+, chg AS (
+  SELECT event_type, CAST(key_value AS BIGINT) AS kv,
+    row_number() OVER (ORDER BY CAST(key_value AS BIGINT)) AS seq
+  FROM j WHERE event_type IS NOT NULL),
+stot AS (SELECT count(*) AS S FROM chg),
+chc AS (
+  SELECT chg.*, kv % 4 AS chunk, (S * (kv % 4)) // 4 AS cutoff,
+    seq <= (S * (kv % 4)) // 4 AS pre
+  FROM chg CROSS JOIN stot),
+v1k AS (SELECT o_orderkey AS kv FROM v1),
+per AS (
+  SELECT v.chunk, v.n_keys_v1,
+    c.cutoff_seq, c.n_pre_superseded, c.n_post_applied
+  FROM (SELECT kv % 4 AS chunk, CAST(count(*) AS BIGINT) AS n_keys_v1
+        FROM v1k GROUP BY 1) v
+  LEFT JOIN (
+    SELECT chunk, CAST(max(cutoff) AS BIGINT) AS cutoff_seq,
+      CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pre_superseded,
+      CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_post_applied
+    FROM chc GROUP BY 1) c USING (chunk)),
+cap AS (
+  SELECT per.chunk, per.n_keys_v1
+    - COALESCE((SELECT CAST(count(*) AS BIGINT) FROM chc
+        WHERE chc.chunk = per.chunk AND pre
+          AND event_type IN ('update', 'delete')), 0)
+    + COALESCE((SELECT CAST(count(*) AS BIGINT) FROM chc
+        WHERE chc.chunk = per.chunk AND pre
+          AND event_type IN ('insert', 'update')), 0) AS n_captured
+  FROM per)
+SELECT per.chunk, per.cutoff_seq, per.n_keys_v1, cap.n_captured,
+  per.n_pre_superseded, per.n_post_applied,
+  (SELECT CAST(count(*) AS BIGINT) FROM v2) AS n_final_total,
+  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM v2) AS final_checksum,
+  TRUE AS reconciled
+FROM per JOIN cap USING (chunk)"""

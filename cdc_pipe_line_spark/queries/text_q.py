@@ -3593,3 +3593,82 @@ SELECT user_id, n_turns,
   CAST(length(r) AS BIGINT) AS n_chars,
   md5(r) AS fingerprint
 FROM conv"""
+
+
+def q_preference_pairs(spark, sf_dir):
+    """DPO/RLHF preference-pair construction — the post-training
+    dataset prep step downstream of the SFT render: per conversation
+    (user), the CHOSEN response is the highest-value purchase-or-
+    signup event and the REJECTED is the lowest-value error-or-click
+    event, both picked deterministically with a total (value desc/
+    asc, event_id) ordering inside ONE min_by/max_by aggregate (no
+    window sort), rendered into the chat-template line format and
+    md5-fingerprinted so the pair BYTES are hash-bound.  Users
+    lacking either side are excluded (a pair needs both poles).
+
+    Scale shape: one hash-aggregate over events; the struct-ordered
+    min_by/max_by is the same single-pass idiom the OHLC bars use."""
+    ev = _t(spark, sf_dir, "events")
+    good = F.col("event_type").isin("purchase", "signup")
+    bad = F.col("event_type").isin("error", "click")
+    agg = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                good,
+                F.struct(
+                    F.col("value").alias("v"), F.col("event_id").alias("e")
+                ),
+            )
+        ).alias("__c"),
+        F.min(
+            F.when(
+                bad,
+                F.struct(
+                    F.col("value").alias("v"), F.col("event_id").alias("e")
+                ),
+            )
+        ).alias("__r"),
+        F.sum(good.cast("bigint")).alias("n_good"),
+        F.sum(bad.cast("bigint")).alias("n_bad"),
+    )
+    paired = agg.filter(
+        F.col("__c").isNotNull() & F.col("__r").isNotNull()
+    )
+    line = lambda s: F.concat(
+        F.lit("<|assistant|>event "),
+        s["e"].cast("string"),
+    )
+    return paired.select(
+        "user_id",
+        "n_good",
+        "n_bad",
+        F.col("__c")["e"].alias("chosen_event_id"),
+        F.col("__r")["e"].alias("rejected_event_id"),
+        F.md5(
+            F.concat(line(F.col("__c")), F.lit("\x1f"), line(F.col("__r")))
+        ).alias("pair_fingerprint"),
+    )
+
+
+QUERIES["llm_preference_pairs"] = q_preference_pairs
+
+ORACLE["llm_preference_pairs"] = """
+WITH agg AS (
+  SELECT user_id,
+    max(CASE WHEN event_type IN ('purchase', 'signup')
+      THEN {'v': value, 'event_id': event_id} END) AS c,
+    min(CASE WHEN event_type IN ('error', 'click')
+      THEN {'v': value, 'event_id': event_id} END) AS r,
+    CAST(sum(CASE WHEN event_type IN ('purchase', 'signup')
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+    CAST(sum(CASE WHEN event_type IN ('error', 'click')
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+  FROM events GROUP BY user_id)
+SELECT user_id, n_good, n_bad,
+  c.event_id AS chosen_event_id,
+  r.event_id AS rejected_event_id,
+  md5('<|assistant|>event ' || CAST(c.event_id AS VARCHAR)
+    || chr(31) || '<|assistant|>event ' || CAST(r.event_id AS VARCHAR))
+    AS pair_fingerprint
+FROM agg
+WHERE c IS NOT NULL AND r IS NOT NULL"""

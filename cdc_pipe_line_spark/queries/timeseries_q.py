@@ -2188,3 +2188,103 @@ SELECT event_type, ds[i] AS day, ys[i] AS y,
   c1 < c0 AS burst,
   floor((c0 - c1) * 10000 + 0.5) / 10000 AS margin
 FROM seq"""
+
+
+def q_haar_dwt(spark, sf_dir):
+    """Unnormalized integer Haar wavelet transform (2 levels) of
+    per-type daily counts — the multiresolution decomposition used
+    for compressed telemetry and change localization (a burst shows
+    up as a large detail coefficient at its scale).  Unnormalized
+    ``a = x1 + x2, d = x1 - x2`` keeps every coefficient an EXACT
+    integer (the sqrt(2) normalization is a display constant);
+    odd-length tails carry the unpaired value up as-is, flagged.
+
+    Scale shape: one daily aggregate, then per-type windows over the
+    calendar-bounded series; output is coefficient rows per (type,
+    level, position)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    s0 = daily.withColumn("i", F.row_number().over(w) - 1).select(
+        "event_type", "i", F.col("y").cast("bigint").alias("v")
+    )
+
+    def level(src, lvl):
+        wl = Window.partitionBy("event_type").orderBy("i")
+        nxt = src.withColumn("__nv", F.lead("v").over(wl))
+        pairs = nxt.filter(F.col("i") % 2 == 0).select(
+            "event_type",
+            (F.col("i") / 2).cast("bigint").alias("k"),
+            F.col("v").alias("x1"),
+            F.col("__nv").alias("x2"),
+        )
+        approx = pairs.select(
+            "event_type",
+            F.col("k").alias("i"),
+            F.coalesce(F.col("x1") + F.col("x2"), F.col("x1")).alias("v"),
+        )
+        detail = pairs.select(
+            "event_type",
+            F.lit(lvl).cast("bigint").alias("level"),
+            F.col("k").alias("k"),
+            F.lit("detail").alias("kind"),
+            (F.col("x1") - F.coalesce(F.col("x2"), F.col("x1"))).alias(
+                "coef"
+            ),
+            F.col("x2").isNull().alias("odd_tail"),
+        )
+        return approx, detail
+
+    a1, d1 = level(s0, 1)
+    a2, d2 = level(a1, 2)
+    approx_rows = a2.select(
+        "event_type",
+        F.lit(2).cast("bigint").alias("level"),
+        F.col("i").alias("k"),
+        F.lit("approx").alias("kind"),
+        F.col("v").alias("coef"),
+        F.lit(False).alias("odd_tail"),
+    )
+    return d1.unionByName(d2).unionByName(approx_rows)
+
+
+QUERIES["ts_haar_dwt"] = q_haar_dwt
+
+ORACLE["ts_haar_dwt"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2),
+s0 AS (
+  SELECT event_type,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i,
+    CAST(y AS BIGINT) AS v
+  FROM daily),
+p1 AS (
+  SELECT event_type, i // 2 AS k, v AS x1,
+    lead(v) OVER (PARTITION BY event_type ORDER BY i) AS x2
+  FROM s0 QUALIFY i % 2 = 0),
+a1 AS (
+  SELECT event_type, k AS i, COALESCE(x1 + x2, x1) AS v FROM p1),
+d1 AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS level, k, 'detail' AS kind,
+    x1 - COALESCE(x2, x1) AS coef, x2 IS NULL AS odd_tail
+  FROM p1),
+p2 AS (
+  SELECT event_type, i // 2 AS k, v AS x1,
+    lead(v) OVER (PARTITION BY event_type ORDER BY i) AS x2
+  FROM a1 QUALIFY i % 2 = 0),
+a2 AS (
+  SELECT event_type, k AS i, COALESCE(x1 + x2, x1) AS v FROM p2),
+d2 AS (
+  SELECT event_type, CAST(2 AS BIGINT) AS level, k, 'detail' AS kind,
+    x1 - COALESCE(x2, x1) AS coef, x2 IS NULL AS odd_tail
+  FROM p2)
+SELECT event_type, level, CAST(k AS BIGINT) AS k, kind,
+  CAST(coef AS BIGINT) AS coef, odd_tail
+FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+  UNION ALL
+  SELECT event_type, CAST(2 AS BIGINT), i, 'approx', v, FALSE FROM a2)"""

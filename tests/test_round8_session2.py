@@ -257,3 +257,25 @@ class TestDeltaLogReplay:
 
         with _pytest.raises(ValueError, match="no live files"):
             deltalog.read_snapshot(spark, str(log.parent))
+
+
+class TestGlobalRowNumberDeterminism:
+    def test_ranks_are_exact_permutation_on_multi_partition_input(self, spark):
+        """Regression: the ranged frame feeds both the local-rank and
+        census branches; unpinned, each branch re-samples range
+        boundaries under a different RDD-id-derived seed and offsets
+        drift off the pids (duplicate/skipped ranks — observed live
+        on a 2550-row diff frame).  The localCheckpoint inside
+        global_row_number must keep ranks an exact permutation."""
+        from cdc_pipe_line_spark.functions import global_row_number
+
+        df = (
+            spark.range(0, 5000)
+            .repartition(16)
+            .select((F.col("id") * 7919 % 5000).alias("k"))
+            .distinct()
+        )
+        ranked = global_row_number(df, ["k"], out_col="rn")
+        rows = {r.k: r.rn for r in ranked.collect()}
+        ks = sorted(rows)
+        assert [rows[k] for k in ks] == list(range(1, len(ks) + 1))
