@@ -3282,3 +3282,85 @@ SELECT user_id,
   floor(list_sum(list(t ORDER BY ts, event_id)) * 10000 + 0.5) / 10000
     AS decay_score
 FROM terms GROUP BY user_id"""
+
+
+def q_delta_contribution(spark, sf_dir):
+    """Metric DELTA-CONTRIBUTION analysis (the root-cause
+    decomposition behind every "why did revenue move" dashboard):
+    split the window into first-half vs second-half 15-day periods,
+    decompose the total value delta by event type in EXACT integer
+    cents (the revenue-cents idiom), and rank each type's share of
+    the move — share as an exact micro-ratio of the total delta,
+    NULL when the total delta is zero (division guard identical in
+    both engines).  One aggregate over the fact, one 5-row ranking
+    window."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("__d0"))
+    cents = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+    per = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "event_type",
+            F.when(
+                F.datediff(F.to_date("ts"), F.col("__d0")) <= 14, F.lit("p1")
+            )
+            .otherwise(F.lit("p2"))
+            .alias("period"),
+            cents.alias("__c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("period") == "p1", F.col("__c")).otherwise(0))
+            .cast("bigint")
+            .alias("cents_p1"),
+            F.sum(F.when(F.col("period") == "p2", F.col("__c")).otherwise(0))
+            .cast("bigint")
+            .alias("cents_p2"),
+        )
+        .withColumn("delta_cents", F.col("cents_p2") - F.col("cents_p1"))
+    )
+    tot = per.agg(F.sum("delta_cents").alias("__tot"))
+    w = Window.orderBy(
+        F.abs(F.col("delta_cents")).desc(), F.asc("event_type")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "cents_p1",
+            "cents_p2",
+            "delta_cents",
+            F.when(
+                F.col("__tot") != 0,
+                F.expr("(1000000 * delta_cents) div __tot"),
+            ).alias("share_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
+QUERIES["agg_delta_contribution"] = q_delta_contribution
+
+ORACLE["agg_delta_contribution"] = """
+WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+per AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) <= 14
+      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS cents_p1,
+    CAST(sum(CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) > 14
+      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS cents_p2
+  FROM events CROSS JOIN d0 GROUP BY 1),
+pd AS (
+  SELECT *, cents_p2 - cents_p1 AS delta_cents FROM per),
+tot AS (SELECT sum(delta_cents) AS t FROM pd)
+SELECT event_type, cents_p1, cents_p2,
+  CAST(delta_cents AS BIGINT) AS delta_cents,
+  CASE WHEN t != 0
+    THEN CAST((1000000 * delta_cents) // t AS BIGINT) END AS share_micro,
+  CAST(row_number() OVER (ORDER BY abs(delta_cents) DESC, event_type ASC)
+    AS BIGINT) AS rank
+FROM pd CROSS JOIN tot"""

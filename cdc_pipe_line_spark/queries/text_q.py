@@ -3672,3 +3672,257 @@ SELECT user_id, n_good, n_bad,
     AS pair_fingerprint
 FROM agg
 WHERE c IS NOT NULL AND r IS NOT NULL"""
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML main-content extraction (the trafilatura-lite step every
+    web corpus runs before text filters): genuine HTML is built per
+    document (title, a <script> boilerplate block that must vanish
+    CONTENT AND ALL, the body text, a per-doc number of <a> anchors),
+    then parsed back with ENGINE REGEXP ONLY — script-block removal
+    with a dotall pattern, href extraction via regexp_extract_all,
+    tag->space stripping, whitespace collapse.  The oracle
+    reconstructs the same HTML and the EXPECTED visible text string
+    closed-form, so the hash binds the parser's exact output length,
+    link count, first href, and title — a parser that leaks script
+    content or eats a word boundary fails."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("__t"),
+        ((F.col("doc_id") % 3) + 1).alias("__k"),
+    )
+    anchors = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("__k") - 1),
+            lambda i: F.concat(
+                F.lit('<a href="http://ex.com/'),
+                F.col("source"),
+                F.lit("/"),
+                F.col("doc_id").cast("string"),
+                F.lit("-"),
+                i.cast("string"),
+                F.lit('">ref '),
+                i.cast("string"),
+                F.lit("</a>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x = "),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></head><body><p>"),
+        F.col("__t"),
+        F.lit("</p>"),
+        anchors,
+        F.lit("</body></html>"),
+    )
+    page = docs.select("doc_id", html.alias("html"))
+    noscript = F.regexp_replace(
+        "html", r"(?s)<script.*?</script>", " "
+    )
+    visible = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(noscript, r"<[^>]+>", " "), r"\s+", " "
+        )
+    )
+    return page.select(
+        "doc_id",
+        F.length("html").cast("bigint").alias("html_len"),
+        F.length(visible).cast("bigint").alias("text_len"),
+        F.expr(
+            "(1000000 * (CAST(length(html) AS BIGINT) - "
+            "CAST(length(trim(regexp_replace(regexp_replace("
+            "regexp_replace(html, '(?s)<script.*?</script>', ' '), "
+            "'<[^>]+>', ' '), '\\\\s+', ' '))) AS BIGINT))) "
+            "div CAST(length(html) AS BIGINT)"
+        ).alias("markup_micro"),
+        F.size(F.regexp_extract_all("html", F.lit(r'href="([^"]+)"'), 1))
+        .cast("bigint")
+        .alias("n_links"),
+        F.element_at(
+            F.regexp_extract_all("html", F.lit(r'href="([^"]+)"'), 1), 1
+        ).alias("first_href"),
+        F.regexp_extract("html", r"<title>(.*?)</title>", 1).alias("title"),
+    )
+
+
+QUERIES["text_html_extract"] = q_html_extract
+
+ORACLE["text_html_extract"] = """
+WITH d AS (
+  SELECT doc_id, source,
+    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t,
+    (doc_id % 3) + 1 AS k
+  FROM documents),
+built AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><script>var x = ' || CAST(doc_id AS VARCHAR)
+    || ';</script></head><body><p>' || t || '</p>'
+    || array_to_string(list_transform(range(0, k),
+         i -> '<a href="http://ex.com/' || source || '/'
+           || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+           || '">ref ' || CAST(i AS VARCHAR) || '</a>'), '')
+    || '</body></html>' AS html,
+    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || t || ' '
+    || array_to_string(list_transform(range(0, k),
+         i -> 'ref ' || CAST(i AS VARCHAR)), ' ') AS visible,
+    'http://ex.com/' || source || '/' || CAST(doc_id AS VARCHAR) || '-0'
+      AS href0,
+    k
+  FROM d)
+SELECT doc_id,
+  CAST(length(html) AS BIGINT) AS html_len,
+  CAST(length(visible) AS BIGINT) AS text_len,
+  CAST((1000000 * (length(html) - length(visible))) // length(html)
+    AS BIGINT) AS markup_micro,
+  CAST(k AS BIGINT) AS n_links,
+  href0 AS first_href,
+  'Doc ' || CAST(doc_id AS VARCHAR) AS title
+FROM built"""
+
+
+def q_robots_compliance(spark, sf_dir):
+    """robots.txt COMPLIANCE evaluation (the Robots Exclusion
+    Protocol gate every crawl corpus must apply, RFC 9309): per
+    source a genuine robots.txt is built — a ``*`` group with
+    Disallow/Allow/Crawl-delay lines AND a decoy ``badbot`` group
+    with ``Disallow: /`` — then PARSED with engine ops only (line
+    split, directive regexp, running last-seen user-agent for group
+    scoping) and every document URL is evaluated under the
+    longest-prefix-match rule with allow winning ties (the Google
+    REP semantics).  The decoy group binds scoping (leaking its
+    ``Disallow: /`` flips every verdict); ``/private/ok`` vs
+    ``/private`` binds longest-match; the oracle states the expected
+    verdict per URL class closed-form.
+
+    Scale shape: robots parse is per-SOURCE (vocabulary-sized); the
+    URL join is one broadcast-ready rules table against the
+    documents; verdict is one max-of-struct aggregate per URL."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("CAST(substring(source, 4) AS INT)").alias("__n"),
+    )
+    urls = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("/private/x"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("/private/ok/y"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("/tmp"),
+                F.col("__n").cast("string"),
+                F.lit("/z"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("/public/w"), F.col("doc_id").cast("string"))
+        )
+        .alias("path"),
+    )
+    robots = docs.select("source", "__n").distinct().select(
+        "source",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\nDisallow: /tmp"),
+            F.col("__n").cast("string"),
+            F.lit("\nAllow: /private/ok\nCrawl-delay: "),
+            (1 + F.col("__n") % 5).cast("string"),
+            F.lit("\nUser-agent: badbot\nDisallow: /"),
+        ).alias("txt"),
+    )
+    lines = robots.select(
+        "source", F.posexplode(F.split("txt", "\n")).alias("pos", "line")
+    ).select(
+        "source",
+        "pos",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+):", 1)).alias("dir"),
+        F.trim(F.regexp_extract("line", r":(.*)$", 1)).alias("val"),
+    )
+    wg = (
+        Window.partitionBy("source")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scoped = lines.withColumn(
+        "agent",
+        F.last(
+            F.when(F.col("dir") == "user-agent", F.col("val")), True
+        ).over(wg),
+    ).filter(F.col("agent") == "*")
+    rules = scoped.filter(F.col("dir").isin("allow", "disallow")).select(
+        "source",
+        F.col("val").alias("prefix"),
+        (F.col("dir") == "allow").alias("is_allow"),
+        F.length("val").alias("plen"),
+    )
+    delays = scoped.filter(F.col("dir") == "crawl-delay").groupBy(
+        "source"
+    ).agg(F.max(F.col("val").cast("bigint")).alias("crawl_delay"))
+    matched = (
+        urls.join(F.broadcast(rules), "source")
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("plen").alias("plen"),
+                    F.col("is_allow").alias("is_allow"),
+                    F.col("prefix").alias("prefix"),
+                )
+            ).alias("__best")
+        )
+    )
+    return (
+        urls.join(matched, "doc_id", "left")
+        .join(F.broadcast(delays), "source")
+        .select(
+            "doc_id",
+            "source",
+            "path",
+            F.coalesce(F.col("__best.is_allow"), F.lit(True)).alias(
+                "allowed"
+            ),
+            F.col("__best.prefix").alias("matched_rule"),
+            "crawl_delay",
+        )
+    )
+
+
+QUERIES["text_robots_compliance"] = q_robots_compliance
+
+ORACLE["text_robots_compliance"] = """
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(substr(source, 4) AS INT) AS n
+  FROM documents)
+SELECT doc_id, source,
+  CASE doc_id % 4
+    WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN '/private/ok/y' || CAST(doc_id AS VARCHAR)
+    WHEN 2 THEN '/tmp' || CAST(n AS VARCHAR) || '/z'
+      || CAST(doc_id AS VARCHAR)
+    ELSE '/public/w' || CAST(doc_id AS VARCHAR) END AS path,
+  CASE doc_id % 4 WHEN 0 THEN FALSE WHEN 1 THEN TRUE
+    WHEN 2 THEN FALSE ELSE TRUE END AS allowed,
+  CASE doc_id % 4
+    WHEN 0 THEN '/private'
+    WHEN 1 THEN '/private/ok'
+    WHEN 2 THEN '/tmp' || CAST(n AS VARCHAR)
+    ELSE CAST(NULL AS VARCHAR) END AS matched_rule,
+  CAST(1 + n % 5 AS BIGINT) AS crawl_delay
+FROM d"""
