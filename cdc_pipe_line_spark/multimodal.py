@@ -2875,3 +2875,123 @@ def tiff_gray_stats(
             yield pd.DataFrame(rows, columns=cols)
 
     return media.select(id_col, payload_col).mapInPandas(_stats, schema)
+
+
+def _syncsafe(n: int) -> bytes:
+    """28-bit syncsafe encode (7 bits per byte, high bit clear)."""
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def make_id3v2(
+    *, title: str, artist: str, length_ms: int, padding: int = 0
+) -> bytes:
+    """Build a genuine ID3v2.3 tag (TIT2/TPE1/TLEN latin-1 text
+    frames, plain-u32 frame sizes, SYNCSAFE total tag size, optional
+    zero padding) followed by an MPEG frame-sync marker — the
+    metadata sidecar of every audio corpus."""
+
+    def frame(fid: bytes, text: str) -> bytes:
+        body = b"\x00" + text.encode("latin-1")
+        return fid + struct.pack(">I", len(body)) + b"\x00\x00" + body
+
+    frames = (
+        frame(b"TIT2", title)
+        + frame(b"TPE1", artist)
+        + frame(b"TLEN", str(length_ms))
+        + b"\x00" * padding
+    )
+    return (
+        b"ID3\x03\x00\x00"
+        + _syncsafe(len(frames))
+        + frames
+        + b"\xff\xfb"
+        + b"\x00" * 32
+    )
+
+
+def _id3v2_fields(data: bytes) -> dict:
+    """Parse an ID3v2.3 tag: syncsafe total size (a plain-u32 reader
+    misreads any tag over 127 bytes — the padding in the fixture
+    forces that path), frame walk with plain-u32 frame sizes,
+    latin-1 text bodies.  Raises :class:`MediaDecodeError` with
+    precise reasons on bad magic / version / truncation."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        raise MediaDecodeError("id3: missing ID3 magic")
+    ver_major, ver_rev = data[3], data[4]
+    if ver_major != 3:
+        raise MediaDecodeError(f"id3: unsupported version 2.{ver_major}")
+    ss = data[6:10]
+    if any(b & 0x80 for b in ss):
+        raise MediaDecodeError("id3: non-syncsafe size byte")
+    size = (ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3]
+    if 10 + size > len(data):
+        raise MediaDecodeError("id3: tag truncated")
+    out = {
+        "version": f"2.{ver_major}.{ver_rev}",
+        "tag_size": size,
+        "n_frames": 0,
+        "title": None,
+        "artist": None,
+        "length_ms": None,
+    }
+    pos = 10
+    end = 10 + size
+    while pos + 10 <= end:
+        fid = data[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00" or fid[0] == 0:
+            break  # padding area
+        (fsize,) = struct.unpack_from(">I", data, pos + 4)
+        body = data[pos + 10 : pos + 10 + fsize]
+        if pos + 10 + fsize > end:
+            raise MediaDecodeError("id3: frame overruns tag")
+        out["n_frames"] += 1
+        if len(body) >= 1 and body[0] == 0:
+            text = body[1:].decode("latin-1")
+            if fid == b"TIT2":
+                out["title"] = text
+            elif fid == b"TPE1":
+                out["artist"] = text
+            elif fid == b"TLEN":
+                out["length_ms"] = int(text)
+        pos += 10 + fsize
+    out["has_audio"] = data[end : end + 2] == b"\xff\xfb"
+    return out
+
+
+def id3_tags(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """ID3v2 tag extraction over real bytes — the one-pass
+    Arrow-batched mapInPandas shape with the standard quarantine
+    policy."""
+    schema = (
+        f"{id_col} bigint, version string, tag_size bigint, "
+        "n_frames bigint, title string, artist string, "
+        "length_ms bigint, has_audio boolean, decode_err string"
+    )
+    cols = [
+        id_col, "version", "tag_size", "n_frames", "title", "artist",
+        "length_ms", "has_audio", "decode_err",
+    ]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {c: None for c in cols}
+                base[id_col] = mid
+                try:
+                    if payload is None:
+                        raise MediaDecodeError("null payload")
+                    base.update(_id3v2_fields(bytes(payload)))
+                except MediaDecodeError as exc:
+                    base["decode_err"] = str(exc)
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, payload_col).mapInPandas(_stats, schema)

@@ -950,3 +950,99 @@ def _ind_oracle_sql() -> str:
 
 
 ORACLE["qa_inclusion_deps"] = _ind_oracle_sql()
+
+
+def q_schema_contract(spark, sf_dir):
+    """DATA-CONTRACT enforcement (the schema-registry gate a lake
+    applies before accepting a producer's drop): every physical
+    table's Spark schema is checked against its declared contract —
+    missing columns, UNDECLARED EXTRAS, and type mismatches each
+    produce a verdict row.  The contracts here deliberately carry
+    one drift per class (orders declares a retired ``o_comment``,
+    events declares ``value`` as string, documents omits
+    ``n_chars``) so all three violation paths are hash-bound, not
+    just the happy path.
+
+    Scale shape: pure schema introspection — zero data rows read
+    (the scans never execute); verdicts are built from the catalog
+    metadata the planner already holds."""
+    contracts = {
+        "orders": {
+            "o_orderkey": "bigint",
+            "o_custkey": "bigint",
+            "o_orderstatus": "string",
+            "o_totalprice": "double",
+            "o_orderdate": "timestamp",
+            "o_orderpriority": "string",
+            "o_comment": "string",  # retired upstream: MISSING here
+        },
+        "events": {
+            "event_id": "bigint",
+            "ts": "timestamp",
+            "user_id": "bigint",
+            "event_type": "string",
+            "value": "string",  # drifted: physical type is double
+            "props": "string",
+        },
+        "documents": {
+            "doc_id": "bigint",
+            "text": "string",
+            "lang": "string",
+            "source": "string",
+            # n_chars absent from the contract: UNDECLARED extra
+        },
+    }
+    rows = []
+    for table, contract in contracts.items():
+        # tz-encoding family normalization: the driver's parquet
+        # encodings have flipped between TIMESTAMP and TIMESTAMP_NTZ
+        # across rounds (verify-skill round-4 note) and load_table
+        # already normalizes the columns queries compute on — a
+        # contract gate should flag REAL drift, not that encoding
+        # dimension, so both timestamp variants map to the family.
+        actual = {
+            f.name: f.dataType.simpleString().replace(
+                "timestamp_ntz", "timestamp"
+            )
+            for f in _t(spark, sf_dir, table).schema.fields
+        }
+        for col, want in contract.items():
+            if col not in actual:
+                rows.append((table, col, want, None, "missing"))
+            elif actual[col] != want:
+                rows.append((table, col, want, actual[col], "type_mismatch"))
+            else:
+                rows.append((table, col, want, actual[col], "ok"))
+        for col in actual:
+            if col not in contract:
+                rows.append((table, col, None, actual[col], "undeclared"))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, declared_type string, "
+        "actual_type string, verdict string",
+    )
+
+
+QUERIES["qa_schema_contract"] = q_schema_contract
+
+ORACLE["qa_schema_contract"] = """
+SELECT * FROM (VALUES
+  ('orders', 'o_orderkey', 'bigint', 'bigint', 'ok'),
+  ('orders', 'o_custkey', 'bigint', 'bigint', 'ok'),
+  ('orders', 'o_orderstatus', 'string', 'string', 'ok'),
+  ('orders', 'o_totalprice', 'double', 'double', 'ok'),
+  ('orders', 'o_orderdate', 'timestamp', 'timestamp', 'ok'),
+  ('orders', 'o_orderpriority', 'string', 'string', 'ok'),
+  ('orders', 'o_comment', 'string', NULL, 'missing'),
+  ('events', 'event_id', 'bigint', 'bigint', 'ok'),
+  ('events', 'ts', 'timestamp', 'timestamp', 'ok'),
+  ('events', 'user_id', 'bigint', 'bigint', 'ok'),
+  ('events', 'event_type', 'string', 'string', 'ok'),
+  ('events', 'value', 'string', 'double', 'type_mismatch'),
+  ('events', 'props', 'string', 'string', 'ok'),
+  ('documents', 'doc_id', 'bigint', 'bigint', 'ok'),
+  ('documents', 'text', 'string', 'string', 'ok'),
+  ('documents', 'lang', 'string', 'string', 'ok'),
+  ('documents', 'source', 'string', 'string', 'ok'),
+  ('documents', 'n_chars', NULL, 'bigint', 'undeclared'))
+  t(table_name, column_name, declared_type, actual_type, verdict)"""

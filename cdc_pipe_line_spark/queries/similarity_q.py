@@ -2729,3 +2729,71 @@ SELECT doc_id,
   CASE WHEN bad THEN 0 ELSE CAST(4 * n AS BIGINT) END AS n_words,
   bad AS malformed
 FROM p"""
+
+
+def q_id3_tags(spark, sf_dir):
+    """MP3 ID3v2.3 metadata extraction over genuine tag bytes — the
+    audio-corpus catalog pass (title/artist/duration before any
+    signal work): SYNCSAFE total-size decode (the fixture's padding
+    pushes every tag past 127 bytes, so a plain-u32 size reader
+    misreads and fails the hash), plain-u32 frame walk, latin-1 text
+    frames, padding-area stop, MPEG frame-sync check after the tag.
+    Every 73rd payload has a corrupt magic and quarantines."""
+    from cdc_pipe_line_spark.multimodal import id3_tags, make_id3v2
+
+    @F.pandas_udf("binary")
+    def _id3_payload(
+        did: pd.Series, pad: pd.Series, cut: pd.Series
+    ) -> pd.Series:
+        out = []
+        for i, p, k in zip(did, pad, cut):
+            i, p = int(i), int(p)
+            enc = make_id3v2(
+                title=f"Track {i}",
+                artist=f"Artist {i % 10}",
+                length_ms=1000 * (i % 60 + 30),
+                padding=p,
+            )
+            if k:
+                enc = b"XX3" + enc[3:]
+            out.append(enc)
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 300) + 120).alias("__pad"),
+        (F.col("doc_id") % 73 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_id3_payload("doc_id", "__pad", "__cut"),
+        media_type="audio/mpeg",
+    )
+    return id3_tags(media)
+
+
+QUERIES["mm_id3_tags"] = q_id3_tags
+
+ORACLE["mm_id3_tags"] = """
+WITH p AS (
+  SELECT doc_id,
+    (doc_id % 300) + 120 AS pad,
+    doc_id % 73 = 0 AS cut,
+    length(CAST(doc_id AS VARCHAR)) AS dl
+  FROM documents)
+SELECT doc_id AS media_id,
+  CASE WHEN cut THEN NULL ELSE '2.3.0' END AS version,
+  CASE WHEN cut THEN NULL
+    ELSE CAST(52 + dl + pad AS BIGINT) END AS tag_size,
+  CASE WHEN cut THEN NULL ELSE CAST(3 AS BIGINT) END AS n_frames,
+  CASE WHEN cut THEN NULL
+    ELSE 'Track ' || CAST(doc_id AS VARCHAR) END AS title,
+  CASE WHEN cut THEN NULL
+    ELSE 'Artist ' || CAST(doc_id % 10 AS VARCHAR) END AS artist,
+  CASE WHEN cut THEN NULL
+    ELSE CAST(1000 * (doc_id % 60 + 30) AS BIGINT) END AS length_ms,
+  CASE WHEN cut THEN NULL ELSE TRUE END AS has_audio,
+  CASE WHEN cut THEN 'id3: missing ID3 magic'
+       ELSE CAST(NULL AS VARCHAR) END AS decode_err
+FROM p"""
