@@ -3364,3 +3364,125 @@ SELECT event_type, cents_p1, cents_p2,
   CAST(row_number() OVER (ORDER BY abs(delta_cents) DESC, event_type ASC)
     AS BIGINT) AS rank
 FROM pd CROSS JOIN tot"""
+
+
+def q_hits_scores(spark, sf_dir):
+    """HITS hubs-and-authorities (Kleinberg 1999) on the bipartite
+    order -> part graph: orders are hubs (baskets that touch many
+    authoritative parts), parts are authorities.  Three unrolled
+    mutual-reinforcement iterations with L2 normalization each half-
+    step; the sqrt is IEEE-safe and the norm divides through at
+    ~1e-16 relative error, so the 8dp output rounding is exact
+    cross-engine (the PageRank float discipline).  Top-15 authorities
+    + top-15 hubs, probe-tagged in one frame.
+
+    Scale shape: per iteration one edge-list join + hash-aggregate
+    each direction (the PR shape); norms are 1-row aggregates
+    broadcast back; rankings are TakeOrdered cuts."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.col("l_orderkey").alias("h"), F.col("l_partkey").alias("a")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = edges.select("h").distinct().withColumn("hub", F.lit(1.0))
+    for _ in range(3):
+        auth = (
+            edges.join(hubs, "h")
+            .groupBy("a")
+            .agg(F.sum("hub").alias("auth"))
+        )
+        anorm = auth.agg(
+            F.sqrt(F.sum(F.col("auth") * F.col("auth"))).alias("__n")
+        )
+        auth = (
+            auth.crossJoin(F.broadcast(anorm))
+            .select("a", (F.col("auth") / F.col("__n")).alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        hub = (
+            edges.join(auth, "a")
+            .groupBy("h")
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hnorm = hub.agg(
+            F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("__n")
+        )
+        # node-sized pins per half-step: unpinned, each norm agg and
+        # the next iteration re-derive the whole mutual-reinforcement
+        # subtree (~2x per half-step — measured 10.3 s vs 3 s at
+        # sf0.01)
+        hubs = (
+            hub.crossJoin(F.broadcast(hnorm))
+            .select("h", (F.col("hub") / F.col("__n")).alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+    wa = Window.orderBy(F.desc("score"), F.asc("node"))
+    top_a = (
+        auth.select(
+            F.lit("authority").alias("kind"),
+            F.col("a").cast("bigint").alias("node"),
+            F.round("auth", 8).alias("score"),
+        )
+        .withColumn("pos", F.row_number().over(wa).cast("bigint"))
+        .filter(F.col("pos") <= 15)
+    )
+    top_h = (
+        hubs.select(
+            F.lit("hub").alias("kind"),
+            F.col("h").cast("bigint").alias("node"),
+            F.round("hub", 8).alias("score"),
+        )
+        .withColumn("pos", F.row_number().over(wa).cast("bigint"))
+        .filter(F.col("pos") <= 15)
+    )
+    return top_a.unionByName(top_h)
+
+
+QUERIES["graph_hits_scores"] = q_hits_scores
+
+_HITS_STEP = """
+a{i} AS MATERIALIZED (
+  SELECT a, auth / n AS auth FROM (
+    SELECT e.a, sum(h{p}.hub) AS auth
+    FROM he e JOIN h{p} ON h{p}.h = e.h GROUP BY 1) x
+  CROSS JOIN (
+    SELECT sqrt(sum(auth * auth)) AS n FROM (
+      SELECT e.a, sum(h{p}.hub) AS auth
+      FROM he e JOIN h{p} ON h{p}.h = e.h GROUP BY 1))),
+h{i} AS MATERIALIZED (
+  SELECT h, hub / n AS hub FROM (
+    SELECT e.h, sum(a{i}.auth) AS hub
+    FROM he e JOIN a{i} ON a{i}.a = e.a GROUP BY 1) x
+  CROSS JOIN (
+    SELECT sqrt(sum(hub * hub)) AS n FROM (
+      SELECT e.h, sum(a{i}.auth) AS hub
+      FROM he e JOIN a{i} ON a{i}.a = e.a GROUP BY 1)))"""
+
+ORACLE["graph_hits_scores"] = f"""
+WITH he AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS h, l_partkey AS a FROM lineitem),
+h0 AS MATERIALIZED (
+  SELECT DISTINCT h, CAST(1.0 AS DOUBLE) AS hub FROM he),
+{_HITS_STEP.format(i=1, p=0)},
+{_HITS_STEP.format(i=2, p=1)},
+{_HITS_STEP.format(i=3, p=2)},
+ta AS (
+  SELECT 'authority' AS kind, CAST(a AS BIGINT) AS node,
+    round(auth, 8) AS score,
+    CAST(row_number() OVER (ORDER BY round(auth, 8) DESC, a ASC)
+      AS BIGINT) AS pos
+  FROM a3),
+th AS (
+  SELECT 'hub' AS kind, CAST(h AS BIGINT) AS node,
+    round(hub, 8) AS score,
+    CAST(row_number() OVER (ORDER BY round(hub, 8) DESC, h ASC)
+      AS BIGINT) AS pos
+  FROM h3)
+SELECT kind, node, score, pos FROM ta WHERE pos <= 15
+UNION ALL
+SELECT kind, node, score, pos FROM th WHERE pos <= 15"""

@@ -3926,3 +3926,132 @@ SELECT doc_id, source,
     ELSE CAST(NULL AS VARCHAR) END AS matched_rule,
   CAST(1 + n % 5 AS BIGINT) AS crawl_delay
 FROM d"""
+
+
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010) — the
+    stopword-delimited-phrase method next to TextRank and TF-IDF in
+    the keyword family: phrases are maximal stopword-free runs
+    (phrase id = running stopword count, one window pass), word
+    scores are the classic ``(deg + freq) / freq`` computed corpus-
+    wide in EXACT integers (deg = sum of (phrase_len - 1) over
+    occurrences), phrase score = sum of member-word score-micros,
+    and each document reports its top-3 phrases (score desc, then
+    phrase text).  Integer micro-ratios end to end — no float traps.
+
+    Scale shape: one posexplode + one running-count window per doc,
+    corpus-wide word stats as one hash-aggregate (vocabulary-sized
+    output), phrase scoring joins the bounded word-score table back
+    broadcast-ready, per-doc top-3 via partitioned windows."""
+    from pyspark.sql.window import Window
+
+    STOP = ["a", "the", "and", "of", "to", "in", "is", "on"]
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("pos", "w"),
+    ).withColumn("is_stop", F.col("w").isin(STOP))
+    wph = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    phrased = words.withColumn(
+        "phrase_id", F.sum(F.col("is_stop").cast("int")).over(wph)
+    ).filter(~F.col("is_stop"))
+    phrases = phrased.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    occurrences = phrased.join(
+        phrases.select("doc_id", "phrase_id", "plen"),
+        ["doc_id", "phrase_id"],
+    )
+    wstats = occurrences.groupBy("w").agg(
+        F.count("*").alias("freq"),
+        F.sum(F.col("plen") - 1).alias("deg"),
+    )
+    wscore = wstats.select(
+        "w",
+        F.expr("(1000000 * (deg + freq)) div freq").alias("score_micro"),
+    )
+    pscore = (
+        occurrences.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("score_micro").cast("bigint").alias("score_micro"))
+        .join(phrases.select("doc_id", "phrase_id", "phrase"), ["doc_id", "phrase_id"])
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("phrase"), F.asc("phrase_id")
+    )
+    return (
+        pscore.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "phrase",
+            "score_micro",
+        )
+    )
+
+
+QUERIES["text_rake_keywords"] = q_rake_keywords
+
+ORACLE["text_rake_keywords"] = """
+WITH rw AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS ws
+  FROM documents),
+tok AS (
+  SELECT doc_id,
+    unnest(range(1, len(ws) + 1)) AS pos,
+    unnest(ws) AS w
+  FROM rw),
+marked AS (
+  SELECT doc_id, pos, w,
+    w IN ('a','the','and','of','to','in','is','on') AS is_stop
+  FROM tok),
+phx AS (
+  SELECT m.doc_id, m.pos, m.w,
+    sum(CASE WHEN m.is_stop THEN 1 ELSE 0 END)
+      OVER (PARTITION BY m.doc_id ORDER BY m.pos) AS phrase_id,
+    m.is_stop
+  FROM marked m),
+body AS (SELECT doc_id, pos, w, phrase_id FROM phx WHERE NOT is_stop),
+phrases AS (
+  SELECT doc_id, phrase_id,
+    string_agg(w, ' ' ORDER BY pos) AS phrase,
+    count(*) AS plen
+  FROM body GROUP BY 1, 2),
+occ AS (
+  SELECT b.doc_id, b.phrase_id, b.w, p.plen
+  FROM body b JOIN phrases p USING (doc_id, phrase_id)),
+wstats AS (
+  SELECT w, count(*) AS freq, sum(plen - 1) AS deg
+  FROM occ GROUP BY 1),
+wscore AS (
+  SELECT w, (1000000 * (deg + freq)) // freq AS score_micro
+  FROM wstats),
+pscore AS (
+  SELECT o.doc_id, o.phrase_id,
+    CAST(sum(s.score_micro) AS BIGINT) AS score_micro
+  FROM occ o JOIN wscore s USING (w)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT ps.doc_id, ps.score_micro, p.phrase, ps.phrase_id,
+    row_number() OVER (PARTITION BY ps.doc_id
+      ORDER BY ps.score_micro DESC, p.phrase ASC, ps.phrase_id ASC)
+      AS rank
+  FROM pscore ps JOIN phrases p USING (doc_id, phrase_id))
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, score_micro
+FROM ranked WHERE rank <= 3"""
