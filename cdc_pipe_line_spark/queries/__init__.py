@@ -51,65 +51,68 @@ _MODULES = [
     quality_q,
 ]
 
-#: Names with no row in any CORRECTNESS_r{01..07}.json, in original
-#: registration order — regenerate with ``python tools/gen_rotation.py``
-#: at each round start.  50 names as of round-8 start (the round-7
-#: driver consumed the first 50 of the round-7 backlog; these are the
-#: remaining never-driver-checked names, exactly the set the round-7
-#: judge sim verified green).  The driver's ~50-query budget covers
-#: all of them this round, closing the registry to 236/236
-#: driver-verified; round-8 additions register behind them.
+#: Round-9 rotation: ``join_q12_ship_priority`` first (its round-8
+#: hash-fail was adjudicated an ORACLE typing bug — DuckDB HUGEINT
+#: sum — fixed this round with CAST AS BIGINT; re-check lands the
+#: green row), then the 52 round-8 additions with no row in any
+#: CORRECTNESS_r{01..08}.json, in original registration order —
+#: regenerate with ``python tools/gen_rotation.py`` at round start.
+#: The driver's ~50-query budget covers most of them this round;
+#: round-9 additions register behind them.
 _DRIVER_ROTATION = (
-    "join_q20_dominant_supplier",
-    "join_q21_waiting_supplier",
-    "join_q2_min_cost_supplier",
     "join_q12_ship_priority",
-    "join_q16_supplier_count",
-    "agg_rfm_segments_approx",
-    "geo_grid_neighbors",
-    "agg_survival_km",
-    "qa_psi_drift",
-    "qa_referential_audit",
-    "qa_freshness_slo",
-    "text_pii_audit",
-    "llm_pack_sequences",
-    "llm_bpe_tokenize",
-    "text_textrank_terms",
-    "mm_audio_vad_segments",
-    "mm_image_dhash_dedup",
-    "mm_video_scene_cuts",
-    "dedup_semantic",
-    "mm_jpeg_color_decode",
-    "stream_psi_gate",
-    "stream_abandoned_users",
-    "stream_state_introspect",
-    "stream_join_left_outer",
-    "ts_stl_decompose",
-    "ts_holt_winters",
-    "ts_session_window_tvf",
-    "cdc_interval_coalesce",
-    "io_python_datasink",
-    "io_xml_roundtrip",
-    "io_parquet_bloom_prune",
-    "io_csv_multiline",
-    "scalar_variant_json",
-    "join_salted_skew",
-    "join_bloom_prefilter",
-    "scalar_python_udtf",
-    "scalar_collation_group",
-    "scalar_sql_udf",
-    "graph_hierarchy_rollup",
-    "agg_approx_topk_merge",
-    "agg_ordered_listagg",
-    "agg_attribution_markov",
-    "dedup_lsh_recall",
-    "sim_knn_mips",
-    "scalar_modern_sql",
-    "graph_label_propagation",
-    "ts_anomaly_stl_residual",
-    "graph_link_prediction",
-    "stream_join_full_outer",
-    "agg_cms_rollup",
+    "text_decontaminate_bloom",
+    "text_lm_kneser_ney",
+    "llm_mixture_temperature",
+    "text_hash_embed_lsh",
+    "text_line_dedup",
+    "llm_url_dedup",
+    "llm_dsir_weights",
+    "text_quality_fasttext",
+    "dedup_prefix_filter",
+    "llm_chat_template_render",
+    "llm_preference_pairs",
+    "text_html_extract",
+    "text_robots_compliance",
+    "text_rake_keywords",
+    "mm_jpeg_restart_decode",
+    "mm_exif_orientation",
+    "mm_png_filter_decode",
+    "mm_media_embed_lsh",
+    "mm_bmp_decode",
+    "sim_mmr_rerank",
+    "mm_tiff_decode",
+    "mm_srt_parse",
+    "mm_id3_tags",
+    "stream_histogram_quantiles",
+    "stream_python_datasink",
+    "stream_watermark_metrics",
+    "ts_downsample_m4",
+    "ts_linear_trend",
+    "ts_piecewise_trend",
+    "ts_forecast_baselines",
+    "ts_burst_kleinberg",
+    "ts_haar_dwt",
+    "cdc_disorder_audit",
+    "cdc_apply_verify",
+    "cdc_incremental_snapshot",
+    "io_compaction_smallfiles",
+    "io_delta_log_scan",
+    "io_json_parse_modes",
+    "scalar_try_functions",
+    "agg_reservoir_sample",
+    "agg_log_histogram_quantiles",
+    "graph_clustering_coeff",
+    "graph_kcore",
+    "agg_bitmap_distinct",
+    "graph_random_walks",
+    "graph_personalized_pagerank",
+    "agg_decay_engagement",
+    "agg_delta_contribution",
+    "graph_hits_scores",
+    "qa_functional_deps",
+    "qa_inclusion_deps",
+    "qa_schema_contract",
 )
 
 
