@@ -796,6 +796,14 @@ def kcore_peel(
         removed_parts.append(
             rm.select("node", F.lit(r).cast("bigint").alias("removed_round"))
         )
+        if len(removed_parts) >= 8:
+            # deep peels: fold the per-round union every 8 rounds so
+            # the removed-lineage plan depth stays bounded instead of
+            # growing linearly in rounds (VERDICT r8 item 7)
+            folded = removed_parts[0]
+            for part in removed_parts[1:]:
+                folded = folded.unionByName(part)
+            removed_parts = [folded.localCheckpoint(eager=True)]
         if rm.isEmpty():
             converged = True
             break

@@ -217,6 +217,60 @@ def _jpeg_decode(payload: bytes) -> dict:
         i += 2 + seg_len
 
 
+#: SOF marker -> coding-process class (ITU T.81 table B.1).  DCT
+#: arithmetic-coded variants (C9/CA/CB/CD/CE/CF) classify with their
+#: huffman siblings; hierarchical markers fold into the same classes.
+_JPEG_SOF_CLASS = {
+    0xC0: "baseline",
+    0xC1: "extended",
+    0xC2: "progressive",
+    0xC3: "lossless",
+    0xC5: "extended",
+    0xC6: "progressive",
+    0xC7: "lossless",
+    0xC9: "extended",
+    0xCA: "progressive",
+    0xCB: "lossless",
+    0xCD: "extended",
+    0xCE: "progressive",
+    0xCF: "lossless",
+}
+
+
+def jpeg_frame_class(payload: bytes) -> str:
+    """Classify a JPEG's coding process from its SOF marker — the
+    header-tier triage every ingest pipeline runs BEFORE committing to
+    a pixel decode (baseline decodes here; progressive et al. route to
+    quarantine or an external decoder).  Walks markers exactly like
+    :func:`_jpeg_decode` and returns one of ``baseline`` / ``extended``
+    / ``progressive`` / ``lossless``; raises :class:`MediaDecodeError`
+    (callers quarantine) on malformed or SOF-less streams."""
+    if payload[:2] != b"\xff\xd8":
+        raise MediaDecodeError("jpeg: bad SOI")
+    n = len(payload)
+    i = 2
+    while True:
+        if i + 4 > n:
+            raise MediaDecodeError("jpeg: truncated before SOF marker")
+        if payload[i] != 0xFF:
+            raise MediaDecodeError(f"jpeg: bad marker byte at {i}")
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            raise MediaDecodeError(f"jpeg: truncated segment {marker:#x}")
+        if marker in _JPEG_SOF_CLASS:
+            return _JPEG_SOF_CLASS[marker]
+        if marker == 0xDA:
+            raise MediaDecodeError("jpeg: scan data before SOF header")
+        i += 2 + seg_len
+
+
 def _mp4_boxes(payload: bytes, start: int, end: int):
     """Yield (type, body_start, body_end) for ISO-BMFF boxes in
     [start, end); raises on sizes that overrun the parent bounds."""
@@ -1743,7 +1797,11 @@ def _jpeg_gray_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
                 raise MediaDecodeError("jpeg: subsampling unsupported")
             q_id = body[8]
         elif marker in _JPEG_SOF:
-            raise MediaDecodeError("jpeg: only baseline SOF0 decoded")
+            raise MediaDecodeError(
+                "jpeg: progressive (SOF2) unsupported"
+                if marker == 0xC2
+                else f"jpeg: only baseline SOF0 decoded (SOF{marker - 0xC0})"
+            )
         elif marker == 0xDD:
             if len(body) != 2:
                 raise MediaDecodeError("jpeg: malformed DRI segment")
@@ -2109,7 +2167,11 @@ def _jpeg_color_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
             if w % 16 or h % 16:
                 raise MediaDecodeError("jpeg: partial MCUs unsupported")
         elif marker in _JPEG_SOF:
-            raise MediaDecodeError("jpeg: only baseline SOF0 decoded")
+            raise MediaDecodeError(
+                "jpeg: progressive (SOF2) unsupported"
+                if marker == 0xC2
+                else f"jpeg: only baseline SOF0 decoded (SOF{marker - 0xC0})"
+            )
         elif marker == 0xDD:
             raise MediaDecodeError("jpeg: restart intervals unsupported")
         elif marker == 0xDA:
@@ -2510,6 +2572,10 @@ def _png_gray_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     out = np.zeros((h, w), dtype=np.int64)
     for r in range(h):
         ft = raw[r * row_bytes]
+        if ft > 4:
+            # PNG spec §9: filter types are 0..4; anything else is a
+            # hard error, not a fall-through to Paeth
+            raise MediaDecodeError(f"png: invalid filter type {ft}")
         line = np.frombuffer(
             raw, dtype=np.uint8, count=w, offset=r * row_bytes + 1
         ).astype(np.int64)
@@ -2791,11 +2857,18 @@ def _tiff_gray_pixels(data: bytes) -> tuple[int, int, int, np.ndarray]:
         typ, count, raw = tags[tag]
         if count == 1:
             return [scalar(tag)]
-        off = raw
         if typ == 3:
             fmt, size = "H", 2
         else:
             fmt, size = "I", 4
+        if count * size <= 4:
+            # TIFF6 p.15: values that fit the 4-byte value slot are
+            # stored INLINE (e.g. two SHORT strip offsets), never
+            # offset-indirect — re-materialize the slot bytes in file
+            # order and unpack in place
+            slot = struct.pack(f"{e}I", raw)
+            return list(struct.unpack_from(f"{e}{count}{fmt}", slot))
+        off = raw
         if off + count * size > len(data):
             raise MediaDecodeError("tiff: value array out of range")
         return list(struct.unpack_from(f"{e}{count}{fmt}", data, off))

@@ -1300,6 +1300,35 @@ SELECT 'purchase_no_view', count(*),
   CAST(NULL AS BIGINT), CAST(sum(purchase_id) AS BIGINT) FROM lp"""
 
 
+def _watermark_progress_rows(progress) -> list[tuple]:
+    """Telemetry rows from parsed StreamingQueryProgress dicts: skip
+    empty batches AND any row whose 'gate' observed metrics are
+    absent (a retried/merged progress event can drop them — ADVICE
+    r8: degrade instead of TypeError-ing the whole query), guarded
+    the same way as the stateOperators list."""
+    rows = []
+    for d in progress:
+        ni = int(d.get("numInputRows", 0) or 0)
+        if ni == 0:
+            continue
+        so = d.get("stateOperators") or []
+        dropped = int(so[0].get("numRowsDroppedByWatermark", 0)) if so else 0
+        om = (d.get("observedMetrics") or {}).get("gate") or {}
+        if not om:
+            continue
+        rows.append(
+            (
+                int(d["batchId"]),
+                ni,
+                dropped,
+                int(om.get("obs_rows")),
+                int(om.get("obs_min_id")),
+                int(om.get("obs_max_id")),
+            )
+        )
+    return rows
+
+
 def q_stream_watermark_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OBSERVABILITY surface (T8 + the Observe API): a
     watermarked daily-window aggregation over three time-ordered
@@ -1363,25 +1392,9 @@ def q_stream_watermark_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     q.awaitTermination()
-    rows = []
-    for p in q.recentProgress:
-        d = _json.loads(p.json)
-        ni = int(d.get("numInputRows", 0) or 0)
-        if ni == 0:
-            continue
-        so = d.get("stateOperators") or []
-        dropped = int(so[0].get("numRowsDroppedByWatermark", 0)) if so else 0
-        om = (d.get("observedMetrics") or {}).get("gate") or {}
-        rows.append(
-            (
-                int(d["batchId"]),
-                ni,
-                dropped,
-                int(om.get("obs_rows")),
-                int(om.get("obs_min_id")),
-                int(om.get("obs_max_id")),
-            )
-        )
+    rows = _watermark_progress_rows(
+        _json.loads(p.json) for p in q.recentProgress
+    )
     return spark.createDataFrame(
         rows,
         "batch_id bigint, n_input bigint, n_dropped bigint, "

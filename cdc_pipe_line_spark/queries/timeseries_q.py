@@ -1713,7 +1713,12 @@ def q_linear_trend(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_days"),
         F.col("sy").cast("bigint").alias("total_events"),
         F.expr(
-            "(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+            # n=1 (or an all-equal-x degenerate) zeroes the
+            # denominator: Spark's non-ANSI div would yield NULL but
+            # DuckDB's // errors — guard BOTH engines explicitly (the
+            # ts_piecewise_trend discipline, ADVICE r8)
+            "CASE WHEN n > 1 AND n * sxx - sx * sx != 0 THEN "
+            "(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx) END"
         ).alias("slope_micro"),
         F.expr("(1000000 * sy) div n").alias("daily_mean_micro"),
     )
@@ -1738,7 +1743,8 @@ s AS (
 SELECT event_type,
   CAST(n AS BIGINT) AS n_days,
   CAST(sy AS BIGINT) AS total_events,
-  CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+  CAST(CASE WHEN n > 1 AND n * sxx - sx * sx != 0 THEN
+    (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) END AS BIGINT)
     AS slope_micro,
   CAST((1000000 * sy) // n AS BIGINT) AS daily_mean_micro
 FROM s"""

@@ -777,7 +777,7 @@ def test_jpeg_adversarial_quarantines_cleanly():
     # progressive SOF2 must quarantine, not mis-decode
     sof0 = enc.find(b"\xff\xc0")
     prog = enc[:sof0] + b"\xff\xc2" + enc[sof0 + 2 :]
-    with pytest.raises(MediaDecodeError, match="baseline SOF0"):
+    with pytest.raises(MediaDecodeError, match="progressive"):
         _jpeg_gray_pixels(prog)
 
 
