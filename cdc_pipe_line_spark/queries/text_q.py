@@ -3276,10 +3276,29 @@ def q_dedup_lsh_recall(spark, sf_dir):
 
     All published columns are integers (counts + micro ratio via
     integer division) — no tolerance; the oracle replays BOTH full
-    pipelines off one shared shingling CTE.  At 100 TB this query is
-    the periodic dedup-quality DIAGNOSTIC run on a sample: the
-    exhaustive truth side is what LSH exists to avoid."""
-    docs = _t(spark, sf_dir, "documents")
+    pipelines off one shared shingling CTE.
+
+    Scale shape (VERDICT r8 item 3): the diagnostic runs on a FIXED
+    600-document sample — the 600 smallest by the SQL-replayable
+    multiplicative hash (doc_id tie-break), a TakeOrderedAndProject
+    cut — so the exhaustive truth leg is CONSTANT-size at any corpus
+    scale instead of quadratic in it (at sf0.01's 500 docs the sample
+    is the whole corpus; at 100 TB it is still 600 docs).  Recall
+    measured on a uniform pair sample is an unbiased estimate of
+    corpus recall: the exhaustive truth side is what LSH exists to
+    avoid, so it never touches more than the sample."""
+    sample_k = 600
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .orderBy(
+            F.expr(
+                "((doc_id % 1000000007) * 2654435761) % 2147483648"
+            ),
+            "doc_id",
+        )
+        .limit(sample_k)
+        .localCheckpoint(eager=True)
+    )
     # both pair frames feed two consumers each (their count + the
     # semi-join); pinned, each pipeline runs once — unpinned the
     # self-references re-planned both full dedup pipelines (~17 s ->
@@ -3326,10 +3345,14 @@ ORACLE["dedup_lsh_recall"] = (
     # shared shingling prefix + both verified-pair pipelines, composed
     # from the SAME CTE bodies the two constituent oracles use
     """
-WITH words AS (
+WITH sample AS (
+  SELECT * FROM documents
+  ORDER BY ((doc_id % 1000000007) * 2654435761) % 2147483648, doc_id
+  LIMIT 600),
+words AS (
   SELECT doc_id,
     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-  FROM documents),
+  FROM sample),
 sh AS (
   SELECT doc_id,
     list_distinct(CASE WHEN len(w) >= 5
