@@ -2824,6 +2824,151 @@ FROM (
   FROM scored) WHERE pos <= 20"""
 
 
+def q_clustering_coeff_capped(spark, sf_dir):
+    """Degree-CAPPED clustering coefficient — the celebrity-vertex
+    mitigation for the exact triangle subtree (VERDICT r8 item 6):
+    each vertex keeps only its 64 smallest out-neighbors by the
+    SQL-replayable multiplicative hash (per-key top-C, a
+    WindowGroupLimit rank cut — deterministic, so the oracle replays
+    the identical subgraph), and triangles + coefficients are
+    computed EXACTLY on that capped subgraph.  A hub with a million
+    co-purchase neighbors contributes arrays of at most 64 to the
+    adjacency intersection instead of a quadratic wedge explosion;
+    published ``was_capped`` flags every vertex whose neighborhood
+    was cut, so consumers know which coefficients are subgraph-exact
+    vs graph-exact (uncut vertices match ``graph_clustering_coeff``
+    by construction).
+
+    Scale shape: the cap bounds the per-edge intersection work by
+    C=64 regardless of skew — soaked on a celebrity-vertex fixture in
+    tools/skew_soak.py; everything downstream is vocabulary-sized."""
+    from pyspark.sql.window import Window
+
+    from cdc_pipe_line_spark.analytics import triangle_count
+
+    cap = 64
+    li = _t(spark, sf_dir, "lineitem")
+    op = (
+        li.select("l_orderkey", F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        op.alias("x")
+        .join(op.alias("y"), "l_orderkey")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    w_cap = Window.partitionBy("a").orderBy(
+        F.expr("((b % 1000000007) * 2654435761) % 2147483648"), "b"
+    )
+    capped = (
+        pairs.withColumn("__r", F.row_number().over(w_cap))
+        .filter(F.col("__r") <= cap)
+        .drop("__r")
+        .localCheckpoint(eager=True)
+    )
+    tri = triangle_count(capped)
+    tri_per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg_capped = (
+        capped.select(F.col("a").alias("node"))
+        .unionAll(capped.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg_capped"))
+    )
+    deg_full = (
+        pairs.select(F.col("a").alias("node"))
+        .unionAll(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg_full"))
+    )
+    scored = (
+        deg_capped.filter(F.col("deg_capped") >= 2)
+        .join(deg_full, "node")
+        .join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            "deg_full",
+            "deg_capped",
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            F.expr(
+                "(2 * coalesce(n_tri, 0) * 1000000)"
+                " div (deg_capped * (deg_capped - 1))"
+            ).alias("coeff_micro"),
+            (F.col("deg_full") != F.col("deg_capped")).alias("was_capped"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc("coeff_micro"), F.desc("n_tri"), F.asc("node")
+    )
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 20)
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("node").cast("bigint").alias("node"),
+            F.col("deg_full").cast("bigint").alias("deg_full"),
+            F.col("deg_capped").cast("bigint").alias("deg_capped"),
+            "n_tri",
+            "coeff_micro",
+            "was_capped",
+        )
+    )
+
+
+QUERIES["graph_clustering_coeff_capped"] = q_clustering_coeff_capped
+
+ORACLE["graph_clustering_coeff_capped"] = f"""
+WITH {_COOC_SQL},
+ec AS (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (
+        PARTITION BY a
+        ORDER BY ((b % 1000000007) * 2654435761) % 2147483648, b
+      ) AS r
+    FROM e) WHERE r <= 64),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ec e1
+  JOIN ec e2 ON e1.b = e2.a
+  JOIN ec e3 ON e3.a = e1.a AND e3.b = e2.b),
+tpn AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY 1),
+degc AS (
+  SELECT node, count(*) AS deg_capped FROM (
+    SELECT a AS node FROM ec UNION ALL SELECT b FROM ec) GROUP BY 1),
+degf AS (
+  SELECT node, count(*) AS deg_full FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+scored AS (
+  SELECT c.node, f.deg_full, c.deg_capped, COALESCE(t.n_tri, 0) AS n_tri,
+    (2 * COALESCE(t.n_tri, 0) * 1000000)
+      // (c.deg_capped * (c.deg_capped - 1)) AS coeff_micro,
+    f.deg_full != c.deg_capped AS was_capped
+  FROM degc c
+  JOIN degf f USING (node)
+  LEFT JOIN tpn t USING (node)
+  WHERE c.deg_capped >= 2)
+SELECT CAST(pos AS BIGINT) AS pos, CAST(node AS BIGINT) AS node,
+  CAST(deg_full AS BIGINT) AS deg_full,
+  CAST(deg_capped AS BIGINT) AS deg_capped,
+  CAST(n_tri AS BIGINT) AS n_tri,
+  CAST(coeff_micro AS BIGINT) AS coeff_micro, was_capped
+FROM (
+  SELECT *, row_number() OVER (
+      ORDER BY coeff_micro DESC, n_tri DESC, node ASC) AS pos
+  FROM scored) WHERE pos <= 20"""
+
+
 def q_kcore(spark, sf_dir):
     """k-core decomposition (k=80, 10 simultaneous-peel rounds) of
     the part co-occurrence graph: per part the round it was peeled

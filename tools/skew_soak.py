@@ -181,6 +181,56 @@ def main() -> None:
             out["stream_scd2_zipf"] / out["stream_scd2_uniform"], 2
         )
 
+    # ---- capped triangles under a celebrity vertex (SOAK_TRI=1) ------
+    # One hub adjacent to 20k nodes atop a ring+chords background: the
+    # uncapped adjacency-intersection carries a 20k-element array into
+    # every hub edge (the wedge explosion VERDICT r8 item 6 flags); the
+    # 64-cap bounds per-edge work regardless of skew.
+    if os.environ.get("SOAK_TRI") == "1":
+        from pyspark.sql.window import Window
+
+        from cdc_pipe_line_spark.analytics import triangle_count
+
+        n, hub_deg = 40_000, 20_000
+        ids = spark.range(n)
+        ring = ids.select(
+            F.col("id").alias("a"), ((F.col("id") + 1) % n).alias("b")
+        ).union(
+            ids.select(
+                F.col("id").alias("a"), ((F.col("id") + 7) % n).alias("b")
+            )
+        )
+        hub = spark.range(1, hub_deg + 1).select(
+            F.lit(0).cast("long").alias("a"), (F.col("id") * 2).alias("b")
+        )
+        edges = (
+            ring.select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .union(hub)
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        w_cap = Window.partitionBy("a").orderBy(
+            F.expr("((b % 1000000007) * 2654435761) % 2147483648"), "b"
+        )
+        capped = (
+            edges.withColumn("__r", F.row_number().over(w_cap))
+            .filter(F.col("__r") <= 64)
+            .drop("__r")
+        )
+        for label in ("cold", "steady"):
+            out["tri_capped_celebrity"] = timed(
+                f"tri_capped[{label}]", triangle_count(capped)
+            )
+            out["tri_uncapped_celebrity"] = timed(
+                f"tri_uncapped[{label}]", triangle_count(edges)
+            )
+        out["tri_cap_ratio"] = round(
+            out["tri_uncapped_celebrity"] / out["tri_capped_celebrity"], 2
+        )
+
     out["diff_ratio"] = round(out["diff_skewed_10pct_hot"] / out["diff_uniform"], 2)
     out["salted_ratio"] = round(out["salted_zipf"] / out["salted_uniform"], 2)
     print(json.dumps(out))
