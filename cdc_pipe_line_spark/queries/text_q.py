@@ -577,6 +577,60 @@ def q_corpus_datacard(spark, sf_dir):
     return corpus_datacard(docs)
 
 
+def q_datacard_approx(spark, sf_dir):
+    """Data card with APPROXIMATE percentiles (VERDICT r8 item 8,
+    the datacard's billion-row path): the same per-language rollup as
+    ``text_corpus_datacard`` but p50/p90/p99 through
+    ``percentile_approx`` — Spark's KLL-style mergeable sketch with
+    bounded memory per group, the form that survives billions of rows
+    per language where exact ``percentile`` must buffer every value.
+
+    Oracle-bound like the HLL/CMS sketches: the sketch values are not
+    SQL-replayable, so the query publishes ACCURACY-CLAIM booleans —
+    each approx percentile must land inside the exact inter-quantile
+    bracket around its target ([q-0.05, q+0.05]; p99 brackets to max)
+    — next to exact anchors (doc/token counts, exact p50).  With
+    accuracy=10000 the sketch's rank error is n/10000, far inside the
+    brackets; a drifting sketch flips a boolean and fails the hash."""
+    from cdc_pipe_line_spark.text import _words
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(_words(F.col("text"))).cast("bigint").alias("ws_tokens"),
+    )
+    agg = docs.rollup("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("total_tokens"),
+        F.expr(
+            "percentile_approx(ws_tokens,"
+            " array(0.5D, 0.9D, 0.99D), 10000)"
+        ).alias("ap"),
+        F.expr(
+            "percentile(ws_tokens,"
+            " array(0.45D, 0.5D, 0.55D, 0.85D, 0.95D, 0.97D))"
+        ).alias("ex"),
+        F.max("ws_tokens").cast("bigint").alias("max_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(F.element_at("ex", 2), 4).alias("p50_exact"),
+        (
+            (F.element_at("ap", 1) >= F.element_at("ex", 1))
+            & (F.element_at("ap", 1) <= F.element_at("ex", 3))
+        ).alias("ok_p50"),
+        (
+            (F.element_at("ap", 2) >= F.element_at("ex", 4))
+            & (F.element_at("ap", 2) <= F.element_at("ex", 5))
+        ).alias("ok_p90"),
+        (
+            (F.element_at("ap", 3) >= F.element_at("ex", 6))
+            & (F.element_at("ap", 3) <= F.col("max_tokens"))
+        ).alias("ok_p99"),
+    )
+
+
 def q_llm_quality_pipeline(spark, sf_dir):
     """End-to-end training-data selection, composing three round-5
     operators in one plan: (1) score every document under the
@@ -1011,6 +1065,7 @@ QUERIES = {
     "text_lm_score": q_text_lm_score,
     "llm_domain_mix": q_llm_domain_mix,
     "text_corpus_datacard": q_corpus_datacard,
+    "text_datacard_approx": q_datacard_approx,
     "text_dup_spans": q_dup_spans,
     "llm_quality_pipeline": q_llm_quality_pipeline,
     "text_strip_spans": q_strip_spans,
@@ -1486,6 +1541,17 @@ SELECT lang,
   round(quantile_cont(ws_tokens, 0.5), 4) AS p50,
   round(quantile_cont(ws_tokens, 0.9), 4) AS p90,
   round(quantile_cont(ws_tokens, 0.99), 4) AS p99
+FROM toks GROUP BY ROLLUP (lang)""",
+    "text_datacard_approx": """
+WITH toks AS (
+  SELECT lang,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens
+  FROM documents)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+  round(quantile_cont(ws_tokens, 0.5), 4) AS p50_exact,
+  TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
 FROM toks GROUP BY ROLLUP (lang)""",
     "llm_domain_mix": """
 WITH toks AS (
