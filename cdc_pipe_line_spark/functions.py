@@ -190,6 +190,61 @@ def global_row_number(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    num_partitions: int | None = None,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """EXCLUSIVE global running sum of ``value_col`` over a total
+    order — the cumulative-sum twin of :func:`global_row_number`,
+    same two-phase distributed shape (range repartition + per-
+    partition local cumsum + broadcast census offsets) instead of the
+    ``Exchange SinglePartition`` funnel an unpartitioned window
+    plans.  The ranged frame is localCheckpoint-pinned for the same
+    reason documented there (one set of RangePartitioner boundaries
+    for both branches).  ``order_cols`` must form a total order (pass
+    a tiebreaker)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keyed = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    local = keyed.withColumn(
+        "__lcum",
+        F.coalesce(
+            F.sum(value_col).over(
+                Window.partitionBy("__pid")
+                .orderBy(*[F.col(c).asc() for c in order_cols])
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    census = keyed.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
+    # bounded frame: one row per partition, aggregate output — the
+    # unpartitioned prefix-sum window is safe by construction
+    offsets = census.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__psum").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lcum")).cast("long"))
+        .drop("__pid", "__lcum", "__off")
+    )
+
+
 class TokenSpansUDTF:
     """Python user-defined TABLE function (Spark 4 UDTF, SPARK-43798):
     one input string row -> N ``(pos, token, n_chars)`` rows, consumed

@@ -1512,8 +1512,76 @@ def q_q19_disjunctive(spark, sf_dir):
     )
 
 
+def q_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape — small-quantity-order revenue (the last
+    uncovered TPC-H join, completing the q2..q22 sweep): lineitems of
+    a brand/size part slice whose quantity is below 20% of that
+    part's average order quantity, i.e. the revenue locked in
+    below-breakbulk orders.  The correlated scalar subquery
+    (``0.2 * avg(l_quantity)``) becomes one per-part aggregate joined
+    back to the facts — two scans of the filtered join, no correlated
+    re-execution — and the fractional-average comparison is
+    cross-multiplied to stay integer-exact (``5 * qty * n < sum``,
+    the round-5 discipline), so both engines decide every row
+    identically.  Published: 52-week-normalized revenue in cents
+    (integer div by 7), qualifying item and part counts.
+
+    Scale shape: the part slice broadcasts; the per-part aggregate
+    and the fact join shuffle on ``l_partkey`` once each; AQE folds
+    the tiny aggregate side into a broadcast at this SF.
+
+    Reference parity: analyticsprocessing joins in the reference run
+    per-upload pandas merges (reference processor.py); the TPC-H
+    sweep is the repo's standing stand-in for that relational
+    surface at cluster scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pp = p.filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15)
+    ).select("p_partkey")
+    facts = li.join(
+        F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    per_part = facts.groupBy("l_partkey").agg(
+        F.count("*").alias("n"), F.sum("qty").alias("sum_qty")
+    )
+    small = facts.join(per_part, "l_partkey").filter(
+        F.col("qty") * 5 * F.col("n") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.expr("sum(cents) div 7").cast("bigint").alias("avg_yearly_cents"),
+        F.count("*").cast("bigint").alias("n_small_items"),
+        F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
+    )
+
+
 QUERIES["join_q4_late_orders"] = q_q4_late_orders
 QUERIES["join_q19_disjunctive"] = q_q19_disjunctive
+QUERIES["join_q17_small_quantity"] = q_q17_small_quantity
+
+ORACLE["join_q17_small_quantity"] = """
+WITH pp AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size <= 15),
+facts AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem JOIN pp ON l_partkey = p_partkey),
+per_part AS (
+  SELECT l_partkey AS pk, count(*) AS n, sum(qty) AS sum_qty
+  FROM facts GROUP BY 1),
+small AS (
+  SELECT cents, l_partkey FROM facts JOIN per_part ON l_partkey = pk
+  WHERE qty * 5 * n < sum_qty)
+SELECT CAST(sum(cents) // 7 AS BIGINT) AS avg_yearly_cents,
+  CAST(count(*) AS BIGINT) AS n_small_items,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM small"""
 
 ORACLE["join_q4_late_orders"] = """
 SELECT o_orderpriority, count(*) AS order_count

@@ -631,6 +631,44 @@ def q_datacard_approx(spark, sf_dir):
     )
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Size-balanced output SHARDING (the WebDataset/tar-shard
+    manifest every large training-data release ships): documents are
+    laid out in the deterministic md5 shuffle order (the same order
+    ``llm_domain_mix``/``llm_train_split`` use, so shards are
+    epoch-shuffle-compatible), then greedily cut into shards of
+    ``target`` cumulative bytes — shard id is simply
+    ``cum_bytes_before div target``, so assignment needs ONE pass and
+    no iterative bin-packing.  Published per shard: doc count, exact
+    byte payload, and the first/last doc in shard order (the manifest
+    row a reader needs to seek).
+
+    Scale shape: the global running sum is the two-phase distributed
+    cumsum (``functions.global_running_sum`` — range repartition +
+    local window + broadcast census offsets), NOT a single-partition
+    window; everything after is one hash-agg keyed by shard.  The
+    16 KiB target is fixture-sized to exercise many shards at test
+    SFs; production uses the same plan with a ~256 MiB target."""
+    from cdc_pipe_line_spark.functions import global_running_sum
+
+    target = 16384
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("ok"),
+        F.octet_length("text").cast("long").alias("nbytes"),
+    )
+    cum = global_running_sum(docs, ["ok", "doc_id"], "nbytes")
+    sharded = cum.withColumn(
+        "shard_id", F.expr(f"cum_before div {target}").cast("bigint")
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nbytes").cast("bigint").alias("shard_bytes"),
+        F.min_by("doc_id", "ok").cast("bigint").alias("first_doc"),
+        F.max_by("doc_id", "ok").cast("bigint").alias("last_doc"),
+    )
+
+
 def q_llm_quality_pipeline(spark, sf_dir):
     """End-to-end training-data selection, composing three round-5
     operators in one plan: (1) score every document under the
@@ -1066,6 +1104,7 @@ QUERIES = {
     "llm_domain_mix": q_llm_domain_mix,
     "text_corpus_datacard": q_corpus_datacard,
     "text_datacard_approx": q_datacard_approx,
+    "llm_shard_manifest": q_shard_manifest,
     "text_dup_spans": q_dup_spans,
     "llm_quality_pipeline": q_llm_quality_pipeline,
     "text_strip_spans": q_strip_spans,
@@ -1553,6 +1592,23 @@ SELECT lang,
   round(quantile_cont(ws_tokens, 0.5), 4) AS p50_exact,
   TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
 FROM toks GROUP BY ROLLUP (lang)""",
+    "llm_shard_manifest": """
+WITH d AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ok,
+    CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+  FROM documents),
+c AS (
+  SELECT doc_id, ok, nbytes,
+    CAST(COALESCE(sum(nbytes) OVER (ORDER BY ok, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM d)
+SELECT CAST(cum_before // 16384 AS BIGINT) AS shard_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
+  CAST(arg_min(doc_id, ok) AS BIGINT) AS first_doc,
+  CAST(arg_max(doc_id, ok) AS BIGINT) AS last_doc
+FROM c GROUP BY 1""",
     "llm_domain_mix": """
 WITH toks AS (
   SELECT doc_id, source,

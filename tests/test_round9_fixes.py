@@ -199,3 +199,41 @@ def test_watermark_progress_rows_guard():
     empty = {"batchId": 4, "numInputRows": 0}
     rows = _watermark_progress_rows([good, missing_gate, no_om, empty])
     assert rows == [(1, 10, 2, 10, 1, 99)]
+
+
+# ---------------------------------------------------------------------
+# global_running_sum: exact + deterministic (the global_row_number
+# boundary-resampling trap applies identically to the cumsum twin).
+# ---------------------------------------------------------------------
+
+
+def test_global_running_sum_exact_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark.functions import global_running_sum
+
+    df = (
+        spark.range(2550)
+        .select(
+            F.md5(F.col("id").cast("string")).alias("ok"),
+            F.col("id"),
+            (F.col("id") % 97 + 1).alias("v"),
+        )
+    )
+    out = {
+        r["id"]: r["cum_before"]
+        for r in global_running_sum(df, ["ok", "id"], "v").collect()
+    }
+    rows = sorted(
+        ((r["ok"], r["id"], r["v"]) for r in df.collect())
+    )
+    cum, truth = 0, {}
+    for _ok, i, v in rows:
+        truth[i] = cum
+        cum += v
+    assert out == truth
+    out2 = {
+        r["id"]: r["cum_before"]
+        for r in global_running_sum(df, ["ok", "id"], "v").collect()
+    }
+    assert out2 == truth
