@@ -114,6 +114,87 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(docs, n=5, threshold=0.5)
 
 
+def q_cross_dedup_matrix(spark, sf_dir):
+    """Cross-SOURCE duplication matrix — the curation question dedup
+    counts alone don't answer: WHICH sources copy from each other
+    (mirror sites, scraped re-posts, licensed re-publication).  The
+    verified MinHash+LSH pair set (identical recipe to
+    ``dedup_minhash_lsh``) is labeled with each endpoint's source,
+    symmetrized (``least/greatest``), and published as a per-source-
+    pair matrix: duplicate pairs, possible pairs (n*(n-1)/2 within a
+    source, n_a*n_b across), and the integer-micro duplication rate.
+    A high off-diagonal cell = two sources sharing content; release
+    pipelines drop one side or dedup across the pair.
+
+    Scale shape: the pair set is the banded-LSH output (never
+    all-pairs); source labels join from a two-column projection of
+    the corpus (broadcast); the matrix itself is sources^2 rows."""
+    docs = _t(spark, sf_dir, "documents").localCheckpoint(eager=True)
+    pairs = minhash_lsh_pairs(docs, n=5, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("source").alias("sa"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("source").alias("sb"),
+                )
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+        )
+    )
+    m = lab.groupBy("src_lo", "src_hi").agg(
+        F.count("*").cast("bigint").alias("n_dup_pairs")
+    )
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n"))
+    return (
+        m.join(
+            F.broadcast(
+                cnt.select(F.col("source").alias("src_lo"), F.col("n").alias("n_lo"))
+            ),
+            "src_lo",
+        )
+        .join(
+            F.broadcast(
+                cnt.select(F.col("source").alias("src_hi"), F.col("n").alias("n_hi"))
+            ),
+            "src_hi",
+        )
+        .select(
+            "src_lo",
+            "src_hi",
+            "n_dup_pairs",
+            F.expr(
+                "CASE WHEN src_lo = src_hi THEN n_lo * (n_lo - 1) div 2"
+                " ELSE n_lo * n_hi END"
+            )
+            .cast("bigint")
+            .alias("n_possible"),
+            F.expr(
+                "n_dup_pairs * 1000000 div (CASE WHEN src_lo = src_hi"
+                " THEN n_lo * (n_lo - 1) div 2 ELSE n_lo * n_hi END)"
+            )
+            .cast("bigint")
+            .alias("dup_rate_micro"),
+        )
+    )
+
+
 def q_levenshtein(spark, sf_dir):
     """Edit-distance near-dup pairs blocked on the 12-char normalized
     prefix.  Fully deterministic (prefix blocking reproduced in the
@@ -1093,6 +1174,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_levenshtein": q_levenshtein,
     "dedup_minhash_lsh": q_minhash_lsh,
+    "text_cross_dedup_matrix": q_cross_dedup_matrix,
     "dedup_simhash": q_simhash,
     "llm_data_prep": q_llm_data_prep,
     "text_decontaminate": q_text_decontaminate,
@@ -1696,6 +1778,31 @@ pack AS (
   FROM toks)
 SELECT * FROM quota UNION ALL SELECT * FROM pack""",
     "dedup_minhash_lsh": _minhash_oracle_sql(),
+    # cross-source matrix: the ENTIRE minhash replay as prefix (same
+    # slice discipline as dedup_lsh_recall), then source labeling
+    "text_cross_dedup_matrix": _minhash_oracle_sql()[
+        : _minhash_oracle_sql().index("SELECT id_a")
+    ].rstrip().rstrip(")").rstrip()
+    + """),
+found AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+lab AS (
+  SELECT least(da.source, db.source) AS src_lo,
+         greatest(da.source, db.source) AS src_hi
+  FROM found f
+  JOIN documents da ON da.doc_id = f.id_a
+  JOIN documents db ON db.doc_id = f.id_b),
+m AS (SELECT src_lo, src_hi, count(*) AS n_dup_pairs FROM lab GROUP BY 1, 2),
+cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1)
+SELECT src_lo, src_hi,
+  CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs,
+  CAST(CASE WHEN src_lo = src_hi THEN cl.n * (cl.n - 1) // 2
+       ELSE cl.n * ch.n END AS BIGINT) AS n_possible,
+  CAST(n_dup_pairs * 1000000 // (CASE WHEN src_lo = src_hi
+       THEN cl.n * (cl.n - 1) // 2 ELSE cl.n * ch.n END) AS BIGINT)
+    AS dup_rate_micro
+FROM m
+JOIN cnt cl ON cl.source = src_lo
+JOIN cnt ch ON ch.source = src_hi""",
     "dedup_incremental": _minhash_incremental_oracle_sql(),
     "dedup_simhash": _SIMHASH_ORACLE,
     "text_profile": f"""
