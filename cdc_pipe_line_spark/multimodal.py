@@ -1012,19 +1012,27 @@ def sample_frames(
 
 
 def make_wav(
-    n_samples: int, amp: int, *, channels: int = 1, rate: int = 16000
+    n_samples: int,
+    amp: int,
+    *,
+    channels: int = 1,
+    rate: int = 16000,
+    period: int = 2,
 ) -> bytes:
-    """Deterministic 16-bit PCM RIFF/WAVE square wave: frame i holds
-    ``+amp`` (even i) / ``-amp`` (odd i) in every channel.  Chosen so
-    the signal statistics are ARITHMETIC: |sample| == amp everywhere,
-    hence RMS == peak == amp with zero float error (amp^2 and its mean
-    are exact integers, sqrt of a perfect square is exact) — which is
-    what lets a SQL oracle bind the numpy stats path bit-for-bit."""
+    """Deterministic 16-bit PCM RIFF/WAVE square wave of ``period``
+    frames: frame i holds ``+amp`` (``i % period < period/2``) /
+    ``-amp`` otherwise, in every channel (default period=2 is the
+    original alternating wave).  Chosen so the signal statistics are
+    ARITHMETIC: |sample| == amp everywhere, hence RMS == peak == amp
+    with zero float error (amp^2 and its mean are exact integers,
+    sqrt of a perfect square is exact) — which is what lets a SQL
+    oracle bind the numpy stats path bit-for-bit."""
     import struct as _struct
 
+    half = period // 2
     frames = bytearray()
     for i in range(n_samples):
-        v = amp if i % 2 == 0 else -amp
+        v = amp if i % period < half else -amp
         frames += _struct.pack("<h", v) * channels
     block_align = 2 * channels
     fmt = _struct.pack(
@@ -1161,6 +1169,65 @@ def _wav_pcm(payload: bytes):
         raise MediaDecodeError("wav: data not frame-aligned")
     samples = np.frombuffer(data, dtype="<i2")
     return rate, channels, samples
+
+
+def audio_period_scan(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    periods: tuple[int, ...] = (2, 4, 6, 8),
+) -> DataFrame:
+    """Square-wave MATCHED-FILTER bank over PCM audio — pitch/period
+    detection with INTEGER arithmetic: for each candidate period P the
+    correlation ``corr(P) = sum_i x[i] * s_P(i)`` against the ±1
+    square reference ``s_P(i) = +1 if i%P < P/2 else -1`` (one int64
+    numpy dot per candidate, vectorized over the Arrow batch).  The
+    dominant period is the argmax |corr| (smallest-period tie-break).
+    Unlike an FFT bin (libm cos/sin, not SQL-replayable), every value
+    here is exact integer arithmetic, so the oracle replays the whole
+    filter bank closed-form.  Mono analysis uses channel 0; malformed
+    payloads quarantine into ``decode_err``."""
+    schema = (
+        f"{id_col} bigint, n_samples bigint, energy bigint, "
+        "best_period bigint, best_corr bigint, decode_err string"
+    )
+    cols = [
+        id_col, "n_samples", "energy", "best_period", "best_corr",
+        "decode_err",
+    ]
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {c: None for c in cols}
+                base[id_col] = mid
+                try:
+                    if payload is None:
+                        raise MediaDecodeError("null payload")
+                    _rate, ch, samples = _wav_pcm(bytes(payload))
+                    x = samples[::ch].astype(np.int64)  # channel 0
+                    n = x.size
+                    idx = np.arange(n)
+                    best_p, best_c = None, None
+                    for p in periods:
+                        s = np.where(idx % p < p // 2, 1, -1)
+                        c = int(x @ s)
+                        if best_c is None or abs(c) > abs(best_c):
+                            best_p, best_c = p, c
+                    base.update(
+                        n_samples=n,
+                        energy=int(x @ x),
+                        best_period=best_p,
+                        best_corr=best_c,
+                    )
+                except MediaDecodeError as exc:
+                    base["decode_err"] = str(exc)
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, payload_col).mapInPandas(_scan, schema)
 
 
 AUDIO_SCHEMA = StructType(

@@ -844,6 +844,47 @@ def q_jpeg_scan_triage(spark, sf_dir):
     return jpeg_scan_triage(media)
 
 
+def q_audio_period_scan(spark, sf_dir):
+    """Square-wave matched-filter PERIOD DETECTION over real PCM
+    WAVs: each document becomes a 240-sample square wave whose period
+    cycles {2,4,6,8} frames by doc_id, and the filter bank
+    (:func:`multimodal.audio_period_scan`) must recover exactly that
+    period — correlations against all four ±1 references are pure
+    int64 dots, so the oracle replays the ENTIRE bank (signal,
+    references, argmax with smallest-period tie-break) closed-form in
+    doc_id.  Every 43rd payload is cut inside the data chunk for the
+    quarantine leg.  The pitch-detection shape every audio curation
+    pipeline runs before resampling decisions, with the FFT's
+    libm-dependence replaced by exact arithmetic."""
+    import numpy as np
+
+    from cdc_pipe_line_spark.multimodal import audio_period_scan, make_wav
+
+    @F.pandas_udf("binary")
+    def _wav_payload(
+        per: pd.Series, amp: pd.Series, cut: pd.Series
+    ) -> pd.Series:
+        out = []
+        for p, a, k in zip(per, amp, cut):
+            enc = make_wav(240, int(a), period=int(p))
+            out.append(enc[:60] if k else enc)
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (2 * ((F.col("doc_id") % 4) + 1)).alias("__per"),
+        (100 + (F.col("doc_id") % 50)).alias("__amp"),
+        (F.col("doc_id") % 43 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_wav_payload("__per", "__amp", "__cut"),
+        media_type="audio/wav",
+    )
+    return audio_period_scan(media)
+
+
 def q_png_filter_decode(spark, sf_dir):
     """PNG through REAL pixel reconstruction (CRC-verified chunk walk,
     bounded inflate, and full scanline UNFILTERING — the fixture
@@ -1355,6 +1396,7 @@ QUERIES = {
     "sim_knn_sq8": q_knn_sq8,
     "sim_knn_ivf_sq8": q_knn_ivf_sq8,
     "mm_audio_stats": q_audio_stats,
+    "mm_audio_period_scan": q_audio_period_scan,
     "mm_audio_decimate": q_audio_decimate,
     "mm_gif_decode": q_gif_decode,
     "mm_mp4_samples": q_mp4_samples,
@@ -1372,6 +1414,37 @@ _SQ8_CODE = (
 )
 
 ORACLE = {
+    "mm_audio_period_scan": """
+WITH p AS (
+  SELECT doc_id, 2 * ((doc_id % 4) + 1) AS per,
+         100 + (doc_id % 50) AS amp
+  FROM documents WHERE doc_id % 43 != 0),
+sig AS (
+  SELECT doc_id, per, i,
+    CASE WHEN i % per < per // 2 THEN amp ELSE -amp END AS x
+  FROM p, (SELECT unnest(range(0, 240)) AS i) r),
+corr AS (
+  SELECT doc_id, c.cand,
+    CAST(sum(x * (CASE WHEN i % c.cand < c.cand // 2
+                  THEN 1 ELSE -1 END)) AS BIGINT) AS corr
+  FROM sig, (SELECT unnest([2, 4, 6, 8]) AS cand) c
+  GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, cand, corr FROM (
+    SELECT doc_id, cand, corr, row_number() OVER (
+        PARTITION BY doc_id ORDER BY abs(corr) DESC, cand ASC) AS rn
+    FROM corr) WHERE rn = 1),
+en AS (
+  SELECT doc_id, CAST(sum(x * x) AS BIGINT) AS energy,
+    CAST(count(*) AS BIGINT) AS n_samples
+  FROM sig GROUP BY 1)
+SELECT d.doc_id AS media_id, e.n_samples, e.energy,
+  CAST(b.cand AS BIGINT) AS best_period, b.corr AS best_corr,
+  CASE WHEN d.doc_id % 43 = 0
+    THEN 'wav: data chunk truncated' END AS decode_err
+FROM documents d
+LEFT JOIN en e ON e.doc_id = d.doc_id
+LEFT JOIN best b ON b.doc_id = d.doc_id""",
     "mm_audio_vad_segments": """
 WITH p AS (
   SELECT doc_id,
