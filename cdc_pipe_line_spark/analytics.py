@@ -818,6 +818,67 @@ def kcore_peel(
     return removed, converged
 
 
+def functional_scc(
+    f_df: DataFrame,
+    *,
+    rounds: int,
+    node: str = "node",
+    nxt: str = "nxt",
+) -> DataFrame:
+    """SCC decomposition of a FUNCTIONAL graph (every node has
+    out-degree exactly 1 — the rho-shaped structure of hash chains,
+    ``random(x) = f(x)`` iteration, linked-list next-pointers) by
+    PARALLEL POINTER DOUBLING: after round r each node carries
+    ``jump = f^(2^r)(node)`` and ``mn = min over its next 2^r
+    trajectory nodes``.  With ``2^rounds >= n``:
+
+    - a node is ON a cycle iff it is in the image of ``f^(2^rounds)``
+      (every tail has been consumed — any value of the iterated map
+      lies on a cycle, and every cycle node is hit by rotating the
+      cycle backwards);
+    - a cycle node's SCC id is its ``mn`` (the window covers at least
+      one full cycle), and every non-cycle node is its own singleton
+      SCC — exactly the SCC decomposition, since a functional graph's
+      only non-trivial SCCs are its cycles.
+
+    Returns ``(node, on_cycle, scc_id)``.
+
+    Scale shape: ``rounds = ceil(log2 n)`` shuffle self-joins of the
+    n-row pointer table (each round re-pinned so lineage stays flat),
+    never an O(n)-step sequential walk — the khop/kcore iteration
+    discipline applied to parallel prefix."""
+    state = f_df.select(
+        F.col(node).alias("node"),
+        F.col(nxt).alias("jump"),
+        F.col(node).alias("mn"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        hop = state.select(
+            F.col("node").alias("__j"),
+            F.col("jump").alias("__jump2"),
+            F.col("mn").alias("__mn2"),
+        )
+        state = (
+            state.join(hop, F.col("jump") == F.col("__j"))
+            .select(
+                "node",
+                F.col("__jump2").alias("jump"),
+                F.least("mn", "__mn2").alias("mn"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    img = state.select(F.col("jump").alias("node")).distinct().withColumn(
+        "__on", F.lit(True)
+    )
+    return state.join(img, "node", "left").select(
+        "node",
+        F.coalesce("__on", F.lit(False)).alias("on_cycle"),
+        F.when(F.col("__on"), F.col("mn"))
+        .otherwise(F.col("node"))
+        .alias("scc_id"),
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,

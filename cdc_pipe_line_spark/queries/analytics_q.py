@@ -2824,6 +2824,96 @@ FROM (
   FROM scored) WHERE pos <= 20"""
 
 
+def q_scc_functional(spark, sf_dir):
+    """SCC decomposition of a FUNCTIONAL graph by parallel pointer
+    doubling (:func:`analytics.functional_scc`) — the Pollard-rho
+    structure analysis: the user domain is ranked dense, every node
+    points to ``(i*i + 1) mod n`` (the classic rho map), and 14
+    doubling rounds (2^14 >= users at every tested SF) classify each
+    node as cycle member or tail and label it with its SCC
+    representative (cycle minimum; tails are singleton SCCs).  The
+    oracle unrolls the IDENTICAL 14 doubling stages in SQL (the
+    kcore stage-replay discipline), so every round's jump/min state
+    is hash-checked, not just the final labels.
+
+    Scale shape: log2(n) shuffle self-joins of the n-row pointer
+    table — parallel prefix instead of an O(n) sequential walk; at a
+    billion nodes that is 30 bounded joins."""
+    from pyspark.sql.window import Window
+
+    from cdc_pipe_line_spark.analytics import functional_scc
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    n = users.count()
+    ranked = users.select(
+        "user_id",
+        (F.row_number().over(Window.orderBy("user_id")) - 1).alias("i"),
+    ).localCheckpoint(eager=True)
+    f = ranked.select(
+        F.col("i").alias("node"),
+        ((F.col("i") * F.col("i") + 1) % F.lit(n)).alias("nxt"),
+    )
+    scc = functional_scc(f, rounds=14)
+    back = ranked.select(
+        F.col("i").alias("scc_id"), F.col("user_id").alias("scc_user")
+    )
+    return (
+        scc.join(
+            F.broadcast(
+                ranked.select(F.col("i").alias("node"), "user_id")
+            ),
+            "node",
+        )
+        .join(F.broadcast(back), "scc_id")
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "on_cycle",
+            F.col("scc_user").cast("bigint").alias("scc_user"),
+        )
+    )
+
+
+def _scc_oracle_sql(rounds: int = 14) -> str:
+    """DuckDB replay of q_scc_functional: the same rho map and the
+    same ``rounds`` unrolled doubling stages (AS MATERIALIZED — the
+    chained-CTE inlining trap)."""
+    stages = [
+        "s0 AS MATERIALIZED (SELECT i AS node, (i*i + 1) % n AS jump,"
+        " i AS mn FROM idx, cnt)"
+    ]
+    for r in range(1, rounds + 1):
+        p = f"s{r - 1}"
+        stages.append(
+            f"s{r} AS MATERIALIZED (SELECT a.node, b.jump AS jump,"
+            f" least(a.mn, b.mn) AS mn"
+            f" FROM {p} a JOIN {p} b ON b.node = a.jump)"
+        )
+    last = f"s{rounds}"
+    body = ",\n".join(stages)
+    return f"""
+WITH idx AS MATERIALIZED (
+  SELECT user_id, row_number() OVER (ORDER BY user_id) - 1 AS i
+  FROM (SELECT DISTINCT user_id FROM events)),
+cnt AS (SELECT count(*) AS n FROM idx),
+{body},
+img AS (SELECT DISTINCT jump FROM {last}),
+lab AS (
+  SELECT s.node,
+    i2.jump IS NOT NULL AS on_cycle,
+    CASE WHEN i2.jump IS NOT NULL THEN s.mn ELSE s.node END AS scc_id
+  FROM {last} s LEFT JOIN img i2 ON i2.jump = s.node)
+SELECT CAST(u.user_id AS BIGINT) AS user_id, lab.on_cycle,
+  CAST(su.user_id AS BIGINT) AS scc_user
+FROM lab
+JOIN idx u ON u.i = lab.node
+JOIN idx su ON su.i = lab.scc_id"""
+
+
+QUERIES["graph_scc_functional"] = q_scc_functional
+ORACLE["graph_scc_functional"] = _scc_oracle_sql()
+
+
 def q_clustering_coeff_capped(spark, sf_dir):
     """Degree-CAPPED clustering coefficient — the celebrity-vertex
     mitigation for the exact triangle subtree (VERDICT r8 item 6):
