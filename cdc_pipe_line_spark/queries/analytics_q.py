@@ -2824,6 +2824,97 @@ FROM (
   FROM scored) WHERE pos <= 20"""
 
 
+def q_exact_median_twopass(spark, sf_dir):
+    """EXACT global median without per-group value buffering — the
+    shape that survives where ``percentile()`` cannot (exact
+    percentiles buffer every value of a group in one aggregation
+    buffer; a 100 TB global median does not fit):
+
+    1. one min/max/count reduction (bounds + target rank);
+    2. one 8192-bucket histogram over the integer-cents domain
+       (hash-agg, mergeable partials) — the bucket holding the target
+       rank falls out of a cumulative scan of <= 8192 rows;
+    3. one FILTERED pass over that bucket only (predicate pushed to
+       the scan), exact per-value counts, and the rank lands on the
+       answer.
+
+    Every pass is a plain map-side-combinable aggregate; driver-side
+    state is the histogram (bounded at 8192 rows by construction).
+    Published: row count, target rank (lower median, ``(n+1)//2``),
+    and the exact median in cents — the DuckDB oracle checks it with
+    ``quantile_disc(0.5)``, a genuinely independent formulation."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)  # feeds bounds + histogram + pass 2
+    )
+    b = li.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count("*").alias("n"),
+    ).first()
+    lo, hi, n = int(b["lo"]), int(b["hi"]), int(b["n"])
+    w = (hi - lo) // 8192 + 1
+    rank = (n + 1) // 2
+    hist = (
+        li.groupBy(F.expr(f"(cents - {lo}) div {w}").alias("b"))
+        .agg(F.count("*").alias("c"))
+        .collect()  # bounded: <= 8192 rows by construction
+    )
+    cum = 0
+    tb = None
+    for r in sorted(hist, key=lambda r: r["b"]):
+        if cum + r["c"] >= rank:
+            tb, cum_before = int(r["b"]), cum
+            break
+        cum += int(r["c"])
+    vals = (
+        li.filter(
+            (F.col("cents") >= lo + tb * w)
+            & (F.col("cents") < lo + (tb + 1) * w)
+        )
+        .groupBy("cents")
+        .agg(F.count("*").alias("c"))
+    )
+    # cumulative over the bucket's <= w <= 8193 distinct values —
+    # aggregate output, so the unpartitioned window is bounded
+    from pyspark.sql.window import Window
+
+    med = (
+        vals.withColumn(
+            "cumv",
+            F.sum("c").over(
+                Window.orderBy("cents").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .filter(F.col("cumv") >= rank - cum_before)
+        .agg(F.min("cents").alias("median_cents"))
+    )
+    return med.select(
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.lit(rank).cast("bigint").alias("target_rank"),
+        F.col("median_cents").cast("bigint").alias("median_cents"),
+    )
+
+
+QUERIES["agg_exact_median_twopass"] = q_exact_median_twopass
+
+ORACLE["agg_exact_median_twopass"] = """
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST((count(*) + 1) // 2 AS BIGINT) AS target_rank,
+  CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents
+FROM c"""
+
+
 def q_scc_functional(spark, sf_dir):
     """SCC decomposition of a FUNCTIONAL graph by parallel pointer
     doubling (:func:`analytics.functional_scc`) — the Pollard-rho

@@ -373,8 +373,76 @@ def q_sequence_gap_audit(spark, sf_dir):
     )
 
 
+def q_scd4_history_table(spark, sf_dir):
+    """SCD Type 4 — the CURRENT-table / HISTORY-table split (the
+    fourth classic slowly-changing-dimension strategy, completing the
+    repo's Type 1/2/3 set): the latest version of every user lands in
+    the current table (``table_role='current'``) and every superseded
+    version moves to the separate history table
+    (``table_role='history'``) with its supersession timestamp — the
+    layout warehouses use when the dimension is hot but history is
+    audit-only.  ONE descending window pass (WindowGroupLimit-style
+    rank over the standard (ts, event_id) CDC order) splits both
+    tables; no self-join, no second scan — the union is two
+    projections of the SAME ranked frame."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.row_number().over(wd).alias("__rn"),
+        F.lag("ts").over(wd).alias("__superseded_at"),
+    ).localCheckpoint(eager=True)
+    current = ranked.filter(F.col("__rn") == 1).select(
+        F.lit("current").alias("table_role"),
+        "user_id",
+        F.col("event_id").cast("bigint").alias("version_event"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.lit(None).cast("string").alias("superseded_at"),
+        "value",
+    )
+    history = ranked.filter(F.col("__rn") > 1).select(
+        F.lit("history").alias("table_role"),
+        "user_id",
+        F.col("event_id").cast("bigint").alias("version_event"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("__superseded_at", "yyyy-MM-dd HH:mm:ss").alias(
+            "superseded_at"
+        ),
+        "value",
+    )
+    return current.unionByName(history)
+
+
 QUERIES["scd3_prev_current"] = q_scd3_prev_current
+QUERIES["scd4_history_table"] = q_scd4_history_table
 QUERIES["cdc_sequence_gap_audit"] = q_sequence_gap_audit
+
+ORACLE["scd4_history_table"] = """
+WITH p AS (
+  SELECT user_id, ts, event_id, round(value, 4) AS value,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY ts DESC, event_id DESC) AS rn,
+    lag(ts) OVER (PARTITION BY user_id
+      ORDER BY ts DESC, event_id DESC) AS superseded_ts
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL)
+SELECT CASE WHEN rn = 1 THEN 'current' ELSE 'history' END AS table_role,
+  user_id,
+  CAST(event_id AS BIGINT) AS version_event,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+  CASE WHEN rn = 1 THEN NULL
+       ELSE strftime(superseded_ts, '%Y-%m-%d %H:%M:%S') END
+    AS superseded_at,
+  value
+FROM p"""
 
 ORACLE["scd3_prev_current"] = """
 WITH p AS (
