@@ -1440,8 +1440,73 @@ def q_delta_native_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_delta_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2 maintained ON a native Delta table — the
+    reference's deltaprocessing flow (history lives in Delta, each
+    batch merges into it; deltaprocessing.py:96-116) end-to-end with
+    ZERO delta-spark: batch 1 of the upsert stream builds the initial
+    history and lands via :func:`deltalog.create_table`; batch 2 reads
+    the snapshot back through the native log reader, rebuilds ONLY the
+    touched keys' chains (untouched rows pass through — the
+    rewrite-touched-partitions MERGE shape; a real MERGE rewrites only
+    touched FILES, same semantics) and lands as one atomic
+    :func:`deltalog.overwrite` commit.
+
+    The published result is the final snapshot read from the Delta
+    log, and the ORACLE is the one-shot lead()-window history over the
+    whole stream — so the check proves incremental-over-Delta ==
+    batch ground truth, not merely that the table round-trips."""
+    from cdc_pipe_line_spark import deltalog
+    from cdc_pipe_line_spark.cdc.scd2 import scd2_from_upserts
+
+    base, ready = _cache(sf_dir, "delta_scd2")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        h1 = scd2_from_upserts(
+            ev.filter(F.col("ts") < cut), "user_id", "ts", ["value"]
+        )
+        deltalog.create_table(spark, h1, base, n_files=2)
+        hist = deltalog.read_snapshot(spark, base)
+        b2 = ev.filter(F.col("ts") >= cut).select(
+            F.col("user_id").cast("string").alias("key_value"),
+            "ts",
+            "value",
+        )
+        touched = b2.select("key_value").distinct()
+        untouched = hist.join(touched, "key_value", "left_anti")
+        replay = hist.join(touched, "key_value", "semi").select(
+            "key_value", F.col("valid_from").alias("ts"), "value"
+        )
+        rebuilt = scd2_from_upserts(
+            replay.unionByName(b2), "key_value", "ts", ["value"]
+        )
+        deltalog.overwrite(
+            spark, untouched.unionByName(rebuilt), base, n_files=2
+        )
+        _mark(base)
+    snap = deltalog.read_snapshot(spark, base)
+    return snap.select(
+        "key_value", "value", "valid_from", "valid_to", "is_current"
+    )
+
+
 QUERIES["io_delta_log_scan"] = q_delta_log_scan
 QUERIES["io_delta_native_writer"] = q_delta_native_writer
+QUERIES["cdc_scd2_delta_native"] = q_scd2_delta_native
+
+ORACLE["cdc_scd2_delta_native"] = """
+WITH history AS (
+  SELECT CAST(user_id AS VARCHAR) AS key_value, value, ts AS valid_from,
+    lead(ts) OVER w AS valid_to,
+    lead(ts) OVER w IS NULL AS is_current
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, value ASC))
+SELECT key_value, value, valid_from, valid_to, is_current FROM history"""
 
 ORACLE["io_delta_native_writer"] = """
 SELECT CAST(4 AS BIGINT) AS n_commits,
