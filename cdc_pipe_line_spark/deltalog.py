@@ -41,6 +41,7 @@ LOG_SCHEMA = (
     "protocol struct<minReaderVersion: int, minWriterVersion: int>, "
     "add struct<path: string, size: bigint, dataChange: boolean>, "
     "remove struct<path: string, dataChange: boolean>, "
+    "txn struct<appId: string, version: bigint>, "
     "commitInfo struct<operation: string>"
 )
 
@@ -227,6 +228,75 @@ def compact(spark: SparkSession, table_dir: str) -> int:
     return commit(
         table_dir, [*removes, *adds, {"commitInfo": {"operation": "OPTIMIZE"}}]
     )
+
+
+def last_txn_version(
+    spark: SparkSession, table_dir: str, app_id: str
+) -> int | None:
+    """Highest committed ``txn.version`` for ``app_id`` — the
+    exactly-once handshake a streaming sink reads before applying a
+    micro-batch (the protocol's SetTransaction action)."""
+    if not os.path.isdir(os.path.join(table_dir, "_delta_log")):
+        return None
+    row = (
+        read_log_actions(spark, table_dir)
+        .filter(F.col("txn.appId") == app_id)
+        .agg(F.max("txn.version").alias("v"))
+        .first()
+    )
+    return None if row is None or row["v"] is None else int(row["v"])
+
+
+def txn_append(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    *,
+    app_id: str,
+    version: int,
+    n_files: int = 1,
+) -> bool:
+    """IDEMPOTENT append keyed by ``(app_id, version)`` — the
+    exactly-once streaming-sink contract: if this transaction version
+    is already committed the call is a NO-OP (returns False, writes
+    nothing), so an at-least-once upstream (a restarted micro-batch,
+    a replayed foreachBatch) cannot double-append.  Bootstraps the
+    table (protocol + metaData) when the log does not exist yet.
+
+    The check-then-commit window is closed by :func:`commit`'s
+    put-if-absent file create: a racing writer loses the version
+    race, errors, and re-enters through the version check."""
+    last = last_txn_version(spark, table_dir, app_id)
+    if last is not None and version <= last:
+        return False
+    bootstrap = not os.path.isdir(os.path.join(table_dir, "_delta_log"))
+    os.makedirs(table_dir, exist_ok=True)
+    adds = _write_data_files(df, table_dir, n_files=n_files)
+    head: list[dict] = []
+    if bootstrap:
+        import uuid as _uuid
+
+        head = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": _uuid.uuid4().hex,
+                    "format": {"provider": "parquet"},
+                    "schemaString": df.schema.json(),
+                }
+            },
+        ]
+    commit(
+        table_dir,
+        [
+            *head,
+            {"txn": {"appId": app_id, "version": version}},
+            *adds,
+            {"commitInfo": {"operation": "STREAMING UPDATE"}},
+        ],
+        version=0 if bootstrap else None,
+    )
+    return True
 
 
 def read_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:

@@ -1426,3 +1426,112 @@ UNION ALL
 SELECT 2, (SELECT count(*) FROM ev2), (SELECT n FROM d2),
   (SELECT count(*) FROM ev2),
   (SELECT min(event_id) FROM ev2), (SELECT max(event_id) FROM ev2)"""
+
+
+def q_stream_delta_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming sink into a NATIVE Delta table (T3/T5 +
+    the protocol's SetTransaction action, with zero delta-spark): the
+    staged event stream drains through ``foreachBatch``, and every
+    micro-batch lands via :func:`deltalog.txn_append` keyed by
+    ``(app_id, batchId)`` — the idempotence contract Kafka-to-Delta
+    sinks rely on.  An at-least-once replay is then SIMULATED at
+    query time by re-offering batch 0 under its original transaction
+    version: the sink must refuse it (no new commit, no new rows),
+    and that refusal plus the exact commit/txn census and the
+    content-equality check against the source table are all bound in
+    the published row.
+
+    Scale shape: each micro-batch append is one distributed parquet
+    write + one bounded log commit; the txn check is a scan of the
+    bounded action log (checkpoint compaction keeps it shallow in
+    production)."""
+    from cdc_pipe_line_spark import deltalog
+
+    app_id = "stream_delta_txn_sink"
+    staged = _stage(spark, sf_dir, "raw")
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    tbl = f"/tmp/cdc_stream_cache/{sf_name}/delta_txn_tbl"
+    marker = os.path.join(tbl, "_SINK_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(tbl, ignore_errors=True)
+        ckpt = f"{tbl}__ckpt"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(RAW_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.json")
+            .option("timestampFormat", _TS_FMT)
+            .option("maxFilesPerTrigger", "2")
+            .json(staged)
+        )
+
+        def _sink(bdf, bid: int) -> None:
+            rows = bdf.select("event_id", "user_id", "event_type")
+            if rows.isEmpty():
+                return
+            deltalog.txn_append(
+                spark, rows, tbl, app_id=app_id, version=int(bid)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(marker, "w") as fh:
+            fh.write("done")
+
+    # at-least-once replay probe: batch 0 re-offered under its
+    # original txn version must be refused without a commit
+    replay_probe = _t(spark, sf_dir, "events").limit(3).select(
+        "event_id", "user_id", "event_type"
+    )
+    replay_accepted = deltalog.txn_append(
+        spark, replay_probe, tbl, app_id=app_id, version=0
+    )
+
+    actions = deltalog.read_log_actions(spark, tbl)
+    census = actions.agg(
+        (F.max("version") + 1).cast("bigint").alias("n_commits"),
+        F.sum(F.col("txn").isNotNull().cast("bigint")).alias("n_txn"),
+        F.max("txn.version").cast("bigint").alias("max_txn_version"),
+    )
+    snap = deltalog.read_snapshot(spark, tbl)
+    got = snap.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    )
+    src = _t(spark, sf_dir, "events").agg(
+        F.count("*").cast("bigint").alias("__src_n"),
+        F.sum("event_id").cast("bigint").alias("__src_sum"),
+    )
+    return (
+        census.crossJoin(F.broadcast(got))
+        .crossJoin(F.broadcast(src))
+        .select(
+            "n_commits",
+            "n_txn",
+            "max_txn_version",
+            "n_rows",
+            "id_checksum",
+            F.lit(not replay_accepted).alias("replay_refused"),
+            (
+                (F.col("n_rows") == F.col("__src_n"))
+                & (F.col("id_checksum") == F.col("__src_sum"))
+            ).alias("matches_source"),
+        )
+    )
+
+
+QUERIES["stream_delta_txn_sink"] = q_stream_delta_txn_sink
+
+ORACLE["stream_delta_txn_sink"] = """
+SELECT CAST(4 AS BIGINT) AS n_commits,
+  CAST(4 AS BIGINT) AS n_txn,
+  CAST(3 AS BIGINT) AS max_txn_version,
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+  (SELECT CAST(sum(event_id) AS BIGINT) FROM events) AS id_checksum,
+  TRUE AS replay_refused,
+  TRUE AS matches_source"""

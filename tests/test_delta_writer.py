@@ -98,3 +98,26 @@ def test_create_writes_real_schema_string(spark, table_dir):
     assert len(metas) == 1
     schema = json.loads(metas[0]["schemaString"])
     assert [f["name"] for f in schema["fields"]] == ["id", "v"]
+
+
+def test_txn_append_idempotent(spark, table_dir):
+    df = _mk(spark, 0, 4)
+    assert deltalog.txn_append(spark, df, table_dir, app_id="a", version=0)
+    assert deltalog.txn_append(
+        spark, _mk(spark, 4, 6), table_dir, app_id="a", version=1
+    )
+    # replays of both versions are refused with NO new commit or rows
+    before = sorted(os.listdir(os.path.join(table_dir, "_delta_log")))
+    for v in (0, 1):
+        assert not deltalog.txn_append(
+            spark, df, table_dir, app_id="a", version=v
+        )
+    assert sorted(os.listdir(os.path.join(table_dir, "_delta_log"))) == before
+    assert _ids(spark, table_dir) == list(range(6))
+    # a DIFFERENT app's version counter is independent
+    assert deltalog.txn_append(
+        spark, _mk(spark, 6, 7), table_dir, app_id="b", version=0
+    )
+    assert deltalog.last_txn_version(spark, table_dir, "a") == 1
+    assert deltalog.last_txn_version(spark, table_dir, "b") == 0
+    assert deltalog.last_txn_version(spark, table_dir, "c") is None
