@@ -299,18 +299,48 @@ def txn_append(
     return True
 
 
-def read_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The current table snapshot: parquet union of live files.
+def read_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    version_as_of: int | None = None,
+) -> DataFrame:
+    """The table snapshot: parquet union of live files — current by
+    default, or TIME TRAVEL to any historical version with
+    ``version_as_of`` (replay simply stops at that commit; tombstoned
+    data files are never deleted by a writer, only by vacuum, so
+    every previous version stays readable — the protocol's
+    versioned-read contract).
 
     The file list is collected driver-side — bounded by live-file
     count, the same driver-side footprint every table format's
     planner has — and handed to ONE parquet scan so Spark plans
     splits/pushdown across all live files together.
     """
+    actions = read_log_actions(spark, table_dir)
+    if version_as_of is not None:
+        actions = actions.filter(F.col("version") <= version_as_of)
     files = [
         os.path.join(table_dir, r.path)
-        for r in live_files(read_log_actions(spark, table_dir)).collect()
+        for r in live_files(actions).collect()
     ]
     if not files:
         raise ValueError(f"delta log at {table_dir} has no live files")
     return spark.read.parquet(*files)
+
+
+def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit with its operation and
+    add/remove counts — the audit view operators read before a time
+    travel or restore."""
+    return (
+        read_log_actions(spark, table_dir)
+        .groupBy("version")
+        .agg(
+            F.max("commitInfo.operation").alias("operation"),
+            F.sum(F.col("add").isNotNull().cast("bigint")).alias("n_adds"),
+            F.sum(F.col("remove").isNotNull().cast("bigint")).alias(
+                "n_removes"
+            ),
+        )
+    )

@@ -1495,9 +1495,97 @@ def q_scd2_delta_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta TIME TRAVEL through the native reader: the writer
+    fixture's four-commit table (create %4==0 → append %4==1 →
+    OPTIMIZE → append %4==2) read AS OF every version, one probe row
+    per version with its operation (DESCRIBE HISTORY), live-file
+    count, row count and key checksum — so the replay-stops-here
+    contract is bound at every point in history, including the
+    OPTIMIZE commit whose content must equal its predecessor's while
+    its file census changes."""
+    from cdc_pipe_line_spark import deltalog
+
+    # reuse (or build) the io_delta_native_writer staging
+    base, ready = _cache(sf_dir, "delta_writer")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders")
+        m = F.col("o_orderkey") % 4
+        deltalog.create_table(spark, orders.filter(m == 0), base)
+        deltalog.append(spark, orders.filter(m == 1), base)
+        deltalog.compact(spark, base)
+        deltalog.append(spark, orders.filter(m == 2), base)
+        _mark(base)
+
+    hist = deltalog.table_history(spark, base)
+    probes = []
+    for v in range(4):
+        actions = deltalog.read_log_actions(spark, base).filter(
+            F.col("version") <= v
+        )
+        nlive = deltalog.live_files(actions).agg(
+            F.count("*").cast("bigint").alias("n_live_files")
+        )
+        snap = deltalog.read_snapshot(spark, base, version_as_of=v).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        )
+        probes.append(
+            nlive.crossJoin(F.broadcast(snap)).select(
+                F.lit(v).cast("bigint").alias("version"),
+                "n_live_files",
+                "n_rows",
+                "key_checksum",
+            )
+        )
+    out = probes[0]
+    for p in probes[1:]:
+        out = out.unionByName(p)
+    return out.join(F.broadcast(hist), "version").select(
+        "version",
+        "operation",
+        F.col("n_adds").cast("bigint").alias("n_adds"),
+        F.col("n_removes").cast("bigint").alias("n_removes"),
+        "n_live_files",
+        "n_rows",
+        "key_checksum",
+    )
+
+
 QUERIES["io_delta_log_scan"] = q_delta_log_scan
 QUERIES["io_delta_native_writer"] = q_delta_native_writer
 QUERIES["cdc_scd2_delta_native"] = q_scd2_delta_native
+QUERIES["io_delta_time_travel"] = q_delta_time_travel
+
+ORACLE["io_delta_time_travel"] = """
+WITH m AS (
+  SELECT o_orderkey % 4 AS g, o_orderkey FROM orders),
+agg AS (
+  SELECT
+    (SELECT count(*) FROM m WHERE g = 0) AS n0,
+    (SELECT sum(o_orderkey) FROM m WHERE g = 0) AS s0,
+    (SELECT count(*) FROM m WHERE g < 2) AS n01,
+    (SELECT sum(o_orderkey) FROM m WHERE g < 2) AS s01,
+    (SELECT count(*) FROM m WHERE g < 3) AS n012,
+    (SELECT sum(o_orderkey) FROM m WHERE g < 3) AS s012)
+SELECT CAST(0 AS BIGINT) AS version, 'CREATE TABLE' AS operation,
+  CAST(1 AS BIGINT) AS n_adds, CAST(0 AS BIGINT) AS n_removes,
+  CAST(1 AS BIGINT) AS n_live_files,
+  CAST(n0 AS BIGINT) AS n_rows, CAST(s0 AS BIGINT) AS key_checksum
+FROM agg
+UNION ALL
+SELECT 1, 'WRITE', 1, 0, 2, CAST(n01 AS BIGINT), CAST(s01 AS BIGINT)
+FROM agg
+UNION ALL
+SELECT 2, 'OPTIMIZE', 1, 2, 1, CAST(n01 AS BIGINT), CAST(s01 AS BIGINT)
+FROM agg
+UNION ALL
+SELECT 3, 'WRITE', 1, 0, 2, CAST(n012 AS BIGINT), CAST(s012 AS BIGINT)
+FROM agg"""
 
 ORACLE["cdc_scd2_delta_native"] = """
 WITH history AS (

@@ -121,3 +121,27 @@ def test_txn_append_idempotent(spark, table_dir):
     assert deltalog.last_txn_version(spark, table_dir, "a") == 1
     assert deltalog.last_txn_version(spark, table_dir, "b") == 0
     assert deltalog.last_txn_version(spark, table_dir, "c") is None
+
+
+def test_time_travel_every_version(spark, table_dir):
+    deltalog.create_table(spark, _mk(spark, 0, 4), table_dir)
+    deltalog.append(spark, _mk(spark, 4, 6), table_dir)
+    deltalog.overwrite(spark, _mk(spark, 50, 52), table_dir)
+    assert sorted(
+        r["id"]
+        for r in deltalog.read_snapshot(
+            spark, table_dir, version_as_of=0
+        ).collect()
+    ) == [0, 1, 2, 3]
+    assert sorted(
+        r["id"]
+        for r in deltalog.read_snapshot(
+            spark, table_dir, version_as_of=1
+        ).collect()
+    ) == [0, 1, 2, 3, 4, 5]
+    assert _ids(spark, table_dir) == [50, 51]
+    ops = {
+        r["version"]: r["operation"]
+        for r in deltalog.table_history(spark, table_dir).collect()
+    }
+    assert ops == {0: "CREATE TABLE", 1: "WRITE", 2: "OVERWRITE"}
