@@ -46,14 +46,58 @@ LOG_SCHEMA = (
 )
 
 
-def read_log_actions(spark: SparkSession, table_dir: str) -> DataFrame:
+def read_log_actions(
+    spark: SparkSession, table_dir: str, *, json_only: bool = False
+) -> DataFrame:
     """All log actions with their commit version, one row per action.
 
-    Distributed JSON scan over ``_delta_log/*.json``; the version is
-    parsed from each action's source file name, so ordering survives
-    however many input splits the scan plans.
+    With a checkpoint present (``_last_checkpoint`` pointer), the scan
+    reads the checkpoint parquet PLUS only the JSON commits after it —
+    the protocol's bounded-log contract: state reconstruction cost is
+    O(checkpoint + tail), however long the table's history, and log
+    cleanup may delete the pre-checkpoint JSON entirely.  Checkpoint
+    rows carry the checkpoint's version (they ARE the state as of that
+    commit).  ``json_only=True`` bypasses the checkpoint — the time
+    travel path, which needs per-commit granularity and therefore the
+    raw JSON (readable until log cleanup).
+
+    Distributed JSON/parquet scans; the JSON version is parsed from
+    each action's source file name, so ordering survives however many
+    input splits the scan plans.
     """
-    log_glob = os.path.join(table_dir, "_delta_log", "*.json")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if not json_only and os.path.exists(lc):
+        import json as _json
+
+        with open(lc) as fh:
+            ck_ver = int(_json.load(fh)["version"])
+        ck = (
+            spark.read.schema(LOG_SCHEMA)
+            .parquet(
+                os.path.join(log_dir, f"{ck_ver:020d}.checkpoint.parquet")
+            )
+            .withColumn("version", F.lit(ck_ver).cast("bigint"))
+        )
+        tail = sorted(
+            f
+            for f in os.listdir(log_dir)
+            if f.endswith(".json") and int(f.split(".")[0]) > ck_ver
+        )
+        if not tail:
+            return ck
+        js = (
+            spark.read.schema(LOG_SCHEMA)
+            .json([os.path.join(log_dir, f) for f in tail])
+            .withColumn(
+                "version",
+                F.regexp_extract(
+                    F.input_file_name(), r"(\d+)\.json$", 1
+                ).cast("bigint"),
+            )
+        )
+        return ck.unionByName(js)
+    log_glob = os.path.join(log_dir, "*.json")
     return (
         spark.read.schema(LOG_SCHEMA)
         .json(log_glob)
@@ -117,6 +161,14 @@ def commit(table_dir: str, actions: list[dict], *, version: int | None = None) -
             for f in os.listdir(log_dir)
             if f.endswith(".json")
         ] if os.path.isdir(log_dir) else []
+        # a checkpoint supersedes (and log cleanup may have deleted)
+        # earlier JSON commits — the next version must clear it too
+        lc = os.path.join(log_dir, "_last_checkpoint")
+        if os.path.exists(lc):
+            import json as _json
+
+            with open(lc) as fh:
+                versions.append(int(_json.load(fh)["version"]))
         version = max(versions) + 1 if versions else 0
     os.makedirs(os.path.join(table_dir, "_delta_log"), exist_ok=True)
     name = os.path.join(table_dir, "_delta_log", f"{version:020d}.json")
@@ -299,6 +351,111 @@ def txn_append(
     return True
 
 
+def write_checkpoint(spark: SparkSession, table_dir: str) -> int:
+    """Write a protocol CHECKPOINT: the full reconstructed state —
+    protocol, metaData, every live ``add``, and the per-app ``txn``
+    high-water marks — as one parquet file
+    (``<version>.checkpoint.parquet``) plus the ``_last_checkpoint``
+    pointer.  From then on readers pay O(checkpoint + JSON tail)
+    instead of replaying the whole history, and
+    :func:`cleanup_log_before_checkpoint` may delete the superseded
+    JSON commits (metadata retention).  Returns the checkpointed
+    version."""
+    import json as _json
+
+    acts = read_log_actions(spark, table_dir)
+    ver_row = acts.agg(F.max("version").alias("v")).first()
+    ver = int(ver_row["v"])
+    pdf_parts = []
+    # latest protocol + metaData win
+    for field in ("protocol", "metaData"):
+        top = (
+            acts.filter(F.col(field).isNotNull())
+            .orderBy(F.col("version").desc())
+            .limit(1)
+            .select(field)
+        )
+        pdf_parts.append(
+            top.select(
+                *[
+                    F.col(field) if c == field else F.lit(None).alias(c)
+                    for c in ("metaData", "protocol", "add", "remove", "txn",
+                              "commitInfo")
+                ]
+            )
+        )
+    live = live_files(acts).select(
+        F.lit(None).alias("metaData"),
+        F.lit(None).alias("protocol"),
+        F.struct(
+            F.col("path"),
+            F.col("size"),
+            F.lit(True).alias("dataChange"),
+        ).alias("add"),
+        F.lit(None).alias("remove"),
+        F.lit(None).alias("txn"),
+        F.lit(None).alias("commitInfo"),
+    )
+    pdf_parts.append(live)
+    txns = (
+        acts.filter(F.col("txn").isNotNull())
+        .groupBy("txn.appId")
+        .agg(F.max("txn.version").alias("v"))
+        .select(
+            F.lit(None).alias("metaData"),
+            F.lit(None).alias("protocol"),
+            F.lit(None).alias("add"),
+            F.lit(None).alias("remove"),
+            F.struct(
+                F.col("appId"), F.col("v").alias("version")
+            ).alias("txn"),
+            F.lit(None).alias("commitInfo"),
+        )
+    )
+    pdf_parts.append(txns)
+    state = pdf_parts[0]
+    for p in pdf_parts[1:]:
+        state = state.unionByName(p)
+    # normalize to the canonical action schema so readers see the
+    # same struct shapes JSON commits produce
+    state = spark.createDataFrame(state.collect(), LOG_SCHEMA)
+    import shutil as _shutil
+    import uuid as _uuid
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    tmp = os.path.join(table_dir, f"__ckpt-{_uuid.uuid4().hex}")
+    state.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    final = os.path.join(log_dir, f"{ver:020d}.checkpoint.parquet")
+    os.replace(os.path.join(tmp, part), final)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    n = state.count()
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(_json.dumps({"version": ver, "size": n}))
+    return ver
+
+
+def cleanup_log_before_checkpoint(table_dir: str) -> int:
+    """Log cleanup (metadata retention): delete JSON commits at or
+    below the last checkpoint — they are superseded by the checkpoint
+    state.  Time travel to those versions is gone after this, exactly
+    as the protocol's retention contract says.  Returns how many
+    commit files were removed."""
+    import json as _json
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        ck_ver = int(_json.load(fh)["version"])
+    victims = [
+        f
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and int(f.split(".")[0]) <= ck_ver
+    ]
+    for f in victims:
+        os.remove(os.path.join(log_dir, f))
+    return len(victims)
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -317,7 +474,9 @@ def read_snapshot(
     planner has — and handed to ONE parquet scan so Spark plans
     splits/pushdown across all live files together.
     """
-    actions = read_log_actions(spark, table_dir)
+    actions = read_log_actions(
+        spark, table_dir, json_only=version_as_of is not None
+    )
     if version_as_of is not None:
         actions = actions.filter(F.col("version") <= version_as_of)
     files = [

@@ -1559,7 +1559,92 @@ def q_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["io_delta_log_scan"] = q_delta_log_scan
 QUERIES["io_delta_native_writer"] = q_delta_native_writer
 QUERIES["cdc_scd2_delta_native"] = q_scd2_delta_native
+def q_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHECKPOINT + LOG CLEANUP through the native protocol
+    implementation: create → append → ``write_checkpoint`` (full
+    state — protocol, metaData, live adds, txn high-water marks — as
+    one parquet + the ``_last_checkpoint`` pointer) → delete every
+    superseded JSON commit (metadata retention) → append once more.
+    The table MUST still reconstruct exactly (the pre-checkpoint JSON
+    is gone, so the read provably goes through the checkpoint), the
+    post-cleanup commit must allocate PAST the checkpoint version,
+    and the remaining-JSON census pins the cleanup itself."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_ckpt")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders")
+        m = F.col("o_orderkey") % 4
+        deltalog.create_table(spark, orders.filter(m == 0), base)
+        deltalog.append(spark, orders.filter(m == 1), base)
+        deltalog.write_checkpoint(spark, base)
+        deltalog.cleanup_log_before_checkpoint(base)
+        deltalog.append(spark, orders.filter(m == 2), base)
+        _mark(base)
+
+    log_dir = os.path.join(base, "_delta_log")
+    n_json = sum(1 for f in os.listdir(log_dir) if f.endswith(".json"))
+    has_ckpt = any(
+        f.endswith(".checkpoint.parquet") for f in os.listdir(log_dir)
+    )
+    actions = deltalog.read_log_actions(spark, base)
+    census = actions.agg(
+        F.max("version").cast("bigint").alias("max_version"),
+        F.count_distinct("version").cast("bigint").alias("n_versions"),
+    )
+    nlive = deltalog.live_files(actions).agg(
+        F.count("*").cast("bigint").alias("n_live_files")
+    )
+    got = deltalog.read_snapshot(spark, base).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+    )
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 < 3)
+        .agg(
+            F.count("*").cast("bigint").alias("__src_n"),
+            F.sum("o_orderkey").cast("bigint").alias("__src_sum"),
+        )
+    )
+    return (
+        census.crossJoin(F.broadcast(nlive))
+        .crossJoin(F.broadcast(got))
+        .crossJoin(F.broadcast(src))
+        .select(
+            "max_version",
+            "n_versions",
+            "n_live_files",
+            F.lit(n_json).cast("bigint").alias("n_json_commits_left"),
+            F.lit(has_ckpt).alias("checkpoint_present"),
+            "n_rows",
+            "key_checksum",
+            (
+                (F.col("n_rows") == F.col("__src_n"))
+                & (F.col("key_checksum") == F.col("__src_sum"))
+            ).alias("matches_source"),
+        )
+    )
+
+
 QUERIES["io_delta_time_travel"] = q_delta_time_travel
+QUERIES["io_delta_checkpoint"] = q_delta_checkpoint
+
+ORACLE["io_delta_checkpoint"] = """
+SELECT CAST(2 AS BIGINT) AS max_version,
+  CAST(2 AS BIGINT) AS n_versions,
+  CAST(3 AS BIGINT) AS n_live_files,
+  CAST(1 AS BIGINT) AS n_json_commits_left,
+  TRUE AS checkpoint_present,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+   WHERE o_orderkey % 4 < 3) AS n_rows,
+  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+   WHERE o_orderkey % 4 < 3) AS key_checksum,
+  TRUE AS matches_source"""
 
 ORACLE["io_delta_time_travel"] = """
 WITH m AS (

@@ -145,3 +145,27 @@ def test_time_travel_every_version(spark, table_dir):
         for r in deltalog.table_history(spark, table_dir).collect()
     }
     assert ops == {0: "CREATE TABLE", 1: "WRITE", 2: "OVERWRITE"}
+
+
+def test_checkpoint_and_log_cleanup(spark, table_dir):
+    deltalog.create_table(spark, _mk(spark, 0, 4), table_dir)
+    deltalog.append(spark, _mk(spark, 4, 6), table_dir)
+    deltalog.txn_append(
+        spark, _mk(spark, 6, 8), table_dir, app_id="app", version=5
+    )
+    ver = deltalog.write_checkpoint(spark, table_dir)
+    assert ver == 2
+    # checkpointed state must reconstruct identically
+    assert _ids(spark, table_dir) == list(range(8))
+    # txn high-water mark survives INTO the checkpoint
+    removed = deltalog.cleanup_log_before_checkpoint(table_dir)
+    assert removed == 3
+    assert _ids(spark, table_dir) == list(range(8))
+    assert deltalog.last_txn_version(spark, table_dir, "app") == 5
+    # replay of the pre-checkpoint txn version still refused
+    assert not deltalog.txn_append(
+        spark, _mk(spark, 0, 1), table_dir, app_id="app", version=5
+    )
+    # post-cleanup commits append past the checkpoint and are read
+    deltalog.append(spark, _mk(spark, 8, 9), table_dir)
+    assert _ids(spark, table_dir) == list(range(9))
