@@ -39,7 +39,8 @@ LOG_SCHEMA = (
     "metaData struct<id: string, format: struct<provider: string>, "
     "schemaString: string>, "
     "protocol struct<minReaderVersion: int, minWriterVersion: int>, "
-    "add struct<path: string, size: bigint, dataChange: boolean>, "
+    "add struct<path: string, size: bigint, dataChange: boolean, "
+    "partitionValues: map<string, string>>, "
     "remove struct<path: string, dataChange: boolean>, "
     "txn struct<appId: string, version: bigint>, "
     "commitInfo struct<operation: string>"
@@ -125,12 +126,21 @@ def live_files(actions: DataFrame) -> DataFrame:
         "version",
         F.col("add.path").isNotNull().alias("is_add"),
         F.col("add.size").alias("size"),
+        F.col("add.partitionValues").alias("pvals"),
     ).filter(F.col("path").isNotNull())
+    # max_by, not max-of-struct: the payload carries a MAP
+    # (partitionValues), which Spark cannot order — the ordering key
+    # stays the orderable (version, is_add) pair
     latest = touched.groupBy("path").agg(
-        F.max(F.struct("version", "is_add", "size")).alias("__last")
+        F.max_by(
+            F.struct("is_add", "size", "pvals"),
+            F.struct("version", "is_add"),
+        ).alias("__last")
     )
     return latest.filter(F.col("__last.is_add")).select(
-        "path", F.col("__last.size").alias("size")
+        "path",
+        F.col("__last.size").alias("size"),
+        F.col("__last.pvals").alias("partitionValues"),
     )
 
 
@@ -181,48 +191,84 @@ def commit(table_dir: str, actions: list[dict], *, version: int | None = None) -
 
 
 def _write_data_files(
-    df: DataFrame, table_dir: str, *, n_files: int
+    df: DataFrame,
+    table_dir: str,
+    *,
+    n_files: int,
+    partition_by: list[str] | None = None,
 ) -> list[dict]:
-    """Materialize ``df`` as parquet files at the table root (unique
-    names, Delta layout) and return their ``add`` actions.  The data
-    write is Spark's own distributed parquet sink into a scratch
-    directory; only the bounded per-file rename runs driver-side —
-    the same shape a real Delta writer's commit phase has."""
+    """Materialize ``df`` as parquet files (unique names, Delta
+    layout) and return their ``add`` actions.  With ``partition_by``,
+    files land under Hive-style partition directories and each add
+    carries its ``partitionValues`` map — the protocol field partition
+    pruning reads.  The data write is Spark's own distributed parquet
+    sink into a scratch directory; only the bounded per-file rename
+    runs driver-side — the same shape a real Delta writer's commit
+    phase has."""
     import shutil as _shutil
     import uuid as _uuid
 
     tmp = os.path.join(table_dir, f"__stage-{_uuid.uuid4().hex}")
-    (df.coalesce(n_files) if n_files else df).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    if partition_by:
+        # one shuffle on the partition columns -> each value lands in
+        # one task -> exactly one data file per partition directory
+        w = df.repartition(*partition_by)
+    else:
+        w = df.coalesce(n_files) if n_files else df
+    writer = w.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     adds = []
-    for f in sorted(os.listdir(tmp)):
-        if not f.endswith(".parquet"):
-            continue
-        new = f"part-{_uuid.uuid4().hex}.snappy.parquet"
-        os.replace(os.path.join(tmp, f), os.path.join(table_dir, new))
-        adds.append(
-            {
-                "add": {
-                    "path": new,
-                    "size": os.path.getsize(os.path.join(table_dir, new)),
+
+    def _emit(src_dir: str, rel_prefix: str, pvals: dict) -> None:
+        for f in sorted(os.listdir(src_dir)):
+            full = os.path.join(src_dir, f)
+            if os.path.isdir(full) and "=" in f:
+                k, _, v = f.partition("=")
+                os.makedirs(
+                    os.path.join(table_dir, rel_prefix, f), exist_ok=True
+                )
+                _emit(
+                    full,
+                    os.path.join(rel_prefix, f),
+                    {**pvals, k: v},
+                )
+            elif f.endswith(".parquet"):
+                new = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+                rel = os.path.join(rel_prefix, new) if rel_prefix else new
+                os.replace(full, os.path.join(table_dir, rel))
+                add = {
+                    "path": rel,
+                    "size": os.path.getsize(os.path.join(table_dir, rel)),
                     "dataChange": True,
                 }
-            }
-        )
+                if pvals or partition_by:
+                    add["partitionValues"] = pvals
+                adds.append({"add": add})
+
+    _emit(tmp, "", {})
     _shutil.rmtree(tmp, ignore_errors=True)
     return adds
 
 
 def create_table(
-    spark: SparkSession, df: DataFrame, table_dir: str, *, n_files: int = 1
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    *,
+    n_files: int = 1,
+    partition_by: list[str] | None = None,
 ) -> int:
-    """Commit 0: protocol + metaData (the REAL Spark schema JSON, not
-    a stub) + the initial data files."""
+    """Commit 0: protocol + metaData (the REAL Spark schema JSON and
+    the declared ``partitionColumns``, not stubs) + the initial data
+    files (Hive-layout when partitioned)."""
     import uuid as _uuid
 
     os.makedirs(table_dir, exist_ok=True)
-    adds = _write_data_files(df, table_dir, n_files=n_files)
+    adds = _write_data_files(
+        df, table_dir, n_files=n_files, partition_by=partition_by
+    )
     return commit(
         table_dir,
         [
@@ -232,6 +278,7 @@ def create_table(
                     "id": _uuid.uuid4().hex,
                     "format": {"provider": "parquet"},
                     "schemaString": df.schema.json(),
+                    "partitionColumns": list(partition_by or []),
                 }
             },
             *adds,
@@ -242,10 +289,17 @@ def create_table(
 
 
 def append(
-    spark: SparkSession, df: DataFrame, table_dir: str, *, n_files: int = 1
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    *,
+    n_files: int = 1,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Blind append: add actions only."""
-    adds = _write_data_files(df, table_dir, n_files=n_files)
+    adds = _write_data_files(
+        df, table_dir, n_files=n_files, partition_by=partition_by
+    )
     return commit(
         table_dir, [*adds, {"commitInfo": {"operation": "WRITE"}}]
     )
@@ -391,6 +445,7 @@ def write_checkpoint(spark: SparkSession, table_dir: str) -> int:
             F.col("path"),
             F.col("size"),
             F.lit(True).alias("dataChange"),
+            F.col("partitionValues"),
         ).alias("add"),
         F.lit(None).alias("remove"),
         F.lit(None).alias("txn"),
@@ -461,6 +516,7 @@ def read_snapshot(
     table_dir: str,
     *,
     version_as_of: int | None = None,
+    partition_filter: dict[str, str] | None = None,
 ) -> DataFrame:
     """The table snapshot: parquet union of live files — current by
     default, or TIME TRAVEL to any historical version with
@@ -479,13 +535,37 @@ def read_snapshot(
     )
     if version_as_of is not None:
         actions = actions.filter(F.col("version") <= version_as_of)
-    files = [
-        os.path.join(table_dir, r.path)
-        for r in live_files(actions).collect()
-    ]
+    lf = live_files(actions)
+    if partition_filter:
+        # PARTITION PRUNING from the log's partitionValues — files of
+        # non-matching partitions never reach the scan plan at all
+        for k, v in partition_filter.items():
+            lf = lf.filter(F.col("partitionValues").getItem(k) == v)
+    files = [os.path.join(table_dir, r.path) for r in lf.collect()]
     if not files:
         raise ValueError(f"delta log at {table_dir} has no live files")
-    return spark.read.parquet(*files)
+    # basePath restores Hive-style partition columns from dir names
+    out = spark.read.option("basePath", table_dir).parquet(*files)
+    # partition values are strings in the dir names and Spark's
+    # inference may re-type them; a faithful reader casts them back to
+    # the TABLE schema recorded in metaData.schemaString
+    meta = (
+        actions.filter(F.col("metaData").isNotNull())
+        .orderBy(F.col("version").desc())
+        .select("metaData.schemaString")
+        .first()
+    )
+    if meta and meta["schemaString"] and meta["schemaString"] != "{}":
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        declared = StructType.fromJson(_json.loads(meta["schemaString"]))
+        for f in declared.fields:
+            if f.name in out.columns and out.schema[f.name].dataType != f.dataType:
+                out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        out = out.select(*[f.name for f in declared.fields])
+    return out
 
 
 def table_history(spark: SparkSession, table_dir: str) -> DataFrame:

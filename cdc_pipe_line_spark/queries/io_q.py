@@ -1631,8 +1631,92 @@ def q_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED native Delta table + log-level partition pruning:
+    orders written ``partition_by o_orderstatus`` (Hive-layout data
+    files whose add actions carry ``partitionValues``, declared in
+    metaData.partitionColumns), then read back with a partition
+    filter — the pruned snapshot plans ONLY the matching partition's
+    file (file census bound in-row), the partition column itself is
+    restored from the directory layout and re-typed from the table's
+    schemaString, and content equality against the equivalent source
+    predicate closes the loop.  This is S14 (partitioned layout)
+    carried onto the Delta protocol: at 100 TB the filter never
+    touches the other partitions' files, by log metadata alone."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_part")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        deltalog.create_table(
+            spark, orders, base, partition_by=["o_orderstatus"]
+        )
+        _mark(base)
+
+    actions = deltalog.read_log_actions(spark, base)
+    live = deltalog.live_files(actions)
+    census = live.agg(
+        F.count("*").cast("bigint").alias("n_live_files"),
+        F.sum(
+            (F.col("partitionValues").getItem("o_orderstatus") == "O").cast(
+                "bigint"
+            )
+        ).alias("n_files_status_o"),
+    )
+    pruned = deltalog.read_snapshot(
+        spark, base, partition_filter={"o_orderstatus": "O"}
+    )
+    got = pruned.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        F.count_distinct("o_orderstatus").cast("bigint").alias("n_statuses"),
+    )
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .agg(
+            F.count("*").cast("bigint").alias("__src_n"),
+            F.sum("o_orderkey").cast("bigint").alias("__src_sum"),
+        )
+    )
+    return (
+        census.crossJoin(F.broadcast(got))
+        .crossJoin(F.broadcast(src))
+        .select(
+            "n_live_files",
+            "n_files_status_o",
+            "n_rows",
+            "n_statuses",
+            "key_checksum",
+            (
+                (F.col("n_rows") == F.col("__src_n"))
+                & (F.col("key_checksum") == F.col("__src_sum"))
+            ).alias("matches_source"),
+        )
+    )
+
+
 QUERIES["io_delta_time_travel"] = q_delta_time_travel
 QUERIES["io_delta_checkpoint"] = q_delta_checkpoint
+QUERIES["io_delta_partitioned_prune"] = q_delta_partitioned_prune
+
+ORACLE["io_delta_partitioned_prune"] = """
+SELECT
+  (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders)
+    AS n_live_files,
+  CAST(1 AS BIGINT) AS n_files_status_o,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+   WHERE o_orderstatus = 'O') AS n_rows,
+  CAST(1 AS BIGINT) AS n_statuses,
+  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+   WHERE o_orderstatus = 'O') AS key_checksum,
+  TRUE AS matches_source"""
 
 ORACLE["io_delta_checkpoint"] = """
 SELECT CAST(2 AS BIGINT) AS max_version,

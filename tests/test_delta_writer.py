@@ -169,3 +169,28 @@ def test_checkpoint_and_log_cleanup(spark, table_dir):
     # post-cleanup commits append past the checkpoint and are read
     deltalog.append(spark, _mk(spark, 8, 9), table_dir)
     assert _ids(spark, table_dir) == list(range(9))
+
+
+def test_partitioned_table_pruned_read(spark, table_dir):
+    df = spark.range(0, 12).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    deltalog.create_table(spark, df, table_dir, partition_by=["g"])
+    acts = deltalog.read_log_actions(spark, table_dir)
+    live = deltalog.live_files(acts).collect()
+    assert len(live) == 3
+    assert all(r["partitionValues"] and "g" in r["partitionValues"] for r in live)
+    assert all(f"g={r['partitionValues']['g']}/" in r["path"] for r in live)
+    # pruned read: only partition g=1, with the partition column restored
+    got = deltalog.read_snapshot(
+        spark, table_dir, partition_filter={"g": "1"}
+    )
+    rows = sorted((r["id"], r["g"]) for r in got.collect())
+    assert rows == [(1, "1"), (4, "1"), (7, "1"), (10, "1")]
+    # partition columns survive a checkpoint round trip too
+    deltalog.write_checkpoint(spark, table_dir)
+    deltalog.cleanup_log_before_checkpoint(table_dir)
+    got2 = deltalog.read_snapshot(
+        spark, table_dir, partition_filter={"g": "2"}
+    )
+    assert sorted(r["id"] for r in got2.collect()) == [2, 5, 8, 11]
