@@ -70,12 +70,15 @@ def interval_overlap_join(
     ``l.lo < r.hi AND r.lo < l.hi``.  Same grid trick, both sides
     exploded.
 
-    A pair of intervals can co-bucket in SEVERAL shared cells, so the
-    equi-join emits duplicate candidate pairs.  They are deduplicated
-    on per-side surrogate row ids assigned *before* the explode —
-    deduping on the value columns would also collapse legitimately
-    identical input rows and change pair multiplicity vs a true
-    overlap join.
+    A pair of intervals can co-bucket in SEVERAL shared cells; the
+    duplicate candidates are eliminated ARITHMETICALLY instead of with
+    a distinct: an overlapping pair's shared cells are exactly
+    ``[cell(max(l.lo, r.lo)) .. cell(min(l.hi, r.hi))]``, so keeping
+    only the match whose join cell equals ``cell(greatest(l.lo,
+    r.lo))`` emits each pair exactly once.  That removes BOTH the
+    dedup shuffle an id-based dropDuplicates costs and the
+    retry-nondeterminism of ``monotonically_increasing_id`` under
+    task re-execution (an earlier draft used ids; round-9 rewrite).
 
     ``left`` and ``right`` column names must be disjoint (the output
     carries both sides'), enforced up front.
@@ -87,20 +90,23 @@ def interval_overlap_join(
             f"shared: {dup}. Rename one side before joining."
         )
     cell = lambda c: F.floor(c / F.lit(bucket_width)).cast("bigint")  # noqa: E731
-    l = left.withColumn("__lid", F.monotonically_increasing_id()).withColumn(
+    l = left.withColumn(
         "__cell", F.explode(F.sequence(cell(F.col(left_lo)), cell(F.col(left_hi))))
     )
-    r = right.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
+    r = right.withColumn(
         "__cell", F.explode(F.sequence(cell(F.col(right_lo)), cell(F.col(right_hi))))
     )
-    joined = (
+    return (
         l.join(r, "__cell")
+        .filter(
+            (F.col(left_lo) < F.col(right_hi))
+            & (F.col(right_lo) < F.col(left_hi))
+            & (
+                F.col("__cell")
+                == cell(F.greatest(F.col(left_lo), F.col(right_lo)))
+            )
+        )
         .drop("__cell")
-        .dropDuplicates(["__lid", "__rid"])
-        .drop("__lid", "__rid")
-    )
-    return joined.filter(
-        (F.col(left_lo) < F.col(right_hi)) & (F.col(right_lo) < F.col(left_hi))
     )
 
 

@@ -1561,9 +1561,130 @@ def q_q17_small_quantity(spark, sf_dir):
     )
 
 
+def q_interval_overlap(spark, sf_dir):
+    """INTERVAL × INTERVAL overlap join at scale (the genomic/
+    temporal-overlap shape Spark has no native operator for): user
+    sessions (30-minute-gap sessionization, micro-second epoch
+    intervals padded to one-minute minimum width) joined to 31 daily
+    maintenance windows ([02:00, 06:00) each January day) via
+    ``joins.interval_overlap_join`` — both sides grid-exploded to
+    6-hour cells, equi-joined on the cell, deduplicated
+    ARITHMETICALLY by the first-shared-cell rule (no distinct, no
+    surrogate ids).  Published per window day: overlapping sessions,
+    distinct users, and the total overlapped seconds (exact integer
+    micros div 1e6) — the impact report an SRE reads after a
+    maintenance window.
+
+    The oracle replays sessionization with the same lag/cumsum window
+    and joins the 31 windows by brute force (31 rows — fine in SQL;
+    the grid decomposition is what makes the SAME semantics work when
+    both sides are billions)."""
+    from cdc_pipe_line_spark.joins import interval_overlap_join
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.expr("INTERVAL 30 minutes")
+    sess = (
+        ev.withColumn(
+            "__new",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (F.col("ts") > F.lag("ts").over(w) + gap),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_lo"),
+            (F.unix_micros(F.max("ts")) + F.lit(60_000_000)).alias("s_hi"),
+        )
+    )
+    day0 = F.unix_micros(F.lit("2024-01-01 02:00:00").cast("timestamp"))
+    windows = spark.range(31).select(
+        (F.col("id") + 1).alias("window_day"),
+        (day0 + F.col("id") * 86_400_000_000).alias("w_lo"),
+        (day0 + F.col("id") * 86_400_000_000 + 4 * 3_600_000_000).alias(
+            "w_hi"
+        ),
+    )
+    joined = interval_overlap_join(
+        sess,
+        windows,
+        left_lo="s_lo",
+        left_hi="s_hi",
+        right_lo="w_lo",
+        right_hi="w_hi",
+        bucket_width=6 * 3_600_000_000,
+    )
+    return (
+        joined.groupBy("window_day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(
+                (
+                    F.least("s_hi", "w_hi") - F.greatest("s_lo", "w_lo")
+                )
+            )
+            .cast("bigint")
+            .alias("overlap_micros"),
+        )
+        .select(
+            F.col("window_day").cast("bigint").alias("window_day"),
+            "n_sessions",
+            "n_users",
+            "overlap_micros",
+        )
+    )
+
+
 QUERIES["join_q4_late_orders"] = q_q4_late_orders
 QUERIES["join_q19_disjunctive"] = q_q19_disjunctive
 QUERIES["join_q17_small_quantity"] = q_q17_small_quantity
+QUERIES["join_interval_overlap"] = q_interval_overlap
+
+ORACLE["join_interval_overlap"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS nw
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+s AS (
+  SELECT user_id,
+    sum(nw) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq,
+    ts
+  FROM e),
+sess AS (
+  SELECT user_id, session_seq,
+    epoch_us(min(ts)) AS s_lo,
+    epoch_us(max(ts)) + 60000000 AS s_hi
+  FROM s GROUP BY 1, 2),
+win AS (
+  SELECT CAST(d + 1 AS BIGINT) AS window_day,
+    epoch_us(TIMESTAMP '2024-01-01 02:00:00') + d * 86400000000 AS w_lo,
+    epoch_us(TIMESTAMP '2024-01-01 02:00:00') + d * 86400000000
+      + 14400000000 AS w_hi
+  FROM (SELECT unnest(range(0, 31)) AS d)),
+ov AS (
+  SELECT window_day, user_id,
+    least(s_hi, w_hi) - greatest(s_lo, w_lo) AS ol
+  FROM sess JOIN win ON s_lo < w_hi AND w_lo < s_hi)
+SELECT window_day,
+  CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(sum(ol) AS BIGINT) AS overlap_micros
+FROM ov GROUP BY 1"""
 
 ORACLE["join_q17_small_quantity"] = """
 WITH pp AS (
