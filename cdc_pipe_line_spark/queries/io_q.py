@@ -1702,9 +1702,103 @@ def q_delta_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER introspection as a DISTRIBUTED operator — the
+    scan-planning audit a lakehouse runs over millions of files
+    without touching data pages: orders staged key-clustered (one
+    file per orderkey-domain quartile, so min/max ranges are disjoint
+    and pruning-friendly), then a ``mapInPandas`` pass opens each
+    file's FOOTER with pyarrow on the executors (row-group count, row
+    count, o_orderkey min/max statistics — bytes read ~ footer size,
+    never the data).  The oracle recomputes the same values FROM THE
+    DATA, so the check proves footer statistics == truth — exactly
+    what min/max pruning relies on.
+
+    Scale shape: the file list is the only driver-side state; footer
+    reads parallelize across the fleet (a 100k-file lake audits in
+    one short stage)."""
+    base, ready = _cache(sf_dir, "footer_stats")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        orders = _t(spark, sf_dir, "orders")
+        rng = orders.agg(F.max("o_orderkey").alias("hi")).first()
+        width = int(rng["hi"]) // 4 + 1
+        (
+            orders.withColumn(
+                "bucket", F.expr(f"o_orderkey div {width}").cast("int")
+            )
+            .repartition("bucket")
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(base)
+        )
+        _mark(base)
+
+    files = sorted(
+        os.path.join(base, d, f)
+        for d in os.listdir(base)
+        if d.startswith("bucket=")
+        for f in os.listdir(os.path.join(base, d))
+        if f.endswith(".parquet")
+    )
+    paths = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(len(files))
+
+    def _footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                idx = md.schema.names.index("o_orderkey")
+                mins, maxs = [], []
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                bucket = int(p.split("bucket=")[1].split("/")[0])
+                rows.append(
+                    {
+                        "bucket": bucket,
+                        "n_rows": md.num_rows,
+                        "n_row_groups": md.num_row_groups,
+                        "min_key": min(mins),
+                        "max_key": max(maxs),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "bucket", "n_rows", "n_row_groups", "min_key", "max_key",
+                ],
+            )
+
+    schema = (
+        "bucket bigint, n_rows bigint, n_row_groups bigint, "
+        "min_key bigint, max_key bigint"
+    )
+    return paths.mapInPandas(_footers, schema)
+
+
 QUERIES["io_delta_time_travel"] = q_delta_time_travel
 QUERIES["io_delta_checkpoint"] = q_delta_checkpoint
 QUERIES["io_delta_partitioned_prune"] = q_delta_partitioned_prune
+QUERIES["io_parquet_footer_stats"] = q_parquet_footer_stats
+
+ORACLE["io_parquet_footer_stats"] = """
+WITH rng AS (SELECT max(o_orderkey) // 4 + 1 AS width FROM orders)
+SELECT CAST(o_orderkey // width AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(1 AS BIGINT) AS n_row_groups,
+  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+  CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders, rng GROUP BY 1"""
 
 ORACLE["io_delta_partitioned_prune"] = """
 SELECT
