@@ -24,6 +24,7 @@ from cdc_pipe_line_spark.text import (
     lm_score,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shingle_df,
     simhash_pairs,
     text_stats,
     token_counts,
@@ -112,6 +113,71 @@ def q_minhash_lsh(spark, sf_dir):
     probabilistic path, not just its verified output."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, n=5, threshold=0.5)
+
+
+def q_ngram_novelty_curve(spark, sf_dir):
+    """N-gram NOVELTY curve — the diminishing-returns audit a corpus
+    curator reads before buying more of a source: documents land in
+    the deterministic md5 shuffle order, split into ten deciles, and
+    each decile reports how many of its distinct 8-gram shingles are
+    NEW (first seen in that decile) vs already covered by earlier
+    data.  A flattening new-rate curve says additional data from this
+    distribution is mostly repetition — the signal behind data-mix
+    decisions and scaling-law corpus audits.
+
+    Scale shape: one shingling pass; ranks come from the two-phase
+    distributed ``global_row_number`` (no single-partition window);
+    everything downstream is gram-vocabulary-bounded hash-aggs and
+    one gram-keyed join."""
+    from cdc_pipe_line_spark.functions import global_row_number
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.md5(F.col("doc_id").cast("string")).alias("ok"),
+    )
+    n = docs.count()
+    ranked = global_row_number(
+        docs, ["ok", "doc_id"], out_col="rn"
+    ).withColumn("decile", F.expr(f"(rn - 1) * 10 div {n}").cast("int"))
+    sh = shingle_df(ranked, id_col="doc_id", text_col="text", n=8)
+    pairs = (
+        sh.join(
+            ranked.select(F.col("doc_id").alias("id"), "decile"), "id"
+        )
+        .select("decile", F.explode("sh").alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds first-seen agg + join back
+    )
+    first = pairs.groupBy("gram").agg(F.min("decile").alias("fd"))
+    per_gram = pairs.join(first, "gram")
+    curve = per_gram.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_distinct_grams"),
+        F.sum((F.col("fd") == F.col("decile")).cast("bigint")).alias(
+            "n_new_grams"
+        ),
+    )
+    docs_per = ranked.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        docs_per.join(curve, "decile", "left")
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_docs",
+            F.coalesce("n_distinct_grams", F.lit(0)).alias(
+                "n_distinct_grams"
+            ),
+            F.coalesce("n_new_grams", F.lit(0)).alias("n_new_grams"),
+            F.expr(
+                "CASE WHEN coalesce(n_distinct_grams, 0) > 0 THEN"
+                " coalesce(n_new_grams, 0) * 1000000"
+                " div n_distinct_grams END"
+            )
+            .cast("bigint")
+            .alias("new_rate_micro"),
+        )
+    )
 
 
 def q_cross_dedup_matrix(spark, sf_dir):
@@ -1175,6 +1241,7 @@ QUERIES = {
     "dedup_levenshtein": q_levenshtein,
     "dedup_minhash_lsh": q_minhash_lsh,
     "text_cross_dedup_matrix": q_cross_dedup_matrix,
+    "text_ngram_novelty_curve": q_ngram_novelty_curve,
     "dedup_simhash": q_simhash,
     "llm_data_prep": q_llm_data_prep,
     "text_decontaminate": q_text_decontaminate,
@@ -1777,6 +1844,44 @@ pack AS (
       AS seq
   FROM toks)
 SELECT * FROM quota UNION ALL SELECT * FROM pack""",
+    "text_ngram_novelty_curve": """
+WITH ranked AS (
+  SELECT doc_id, text,
+    row_number() OVER (
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+    count(*) OVER () AS n
+  FROM documents),
+dec AS (
+  SELECT doc_id, text,
+    CAST((rn - 1) * 10 // n AS INT) AS decile
+  FROM ranked),
+words AS (
+  SELECT doc_id, decile,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM dec),
+sh AS (
+  SELECT doc_id, decile,
+    list_distinct(CASE WHEN len(w) >= 8
+      THEN list_transform(range(1, len(w) - 6),
+                          i -> array_to_string(w[i:i+7], ' '))
+      ELSE [] END) AS sh
+  FROM words),
+pairs AS (
+  SELECT DISTINCT decile, unnest(sh) AS gram FROM sh WHERE len(sh) > 0),
+first AS (SELECT gram, min(decile) AS fd FROM pairs GROUP BY 1),
+curve AS (
+  SELECT decile, count(*) AS n_distinct_grams,
+    sum(CASE WHEN fd = decile THEN 1 ELSE 0 END) AS n_new_grams
+  FROM pairs JOIN first USING (gram) GROUP BY 1),
+docs_per AS (SELECT decile, count(*) AS n_docs FROM dec GROUP BY 1)
+SELECT CAST(d.decile AS BIGINT) AS decile,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(COALESCE(n_distinct_grams, 0) AS BIGINT) AS n_distinct_grams,
+  CAST(COALESCE(n_new_grams, 0) AS BIGINT) AS n_new_grams,
+  CAST(CASE WHEN COALESCE(n_distinct_grams, 0) > 0 THEN
+    COALESCE(n_new_grams, 0) * 1000000 // n_distinct_grams
+  END AS BIGINT) AS new_rate_micro
+FROM docs_per d LEFT JOIN curve c ON d.decile = c.decile""",
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     # cross-source matrix: the ENTIRE minhash replay as prefix (same
     # slice discipline as dedup_lsh_recall), then source labeling
