@@ -61,6 +61,12 @@ EXTENDED = [
     "dedup_simhash",  # banded simhash pairs (signature frame pinned)
     "dedup_levenshtein",  # prefix-blocked edit distance (banded verify)
     "dedup_semantic",  # SemDeDup cluster-blocked embedding dedup
+    # round-9 addition: the native Delta write/read path (log commits,
+    # state reconstruction, touched-key SCD2 rebuild), tracked so a
+    # regression in the protocol implementation is visible
+    # round-over-round.  extended_total_sec steps up vs r8 by
+    # construction (the r7 precedent).
+    "cdc_scd2_delta_native",
 ]
 
 
