@@ -305,6 +305,67 @@ def append(
     )
 
 
+def append_evolve(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    *,
+    n_files: int = 1,
+) -> int:
+    """SCHEMA-EVOLUTION append (the protocol's mergeSchema path, made
+    native — the leg ``delta_merge.py``'s wide SCD2 recipe had to
+    env-gate behind delta-spark): the commit carries BOTH the new
+    data files and an updated ``metaData`` action whose schemaString
+    is the UNION of the table's declared schema and the incoming
+    frame's (existing columns keep their position and type; new
+    columns append).  Readers reconstruct old files with nulls in the
+    new columns (:func:`read_snapshot` reads with mergeSchema and
+    aligns to the latest declared schema)."""
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.sql.types import StructType
+
+    meta = (
+        read_log_actions(spark, table_dir)
+        .filter(F.col("metaData").isNotNull())
+        .orderBy(F.col("version").desc())
+        .select("metaData.id", "metaData.schemaString")
+        .first()
+    )
+    declared = StructType.fromJson(_json.loads(meta["schemaString"]))
+    merged = list(declared.fields)
+    names = {f.name for f in merged}
+    for f in df.schema.fields:
+        if f.name not in names:
+            merged.append(f)
+    merged_schema = StructType(merged)
+    # write the incoming frame ALIGNED to the merged schema so column
+    # order is stable in the new files
+    aligned = df.select(
+        *[
+            F.col(f.name) if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in merged_schema.fields
+        ]
+    )
+    adds = _write_data_files(aligned, table_dir, n_files=n_files)
+    return commit(
+        table_dir,
+        [
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet"},
+                    "schemaString": merged_schema.json(),
+                }
+            },
+            *adds,
+            {"commitInfo": {"operation": "WRITE (mergeSchema)"}},
+        ],
+    )
+
+
 def overwrite(
     spark: SparkSession, df: DataFrame, table_dir: str, *, n_files: int = 1
 ) -> int:
@@ -544,8 +605,14 @@ def read_snapshot(
     files = [os.path.join(table_dir, r.path) for r in lf.collect()]
     if not files:
         raise ValueError(f"delta log at {table_dir} has no live files")
-    # basePath restores Hive-style partition columns from dir names
-    out = spark.read.option("basePath", table_dir).parquet(*files)
+    # basePath restores Hive-style partition columns from dir names;
+    # mergeSchema unions file schemas so pre-evolution files surface
+    # the post-evolution columns as nulls
+    out = (
+        spark.read.option("basePath", table_dir)
+        .option("mergeSchema", "true")
+        .parquet(*files)
+    )
     # partition values are strings in the dir names and Spark's
     # inference may re-type them; a faithful reader casts them back to
     # the TABLE schema recorded in metaData.schemaString
@@ -562,7 +629,9 @@ def read_snapshot(
 
         declared = StructType.fromJson(_json.loads(meta["schemaString"]))
         for f in declared.fields:
-            if f.name in out.columns and out.schema[f.name].dataType != f.dataType:
+            if f.name not in out.columns:
+                out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+            elif out.schema[f.name].dataType != f.dataType:
                 out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
         out = out.select(*[f.name for f in declared.fields])
     return out

@@ -1892,8 +1892,62 @@ def q_delta_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Delta SCHEMA EVOLUTION (the mergeSchema leg
+    ``delta_merge.py`` could only exercise behind the absent
+    delta-spark package — now protocol-native): a 3-column orders
+    table takes an append whose frame carries a NEW ``o_band`` column;
+    the commit updates ``metaData.schemaString`` to the union schema
+    and the reader surfaces pre-evolution rows with NULL in the new
+    column (mergeSchema union + latest-declared-schema alignment).
+    Published: per-band row counts with the NULL band carrying exactly
+    the pre-evolution rows, plus the evolved column list pinned by the
+    driver's schema check itself."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_evolve")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        m = F.col("o_orderkey") % 3
+        deltalog.create_table(spark, orders.filter(m == 0), base)
+        wide = orders.filter(m == 1).withColumn(
+            "o_band", (F.col("o_orderkey") % 5).cast("bigint")
+        )
+        deltalog.append_evolve(spark, wide, base)
+        _mark(base)
+
+    snap = deltalog.read_snapshot(spark, base)
+    return (
+        snap.groupBy("o_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        )
+        .select(
+            F.col("o_band").cast("bigint").alias("o_band"),
+            "n_rows",
+            "key_checksum",
+        )
+    )
+
+
 QUERIES["io_parquet_footer_stats"] = q_parquet_footer_stats
 QUERIES["qa_delta_invariants"] = q_delta_invariants
+QUERIES["io_delta_schema_evolution"] = q_delta_schema_evolution
+
+ORACLE["io_delta_schema_evolution"] = """
+SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+       ELSE CAST(o_orderkey % 5 AS BIGINT) END AS o_band,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders WHERE o_orderkey % 3 < 2
+GROUP BY 1"""
 
 ORACLE["qa_delta_invariants"] = """
 SELECT TRUE AS versions_contiguous,

@@ -194,3 +194,23 @@ def test_partitioned_table_pruned_read(spark, table_dir):
         spark, table_dir, partition_filter={"g": "2"}
     )
     assert sorted(r["id"] for r in got2.collect()) == [2, 5, 8, 11]
+
+
+def test_append_evolve_schema(spark, table_dir):
+    deltalog.create_table(spark, _mk(spark, 0, 4), table_dir)
+    wide = spark.range(4, 7).select(
+        F.col("id"),
+        (F.col("id") * 7 % 13).alias("v"),
+        (F.col("id") * 2).alias("extra"),
+    )
+    deltalog.append_evolve(spark, wide, table_dir)
+    snap = deltalog.read_snapshot(spark, table_dir)
+    assert snap.columns == ["id", "v", "extra"]
+    rows = {r["id"]: r["extra"] for r in snap.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: None, 4: 8, 5: 10, 6: 12}
+    # evolution survives a checkpoint + cleanup round trip
+    deltalog.write_checkpoint(spark, table_dir)
+    deltalog.cleanup_log_before_checkpoint(table_dir)
+    snap2 = deltalog.read_snapshot(spark, table_dir)
+    assert snap2.columns == ["id", "v", "extra"]
+    assert {r["id"]: r["extra"] for r in snap2.collect()} == rows
