@@ -3934,7 +3934,119 @@ def q_chat_template_render(spark, sf_dir):
     )
 
 
+def q_loss_mask_spans(spark, sf_dir):
+    """SFT LOSS-MASK spans — the step between chat rendering and the
+    trainer: inside each conversation's rendered string (the EXACT
+    bytes ``llm_chat_template_render`` fingerprints), compute the
+    character intervals of the ASSISTANT turns — the only spans the
+    loss is taken over.  Offsets are an exclusive running sum of
+    ``len(line)+1`` (the newline separator) per conversation in turn
+    order; the span list is fingerprinted in order so a one-byte
+    offset drift anywhere fails the hash.  Published per
+    conversation: turn counts, total vs masked chars (the mask ratio
+    every SFT data card reports), and the span fingerprint.
+
+    Scale shape: one key-partitioned window pass + one ordered-
+    collect aggregate per conversation — same discipline as the
+    render query; no self-joins."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") % 2 == 1).alias("asst"),
+        F.length(
+            F.concat(
+                F.lit("<|"),
+                F.when(F.col("event_id") % 2 == 0, F.lit("user")).otherwise(
+                    F.lit("assistant")
+                ),
+                F.lit("|>"),
+                F.col("event_type"),
+                F.lit(" "),
+                F.col("event_id").cast("string"),
+            )
+        )
+        .cast("long")
+        .alias("len"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    offs = lines.withColumn(
+        "start",
+        F.coalesce(
+            F.sum(F.col("len") + 1).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn("end", F.col("start") + F.col("len"))
+    return (
+        offs.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.sum(F.col("asst").cast("bigint")).alias("n_assistant"),
+            (F.sum("len") + F.count("*") - 1)
+            .cast("bigint")
+            .alias("total_chars"),
+            F.sum(F.when(F.col("asst"), F.col("len")).otherwise(0))
+            .cast("bigint")
+            .alias("masked_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("asst"),
+                                    F.struct(
+                                        "event_id",
+                                        F.concat_ws(
+                                            ":",
+                                            F.col("start").cast("string"),
+                                            F.col("end").cast("string"),
+                                        ).alias("s"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda x: x["s"],
+                    ),
+                    ";",
+                )
+            ).alias("spans_fp"),
+        )
+    )
+
+
 QUERIES["llm_chat_template_render"] = q_chat_template_render
+QUERIES["llm_loss_mask_spans"] = q_loss_mask_spans
+
+ORACLE["llm_loss_mask_spans"] = """
+WITH lines AS (
+  SELECT user_id, event_id, event_id % 2 = 1 AS asst,
+    CAST(length('<|'
+      || CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+      || '|>' || event_type || ' ' || CAST(event_id AS VARCHAR))
+      AS BIGINT) AS len
+  FROM events),
+offs AS (
+  SELECT user_id, event_id, asst, len,
+    CAST(COALESCE(sum(len + 1) OVER (PARTITION BY user_id
+      ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS s0
+  FROM lines)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN asst THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+  CAST(sum(len) + count(*) - 1 AS BIGINT) AS total_chars,
+  CAST(sum(CASE WHEN asst THEN len ELSE 0 END) AS BIGINT) AS masked_chars,
+  md5(COALESCE(string_agg(
+    CASE WHEN asst THEN CAST(s0 AS VARCHAR) || ':'
+      || CAST(s0 + len AS VARCHAR) END, ';' ORDER BY event_id), '')
+  ) AS spans_fp
+FROM offs GROUP BY 1"""
 
 ORACLE["llm_chat_template_render"] = """
 WITH lines AS (
