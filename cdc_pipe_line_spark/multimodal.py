@@ -2548,6 +2548,227 @@ def _exif_fields(payload: bytes) -> tuple[str, int, int]:
     raise MediaDecodeError("exif: no APP1 segment")
 
 
+def make_exif_gps_app1(
+    lat_d: int,
+    lat_m: int,
+    lat_sec_milli: int,
+    ns: str,
+    lon_d: int,
+    lon_m: int,
+    lon_sec_milli: int,
+    ew: str,
+    *,
+    little_endian: bool = True,
+    break_pointer: bool = False,
+) -> bytes:
+    """EXIF APP1 with a GPS SUB-IFD — the nested-IFD wrinkle real
+    camera files carry: IFD0 holds Orientation plus the GPSInfo
+    pointer (tag 0x8825, LONG) whose value is the OFFSET of a second
+    IFD inside the same TIFF space; the GPS IFD's latitude/longitude
+    are RATIONAL[3] entries (deg/min/sec as num/den LONG pairs),
+    themselves offset-indirect (24 bytes each).  ``break_pointer``
+    plants an out-of-range GPS offset for the quarantine leg."""
+    e = "<" if little_endian else ">"
+    bo = b"II" if little_endian else b"MM"
+
+    def short_slot(v):
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    # layout: TIFF header(8) | IFD0: count + 2 entries + next(0)
+    #         | GPS IFD: count + 4 entries + next(0)
+    #         | lat rationals(24) | lon rationals(24)
+    ifd0_off = 8
+    ifd0_len = 2 + 2 * 12 + 4
+    gps_off = ifd0_off + ifd0_len
+    gps_len = 2 + 4 * 12 + 4
+    lat_vals_off = gps_off + gps_len
+    lon_vals_off = lat_vals_off + 24
+
+    ifd0 = struct.pack(e + "H", 2)
+    ifd0 += struct.pack(e + "HHI", 0x0112, 3, 1) + short_slot(1)
+    ifd0 += struct.pack(e + "HHI", 0x8825, 4, 1) + struct.pack(
+        e + "I", 0xFFFFFF if break_pointer else gps_off
+    )
+    ifd0 += struct.pack(e + "I", 0)
+
+    def ascii2(s: str) -> bytes:
+        # 2-byte ASCII (value + NUL) sits inline in the value slot
+        return (s.encode() + b"\x00\x00\x00")[:4]
+
+    gps = struct.pack(e + "H", 4)
+    gps += struct.pack(e + "HHI", 0x0001, 2, 2) + ascii2(ns)
+    gps += struct.pack(e + "HHI", 0x0002, 5, 3) + struct.pack(
+        e + "I", lat_vals_off
+    )
+    gps += struct.pack(e + "HHI", 0x0003, 2, 2) + ascii2(ew)
+    gps += struct.pack(e + "HHI", 0x0004, 5, 3) + struct.pack(
+        e + "I", lon_vals_off
+    )
+    gps += struct.pack(e + "I", 0)
+
+    def rats(d, m, sec_milli):
+        return struct.pack(
+            e + "IIIIII", d, 1, m, 1, sec_milli, 1000
+        )
+
+    tiff = (
+        bo
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", ifd0_off)
+        + ifd0
+        + gps
+        + rats(lat_d, lat_m, lat_sec_milli)
+        + rats(lon_d, lon_m, lon_sec_milli)
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def _exif_gps_fields(payload: bytes) -> tuple[str, str, int, str, int]:
+    """GPS extraction through the FULL nested walk: marker scan to
+    APP1, TIFF dispatch, IFD0 scan for the GPSInfo pointer (0x8825),
+    jump to the GPS sub-IFD, read the hemisphere refs (inline ASCII)
+    and the RATIONAL[3] deg/min/sec arrays (offset-indirect), and
+    fold to integer micro-arcseconds exactly:
+    ``(d*3600 + m*60) * 1e6 + sec_num * 1e6 / sec_den`` with
+    fixture-exact division.  Returns ``(byte_order, ns,
+    lat_arcsec_micro, ew, lon_arcsec_micro)``."""
+    if payload[:2] != b"\xff\xd8":
+        raise MediaDecodeError("exif: bad SOI")
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise MediaDecodeError(f"exif: bad marker byte at {i}")
+        marker = payload[i + 1]
+        if marker in (0xD9, 0xDA):
+            break
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise MediaDecodeError("exif: truncated segment")
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            if tiff[:2] == b"II":
+                e, bo = "<", "II"
+            elif tiff[:2] == b"MM":
+                e, bo = ">", "MM"
+            else:
+                raise MediaDecodeError("exif: bad TIFF byte order")
+            if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+                raise MediaDecodeError("exif: bad TIFF magic")
+            off = struct.unpack(e + "I", tiff[4:8])[0]
+            n = struct.unpack(e + "H", tiff[off : off + 2])[0]
+            gps_off = None
+            for k in range(n):
+                ent = tiff[off + 2 + 12 * k : off + 2 + 12 * (k + 1)]
+                tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+                if tag == 0x8825:
+                    if typ != 4 or cnt != 1:
+                        raise MediaDecodeError("exif: bad GPSInfo entry")
+                    gps_off = struct.unpack(e + "I", ent[8:12])[0]
+            if gps_off is None:
+                raise MediaDecodeError("exif: no GPSInfo pointer")
+            if gps_off + 2 > len(tiff):
+                raise MediaDecodeError("exif: GPS IFD offset out of range")
+            gn = struct.unpack(e + "H", tiff[gps_off : gps_off + 2])[0]
+            refs: dict[int, str] = {}
+            rat_offs: dict[int, int] = {}
+            for k in range(gn):
+                ent = tiff[gps_off + 2 + 12 * k : gps_off + 2 + 12 * (k + 1)]
+                if len(ent) != 12:
+                    raise MediaDecodeError("exif: truncated GPS entry")
+                tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+                if tag in (0x0001, 0x0003):
+                    if typ != 2 or cnt != 2:
+                        raise MediaDecodeError("exif: bad GPS ref entry")
+                    refs[tag] = ent[8:9].decode("ascii")
+                elif tag in (0x0002, 0x0004):
+                    if typ != 5 or cnt != 3:
+                        raise MediaDecodeError(
+                            "exif: GPS coordinate must be RATIONAL[3]"
+                        )
+                    rat_offs[tag] = struct.unpack(e + "I", ent[8:12])[0]
+
+            def arcsec_micro(vals_off: int) -> int:
+                if vals_off + 24 > len(tiff):
+                    raise MediaDecodeError(
+                        "exif: GPS rationals out of range"
+                    )
+                d_n, d_d, m_n, m_d, s_n, s_d = struct.unpack(
+                    e + "IIIIII", tiff[vals_off : vals_off + 24]
+                )
+                if 0 in (d_d, m_d, s_d):
+                    raise MediaDecodeError("exif: zero GPS denominator")
+                num = (
+                    d_n * 3600 * 1_000_000 * m_d * s_d
+                    + m_n * 60 * 1_000_000 * d_d * s_d
+                    + s_n * 1_000_000 * d_d * m_d
+                )
+                den = d_d * m_d * s_d
+                if num % den:
+                    raise MediaDecodeError(
+                        "exif: GPS rationals not micro-exact"
+                    )
+                return num // den
+
+            for need in (0x0001, 0x0002, 0x0003, 0x0004):
+                if need not in refs and need not in rat_offs:
+                    raise MediaDecodeError("exif: missing GPS tag")
+            return (
+                bo,
+                refs[0x0001],
+                arcsec_micro(rat_offs[0x0002]),
+                refs[0x0003],
+                arcsec_micro(rat_offs[0x0004]),
+            )
+        i += 2 + seg_len
+    raise MediaDecodeError("exif: no APP1 segment")
+
+
+def exif_gps(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """GPS metadata extraction (nested GPS sub-IFD + RATIONAL[3]
+    folds) over an Arrow-batched ``mapInPandas`` pass; malformed
+    payloads quarantine into ``decode_err``."""
+    schema = (
+        f"{id_col} bigint, byte_order string, ns string, "
+        "lat_arcsec_micro bigint, ew string, lon_arcsec_micro bigint, "
+        "decode_err string"
+    )
+    cols = [
+        id_col, "byte_order", "ns", "lat_arcsec_micro", "ew",
+        "lon_arcsec_micro", "decode_err",
+    ]
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {c: None for c in cols}
+                base[id_col] = mid
+                try:
+                    if payload is None:
+                        raise MediaDecodeError("null payload")
+                    bo, ns, lat, ew, lon = _exif_gps_fields(bytes(payload))
+                    base.update(
+                        byte_order=bo,
+                        ns=ns,
+                        lat_arcsec_micro=lat,
+                        ew=ew,
+                        lon_arcsec_micro=lon,
+                    )
+                except MediaDecodeError as exc:
+                    base["decode_err"] = str(exc)
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, payload_col).mapInPandas(_scan, schema)
+
+
 def exif_orientation(
     media: DataFrame,
     *,

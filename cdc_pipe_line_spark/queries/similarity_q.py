@@ -844,6 +844,69 @@ def q_jpeg_scan_triage(spark, sf_dir):
     return jpeg_scan_triage(media)
 
 
+def q_exif_gps(spark, sf_dir):
+    """EXIF GPS through the NESTED sub-IFD walk — the two TIFF legs
+    the orientation query doesn't reach: a pointer entry (GPSInfo
+    0x8825) whose value is the offset of a SECOND IFD, and
+    RATIONAL[3] deg/min/sec arrays folded to integer micro-arcseconds
+    exactly (cross-multiplied; fixture denominators divide out).
+    Hemisphere refs, both byte orders (Intel on even ids, Motorola on
+    odd), all fields closed-form in doc_id; every 53rd payload plants
+    an out-of-range GPS pointer and quarantines with the precise
+    reason — the geo-metadata pass a media pipeline runs before any
+    location-based filtering or deduplication."""
+    from cdc_pipe_line_spark.multimodal import exif_gps, make_exif_gps_app1
+
+    @F.pandas_udf("binary")
+    def _payload(
+        lat_d: pd.Series, lat_m: pd.Series, lat_s: pd.Series,
+        lon_d: pd.Series, lon_m: pd.Series, lon_s: pd.Series,
+        flags: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for a, b, c, d, e, f, fl in zip(
+            lat_d, lat_m, lat_s, lon_d, lon_m, lon_s, flags
+        ):
+            fl = int(fl)
+            app1 = make_exif_gps_app1(
+                int(a), int(b), int(c),
+                "N" if fl & 1 else "S",
+                int(d), int(e), int(f),
+                "E" if fl & 2 else "W",
+                little_endian=bool(fl & 4),
+                break_pointer=bool(fl & 8),
+            )
+            out.append(b"\xff\xd8" + app1 + b"\xff\xd9")
+        return pd.Series(out, dtype=object)
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (d % 90).alias("__lat_d"),
+        (d % 60).alias("__lat_m"),
+        ((d * 37) % 60000).alias("__lat_s"),
+        (d % 180).alias("__lon_d"),
+        ((d * 7) % 60).alias("__lon_m"),
+        ((d * 53) % 60000).alias("__lon_s"),
+        (
+            (d % 2)
+            + 2 * ((d % 3 == 0).cast("int"))
+            + 4 * ((d % 4 < 2).cast("int"))
+            + 8 * ((d % 53 == 0).cast("int"))
+        ).alias("__flags"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_payload(
+            "__lat_d", "__lat_m", "__lat_s",
+            "__lon_d", "__lon_m", "__lon_s", "__flags",
+        ),
+        media_type="image/jpeg",
+    )
+    return exif_gps(media)
+
+
 def q_audio_period_scan(spark, sf_dir):
     """Square-wave matched-filter PERIOD DETECTION over real PCM
     WAVs: each document becomes a 240-sample square wave whose period
@@ -1385,6 +1448,7 @@ QUERIES = {
     "mm_jpeg_restart_decode": q_jpeg_restart_decode,
     "mm_jpeg_scan_triage": q_jpeg_scan_triage,
     "mm_exif_orientation": q_exif_orientation,
+    "mm_exif_gps": q_exif_gps,
     "mm_png_filter_decode": q_png_filter_decode,
     "mm_jpeg_color_decode": q_jpeg_color_decode,
     "sim_range_search": q_range_search,
@@ -1731,6 +1795,23 @@ SELECT doc_id AS media_id,
        WHEN doc_id % 4 = 1 THEN 'non-baseline scan: progressive'
        WHEN doc_id % 4 = 2 THEN 'non-baseline scan: extended'
        ELSE 'non-baseline scan: lossless' END AS quarantine_reason
+FROM documents""",
+    "mm_exif_gps": """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 53 = 0 THEN NULL
+       WHEN doc_id % 4 < 2 THEN 'II' ELSE 'MM' END AS byte_order,
+  CASE WHEN doc_id % 53 = 0 THEN NULL
+       WHEN doc_id % 2 = 1 THEN 'N' ELSE 'S' END AS ns,
+  CASE WHEN doc_id % 53 = 0 THEN NULL
+       ELSE ((doc_id % 90) * 3600 + (doc_id % 60) * 60) * 1000000
+            + ((doc_id * 37) % 60000) * 1000 END AS lat_arcsec_micro,
+  CASE WHEN doc_id % 53 = 0 THEN NULL
+       WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS ew,
+  CASE WHEN doc_id % 53 = 0 THEN NULL
+       ELSE ((doc_id % 180) * 3600 + ((doc_id * 7) % 60) * 60) * 1000000
+            + ((doc_id * 53) % 60000) * 1000 END AS lon_arcsec_micro,
+  CASE WHEN doc_id % 53 = 0
+       THEN 'exif: GPS IFD offset out of range' END AS decode_err
 FROM documents""",
     "mm_jpeg_restart_decode": """
 WITH p AS (

@@ -237,3 +237,31 @@ def test_global_running_sum_exact_and_deterministic(spark):
         for r in global_running_sum(df, ["ok", "id"], "v").collect()
     }
     assert out2 == truth
+
+
+# ---------------------------------------------------------------------
+# EXIF GPS sub-IFD: nested pointer walk + RATIONAL[3] folds.
+# ---------------------------------------------------------------------
+
+
+def test_exif_gps_roundtrip_and_quarantine():
+    from cdc_pipe_line_spark.multimodal import (
+        _exif_gps_fields,
+        make_exif_gps_app1,
+    )
+
+    for le, bo in ((True, "II"), (False, "MM")):
+        app1 = make_exif_gps_app1(
+            48, 51, 23456, "N", 2, 21, 7890, "E", little_endian=le
+        )
+        got = _exif_gps_fields(b"\xff\xd8" + app1 + b"\xff\xd9")
+        assert got == (
+            bo,
+            "N",
+            (48 * 3600 + 51 * 60) * 1_000_000 + 23456 * 1000,
+            "E",
+            (2 * 3600 + 21 * 60) * 1_000_000 + 7890 * 1000,
+        )
+    bad = make_exif_gps_app1(1, 2, 3, "S", 4, 5, 6, "W", break_pointer=True)
+    with pytest.raises(MediaDecodeError, match="GPS IFD offset out of range"):
+        _exif_gps_fields(b"\xff\xd8" + bad + b"\xff\xd9")
