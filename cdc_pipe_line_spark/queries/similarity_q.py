@@ -844,6 +844,114 @@ def q_jpeg_scan_triage(spark, sf_dir):
     return jpeg_scan_triage(media)
 
 
+def q_pca_power_iteration(spark, sf_dir):
+    """Top PRINCIPAL COMPONENT of the embedding corpus by power
+    iteration — the PCA pass embedding pipelines run before
+    whitening, SemDeDup preprocessing, or index training.  Two
+    stages, each engine-replayable:
+
+    1. DISTRIBUTED second-moment matrix: embeddings are quantized to
+       integer millis (exact, order-free sums — the float-sum
+       order-dependence trap never arises), one posexplode self-join
+       + hash-agg produces the 64x64 integer co-moment and mean
+       sums, and the centered covariance lands as EXACT integer
+       micro-units via ``(2*(n*Sxy - Sx*Sy) + n*n) div (2*n*n)``.
+    2. Bounded iteration: five power-iteration steps on the 64x64
+       matrix (matvec as a cells⋈vector join + hash-agg per step —
+       vocabulary-sized), components floor-pinned to 8dp after each
+       normalization (the pagerank float discipline; sqrt is
+       IEEE-safe) so both engines fold identical doubles.
+
+    Published: the 64 components at 6dp plus the Rayleigh-quotient
+    eigenvalue at 4dp.  Scale note: int64 co-moments hold to ~1e8
+    rows per partition-merge at milli quantization; beyond that the
+    same shape runs hierarchically (per-shard moments are mergeable
+    by construction)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+            )
+        ).alias("pos", "q"),
+    ).localCheckpoint(eager=True)  # feeds the self-join + mean sums
+    n = emb.select("vec_id").distinct().count()
+    cells = (
+        emb.alias("a")
+        .join(emb.alias("b"), "vec_id")
+        .groupBy(
+            F.col("a.pos").alias("i"), F.col("b.pos").alias("j")
+        )
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("sxy"))
+    )
+    means = emb.groupBy("pos").agg(F.sum("q").alias("sx"))
+    cov = (
+        cells.join(
+            F.broadcast(means.select(F.col("pos").alias("i"), F.col("sx").alias("sxi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(means.select(F.col("pos").alias("j"), F.col("sx").alias("sxj"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"(2 * ({n} * sxy - sxi * sxj) + {n} * {n})"
+                f" div (2 * {n} * {n})"
+            ).alias("c_micro"),
+        )
+        .localCheckpoint(eager=True)  # 64x64, reused every iteration
+    )
+    dim = 64
+    v = [1.0 / dim] * dim
+    pin8 = lambda c: F.floor(c * 1e8 + F.lit(0.5)) / 1e8  # noqa: E731
+    for _ in range(5):
+        varr = F.array(*[F.lit(x) for x in v])
+        u = (
+            cov.select(
+                "i",
+                (
+                    (F.col("c_micro") / 1e6)
+                    * F.element_at(varr, F.col("j").cast("int") + 1)
+                ).alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("u"))
+        )
+        nrm = u.agg(
+            F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nn")
+        )
+        rows = (
+            u.crossJoin(F.broadcast(nrm))
+            .select("i", pin8(F.col("u") / F.col("nn")).alias("v"))
+            .collect()  # bounded: 64 rows
+        )
+        nxt = [0.0] * dim
+        for r in rows:
+            nxt[int(r["i"])] = float(r["v"])
+        v = nxt
+    varr = F.array(*[F.lit(x) for x in v])
+    lam = (
+        cov.select(
+            (
+                (F.col("c_micro") / 1e6)
+                * F.element_at(varr, F.col("i").cast("int") + 1)
+                * F.element_at(varr, F.col("j").cast("int") + 1)
+            ).alias("t")
+        )
+        .agg((F.floor(F.sum("t") * 1e4 + F.lit(0.5)) / 1e4).alias("lam"))
+    )
+    comps = spark.createDataFrame(
+        [(i, v[i]) for i in range(dim)], "pos bigint, comp double"
+    ).select("pos", (F.floor(F.col("comp") * 1e6 + F.lit(0.5)) / 1e6).alias("comp_6dp"))
+    return comps.crossJoin(F.broadcast(lam)).select(
+        "pos", "comp_6dp", F.col("lam").alias("lambda_4dp")
+    )
+
+
 def q_exif_gps(spark, sf_dir):
     """EXIF GPS through the NESTED sub-IFD walk — the two TIFF legs
     the orientation query doesn't reach: a pointer entry (GPSInfo
@@ -1449,6 +1557,7 @@ QUERIES = {
     "mm_jpeg_scan_triage": q_jpeg_scan_triage,
     "mm_exif_orientation": q_exif_orientation,
     "mm_exif_gps": q_exif_gps,
+    "sim_pca_power_iteration": q_pca_power_iteration,
     "mm_png_filter_decode": q_png_filter_decode,
     "mm_jpeg_color_decode": q_jpeg_color_decode,
     "sim_range_search": q_range_search,
@@ -1796,6 +1905,85 @@ SELECT doc_id AS media_id,
        WHEN doc_id % 4 = 2 THEN 'non-baseline scan: extended'
        ELSE 'non-baseline scan: lossless' END AS quarantine_reason
 FROM documents""",
+    "sim_pca_power_iteration": """
+WITH qv AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS ql
+  FROM embeddings),
+q AS MATERIALIZED (
+  SELECT vec_id, ix.ix - 1 AS pos, ql[ix.ix] AS q
+  FROM qv, (SELECT unnest(range(1, 65)) AS ix) ix),
+nn0 AS (SELECT count(DISTINCT vec_id) AS n FROM q),
+cells AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j, sum(a.q * b.q) AS sxy
+  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+means AS (SELECT pos, sum(q) AS sx FROM q GROUP BY 1),
+cov AS MATERIALIZED (
+  SELECT i, j,
+    (2 * (n * sxy - mi.sx * mj.sx) + n * n) // (2 * n * n) AS c_micro
+  FROM cells
+  JOIN means mi ON mi.pos = i
+  JOIN means mj ON mj.pos = j
+  CROSS JOIN nn0),
+v0 AS (
+  SELECT unnest(range(0, 64)) AS pos,
+    CAST(1.0 AS DOUBLE) / 64 AS v),
+u1 AS MATERIALIZED (
+  SELECT c.i AS pos,
+    sum((CAST(c_micro AS DOUBLE) / 1000000) * v.v) AS u
+  FROM cov c JOIN v0 v ON v.pos = c.j GROUP BY 1),
+nrm1 AS (SELECT sqrt(sum(u * u)) AS nn FROM u1),
+v1 AS MATERIALIZED (
+  SELECT pos,
+    floor(u / nn * 1e8 + CAST(0.5 AS DOUBLE)) / 1e8 AS v
+  FROM u1, nrm1),
+u2 AS MATERIALIZED (
+  SELECT c.i AS pos,
+    sum((CAST(c_micro AS DOUBLE) / 1000000) * v.v) AS u
+  FROM cov c JOIN v1 v ON v.pos = c.j GROUP BY 1),
+nrm2 AS (SELECT sqrt(sum(u * u)) AS nn FROM u2),
+v2 AS MATERIALIZED (
+  SELECT pos,
+    floor(u / nn * 1e8 + CAST(0.5 AS DOUBLE)) / 1e8 AS v
+  FROM u2, nrm2),
+u3 AS MATERIALIZED (
+  SELECT c.i AS pos,
+    sum((CAST(c_micro AS DOUBLE) / 1000000) * v.v) AS u
+  FROM cov c JOIN v2 v ON v.pos = c.j GROUP BY 1),
+nrm3 AS (SELECT sqrt(sum(u * u)) AS nn FROM u3),
+v3 AS MATERIALIZED (
+  SELECT pos,
+    floor(u / nn * 1e8 + CAST(0.5 AS DOUBLE)) / 1e8 AS v
+  FROM u3, nrm3),
+u4 AS MATERIALIZED (
+  SELECT c.i AS pos,
+    sum((CAST(c_micro AS DOUBLE) / 1000000) * v.v) AS u
+  FROM cov c JOIN v3 v ON v.pos = c.j GROUP BY 1),
+nrm4 AS (SELECT sqrt(sum(u * u)) AS nn FROM u4),
+v4 AS MATERIALIZED (
+  SELECT pos,
+    floor(u / nn * 1e8 + CAST(0.5 AS DOUBLE)) / 1e8 AS v
+  FROM u4, nrm4),
+u5 AS MATERIALIZED (
+  SELECT c.i AS pos,
+    sum((CAST(c_micro AS DOUBLE) / 1000000) * v.v) AS u
+  FROM cov c JOIN v4 v ON v.pos = c.j GROUP BY 1),
+nrm5 AS (SELECT sqrt(sum(u * u)) AS nn FROM u5),
+v5 AS MATERIALIZED (
+  SELECT pos,
+    floor(u / nn * 1e8 + CAST(0.5 AS DOUBLE)) / 1e8 AS v
+  FROM u5, nrm5),
+lam AS (
+  SELECT floor(sum((CAST(c_micro AS DOUBLE) / 1000000) * vi.v * vj.v)
+    * 1e4 + CAST(0.5 AS DOUBLE)) / 1e4 AS lam
+  FROM cov c
+  JOIN v5 vi ON vi.pos = c.i
+  JOIN v5 vj ON vj.pos = c.j)
+SELECT CAST(pos AS BIGINT) AS pos,
+  floor(v * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS comp_6dp,
+  lam AS lambda_4dp
+FROM v5, lam""",
     "mm_exif_gps": """
 SELECT doc_id AS media_id,
   CASE WHEN doc_id % 53 = 0 THEN NULL
