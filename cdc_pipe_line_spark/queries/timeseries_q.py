@@ -1750,6 +1750,104 @@ SELECT event_type,
 FROM s"""
 
 
+def q_period_matched_filter(spark, sf_dir):
+    """Dominant PERIOD of each event type's daily series by the
+    square-wave matched-filter bank — the ``mm_audio_period_scan``
+    technique applied to time series: for candidate periods {4,5,6,7}
+    days the integer correlation ``corr(P) = sum_d (y_d - mean) *
+    s_P(d)`` against the ±1 reference (mean cleared by
+    cross-multiplication: ``n*y_d - total`` keeps everything int64),
+    argmax |corr| with smallest-period tie-break.  Detects weekly-ish
+    cadence without an FFT's libm surface — every value is exact
+    integer arithmetic over the observed-day index, so the oracle
+    replays the whole bank.
+
+    Scale shape: one daily aggregate off the fact table, then a
+    4-candidate explode over the per-type day series (calendar-
+    bounded) and one hash-agg — vocabulary-sized end to end."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("y")
+    )
+    d0 = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        F.count("*").alias("n"),
+        F.sum("y").alias("total"),
+    )
+    xy = daily.join(F.broadcast(d0), "event_type").select(
+        "event_type",
+        "n",
+        F.datediff("day", "d0").cast("long").alias("x"),
+        # mean-cleared residual, cross-multiplied to stay integer
+        (F.col("y") * F.col("n") - F.col("total")).alias("r"),
+    )
+    cand = (
+        xy.select(
+            "event_type",
+            "n",
+            F.explode(F.array(*[F.lit(p) for p in (4, 5, 6, 7)])).alias(
+                "p"
+            ),
+            F.col("x"),
+            F.col("r"),
+        )
+        .withColumn(
+            "s",
+            F.when(
+                F.col("x") % F.col("p") < F.expr("p div 2"), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy("event_type", "n", "p")
+        .agg(F.sum(F.col("r") * F.col("s")).alias("corr"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("corr")).desc(), F.col("p").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("p").cast("bigint").alias("best_period"),
+            F.col("corr").cast("bigint").alias("corr_scaled"),
+        )
+    )
+
+
+QUERIES["ts_period_matched_filter"] = q_period_matched_filter
+
+ORACLE["ts_period_matched_filter"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2),
+d0 AS (
+  SELECT event_type, min(day) AS d0, count(*) AS n, sum(y) AS total
+  FROM daily GROUP BY 1),
+xy AS (
+  SELECT d.event_type, n,
+    CAST(date_diff('day', d0.d0, d.day) AS BIGINT) AS x,
+    y * n - total AS r
+  FROM daily d JOIN d0 USING (event_type)),
+cand AS (
+  SELECT event_type, n, c.p,
+    CAST(sum(r * (CASE WHEN x % c.p < c.p // 2 THEN 1 ELSE -1 END))
+      AS BIGINT) AS corr
+  FROM xy, (SELECT unnest([4, 5, 6, 7]) AS p) c
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT event_type, n, p, corr, row_number() OVER (
+      PARTITION BY event_type ORDER BY abs(corr) DESC, p ASC) AS rn
+  FROM cand)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  CAST(p AS BIGINT) AS best_period, corr AS corr_scaled
+FROM best WHERE rn = 1"""
+
+
 def q_piecewise_trend(spark, sf_dir):
     """Segmented (piecewise-linear) trend per event type: depth-2
     binary segmentation — split at the argmax of the EXACT integer
