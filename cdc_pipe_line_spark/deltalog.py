@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 #: only add actions would otherwise drop the remove column entirely).
 LOG_SCHEMA = (
     "metaData struct<id: string, format: struct<provider: string>, "
-    "schemaString: string>, "
+    "schemaString: string, partitionColumns: array<string>>, "
     "protocol struct<minReaderVersion: int, minWriterVersion: int>, "
     "add struct<path: string, size: bigint, dataChange: boolean, "
     "partitionValues: map<string, string>>, "
@@ -151,7 +151,54 @@ def _live_file_names(spark: SparkSession, table_dir: str) -> list[str]:
     ]
 
 
-def commit(table_dir: str, actions: list[dict], *, version: int | None = None) -> int:
+def _checkpoint_version(table_dir: str) -> int | None:
+    """Version of the last checkpoint, or None when the table has
+    none (no ``_last_checkpoint`` pointer)."""
+    lc = os.path.join(table_dir, "_delta_log", "_last_checkpoint")
+    if not os.path.exists(lc):
+        return None
+    import json as _json
+
+    with open(lc) as fh:
+        return int(_json.load(fh)["version"])
+
+
+def _next_version(table_dir: str) -> int:
+    log_dir = os.path.join(table_dir, "_delta_log")
+    versions = [
+        int(f.split(".")[0])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json")
+    ] if os.path.isdir(log_dir) else []
+    # a checkpoint supersedes (and log cleanup may have deleted)
+    # earlier JSON commits — the next version must clear it too
+    ck = _checkpoint_version(table_dir)
+    if ck is not None:
+        versions.append(ck)
+    return max(versions) + 1 if versions else 0
+
+
+def _remove_staged(table_dir: str, adds: list[dict]) -> None:
+    """Best-effort removal of data files staged for a commit that was
+    LOST (version race or any other commit error): without this the
+    orphaned parquet files would trip the table's no-untracked-files
+    invariant audit (``qa_delta_invariants``)."""
+    for a in adds:
+        p = a.get("add", {}).get("path")
+        if p:
+            try:
+                os.remove(os.path.join(table_dir, p))
+            except OSError:
+                pass
+
+
+def commit(
+    table_dir: str,
+    actions: list[dict],
+    *,
+    version: int | None = None,
+    retries: int = 5,
+) -> int:
     """Append one commit to the log — the writer half of the protocol
     (VERDICT r8 missing-item 2, closed as far as the environment
     allows: the real delta-spark MERGE still needs the package, but
@@ -160,34 +207,32 @@ def commit(table_dir: str, actions: list[dict], *, version: int | None = None) -
 
     Version allocation is optimistic-concurrency shaped: the commit
     file is opened with ``'x'`` (exclusive create), so a concurrent
-    writer racing to the same version FAILS and must re-read the log
-    and retry — the spec's put-if-absent contract.  A production
-    object store needs its LogStore equivalent (S3 conditional put);
-    local/HDFS semantics hold here."""
-    if version is None:
-        log_dir = os.path.join(table_dir, "_delta_log")
-        versions = [
-            int(f.split(".")[0])
-            for f in os.listdir(log_dir)
-            if f.endswith(".json")
-        ] if os.path.isdir(log_dir) else []
-        # a checkpoint supersedes (and log cleanup may have deleted)
-        # earlier JSON commits — the next version must clear it too
-        lc = os.path.join(log_dir, "_last_checkpoint")
-        if os.path.exists(lc):
-            import json as _json
-
-            with open(lc) as fh:
-                versions.append(int(_json.load(fh)["version"]))
-        version = max(versions) + 1 if versions else 0
-    os.makedirs(os.path.join(table_dir, "_delta_log"), exist_ok=True)
-    name = os.path.join(table_dir, "_delta_log", f"{version:020d}.json")
+    writer racing to the same version LOSES the put-if-absent and —
+    when the version was auto-allocated — re-reads the log and
+    retries onto the next free version, up to ``retries`` times (the
+    spec's optimistic-concurrency loop; blind adds never conflict
+    logically, so the retry is always safe here — operations that DO
+    read table state first re-enter through their own check instead,
+    see :func:`txn_append`).  An explicitly pinned ``version`` never
+    retries: losing that race is a real conflict the caller must see.
+    A production object store needs its LogStore equivalent (S3
+    conditional put); local/HDFS semantics hold here."""
     import json as _json
 
-    with open(name, "x") as fh:  # put-if-absent: loser of a race errors
-        for a in actions:
-            fh.write(_json.dumps(a) + "\n")
-    return version
+    os.makedirs(os.path.join(table_dir, "_delta_log"), exist_ok=True)
+    attempts = 1 if version is not None else retries + 1
+    for attempt in range(attempts):
+        v = version if version is not None else _next_version(table_dir)
+        name = os.path.join(table_dir, "_delta_log", f"{v:020d}.json")
+        try:
+            with open(name, "x") as fh:  # put-if-absent
+                for a in actions:
+                    fh.write(_json.dumps(a) + "\n")
+            return v
+        except FileExistsError:
+            if attempt == attempts - 1:
+                raise
+    raise AssertionError("unreachable")
 
 
 def _write_data_files(
@@ -252,6 +297,24 @@ def _write_data_files(
     return adds
 
 
+def _latest_meta(spark: SparkSession, table_dir: str):
+    """Latest ``metaData`` action (id, schemaString, partitionColumns)
+    — the declared table identity every state-reading writer threads
+    through its rewrite (compact/overwrite/append_evolve must keep a
+    partitioned table partitioned; ADVICE r9)."""
+    return (
+        read_log_actions(spark, table_dir)
+        .filter(F.col("metaData").isNotNull())
+        .orderBy(F.col("version").desc())
+        .select(
+            "metaData.id",
+            "metaData.schemaString",
+            "metaData.partitionColumns",
+        )
+        .first()
+    )
+
+
 def create_table(
     spark: SparkSession,
     df: DataFrame,
@@ -269,23 +332,29 @@ def create_table(
     adds = _write_data_files(
         df, table_dir, n_files=n_files, partition_by=partition_by
     )
-    return commit(
-        table_dir,
-        [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-            {
-                "metaData": {
-                    "id": _uuid.uuid4().hex,
-                    "format": {"provider": "parquet"},
-                    "schemaString": df.schema.json(),
-                    "partitionColumns": list(partition_by or []),
-                }
-            },
-            *adds,
-            {"commitInfo": {"operation": "CREATE TABLE"}},
-        ],
-        version=0,
-    )
+    try:
+        return commit(
+            table_dir,
+            [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {
+                    "metaData": {
+                        "id": _uuid.uuid4().hex,
+                        "format": {"provider": "parquet"},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": list(partition_by or []),
+                    }
+                },
+                *adds,
+                {"commitInfo": {"operation": "CREATE TABLE"}},
+            ],
+            version=0,
+        )
+    except FileExistsError:
+        # version 0 is pinned: a concurrent CREATE won — clean the
+        # staged data files so the loser leaves no untracked orphans
+        _remove_staged(table_dir, adds)
+        raise
 
 
 def append(
@@ -296,13 +365,23 @@ def append(
     n_files: int = 1,
     partition_by: list[str] | None = None,
 ) -> int:
-    """Blind append: add actions only."""
+    """Blind append: add actions only.  When the table is partitioned
+    and the caller did not spell the partitioning out, it is read from
+    the declared metaData so appended files keep the Hive layout."""
+    if partition_by is None:
+        meta = _latest_meta(spark, table_dir)
+        if meta and meta["partitionColumns"]:
+            partition_by = list(meta["partitionColumns"])
     adds = _write_data_files(
         df, table_dir, n_files=n_files, partition_by=partition_by
     )
-    return commit(
-        table_dir, [*adds, {"commitInfo": {"operation": "WRITE"}}]
-    )
+    try:
+        return commit(
+            table_dir, [*adds, {"commitInfo": {"operation": "WRITE"}}]
+        )
+    except FileExistsError:
+        _remove_staged(table_dir, adds)
+        raise
 
 
 def append_evolve(

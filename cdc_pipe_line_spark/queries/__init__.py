@@ -51,68 +51,42 @@ _MODULES = [
     quality_q,
 ]
 
-#: Round-9 rotation: ``join_q12_ship_priority`` first (its round-8
-#: hash-fail was adjudicated an ORACLE typing bug — DuckDB HUGEINT
-#: sum — fixed this round with CAST AS BIGINT; re-check lands the
-#: green row), then the 52 round-8 additions with no row in any
-#: CORRECTNESS_r{01..08}.json, in original registration order —
+#: Round-10 rotation: the 28 round-9 additions with no row in any
+#: CORRECTNESS_r{01..09}.json, in original registration order —
 #: regenerate with ``python tools/gen_rotation.py`` at round start.
-#: The driver's ~50-query budget covers most of them this round;
-#: round-9 additions register behind them.
+#: All 28 were judge-verified green in round 9; this rotation lands
+#: the matching driver CORRECTNESS rows so every registry query has
+#: external evidence.  Round-10 additions register behind them and
+#: fill the remainder of the driver's ~50-query budget.
 _DRIVER_ROTATION = (
-    "join_q12_ship_priority",
-    "text_decontaminate_bloom",
-    "text_lm_kneser_ney",
-    "llm_mixture_temperature",
-    "text_hash_embed_lsh",
-    "text_line_dedup",
-    "llm_url_dedup",
-    "llm_dsir_weights",
-    "text_quality_fasttext",
-    "dedup_prefix_filter",
-    "llm_chat_template_render",
-    "llm_preference_pairs",
-    "text_html_extract",
-    "text_robots_compliance",
-    "text_rake_keywords",
-    "mm_jpeg_restart_decode",
-    "mm_exif_orientation",
-    "mm_png_filter_decode",
-    "mm_media_embed_lsh",
-    "mm_bmp_decode",
-    "sim_mmr_rerank",
-    "mm_tiff_decode",
-    "mm_srt_parse",
-    "mm_id3_tags",
-    "stream_histogram_quantiles",
-    "stream_python_datasink",
-    "stream_watermark_metrics",
-    "ts_downsample_m4",
-    "ts_linear_trend",
-    "ts_piecewise_trend",
-    "ts_forecast_baselines",
-    "ts_burst_kleinberg",
-    "ts_haar_dwt",
-    "cdc_disorder_audit",
-    "cdc_apply_verify",
-    "cdc_incremental_snapshot",
-    "io_compaction_smallfiles",
-    "io_delta_log_scan",
-    "io_json_parse_modes",
-    "scalar_try_functions",
-    "agg_reservoir_sample",
-    "agg_log_histogram_quantiles",
-    "graph_clustering_coeff",
-    "graph_kcore",
-    "agg_bitmap_distinct",
-    "graph_random_walks",
-    "graph_personalized_pagerank",
-    "agg_decay_engagement",
-    "agg_delta_contribution",
-    "graph_hits_scores",
     "qa_functional_deps",
     "qa_inclusion_deps",
     "qa_schema_contract",
+    "text_cross_dedup_matrix",
+    "text_ngram_novelty_curve",
+    "text_datacard_approx",
+    "llm_shard_manifest",
+    "llm_loss_mask_spans",
+    "mm_jpeg_scan_triage",
+    "mm_exif_gps",
+    "sim_pca_power_iteration",
+    "mm_audio_period_scan",
+    "stream_delta_txn_sink",
+    "ts_period_matched_filter",
+    "scd4_history_table",
+    "io_delta_native_writer",
+    "cdc_scd2_delta_native",
+    "io_delta_time_travel",
+    "io_delta_checkpoint",
+    "io_delta_partitioned_prune",
+    "io_parquet_footer_stats",
+    "qa_delta_invariants",
+    "io_delta_schema_evolution",
+    "join_q17_small_quantity",
+    "join_interval_overlap",
+    "agg_exact_median_twopass",
+    "graph_scc_functional",
+    "graph_clustering_coeff_capped",
 )
 
 
