@@ -1,0 +1,265 @@
+"""Round-11 native-Delta regressions (VERDICT r10 items 1/3/6 +
+ADVICE r10): time travel served from the checkpoint after log
+cleanup (and a clear error below it), partitionColumns threaded
+through compact/overwrite/append_evolve, commit retry allocation,
+exactly-once txn_append under a simulated version race, and staged
+partition-directory cleanup after a lost race.
+
+Reference parity: the reference's Delta history embodies the same
+protocol retention contract (data/delta/123/balance/delta_table/
+_delta_log/ — checkpointed logs stay readable at recent versions).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark import deltalog
+
+
+@pytest.fixture()
+def table_dir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 4).alias("k")
+    )
+
+
+def _ids(spark, table_dir, **kw):
+    return sorted(
+        r["id"]
+        for r in deltalog.read_snapshot(spark, table_dir, **kw).collect()
+    )
+
+
+def _parquet_on_disk(table_dir):
+    return sorted(
+        os.path.relpath(p, table_dir)
+        for p in glob.glob(
+            os.path.join(table_dir, "**", "*.parquet"), recursive=True
+        )
+        if "_delta_log" not in p
+    )
+
+
+# ---------------------------------------------------------------- time travel
+
+
+def test_time_travel_from_checkpoint_after_cleanup(spark, table_dir):
+    deltalog.create_table(spark, _mk(spark, 0, 5), table_dir)      # v0
+    deltalog.append(spark, _mk(spark, 5, 10), table_dir)           # v1
+    deltalog.append(spark, _mk(spark, 10, 15), table_dir)          # v2
+    ck = deltalog.write_checkpoint(spark, table_dir)
+    assert ck == 2
+    deltalog.append(spark, _mk(spark, 15, 20), table_dir)          # v3
+    removed = deltalog.cleanup_log_before_checkpoint(table_dir)
+    assert removed == 3  # v0..v2 JSON gone
+
+    # at/after the checkpoint: reconstructable from checkpoint + tail
+    assert _ids(spark, table_dir, version_as_of=2) == list(range(15))
+    assert _ids(spark, table_dir, version_as_of=3) == list(range(20))
+    # below the checkpoint: a clear error, never a silent partial state
+    with pytest.raises(ValueError, match="no longer reconstructable"):
+        deltalog.read_snapshot(spark, table_dir, version_as_of=1)
+
+
+def test_time_travel_below_checkpoint_before_cleanup(spark, table_dir):
+    deltalog.create_table(spark, _mk(spark, 0, 5), table_dir)      # v0
+    deltalog.append(spark, _mk(spark, 5, 10), table_dir)           # v1
+    deltalog.write_checkpoint(spark, table_dir)
+    # the raw JSON survives until cleanup: every version stays readable
+    assert _ids(spark, table_dir, version_as_of=0) == list(range(5))
+    assert _ids(spark, table_dir, version_as_of=1) == list(range(10))
+
+
+# ------------------------------------------------- partitioning preservation
+
+
+def test_partitioning_survives_compact_overwrite_evolve(spark, table_dir):
+    deltalog.create_table(
+        spark, _mk(spark, 0, 12), table_dir, partition_by=["k"]
+    )
+    deltalog.append(spark, _mk(spark, 12, 24), table_dir)
+
+    # OPTIMIZE keeps the Hive layout and the partitionValues
+    deltalog.compact(spark, table_dir)
+    pruned = deltalog.read_snapshot(
+        spark, table_dir, partition_filter={"k": "1"}
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == [
+        i for i in range(24) if i % 4 == 1
+    ]
+    live = deltalog.live_files(
+        deltalog.read_log_actions(spark, table_dir)
+    ).collect()
+    assert all(r["partitionValues"] for r in live)
+
+    # OVERWRITE keeps it too
+    deltalog.overwrite(spark, _mk(spark, 100, 120), table_dir)
+    pruned = deltalog.read_snapshot(
+        spark, table_dir, partition_filter={"k": "2"}
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == [
+        i for i in range(100, 120) if i % 4 == 2
+    ]
+
+    # schema evolution keeps the declared partitionColumns AND the layout
+    wide = _mk(spark, 120, 128).withColumn("extra", F.col("id") * 2)
+    deltalog.append_evolve(spark, wide, table_dir)
+    meta = deltalog._latest_meta(spark, table_dir)
+    assert list(meta["partitionColumns"]) == ["k"]
+    pruned = deltalog.read_snapshot(
+        spark, table_dir, partition_filter={"k": "0"}
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == [
+        i for i in range(100, 128) if i % 4 == 0
+    ]
+
+
+# --------------------------------------------------------- commit retry races
+
+
+def test_blind_append_retries_past_precreated_version(spark, table_dir):
+    deltalog.create_table(spark, _mk(spark, 0, 5), table_dir)  # v0
+    # a "concurrent writer" grabs version 1 between our read and commit
+    racer = os.path.join(
+        table_dir, "_delta_log", f"{1:020d}.json"
+    )
+    with open(racer, "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "RACER"}}) + "\n")
+    v = deltalog.append(spark, _mk(spark, 5, 10), table_dir)
+    assert v == 2  # retried onto the next free version
+    # history stays linear and the data all lands
+    versions = sorted(
+        r["version"]
+        for r in deltalog.table_history(spark, table_dir).collect()
+    )
+    assert versions == [0, 1, 2]
+    assert _ids(spark, table_dir) == list(range(10))
+
+
+def test_lost_pinned_create_leaves_no_untracked_files(spark, table_dir):
+    os.makedirs(os.path.join(table_dir, "_delta_log"))
+    winner = os.path.join(table_dir, "_delta_log", f"{0:020d}.json")
+    with open(winner, "w") as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            + "\n"
+        )
+    with pytest.raises(FileExistsError):
+        deltalog.create_table(
+            spark, _mk(spark, 0, 8), table_dir, partition_by=["k"]
+        )
+    # the loser unstaged everything — no orphan parquet, no empty
+    # partition directories
+    assert _parquet_on_disk(table_dir) == []
+    assert not [
+        d for d in os.listdir(table_dir) if "=" in d
+    ], "empty partition dirs left behind"
+
+
+def test_txn_append_same_version_race_commits_once(spark, table_dir, monkeypatch):
+    assert deltalog.txn_append(
+        spark, _mk(spark, 0, 5), table_dir, app_id="app", version=1
+    )
+    real_next = deltalog._next_version
+    raced = []
+
+    def racing_next(td):
+        v = real_next(td)
+        if not raced:
+            raced.append(v)
+            # a racer lands the SAME (app_id, version) at our version
+            deltalog.commit(
+                td,
+                [
+                    {"txn": {"appId": "app", "version": 2}},
+                    {"commitInfo": {"operation": "RACER"}},
+                ],
+                version=v,
+            )
+        return v
+
+    monkeypatch.setattr(deltalog, "_next_version", racing_next)
+    # the loser re-enters the exactly-once check, sees the winner's
+    # SetTransaction, unstages, and reports the no-op
+    assert not deltalog.txn_append(
+        spark, _mk(spark, 5, 10), table_dir, app_id="app", version=2
+    )
+    monkeypatch.setattr(deltalog, "_next_version", real_next)
+    assert raced  # the race actually fired
+    # exactly one commit carries (app, 2); the loser's rows never landed
+    assert deltalog.last_txn_version(spark, table_dir, "app") == 2
+    assert _ids(spark, table_dir) == list(range(5))
+    # and no untracked parquet files remain
+    tracked = set(
+        r["path"]
+        for r in deltalog.read_log_actions(spark, table_dir)
+        .select(
+            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path")
+        )
+        .filter(F.col("path").isNotNull())
+        .collect()
+    )
+    assert set(_parquet_on_disk(table_dir)) <= tracked
+
+
+def test_txn_append_unrelated_race_re_commits(spark, table_dir, monkeypatch):
+    assert deltalog.txn_append(
+        spark, _mk(spark, 0, 5), table_dir, app_id="A", version=1
+    )
+    real_next = deltalog._next_version
+    raced = []
+
+    def racing_next(td):
+        v = real_next(td)
+        if not raced:
+            raced.append(v)
+            deltalog.commit(
+                td,
+                [
+                    {"txn": {"appId": "A", "version": 2}},
+                    {"commitInfo": {"operation": "RACER"}},
+                ],
+                version=v,
+            )
+        return v
+
+    monkeypatch.setattr(deltalog, "_next_version", racing_next)
+    # app B's batch is unrelated to A's transaction — the loser passes
+    # the re-check and re-commits its staged files at the next version
+    assert deltalog.txn_append(
+        spark, _mk(spark, 5, 10), table_dir, app_id="B", version=1
+    )
+    monkeypatch.setattr(deltalog, "_next_version", real_next)
+    assert deltalog.last_txn_version(spark, table_dir, "B") == 1
+    assert _ids(spark, table_dir) == list(range(10))
+
+
+def test_append_bootstraps_bare_log_without_metadata_lookup(spark, table_dir):
+    # append to a table with NO _delta_log must not raise from the
+    # metaData glob (ADVICE r10 low) — it bootstraps a bare v0 log
+    v = deltalog.append(spark, _mk(spark, 0, 5), table_dir)
+    assert v == 0
+    assert _ids(spark, table_dir) == list(range(5))
+
+
+def test_remove_staged_prunes_empty_partition_dirs(spark, table_dir):
+    os.makedirs(table_dir, exist_ok=True)
+    adds = deltalog._write_data_files(
+        _mk(spark, 0, 8), table_dir, n_files=1, partition_by=["k"]
+    )
+    assert any("k=" in a["add"]["path"] for a in adds)
+    deltalog._remove_staged(table_dir, adds)
+    assert _parquet_on_disk(table_dir) == []
+    assert not [d for d in os.listdir(table_dir) if "=" in d]
