@@ -51,42 +51,29 @@ _MODULES = [
     quality_q,
 ]
 
-#: Round-10 rotation: the 28 round-9 additions with no row in any
-#: CORRECTNESS_r{01..09}.json, in original registration order —
-#: regenerate with ``python tools/gen_rotation.py`` at round start.
-#: All 28 were judge-verified green in round 9; this rotation lands
-#: the matching driver CORRECTNESS rows so every registry query has
-#: external evidence.  Round-10 additions register behind them and
-#: fill the remainder of the driver's ~50-query budget.
+#: Round-11 rotation: the backlog is EMPTY (every one of the 313
+#: round-10 names has a driver CORRECTNESS row — gen_rotation.py
+#: reports 0 never-checked), so this round the rotation carries the
+#: names whose SEMANTICS or IMPLEMENTATION changed in round 11 and
+#: therefore need fresh external evidence: the clustering-coefficient
+#: primary/diagnostic swap (r10 verdict item 2), the functional-SCC
+#: rounds guard (item 4), everything on the reworked native-Delta
+#: writer/reader path (items 1/3/5/6 + ADVICE r10), and the round-11
+#: additions.  Regenerate with ``python tools/gen_rotation.py``.
 _DRIVER_ROTATION = (
-    "qa_functional_deps",
-    "qa_inclusion_deps",
-    "qa_schema_contract",
-    "text_cross_dedup_matrix",
-    "text_ngram_novelty_curve",
-    "text_datacard_approx",
-    "llm_shard_manifest",
-    "llm_loss_mask_spans",
-    "mm_jpeg_scan_triage",
-    "mm_exif_gps",
-    "sim_pca_power_iteration",
-    "mm_audio_period_scan",
-    "stream_delta_txn_sink",
-    "ts_period_matched_filter",
-    "scd4_history_table",
+    "graph_clustering_coeff",
+    "graph_clustering_coeff_exact_diagnostic",
+    "graph_scc_functional",
     "io_delta_native_writer",
-    "cdc_scd2_delta_native",
+    "io_delta_log_scan",
     "io_delta_time_travel",
     "io_delta_checkpoint",
     "io_delta_partitioned_prune",
-    "io_parquet_footer_stats",
-    "qa_delta_invariants",
     "io_delta_schema_evolution",
-    "join_q17_small_quantity",
-    "join_interval_overlap",
-    "agg_exact_median_twopass",
-    "graph_scc_functional",
-    "graph_clustering_coeff_capped",
+    "cdc_scd2_delta_native",
+    "stream_delta_txn_sink",
+    "qa_delta_invariants",
+    "llm_packed_loss_masks",
 )
 
 

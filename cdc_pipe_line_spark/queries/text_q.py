@@ -4019,8 +4019,186 @@ def q_loss_mask_spans(spark, sf_dir):
     )
 
 
+def q_packed_loss_masks(spark, sf_dir):
+    """PACKED loss masks — ``llm_loss_mask_spans`` composed with
+    :func:`text.pack_sequences` (VERDICT r10 item 7): after greedy
+    fixed-budget packing of rendered conversations into training
+    sequences, every assistant span must survive at its SHIFTED
+    position — mask offsets are only meaningful relative to the
+    packed sequence the trainer actually sees, and an off-by-one at
+    any document boundary corrupts the loss for every later token in
+    the bin.  Conversations (the same rendered transcripts
+    ``llm_chat_template_render`` fingerprints) are sharded by
+    ``user_id % 8`` — each trainer worker packs its own shard — and
+    packed into 4096-char bins in deterministic user order; a
+    conversation's packed offset is the exclusive char sum of the
+    bin-mates before it.  Published per (shard, seq): doc/char/masked
+    counts plus an ordered fingerprint over every shifted span, so a
+    one-byte drift at any boundary fails the hash.  The oracle
+    replays the render lengths, the packing rule, and the shifted
+    offsets end-to-end in SQL.
+
+    Scale shape: two keyed window passes (per-conversation offsets,
+    per-shard packing) + one conversation-keyed join + one grouped
+    ordered-collect per bin — no self-joins, no global sort; shards
+    bound every window partition."""
+    from pyspark.sql.window import Window
+
+    from cdc_pipe_line_spark.text import pack_sequences
+
+    budget = 4096
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") % 2 == 1).alias("asst"),
+        F.length(
+            F.concat(
+                F.lit("<|"),
+                F.when(F.col("event_id") % 2 == 0, F.lit("user")).otherwise(
+                    F.lit("assistant")
+                ),
+                F.lit("|>"),
+                F.col("event_type"),
+                F.lit(" "),
+                F.col("event_id").cast("string"),
+            )
+        )
+        .cast("long")
+        .alias("len"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    offs = lines.withColumn(
+        "start",
+        F.coalesce(
+            F.sum(F.col("len") + 1).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).localCheckpoint(eager=True)
+    conv = offs.groupBy("user_id").agg(
+        (F.sum("len") + F.count("*") - 1).cast("bigint").alias("n_chars")
+    ).withColumn("shard", (F.col("user_id") % 8).cast("bigint"))
+    packed = pack_sequences(
+        conv,
+        budget=budget,
+        group_col="shard",
+        token_col="n_chars",
+        id_col="user_id",
+    )
+    w_bin = (
+        Window.partitionBy("shard", "seq")
+        .orderBy("user_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = packed.withColumn(
+        "off", F.coalesce(F.sum("n_chars").over(w_bin), F.lit(0))
+    ).localCheckpoint(eager=True)
+    bins = placed.groupBy("shard", "seq").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    spans = (
+        offs.filter("asst")
+        .join(placed.select("user_id", "shard", "seq", "off"), "user_id")
+        .groupBy("shard", "seq")
+        .agg(
+            F.sum("len").cast("bigint").alias("masked_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "user_id",
+                                    "event_id",
+                                    F.concat_ws(
+                                        ":",
+                                        (F.col("start") + F.col("off"))
+                                        .cast("string"),
+                                        (
+                                            F.col("start")
+                                            + F.col("len")
+                                            + F.col("off")
+                                        ).cast("string"),
+                                    ).alias("s"),
+                                )
+                            )
+                        ),
+                        lambda x: x["s"],
+                    ),
+                    ";",
+                )
+            ).alias("spans_fp"),
+        )
+    )
+    return bins.join(spans, ["shard", "seq"], "left").select(
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("seq").cast("bigint").alias("seq"),
+        "n_docs",
+        "n_chars",
+        F.coalesce("masked_chars", F.lit(0)).cast("bigint").alias(
+            "masked_chars"
+        ),
+        F.coalesce("spans_fp", F.md5(F.lit(""))).alias("spans_fp"),
+    )
+
+
 QUERIES["llm_chat_template_render"] = q_chat_template_render
 QUERIES["llm_loss_mask_spans"] = q_loss_mask_spans
+QUERIES["llm_packed_loss_masks"] = q_packed_loss_masks
+
+ORACLE["llm_packed_loss_masks"] = """
+WITH lines AS (
+  SELECT user_id, event_id, event_id % 2 = 1 AS asst,
+    CAST(length('<|'
+      || CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+      || '|>' || event_type || ' ' || CAST(event_id AS VARCHAR))
+      AS BIGINT) AS len
+  FROM events),
+offs AS (
+  SELECT user_id, event_id, asst, len,
+    CAST(COALESCE(sum(len + 1) OVER (PARTITION BY user_id
+      ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS s0
+  FROM lines),
+conv AS (
+  SELECT user_id, user_id % 8 AS shard,
+    CAST(sum(len) + count(*) - 1 AS BIGINT) AS n_chars
+  FROM offs GROUP BY 1, 2),
+packed AS (
+  SELECT user_id, shard, n_chars,
+    CAST(COALESCE(sum(n_chars) OVER (PARTITION BY shard ORDER BY user_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      // 4096 AS seq
+  FROM conv),
+placed AS (
+  SELECT user_id, shard, seq, n_chars,
+    CAST(COALESCE(sum(n_chars) OVER (PARTITION BY shard, seq
+      ORDER BY user_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS off
+  FROM packed),
+bins AS (
+  SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM placed GROUP BY 1, 2),
+sp AS (
+  SELECT p.shard, p.seq, o.user_id, o.event_id, o.len,
+    o.s0 + p.off AS ps, o.s0 + o.len + p.off AS pe
+  FROM offs o JOIN placed p USING (user_id) WHERE o.asst),
+agg AS (
+  SELECT shard, seq, CAST(sum(len) AS BIGINT) AS masked_chars,
+    md5(string_agg(CAST(ps AS VARCHAR) || ':' || CAST(pe AS VARCHAR),
+      ';' ORDER BY user_id, event_id)) AS spans_fp
+  FROM sp GROUP BY 1, 2)
+SELECT CAST(b.shard AS BIGINT) AS shard, CAST(b.seq AS BIGINT) AS seq,
+  b.n_docs, b.n_chars,
+  CAST(COALESCE(a.masked_chars, 0) AS BIGINT) AS masked_chars,
+  COALESCE(a.spans_fp, md5('')) AS spans_fp
+FROM bins b LEFT JOIN agg a USING (shard, seq)"""
 
 ORACLE["llm_loss_mask_spans"] = """
 WITH lines AS (
