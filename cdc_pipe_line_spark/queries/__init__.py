@@ -74,6 +74,7 @@ _DRIVER_ROTATION = (
     "stream_delta_txn_sink",
     "qa_delta_invariants",
     "llm_packed_loss_masks",
+    "mm_jpeg_progressive_dc",
 )
 
 

@@ -1024,3 +1024,129 @@ def test_png_unfilter_all_five_types_roundtrip():
     bad = enc[:i] + bytes([enc[i] ^ 0xFF]) + enc[i + 1 :]
     with pytest.raises(MediaDecodeError, match="CRC mismatch"):
         _png_gray_pixels(bad)
+
+
+# ------------------------------------------- progressive DC-scan decode (r11)
+
+
+class TestJpegProgressiveDc:
+    def _pattern(self, w, h, base):
+        import numpy as np
+
+        arr = np.zeros((h, w), dtype=np.uint8)
+        blk = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    base + 2 * (blk % 5)
+                )
+                blk += 1
+        return arr
+
+    def test_dc_preview_exact_on_lossless_blocks(self):
+        from cdc_pipe_line_spark.multimodal import (
+            _jpeg_progressive_dc_pixels,
+            make_jpeg_gray_progressive,
+        )
+
+        arr = self._pattern(24, 16, 100)
+        w, h, al, pv = _jpeg_progressive_dc_pixels(
+            make_jpeg_gray_progressive(arr)
+        )
+        assert (w, h, al) == (24, 16, 0)
+        assert pv.shape == (2, 3)
+        # even values + quant 16: DC quantizes losslessly, so each
+        # preview pixel is exactly its block's constant
+        expect = [[100, 102, 104], [106, 108, 100]]
+        assert pv.tolist() == expect
+
+    def test_point_transform_al1_floor4(self):
+        from cdc_pipe_line_spark.multimodal import (
+            _jpeg_progressive_dc_pixels,
+            make_jpeg_gray_progressive,
+        )
+
+        arr = self._pattern(16, 8, 101)  # odd base: dc_q odd/even mix
+        w, h, al, pv = _jpeg_progressive_dc_pixels(
+            make_jpeg_gray_progressive(arr, al=1)
+        )
+        assert al == 1
+        # dc_q = round_half_even((v-128)/2) (numpy quantize), coded =
+        # dc_q >> 1, recon = coded << 1: pixel = 128 + 4*(dc_q >> 1)
+        import numpy as np
+
+        for got, v in zip(pv.flatten().tolist(), (101, 103, 101, 103)):
+            dc_q = int(np.round((v - 128) / 2.0))
+            assert got == 128 + 4 * (dc_q >> 1)
+
+    def test_baseline_frame_routes_away(self):
+        import pytest
+
+        from cdc_pipe_line_spark.multimodal import (
+            MediaDecodeError,
+            _jpeg_progressive_dc_pixels,
+            make_jpeg_gray,
+        )
+
+        with pytest.raises(MediaDecodeError, match="not progressive"):
+            _jpeg_progressive_dc_pixels(
+                make_jpeg_gray(self._pattern(8, 8, 100))
+            )
+
+    def test_baseline_decoder_still_rejects_progressive(self):
+        import pytest
+
+        from cdc_pipe_line_spark.multimodal import (
+            MediaDecodeError,
+            _jpeg_gray_pixels,
+            make_jpeg_gray_progressive,
+        )
+
+        with pytest.raises(MediaDecodeError, match="progressive"):
+            _jpeg_gray_pixels(
+                make_jpeg_gray_progressive(self._pattern(8, 8, 100))
+            )
+
+    def test_truncation_quarantines(self):
+        import pytest
+
+        from cdc_pipe_line_spark.multimodal import (
+            MediaDecodeError,
+            _jpeg_progressive_dc_pixels,
+            make_jpeg_gray_progressive,
+        )
+
+        enc = make_jpeg_gray_progressive(self._pattern(16, 16, 100))
+        with pytest.raises(MediaDecodeError, match="truncated"):
+            _jpeg_progressive_dc_pixels(enc[:20])
+
+    def test_ac_first_scan_rejected(self):
+        import pytest
+
+        from cdc_pipe_line_spark.multimodal import (
+            MediaDecodeError,
+            _jpeg_progressive_dc_pixels,
+            make_jpeg_gray_progressive,
+        )
+
+        enc = bytearray(make_jpeg_gray_progressive(self._pattern(8, 8, 100)))
+        # rewrite the SOS spectral selection to an AC band (Ss=1,Se=5)
+        sos = enc.find(b"\xff\xda")
+        assert sos > 0
+        enc[sos + 7], enc[sos + 8] = 1, 5
+        with pytest.raises(MediaDecodeError, match="not the DC scan"):
+            _jpeg_progressive_dc_pixels(bytes(enc))
+
+    def test_dc_scan_followed_by_next_sos_still_decodes(self):
+        from cdc_pipe_line_spark.multimodal import (
+            _jpeg_progressive_dc_pixels,
+            make_jpeg_gray_progressive,
+        )
+
+        enc = make_jpeg_gray_progressive(self._pattern(16, 8, 110))
+        # splice a (never-decoded) second SOS header before EOI, the
+        # multi-scan layout a real progressive file has
+        body = enc[:-2] + b"\xff\xda\x00\x08\x01\x01\x00\x01\x05\x00" + enc[-2:]
+        w, h, al, pv = _jpeg_progressive_dc_pixels(body)
+        assert (w, h) == (16, 8)
+        assert pv.tolist() == [[110, 112]]
