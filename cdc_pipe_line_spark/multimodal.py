@@ -2133,6 +2133,423 @@ def make_jpeg_gray_progressive(
     return b"\xff\xd8" + app0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
 
 
+#: Progressive AC huffman table: the full symbol alphabet a
+#: progressive AC scan can emit — run/size pairs (r<<4 | s, s=1..10),
+#: ZRL (0xF0), and the EOBn codes (r<<4, r=0..14) Annex-K's baseline
+#: AC table does not carry — assigned one canonical 8-bit length
+#: (189 symbols < 256, Kraft-feasible; compression is irrelevant for
+#: fixtures, conformance is not).
+_JPEG_PROG_AC_VALS = tuple(
+    sorted(
+        {(r << 4) | s for r in range(16) for s in range(1, 11)}
+        | {r << 4 for r in range(15)}
+        | {0xF0}
+    )
+)
+_JPEG_PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, len(_JPEG_PROG_AC_VALS),
+                      0, 0, 0, 0, 0, 0, 0, 0)
+
+
+def make_jpeg_gray_progressive_full(
+    arr: np.ndarray, quant: int = 16
+) -> bytes:
+    """Encode a uint8 grayscale array as a COMPLETE progressive JPEG
+    — four scans exercising both progressive mechanisms of ITU T.81
+    §G: spectral selection (DC scan, AC band 1..5, AC band 6..63)
+    and successive approximation on DC (first scan codes ``dc >> 1``,
+    a refinement scan with Ah=1/Al=0 restores the low bit).  AC
+    first-pass scans code each band with run/size pairs, ZRL, and
+    REAL EOB RUNS (EOBn: run length ``2^r`` plus ``r`` appended bits,
+    accumulated across blocks) — the structure every progressive
+    encoder in the wild emits and the decoder's EOBRUN path needs
+    exercised.  Decodes to exactly the same raster as
+    :func:`make_jpeg_gray` of the same array (identical quantizer),
+    which is the cross-decoder equality the tests pin."""
+    h, w = arr.shape
+    assert h % 8 == 0 and w % 8 == 0, "fixture dims are block multiples"
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    # quantized zigzag coefficients per block, raster order
+    blocks: list[list[int]] = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = (
+                arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                    np.float64
+                )
+                - 128.0
+            )
+            coef = _JPEG_A @ block @ _JPEG_A.T
+            q = np.round(coef / float(quant)).astype(np.int64)
+            blocks.append([int(q[r, c]) for (r, c) in _JPEG_ZIG])
+
+    def put_val(bw: _JpegBitWriter, v: int, s: int) -> None:
+        if v < 0:
+            v += (1 << s) - 1
+        bw.write(v, s)
+
+    # scan 1: DC, Al=1
+    bw = _JpegBitWriter()
+    prev = 0
+    for zz in blocks:
+        coded = zz[0] >> 1
+        diff = coded - prev
+        prev = coded
+        s = int(abs(diff)).bit_length()
+        bw.write(*dc_codes[s])
+        if s:
+            put_val(bw, diff, s)
+    scan_dc1 = (bytes([0, 0, 0x01]), bw.flush())  # Ss, Se, AhAl
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    bw = _JpegBitWriter()
+    for zz in blocks:
+        bw.write(zz[0] & 1, 1)
+    scan_dc2 = (bytes([0, 0, 0x10]), bw.flush())
+
+    # scans 3/4: AC first pass (Ah=0, Al=0) over two spectral bands,
+    # with accumulated EOB runs
+    def ac_scan(ss: int, se: int) -> tuple[bytes, bytes]:
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            while eobrun > 0:
+                r = min(14, eobrun.bit_length() - 1)
+                n = 1 << r
+                bw.write(*ac_codes[r << 4])
+                if r:
+                    bw.write(eobrun - n, r)
+                eobrun -= n
+                break  # one EOBn covers 2^r + appended bits
+            eobrun = 0
+
+        for zz in blocks:
+            band = zz[ss : se + 1]
+            nz = [k for k, v in enumerate(band) if v != 0]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last_nz = nz[-1]
+            for k in range(last_nz + 1):
+                v = band[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.write(*ac_codes[0xF0])
+                    run -= 16
+                s = int(abs(v)).bit_length()
+                bw.write(*ac_codes[(run << 4) | s])
+                put_val(bw, v, s)
+                run = 0
+            if last_nz < len(band) - 1:
+                eobrun += 1  # this block ends early: join the EOB run
+        flush_eob()
+        return bytes([ss, se, 0x00]), bw.flush()
+
+    scan_ac1 = ac_scan(1, 5)
+    scan_ac2 = ac_scan(6, 63)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qtab_zz = bytes(quant for _ in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
+    )
+    out += seg(0xDB, b"\x00" + qtab_zz)
+    out += seg(
+        0xC2, b"\x08" + struct.pack(">HH", h, w) + b"\x01" + b"\x01\x11\x00"
+    )
+    out += seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_PROG_AC_BITS)
+        + bytes(_JPEG_PROG_AC_VALS),
+    )
+    for params, entropy in (scan_dc1, scan_dc2, scan_ac1, scan_ac2):
+        out += seg(0xDA, b"\x01" + b"\x01\x00" + params)
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_progressive_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """FULL progressive JPEG decode for single-component 8-bit images
+    (ITU T.81 §G, closing the boundary :func:`_jpeg_gray_pixels`
+    quarantines): every scan is entropy-decoded into the shared
+    coefficient state — DC first scans (diff coding, point transform
+    ``<< Al``), DC refinement scans (one raw bit per block, OR-ed at
+    the scan's Al — exact in two's complement), AC first-pass scans
+    over any spectral band with run/size pairs, ZRL and EOB RUNS
+    (``2^r`` + appended bits) — then dequantized and inverse
+    transformed once at the end.  AC successive-approximation
+    refinement (Ah>0 on an AC band) raises a precise
+    :class:`MediaDecodeError`; DRI/RSTn inside progressive scans is
+    likewise out of scope here."""
+    if payload[:2] != b"\xff\xd8":
+        raise MediaDecodeError("jpeg: bad SOI")
+    i = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = -1
+    q_id = -1
+    saw_sof2 = False
+    coefs: np.ndarray | None = None
+    n_blocks = bx_n = by_n = 0
+    prev_dc = 0
+
+    while i + 2 <= len(payload):
+        if payload[i] != 0xFF:
+            raise MediaDecodeError(f"jpeg: bad marker byte at {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            break
+        if i + 4 > len(payload):
+            raise MediaDecodeError("jpeg: truncated segment header")
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise MediaDecodeError(f"jpeg: truncated segment {marker:#x}")
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise MediaDecodeError("jpeg: 16-bit quant unsupported")
+                tab = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    tab[k] = body[j + 1 + k]
+                qtabs[tq] = tab  # zigzag order
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = tuple(body[j + 1 : j + 17])
+                n = sum(bits)
+                vals = tuple(body[j + 17 : j + 17 + n])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                j += 17 + n
+        elif marker == 0xC2:
+            if body[0] != 8:
+                raise MediaDecodeError("jpeg: only 8-bit precision")
+            h = struct.unpack(">H", body[1:3])[0]
+            w = struct.unpack(">H", body[3:5])[0]
+            if body[5] != 1:
+                raise MediaDecodeError(
+                    "jpeg: only single-component grayscale"
+                )
+            q_id = body[8]
+            saw_sof2 = True
+            bx_n, by_n = (w + 7) // 8, (h + 7) // 8
+            n_blocks = bx_n * by_n
+            coefs = np.zeros((n_blocks, 64), dtype=np.int64)
+        elif marker == 0xDD:
+            raise MediaDecodeError(
+                "jpeg: restart intervals unsupported in progressive scans"
+            )
+        elif marker in _JPEG_SOF:
+            raise MediaDecodeError(
+                f"jpeg: not progressive (SOF{marker - 0xC0}) — route to "
+                "the baseline decoder"
+            )
+        elif marker == 0xDA:
+            if not saw_sof2 or coefs is None:
+                raise MediaDecodeError("jpeg: SOS before SOF2")
+            if body[0] != 1:
+                raise MediaDecodeError(
+                    "jpeg: only single-component grayscale"
+                )
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0x0F
+            # unstuff this scan's entropy bytes (up to the next marker)
+            data = bytearray()
+            j = i + 2 + seg_len
+            while j < len(payload):
+                b = payload[j]
+                if b == 0xFF:
+                    if j + 1 >= len(payload):
+                        raise MediaDecodeError(
+                            "jpeg: truncated entropy stream"
+                        )
+                    nxt = payload[j + 1]
+                    if nxt == 0x00:
+                        data.append(0xFF)
+                        j += 2
+                        continue
+                    break  # next scan / EOI
+                data.append(b)
+                j += 1
+            else:
+                raise MediaDecodeError("jpeg: missing EOI")
+            pos = 0
+
+            def read_bit() -> int:
+                nonlocal pos
+                if pos >= 8 * len(data):
+                    raise MediaDecodeError("jpeg: entropy stream exhausted")
+                byte = data[pos >> 3]
+                bit = (byte >> (7 - (pos & 7))) & 1
+                pos += 1
+                return bit
+
+            def read_bits(n: int) -> int:
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | read_bit()
+                return v
+
+            def read_huff(tab: dict[tuple[int, int], int]) -> int:
+                code = 0
+                for ln in range(1, 17):
+                    code = (code << 1) | read_bit()
+                    v = tab.get((ln, code))
+                    if v is not None:
+                        return v
+                raise MediaDecodeError("jpeg: invalid huffman code")
+
+            def extend(v: int, s: int) -> int:
+                if s and v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+                return v
+
+            if ss == 0:
+                if se != 0:
+                    raise MediaDecodeError(
+                        "jpeg: DC scan must have Se=0"
+                    )
+                if ah == 0:
+                    dc_tab = htabs.get((0, dc_id))
+                    if dc_tab is None:
+                        raise MediaDecodeError("jpeg: missing DC table")
+                    prev_dc = 0
+                    for blk in range(n_blocks):
+                        s = read_huff(dc_tab)
+                        prev_dc += extend(read_bits(s), s)
+                        coefs[blk, 0] = prev_dc << al
+                else:
+                    if ah != al + 1:
+                        raise MediaDecodeError(
+                            "jpeg: DC refinement must have Ah=Al+1"
+                        )
+                    for blk in range(n_blocks):
+                        if read_bit():
+                            coefs[blk, 0] |= 1 << al
+            else:
+                if ah != 0:
+                    raise MediaDecodeError(
+                        "jpeg: AC successive-approximation refinement "
+                        "unsupported"
+                    )
+                ac_tab = htabs.get((1, ac_id))
+                if ac_tab is None:
+                    raise MediaDecodeError("jpeg: missing AC table")
+                eobrun = 0
+                for blk in range(n_blocks):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = read_huff(ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            # EOBn: run of 2^r + appended bits, minus
+                            # the current block
+                            eobrun = (1 << r) + read_bits(r) - 1
+                            break
+                        k += r
+                        if k > se:
+                            raise MediaDecodeError(
+                                "jpeg: AC index overran the band"
+                            )
+                        coefs[blk, k] = extend(read_bits(s), s) << al
+                        k += 1
+        i += 2 + seg_len
+        if marker == 0xDA:
+            i = j  # entropy consumed up to the next marker
+    else:
+        raise MediaDecodeError("jpeg: missing EOI")
+    if not saw_sof2 or coefs is None or w <= 0 or h <= 0:
+        raise MediaDecodeError("jpeg: truncated before SOS")
+    if q_id not in qtabs:
+        raise MediaDecodeError("jpeg: missing quant table")
+    qz = qtabs[q_id]
+    out = np.zeros((by_n * 8, bx_n * 8), dtype=np.uint8)
+    for blk in range(n_blocks):
+        by, bx = divmod(blk, bx_n)
+        coef = np.zeros((8, 8), dtype=np.float64)
+        zz = coefs[blk] * qz
+        for kk, (r, c) in enumerate(_JPEG_ZIG):
+            coef[r, c] = zz[kk]
+        block = _JPEG_A.T @ coef @ _JPEG_A + 128.0
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+            np.round(block), 0, 255
+        ).astype(np.uint8)
+    return w, h, out[:h, :w]
+
+
+def jpeg_progressive_gray_stats(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-image statistics over FULLY-decoded progressive JPEGs
+    (:func:`_jpeg_progressive_pixels`: every scan replayed into the
+    coefficient state, then one IDCT) — same shape and poison-row
+    policy as :func:`jpeg_gray_stats`, for the coding process that
+    operator quarantines."""
+    schema = (
+        f"{id_col} bigint, w int, h int, n_blocks int, "
+        "pix_sum bigint, pix_min int, pix_max int, "
+        "corner_tl int, corner_br int, decode_err string"
+    )
+    cols = [
+        id_col, "w", "h", "n_blocks", "pix_sum", "pix_min", "pix_max",
+        "corner_tl", "corner_br", "decode_err",
+    ]
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {c: None for c in cols}
+                base[id_col] = mid
+                try:
+                    if payload is None:
+                        raise MediaDecodeError("null payload")
+                    w, h, arr = _jpeg_progressive_pixels(bytes(payload))
+                    base.update(
+                        w=w, h=h,
+                        n_blocks=(w // 8) * (h // 8),
+                        pix_sum=int(arr.sum(dtype=np.int64)),
+                        pix_min=int(arr.min()),
+                        pix_max=int(arr.max()),
+                        corner_tl=int(arr[0, 0]),
+                        corner_br=int(arr[-1, -1]),
+                    )
+                except MediaDecodeError as exc:
+                    base["decode_err"] = str(exc)
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, payload_col).mapInPandas(_stats, schema)
+
+
 def _jpeg_progressive_dc_pixels(
     payload: bytes,
 ) -> tuple[int, int, int, np.ndarray]:
@@ -2358,8 +2775,10 @@ def jpeg_scan_triage(
     runs over every image before committing to pixel work: coding
     process from the SOF marker (:func:`jpeg_frame_class`), frame
     dimensions (:func:`_jpeg_decode`), and a ``decodable`` verdict
-    (baseline decodes in this engine; progressive/extended/lossless
-    route to quarantine or an external decoder with an EXPLICIT
+    (baseline AND — since round 11 — progressive decode in this
+    engine via :func:`_jpeg_gray_pixels` /
+    :func:`_jpeg_progressive_pixels`; extended/lossless route to
+    quarantine or an external decoder with an EXPLICIT
     ``quarantine_reason`` instead of a silent drop — VERDICT r8
     item 5).  Malformed streams quarantine with the precise marker-
     walk reason.  One Arrow-batched ``mapInPandas`` pass, one narrow
@@ -2382,13 +2801,14 @@ def jpeg_scan_triage(
                     raw = bytes(payload)
                     cls = jpeg_frame_class(raw)
                     meta = _jpeg_decode(raw)
+                    ok = cls in ("baseline", "progressive")
                     base.update(
                         scan_class=cls,
                         w=meta["width"],
                         h=meta["height"],
-                        decodable=cls == "baseline",
+                        decodable=ok,
                         quarantine_reason=None
-                        if cls == "baseline"
+                        if ok
                         else f"non-baseline scan: {cls}",
                     )
                 except MediaDecodeError as exc:

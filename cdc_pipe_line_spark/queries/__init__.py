@@ -75,6 +75,8 @@ _DRIVER_ROTATION = (
     "qa_delta_invariants",
     "llm_packed_loss_masks",
     "mm_jpeg_progressive_dc",
+    "mm_jpeg_progressive_decode",
+    "mm_jpeg_scan_triage",
 )
 
 

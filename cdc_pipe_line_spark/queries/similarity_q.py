@@ -20,10 +20,12 @@ from cdc_pipe_line_spark.multimodal import (
     jpeg_color_stats,
     jpeg_dc_preview_stats,
     jpeg_gray_stats,
+    jpeg_progressive_gray_stats,
     make_gif,
     make_jpeg_color,
     make_jpeg_gray,
     make_jpeg_gray_progressive,
+    make_jpeg_gray_progressive_full,
     make_mp4_sampled,
     make_wav,
     mp4_sample_index,
@@ -865,9 +867,12 @@ def q_jpeg_scan_triage(spark, sf_dir):
     structurally-valid frames of every class — and every 41st payload
     is cut inside the header for the malformed leg.  The triage pass
     publishes scan class, dimensions, a ``decodable`` verdict and an
-    EXPLICIT quarantine reason (``non-baseline scan: progressive`` /
+    EXPLICIT quarantine reason (``non-baseline scan: extended`` /
     ``jpeg: truncated before SOF marker``), all closed-form in
-    doc_id, so the oracle replays routing AND both quarantine legs."""
+    doc_id, so the oracle replays routing AND both quarantine legs.
+    Since round 11 the progressive class routes DECODABLE (the
+    engine carries a full SOF2 decode — ``mm_jpeg_progressive_decode``);
+    extended/lossless still quarantine."""
     import numpy as np
 
     from cdc_pipe_line_spark.multimodal import jpeg_scan_triage
@@ -1957,10 +1962,9 @@ SELECT doc_id AS media_id,
        ELSE CAST(8 * ((doc_id % 3) + 1) AS INT) END AS w,
   CASE WHEN doc_id % 41 = 0 THEN NULL
        ELSE CAST(8 * ((doc_id % 2) + 1) AS INT) END AS h,
-  CASE WHEN doc_id % 41 = 0 THEN FALSE ELSE doc_id % 4 = 0 END AS decodable,
+  CASE WHEN doc_id % 41 = 0 THEN FALSE ELSE doc_id % 4 <= 1 END AS decodable,
   CASE WHEN doc_id % 41 = 0 THEN 'jpeg: truncated before SOF marker'
-       WHEN doc_id % 4 = 0 THEN NULL
-       WHEN doc_id % 4 = 1 THEN 'non-baseline scan: progressive'
+       WHEN doc_id % 4 <= 1 THEN NULL
        WHEN doc_id % 4 = 2 THEN 'non-baseline scan: extended'
        ELSE 'non-baseline scan: lossless' END AS quarantine_reason
 FROM documents""",
@@ -3302,5 +3306,101 @@ SELECT p.doc_id AS media_id,
   CASE WHEN cut THEN NULL ELSE agg.corner_tl END AS corner_tl,
   CASE WHEN cut THEN NULL ELSE agg.corner_br END AS corner_br,
   CASE WHEN cut THEN 'jpeg: truncated before SOS'
+       ELSE CAST(NULL AS VARCHAR) END AS decode_err
+FROM p JOIN agg ON agg.doc_id = p.doc_id"""
+
+
+def q_jpeg_progressive_decode(spark, sf_dir):
+    """FULL progressive JPEG decode (multimodal.
+    make_jpeg_gray_progressive_full / _jpeg_progressive_pixels):
+    every document becomes a genuine four-scan SOF2 file — DC scan at
+    Al=1, DC successive-approximation refinement (Ah=1), and two AC
+    spectral-selection bands (1..5, 6..63) coded with REAL
+    accumulated EOB runs — and the decoder replays all four scans
+    into the coefficient state before one IDCT.  Blocks are per-block
+    constants ``base + 2*(b % 5)`` (even values, quant 16): DC
+    quantizes losslessly and every AC is zero, so the AC scans are
+    pure cross-block EOB runs — the decoder's EOBRUN arithmetic is
+    load-bearing for the hash, and full-raster pixel stats stay
+    closed-form in doc_id for the oracle.  Every 59th payload is cut
+    inside the APP0 segment for the quarantine leg.  General content
+    (dense ACs, ZRL, clipping) is pinned in
+    tests/test_multimodal_codec.py by cross-decoder equality with the
+    baseline path on random rasters.
+
+    Scale shape: one Arrow-batched mapInPandas pass, one narrow row
+    per image, no shuffle."""
+    import numpy as np
+
+    @F.pandas_udf("binary")
+    def _payload(
+        w: pd.Series, h: pd.Series, base: pd.Series, cut: pd.Series
+    ) -> pd.Series:
+        out = []
+        for a, b, v0, k in zip(w, h, base, cut):
+            a, b, v0 = int(a), int(b), int(v0)
+            arr = np.zeros((b, a), dtype=np.uint8)
+            blk = 0
+            for by in range(b // 8):
+                for bx in range(a // 8):
+                    arr[
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = v0 + 2 * (blk % 5)
+                    blk += 1
+            enc = make_jpeg_gray_progressive_full(arr)
+            out.append(enc[:20] if k else enc)
+        return pd.Series(out, dtype=object)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (8 * ((F.col("doc_id") % 4) + 1)).alias("__w"),
+        (8 * ((F.col("doc_id") % 2) + 1)).alias("__h"),
+        (100 + 2 * (F.col("doc_id") % 20)).alias("__base"),
+        (F.col("doc_id") % 59 == 0).alias("__cut"),
+    )
+    media = as_media_table(
+        docs,
+        id_col="doc_id",
+        payload_col=_payload("__w", "__h", "__base", "__cut"),
+        media_type="image/jpeg",
+    )
+    return jpeg_progressive_gray_stats(media)
+
+
+QUERIES["mm_jpeg_progressive_decode"] = q_jpeg_progressive_decode
+
+ORACLE["mm_jpeg_progressive_decode"] = """
+WITH p AS (
+  SELECT doc_id,
+    8 * ((doc_id % 4) + 1) AS w,
+    8 * ((doc_id % 2) + 1) AS h,
+    100 + 2 * (doc_id % 20) AS base,
+    doc_id % 59 = 0 AS cut
+  FROM documents),
+blocks AS (
+  SELECT doc_id, unnest(range(0, (w // 8) * (h // 8))) AS b
+  FROM p),
+agg AS (
+  SELECT blocks.doc_id,
+    CAST(sum(64 * (p.base + 2 * (b % 5))) AS BIGINT) AS pix_sum,
+    CAST(min(p.base + 2 * (b % 5)) AS INT) AS pix_min,
+    CAST(max(p.base + 2 * (b % 5)) AS INT) AS pix_max,
+    CAST(max(CASE WHEN b = 0 THEN p.base + 2 * (b % 5) END) AS INT)
+      AS corner_tl,
+    CAST(max(CASE WHEN b = (p.w // 8) * (p.h // 8) - 1
+      THEN p.base + 2 * (b % 5) END) AS INT) AS corner_br
+  FROM blocks JOIN p ON p.doc_id = blocks.doc_id
+  GROUP BY 1)
+SELECT p.doc_id AS media_id,
+  CASE WHEN cut THEN NULL ELSE CAST(w AS INT) END AS w,
+  CASE WHEN cut THEN NULL ELSE CAST(h AS INT) END AS h,
+  CASE WHEN cut THEN NULL
+    ELSE CAST((w // 8) * (h // 8) AS INT) END AS n_blocks,
+  CASE WHEN cut THEN NULL ELSE agg.pix_sum END AS pix_sum,
+  CASE WHEN cut THEN NULL ELSE agg.pix_min END AS pix_min,
+  CASE WHEN cut THEN NULL ELSE agg.pix_max END AS pix_max,
+  CASE WHEN cut THEN NULL ELSE agg.corner_tl END AS corner_tl,
+  CASE WHEN cut THEN NULL ELSE agg.corner_br END AS corner_br,
+  CASE WHEN cut THEN 'jpeg: missing EOI'
        ELSE CAST(NULL AS VARCHAR) END AS decode_err
 FROM p JOIN agg ON agg.doc_id = p.doc_id"""

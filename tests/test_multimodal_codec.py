@@ -1150,3 +1150,132 @@ class TestJpegProgressiveDc:
         w, h, al, pv = _jpeg_progressive_dc_pixels(body)
         assert (w, h) == (16, 8)
         assert pv.tolist() == [[110, 112]]
+
+
+class TestJpegProgressiveFull:
+    def test_full_progressive_equals_baseline_decode(self):
+        """General content (gradients, clipping, dense ACs, ZRL runs):
+        the four-scan progressive file must decode to exactly the
+        raster the baseline codec produces for the same array — both
+        quantize identically, so spectral selection + DC successive
+        approximation + EOB runs must be collectively lossless."""
+        import numpy as np
+
+        from cdc_pipe_line_spark.multimodal import (
+            _jpeg_gray_pixels,
+            _jpeg_progressive_pixels,
+            make_jpeg_gray,
+            make_jpeg_gray_progressive_full,
+        )
+
+        rng = np.random.RandomState(11)
+        for trial in range(4):
+            h, w = 8 * rng.randint(1, 4), 8 * rng.randint(1, 5)
+            arr = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            base_w, base_h, base_px = _jpeg_gray_pixels(
+                make_jpeg_gray(arr)
+            )
+            pw, ph, ppx = _jpeg_progressive_pixels(
+                make_jpeg_gray_progressive_full(arr)
+            )
+            assert (pw, ph) == (base_w, base_h)
+            assert np.array_equal(ppx, base_px), f"trial {trial}"
+
+    def test_constant_blocks_roundtrip_exact(self):
+        import numpy as np
+
+        from cdc_pipe_line_spark.multimodal import (
+            _jpeg_progressive_pixels,
+            make_jpeg_gray_progressive_full,
+        )
+
+        arr = np.zeros((16, 24), dtype=np.uint8)
+        blk = 0
+        for by in range(2):
+            for bx in range(3):
+                arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    100 + 2 * (blk % 5)
+                )
+                blk += 1
+        w, h, px = _jpeg_progressive_pixels(
+            make_jpeg_gray_progressive_full(arr)
+        )
+        assert (w, h) == (24, 16)
+        assert np.array_equal(px, arr)
+
+    def test_dc_preview_reads_full_progressive_first_scan(self):
+        """The preview decoder consumes the full file's FIRST scan
+        (Al=1) — coarse but valid: pixel lattice 128 + 4*(dc_q>>1)."""
+        import numpy as np
+
+        from cdc_pipe_line_spark.multimodal import (
+            _jpeg_progressive_dc_pixels,
+            make_jpeg_gray_progressive_full,
+        )
+
+        arr = np.full((8, 16), 102, dtype=np.uint8)
+        arr[:, 8:] = 110
+        w, h, al, pv = _jpeg_progressive_dc_pixels(
+            make_jpeg_gray_progressive_full(arr)
+        )
+        assert (w, h, al) == (16, 8, 1)
+        for got, v in zip(pv.flatten().tolist(), (102, 110)):
+            dc_q = int(np.round((v - 128) / 2.0))
+            assert got == 128 + 4 * (dc_q >> 1)
+
+    def test_ac_refinement_scan_rejected_precisely(self):
+        import numpy as np
+        import pytest
+
+        from cdc_pipe_line_spark.multimodal import (
+            MediaDecodeError,
+            _jpeg_progressive_pixels,
+            make_jpeg_gray_progressive_full,
+        )
+
+        enc = bytearray(
+            make_jpeg_gray_progressive_full(
+                np.full((8, 8), 120, dtype=np.uint8)
+            )
+        )
+        # find the third SOS (first AC scan) and mark it Ah=1
+        pos = -1
+        for _ in range(3):
+            pos = enc.find(b"\xff\xda", pos + 1)
+        assert pos > 0
+        enc[pos + 9] = 0x10  # AhAl byte of the AC scan
+        with pytest.raises(
+            MediaDecodeError, match="refinement unsupported"
+        ):
+            _jpeg_progressive_pixels(bytes(enc))
+
+    def test_baseline_frame_rejected(self):
+        import numpy as np
+        import pytest
+
+        from cdc_pipe_line_spark.multimodal import (
+            MediaDecodeError,
+            _jpeg_progressive_pixels,
+            make_jpeg_gray,
+        )
+
+        with pytest.raises(MediaDecodeError, match="not progressive"):
+            _jpeg_progressive_pixels(
+                make_jpeg_gray(np.full((8, 8), 99, dtype=np.uint8))
+            )
+
+    def test_truncation_quarantines(self):
+        import numpy as np
+        import pytest
+
+        from cdc_pipe_line_spark.multimodal import (
+            MediaDecodeError,
+            _jpeg_progressive_pixels,
+            make_jpeg_gray_progressive_full,
+        )
+
+        enc = make_jpeg_gray_progressive_full(
+            np.full((8, 8), 99, dtype=np.uint8)
+        )
+        with pytest.raises(MediaDecodeError, match="missing EOI"):
+            _jpeg_progressive_pixels(enc[:20])
