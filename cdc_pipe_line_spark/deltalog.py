@@ -804,25 +804,9 @@ def read_snapshot(
     splits/pushdown across all live files together.
     """
     if version_as_of is not None:
-        ck = _checkpoint_version(table_dir)
-        if ck is not None and version_as_of >= ck:
-            # checkpoint state + JSON tail, filtered by version — the
-            # only replay that survives log cleanup
-            actions = read_log_actions(spark, table_dir)
-        else:
-            # per-commit granularity below the checkpoint needs the
-            # raw JSON history back to commit 0
-            v0 = os.path.join(
-                table_dir, "_delta_log", f"{0:020d}.json"
-            )
-            if ck is not None and not os.path.exists(v0):
-                raise ValueError(
-                    f"version {version_as_of} of {table_dir} is no "
-                    f"longer reconstructable: log cleanup removed the "
-                    f"JSON commits before checkpoint {ck}"
-                )
-            actions = read_log_actions(spark, table_dir, json_only=True)
-        actions = actions.filter(F.col("version") <= version_as_of)
+        actions = read_snapshot_actions(
+            spark, table_dir, version_as_of=version_as_of
+        )
     else:
         actions = read_log_actions(spark, table_dir)
     lf = live_files(actions)
@@ -868,6 +852,139 @@ def read_snapshot(
                 out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
         out = out.select(*[f.name for f in declared.fields])
     return out
+
+
+def vacuum(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    retain_versions: int = 0,
+) -> list[str]:
+    """VACUUM: physically delete data files that are TOMBSTONED and
+    not live in any retained version — the lifecycle op every other
+    writer here deliberately defers to (tombstoned files stay on disk
+    so time travel keeps working; ``qa_delta_invariants`` audits
+    exactly that contract).  ``retain_versions=N`` keeps every file
+    that is live in any of the last N+1 versions (N=0: only the
+    current snapshot's files survive), mirroring the spec's
+    retention-window semantics in version terms (the fixtures have no
+    wall-clock).  Untracked files (a crashed writer's leftovers) are
+    removed too — vacuum is the spec's garbage collector for both.
+    Time travel to a version whose files were vacuumed then fails at
+    scan time, exactly as the protocol documents.
+
+    Returns the table-relative paths it deleted.  The keep-set is
+    computed with the same distributed replay the readers use; only
+    the bounded path census is driver-side."""
+    actions = read_log_actions(spark, table_dir).localCheckpoint(
+        eager=True
+    )
+    ver_row = actions.agg(F.max("version").alias("v")).first()
+    if ver_row is None or ver_row["v"] is None:
+        raise ValueError(f"no delta log at {table_dir}")
+    vmax = int(ver_row["v"])
+    floor_ver = max(0, vmax - retain_versions)
+    keep = (
+        live_files(actions.filter(F.col("version") <= floor_ver))
+        .select("path")
+        .unionByName(
+            # files ADDED after the floor are live in (or needed by)
+            # some retained version even if later tombstoned
+            actions.filter(
+                (F.col("version") > floor_ver)
+                & F.col("add").isNotNull()
+            ).select(F.col("add.path").alias("path"))
+        )
+        .distinct()
+    )
+    kept = {r.path for r in keep.collect()}
+    victims = []
+    for root, _dirs, files in os.walk(table_dir):
+        if "_delta_log" in root:
+            continue
+        for f in files:
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, table_dir)
+            if f.endswith(".parquet") and rel not in kept:
+                os.remove(full)
+                victims.append(rel)
+    # prune emptied partition directories
+    for root, dirs, files in os.walk(table_dir, topdown=False):
+        if "_delta_log" in root or root == table_dir:
+            continue
+        if not dirs and not files and "=" in os.path.basename(root):
+            try:
+                os.rmdir(root)
+            except OSError:
+                pass
+    return sorted(victims)
+
+
+def restore(spark: SparkSession, table_dir: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF: one commit that makes the
+    CURRENT state equal the historical version's — tombstone every
+    file live now but not then, re-add every file live then but not
+    now (data files are never rewritten; restore is pure metadata,
+    which is why vacuumed history cannot be restored — the spec's own
+    caveat).  History stays append-only: the restored-past versions
+    remain readable and DESCRIBE HISTORY shows the RESTORE commit."""
+    # re-adds need size/partitionValues, so collect full add payloads
+    # (both sets are bounded by live-file counts, the planner-sized
+    # footprint every reader here already has)
+    hist = {
+        (r.path, r.size, tuple(sorted((r.partitionValues or {}).items())))
+        for r in live_files(
+            read_snapshot_actions(spark, table_dir, version_as_of=version)
+        ).collect()
+    }
+    current = {
+        (r.path, r.size, tuple(sorted((r.partitionValues or {}).items())))
+        for r in live_files(read_log_actions(spark, table_dir)).collect()
+    }
+    target = {p for (p, _s, _pv) in hist}
+    cur_paths = {p for (p, _s, _pv) in current}
+    acts: list[dict] = []
+    for p, _s, _pv in sorted(current):
+        if p not in target:
+            acts.append({"remove": {"path": p, "dataChange": True}})
+    for p, s, pv in sorted(hist):
+        if p not in cur_paths:
+            if not os.path.exists(os.path.join(table_dir, p)):
+                raise ValueError(
+                    f"cannot restore {table_dir} to version {version}: "
+                    f"data file {p} was vacuumed"
+                )
+            add = {"path": p, "size": s, "dataChange": True}
+            if pv:
+                add["partitionValues"] = dict(pv)
+            acts.append({"add": add})
+    acts.append(
+        {"commitInfo": {"operation": f"RESTORE TO VERSION {version}"}}
+    )
+    return commit(table_dir, acts)
+
+
+def read_snapshot_actions(
+    spark: SparkSession, table_dir: str, *, version_as_of: int
+) -> DataFrame:
+    """The action set that reconstructs ``version_as_of`` — the same
+    checkpoint-aware resolution :func:`read_snapshot` uses (shared so
+    RESTORE and readers cannot drift): checkpoint + tail when the
+    version is at/after the checkpoint, raw JSON below it, and a
+    clear error once log cleanup has removed that history."""
+    ck = _checkpoint_version(table_dir)
+    if ck is not None and version_as_of >= ck:
+        actions = read_log_actions(spark, table_dir)
+    else:
+        v0 = os.path.join(table_dir, "_delta_log", f"{0:020d}.json")
+        if ck is not None and not os.path.exists(v0):
+            raise ValueError(
+                f"version {version_as_of} of {table_dir} is no longer "
+                f"reconstructable: log cleanup removed the JSON commits "
+                f"before checkpoint {ck}"
+            )
+        actions = read_log_actions(spark, table_dir, json_only=True)
+    return actions.filter(F.col("version") <= version_as_of)
 
 
 def table_history(spark: SparkSession, table_dir: str) -> DataFrame:

@@ -77,6 +77,7 @@ _DRIVER_ROTATION = (
     "mm_jpeg_progressive_dc",
     "mm_jpeg_progressive_decode",
     "mm_jpeg_scan_triage",
+    "io_delta_vacuum_restore",
 )
 
 

@@ -2128,3 +2128,106 @@ SELECT
   (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 97 != 0)
     AS n_dropmalformed,
   TRUE AS failfast_raised"""
+
+
+def q_delta_vacuum_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta VACUUM + RESTORE through the native protocol writer —
+    the two lifecycle ops the round-9/10 writer deliberately deferred
+    ("tombstones stay until vacuum"): create (keys %5==0) →
+    OVERWRITE (%5==1, tombstoning the original file) → append
+    (%5==2) → RESTORE TO VERSION 1 (pure metadata: the append's file
+    is tombstoned, nothing rewritten) → VACUUM retaining 2 versions
+    (exactly the original create's file is deletable — tombstoned at
+    v1 and outside the retention floor).  Published in one row: the
+    restored current state (== version 1's rows, closed-form in
+    o_orderkey), the RESTORE commit in DESCRIBE HISTORY, the
+    post-vacuum physical file census (the overwrite's and append's
+    files survive — retained time travel to v2 still reconstructs,
+    probed by checksum), and the now-unreadable v0 (its file was
+    vacuumed; the scan fails — the spec's own restore-after-vacuum
+    caveat, probed at build time and published as a literal).
+
+    Scale shape: the vacuum keep-set is the same distributed
+    last-action-wins replay every reader uses; only the bounded path
+    census is driver-side."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_lifecycle")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        m = F.col("o_orderkey") % 5
+        deltalog.create_table(spark, orders.filter(m == 0), base)   # v0
+        deltalog.overwrite(spark, orders.filter(m == 1), base)      # v1
+        deltalog.append(spark, orders.filter(m == 2), base)         # v2
+        deltalog.restore(spark, base, 1)                            # v3
+        deltalog.vacuum(spark, base, retain_versions=2)
+        _mark(base)
+
+    import glob as _glob
+
+    n_files = len(
+        [
+            p
+            for p in _glob.glob(
+                os.path.join(base, "**", "*.parquet"), recursive=True
+            )
+            if "_delta_log" not in p
+        ]
+    )
+    try:
+        deltalog.read_snapshot(spark, base, version_as_of=0).agg(
+            F.count("*")
+        ).first()
+        v0_unreadable = False
+    except Exception:
+        v0_unreadable = True
+    cur = deltalog.read_snapshot(spark, base).agg(
+        F.count("*").cast("bigint").alias("n_rows_current"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_current"),
+    )
+    v2 = deltalog.read_snapshot(spark, base, version_as_of=2).agg(
+        F.count("*").cast("bigint").alias("n_rows_v2"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_v2"),
+    )
+    op = (
+        deltalog.table_history(spark, base)
+        .filter(F.col("version") == 3)
+        .select(F.col("operation").alias("restore_op"))
+    )
+    return (
+        cur.crossJoin(F.broadcast(v2))
+        .crossJoin(F.broadcast(op))
+        .select(
+            "n_rows_current",
+            "checksum_current",
+            "n_rows_v2",
+            "checksum_v2",
+            "restore_op",
+            F.lit(n_files).cast("bigint").alias("n_data_files"),
+            F.lit(v0_unreadable).alias("v0_unreadable"),
+        )
+    )
+
+
+QUERIES["io_delta_vacuum_restore"] = q_delta_vacuum_restore
+
+ORACLE["io_delta_vacuum_restore"] = """
+SELECT
+  CAST(count(CASE WHEN o_orderkey % 5 = 1 THEN 1 END) AS BIGINT)
+    AS n_rows_current,
+  CAST(sum(CASE WHEN o_orderkey % 5 = 1 THEN o_orderkey END) AS BIGINT)
+    AS checksum_current,
+  CAST(count(CASE WHEN o_orderkey % 5 IN (1, 2) THEN 1 END) AS BIGINT)
+    AS n_rows_v2,
+  CAST(sum(CASE WHEN o_orderkey % 5 IN (1, 2) THEN o_orderkey END)
+    AS BIGINT) AS checksum_v2,
+  'RESTORE TO VERSION 1' AS restore_op,
+  CAST(2 AS BIGINT) AS n_data_files,
+  TRUE AS v0_unreadable
+FROM orders"""

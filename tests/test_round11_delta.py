@@ -308,3 +308,90 @@ def test_checkpoint_scales_to_10k_add_actions(spark, table_dir):
     ) + os.path.getsize(
         os.path.join(table_dir, _parquet_on_disk(table_dir)[0])
     )
+
+
+# ------------------------------------------------------------ vacuum / restore
+
+
+def test_vacuum_removes_only_unreferenced_tombstones(spark, table_dir):
+    deltalog.create_table(spark, _mk(spark, 0, 5), table_dir)      # v0
+    deltalog.overwrite(spark, _mk(spark, 5, 10), table_dir)        # v1
+    deltalog.overwrite(spark, _mk(spark, 10, 15), table_dir)       # v2
+    before = _parquet_on_disk(table_dir)
+    assert len(before) == 3  # tombstoned files stay until vacuum
+
+    # retain_versions=1: v1's and v2's files survive, v0's file goes
+    gone = deltalog.vacuum(spark, table_dir, retain_versions=1)
+    assert len(gone) == 1
+    assert _ids(spark, table_dir, version_as_of=1) == list(range(5, 10))
+    with pytest.raises(Exception):
+        deltalog.read_snapshot(spark, table_dir, version_as_of=0).collect()
+
+    # retain_versions=0: only the current snapshot survives
+    gone = deltalog.vacuum(spark, table_dir)
+    assert len(gone) == 1
+    assert _ids(spark, table_dir) == list(range(10, 15))
+    assert len(_parquet_on_disk(table_dir)) == 1
+
+
+def test_vacuum_collects_untracked_orphans(spark, table_dir):
+    deltalog.create_table(spark, _mk(spark, 0, 5), table_dir)
+    orphan = os.path.join(table_dir, "part-orphan.snappy.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    gone = deltalog.vacuum(spark, table_dir)
+    assert gone == ["part-orphan.snappy.parquet"]
+    assert _ids(spark, table_dir) == list(range(5))
+
+
+def test_vacuum_partitioned_prunes_empty_dirs(spark, table_dir):
+    deltalog.create_table(
+        spark, _mk(spark, 0, 12), table_dir, partition_by=["k"]
+    )
+    deltalog.overwrite(
+        spark, _mk(spark, 0, 12).filter(F.col("k") < 2), table_dir
+    )
+    deltalog.vacuum(spark, table_dir)
+    # k=2 / k=3 partitions are fully tombstoned+vacuumed: dirs pruned
+    dirs = {d for d in os.listdir(table_dir) if "=" in d}
+    assert dirs == {"k=0", "k=1"}
+    assert _ids(spark, table_dir) == [i for i in range(12) if i % 4 < 2]
+
+
+def test_restore_is_pure_metadata_and_appends_history(spark, table_dir):
+    deltalog.create_table(spark, _mk(spark, 0, 5), table_dir)      # v0
+    deltalog.append(spark, _mk(spark, 5, 10), table_dir)           # v1
+    deltalog.overwrite(spark, _mk(spark, 20, 24), table_dir)       # v2
+    n_files_before = len(_parquet_on_disk(table_dir))
+    v = deltalog.restore(spark, table_dir, 1)
+    assert v == 3
+    # current state equals v1; no data file was written or deleted
+    assert _ids(spark, table_dir) == list(range(10))
+    assert len(_parquet_on_disk(table_dir)) == n_files_before
+    # history is append-only: the pre-restore state stays readable
+    assert _ids(spark, table_dir, version_as_of=2) == list(range(20, 24))
+    ops = {
+        r["version"]: r["operation"]
+        for r in deltalog.table_history(spark, table_dir).collect()
+    }
+    assert ops[3] == "RESTORE TO VERSION 1"
+
+
+def test_restore_after_vacuum_raises_clearly(spark, table_dir):
+    deltalog.create_table(spark, _mk(spark, 0, 5), table_dir)      # v0
+    deltalog.overwrite(spark, _mk(spark, 5, 10), table_dir)        # v1
+    deltalog.vacuum(spark, table_dir)  # v0's file is gone
+    with pytest.raises(ValueError, match="was vacuumed"):
+        deltalog.restore(spark, table_dir, 0)
+
+
+def test_restore_partitioned_carries_partition_values(spark, table_dir):
+    deltalog.create_table(
+        spark, _mk(spark, 0, 12), table_dir, partition_by=["k"]
+    )
+    deltalog.overwrite(spark, _mk(spark, 100, 104), table_dir)     # v1
+    deltalog.restore(spark, table_dir, 0)                          # v2
+    pruned = deltalog.read_snapshot(
+        spark, table_dir, partition_filter={"k": "3"}
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == [3, 7, 11]
