@@ -2151,7 +2151,7 @@ _JPEG_PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, len(_JPEG_PROG_AC_VALS),
 
 
 def make_jpeg_gray_progressive_full(
-    arr: np.ndarray, quant: int = 16
+    arr: np.ndarray, quant: int = 16, *, ac_successive: bool = False
 ) -> bytes:
     """Encode a uint8 grayscale array as a COMPLETE progressive JPEG
     — four scans exercising both progressive mechanisms of ITU T.81
@@ -2162,9 +2162,15 @@ def make_jpeg_gray_progressive_full(
     REAL EOB RUNS (EOBn: run length ``2^r`` plus ``r`` appended bits,
     accumulated across blocks) — the structure every progressive
     encoder in the wild emits and the decoder's EOBRUN path needs
-    exercised.  Decodes to exactly the same raster as
-    :func:`make_jpeg_gray` of the same array (identical quantizer),
-    which is the cross-decoder equality the tests pin."""
+    exercised.  With ``ac_successive=True`` the AC bands use
+    successive approximation too (§G.1.2.3): first passes at Al=1
+    (magnitude-truncated values, zero-history runs) followed by
+    refinement scans at Ah=1/Al=0 carrying newly-significant
+    coefficients, buffered correction bits, and correction-sweeping
+    EOB runs — the full six-scan layout libjpeg's default progressive
+    script emits.  Either layout decodes to exactly the same raster
+    as :func:`make_jpeg_gray` of the same array (identical
+    quantizer), which is the cross-decoder equality the tests pin."""
     h, w = arr.shape
     assert h % 8 == 0 and w % 8 == 0, "fixture dims are block multiples"
     dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
@@ -2208,26 +2214,27 @@ def make_jpeg_gray_progressive_full(
         bw.write(zz[0] & 1, 1)
     scan_dc2 = (bytes([0, 0, 0x10]), bw.flush())
 
-    # scans 3/4: AC first pass (Ah=0, Al=0) over two spectral bands,
-    # with accumulated EOB runs
-    def ac_scan(ss: int, se: int) -> tuple[bytes, bytes]:
+    # AC first pass (Ah=0) over a spectral band at point transform
+    # ``al`` (values magnitude-truncated: sign * (|v| >> al), zeros =
+    # not-yet-significant), with accumulated EOB runs
+    def ac_scan(ss: int, se: int, al: int = 0) -> tuple[bytes, bytes]:
         bw = _JpegBitWriter()
         eobrun = 0
 
         def flush_eob() -> None:
             nonlocal eobrun
-            while eobrun > 0:
-                r = min(14, eobrun.bit_length() - 1)
-                n = 1 << r
+            if eobrun > 0:
+                r = eobrun.bit_length() - 1
                 bw.write(*ac_codes[r << 4])
                 if r:
-                    bw.write(eobrun - n, r)
-                eobrun -= n
-                break  # one EOBn covers 2^r + appended bits
+                    bw.write(eobrun - (1 << r), r)
             eobrun = 0
 
         for zz in blocks:
-            band = zz[ss : se + 1]
+            band = [
+                (1 if v >= 0 else -1) * (abs(v) >> al)
+                for v in zz[ss : se + 1]
+            ]
             nz = [k for k, v in enumerate(band) if v != 0]
             if not nz:
                 eobrun += 1
@@ -2252,10 +2259,83 @@ def make_jpeg_gray_progressive_full(
             if last_nz < len(band) - 1:
                 eobrun += 1  # this block ends early: join the EOB run
         flush_eob()
-        return bytes([ss, se, 0x00]), bw.flush()
+        return bytes([ss, se, al & 0x0F]), bw.flush()
 
-    scan_ac1 = ac_scan(1, 5)
-    scan_ac2 = ac_scan(6, 63)
+    # AC refinement (Ah = al+1, Al = al): newly-significant
+    # coefficients as run/1 codes over ZERO-HISTORY positions, one
+    # sign bit each; CORRECTION BITS for already-significant
+    # coefficients buffered and appended after the next emitted code
+    # (T.81 §G.1.2.3 — libjpeg's encode_mcu_AC_refine discipline);
+    # trailing insignificance joins a correction-sweeping EOB run.
+    def ac_refine_scan(ss: int, se: int, al: int) -> tuple[bytes, bytes]:
+        bw = _JpegBitWriter()
+        eobrun = 0
+        be: list[int] = []  # correction bits riding the EOB run
+
+        def emit_eobrun() -> None:
+            nonlocal eobrun, be
+            if eobrun > 0:
+                r = eobrun.bit_length() - 1
+                bw.write(*ac_codes[r << 4])
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+            for b in be:
+                bw.write(b, 1)
+            be = []
+
+        for zz in blocks:
+            band = zz[ss : se + 1]
+            absv = [abs(v) >> al for v in band]
+            # position of the LAST newly-significant coefficient: ZRLs
+            # past it fold into the EOB run instead of being emitted
+            eobpos = max(
+                (i for i, t in enumerate(absv) if t == 1), default=-1
+            )
+            run = 0
+            br: list[int] = []  # correction bits since the last code
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eobpos:
+                    emit_eobrun()
+                    bw.write(*ac_codes[0xF0])
+                    run -= 16
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                if t > 1:
+                    # already significant: buffer the correction bit
+                    br.append(t & 1)
+                    continue
+                # newly significant: run/1 code + sign + buffered bits
+                emit_eobrun()
+                bw.write(*ac_codes[(run << 4) | 1])
+                bw.write(1 if band[i] >= 0 else 0, 1)
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                # trailing insignificance and corrections join the
+                # correction-sweeping EOB run
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        return bytes([ss, se, ((al + 1) << 4) | al]), bw.flush()
+
+    if ac_successive:
+        ac_scans = [
+            ac_scan(1, 5, 1),
+            ac_scan(6, 63, 1),
+            ac_refine_scan(1, 5, 0),
+            ac_refine_scan(6, 63, 0),
+        ]
+    else:
+        ac_scans = [ac_scan(1, 5), ac_scan(6, 63)]
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -2275,7 +2355,7 @@ def make_jpeg_gray_progressive_full(
         + b"\x10" + bytes(_JPEG_PROG_AC_BITS)
         + bytes(_JPEG_PROG_AC_VALS),
     )
-    for params, entropy in (scan_dc1, scan_dc2, scan_ac1, scan_ac2):
+    for params, entropy in (scan_dc1, scan_dc2, *ac_scans):
         out += seg(0xDA, b"\x01" + b"\x01\x00" + params)
         out += entropy
     out += b"\xff\xd9"
@@ -2446,38 +2526,103 @@ def _jpeg_progressive_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
                         if read_bit():
                             coefs[blk, 0] |= 1 << al
             else:
-                if ah != 0:
-                    raise MediaDecodeError(
-                        "jpeg: AC successive-approximation refinement "
-                        "unsupported"
-                    )
                 ac_tab = htabs.get((1, ac_id))
                 if ac_tab is None:
                     raise MediaDecodeError("jpeg: missing AC table")
-                eobrun = 0
-                for blk in range(n_blocks):
-                    if eobrun > 0:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        rs = read_huff(ac_tab)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16  # ZRL
-                                continue
-                            # EOBn: run of 2^r + appended bits, minus
-                            # the current block
-                            eobrun = (1 << r) + read_bits(r) - 1
-                            break
-                        k += r
-                        if k > se:
-                            raise MediaDecodeError(
-                                "jpeg: AC index overran the band"
+                if ah != 0:
+                    # AC successive-approximation REFINEMENT (T.81
+                    # §G.1.2.3): newly-significant coefficients arrive
+                    # as run/1 codes counting only ZERO-HISTORY
+                    # positions; every already-nonzero coefficient
+                    # passed during an advance (or an EOB-run sweep)
+                    # consumes one correction bit that may set bit Al.
+                    if ah != al + 1:
+                        raise MediaDecodeError(
+                            "jpeg: AC refinement must have Ah=Al+1"
+                        )
+                    p1, m1 = 1 << al, -(1 << al)
+                    eobrun = 0
+
+                    def _correct(blk: int, k: int) -> None:
+                        if read_bit() and (coefs[blk, k] & p1) == 0:
+                            coefs[blk, k] += (
+                                p1 if coefs[blk, k] >= 0 else m1
                             )
-                        coefs[blk, k] = extend(read_bits(s), s) << al
-                        k += 1
+
+                    for blk in range(n_blocks):
+                        if eobrun > 0:
+                            for k in range(ss, se + 1):
+                                if coefs[blk, k] != 0:
+                                    _correct(blk, k)
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = read_huff(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            val = 0
+                            if s:
+                                if s != 1:
+                                    raise MediaDecodeError(
+                                        "jpeg: refinement size must be 1"
+                                    )
+                                val = p1 if read_bit() else m1
+                            elif r != 15:
+                                # EOBn: sweep the rest of this block,
+                                # then eobrun-1 more whole blocks
+                                eobrun = (1 << r) + (
+                                    read_bits(r) if r else 0
+                                )
+                                break
+                            # advance past r zero-history positions,
+                            # correcting every nonzero passed (ZRL:
+                            # r=15 plus the terminating zero = 16)
+                            while k <= se:
+                                if coefs[blk, k] != 0:
+                                    _correct(blk, k)
+                                else:
+                                    r -= 1
+                                    if r < 0:
+                                        break
+                                k += 1
+                            if val:
+                                if k > se:
+                                    raise MediaDecodeError(
+                                        "jpeg: refinement overran the band"
+                                    )
+                                coefs[blk, k] = val
+                            k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                if coefs[blk, k] != 0:
+                                    _correct(blk, k)
+                                k += 1
+                            eobrun -= 1
+                else:
+                    eobrun = 0
+                    for blk in range(n_blocks):
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = read_huff(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                # EOBn: run of 2^r + appended bits,
+                                # minus the current block
+                                eobrun = (1 << r) + read_bits(r) - 1
+                                break
+                            k += r
+                            if k > se:
+                                raise MediaDecodeError(
+                                    "jpeg: AC index overran the band"
+                                )
+                            coefs[blk, k] = extend(read_bits(s), s) << al
+                            k += 1
         i += 2 + seg_len
         if marker == 0xDA:
             i = j  # entropy consumed up to the next marker

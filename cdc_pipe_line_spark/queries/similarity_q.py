@@ -3313,11 +3313,14 @@ FROM p JOIN agg ON agg.doc_id = p.doc_id"""
 def q_jpeg_progressive_decode(spark, sf_dir):
     """FULL progressive JPEG decode (multimodal.
     make_jpeg_gray_progressive_full / _jpeg_progressive_pixels):
-    every document becomes a genuine four-scan SOF2 file — DC scan at
-    Al=1, DC successive-approximation refinement (Ah=1), and two AC
-    spectral-selection bands (1..5, 6..63) coded with REAL
-    accumulated EOB runs — and the decoder replays all four scans
-    into the coefficient state before one IDCT.  Blocks are per-block
+    every document becomes a genuine SIX-scan SOF2 file — DC scan at
+    Al=1, DC successive-approximation refinement (Ah=1), two AC
+    spectral-selection bands (1..5, 6..63) first-passed at Al=1 with
+    REAL accumulated EOB runs, then two AC REFINEMENT scans
+    (Ah=1/Al=0: newly-significant run/1 coding + correction-sweeping
+    EOB runs — libjpeg's default progressive script shape) — and the
+    decoder replays all six scans into the coefficient state before
+    one IDCT.  Blocks are per-block
     constants ``base + 2*(b % 5)`` (even values, quant 16): DC
     quantizes losslessly and every AC is zero, so the AC scans are
     pure cross-block EOB runs — the decoder's EOBRUN arithmetic is
@@ -3347,7 +3350,7 @@ def q_jpeg_progressive_decode(spark, sf_dir):
                         by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
                     ] = v0 + 2 * (blk % 5)
                     blk += 1
-            enc = make_jpeg_gray_progressive_full(arr)
+            enc = make_jpeg_gray_progressive_full(arr, ac_successive=True)
             out.append(enc[:20] if k else enc)
         return pd.Series(out, dtype=object)
 

@@ -1223,7 +1223,11 @@ class TestJpegProgressiveFull:
             dc_q = int(np.round((v - 128) / 2.0))
             assert got == 128 + 4 * (dc_q >> 1)
 
-    def test_ac_refinement_scan_rejected_precisely(self):
+    def test_ac_refinement_with_inconsistent_ah_al_rejected(self):
+        """Since round 11 AC refinement DECODES (see
+        TestJpegAcSuccessiveApproximation); what must still fail
+        precisely is a successive-approximation ladder that skips a
+        bit plane (Ah != Al+1 — T.81 §G.1.1.1.2)."""
         import numpy as np
         import pytest
 
@@ -1238,15 +1242,13 @@ class TestJpegProgressiveFull:
                 np.full((8, 8), 120, dtype=np.uint8)
             )
         )
-        # find the third SOS (first AC scan) and mark it Ah=1
+        # find the third SOS (first AC scan) and mark it Ah=3, Al=1
         pos = -1
         for _ in range(3):
             pos = enc.find(b"\xff\xda", pos + 1)
         assert pos > 0
-        enc[pos + 9] = 0x10  # AhAl byte of the AC scan
-        with pytest.raises(
-            MediaDecodeError, match="refinement unsupported"
-        ):
+        enc[pos + 9] = 0x31  # AhAl byte of the AC scan
+        with pytest.raises(MediaDecodeError, match="Ah=Al\\+1"):
             _jpeg_progressive_pixels(bytes(enc))
 
     def test_baseline_frame_rejected(self):
@@ -1279,3 +1281,80 @@ class TestJpegProgressiveFull:
         )
         with pytest.raises(MediaDecodeError, match="missing EOI"):
             _jpeg_progressive_pixels(enc[:20])
+
+
+class TestJpegAcSuccessiveApproximation:
+    def test_six_scan_equals_baseline_decode(self):
+        """AC successive approximation (first passes at Al=1 +
+        refinement scans at Ah=1/Al=0 with newly-significant coding,
+        buffered correction bits, ZRL-with-corrections and
+        correction-sweeping EOB runs) must still reproduce the
+        baseline raster exactly — random content drives every
+        branch."""
+        import numpy as np
+
+        from cdc_pipe_line_spark.multimodal import (
+            _jpeg_gray_pixels,
+            _jpeg_progressive_pixels,
+            make_jpeg_gray,
+            make_jpeg_gray_progressive_full,
+        )
+
+        rng = np.random.RandomState(23)
+        for trial in range(5):
+            h, w = 8 * rng.randint(1, 4), 8 * rng.randint(1, 5)
+            arr = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            _, _, base_px = _jpeg_gray_pixels(make_jpeg_gray(arr))
+            pw, ph, ppx = _jpeg_progressive_pixels(
+                make_jpeg_gray_progressive_full(arr, ac_successive=True)
+            )
+            assert (pw, ph) == (w, h)
+            assert np.array_equal(ppx, base_px), f"trial {trial}"
+
+    def test_smooth_gradient_long_runs(self):
+        """Smooth content: sparse high-frequency ACs → long
+        zero-history runs, refinement ZRLs, corrections interleaved —
+        the exact shapes that exposed the run-accounting traps."""
+        import numpy as np
+
+        from cdc_pipe_line_spark.multimodal import (
+            _jpeg_gray_pixels,
+            _jpeg_progressive_pixels,
+            make_jpeg_gray,
+            make_jpeg_gray_progressive_full,
+        )
+
+        x = np.linspace(0, 255, 48)
+        arr = np.clip(
+            np.add.outer(np.linspace(0, 120, 24), x) % 256, 0, 255
+        ).astype(np.uint8)
+        _, _, base_px = _jpeg_gray_pixels(make_jpeg_gray(arr))
+        _, _, ppx = _jpeg_progressive_pixels(
+            make_jpeg_gray_progressive_full(arr, ac_successive=True)
+        )
+        assert np.array_equal(ppx, base_px)
+
+    def test_refinement_with_wrong_ah_rejected(self):
+        import numpy as np
+        import pytest
+
+        from cdc_pipe_line_spark.multimodal import (
+            MediaDecodeError,
+            _jpeg_progressive_pixels,
+            make_jpeg_gray_progressive_full,
+        )
+
+        enc = bytearray(
+            make_jpeg_gray_progressive_full(
+                np.full((8, 8), 120, dtype=np.uint8), ac_successive=True
+            )
+        )
+        # fifth SOS = first AC refinement scan; corrupt Ah to 2
+        pos = -1
+        for _ in range(5):
+            pos = enc.find(b"\xff\xda", pos + 1)
+        assert pos > 0
+        assert enc[pos + 9] == 0x10
+        enc[pos + 9] = 0x20
+        with pytest.raises(MediaDecodeError, match="Ah=Al\\+1"):
+            _jpeg_progressive_pixels(bytes(enc))
