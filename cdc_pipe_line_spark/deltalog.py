@@ -555,6 +555,11 @@ def compact(spark: SparkSession, table_dir: str) -> int:
         adds = _write_data_files(
             snap, table_dir, n_files=1, partition_by=partition_by
         )
+        for a in adds:
+            # OPTIMIZE is a pure rewrite: its adds are dataChange=false
+            # like its removes, so change-data readers (read_changes,
+            # the delta_stream source) see no phantom inserts
+            a["add"]["dataChange"] = False
         try:
             return commit(
                 table_dir,
@@ -985,6 +990,92 @@ def read_snapshot_actions(
             )
         actions = read_log_actions(spark, table_dir, json_only=True)
     return actions.filter(F.col("version") <= version_as_of)
+
+
+def read_changes(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED between two versions — the ``table_changes``
+    read the protocol supports for append/overwrite workloads: every
+    ``add`` with ``dataChange=true`` in ``(starting_version,
+    ending_version]`` surfaces its file's rows as ``_change_type =
+    'insert'``, every data-changing ``remove`` surfaces the removed
+    file's rows as ``'delete'`` (tombstoned files stay on disk until
+    vacuum, so the rows are still readable — the same property time
+    travel relies on), each tagged ``_commit_version``.  OPTIMIZE
+    commits (``dataChange=false``) are invisible, exactly as CDF
+    semantics require.  In-place UPDATE merges would need the
+    writer-side CDC action files the spec defines for them; this
+    engine's SCD2/CDC recipes are append/overwrite shaped, so the
+    add/remove feed is complete for every table it writes.
+
+    One bounded metadata pass plans the per-(version, type) file
+    lists; the data reads are plain parquet scans unioned per commit
+    — plan legs bounded by the version range, never by data size."""
+    first_needed = os.path.join(
+        table_dir, "_delta_log", f"{starting_version + 1:020d}.json"
+    )
+    ck = _checkpoint_version(table_dir)
+    if (
+        ck is not None
+        and starting_version + 1 <= ck
+        and not os.path.exists(first_needed)
+    ):
+        raise ValueError(
+            f"changes after version {starting_version} of {table_dir} "
+            f"are no longer reconstructable: log cleanup removed the "
+            f"JSON commits before checkpoint {ck}"
+        )
+    actions = read_log_actions(spark, table_dir, json_only=True)
+    hi = ending_version
+    if hi is None:
+        row = actions.agg(F.max("version").alias("v")).first()
+        hi = int(row["v"])
+    span = actions.filter(
+        (F.col("version") > starting_version) & (F.col("version") <= hi)
+    )
+    changed = (
+        span.select(
+            "version",
+            F.col("add.path").alias("path"),
+            F.lit("insert").alias("_change_type"),
+        )
+        .filter(
+            F.col("path").isNotNull() & F.col("add.dataChange")
+        )
+        .unionByName(
+            span.select(
+                "version",
+                F.col("remove.path").alias("path"),
+                F.lit("delete").alias("_change_type"),
+            ).filter(
+                F.col("path").isNotNull() & F.col("remove.dataChange")
+            )
+        )
+        .collect()
+    )
+    if not changed:
+        raise ValueError(
+            f"no data-changing commits in ({starting_version}, {hi}] "
+            f"of {table_dir}"
+        )
+    legs = []
+    for r in changed:
+        legs.append(
+            spark.read.parquet(os.path.join(table_dir, r.path))
+            .withColumn("_change_type", F.lit(r._change_type))
+            .withColumn(
+                "_commit_version", F.lit(int(r.version)).cast("bigint")
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def table_history(spark: SparkSession, table_dir: str) -> DataFrame:

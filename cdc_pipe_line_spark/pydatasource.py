@@ -370,3 +370,167 @@ def read_stream_ledger(spark, path: str, schema: str):
     ]
     df = spark.read.schema(schema).json(files)
     return df, ledger
+
+
+# --------------------------------------------------------------------------
+# Delta-log streaming SOURCE: the native _delta_log as a structured
+# stream, versions as offsets (round 11)
+# --------------------------------------------------------------------------
+
+
+def _delta_schema_and_names(table_dir: str) -> tuple[str, list[str]]:
+    """Driver-side read of the latest metaData.schemaString straight
+    from the JSON log (no Spark session — DataSource.schema() runs
+    before the scan is planned).  Returns (DDL, column names)."""
+    import json
+    import os
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    meta = None
+    for f in sorted(os.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                act = json.loads(line)
+                if "metaData" in act:
+                    meta = act["metaData"]
+    if meta is None:
+        raise ValueError(f"no metaData action in {log_dir}")
+    if meta.get("partitionColumns"):
+        raise ValueError(
+            "delta_stream source supports unpartitioned tables (the "
+            "Hive-dir partition values are not in the data files)"
+        )
+    fields = json.loads(meta["schemaString"])["fields"]
+    _SPARK_TO_DDL = {
+        "long": "bigint", "integer": "int", "short": "smallint",
+        "byte": "tinyint", "string": "string", "double": "double",
+        "float": "float", "boolean": "boolean", "binary": "binary",
+        "date": "date", "timestamp": "timestamp",
+    }
+    cols, names = [], []
+    for fld in fields:
+        t = fld["type"]
+        if not isinstance(t, str) or t not in _SPARK_TO_DDL:
+            raise ValueError(
+                f"delta_stream: unsupported column type {t!r}"
+            )
+        cols.append(f"{fld['name']} {_SPARK_TO_DDL[t]}")
+        names.append(fld["name"])
+    return ", ".join(cols), names
+
+
+class _DeltaAddFile(InputPartition):
+    def __init__(self, path: str, version: int) -> None:
+        self.path = path
+        self.version = version
+
+
+class _DeltaStreamReader(DataSourceStreamReader):
+    """The native Delta table as a STREAMING SOURCE — the jar-free
+    equivalent of delta-spark's streaming read: offsets are log
+    VERSIONS (checkpointed by Spark exactly like Kafka offsets), each
+    micro-batch is the set of data-changing ``add`` files committed in
+    ``(start, end]``, one InputPartition per file so the batch scans
+    with file-level parallelism, rows read executor-side via pyarrow.
+    Append-only contract: a data-changing ``remove`` (overwrite /
+    restore) in the batch range raises — the same guard delta-spark's
+    source applies without ignoreChanges.  OPTIMIZE commits
+    (dataChange=false) are skipped as non-events."""
+
+    def __init__(self, options: dict) -> None:
+        self.table_dir = options["path"]
+        self.start_version = int(options.get("startingVersion", "-1"))
+        _ddl, self.col_names = _delta_schema_and_names(self.table_dir)
+
+    def _log_actions(self, lo: int, hi: int) -> list[tuple]:
+        import json
+        import os
+
+        out = []
+        log_dir = os.path.join(self.table_dir, "_delta_log")
+        for f in sorted(os.listdir(log_dir)):
+            if not f.endswith(".json"):
+                continue
+            v = int(f.split(".")[0])
+            if v <= lo or v > hi:
+                continue
+            with open(os.path.join(log_dir, f)) as fh:
+                for line in fh:
+                    act = json.loads(line)
+                    if "add" in act and act["add"].get("dataChange"):
+                        out.append(("add", act["add"]["path"], v))
+                    elif (
+                        "remove" in act
+                        and act["remove"].get("dataChange")
+                    ):
+                        out.append(("remove", act["remove"]["path"], v))
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        import os
+
+        log_dir = os.path.join(self.table_dir, "_delta_log")
+        versions = [
+            int(f.split(".")[0])
+            for f in os.listdir(log_dir)
+            if f.endswith(".json")
+        ]
+        return {"version": max(versions) if versions else -1}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        acts = self._log_actions(start["version"], end["version"])
+        removes = [a for a in acts if a[0] == "remove"]
+        if removes:
+            raise ValueError(
+                f"delta_stream: data-changing remove at version "
+                f"{removes[0][2]} — the append-only streaming "
+                f"contract is broken (overwrite/restore in range)"
+            )
+        parts = [_DeltaAddFile(p, v) for (_t, p, v) in acts]
+        # Spark requires >= 1 partition per batch; an empty range
+        # yields one empty marker partition
+        return parts or [_DeltaAddFile("", -1)]
+
+    def read(self, partition: _DeltaAddFile) -> Iterator[tuple]:
+        if not partition.path:
+            return
+        import os
+
+        import pyarrow.parquet as _pq
+
+        tbl = _pq.read_table(
+            os.path.join(self.table_dir, partition.path),
+            columns=self.col_names,
+        )
+        cols = [tbl.column(n).to_pylist() for n in self.col_names]
+        for row in zip(*cols):
+            yield (*row, partition.version)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class DeltaStreamDataSource(DataSource):
+    """``spark.readStream.format("delta_stream").option("path", dir)``
+    after ``spark.dataSource.register(DeltaStreamDataSource)`` — the
+    native transaction log (deltalog.py's writer output) consumed as
+    a structured stream with version offsets."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_stream"
+
+    def schema(self) -> str:
+        ddl, _names = _delta_schema_and_names(self.options["path"])
+        return f"{ddl}, _commit_version bigint"
+
+    def streamReader(self, schema) -> _DeltaStreamReader:
+        return _DeltaStreamReader(self.options)

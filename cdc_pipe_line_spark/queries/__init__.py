@@ -78,6 +78,8 @@ _DRIVER_ROTATION = (
     "mm_jpeg_progressive_decode",
     "mm_jpeg_scan_triage",
     "io_delta_vacuum_restore",
+    "cdc_delta_changes",
+    "stream_delta_source",
 )
 
 

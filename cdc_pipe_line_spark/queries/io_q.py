@@ -2231,3 +2231,65 @@ SELECT
   CAST(2 AS BIGINT) AS n_data_files,
   TRUE AS v0_unreadable
 FROM orders"""
+
+
+def q_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the native Delta log
+    (``deltalog.read_changes`` — the table_changes read): a
+    five-commit lifecycle — create (%7==0) → append (%7==1) →
+    OPTIMIZE (pure rewrite: dataChange=false adds AND removes, so it
+    must be INVISIBLE to the feed) → overwrite (%7==2: deletes of
+    everything then live + inserts) → append (%7==3) — consumed as
+    per-commit insert/delete row sets and aggregated per
+    (_commit_version, _change_type) with key checksums, all
+    closed-form in o_orderkey for the oracle.  The OPTIMIZE version
+    must be absent from the output entirely (the round-11 compact
+    dataChange fix is load-bearing for this hash).
+
+    Scale shape: one bounded metadata pass plans the file lists; the
+    data reads are plain parquet scans unioned per commit."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_cdf")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        m = F.col("o_orderkey") % 7
+        deltalog.create_table(spark, orders.filter(m == 0), base)   # v0
+        deltalog.append(spark, orders.filter(m == 1), base)         # v1
+        deltalog.compact(spark, base)                               # v2
+        deltalog.overwrite(spark, orders.filter(m == 2), base)      # v3
+        deltalog.append(spark, orders.filter(m == 3), base)         # v4
+        _mark(base)
+
+    ch = deltalog.read_changes(spark, base, starting_version=0)
+    return ch.groupBy("_commit_version", "_change_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+    )
+
+
+QUERIES["cdc_delta_changes"] = q_delta_changes
+
+ORACLE["cdc_delta_changes"] = """
+WITH feed AS (
+  SELECT 1 AS v, 'insert' AS ct, o_orderkey AS k
+  FROM orders WHERE o_orderkey % 7 = 1
+  UNION ALL
+  SELECT 3, 'delete', o_orderkey
+  FROM orders WHERE o_orderkey % 7 IN (0, 1)
+  UNION ALL
+  SELECT 3, 'insert', o_orderkey
+  FROM orders WHERE o_orderkey % 7 = 2
+  UNION ALL
+  SELECT 4, 'insert', o_orderkey
+  FROM orders WHERE o_orderkey % 7 = 3)
+SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(k) AS BIGINT) AS key_checksum
+FROM feed GROUP BY 1, 2"""

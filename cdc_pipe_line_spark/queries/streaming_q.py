@@ -1535,3 +1535,70 @@ SELECT CAST(4 AS BIGINT) AS n_commits,
   (SELECT CAST(sum(event_id) AS BIGINT) FROM events) AS id_checksum,
   TRUE AS replay_refused,
   TRUE AS matches_source"""
+
+
+def q_stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING read of a native Delta table — the source half
+    completing round 9/10's exactly-once SINK (`stream_delta_txn_sink`):
+    the transaction log consumed through the Python DataSource API's
+    streamReader (``pydatasource.DeltaStreamDataSource``) with log
+    VERSIONS as checkpointed offsets, one input partition per added
+    data file, rows fetched executor-side via pyarrow.  The fixture
+    table takes three appends plus an OPTIMIZE (whose
+    dataChange=false rewrite must be a streaming NON-EVENT), and the
+    drained stream aggregates per _commit_version — counts and key
+    checksums closed-form in o_orderkey.  The append-only guard
+    (data-changing removes raise) is pinned in
+    tests/test_round11_delta.py.
+
+    Scale shape: file-level scan parallelism per micro-batch; offsets
+    are log versions, so a restart resumes from the checkpointed
+    version exactly like a Kafka offset."""
+    from cdc_pipe_line_spark import deltalog
+    from cdc_pipe_line_spark.pydatasource import DeltaStreamDataSource
+    from cdc_pipe_line_spark.queries.io_q import _cache, _mark
+
+    base, ready = _cache(sf_dir, "delta_stream_src")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        m = F.col("o_orderkey") % 9
+        deltalog.create_table(spark, orders.filter(m == 0), base)   # v0
+        deltalog.append(spark, orders.filter(m == 1), base)         # v1
+        deltalog.compact(spark, base)                               # v2
+        deltalog.append(spark, orders.filter(m == 2), base)         # v3
+        _mark(base)
+
+    try:
+        spark.dataSource.register(DeltaStreamDataSource)
+    except Exception:  # noqa: BLE001 — already registered in-session
+        pass
+    stream = (
+        spark.readStream.format("delta_stream")
+        .option("path", base)
+        .load()
+    )
+    agg = stream.groupBy("_commit_version").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+    )
+    q, out = st.start_to_memory(agg, output_mode="complete")
+    q.awaitTermination()
+    return out
+
+
+QUERIES["stream_delta_source"] = q_stream_delta_source
+
+ORACLE["stream_delta_source"] = """
+SELECT CAST(CASE WHEN o_orderkey % 9 = 0 THEN 0
+            WHEN o_orderkey % 9 = 1 THEN 1 ELSE 3 END AS BIGINT)
+  AS _commit_version,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders WHERE o_orderkey % 9 <= 2
+GROUP BY 1"""

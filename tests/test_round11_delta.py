@@ -395,3 +395,110 @@ def test_restore_partitioned_carries_partition_values(spark, table_dir):
         spark, table_dir, partition_filter={"k": "3"}
     )
     assert sorted(r["id"] for r in pruned.collect()) == [3, 7, 11]
+
+
+# ------------------------------------------------- change data feed / stream
+
+
+def test_read_changes_insert_delete_and_optimize_invisible(spark, table_dir):
+    deltalog.create_table(spark, _mk(spark, 0, 5), table_dir)      # v0
+    deltalog.append(spark, _mk(spark, 5, 10), table_dir)           # v1
+    deltalog.compact(spark, table_dir)                             # v2
+    deltalog.overwrite(spark, _mk(spark, 100, 103), table_dir)     # v3
+
+    ch = deltalog.read_changes(spark, table_dir, starting_version=0)
+    got = sorted(
+        (r["_change_type"], r["_commit_version"], r["id"])
+        for r in ch.collect()
+    )
+    inserts = [g for g in got if g[0] == "insert"]
+    deletes = [g for g in got if g[0] == "delete"]
+    # v1's append inserts 5..9; the OPTIMIZE at v2 is INVISIBLE (pure
+    # rewrite, dataChange=false both ways); v3's overwrite deletes the
+    # compacted 0..9 and inserts 100..102
+    assert [g[2] for g in inserts if g[1] == 1] == list(range(5, 10))
+    assert not [g for g in got if g[1] == 2]
+    assert sorted(g[2] for g in deletes) == list(range(10))
+    assert all(g[1] == 3 for g in deletes)
+    assert [g[2] for g in inserts if g[1] == 3] == [100, 101, 102]
+
+
+def test_read_changes_bounded_range(spark, table_dir):
+    deltalog.create_table(spark, _mk(spark, 0, 3), table_dir)      # v0
+    deltalog.append(spark, _mk(spark, 3, 6), table_dir)            # v1
+    deltalog.append(spark, _mk(spark, 6, 9), table_dir)            # v2
+    ch = deltalog.read_changes(
+        spark, table_dir, starting_version=0, ending_version=1
+    )
+    assert sorted(r["id"] for r in ch.collect()) == [3, 4, 5]
+
+
+def test_read_changes_after_cleanup_raises(spark, table_dir):
+    deltalog.create_table(spark, _mk(spark, 0, 3), table_dir)      # v0
+    deltalog.append(spark, _mk(spark, 3, 6), table_dir)            # v1
+    deltalog.write_checkpoint(spark, table_dir)
+    deltalog.cleanup_log_before_checkpoint(table_dir)
+    deltalog.append(spark, _mk(spark, 6, 9), table_dir)            # v2
+    with pytest.raises(ValueError, match="no longer reconstructable"):
+        deltalog.read_changes(spark, table_dir, starting_version=0)
+    # the surviving tail is still a valid feed
+    ch = deltalog.read_changes(spark, table_dir, starting_version=1)
+    assert sorted(r["id"] for r in ch.collect()) == [6, 7, 8]
+
+
+def test_delta_stream_source_versions_as_offsets(spark, table_dir):
+    from cdc_pipe_line_spark.pydatasource import DeltaStreamDataSource
+
+    deltalog.create_table(spark, _mk(spark, 0, 5), table_dir)      # v0
+    deltalog.append(spark, _mk(spark, 5, 10), table_dir)           # v1
+    deltalog.compact(spark, table_dir)                             # v2
+    deltalog.append(spark, _mk(spark, 10, 15), table_dir)          # v3
+    try:
+        spark.dataSource.register(DeltaStreamDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("delta_stream")
+        .option("path", table_dir)
+        .load()
+    )
+    q = (
+        stream.groupBy("_commit_version")
+        .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+        .writeStream.format("memory")
+        .queryName("t_dsrc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        int(r["_commit_version"]): (int(r["n"]), int(r["s"]))
+        for r in spark.sql("select * from t_dsrc").collect()
+    }
+    # the OPTIMIZE version contributes nothing; appends carry their rows
+    assert got == {0: (5, 10), 1: (5, 35), 3: (5, 60)}
+
+
+def test_delta_stream_source_rejects_overwrite(spark, table_dir):
+    from cdc_pipe_line_spark.pydatasource import DeltaStreamDataSource
+
+    deltalog.create_table(spark, _mk(spark, 0, 5), table_dir)
+    deltalog.overwrite(spark, _mk(spark, 5, 8), table_dir)
+    try:
+        spark.dataSource.register(DeltaStreamDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("delta_stream")
+        .option("path", table_dir)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dsrc_bad")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="append-only|remove"):
+        q.awaitTermination()
