@@ -20,10 +20,18 @@ Semantics implemented (the core of the spec's state reconstruction):
 actions replay in version order, the LAST action per file path wins
 (``remove`` tombstones a file, a later ``add`` of the same path
 resurrects it), and the live snapshot is the parquet union of the
-surviving ``add`` paths.  Checkpoint-parquet compaction and column
-stats pruning are out of scope — log listing here is one bounded
-directory scan (a production log is kept shallow by checkpointing,
-so the bounded-actions assumption is the spec's own).
+surviving ``add`` paths.  Log listing here is one bounded directory
+scan (a production log is kept shallow by checkpointing, so the
+bounded-actions assumption is the spec's own).
+
+Data skipping (round 11): every data file the writer emits carries
+the protocol's per-file column statistics on its ``add`` action
+(``stats`` JSON — numRecords / minValues / maxValues / nullCount,
+read from the parquet FOOTER, never the data), and
+:func:`read_snapshot` prunes files whose stat envelopes prove a
+predicate cannot match — the mechanism that turns a 100 TB scan
+into a few-file scan when the layout clusters the filter column
+(see :func:`optimize_zorder`).
 """
 
 from __future__ import annotations
@@ -40,7 +48,7 @@ LOG_SCHEMA = (
     "schemaString: string, partitionColumns: array<string>>, "
     "protocol struct<minReaderVersion: int, minWriterVersion: int>, "
     "add struct<path: string, size: bigint, dataChange: boolean, "
-    "partitionValues: map<string, string>>, "
+    "partitionValues: map<string, string>, stats: string>, "
     "remove struct<path: string, dataChange: boolean>, "
     "txn struct<appId: string, version: bigint>, "
     "commitInfo struct<operation: string>"
@@ -127,13 +135,14 @@ def live_files(actions: DataFrame) -> DataFrame:
         F.col("add.path").isNotNull().alias("is_add"),
         F.col("add.size").alias("size"),
         F.col("add.partitionValues").alias("pvals"),
+        F.col("add.stats").alias("stats"),
     ).filter(F.col("path").isNotNull())
     # max_by, not max-of-struct: the payload carries a MAP
     # (partitionValues), which Spark cannot order — the ordering key
     # stays the orderable (version, is_add) pair
     latest = touched.groupBy("path").agg(
         F.max_by(
-            F.struct("is_add", "size", "pvals"),
+            F.struct("is_add", "size", "pvals", "stats"),
             F.struct("version", "is_add"),
         ).alias("__last")
     )
@@ -141,6 +150,7 @@ def live_files(actions: DataFrame) -> DataFrame:
         "path",
         F.col("__last.size").alias("size"),
         F.col("__last.pvals").alias("partitionValues"),
+        F.col("__last.stats").alias("stats"),
     )
 
 
@@ -253,6 +263,87 @@ def commit(
     raise AssertionError("unreachable")
 
 
+def _stats_json(full_path: str) -> str | None:
+    """Per-file column statistics for an ``add`` action, read from
+    the parquet FOOTER (row-group metadata aggregated across the
+    file) — a metadata-sized read, never a data scan, the same place
+    a real Delta writer gets them when it did not pipeline the stats
+    during the write.  Returns the protocol's ``stats`` JSON
+    (``numRecords`` / ``minValues`` / ``maxValues`` / ``nullCount``)
+    or None when the footer is unreadable.  Top-level leaf columns
+    only; a column whose row groups lack min/max (e.g. all-null, or
+    a type the format does not order) is simply absent from
+    min/maxValues — readers must treat absence as "cannot prune",
+    which :func:`_skipping_keep` does."""
+    import datetime as _dt
+    import decimal as _decimal
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    def _norm(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        if isinstance(v, _decimal.Decimal):
+            return float(v)
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None
+
+    try:
+        md = _pq.ParquetFile(full_path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    no_minmax: set = set()
+    no_nulls: set = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name:
+                continue  # top-level leaves only
+            st = c.statistics
+            if st is None or not st.has_null_count:
+                no_nulls.add(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if (
+                st is None
+                or not st.has_min_max
+                or _norm(st.min) is None
+                or _norm(st.max) is None
+            ):
+                no_minmax.add(name)
+                continue
+            lo, hi = st.min, st.max
+            if name in mins:
+                lo = min(lo, mins[name])
+                hi = max(hi, maxs[name])
+            mins[name], maxs[name] = lo, hi
+    stats = {
+        "numRecords": md.num_rows,
+        "minValues": {
+            k: _norm(v) for k, v in mins.items() if k not in no_minmax
+        },
+        "maxValues": {
+            k: _norm(v) for k, v in maxs.items() if k not in no_minmax
+        },
+        "nullCount": {
+            k: v for k, v in nulls.items() if k not in no_nulls
+        },
+    }
+    return _json.dumps(stats, sort_keys=True)
+
+
 def _write_data_files(
     df: DataFrame,
     table_dir: str,
@@ -308,6 +399,9 @@ def _write_data_files(
                 }
                 if pvals or partition_by:
                     add["partitionValues"] = pvals
+                st = _stats_json(os.path.join(table_dir, rel))
+                if st:
+                    add["stats"] = st
                 adds.append({"add": add})
 
     _emit(tmp, "", {})
@@ -572,6 +666,319 @@ def compact(spark: SparkSession, table_dir: str) -> int:
     raise AssertionError("unreachable")
 
 
+def _rel_path(uri: str, table_dir: str) -> str:
+    """``input_file_name()`` URI → the add-action-relative path."""
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(uri).path)
+    return os.path.relpath(p, os.path.abspath(table_dir))
+
+
+def _align_declared(out: DataFrame, schema_string: str | None) -> DataFrame:
+    """Cast a scanned frame back to the TABLE schema recorded in
+    ``metaData.schemaString`` (partition values are strings in dir
+    names; Spark re-types them on read)."""
+    if not schema_string or schema_string == "{}":
+        return out
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    declared = StructType.fromJson(_json.loads(schema_string))
+    for f in declared.fields:
+        if f.name not in out.columns:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+        elif out.schema[f.name].dataType != f.dataType:
+            out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    return out.select(*[f.name for f in declared.fields])
+
+
+def _rewrite_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    rewrite,
+    operation: str,
+    *,
+    skipping: list[tuple] | None = None,
+    n_files: int = 1,
+) -> int:
+    """Copy-on-write core shared by :func:`delete_where` and
+    :func:`update_where` — the real Delta writer's row-level
+    mutation shape, which is what makes it survive 100 TB:
+
+    1. PRUNE: stats/partition metadata cuts the live set to
+       candidate files (``skipping`` conjuncts; files without stats
+       always stay candidates).
+    2. LOCATE: one scan of the candidates only, counting predicate
+       hits per source file — files with zero matching rows are
+       never rewritten (their bytes are never touched again).
+    3. REWRITE: only the touched files are re-read and rewritten
+       without/with the mutation; a file whose every row matched a
+       DELETE simply tombstones (the rewrite produced zero rows, so
+       no replacement add at all).
+    4. COMMIT: tombstones + replacement adds in ONE atomic commit
+       (dataChange=true — a change-data reader sees the mutation).
+
+    A lost version race restarts the whole attempt from fresh state
+    (the compact/overwrite re-entry discipline: stale tombstones
+    must never be re-committed).  Returns the committed version; a
+    predicate matching no rows is a NO-OP that commits nothing and
+    returns the current version."""
+    import json as _json
+
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    for attempt in range(5):
+        meta = _latest_meta(spark, table_dir)
+        partition_by = (
+            list(meta["partitionColumns"])
+            if meta and meta["partitionColumns"]
+            else None
+        )
+        lf = live_files(read_log_actions(spark, table_dir))
+        if skipping:
+            lf = lf.filter(_skipping_keep(skipping))
+        cand = [r.path for r in lf.select("path").collect()]
+        if not cand:
+            return _next_version(table_dir) - 1
+        scan = (
+            spark.read.option("basePath", table_dir)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(table_dir, p) for p in cand])
+            .withColumn("__src", F.input_file_name())
+        )
+        hits = (
+            scan.filter(cond)
+            .groupBy("__src")
+            .agg(F.count("*"))
+            .collect()
+        )
+        touched = sorted(
+            {_rel_path(r["__src"], table_dir) for r in hits}
+        )
+        if not touched:
+            return _next_version(table_dir) - 1
+        src = (
+            spark.read.option("basePath", table_dir)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(table_dir, p) for p in touched])
+        )
+        src = _align_declared(
+            src, meta["schemaString"] if meta else None
+        )
+        out = rewrite(src, F.coalesce(F.expr(condition), F.lit(False)))
+        adds = _write_data_files(
+            out, table_dir, n_files=n_files, partition_by=partition_by
+        )
+        # an all-rows-deleted rewrite leaves an empty file: drop it
+        # (pure tombstone) instead of adding a zero-row data file
+        empty = [
+            a
+            for a in adds
+            if a["add"].get("stats")
+            and _json.loads(a["add"]["stats"])["numRecords"] == 0
+        ]
+        if empty:
+            _remove_staged(table_dir, empty)
+            adds = [a for a in adds if a not in empty]
+        removes = [
+            {"remove": {"path": p, "dataChange": True}} for p in touched
+        ]
+        try:
+            return commit(
+                table_dir,
+                [
+                    *removes,
+                    *adds,
+                    {"commitInfo": {"operation": operation}},
+                ],
+            )
+        except FileExistsError:
+            _remove_staged(table_dir, adds)
+            if attempt == 4:
+                raise
+    raise AssertionError("unreachable")
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    *,
+    skipping: list[tuple] | None = None,
+    n_files: int = 1,
+) -> int:
+    """DELETE FROM table WHERE ``condition`` (a SQL boolean
+    expression) — copy-on-write row-level delete on the native log
+    (reference parity: the Delta DELETE the reference issues through
+    delta-spark, ``deltaprocessing.py:96-101``).  Rows where the
+    condition is NULL do not match (SQL's WHERE semantics) and are
+    kept.  ``skipping`` optionally narrows the candidate files by
+    stats before any data is read."""
+    return _rewrite_where(
+        spark,
+        table_dir,
+        condition,
+        lambda df, c: df.filter(~c),
+        "DELETE",
+        skipping=skipping,
+        n_files=n_files,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    *,
+    skipping: list[tuple] | None = None,
+    n_files: int = 1,
+) -> int:
+    """UPDATE table SET col = expr, ... WHERE ``condition`` —
+    copy-on-write row-level update on the native log (the single-row
+    SCD2 UPDATE the reference runs per change,
+    ``deltaprocessing.py:116``).  Every SET expression evaluates
+    against the OLD row (one projection builds all new values — SQL
+    UPDATE semantics, no left-to-right chaining), is cast back to
+    the column's declared type, and non-matching rows pass through
+    byte-identical."""
+
+    def _apply(df: DataFrame, c):
+        cols = []
+        for name in df.columns:
+            if name in set_exprs:
+                cols.append(
+                    F.when(
+                        c,
+                        F.expr(set_exprs[name]).cast(
+                            df.schema[name].dataType
+                        ),
+                    )
+                    .otherwise(F.col(name))
+                    .alias(name)
+                )
+            else:
+                cols.append(F.col(name))
+        unknown = set(set_exprs) - set(df.columns)
+        if unknown:
+            raise ValueError(f"UPDATE SET on unknown columns: {unknown}")
+        return df.select(*cols)
+
+    return _rewrite_where(
+        spark,
+        table_dir,
+        condition,
+        _apply,
+        "UPDATE",
+        skipping=skipping,
+        n_files=n_files,
+    )
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    n_files: int = 8,
+) -> int:
+    """OPTIMIZE table ZORDER BY (cols) — rewrite the live data so
+    file min/max envelopes are tight in EVERY zorder dimension at
+    once, which is what makes :func:`read_snapshot`'s stats skipping
+    prune on any of them (a linear sort only tightens the leading
+    key).  The layout key is the Morton interleave of each column's
+    ``width_bucket`` code over its global [min, max] (one bounded
+    agg for the bounds; ``2**bits`` buckets per dimension);
+    ``repartitionByRange`` on the key plus a within-partition sort
+    gives ``n_files`` files covering disjoint z-ranges — the shuffle
+    is one range exchange of the table, exactly what the real
+    OPTIMIZE ZORDER pays.  Pure rewrite: adds and removes both
+    dataChange=false, so change-data readers see nothing.  Raises on
+    a Hive-partitioned table (its file placement is already fixed by
+    the partition values; zorder the partition interior by writing
+    it unpartitioned instead)."""
+    if not cols:
+        raise ValueError("optimize_zorder needs at least one column")
+    for attempt in range(5):
+        meta = _latest_meta(spark, table_dir)
+        if meta and meta["partitionColumns"]:
+            raise ValueError(
+                "optimize_zorder: table is Hive-partitioned on "
+                f"{list(meta['partitionColumns'])}; zorder clusters "
+                "whole files and cannot re-place partitioned ones"
+            )
+        snap = read_snapshot(spark, table_dir)
+        bounds = snap.agg(
+            *[
+                f(F.col(c).cast("double")).alias(f"{n}_{c}")
+                for c in cols
+                for n, f in (("lo", F.min), ("hi", F.max))
+            ]
+        ).first()
+        n_buckets = 1 << bits
+        codes = []
+        for c in cols:
+            lo = float(bounds[f"lo_{c}"])
+            hi = float(bounds[f"hi_{c}"])
+            if hi <= lo:
+                codes.append(F.lit(0))
+                continue
+            code = F.width_bucket(
+                F.col(c).cast("double"),
+                F.lit(lo),
+                F.lit(hi),
+                F.lit(n_buckets),
+            ) - F.lit(1)
+            codes.append(
+                F.greatest(
+                    F.lit(0),
+                    F.least(F.lit(n_buckets - 1), F.coalesce(code, F.lit(0))),
+                ).cast("bigint")
+            )
+        k = len(codes)
+        z = F.lit(0).cast("bigint")
+        for i in range(bits):
+            for j, code in enumerate(codes):
+                z = z + F.shiftleft(
+                    F.shiftright(code, i).bitwiseAND(F.lit(1)), i * k + j
+                )
+        clustered = (
+            snap.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        removes = [
+            {"remove": {"path": p, "dataChange": False}}
+            for p in _live_file_names(spark, table_dir)
+        ]
+        adds = _write_data_files(clustered, table_dir, n_files=n_files)
+        for a in adds:
+            a["add"]["dataChange"] = False
+        try:
+            return commit(
+                table_dir,
+                [
+                    *removes,
+                    *adds,
+                    {
+                        "commitInfo": {
+                            "operation": (
+                                f"OPTIMIZE ZORDER BY ({', '.join(cols)})"
+                            )
+                        }
+                    },
+                ],
+            )
+        except FileExistsError:
+            _remove_staged(table_dir, adds)
+            if attempt == 4:
+                raise
+    raise AssertionError("unreachable")
+
+
 def last_txn_version(
     spark: SparkSession, table_dir: str, app_id: str
 ) -> int | None:
@@ -704,6 +1111,7 @@ def write_checkpoint(spark: SparkSession, table_dir: str) -> int:
             F.col("size"),
             F.lit(True).alias("dataChange"),
             F.col("partitionValues"),
+            F.col("stats"),
         ).alias("add"),
         F.lit(None).alias("remove"),
         F.lit(None).alias("txn"),
@@ -778,12 +1186,98 @@ def cleanup_log_before_checkpoint(table_dir: str) -> int:
     return len(victims)
 
 
+#: comparison ops data skipping understands, mapped to the row-level
+#: Column predicate applied AFTER file pruning (exactness never
+#: depends on stats)
+_SKIP_OPS = ("==", "=", "<", "<=", ">", ">=")
+
+
+def _skipping_keep(skipping: list[tuple]) -> "F.Column":
+    """File-keep condition over ``live_files`` rows for a conjunction
+    of simple predicates ``(column, op, literal)``: a file survives
+    unless its stat envelope PROVES no row can match.  Missing stats,
+    a missing column entry (all-null or unordered type), or an
+    unparsable bound always KEEP the file — skipping is an
+    optimization, never a correctness gate.  Numeric literals compare
+    after a double cast; strings (and ISO dates/timestamps, which
+    order lexicographically) compare as strings."""
+    keep = F.lit(True)
+    for col, op, lit in skipping:
+        if op not in _SKIP_OPS:
+            raise ValueError(f"unsupported skipping op: {op!r}")
+        if isinstance(lit, bool) or not isinstance(lit, (int, float, str)):
+            raise ValueError(
+                f"skipping literal must be numeric or string: {lit!r}"
+            )
+        cast_t = "string" if isinstance(lit, str) else "double"
+        mn = F.get_json_object(
+            F.col("stats"), f"$.minValues.{col}"
+        ).cast(cast_t)
+        mx = F.get_json_object(
+            F.col("stats"), f"$.maxValues.{col}"
+        ).cast(cast_t)
+        lv = F.lit(lit).cast(cast_t)
+        if op in ("==", "="):
+            hit = (mn <= lv) & (mx >= lv)
+        elif op == ">":
+            hit = mx > lv
+        elif op == ">=":
+            hit = mx >= lv
+        elif op == "<":
+            hit = mn < lv
+        else:
+            hit = mn <= lv
+        keep = keep & (
+            F.col("stats").isNull() | mn.isNull() | mx.isNull() | hit
+        )
+    return keep
+
+
+def _skipping_row_filter(df: DataFrame, skipping: list[tuple]) -> DataFrame:
+    """The same predicates applied at ROW level on the scanned frame —
+    file pruning is envelope-coarse, this makes the result exact."""
+    for col, op, lit in skipping:
+        c = F.col(col)
+        lv = F.lit(lit)
+        df = df.filter(
+            {
+                "==": c == lv,
+                "=": c == lv,
+                "<": c < lv,
+                "<=": c <= lv,
+                ">": c > lv,
+                ">=": c >= lv,
+            }[op]
+        )
+    return df
+
+
+def candidate_files(
+    spark: SparkSession,
+    table_dir: str,
+    skipping: list[tuple],
+    *,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Live files surviving partition pruning + stats-based data
+    skipping for ``skipping`` — the planner-visible census
+    :func:`read_snapshot` scans; exposed so tests and the
+    effectiveness queries can pin HOW MANY files a predicate touches
+    without reading any of them."""
+    lf = live_files(read_log_actions(spark, table_dir))
+    if partition_filter:
+        for k, v in partition_filter.items():
+            lf = lf.filter(F.col("partitionValues").getItem(k) == v)
+    return lf.filter(_skipping_keep(skipping))
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
     *,
     version_as_of: int | None = None,
     partition_filter: dict[str, str] | None = None,
+    skipping: list[tuple] | None = None,
 ) -> DataFrame:
     """The table snapshot: parquet union of live files — current by
     default, or TIME TRAVEL to any historical version with
@@ -803,6 +1297,15 @@ def read_snapshot(
     read raises instead of silently reconstructing a partial state
     from the surviving tail.
 
+    ``skipping`` — a list of ``(column, op, literal)`` conjuncts —
+    activates STATS-BASED DATA SKIPPING: files whose ``add.stats``
+    min/max envelope proves the predicate cannot match never reach
+    the scan plan (the protocol's data-skipping read, the mechanism
+    that keeps a selective read on a 100 TB table from touching
+    100 TB of files), and the same predicates are re-applied at row
+    level so the result is exact whether or not any file carries
+    stats.
+
     The file list is collected driver-side — bounded by live-file
     count, the same driver-side footprint every table format's
     planner has — and handed to ONE parquet scan so Spark plans
@@ -820,12 +1323,33 @@ def read_snapshot(
         # non-matching partitions never reach the scan plan at all
         for k, v in partition_filter.items():
             lf = lf.filter(F.col("partitionValues").getItem(k) == v)
+    if skipping:
+        # DATA SKIPPING: drop files whose stat envelope refutes the
+        # predicate — a metadata-only decision per file
+        lf = lf.filter(_skipping_keep(skipping))
     # collect ONLY the path strings (never size/partitionValues rows)
     # so the driver-side census is bounded by path bytes alone
     files = [
         os.path.join(table_dir, r.path) for r in lf.select("path").collect()
     ]
     if not files:
+        if skipping:
+            # every file's envelope refuted the predicate — a correct
+            # EMPTY result (in the declared schema), not an error
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            meta = (
+                actions.filter(F.col("metaData").isNotNull())
+                .orderBy(F.col("version").desc())
+                .select("metaData.schemaString")
+                .first()
+            )
+            declared = StructType.fromJson(
+                _json.loads(meta["schemaString"])
+            )
+            return spark.createDataFrame([], declared)
         raise ValueError(f"delta log at {table_dir} has no live files")
     # basePath restores Hive-style partition columns from dir names;
     # mergeSchema unions file schemas so pre-evolution files surface
@@ -856,6 +1380,9 @@ def read_snapshot(
             elif out.schema[f.name].dataType != f.dataType:
                 out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
         out = out.select(*[f.name for f in declared.fields])
+    if skipping:
+        # row-level re-application: exactness never rides on stats
+        out = _skipping_row_filter(out, skipping)
     return out
 
 
@@ -937,22 +1464,32 @@ def restore(spark: SparkSession, table_dir: str, version: int) -> int:
     # (both sets are bounded by live-file counts, the planner-sized
     # footprint every reader here already has)
     hist = {
-        (r.path, r.size, tuple(sorted((r.partitionValues or {}).items())))
+        (
+            r.path,
+            r.size,
+            tuple(sorted((r.partitionValues or {}).items())),
+            r.stats,
+        )
         for r in live_files(
             read_snapshot_actions(spark, table_dir, version_as_of=version)
         ).collect()
     }
     current = {
-        (r.path, r.size, tuple(sorted((r.partitionValues or {}).items())))
+        (
+            r.path,
+            r.size,
+            tuple(sorted((r.partitionValues or {}).items())),
+            r.stats,
+        )
         for r in live_files(read_log_actions(spark, table_dir)).collect()
     }
-    target = {p for (p, _s, _pv) in hist}
-    cur_paths = {p for (p, _s, _pv) in current}
+    target = {p for (p, _s, _pv, _st) in hist}
+    cur_paths = {p for (p, _s, _pv, _st) in current}
     acts: list[dict] = []
-    for p, _s, _pv in sorted(current):
+    for p, _s, _pv, _st in sorted(current, key=lambda t: t[0]):
         if p not in target:
             acts.append({"remove": {"path": p, "dataChange": True}})
-    for p, s, pv in sorted(hist):
+    for p, s, pv, st in sorted(hist, key=lambda t: t[0]):
         if p not in cur_paths:
             if not os.path.exists(os.path.join(table_dir, p)):
                 raise ValueError(
@@ -962,6 +1499,8 @@ def restore(spark: SparkSession, table_dir: str, version: int) -> int:
             add = {"path": p, "size": s, "dataChange": True}
             if pv:
                 add["partitionValues"] = dict(pv)
+            if st:
+                add["stats"] = st
             acts.append({"add": add})
     acts.append(
         {"commitInfo": {"operation": f"RESTORE TO VERSION {version}"}}

@@ -80,6 +80,9 @@ _DRIVER_ROTATION = (
     "io_delta_vacuum_restore",
     "cdc_delta_changes",
     "stream_delta_source",
+    "io_delta_stats_skipping",
+    "cdc_delta_row_dml",
+    "io_delta_zorder_skipping",
 )
 
 

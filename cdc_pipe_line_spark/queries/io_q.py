@@ -2293,3 +2293,391 @@ SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
   CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(k) AS BIGINT) AS key_checksum
 FROM feed GROUP BY 1, 2"""
+
+
+def q_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS-BASED DATA SKIPPING over the native Delta log: every
+    add action carries the protocol's per-file column statistics
+    (``numRecords``/``minValues``/``maxValues``/``nullCount``, read
+    from the parquet footers at write time), and
+    ``read_snapshot(skipping=...)`` prunes files whose envelopes
+    refute the predicate before any data is read — the mechanism
+    that makes a selective read on a 100 TB table touch a handful of
+    files instead of all of them.
+
+    The fixture writes orders as EIGHT key-range files (one commit
+    per range, ``K = max_key // 8 + 1`` keys each) so the candidate
+    census is closed-form; four probes then publish, per predicate,
+    the number of candidate files the planner kept NEXT TO the exact
+    row count/checksum the pruned read returned: a point key-range
+    (2 files), a mid-table band (2), a string equality that every
+    envelope straddles (all files — skipping correctly refuses), and
+    an unclustered float predicate (all files — the motivation for
+    ``optimize_zorder``).  The oracle replays the ENVELOPE arithmetic
+    itself (per-bucket min/max in SQL), so a stats or pruning bug
+    flips ``n_candidate_files`` and fails the hash — correctness of
+    the returned rows AND of the planning decision are both bound.
+
+    Scale shape: pruning is one filter over the bounded live-file
+    frame (metadata-sized); each probe's data leg scans only the
+    surviving files.  Reference parity: the protocol stats the
+    reference's own Delta tables carry (`data/delta/123/balance/
+    delta_table/_delta_log/*.json` add.stats)."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_skipping")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    k = mx // 8 + 1
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        key = F.col("o_orderkey")
+        deltalog.create_table(
+            spark, orders.filter(key < k), base, n_files=1
+        )
+        for i in range(1, 8):
+            deltalog.append(
+                spark,
+                orders.filter((key >= i * k) & (key < (i + 1) * k)),
+                base,
+                n_files=1,
+            )
+        _mark(base)
+
+    probes = [
+        ("key_lt_mid2", [("o_orderkey", "<", k + k // 2)]),
+        (
+            "key_band",
+            [
+                ("o_orderkey", ">=", 3 * k + k // 3),
+                ("o_orderkey", "<", 5 * k),
+            ],
+        ),
+        ("status_eq_F", [("o_orderstatus", "==", "F")]),
+        ("price_gt_100k", [("o_totalprice", ">", 100000.0)]),
+    ]
+    parts = []
+    for name, skipping in probes:
+        n_cand = deltalog.candidate_files(spark, base, skipping).count()
+        leg = deltalog.read_snapshot(spark, base, skipping=skipping).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        )
+        parts.append(
+            leg.select(
+                F.lit(name).alias("probe"),
+                F.lit(n_cand).cast("bigint").alias("n_candidate_files"),
+                "n_rows",
+                "key_checksum",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES["io_delta_stats_skipping"] = q_delta_stats_skipping
+
+ORACLE["io_delta_stats_skipping"] = """
+WITH prm AS (
+  SELECT CAST(max(o_orderkey) AS BIGINT) // 8 + 1 AS k FROM orders),
+b AS (
+  SELECT o_orderkey // (SELECT k FROM prm) AS f,
+         min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+         min(o_orderstatus) AS smn, max(o_orderstatus) AS smx,
+         min(o_totalprice) AS pmn, max(o_totalprice) AS pmx
+  FROM orders GROUP BY 1)
+SELECT 'key_lt_mid2' AS probe,
+  (SELECT CAST(count(*) AS BIGINT) FROM b
+    WHERE mn < (SELECT k + k // 2 FROM prm)) AS n_candidate_files,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+    WHERE o_orderkey < (SELECT k + k // 2 FROM prm)) AS n_rows,
+  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+    WHERE o_orderkey < (SELECT k + k // 2 FROM prm)) AS key_checksum
+UNION ALL
+SELECT 'key_band',
+  (SELECT CAST(count(*) AS BIGINT) FROM b
+    WHERE mx >= (SELECT 3 * k + k // 3 FROM prm)
+      AND mn < (SELECT 5 * k FROM prm)),
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+    WHERE o_orderkey >= (SELECT 3 * k + k // 3 FROM prm)
+      AND o_orderkey < (SELECT 5 * k FROM prm)),
+  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+    WHERE o_orderkey >= (SELECT 3 * k + k // 3 FROM prm)
+      AND o_orderkey < (SELECT 5 * k FROM prm))
+UNION ALL
+SELECT 'status_eq_F',
+  (SELECT CAST(count(*) AS BIGINT) FROM b
+    WHERE smn <= 'F' AND smx >= 'F'),
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+    WHERE o_orderstatus = 'F'),
+  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+    WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'price_gt_100k',
+  (SELECT CAST(count(*) AS BIGINT) FROM b WHERE pmx > 100000.0),
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+    WHERE o_totalprice > 100000.0),
+  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+    WHERE o_totalprice > 100000.0)"""
+
+
+def q_delta_row_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE + UPDATE on the native Delta log — the
+    copy-on-write DML the reference issues through delta-spark (its
+    per-change SCD2 UPDATE, ``deltaprocessing.py:116``), here
+    end-to-end on the protocol implementation: stats prune the
+    candidate files, one scan locates the files with matching rows,
+    ONLY those are rewritten (tombstone + replacement add in one
+    atomic commit), everything else is never touched.
+
+    Fixture: customer as eight key-range files (``K = max_key // 8
+    + 1``).  v8 DELETEs every third key inside bucket 0 (skipping
+    pins the candidate set to one file); v9 UPDATEs
+    ``c_acctbal += 100`` for the top quarter (buckets 6-7 — their
+    rows ALL match, so exactly two files rewrite into one).  The
+    output row publishes the final row count, the integer-exact
+    balance checksums (cents as BIGINT) of the deleted-range
+    survivors / updated range / untouched middle, and the
+    copy-on-write evidence: how many ORIGINAL files are still live
+    untouched (5 — buckets 1-5) and the final live-file census (7:
+    five originals + one delete rewrite + one update rewrite).
+
+    Scale shape: both mutations scan only their stats-pruned
+    candidates and rewrite only matched files — the touched-bytes
+    bound a 100 TB table needs; the census legs are metadata-sized."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_dml")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    mx = cust.agg(F.max("c_custkey")).first()[0]
+    k = mx // 8 + 1
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        key = F.col("c_custkey")
+        deltalog.create_table(
+            spark, cust.filter(key < k), base, n_files=1
+        )
+        for i in range(1, 8):
+            deltalog.append(
+                spark,
+                cust.filter((key >= i * k) & (key < (i + 1) * k)),
+                base,
+                n_files=1,
+            )
+        deltalog.delete_where(                                       # v8
+            spark,
+            base,
+            f"c_custkey % 3 = 0 AND c_custkey < {k}",
+            skipping=[("c_custkey", "<", k)],
+        )
+        deltalog.update_where(                                       # v9
+            spark,
+            base,
+            f"c_custkey >= {6 * k}",
+            {"c_acctbal": "c_acctbal + 100.0"},
+            skipping=[("c_custkey", ">=", 6 * k)],
+        )
+        _mark(base)
+
+    acts = deltalog.read_log_actions(spark, base)
+    lf = deltalog.live_files(acts)
+    first_add = (
+        acts.filter(F.col("add").isNotNull())
+        .groupBy(F.col("add.path").alias("path"))
+        .agg(F.min("version").alias("v0"))
+    )
+    census = lf.join(first_add, "path").agg(
+        F.count("*").cast("bigint").alias("n_live_files"),
+        F.sum((F.col("v0") <= 7).cast("bigint")).alias(
+            "n_untouched_originals"
+        ),
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    snap = deltalog.read_snapshot(spark, base)
+    body = snap.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("c_custkey") < k, cents)).alias(
+            "deleted_range_cents"
+        ),
+        F.sum(
+            F.when(
+                (F.col("c_custkey") >= k) & (F.col("c_custkey") < 6 * k),
+                cents,
+            )
+        ).alias("middle_cents"),
+        F.sum(F.when(F.col("c_custkey") >= 6 * k, cents)).alias(
+            "updated_range_cents"
+        ),
+    )
+    return body.crossJoin(F.broadcast(census)).select(
+        "n_rows",
+        "deleted_range_cents",
+        "middle_cents",
+        "updated_range_cents",
+        "n_untouched_originals",
+        "n_live_files",
+    )
+
+
+QUERIES["cdc_delta_row_dml"] = q_delta_row_dml
+
+ORACLE["cdc_delta_row_dml"] = """
+WITH prm AS (
+  SELECT CAST(max(c_custkey) AS BIGINT) // 8 + 1 AS k FROM customer),
+final AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey >= 6 * (SELECT k FROM prm)
+              THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
+  FROM customer
+  WHERE NOT (c_custkey % 3 = 0 AND c_custkey < (SELECT k FROM prm)))
+SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN c_custkey < (SELECT k FROM prm)
+      THEN CAST(round(bal * 100) AS BIGINT) END) AS BIGINT)
+    AS deleted_range_cents,
+  CAST(sum(CASE WHEN c_custkey >= (SELECT k FROM prm)
+      AND c_custkey < 6 * (SELECT k FROM prm)
+      THEN CAST(round(bal * 100) AS BIGINT) END) AS BIGINT)
+    AS middle_cents,
+  CAST(sum(CASE WHEN c_custkey >= 6 * (SELECT k FROM prm)
+      THEN CAST(round(bal * 100) AS BIGINT) END) AS BIGINT)
+    AS updated_range_cents,
+  CAST(5 AS BIGINT) AS n_untouched_originals,
+  CAST(7 AS BIGINT) AS n_live_files
+FROM final"""
+
+
+def q_delta_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY on the native Delta log + the skipping
+    reads it unlocks: the live table rewrites along the Morton
+    interleave of (user_id, value) — ``width_bucket`` codes over
+    each column's global range, one range exchange on the z-key —
+    so file stat envelopes become tight in BOTH dimensions and
+    ``read_snapshot(skipping=...)`` prunes on either predicate
+    (a linear sort would only serve the leading key;
+    `io_zorder_clustering` pins that envelope geometry analytically,
+    this query runs the real rewrite).
+
+    The fixture hash-scatters events into 8 files (worst case: every
+    envelope spans both full domains), zorders, then probes three
+    skipping reads — low user band, high value band, and their
+    conjunction — publishing exact row counts/checksums, plus the
+    zorder commit's data-change census (MUST be zero: a pure rewrite
+    is invisible to change-data readers).  File-level pruning ratios
+    are runtime-layout-dependent (range-exchange sampling), so they
+    are pinned by the pytest suite and BENCH_NOTES, not hashed here;
+    the oracle binds that the clustered rewrite LOST AND INVENTED
+    NOTHING under every pruned read — the correctness half of the
+    zorder contract.
+
+    Scale shape: one repartitionByRange of the table (the shuffle
+    real OPTIMIZE ZORDER pays), bounded bounds-agg, metadata-sized
+    commit census."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_zorder")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    bounds = ev.agg(
+        F.max("user_id").alias("umax"), F.max("value").alias("vmax")
+    ).first()
+    u_mid = bounds["umax"] // 2
+    v_thr = float(bounds["vmax"]) * 0.75
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        deltalog.create_table(
+            spark, ev.repartition(8), base, n_files=8
+        )                                                            # v0
+        deltalog.optimize_zorder(
+            spark, base, ["user_id", "value"], n_files=8
+        )                                                            # v1
+        _mark(base)
+
+    zorder_changed = (
+        deltalog.read_log_actions(spark, base)
+        .filter(F.col("version") == 1)
+        .agg(
+            F.sum(
+                (
+                    F.coalesce(F.col("add.dataChange"), F.lit(False))
+                    | F.coalesce(F.col("remove.dataChange"), F.lit(False))
+                ).cast("bigint")
+            ).alias("n")
+        )
+        .first()["n"]
+    )
+    probes = [
+        ("user_low", [("user_id", "<", u_mid // 2)]),
+        ("value_high", [("value", ">", v_thr)]),
+        (
+            "both_dims",
+            [("user_id", "<", u_mid), ("value", ">", v_thr)],
+        ),
+    ]
+    parts = []
+    for name, skipping in probes:
+        leg = deltalog.read_snapshot(spark, base, skipping=skipping).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("id_checksum"),
+        )
+        parts.append(
+            leg.select(
+                F.lit(name).alias("probe"),
+                "n_rows",
+                "id_checksum",
+                F.lit(int(zorder_changed))
+                .cast("bigint")
+                .alias("zorder_datachange_actions"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES["io_delta_zorder_skipping"] = q_delta_zorder_skipping
+
+ORACLE["io_delta_zorder_skipping"] = """
+WITH prm AS (
+  SELECT CAST(max(user_id) AS BIGINT) // 2 AS umid,
+         max("value") * 0.75 AS vthr
+  FROM events)
+SELECT 'user_low' AS probe,
+  (SELECT CAST(count(*) AS BIGINT) FROM events
+    WHERE user_id < (SELECT umid // 2 FROM prm)) AS n_rows,
+  (SELECT CAST(sum(event_id) AS BIGINT) FROM events
+    WHERE user_id < (SELECT umid // 2 FROM prm)) AS id_checksum,
+  CAST(0 AS BIGINT) AS zorder_datachange_actions
+UNION ALL
+SELECT 'value_high',
+  (SELECT CAST(count(*) AS BIGINT) FROM events
+    WHERE "value" > (SELECT vthr FROM prm)),
+  (SELECT CAST(sum(event_id) AS BIGINT) FROM events
+    WHERE "value" > (SELECT vthr FROM prm)),
+  CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'both_dims',
+  (SELECT CAST(count(*) AS BIGINT) FROM events
+    WHERE user_id < (SELECT umid FROM prm)
+      AND "value" > (SELECT vthr FROM prm)),
+  (SELECT CAST(sum(event_id) AS BIGINT) FROM events
+    WHERE user_id < (SELECT umid FROM prm)
+      AND "value" > (SELECT vthr FROM prm)),
+  CAST(0 AS BIGINT)"""
