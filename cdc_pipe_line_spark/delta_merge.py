@@ -22,6 +22,12 @@ execute`` — the public ``delta.tables.DeltaTable`` API) and
 execute the recipe through a semantics-faithful fake
 (tests/test_delta_merge.py) and prove it equal to the tested batch
 path; on a real cluster pass ``DeltaTable.forPath(spark, path)``.
+As of round 11 the recipe ALSO runs as a real statement in this
+container: ``deltalog.NativeDeltaTable.forPath`` implements the same
+protocol over the native log, executing through
+``deltalog.merge_into`` (copy-on-write MERGE — tests/
+test_round11_merge.py proves it row-identical to the batch path on
+an actual Delta table).
 
 MERGE construction (all expressions are plain Spark SQL strings, the
 form the delta-spark builder accepts):

@@ -876,6 +876,256 @@ def update_where(
     )
 
 
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    on: str,
+    *,
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_update_condition: str | None = None,
+    when_matched_delete_condition: str | None = None,
+    when_not_matched_insert: dict[str, str] | None = None,
+    when_not_matched_insert_condition: str | None = None,
+    skipping: list[tuple] | None = None,
+    n_files: int = 1,
+    target_alias: str = "t",
+    source_alias: str = "s",
+) -> int:
+    """MERGE INTO the native Delta table — the statement the
+    reference runs through delta-spark for SCD2
+    (``deltaprocessing.py:96-116``), implemented with the same
+    copy-on-write shape real Delta uses:
+
+    1. LOCATE: join the (stats-prunable) candidate files' rows
+       against ``source`` on the ``on`` condition (aliases ``t`` =
+       target, ``s`` = source) — files with zero matches are NEVER
+       rewritten.
+    2. CARDINALITY: if any when-matched clause exists and one target
+       row matches MULTIPLE source rows, raise — the protocol's own
+       "multiple source rows matched" error (silently applying an
+       arbitrary one would be a wrong answer).
+    3. REWRITE: touched files re-emit with matched rows updated
+       (every SET expression — referencing ``s.`` and/or ``t.`` —
+       evaluates against the pre-merge row, one projection) or
+       deleted; unmatched target rows pass through byte-identical.
+    4. INSERT: source rows matching NO target row (any match lives
+       in a touched file by construction, so the anti-join is
+       against the touched rows only) land through the
+       ``when_not_matched_insert`` mapping (target column ->
+       expression over ``s.``; missing columns default to NULL of
+       the declared type).
+    5. COMMIT: tombstones + rewrites + inserts, one atomic commit
+       (``dataChange=true`` throughout — a change-data reader sees
+       the merge).
+
+    Clause conditions (``when_matched_update_condition`` etc.) gate
+    their clause exactly as the delta-spark builder's ``condition=``
+    arguments do.  A lost version race restarts the whole attempt
+    from fresh state.  Returns the committed version; a merge that
+    touches nothing and inserts nothing is a no-op returning the
+    current version."""
+    if not (
+        when_matched_update
+        or when_matched_delete_condition
+        or when_not_matched_insert is not None
+    ):
+        raise ValueError("merge_into: no WHEN clause given")
+
+    def _gate(cond: str | None):
+        return F.expr(cond) if cond else F.lit(True)
+
+    has_matched_clause = bool(
+        when_matched_update or when_matched_delete_condition
+    )
+    src = source.localCheckpoint(eager=True)
+    for attempt in range(5):
+        meta = _latest_meta(spark, table_dir)
+        partition_by = (
+            list(meta["partitionColumns"])
+            if meta and meta["partitionColumns"]
+            else None
+        )
+        lf = live_files(read_log_actions(spark, table_dir))
+        if skipping:
+            lf = lf.filter(_skipping_keep(skipping))
+        cand = [r.path for r in lf.select("path").collect()]
+        tcols: list[str] = []
+        touched: list[str] = []
+        joined = None
+        if cand:
+            scan = (
+                spark.read.option("basePath", table_dir)
+                .option("mergeSchema", "true")
+                .parquet(*[os.path.join(table_dir, p) for p in cand])
+            )
+            scan = _align_declared(
+                scan, meta["schemaString"] if meta else None
+            )
+            tcols = scan.columns
+            scan = scan.withColumn("__src", F.input_file_name())
+            hits = (
+                scan.alias(target_alias)
+                .join(src.alias(source_alias), F.expr(on), "inner")
+                .groupBy("__src")
+                .agg(F.count("*"))
+                .collect()
+            )
+            touched = sorted(
+                {_rel_path(r["__src"], table_dir) for r in hits}
+            )
+        if touched:
+            tscan = (
+                spark.read.option("basePath", table_dir)
+                .option("mergeSchema", "true")
+                .parquet(*[os.path.join(table_dir, p) for p in touched])
+            )
+            tscan = _align_declared(
+                tscan, meta["schemaString"] if meta else None
+            )
+            tscan = tscan.withColumn(
+                "__tid", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            t_types = {f.name: f.dataType for f in tscan.schema.fields}
+            joined = tscan.alias(target_alias).join(
+                src.withColumn("__s_hit", F.lit(True)).alias(source_alias),
+                F.expr(on),
+                "left_outer",
+            )
+            if has_matched_clause:
+                multi = (
+                    joined.filter(F.col("__s_hit").isNotNull())
+                    .groupBy("__tid")
+                    .agg(F.count("*").alias("c"))
+                    .filter(F.col("c") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if multi:
+                    raise ValueError(
+                        "merge_into: a target row matches multiple "
+                        "source rows — the MERGE is ambiguous (the "
+                        "Delta protocol's cardinality violation)"
+                    )
+        parts: list[DataFrame] = []
+        if joined is not None:
+            matched = F.col("__s_hit").isNotNull()
+            keep = ~(
+                matched
+                & _gate(when_matched_delete_condition)
+                & F.lit(when_matched_delete_condition is not None)
+            )
+            upd_gate = (
+                matched
+                & F.lit(bool(when_matched_update))
+                & _gate(when_matched_update_condition)
+            )
+            cols = []
+            for c in tcols:
+                if when_matched_update and c in when_matched_update:
+                    cols.append(
+                        F.when(
+                            upd_gate,
+                            F.expr(when_matched_update[c]).cast(
+                                t_types[c]
+                            ),
+                        )
+                        .otherwise(F.col(f"{target_alias}.{c}"))
+                        .alias(c)
+                    )
+                else:
+                    cols.append(
+                        F.col(f"{target_alias}.{c}").alias(c)
+                    )
+            parts.append(joined.filter(keep).select(*cols))
+        if when_not_matched_insert is not None:
+            if joined is not None:
+                anti = src.alias(source_alias).join(
+                    # anti against the PRE-merge touched rows: any
+                    # source row matching the table matches here
+                    spark.read.option("basePath", table_dir)
+                    .option("mergeSchema", "true")
+                    .parquet(
+                        *[os.path.join(table_dir, p) for p in touched]
+                    )
+                    .alias(target_alias),
+                    F.expr(on),
+                    "left_anti",
+                )
+            else:
+                anti = src.alias(source_alias)
+            anti = anti.filter(
+                _gate(when_not_matched_insert_condition)
+            )
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            declared = (
+                StructType.fromJson(_json.loads(meta["schemaString"]))
+                if meta and meta["schemaString"]
+                else None
+            )
+            names = tcols or (
+                [f.name for f in declared.fields] if declared else []
+            )
+            ins_cols = []
+            for c in names:
+                dt = (
+                    declared[c].dataType
+                    if declared and c in declared.fieldNames()
+                    else None
+                )
+                if c in when_not_matched_insert:
+                    e = F.expr(when_not_matched_insert[c])
+                    ins_cols.append(
+                        (e.cast(dt) if dt else e).alias(c)
+                    )
+                else:
+                    ins_cols.append(
+                        F.lit(None).cast(dt or "string").alias(c)
+                    )
+            parts.append(anti.select(*ins_cols))
+        if not parts:
+            return _next_version(table_dir) - 1
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        adds = _write_data_files(
+            out, table_dir, n_files=n_files, partition_by=partition_by
+        )
+        import json as _json
+
+        empty = [
+            a
+            for a in adds
+            if a["add"].get("stats")
+            and _json.loads(a["add"]["stats"])["numRecords"] == 0
+        ]
+        if empty:
+            _remove_staged(table_dir, empty)
+            adds = [a for a in adds if a not in empty]
+        if not touched and not adds:
+            return _next_version(table_dir) - 1
+        removes = [
+            {"remove": {"path": p, "dataChange": True}} for p in touched
+        ]
+        try:
+            return commit(
+                table_dir,
+                [
+                    *removes,
+                    *adds,
+                    {"commitInfo": {"operation": "MERGE"}},
+                ],
+            )
+        except FileExistsError:
+            _remove_staged(table_dir, adds)
+            if attempt == 4:
+                raise
+    raise AssertionError("unreachable")
+
+
 def optimize_zorder(
     spark: SparkSession,
     table_dir: str,
@@ -1632,3 +1882,104 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+class _NativeMergeBuilder:
+    """Accumulates WHEN clauses delta-spark-builder style, executes
+    through :func:`merge_into`.  One clause of each kind (the SCD2 /
+    upsert recipes use exactly that); when both matched clauses are
+    given, DELETE evaluates first (documented deviation from
+    delta-spark's call-order rule — pass disjoint conditions)."""
+
+    def __init__(self, table: "NativeDeltaTable", source, condition: str):
+        self._t = table
+        self._source = source
+        self._on = condition
+        self._upd = None
+        self._upd_cond = None
+        self._del_cond = None
+        self._ins = None
+        self._ins_cond = None
+
+    def whenMatchedUpdate(self, condition: str | None = None, set=None):
+        if self._upd is not None:
+            raise ValueError("whenMatchedUpdate already given")
+        self._upd = dict(set or {})
+        self._upd_cond = condition
+        return self
+
+    def whenMatchedDelete(self, condition: str | None = None):
+        if self._del_cond is not None:
+            raise ValueError("whenMatchedDelete already given")
+        self._del_cond = condition or "true"
+        return self
+
+    def whenNotMatchedInsert(self, condition: str | None = None, values=None):
+        if self._ins is not None:
+            raise ValueError("whenNotMatchedInsert already given")
+        self._ins = dict(values or {})
+        self._ins_cond = condition
+        return self
+
+    def execute(self) -> int:
+        return merge_into(
+            self._t._spark,
+            self._t._table_dir,
+            self._source,
+            self._on,
+            when_matched_update=self._upd,
+            when_matched_update_condition=self._upd_cond,
+            when_matched_delete_condition=self._del_cond,
+            when_not_matched_insert=self._ins,
+            when_not_matched_insert_condition=self._ins_cond,
+            target_alias=self._t._alias,
+            source_alias=self._t._salias,
+            n_files=self._t._n_files,
+        )
+
+
+class NativeDeltaTable:
+    """``delta.tables.DeltaTable`` stand-in over the native log: the
+    public merge-builder protocol (``alias / merge /
+    whenMatchedUpdate / whenMatchedDelete / whenNotMatchedInsert /
+    execute``) plus ``toDF``, executed by this module's writers —
+    which makes :func:`cdc_pipe_line_spark.delta_merge.build_scd2_merge`
+    (previously runnable only against delta-spark or the test fake)
+    a REAL statement in this container.  The source frame may arrive
+    pre-aliased (the recipes call ``source.alias('s')``); the builder
+    re-derives the alias from the merge condition's ``<alias>.``
+    prefixes, so pass the same names in ``alias()`` and the
+    condition."""
+
+    def __init__(self, spark: SparkSession, table_dir: str, *, n_files: int = 1):
+        self._spark = spark
+        self._table_dir = table_dir
+        self._alias = "t"
+        self._salias = "s"
+        self._n_files = n_files
+
+    @classmethod
+    def forPath(cls, spark: SparkSession, table_dir: str) -> "NativeDeltaTable":
+        if not os.path.isdir(os.path.join(table_dir, "_delta_log")):
+            raise ValueError(f"{table_dir} is not a Delta table")
+        return cls(spark, table_dir)
+
+    @classmethod
+    def isDeltaTable(cls, spark: SparkSession, table_dir: str) -> bool:
+        return os.path.isdir(os.path.join(table_dir, "_delta_log"))
+
+    def alias(self, name: str) -> "NativeDeltaTable":
+        self._alias = name
+        return self
+
+    def toDF(self) -> DataFrame:
+        return read_snapshot(self._spark, self._table_dir)
+
+    def merge(self, source: DataFrame, condition: str) -> _NativeMergeBuilder:
+        import re as _re
+
+        aliases = set(_re.findall(r"\b(\w+)\.", condition))
+        others = aliases - {self._alias}
+        if len(others) == 1:
+            self._salias = others.pop()
+        return _NativeMergeBuilder(self, source, condition)

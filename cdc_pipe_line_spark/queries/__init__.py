@@ -83,6 +83,7 @@ _DRIVER_ROTATION = (
     "io_delta_stats_skipping",
     "cdc_delta_row_dml",
     "io_delta_zorder_skipping",
+    "cdc_delta_merge_native",
 )
 
 

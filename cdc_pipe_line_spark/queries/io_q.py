@@ -2681,3 +2681,112 @@ SELECT 'both_dims',
     WHERE user_id < (SELECT umid FROM prm)
       AND "value" > (SELECT vthr FROM prm)),
   CAST(0 AS BIGINT)"""
+
+
+def q_delta_merge_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical SCD2 ``MERGE INTO`` — expire-current + insert
+    pre-chained versions in ONE statement, the null-merge-key idiom
+    from the public Delta docs (`delta_merge.build_scd2_merge`'s
+    recipe) — executed as a REAL copy-on-write statement on the
+    native log via :class:`deltalog.NativeDeltaTable` (the
+    delta-spark ``DeltaTable`` protocol stand-in; the recipe was
+    previously executable only against delta-spark or the test
+    fake).  Batch 1 of the events upsert stream creates the table;
+    batch 2 builds the merge source (batch-local chains with
+    ``__mergeKey = NULL`` so they never match, plus one expiry row
+    per touched key carrying the key's first batch timestamp) and
+    lands through ``alias / merge / whenMatchedUpdate /
+    whenNotMatchedInsert / execute``.
+
+    The published result is the final snapshot read back from the
+    log; the ORACLE is the one-shot lead()-window history over the
+    WHOLE stream — incremental MERGE == batch ground truth, the same
+    bar `cdc_scd2_delta_native` sets for its overwrite-based apply.
+
+    Scale shape: the statement's cost is (touched files scanned
+    once) + (touched files rewritten) + (inserts appended) in one
+    atomic commit — the reference's per-row 1.4-19.3 s Delta UPDATE
+    loop (deltaprocessing.py:116, BASELINE.md) collapsed into one
+    set-based merge."""
+    from cdc_pipe_line_spark import deltalog
+    from cdc_pipe_line_spark.cdc.scd2 import scd2_from_upserts
+
+    base, ready = _cache(sf_dir, "delta_merge_native")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        h1 = scd2_from_upserts(
+            ev.filter(F.col("ts") < cut), "user_id", "ts", ["value"]
+        )
+        deltalog.create_table(spark, h1, base, n_files=2)
+        b2 = ev.filter(F.col("ts") >= cut).select(
+            F.col("user_id").cast("string").alias("key_value"),
+            "ts",
+            "value",
+        )
+        chains = scd2_from_upserts(b2, "key_value", "ts", ["value"])
+        scd2_cols = [
+            "key_value", "value", "valid_from", "valid_to", "is_current",
+        ]
+        inserts = chains.select(
+            *scd2_cols,
+            F.lit(None).cast("string").alias("__mergeKey"),
+            F.lit("insert").alias("__action"),
+            F.lit(None).cast("timestamp").alias("__first_ts"),
+        )
+        expiries = (
+            b2.groupBy("key_value")
+            .agg(F.min("ts").alias("__first_ts"))
+            .select(
+                F.col("key_value"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(None).cast("timestamp").alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+                F.lit(None).cast("boolean").alias("is_current"),
+                F.col("key_value").alias("__mergeKey"),
+                F.lit("expire").alias("__action"),
+                "__first_ts",
+            )
+        )
+        source = inserts.unionByName(expiries)
+        table = deltalog.NativeDeltaTable.forPath(spark, base)
+        (
+            table.alias("t")
+            .merge(
+                source.alias("s"),
+                "t.key_value = s.__mergeKey AND t.is_current",
+            )
+            .whenMatchedUpdate(
+                condition="s.__action = 'expire'",
+                set={
+                    "valid_to": "s.__first_ts",
+                    "is_current": "false",
+                },
+            )
+            .whenNotMatchedInsert(
+                condition="s.__action = 'insert'",
+                values={c: f"s.{c}" for c in scd2_cols},
+            )
+            .execute()
+        )
+        _mark(base)
+    snap = deltalog.read_snapshot(spark, base)
+    return snap.select(
+        "key_value", "value", "valid_from", "valid_to", "is_current"
+    )
+
+
+QUERIES["cdc_delta_merge_native"] = q_delta_merge_native
+
+ORACLE["cdc_delta_merge_native"] = """
+WITH history AS (
+  SELECT CAST(user_id AS VARCHAR) AS key_value, value, ts AS valid_from,
+    lead(ts) OVER w AS valid_to,
+    lead(ts) OVER w IS NULL AS is_current
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, value ASC))
+SELECT key_value, value, valid_from, valid_to, is_current FROM history"""

@@ -1,0 +1,203 @@
+"""Native MERGE INTO (deltalog.merge_into + NativeDeltaTable): the
+delta-spark merge-builder recipe (delta_merge.build_scd2_merge),
+previously executable only against real delta-spark or the protocol
+fake, now runs as a REAL copy-on-write statement on the native log —
+proved row-identical to the tested batch path, with Delta's
+cardinality error and file-level rewrite locality.
+
+Reference parity: deltaprocessing.py:96-116 (the reference's
+per-change Delta UPDATE/MERGE flow).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark import deltalog
+from cdc_pipe_line_spark.cdc.scd2 import apply_scd2
+from cdc_pipe_line_spark.delta_merge import (
+    build_scd2_merge,
+    scd2_merge_source,
+)
+
+
+@pytest.fixture()
+def table_dir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id string, event_type string, key_value string, "
+        "timestamp string, new_values map<string,string>",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+
+
+BATCH1 = [
+    ("e1", "insert", "k1", "2024-01-01 00:00:00", {"v": "1"}),
+    ("e2", "insert", "k2", "2024-01-01 00:00:00", {"v": "2"}),
+    ("e3", "insert", "k3", "2024-01-01 00:00:00", {"v": "3"}),
+    ("e4", "update", "k3", "2024-01-02 00:00:00", {"v": "3b"}),
+]
+BATCH2 = [
+    ("e5", "update", "k1", "2024-01-03 00:00:00", {"v": "1b"}),
+    ("e6", "delete", "k2", "2024-01-03 00:00:00", None),
+    ("e7", "insert", "k4", "2024-01-03 00:00:00", {"v": "4"}),
+    ("e3", "insert", "k3", "2024-01-01 00:00:00", {"v": "3"}),
+]
+
+
+def _rows(df):
+    return sorted(
+        map(
+            tuple,
+            df.select(
+                "key_value",
+                F.to_json("data").alias("data"),
+                "valid_from",
+                "valid_to",
+                "is_current",
+                "_event_id",
+                "_event_type",
+            ).collect(),
+        )
+    )
+
+
+def test_native_merge_recipe_equals_batch_path(spark, table_dir):
+    h1 = apply_scd2(None, _events(spark, BATCH1)).localCheckpoint()
+    deltalog.create_table(spark, h1, table_dir)
+    ref = apply_scd2(h1, _events(spark, BATCH2))
+
+    table = deltalog.NativeDeltaTable.forPath(spark, table_dir)
+    hist = deltalog.read_snapshot(spark, table_dir)
+    build_scd2_merge(
+        table, scd2_merge_source(hist, _events(spark, BATCH2))
+    )
+
+    merged = deltalog.read_snapshot(spark, table_dir)
+    assert _rows(merged) == _rows(ref)
+    cur = merged.filter("is_current")
+    assert (
+        cur.groupBy("key_value").count().filter("count > 1").count() == 0
+    )
+    assert {r.key_value for r in cur.collect()} == {"k1", "k3", "k4"}
+
+
+def test_native_merge_replay_is_noop(spark, table_dir):
+    h1 = apply_scd2(None, _events(spark, BATCH1)).localCheckpoint()
+    h2 = apply_scd2(h1, _events(spark, BATCH2)).localCheckpoint()
+    deltalog.create_table(spark, h2, table_dir)
+
+    table = deltalog.NativeDeltaTable.forPath(spark, table_dir)
+    hist = deltalog.read_snapshot(spark, table_dir)
+    build_scd2_merge(
+        table, scd2_merge_source(hist, _events(spark, BATCH2))
+    )
+    assert _rows(deltalog.read_snapshot(spark, table_dir)) == _rows(h2)
+
+
+def test_native_merge_cardinality_error(spark, table_dir):
+    t = spark.createDataFrame(
+        [("k1", True)], "key_value string, is_current boolean"
+    )
+    deltalog.create_table(spark, t, table_dir)
+    s = spark.createDataFrame(
+        [("k1", "expire"), ("k1", "expire")],
+        "__mergeKey string, __action string",
+    )
+    table = deltalog.NativeDeltaTable.forPath(spark, table_dir)
+    b = table.alias("t").merge(
+        s.alias("s"), "t.key_value = s.__mergeKey"
+    )
+    b.whenMatchedUpdate(
+        condition="s.__action = 'expire'", set={"is_current": "false"}
+    )
+    b.whenNotMatchedInsert(
+        condition="s.__action = 'insert'",
+        values={"key_value": "s.__mergeKey", "is_current": "true"},
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        b.execute()
+
+
+def test_merge_rewrites_only_touched_files(spark, table_dir):
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    deltalog.create_table(
+        spark,
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        table_dir,
+        n_files=8,
+    )
+    before = {
+        r.path
+        for r in deltalog.live_files(
+            deltalog.read_log_actions(spark, table_dir)
+        ).collect()
+    }
+    src = spark.createDataFrame(
+        [(10, 99.0), (20, 98.0), (500, 1.0)], "k bigint, nv double"
+    )
+    deltalog.merge_into(
+        spark,
+        table_dir,
+        src,
+        "t.k = s.k",
+        when_matched_update={"v": "s.nv"},
+        when_not_matched_insert={"k": "s.k", "v": "s.nv"},
+        skipping=[("k", "<=", 500)],
+    )
+    after = {
+        r.path
+        for r in deltalog.live_files(
+            deltalog.read_log_actions(spark, table_dir)
+        ).collect()
+    }
+    # keys 10/20 live in file 0 only; 7 originals untouched
+    assert len(before & after) == 7
+    snap = deltalog.read_snapshot(spark, table_dir)
+    assert snap.count() == 401
+    got = {
+        r.k: r.v for r in snap.filter("k in (10, 20, 500)").collect()
+    }
+    assert got == {10: 99.0, 20: 98.0, 500: 1.0}
+
+
+def test_merge_delete_clause_and_noop(spark, table_dir):
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("even")
+    )
+    v0 = deltalog.create_table(spark, df, table_dir)
+    src = spark.createDataFrame([(4,), (5,), (99,)], "k bigint")
+    deltalog.merge_into(
+        spark,
+        table_dir,
+        src,
+        "t.k = s.k",
+        when_matched_delete_condition="t.even",
+    )
+    keys = {
+        r.k for r in deltalog.read_snapshot(spark, table_dir).collect()
+    }
+    assert 4 not in keys and 5 in keys and len(keys) == 49
+    # merge with no matches and no insert clause: no commit
+    v = deltalog.merge_into(
+        spark,
+        table_dir,
+        spark.createDataFrame([(1000,)], "k bigint"),
+        "t.k = s.k",
+        when_matched_delete_condition="true",
+    )
+    assert v == v0 + 1  # still the delete's version
+
+
+def test_merge_requires_a_clause(spark, table_dir):
+    deltalog.create_table(spark, spark.range(3), table_dir)
+    with pytest.raises(ValueError, match="WHEN clause"):
+        deltalog.merge_into(
+            spark, table_dir, spark.range(1), "t.id = s.id"
+        )
