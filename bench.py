@@ -67,6 +67,12 @@ EXTENDED = [
     # round-over-round.  extended_total_sec steps up vs r8 by
     # construction (the r7 precedent).
     "cdc_scd2_delta_native",
+    # round-11 addition: the stats/skipping/DML layer's heaviest
+    # composition (real MERGE INTO via the native builder protocol),
+    # tracked so a regression in footer-stats writes, skipping
+    # planning, or the copy-on-write rewrite is visible.
+    # extended_total_sec steps up vs r10 by construction.
+    "cdc_delta_merge_native",
 ]
 
 

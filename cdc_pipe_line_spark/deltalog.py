@@ -50,6 +50,8 @@ LOG_SCHEMA = (
     "add struct<path: string, size: bigint, dataChange: boolean, "
     "partitionValues: map<string, string>, stats: string>, "
     "remove struct<path: string, dataChange: boolean>, "
+    "cdc struct<path: string, partitionValues: map<string, string>, "
+    "size: bigint, dataChange: boolean>, "
     "txn struct<appId: string, version: bigint>, "
     "commitInfo struct<operation: string>"
 )
@@ -409,6 +411,48 @@ def _write_data_files(
     return adds
 
 
+def _write_change_data(df: DataFrame, table_dir: str) -> dict | None:
+    """Materialize a CHANGE DATA file (the spec's ``cdc`` action):
+    ``df`` carries the table columns plus ``_change_type``
+    (insert / delete / update_preimage / update_postimage) and lands
+    under ``_change_data/`` — the row-level feed
+    :func:`read_changes` prefers over deriving file-level churn from
+    add/remove (a copy-on-write rewrite re-emits every unchanged row
+    of a touched file; the cdc file records ONLY what changed).
+    Returns the action dict, or None when the frame is empty."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    cd_dir = os.path.join(table_dir, "_change_data")
+    os.makedirs(cd_dir, exist_ok=True)
+    tmp = os.path.join(table_dir, f"__cdc-{_uuid.uuid4().hex}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    action = None
+    if parts:
+        rel = os.path.join(
+            "_change_data", f"cdc-{_uuid.uuid4().hex}.snappy.parquet"
+        )
+        full = os.path.join(table_dir, rel)
+        os.replace(os.path.join(tmp, parts[0]), full)
+        st = _stats_json(full)
+        import json as _json
+
+        if st and _json.loads(st)["numRecords"] == 0:
+            os.remove(full)
+        else:
+            action = {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(full),
+                    "dataChange": False,
+                }
+            }
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return action
+
+
 def _latest_meta(spark: SparkSession, table_dir: str):
     """Latest ``metaData`` action (id, schemaString, partitionColumns)
     — the declared table identity every state-reading writer threads
@@ -700,6 +744,7 @@ def _rewrite_where(
     rewrite,
     operation: str,
     *,
+    change_rows=None,
     skipping: list[tuple] | None = None,
     n_files: int = 1,
 ) -> int:
@@ -718,7 +763,11 @@ def _rewrite_where(
        DELETE simply tombstones (the rewrite produced zero rows, so
        no replacement add at all).
     4. COMMIT: tombstones + replacement adds in ONE atomic commit
-       (dataChange=true — a change-data reader sees the mutation).
+       (dataChange=true — a change-data reader sees the mutation),
+       plus the spec's ``cdc`` action when ``change_rows`` supplies
+       the row-level change frame: :func:`read_changes` then reports
+       ONLY the mutated rows instead of the touched files' full
+       churn.
 
     A lost version race restarts the whole attempt from fresh state
     (the compact/overwrite re-entry discipline: stale tombstones
@@ -784,17 +833,33 @@ def _rewrite_where(
         removes = [
             {"remove": {"path": p, "dataChange": True}} for p in touched
         ]
+        cdc_actions = []
+        if change_rows is not None:
+            ch = change_rows(
+                src, F.coalesce(F.expr(condition), F.lit(False))
+            )
+            act = _write_change_data(ch, table_dir)
+            if act:
+                cdc_actions.append(act)
         try:
             return commit(
                 table_dir,
                 [
                     *removes,
                     *adds,
+                    *cdc_actions,
                     {"commitInfo": {"operation": operation}},
                 ],
             )
         except FileExistsError:
             _remove_staged(table_dir, adds)
+            for a in cdc_actions:
+                try:
+                    os.remove(
+                        os.path.join(table_dir, a["cdc"]["path"])
+                    )
+                except OSError:
+                    pass
             if attempt == 4:
                 raise
     raise AssertionError("unreachable")
@@ -821,6 +886,9 @@ def delete_where(
         condition,
         lambda df, c: df.filter(~c),
         "DELETE",
+        change_rows=lambda df, c: df.filter(c).withColumn(
+            "_change_type", F.lit("delete")
+        ),
         skipping=skipping,
         n_files=n_files,
     )
@@ -865,12 +933,22 @@ def update_where(
             raise ValueError(f"UPDATE SET on unknown columns: {unknown}")
         return df.select(*cols)
 
+    def _changes(df: DataFrame, c):
+        pre = df.filter(c).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = _apply(df.filter(c), F.lit(True)).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        return pre.unionByName(post)
+
     return _rewrite_where(
         spark,
         table_dir,
         condition,
         _apply,
         "UPDATE",
+        change_rows=_changes,
         skipping=skipping,
         n_files=n_files,
     )
@@ -1008,6 +1086,7 @@ def merge_into(
                         "Delta protocol's cardinality violation)"
                     )
         parts: list[DataFrame] = []
+        change_parts: list[DataFrame] = []
         if joined is not None:
             matched = F.col("__s_hit").isNotNull()
             keep = ~(
@@ -1038,6 +1117,30 @@ def merge_into(
                         F.col(f"{target_alias}.{c}").alias(c)
                     )
             parts.append(joined.filter(keep).select(*cols))
+            # row-level change feed (the spec's cdc action): deleted
+            # rows, and pre/post images of updated-and-kept rows —
+            # never the touched files' unchanged passthrough rows
+            t_plain = [
+                F.col(f"{target_alias}.{c}").alias(c) for c in tcols
+            ]
+            if when_matched_delete_condition is not None:
+                change_parts.append(
+                    joined.filter(~keep)
+                    .select(*t_plain)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+            if when_matched_update:
+                upd_rows = joined.filter(keep & upd_gate)
+                change_parts.append(
+                    upd_rows.select(*t_plain).withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                )
+                change_parts.append(
+                    upd_rows.select(*cols).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
         if when_not_matched_insert is not None:
             if joined is not None:
                 anti = src.alias(source_alias).join(
@@ -1085,7 +1188,11 @@ def merge_into(
                     ins_cols.append(
                         F.lit(None).cast(dt or "string").alias(c)
                     )
-            parts.append(anti.select(*ins_cols))
+            ins = anti.select(*ins_cols).localCheckpoint(eager=True)
+            parts.append(ins)
+            change_parts.append(
+                ins.withColumn("_change_type", F.lit("insert"))
+            )
         if not parts:
             return _next_version(table_dir) - 1
         out = parts[0]
@@ -1110,17 +1217,33 @@ def merge_into(
         removes = [
             {"remove": {"path": p, "dataChange": True}} for p in touched
         ]
+        cdc_actions = []
+        if change_parts:
+            ch = change_parts[0]
+            for p in change_parts[1:]:
+                ch = ch.unionByName(p)
+            act = _write_change_data(ch, table_dir)
+            if act:
+                cdc_actions.append(act)
         try:
             return commit(
                 table_dir,
                 [
                     *removes,
                     *adds,
+                    *cdc_actions,
                     {"commitInfo": {"operation": "MERGE"}},
                 ],
             )
         except FileExistsError:
             _remove_staged(table_dir, adds)
+            for a in cdc_actions:
+                try:
+                    os.remove(
+                        os.path.join(table_dir, a["cdc"]["path"])
+                    )
+                except OSError:
+                    pass
             if attempt == 4:
                 raise
     raise AssertionError("unreachable")
@@ -1396,6 +1519,12 @@ def write_checkpoint(spark: SparkSession, table_dir: str) -> int:
     from pyspark.sql.types import StructType as _StructType
 
     canon = _StructType.fromDDL(LOG_SCHEMA)
+    # spec: checkpoints carry STATE actions only — per-commit cdc
+    # actions are never part of reconstructed state, so the column
+    # null-fills here
+    for f in canon.fields:
+        if f.name not in state.columns:
+            state = state.withColumn(f.name, F.lit(None).cast(f.dataType))
     state = state.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in canon.fields]
     )
@@ -1677,6 +1806,15 @@ def vacuum(
                 & F.col("add").isNotNull()
             ).select(F.col("add.path").alias("path"))
         )
+        .unionByName(
+            # change-data files of retained versions stay readable
+            # (read_changes serves those commits row-level); older
+            # ones age out with their commits
+            actions.filter(
+                (F.col("version") >= floor_ver)
+                & F.col("cdc").isNotNull()
+            ).select(F.col("cdc.path").alias("path"))
+        )
         .distinct()
     )
     kept = {r.path for r in keep.collect()}
@@ -1797,10 +1935,13 @@ def read_changes(
     vacuum, so the rows are still readable — the same property time
     travel relies on), each tagged ``_commit_version``.  OPTIMIZE
     commits (``dataChange=false``) are invisible, exactly as CDF
-    semantics require.  In-place UPDATE merges would need the
-    writer-side CDC action files the spec defines for them; this
-    engine's SCD2/CDC recipes are append/overwrite shaped, so the
-    add/remove feed is complete for every table it writes.
+    semantics require.  A commit carrying ``cdc`` actions (the
+    row-level DML writers — DELETE/UPDATE/MERGE — write the spec's
+    change-data files under ``_change_data/``) is served from THOSE
+    instead: the reader reports exactly the mutated rows
+    (insert / delete / update_preimage / update_postimage), never
+    the touched files' unchanged passthrough churn — the spec's own
+    "use cdc actions when present" rule.
 
     One bounded metadata pass plans the per-(version, type) file
     lists; the data reads are plain parquet scans unioned per commit
@@ -1827,6 +1968,12 @@ def read_changes(
     span = actions.filter(
         (F.col("version") > starting_version) & (F.col("version") <= hi)
     )
+    cdc_rows = (
+        span.select("version", F.col("cdc.path").alias("path"))
+        .filter(F.col("path").isNotNull())
+        .collect()
+    )
+    cdc_versions = {int(r.version) for r in cdc_rows}
     changed = (
         span.select(
             "version",
@@ -1847,13 +1994,24 @@ def read_changes(
         )
         .collect()
     )
-    if not changed:
+    if not changed and not cdc_rows:
         raise ValueError(
             f"no data-changing commits in ({starting_version}, {hi}] "
             f"of {table_dir}"
         )
     legs = []
+    for r in cdc_rows:
+        # row-level feed: the change-data file already carries
+        # _change_type for exactly the mutated rows
+        legs.append(
+            spark.read.parquet(os.path.join(table_dir, r.path))
+            .withColumn(
+                "_commit_version", F.lit(int(r.version)).cast("bigint")
+            )
+        )
     for r in changed:
+        if int(r.version) in cdc_versions:
+            continue  # served row-level above
         legs.append(
             spark.read.parquet(os.path.join(table_dir, r.path))
             .withColumn("_change_type", F.lit(r._change_type))

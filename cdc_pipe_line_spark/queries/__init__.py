@@ -84,6 +84,7 @@ _DRIVER_ROTATION = (
     "cdc_delta_row_dml",
     "io_delta_zorder_skipping",
     "cdc_delta_merge_native",
+    "cdc_delta_changes_rowlevel",
 )
 
 

@@ -2790,3 +2790,107 @@ WITH history AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, value ASC))
 SELECT key_value, value, valid_from, valid_to, is_current FROM history"""
+
+
+def q_delta_changes_rowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL change data feed — the spec's ``cdc`` actions: the
+    DML writers (DELETE / UPDATE / MERGE) persist change-data files
+    under ``_change_data/`` holding exactly the mutated rows
+    (insert / delete / update_preimage / update_postimage), and
+    ``read_changes`` serves those commits from THEM instead of the
+    file-level add/remove derivation — without this, a copy-on-write
+    rewrite shows every unchanged row of a touched file as a
+    delete+insert pair (phantom churn), which is what downstream CDC
+    consumers must never see.
+
+    Fixture: orders (%3==0 keys) → DELETE (%9==0) → UPDATE
+    (status 'F': price += 1) → MERGE (source = %9!=0 keys in
+    %3∈{0,1}: matched rows price *= 2, unmatched insert) — then one
+    output row per (version, change_type) with row count, key
+    checksum, and integer-cents VALUE checksum, so a feed that
+    reported passthrough rows, skipped a post-image, or served stale
+    values fails the hash.  All legs closed-form in o_orderkey
+    arithmetic for the oracle.
+
+    Scale shape: change files are written once per DML commit,
+    sized by the MUTATED rows only; the feed read plans one bounded
+    metadata pass + per-commit scans of exactly those files."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_cdf_rowlevel")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        m = F.col("o_orderkey") % 3
+        deltalog.create_table(
+            spark, orders.filter(m == 0), base, n_files=2
+        )                                                            # v0
+        deltalog.delete_where(spark, base, "o_orderkey % 9 = 0")     # v1
+        deltalog.update_where(                                       # v2
+            spark,
+            base,
+            "o_orderstatus = 'F'",
+            {"o_totalprice": "o_totalprice + 1.0"},
+        )
+        src = orders.filter(
+            ((m == 0) | (m == 1)) & (F.col("o_orderkey") % 9 != 0)
+        ).select(F.col("o_orderkey").alias("k"))
+        deltalog.merge_into(                                         # v3
+            spark,
+            base,
+            src,
+            "t.o_orderkey = s.k",
+            when_matched_update={"o_totalprice": "t.o_totalprice * 2"},
+            when_not_matched_insert={
+                "o_orderkey": "s.k",
+                "o_orderstatus": "'N'",
+                "o_totalprice": "0.0",
+            },
+        )
+        _mark(base)
+
+    ch = deltalog.read_changes(spark, base, starting_version=0)
+    return ch.groupBy("_commit_version", "_change_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("price_cents"),
+    )
+
+
+QUERIES["cdc_delta_changes_rowlevel"] = q_delta_changes_rowlevel
+
+ORACLE["cdc_delta_changes_rowlevel"] = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 3 = 0),
+after_del AS (
+  SELECT * FROM base WHERE k % 9 != 0),
+feed AS (
+  SELECT 1 AS v, 'delete' AS ct, k, p FROM base WHERE k % 9 = 0
+  UNION ALL
+  SELECT 2, 'update_preimage', k, p FROM after_del WHERE st = 'F'
+  UNION ALL
+  SELECT 2, 'update_postimage', k, p + 1.0 FROM after_del WHERE st = 'F'
+  UNION ALL
+  SELECT 3, 'update_preimage', k,
+         CASE WHEN st = 'F' THEN p + 1.0 ELSE p END
+  FROM after_del
+  UNION ALL
+  SELECT 3, 'update_postimage', k,
+         (CASE WHEN st = 'F' THEN p + 1.0 ELSE p END) * 2
+  FROM after_del
+  UNION ALL
+  SELECT 3, 'insert', o_orderkey, 0.0 FROM orders
+  WHERE o_orderkey % 3 = 1 AND o_orderkey % 9 != 0)
+SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(k) AS BIGINT) AS key_checksum,
+  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM feed GROUP BY 1, 2"""

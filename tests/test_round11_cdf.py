@@ -1,0 +1,134 @@
+"""Row-level change data feed (the spec's ``cdc`` actions): DML
+writers persist change-data files with exactly the mutated rows,
+``read_changes`` prefers them over file-level add/remove derivation
+(no passthrough churn from copy-on-write rewrites), vacuum retains
+the retained window's change files, and checkpoints ignore cdc
+actions (per-commit, never state).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark import deltalog
+
+
+@pytest.fixture()
+def table_dir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _feed(spark, table_dir, lo=0, hi=None):
+    kw = {"starting_version": lo}
+    if hi is not None:
+        kw["ending_version"] = hi
+    return deltalog.read_changes(spark, table_dir, **kw)
+
+
+def test_update_feed_has_pre_and_post_images_with_values(
+    spark, table_dir
+):
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    deltalog.create_table(spark, df, table_dir)
+    v = deltalog.update_where(spark, table_dir, "k < 4", {"v": "v + 10.0"})
+    ch = _feed(spark, table_dir, v - 1, v)
+    rows = {
+        (r["_change_type"], r["k"]): r["v"] for r in ch.collect()
+    }
+    assert len(rows) == 8  # 4 pre + 4 post, nothing else
+    assert rows[("update_preimage", 2)] == 2.0
+    assert rows[("update_postimage", 2)] == 12.0
+
+
+def test_merge_feed_reports_all_clause_kinds_row_level(
+    spark, table_dir
+):
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    deltalog.create_table(spark, df, table_dir)
+    src = spark.createDataFrame(
+        [(1, "upd"), (2, "del"), (100, "ins")], "k bigint, act string"
+    )
+    v = deltalog.merge_into(
+        spark,
+        table_dir,
+        src,
+        "t.k = s.k",
+        when_matched_update={"v": "t.v * 100"},
+        when_matched_update_condition="s.act = 'upd'",
+        when_matched_delete_condition="s.act = 'del'",
+        when_not_matched_insert={"k": "s.k", "v": "0.0"},
+        when_not_matched_insert_condition="s.act = 'ins'",
+    )
+    ch = _feed(spark, table_dir, v - 1, v)
+    got = sorted(
+        (r["_change_type"], r["k"], r["v"]) for r in ch.collect()
+    )
+    assert got == [
+        ("delete", 2, 2.0),
+        ("insert", 100, 0.0),
+        ("update_postimage", 1, 100.0),
+        ("update_preimage", 1, 1.0),
+    ]
+    # no passthrough churn: the 28 untouched rows of the rewritten
+    # file never appear in the feed
+    assert ch.count() == 4
+
+
+def test_append_and_overwrite_still_file_level(spark, table_dir):
+    deltalog.create_table(spark, spark.range(5), table_dir)
+    deltalog.append(spark, spark.range(5, 8), table_dir)
+    deltalog.overwrite(spark, spark.range(10, 12), table_dir)
+    ch = _feed(spark, table_dir, 0)
+    counts = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts[(1, "insert")] == 3
+    assert counts[(2, "delete")] == 8  # 5 + 3 tombstoned
+    assert counts[(2, "insert")] == 2
+
+
+def test_vacuum_keeps_retained_change_files_drops_aged(
+    spark, table_dir
+):
+    deltalog.create_table(spark, spark.range(30), table_dir)       # v0
+    deltalog.delete_where(spark, table_dir, "id < 3")              # v1
+    deltalog.update_where(spark, table_dir, "id = 5", {"id": "50"})  # v2
+    deltalog.update_where(spark, table_dir, "id = 7", {"id": "70"})  # v3
+    cd = os.path.join(table_dir, "_change_data")
+    assert len(os.listdir(cd)) == 3
+    deltalog.vacuum(spark, table_dir, retain_versions=1)
+    # floor = v2: v2 and v3's change files stay, v1's ages out
+    remaining = len(os.listdir(cd))
+    assert remaining == 2
+    ch = _feed(spark, table_dir, 1, 3)
+    assert ch.count() == 4  # two updates x pre+post
+    with pytest.raises(Exception):
+        # v1's change file is gone; reading its range now fails at
+        # scan time (same contract as vacuumed time travel)
+        _feed(spark, table_dir, 0, 1).count()
+
+
+def test_checkpoint_excludes_cdc_actions(spark, table_dir):
+    deltalog.create_table(spark, spark.range(20), table_dir)
+    deltalog.delete_where(spark, table_dir, "id < 2")
+    ver = deltalog.write_checkpoint(spark, table_dir)
+    import pyarrow.parquet as pq
+
+    ck = pq.read_table(
+        os.path.join(
+            table_dir, "_delta_log", f"{ver:020d}.checkpoint.parquet"
+        )
+    ).to_pylist()
+    assert all(r.get("cdc") is None for r in ck)
+    # state reconstruction through the checkpoint unaffected
+    assert deltalog.read_snapshot(spark, table_dir).count() == 18

@@ -277,11 +277,10 @@ def test_dml_is_visible_to_change_feed(spark, table_dir):
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    # copy-on-write rewrite: the touched files' rows leave and all
-    # but the 10 deleted ones come back — net change is exactly -10,
-    # and the feed never shows MORE files than the rewrite touched
-    assert counts.get("delete", 0) - counts.get("insert", 0) == 10
-    assert counts.get("delete", 0) in (50, 100)
+    # the DELETE commit carries a cdc action, so the feed is
+    # ROW-LEVEL: exactly the 10 deleted rows, no passthrough churn
+    # from the rewritten file (the spec's use-cdc-when-present rule)
+    assert counts == {"delete": 10}
 
 
 # ----------------------------------------------------------- zorder
