@@ -422,9 +422,14 @@ def _delta_schema_and_names(table_dir: str) -> tuple[str, list[str]]:
 
 
 class _DeltaAddFile(InputPartition):
-    def __init__(self, path: str, version: int) -> None:
+    def __init__(
+        self, path: str, version: int, ctype: str | None = None
+    ) -> None:
         self.path = path
         self.version = version
+        # change-feed mode: 'insert' / 'delete' legs carry a constant
+        # type; 'cdc' legs read _change_type from the change file
+        self.ctype = ctype
 
 
 class _DeltaStreamReader(DataSourceStreamReader):
@@ -442,6 +447,9 @@ class _DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.table_dir = options["path"]
         self.start_version = int(options.get("startingVersion", "-1"))
+        self.cdf = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
+        )
         _ddl, self.col_names = _delta_schema_and_names(self.table_dir)
 
     def _log_actions(self, lo: int, hi: int) -> list[tuple]:
@@ -466,6 +474,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         and act["remove"].get("dataChange")
                     ):
                         out.append(("remove", act["remove"]["path"], v))
+                    elif "cdc" in act:
+                        out.append(("cdc", act["cdc"]["path"], v))
         return out
 
     def initialOffset(self) -> dict:
@@ -484,14 +494,36 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         acts = self._log_actions(start["version"], end["version"])
+        if self.cdf:
+            # CHANGE FEED mode: versions carrying cdc actions serve
+            # their change files (row-level — exactly the mutated
+            # rows); versions without serve adds as inserts and
+            # data-changing removes as deletes (the tombstoned file
+            # stays readable until vacuum) — the streaming twin of
+            # deltalog.read_changes.
+            cdc_versions = {v for (t, _p, v) in acts if t == "cdc"}
+            parts = []
+            for t, p, v in acts:
+                if t == "cdc":
+                    parts.append(_DeltaAddFile(p, v, "cdc"))
+                elif v in cdc_versions:
+                    continue  # served row-level
+                elif t == "add":
+                    parts.append(_DeltaAddFile(p, v, "insert"))
+                else:
+                    parts.append(_DeltaAddFile(p, v, "delete"))
+            return parts or [_DeltaAddFile("", -1)]
         removes = [a for a in acts if a[0] == "remove"]
         if removes:
             raise ValueError(
                 f"delta_stream: data-changing remove at version "
                 f"{removes[0][2]} — the append-only streaming "
-                f"contract is broken (overwrite/restore in range)"
+                f"contract is broken (overwrite/restore in range; "
+                f"consume mutations with readChangeFeed=true instead)"
             )
-        parts = [_DeltaAddFile(p, v) for (_t, p, v) in acts]
+        parts = [
+            _DeltaAddFile(p, v) for (_t, p, v) in acts if _t == "add"
+        ]
         # Spark requires >= 1 partition per batch; an empty range
         # yields one empty marker partition
         return parts or [_DeltaAddFile("", -1)]
@@ -503,13 +535,34 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
         import pyarrow.parquet as _pq
 
+        if partition.ctype is None:
+            tbl = _pq.read_table(
+                os.path.join(self.table_dir, partition.path),
+                columns=self.col_names,
+            )
+            cols = [tbl.column(n).to_pylist() for n in self.col_names]
+            for row in zip(*cols):
+                yield (*row, partition.version)
+            return
+        if partition.ctype == "cdc":
+            tbl = _pq.read_table(
+                os.path.join(self.table_dir, partition.path),
+                columns=[*self.col_names, "_change_type"],
+            )
+            cols = [
+                tbl.column(n).to_pylist()
+                for n in [*self.col_names, "_change_type"]
+            ]
+            for row in zip(*cols):
+                yield (*row, partition.version)
+            return
         tbl = _pq.read_table(
             os.path.join(self.table_dir, partition.path),
             columns=self.col_names,
         )
         cols = [tbl.column(n).to_pylist() for n in self.col_names]
         for row in zip(*cols):
-            yield (*row, partition.version)
+            yield (*row, partition.ctype, partition.version)
 
     def commit(self, end: dict) -> None:
         pass
@@ -530,6 +583,11 @@ class DeltaStreamDataSource(DataSource):
 
     def schema(self) -> str:
         ddl, _names = _delta_schema_and_names(self.options["path"])
+        if (
+            str(self.options.get("readChangeFeed", "false")).lower()
+            == "true"
+        ):
+            return f"{ddl}, _change_type string, _commit_version bigint"
         return f"{ddl}, _commit_version bigint"
 
     def streamReader(self, schema) -> _DeltaStreamReader:

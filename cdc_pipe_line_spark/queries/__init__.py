@@ -85,6 +85,7 @@ _DRIVER_ROTATION = (
     "io_delta_zorder_skipping",
     "cdc_delta_merge_native",
     "cdc_delta_changes_rowlevel",
+    "stream_delta_cdf",
 )
 
 

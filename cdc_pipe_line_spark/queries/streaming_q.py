@@ -1602,3 +1602,96 @@ SELECT CAST(CASE WHEN o_orderkey % 9 = 0 THEN 0
   CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
 FROM orders WHERE o_orderkey % 9 <= 2
 GROUP BY 1"""
+
+
+def q_stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CHANGE FEED of a native Delta table
+    (``readChangeFeed=true`` on the delta_stream source — the
+    streaming twin of ``deltalog.read_changes``): DML commits stream
+    their ``_change_data`` files ROW-LEVEL (exactly the mutated rows,
+    tagged insert / delete / update_preimage / update_postimage),
+    append commits stream as inserts, and the plain mode's
+    append-only guard is lifted because mutations are now
+    first-class events.  The fixture takes create → append → DELETE
+    (every 9th key) → UPDATE (+1 on 'F' rows) and the drained stream
+    aggregates per (_commit_version, _change_type) with key and
+    integer-cents value checksums — a feed that leaked a rewritten
+    file's unchanged rows, dropped a post-image, or served stale
+    values fails the hash.
+
+    Scale shape: one input partition per change/add file per
+    micro-batch; a DML touching 0.1% of rows ships 0.1%-sized change
+    files to the consumer, never the rewritten files' full
+    contents."""
+    from cdc_pipe_line_spark import deltalog
+    from cdc_pipe_line_spark.pydatasource import DeltaStreamDataSource
+    from cdc_pipe_line_spark.queries.io_q import _cache, _mark
+
+    base, ready = _cache(sf_dir, "delta_stream_cdf")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        m = F.col("o_orderkey") % 3
+        deltalog.create_table(spark, orders.filter(m == 0), base)   # v0
+        deltalog.append(spark, orders.filter(m == 1), base)         # v1
+        deltalog.delete_where(spark, base, "o_orderkey % 9 = 0")    # v2
+        deltalog.update_where(                                      # v3
+            spark,
+            base,
+            "o_orderstatus = 'F'",
+            {"o_totalprice": "o_totalprice + 1.0"},
+        )
+        _mark(base)
+
+    try:
+        spark.dataSource.register(DeltaStreamDataSource)
+    except Exception:  # noqa: BLE001 — already registered in-session
+        pass
+    stream = (
+        spark.readStream.format("delta_stream")
+        .option("path", base)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    agg = stream.groupBy("_commit_version", "_change_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("price_cents"),
+    )
+    q, out = st.start_to_memory(agg, output_mode="complete")
+    q.awaitTermination()
+    return out
+
+
+QUERIES["stream_delta_cdf"] = q_stream_delta_cdf
+
+ORACLE["stream_delta_cdf"] = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p,
+         o_orderkey % 3 AS m
+  FROM orders WHERE o_orderkey % 3 <= 1),
+after_del AS (
+  SELECT * FROM base WHERE k % 9 != 0),
+feed AS (
+  SELECT 0 AS v, 'insert' AS ct, k, p FROM base WHERE m = 0
+  UNION ALL
+  SELECT 1, 'insert', k, p FROM base WHERE m = 1
+  UNION ALL
+  SELECT 2, 'delete', k, p FROM base WHERE k % 9 = 0
+  UNION ALL
+  SELECT 3, 'update_preimage', k, p FROM after_del WHERE st = 'F'
+  UNION ALL
+  SELECT 3, 'update_postimage', k, p + 1.0
+  FROM after_del WHERE st = 'F')
+SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(k) AS BIGINT) AS key_checksum,
+  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM feed GROUP BY 1, 2"""

@@ -132,3 +132,82 @@ def test_checkpoint_excludes_cdc_actions(spark, table_dir):
     assert all(r.get("cdc") is None for r in ck)
     # state reconstruction through the checkpoint unaffected
     assert deltalog.read_snapshot(spark, table_dir).count() == 18
+
+
+def test_delta_stream_cdf_mode_row_level(spark, table_dir):
+    """readChangeFeed=true: DML commits stream their change files
+    row-level; appends stream as inserts; the append-only guard is
+    lifted (the guard's error message points here)."""
+    from cdc_pipe_line_spark.pydatasource import DeltaStreamDataSource
+
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") * 1.0).alias("v")
+    )
+    deltalog.create_table(spark, df, table_dir)                     # v0
+    deltalog.append(
+        spark,
+        spark.range(20, 25).select(
+            F.col("id"), (F.col("id") * 1.0).alias("v")
+        ),
+        table_dir,
+    )                                                               # v1
+    deltalog.delete_where(spark, table_dir, "id < 2")               # v2
+    deltalog.update_where(spark, table_dir, "id = 24", {"v": "0.5"})  # v3
+    try:
+        spark.dataSource.register(DeltaStreamDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("delta_stream")
+        .option("path", table_dir)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    q = (
+        stream.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+        .writeStream.format("memory")
+        .queryName("t_cdf_src")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (int(r["_commit_version"]), r["_change_type"]): (
+            int(r["n"]),
+            int(r["s"]),
+        )
+        for r in spark.sql("select * from t_cdf_src").collect()
+    }
+    assert got == {
+        (0, "insert"): (20, 190),
+        (1, "insert"): (5, 110),
+        (2, "delete"): (2, 1),
+        (3, "update_preimage"): (1, 24),
+        (3, "update_postimage"): (1, 24),
+    }
+
+
+def test_delta_stream_plain_mode_guard_still_raises(spark, table_dir):
+    from cdc_pipe_line_spark.pydatasource import DeltaStreamDataSource
+
+    deltalog.create_table(spark, spark.range(10), table_dir)
+    deltalog.delete_where(spark, table_dir, "id < 2")
+    try:
+        spark.dataSource.register(DeltaStreamDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("delta_stream")
+        .option("path", table_dir)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_guard_src")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="readChangeFeed|remove"):
+        q.awaitTermination()
