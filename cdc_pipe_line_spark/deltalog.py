@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 #: only add actions would otherwise drop the remove column entirely).
 LOG_SCHEMA = (
     "metaData struct<id: string, format: struct<provider: string>, "
-    "schemaString: string, partitionColumns: array<string>>, "
+    "schemaString: string, partitionColumns: array<string>, "
+    "configuration: map<string, string>>, "
     "protocol struct<minReaderVersion: int, minWriterVersion: int>, "
     "add struct<path: string, size: bigint, dataChange: boolean, "
     "partitionValues: map<string, string>, stats: string>, "
@@ -454,10 +455,12 @@ def _write_change_data(df: DataFrame, table_dir: str) -> dict | None:
 
 
 def _latest_meta(spark: SparkSession, table_dir: str):
-    """Latest ``metaData`` action (id, schemaString, partitionColumns)
-    — the declared table identity every state-reading writer threads
-    through its rewrite (compact/overwrite/append_evolve must keep a
-    partitioned table partitioned; ADVICE r9)."""
+    """Latest ``metaData`` action (id, schemaString,
+    partitionColumns, configuration) — the declared table identity
+    every state-reading writer threads through its rewrite
+    (compact/overwrite/append_evolve must keep a partitioned table
+    partitioned; ADVICE r9) and the constraint registry writers
+    enforce against (``delta.constraints.*`` keys)."""
     return (
         read_log_actions(spark, table_dir)
         .filter(F.col("metaData").isNotNull())
@@ -466,8 +469,128 @@ def _latest_meta(spark: SparkSession, table_dir: str):
             "metaData.id",
             "metaData.schemaString",
             "metaData.partitionColumns",
+            "metaData.configuration",
         )
         .first()
+    )
+
+
+#: configuration-key prefix the protocol uses for CHECK constraints
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def table_constraints(spark: SparkSession, table_dir: str) -> dict:
+    """The table's CHECK constraints: name -> SQL expression, from
+    the latest metaData's ``delta.constraints.*`` configuration keys
+    (the protocol's constraint registry)."""
+    meta = _latest_meta(spark, table_dir)
+    cfg = (meta["configuration"] or {}) if meta else {}
+    return {
+        k[len(_CONSTRAINT_PREFIX):]: v
+        for k, v in cfg.items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    }
+
+
+def _enforce_constraints(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> None:
+    """Writer-side CHECK enforcement: every batch of NEW rows must
+    satisfy every registered constraint BEFORE its files join the
+    log (existing rows were validated by the writer that added them
+    — the protocol's invariant, which is what lets readers trust
+    constraints without scanning).  SQL-standard semantics: a row
+    violates only when the expression IS FALSE (NULL passes).  One
+    bounded aggregate over the batch per commit, all constraints in
+    a single pass."""
+    cons = table_constraints(spark, table_dir)
+    if not cons:
+        return
+    agg = df.agg(
+        *[
+            F.sum(
+                (F.expr(expr) == F.lit(False)).cast("bigint")
+            ).alias(name)
+            for name, expr in cons.items()
+        ]
+    ).first()
+    for name, expr in cons.items():
+        n = agg[name] or 0
+        if n:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by "
+                f"{n} row(s) in the batch — commit refused"
+            )
+
+
+def _meta_action_from(meta, configuration: dict) -> dict:
+    """A full replacement ``metaData`` action carrying ``meta``'s
+    identity with ``configuration`` swapped in."""
+    return {
+        "metaData": {
+            "id": meta["id"],
+            "format": {"provider": "parquet"},
+            "schemaString": meta["schemaString"],
+            "partitionColumns": list(meta["partitionColumns"] or []),
+            "configuration": configuration,
+        }
+    }
+
+
+def add_constraint(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): validates
+    the EXISTING data first (one scan — a constraint that present
+    rows violate is refused, exactly as delta-spark does), then
+    commits a replacement metaData whose configuration carries
+    ``delta.constraints.<name>`` plus a protocol action raising
+    minWriterVersion to 3 (the spec's writer-feature gate for CHECK
+    constraints).  Every subsequent data-adding commit enforces it
+    via :func:`_enforce_constraints`."""
+    meta = _latest_meta(spark, table_dir)
+    if meta is None:
+        raise ValueError(f"no delta table at {table_dir}")
+    cfg = dict(meta["configuration"] or {})
+    key = _CONSTRAINT_PREFIX + name
+    if key in cfg:
+        raise ValueError(f"constraint {name!r} already exists")
+    existing = read_snapshot(spark, table_dir)
+    bad = existing.filter(F.expr(expr) == F.lit(False)).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r} ({expr}): "
+            f"existing rows violate it"
+        )
+    cfg[key] = expr
+    return commit(
+        table_dir,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+            _meta_action_from(meta, cfg),
+            {"commitInfo": {"operation": f"ADD CONSTRAINT {name}"}},
+        ],
+    )
+
+
+def drop_constraint(
+    spark: SparkSession, table_dir: str, name: str
+) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT name."""
+    meta = _latest_meta(spark, table_dir)
+    if meta is None:
+        raise ValueError(f"no delta table at {table_dir}")
+    cfg = dict(meta["configuration"] or {})
+    key = _CONSTRAINT_PREFIX + name
+    if key not in cfg:
+        raise ValueError(f"no such constraint: {name!r}")
+    del cfg[key]
+    return commit(
+        table_dir,
+        [
+            _meta_action_from(meta, cfg),
+            {"commitInfo": {"operation": f"DROP CONSTRAINT {name}"}},
+        ],
     )
 
 
@@ -535,6 +658,8 @@ def append(
         meta = _latest_meta(spark, table_dir)
         if meta and meta["partitionColumns"]:
             partition_by = list(meta["partitionColumns"])
+    if os.path.isdir(os.path.join(table_dir, "_delta_log")):
+        _enforce_constraints(spark, table_dir, df)
     adds = _write_data_files(
         df, table_dir, n_files=n_files, partition_by=partition_by
     )
@@ -599,6 +724,7 @@ def append_evolve(
                 for f in merged_schema.fields
             ]
         )
+        _enforce_constraints(spark, table_dir, aligned)
         adds = _write_data_files(
             aligned, table_dir, n_files=n_files, partition_by=partition_by
         )
@@ -612,6 +738,11 @@ def append_evolve(
                             "format": {"provider": "parquet"},
                             "schemaString": merged_schema.json(),
                             "partitionColumns": partition_by or [],
+                            # the constraint registry (and any other
+                            # table configuration) survives evolution
+                            "configuration": dict(
+                                meta["configuration"] or {}
+                            ),
                         }
                     },
                     *adds,
@@ -647,6 +778,7 @@ def overwrite(
         list(meta["partitionColumns"]) if meta and meta["partitionColumns"]
         else None
     )
+    _enforce_constraints(spark, table_dir, df)
     adds = _write_data_files(
         df, table_dir, n_files=n_files, partition_by=partition_by
     )
@@ -816,6 +948,7 @@ def _rewrite_where(
             src, meta["schemaString"] if meta else None
         )
         out = rewrite(src, F.coalesce(F.expr(condition), F.lit(False)))
+        _enforce_constraints(spark, table_dir, out)
         adds = _write_data_files(
             out, table_dir, n_files=n_files, partition_by=partition_by
         )
@@ -1198,6 +1331,7 @@ def merge_into(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        _enforce_constraints(spark, table_dir, out)
         adds = _write_data_files(
             out, table_dir, n_files=n_files, partition_by=partition_by
         )
@@ -1399,6 +1533,7 @@ def txn_append(
         return False
     bootstrap = not os.path.isdir(os.path.join(table_dir, "_delta_log"))
     os.makedirs(table_dir, exist_ok=True)
+    _enforce_constraints(spark, table_dir, df)
     adds = _write_data_files(df, table_dir, n_files=n_files)
     head: list[dict] = []
     if bootstrap:

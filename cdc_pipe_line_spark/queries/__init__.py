@@ -86,6 +86,7 @@ _DRIVER_ROTATION = (
     "cdc_delta_merge_native",
     "cdc_delta_changes_rowlevel",
     "stream_delta_cdf",
+    "qa_delta_check_constraints",
 )
 
 

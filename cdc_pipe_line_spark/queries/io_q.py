@@ -2894,3 +2894,114 @@ SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
   CAST(sum(k) AS BIGINT) AS key_checksum,
   CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS price_cents
 FROM feed GROUP BY 1, 2"""
+
+
+def q_delta_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK CONSTRAINTS on the native writer — the protocol's
+    ``delta.constraints.*`` metaData configuration with writer-side
+    enforcement (``deltalog.add_constraint`` / ``drop_constraint`` /
+    ``_enforce_constraints``): ADD validates existing data first (a
+    constraint present rows violate is refused), every subsequent
+    data-adding commit — append, overwrite, evolve, txn, DML,
+    MERGE — rejects a batch whose rows violate any registered
+    constraint (SQL-standard semantics: only FALSE violates, NULL
+    passes), the ADD commit raises minWriterVersion to 3 (the spec's
+    writer-feature gate), and schema evolution carries the registry
+    forward.
+
+    Fixture on customer: add a satisfiable floor constraint; attempt
+    an unsatisfiable one (negative balances exist — refused);
+    attempt a violating append (refused, nothing committed); land a
+    valid append; DROP the floor and land the previously-refused
+    batch.  One output row binds the refusal booleans, registry
+    census, min-writer-version bump, and the final integer-cents
+    state — a writer that ever let a bad batch through, or lost the
+    registry across evolution, fails the hash.
+
+    Scale shape: enforcement is ONE bounded aggregate over the batch
+    per commit (all constraints in one pass), never a table scan;
+    ADD's existing-data validation is the one full scan the real
+    ALTER TABLE pays."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_constraints")
+    flags_path = os.path.join(base, "_flags.txt")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        deltalog.create_table(spark, cust, base)                    # v0
+        deltalog.add_constraint(
+            spark, base, "bal_floor", "c_acctbal >= -1000.0"
+        )                                                           # v1
+        try:
+            deltalog.add_constraint(
+                spark, base, "bal_positive", "c_acctbal >= 0.0"
+            )
+            add_refused = False
+        except ValueError:
+            add_refused = True
+        mx = cust.agg(F.max("c_custkey")).first()[0]
+        bad = spark.range(3).select(
+            (F.col("id") + mx + 1).alias("c_custkey"),
+            F.lit(-5000.0).alias("c_acctbal"),
+        )
+        try:
+            deltalog.append(spark, bad, base)
+            append_refused = False
+        except ValueError:
+            append_refused = True
+        good = spark.range(3).select(
+            (F.col("id") + mx + 1).alias("c_custkey"),
+            F.lit(100.5).alias("c_acctbal"),
+        )
+        deltalog.append(spark, good, base)                          # v2
+        deltalog.drop_constraint(spark, base, "bal_floor")          # v3
+        deltalog.append(spark, bad, base)                           # v4
+        with open(flags_path, "w") as fh:
+            fh.write(f"{add_refused},{append_refused}")
+        _mark(base)
+
+    with open(flags_path) as fh:
+        add_refused_s, append_refused_s = fh.read().split(",")
+    n_constraints = len(deltalog.table_constraints(spark, base))
+    acts = deltalog.read_log_actions(spark, base)
+    wv = (
+        acts.filter(F.col("protocol").isNotNull())
+        .agg(F.max("protocol.minWriterVersion").alias("w"))
+        .first()["w"]
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    snap = deltalog.read_snapshot(spark, base)
+    body = snap.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(cents).alias("balance_cents"),
+    )
+    return body.select(
+        "n_rows",
+        "balance_cents",
+        F.lit(add_refused_s == "True").alias("unsatisfiable_add_refused"),
+        F.lit(append_refused_s == "True").alias(
+            "violating_append_refused"
+        ),
+        F.lit(n_constraints).cast("bigint").alias("n_constraints_now"),
+        F.lit(int(wv)).cast("bigint").alias("min_writer_version"),
+    )
+
+
+QUERIES["qa_delta_check_constraints"] = q_delta_check_constraints
+
+ORACLE["qa_delta_check_constraints"] = """
+SELECT
+  CAST(count(*) + 6 AS BIGINT) AS n_rows,
+  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+       + 3 * 10050 + 3 * (-500000) AS BIGINT) AS balance_cents,
+  TRUE AS unsatisfiable_add_refused,
+  TRUE AS violating_append_refused,
+  CAST(0 AS BIGINT) AS n_constraints_now,
+  CAST(3 AS BIGINT) AS min_writer_version
+FROM customer"""

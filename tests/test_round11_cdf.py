@@ -211,3 +211,87 @@ def test_delta_stream_plain_mode_guard_still_raises(spark, table_dir):
     )
     with pytest.raises(Exception, match="readChangeFeed|remove"):
         q.awaitTermination()
+
+
+# ------------------------------------------------- CHECK constraints
+
+
+def test_constraint_lifecycle_and_enforcement(spark, table_dir):
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    deltalog.create_table(spark, df, table_dir)
+    deltalog.add_constraint(spark, table_dir, "v_ok", "v >= 0.0")
+    assert deltalog.table_constraints(spark, table_dir) == {
+        "v_ok": "v >= 0.0"
+    }
+    # protocol writer-feature gate bumped
+    acts = deltalog.read_log_actions(spark, table_dir)
+    wv = (
+        acts.filter(F.col("protocol").isNotNull())
+        .agg(F.max("protocol.minWriterVersion"))
+        .first()[0]
+    )
+    assert wv == 3
+    bad = spark.range(3).select(
+        (F.col("id") + 100).alias("k"), F.lit(-1.0).alias("v")
+    )
+    with pytest.raises(ValueError, match="v_ok"):
+        deltalog.append(spark, bad, table_dir)
+    # a refused append commits nothing and leaves no orphans
+    assert deltalog.read_snapshot(spark, table_dir).count() == 10
+    with pytest.raises(ValueError, match="violated"):
+        deltalog.update_where(spark, table_dir, "k = 1", {"v": "-5.0"})
+    with pytest.raises(ValueError, match="violated"):
+        deltalog.merge_into(
+            spark,
+            table_dir,
+            spark.createDataFrame([(500, -2.0)], "k bigint, nv double"),
+            "t.k = s.k",
+            when_not_matched_insert={"k": "s.k", "v": "s.nv"},
+        )
+    # NULL passes (SQL-standard CHECK)
+    deltalog.append(
+        spark,
+        spark.range(1).select(
+            (F.col("id") + 200).alias("k"),
+            F.lit(None).cast("double").alias("v"),
+        ),
+        table_dir,
+    )
+    deltalog.drop_constraint(spark, table_dir, "v_ok")
+    deltalog.append(spark, bad, table_dir)
+    assert deltalog.read_snapshot(spark, table_dir).count() == 14
+
+
+def test_add_constraint_validates_existing_rows(spark, table_dir):
+    deltalog.create_table(
+        spark,
+        spark.range(5).select((F.col("id") - 2).alias("x")),
+        table_dir,
+    )
+    with pytest.raises(ValueError, match="existing rows"):
+        deltalog.add_constraint(spark, table_dir, "pos", "x >= 0")
+    assert deltalog.table_constraints(spark, table_dir) == {}
+
+
+def test_constraints_survive_schema_evolution(spark, table_dir):
+    deltalog.create_table(
+        spark, spark.range(5).select(F.col("id").alias("k")), table_dir
+    )
+    deltalog.add_constraint(spark, table_dir, "k_pos", "k >= 0")
+    wide = spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit("x").alias("extra")
+    )
+    deltalog.append_evolve(spark, wide, table_dir)
+    assert deltalog.table_constraints(spark, table_dir) == {
+        "k_pos": "k >= 0"
+    }
+    with pytest.raises(ValueError, match="k_pos"):
+        deltalog.append_evolve(
+            spark,
+            spark.range(1).select(
+                (F.col("id") - 10).alias("k"), F.lit("y").alias("extra")
+            ),
+            table_dir,
+        )
