@@ -594,6 +594,65 @@ def drop_constraint(
     )
 
 
+def generation_expressions(spark: SparkSession, table_dir: str) -> dict:
+    """GENERATED COLUMNS registry: column -> SQL expression, from
+    each schema field's ``delta.generationExpression`` metadata (the
+    protocol's generated-columns feature)."""
+    import json as _json
+
+    meta = _latest_meta(spark, table_dir)
+    if not meta or not meta["schemaString"]:
+        return {}
+    out = {}
+    for f in _json.loads(meta["schemaString"]).get("fields", []):
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+def _apply_generated(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> DataFrame:
+    """Writer-side generated-column contract: a batch MISSING a
+    generated column gets it computed from its expression (the
+    convenience half — callers write only the source columns); a
+    batch that SUPPLIES one is validated value-for-value against the
+    expression and refused on any mismatch (the integrity half — a
+    generated partition column that disagreed with its source would
+    silently corrupt partition pruning).  One bounded aggregate
+    validates all supplied generated columns in a single pass."""
+    gens = generation_expressions(spark, table_dir)
+    if not gens:
+        return df
+    to_check = {}
+    for col, expr in gens.items():
+        if col in df.columns:
+            to_check[col] = expr
+        else:
+            df = df.withColumn(col, F.expr(expr))
+    if to_check:
+        agg = df.agg(
+            *[
+                F.sum(
+                    (
+                        ~F.col(col).eqNullSafe(F.expr(expr))
+                    ).cast("bigint")
+                ).alias(col)
+                for col, expr in to_check.items()
+            ]
+        ).first()
+        for col, expr in to_check.items():
+            n = agg[col] or 0
+            if n:
+                raise ValueError(
+                    f"generated column {col!r} must equal its "
+                    f"expression ({expr}); {n} row(s) disagree — "
+                    f"commit refused"
+                )
+    return df
+
+
 def create_table(
     spark: SparkSession,
     df: DataFrame,
@@ -601,13 +660,33 @@ def create_table(
     *,
     n_files: int = 1,
     partition_by: list[str] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Commit 0: protocol + metaData (the REAL Spark schema JSON and
     the declared ``partitionColumns``, not stubs) + the initial data
-    files (Hive-layout when partitioned)."""
+    files (Hive-layout when partitioned).  ``generated`` declares
+    GENERATED COLUMNS (column -> SQL expression over the other
+    columns): each is recorded as the field's
+    ``delta.generationExpression`` metadata (the protocol feature),
+    computed for this initial frame when absent, and enforced on
+    every later data-adding commit by :func:`_apply_generated` — the
+    canonical use is a generated DATE partition column derived from
+    an event timestamp, which keeps partition pruning trustworthy
+    because the writer, not the caller, owns the derivation."""
+    import json as _json
     import uuid as _uuid
 
     os.makedirs(table_dir, exist_ok=True)
+    for col, expr in (generated or {}).items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+    schema_json = _json.loads(df.schema.json())
+    if generated:
+        for f in schema_json["fields"]:
+            if f["name"] in generated:
+                f.setdefault("metadata", {})[
+                    "delta.generationExpression"
+                ] = generated[f["name"]]
     adds = _write_data_files(
         df, table_dir, n_files=n_files, partition_by=partition_by
     )
@@ -615,12 +694,17 @@ def create_table(
         return commit(
             table_dir,
             [
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 4 if generated else 2,
+                    }
+                },
                 {
                     "metaData": {
                         "id": _uuid.uuid4().hex,
                         "format": {"provider": "parquet"},
-                        "schemaString": df.schema.json(),
+                        "schemaString": _json.dumps(schema_json),
                         "partitionColumns": list(partition_by or []),
                     }
                 },
@@ -659,6 +743,7 @@ def append(
         if meta and meta["partitionColumns"]:
             partition_by = list(meta["partitionColumns"])
     if os.path.isdir(os.path.join(table_dir, "_delta_log")):
+        df = _apply_generated(spark, table_dir, df)
         _enforce_constraints(spark, table_dir, df)
     adds = _write_data_files(
         df, table_dir, n_files=n_files, partition_by=partition_by
@@ -708,18 +793,19 @@ def append_evolve(
             if meta["partitionColumns"]
             else None
         )
+        df_gen = _apply_generated(spark, table_dir, df)
         declared = StructType.fromJson(_json.loads(meta["schemaString"]))
         merged = list(declared.fields)
         names = {f.name for f in merged}
-        for f in df.schema.fields:
+        for f in df_gen.schema.fields:
             if f.name not in names:
                 merged.append(f)
         merged_schema = StructType(merged)
         # write the incoming frame ALIGNED to the merged schema so
         # column order is stable in the new files
-        aligned = df.select(
+        aligned = df_gen.select(
             *[
-                F.col(f.name) if f.name in df.columns
+                F.col(f.name) if f.name in df_gen.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in merged_schema.fields
             ]
@@ -778,6 +864,7 @@ def overwrite(
         list(meta["partitionColumns"]) if meta and meta["partitionColumns"]
         else None
     )
+    df = _apply_generated(spark, table_dir, df)
     _enforce_constraints(spark, table_dir, df)
     adds = _write_data_files(
         df, table_dir, n_files=n_files, partition_by=partition_by
@@ -948,6 +1035,7 @@ def _rewrite_where(
             src, meta["schemaString"] if meta else None
         )
         out = rewrite(src, F.coalesce(F.expr(condition), F.lit(False)))
+        out = _apply_generated(spark, table_dir, out)
         _enforce_constraints(spark, table_dir, out)
         adds = _write_data_files(
             out, table_dir, n_files=n_files, partition_by=partition_by
@@ -1331,6 +1419,7 @@ def merge_into(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        out = _apply_generated(spark, table_dir, out)
         _enforce_constraints(spark, table_dir, out)
         adds = _write_data_files(
             out, table_dir, n_files=n_files, partition_by=partition_by
@@ -1533,6 +1622,7 @@ def txn_append(
         return False
     bootstrap = not os.path.isdir(os.path.join(table_dir, "_delta_log"))
     os.makedirs(table_dir, exist_ok=True)
+    df = _apply_generated(spark, table_dir, df)
     _enforce_constraints(spark, table_dir, df)
     adds = _write_data_files(df, table_dir, n_files=n_files)
     head: list[dict] = []

@@ -87,6 +87,7 @@ _DRIVER_ROTATION = (
     "cdc_delta_changes_rowlevel",
     "stream_delta_cdf",
     "qa_delta_check_constraints",
+    "io_delta_generated_partition",
 )
 
 

@@ -3005,3 +3005,112 @@ SELECT
   CAST(0 AS BIGINT) AS n_constraints_now,
   CAST(3 AS BIGINT) AS min_writer_version
 FROM customer"""
+
+
+def q_delta_generated_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS (the protocol's
+    ``delta.generationExpression`` field metadata) driving a
+    partitioned layout — the canonical Delta pattern: the table
+    declares ``event_date`` generated from ``date_format(ts)``, AND
+    partitions on it, so the WRITER owns the derivation and
+    partition pruning stays trustworthy by construction.  One batch
+    lands without the column (computed), one supplies it correctly
+    (validated value-for-value), one supplies it WRONG (refused —
+    published as a literal; a wrong generated partition value would
+    silently misroute rows out of pruned reads).  Output binds the
+    full-table census, a partition-pruned read at the earliest date,
+    the refusal, and the registry/protocol gate (minWriterVersion 4).
+
+    Scale shape: generation is a projection on the batch;
+    validation one bounded aggregate; the pruned read plans from log
+    partitionValues only."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_generated")
+    flags_path = os.path.join(base, "_flags.txt")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id"
+        )
+        m = F.col("event_id") % 3
+        deltalog.create_table(
+            spark,
+            ev.filter(m == 0),
+            base,
+            partition_by=["event_date"],
+            generated={"event_date": "date_format(ts, 'yyyy-MM-dd')"},
+        )                                                           # v0
+        deltalog.append(spark, ev.filter(m == 1), base)             # v1
+        bad = ev.filter(m == 2).withColumn(
+            "event_date", F.lit("1999-01-01")
+        )
+        try:
+            deltalog.append(spark, bad, base)
+            refused = False
+        except ValueError:
+            refused = True
+        deltalog.append(                                            # v2
+            spark,
+            ev.filter(m == 2).withColumn(
+                "event_date", F.date_format("ts", "yyyy-MM-dd")
+            ),
+            base,
+        )
+        with open(flags_path, "w") as fh:
+            fh.write(str(refused))
+        _mark(base)
+
+    with open(flags_path) as fh:
+        refused_s = fh.read()
+    snap = deltalog.read_snapshot(spark, base)
+    total = snap.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    )
+    d0 = snap.agg(F.min("event_date")).first()[0]
+    pruned = deltalog.read_snapshot(
+        spark, base, partition_filter={"event_date": str(d0)}
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows_day0"),
+        F.sum("event_id").cast("bigint").alias("id_checksum_day0"),
+    )
+    n_gen = len(deltalog.generation_expressions(spark, base))
+    wv = (
+        deltalog.read_log_actions(spark, base)
+        .filter(F.col("protocol").isNotNull())
+        .agg(F.max("protocol.minWriterVersion").alias("w"))
+        .first()["w"]
+    )
+    return total.crossJoin(F.broadcast(pruned)).select(
+        "n_rows",
+        "id_checksum",
+        "n_rows_day0",
+        "id_checksum_day0",
+        F.lit(refused_s == "True").alias("wrong_value_refused"),
+        F.lit(n_gen).cast("bigint").alias("n_generated_columns"),
+        F.lit(int(wv)).cast("bigint").alias("min_writer_version"),
+    )
+
+
+QUERIES["io_delta_generated_partition"] = q_delta_generated_partition
+
+ORACLE["io_delta_generated_partition"] = """
+WITH d0 AS (
+  SELECT strftime(min(ts), '%Y-%m-%d') AS d FROM events)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+  (SELECT CAST(count(*) AS BIGINT) FROM events
+    WHERE strftime(ts, '%Y-%m-%d') = (SELECT d FROM d0))
+    AS n_rows_day0,
+  (SELECT CAST(sum(event_id) AS BIGINT) FROM events
+    WHERE strftime(ts, '%Y-%m-%d') = (SELECT d FROM d0))
+    AS id_checksum_day0,
+  TRUE AS wrong_value_refused,
+  CAST(1 AS BIGINT) AS n_generated_columns,
+  CAST(4 AS BIGINT) AS min_writer_version
+FROM events"""

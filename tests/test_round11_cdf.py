@@ -295,3 +295,71 @@ def test_constraints_survive_schema_evolution(spark, table_dir):
             ),
             table_dir,
         )
+
+
+# ------------------------------------------------ generated columns
+
+
+def test_generated_column_computed_validated_and_evolved(
+    spark, table_dir
+):
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("raw")
+    )
+    deltalog.create_table(
+        spark, df, table_dir, generated={"twice": "raw * 2"}
+    )
+    assert deltalog.generation_expressions(spark, table_dir) == {
+        "twice": "raw * 2"
+    }
+    # initial frame got the column computed
+    snap = deltalog.read_snapshot(spark, table_dir)
+    assert snap.filter("twice != raw * 2").count() == 0
+    # append without the column: computed
+    deltalog.append(
+        spark,
+        spark.range(10, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("raw")
+        ),
+        table_dir,
+    )
+    # append with a wrong value: refused
+    with pytest.raises(ValueError, match="generated column"):
+        deltalog.append(
+            spark,
+            spark.range(20, 21).select(
+                F.col("id").alias("k"),
+                F.lit(1).cast("bigint").alias("raw"),
+                F.lit(999).cast("bigint").alias("twice"),
+            ),
+            table_dir,
+        )
+    # UPDATE breaking the derivation: refused (the rewrite re-checks)
+    with pytest.raises(ValueError, match="generated column"):
+        deltalog.update_where(spark, table_dir, "k = 1", {"twice": "0"})
+    # UPDATE of the SOURCE column with a matching regeneration: ok
+    deltalog.update_where(
+        spark, table_dir, "k = 1", {"raw": "100", "twice": "200"}
+    )
+    snap = deltalog.read_snapshot(spark, table_dir)
+    assert snap.count() == 12
+    assert snap.filter("twice != raw * 2").count() == 0
+    # the generation metadata survives schema evolution
+    deltalog.append_evolve(
+        spark,
+        spark.range(30, 31).select(
+            F.col("id").alias("k"),
+            F.lit(5).cast("bigint").alias("raw"),
+            F.lit("x").alias("extra"),
+        ),
+        table_dir,
+    )
+    assert deltalog.generation_expressions(spark, table_dir) == {
+        "twice": "raw * 2"
+    }
+    assert (
+        deltalog.read_snapshot(spark, table_dir)
+        .filter("twice != raw * 2")
+        .count()
+        == 0
+    )
