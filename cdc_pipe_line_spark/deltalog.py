@@ -347,6 +347,70 @@ def _stats_json(full_path: str) -> str | None:
     return _json.dumps(stats, sort_keys=True)
 
 
+def _current_schema_string(table_dir: str) -> str | None:
+    """Latest ``metaData.schemaString`` read DRIVER-SIDE from the
+    log tail (newest JSON commit first, checkpoint fallback) — the
+    metadata-sized lookup the write path uses to map logical column
+    names to physical ones without a Spark job."""
+    import json as _json
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        return None
+    for f in sorted(os.listdir(log_dir), reverse=True):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                act = _json.loads(line)
+                if "metaData" in act:
+                    return act["metaData"].get("schemaString")
+    ck = _checkpoint_version(table_dir)
+    if ck is not None:
+        import pyarrow.parquet as _pq
+
+        tbl = _pq.read_table(
+            os.path.join(log_dir, f"{ck:020d}.checkpoint.parquet")
+        ).to_pylist()
+        for r in tbl:
+            md = r.get("metaData")
+            if md and md.get("schemaString"):
+                return md["schemaString"]
+    return None
+
+
+def _mapping_from(schema_string: str | None) -> dict[str, str]:
+    """COLUMN MAPPING (mode=name): logical name -> physical name,
+    from each field's ``delta.columnMapping.physicalName`` metadata.
+    Empty when mapping is not enabled (physical == logical)."""
+    if not schema_string or schema_string == "{}":
+        return {}
+    import json as _json
+
+    out = {}
+    for f in _json.loads(schema_string).get("fields", []):
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        )
+        if phys and phys != f["name"]:
+            out[f["name"]] = phys
+    return out
+
+
+def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    for logical, phys in mapping.items():
+        if logical in df.columns:
+            df = df.withColumnRenamed(logical, phys)
+    return df
+
+
+def _to_logical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    for logical, phys in mapping.items():
+        if phys in df.columns:
+            df = df.withColumnRenamed(phys, logical)
+    return df
+
+
 def _write_data_files(
     df: DataFrame,
     table_dir: str,
@@ -361,9 +425,15 @@ def _write_data_files(
     pruning reads.  The data write is Spark's own distributed parquet
     sink into a scratch directory; only the bounded per-file rename
     runs driver-side — the same shape a real Delta writer's commit
-    phase has."""
+    phase has.  When COLUMN MAPPING is enabled the frame arrives in
+    logical names and lands in PHYSICAL ones (the central
+    logical->physical choke point every writer flows through)."""
     import shutil as _shutil
     import uuid as _uuid
+
+    mapping = _mapping_from(_current_schema_string(table_dir))
+    if mapping:
+        df = _to_physical(df, mapping)
 
     tmp = os.path.join(table_dir, f"__stage-{_uuid.uuid4().hex}")
     if partition_by:
@@ -424,6 +494,9 @@ def _write_change_data(df: DataFrame, table_dir: str) -> dict | None:
     import shutil as _shutil
     import uuid as _uuid
 
+    mapping = _mapping_from(_current_schema_string(table_dir))
+    if mapping:
+        df = _to_physical(df, mapping)
     cd_dir = os.path.join(table_dir, "_change_data")
     os.makedirs(cd_dir, exist_ok=True)
     tmp = os.path.join(table_dir, f"__cdc-{_uuid.uuid4().hex}")
@@ -535,6 +608,114 @@ def _meta_action_from(meta, configuration: dict) -> dict:
             "configuration": configuration,
         }
     }
+
+
+def enable_column_mapping(spark: SparkSession, table_dir: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES
+    ('delta.columnMapping.mode' = 'name'): upgrade the table to
+    NAME-BASED COLUMN MAPPING — every schema field gets a stable
+    ``delta.columnMapping.id`` and ``physicalName`` (its current
+    name, the upgrade rule), configuration records the mode, and the
+    protocol gate rises to (2, 5) per the spec.  From then on
+    :func:`rename_column` is a METADATA-ONLY commit: the parquet
+    files keep their physical column names forever and readers remap
+    — the operation that renames a column on a 100 TB table without
+    rewriting a byte.  Unpartitioned tables only (physical partition
+    directory names are out of this implementation's scope)."""
+    import json as _json
+
+    meta = _latest_meta(spark, table_dir)
+    if meta is None:
+        raise ValueError(f"no delta table at {table_dir}")
+    if meta["partitionColumns"]:
+        raise ValueError(
+            "column mapping: partitioned tables are not supported "
+            "(physical partition directory names)"
+        )
+    cfg = dict(meta["configuration"] or {})
+    if cfg.get("delta.columnMapping.mode") == "name":
+        raise ValueError("column mapping already enabled")
+    schema = _json.loads(meta["schemaString"])
+    for i, f in enumerate(schema.get("fields", []), start=1):
+        md = f.setdefault("metadata", {})
+        md["delta.columnMapping.id"] = i
+        md["delta.columnMapping.physicalName"] = f["name"]
+    cfg["delta.columnMapping.mode"] = "name"
+    cfg["delta.columnMapping.maxColumnId"] = str(
+        len(schema.get("fields", []))
+    )
+    action = _meta_action_from(meta, cfg)
+    action["metaData"]["schemaString"] = _json.dumps(schema)
+    return commit(
+        table_dir,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            action,
+            {"commitInfo": {"operation": "SET COLUMN MAPPING"}},
+        ],
+    )
+
+
+def rename_column(
+    spark: SparkSession, table_dir: str, old: str, new: str
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN old TO new — metadata-only
+    under column mapping (the logical name changes in schemaString;
+    the ``physicalName`` the data files carry does not).  Refused if
+    mapping is not enabled, the new name collides, or a CHECK
+    constraint / generation expression references the old name (the
+    expressions are SQL text over logical names; real Delta refuses
+    the same way)."""
+    import json as _json
+
+    meta = _latest_meta(spark, table_dir)
+    if meta is None:
+        raise ValueError(f"no delta table at {table_dir}")
+    cfg = dict(meta["configuration"] or {})
+    if cfg.get("delta.columnMapping.mode") != "name":
+        raise ValueError(
+            "rename_column requires column mapping "
+            "(enable_column_mapping first)"
+        )
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(old)}\b")
+    for k, v in cfg.items():
+        if k.startswith(_CONSTRAINT_PREFIX) and pat.search(v):
+            raise ValueError(
+                f"cannot rename {old!r}: CHECK constraint "
+                f"{k[len(_CONSTRAINT_PREFIX):]!r} references it"
+            )
+    schema = _json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema.get("fields", [])]
+    if old not in names:
+        raise ValueError(f"no such column: {old!r}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    for f in schema.get("fields", []):
+        expr = (f.get("metadata") or {}).get(
+            "delta.generationExpression"
+        )
+        if expr and pat.search(expr) and f["name"] != old:
+            raise ValueError(
+                f"cannot rename {old!r}: generated column "
+                f"{f['name']!r} derives from it"
+            )
+        if f["name"] == old:
+            f["name"] = new
+    action = _meta_action_from(meta, cfg)
+    action["metaData"]["schemaString"] = _json.dumps(schema)
+    return commit(
+        table_dir,
+        [
+            action,
+            {
+                "commitInfo": {
+                    "operation": f"RENAME COLUMN {old} TO {new}"
+                }
+            },
+        ],
+    )
 
 
 def add_constraint(
@@ -940,13 +1121,17 @@ def _rel_path(uri: str, table_dir: str) -> str:
 def _align_declared(out: DataFrame, schema_string: str | None) -> DataFrame:
     """Cast a scanned frame back to the TABLE schema recorded in
     ``metaData.schemaString`` (partition values are strings in dir
-    names; Spark re-types them on read)."""
+    names; Spark re-types them on read).  With COLUMN MAPPING
+    enabled the scan produced PHYSICAL names; they rename to logical
+    here before alignment — which is the whole read-side contract
+    that makes RENAME COLUMN a metadata-only commit."""
     if not schema_string or schema_string == "{}":
         return out
     import json as _json
 
     from pyspark.sql.types import StructType
 
+    out = _to_logical(out, _mapping_from(schema_string))
     declared = StructType.fromJson(_json.loads(schema_string))
     for f in declared.fields:
         if f.name not in out.columns:
@@ -1005,7 +1190,12 @@ def _rewrite_where(
         )
         lf = live_files(read_log_actions(spark, table_dir))
         if skipping:
-            lf = lf.filter(_skipping_keep(skipping))
+            lf = lf.filter(
+                _skipping_keep(
+                    skipping,
+                    _mapping_from(_current_schema_string(table_dir)),
+                )
+            )
         cand = [r.path for r in lf.select("path").collect()]
         if not cand:
             return _next_version(table_dir) - 1
@@ -1013,8 +1203,13 @@ def _rewrite_where(
             spark.read.option("basePath", table_dir)
             .option("mergeSchema", "true")
             .parquet(*[os.path.join(table_dir, p) for p in cand])
-            .withColumn("__src", F.input_file_name())
         )
+        # logical names for the user's condition (column mapping),
+        # BEFORE the provenance column so the align's select cannot
+        # drop it
+        scan = _align_declared(
+            scan, meta["schemaString"] if meta else None
+        ).withColumn("__src", F.input_file_name())
         hits = (
             scan.filter(cond)
             .groupBy("__src")
@@ -1247,7 +1442,12 @@ def merge_into(
         )
         lf = live_files(read_log_actions(spark, table_dir))
         if skipping:
-            lf = lf.filter(_skipping_keep(skipping))
+            lf = lf.filter(
+                _skipping_keep(
+                    skipping,
+                    _mapping_from(_current_schema_string(table_dir)),
+                )
+            )
         cand = [r.path for r in lf.select("path").collect()]
         tcols: list[str] = []
         touched: list[str] = []
@@ -1796,7 +1996,9 @@ def cleanup_log_before_checkpoint(table_dir: str) -> int:
 _SKIP_OPS = ("==", "=", "<", "<=", ">", ">=")
 
 
-def _skipping_keep(skipping: list[tuple]) -> "F.Column":
+def _skipping_keep(
+    skipping: list[tuple], mapping: dict[str, str] | None = None
+) -> "F.Column":
     """File-keep condition over ``live_files`` rows for a conjunction
     of simple predicates ``(column, op, literal)``: a file survives
     unless its stat envelope PROVES no row can match.  Missing stats,
@@ -1807,6 +2009,8 @@ def _skipping_keep(skipping: list[tuple]) -> "F.Column":
     order lexicographically) compare as strings."""
     keep = F.lit(True)
     for col, op, lit in skipping:
+        # stats JSON keys are PHYSICAL column names (footer-derived)
+        col = (mapping or {}).get(col, col)
         if op not in _SKIP_OPS:
             raise ValueError(f"unsupported skipping op: {op!r}")
         if isinstance(lit, bool) or not isinstance(lit, (int, float, str)):
@@ -1872,7 +2076,8 @@ def candidate_files(
     if partition_filter:
         for k, v in partition_filter.items():
             lf = lf.filter(F.col("partitionValues").getItem(k) == v)
-    return lf.filter(_skipping_keep(skipping))
+    mapping = _mapping_from(_current_schema_string(table_dir))
+    return lf.filter(_skipping_keep(skipping, mapping))
 
 
 def read_snapshot(
@@ -1929,8 +2134,14 @@ def read_snapshot(
             lf = lf.filter(F.col("partitionValues").getItem(k) == v)
     if skipping:
         # DATA SKIPPING: drop files whose stat envelope refutes the
-        # predicate — a metadata-only decision per file
-        lf = lf.filter(_skipping_keep(skipping))
+        # predicate — a metadata-only decision per file (stats keys
+        # are physical names under column mapping)
+        lf = lf.filter(
+            _skipping_keep(
+                skipping,
+                _mapping_from(_current_schema_string(table_dir)),
+            )
+        )
     # collect ONLY the path strings (never size/partitionValues rows)
     # so the driver-side census is bounded by path bytes alone
     files = [
@@ -1964,26 +2175,16 @@ def read_snapshot(
         .parquet(*files)
     )
     # partition values are strings in the dir names and Spark's
-    # inference may re-type them; a faithful reader casts them back to
-    # the TABLE schema recorded in metaData.schemaString
+    # inference may re-type them; a faithful reader casts them back
+    # to the TABLE schema in metaData.schemaString (and, with column
+    # mapping, renames physical -> logical) — _align_declared
     meta = (
         actions.filter(F.col("metaData").isNotNull())
         .orderBy(F.col("version").desc())
         .select("metaData.schemaString")
         .first()
     )
-    if meta and meta["schemaString"] and meta["schemaString"] != "{}":
-        import json as _json
-
-        from pyspark.sql.types import StructType
-
-        declared = StructType.fromJson(_json.loads(meta["schemaString"]))
-        for f in declared.fields:
-            if f.name not in out.columns:
-                out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
-            elif out.schema[f.name].dataType != f.dataType:
-                out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
-        out = out.select(*[f.name for f in declared.fields])
+    out = _align_declared(out, meta["schemaString"] if meta else None)
     if skipping:
         # row-level re-application: exactness never rides on stats
         out = _skipping_row_filter(out, skipping)
@@ -2224,13 +2425,16 @@ def read_changes(
             f"no data-changing commits in ({starting_version}, {hi}] "
             f"of {table_dir}"
         )
+    mapping = _mapping_from(_current_schema_string(table_dir))
     legs = []
     for r in cdc_rows:
         # row-level feed: the change-data file already carries
         # _change_type for exactly the mutated rows
         legs.append(
-            spark.read.parquet(os.path.join(table_dir, r.path))
-            .withColumn(
+            _to_logical(
+                spark.read.parquet(os.path.join(table_dir, r.path)),
+                mapping,
+            ).withColumn(
                 "_commit_version", F.lit(int(r.version)).cast("bigint")
             )
         )
@@ -2238,7 +2442,10 @@ def read_changes(
         if int(r.version) in cdc_versions:
             continue  # served row-level above
         legs.append(
-            spark.read.parquet(os.path.join(table_dir, r.path))
+            _to_logical(
+                spark.read.parquet(os.path.join(table_dir, r.path)),
+                mapping,
+            )
             .withColumn("_change_type", F.lit(r._change_type))
             .withColumn(
                 "_commit_version", F.lit(int(r.version)).cast("bigint")

@@ -402,6 +402,14 @@ def _delta_schema_and_names(table_dir: str) -> tuple[str, list[str]]:
             "delta_stream source supports unpartitioned tables (the "
             "Hive-dir partition values are not in the data files)"
         )
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) == "name":
+        raise ValueError(
+            "delta_stream source does not support column-mapped "
+            "tables (physical-name remap); read via "
+            "deltalog.read_snapshot / read_changes"
+        )
     fields = json.loads(meta["schemaString"])["fields"]
     _SPARK_TO_DDL = {
         "long": "bigint", "integer": "int", "short": "smallint",

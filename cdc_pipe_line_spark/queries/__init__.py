@@ -88,6 +88,7 @@ _DRIVER_ROTATION = (
     "stream_delta_cdf",
     "qa_delta_check_constraints",
     "io_delta_generated_partition",
+    "io_delta_column_mapping",
 )
 
 

@@ -3114,3 +3114,158 @@ SELECT
   CAST(1 AS BIGINT) AS n_generated_columns,
   CAST(4 AS BIGINT) AS min_writer_version
 FROM events"""
+
+
+def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAME-BASED COLUMN MAPPING (``delta.columnMapping.mode=name``)
+    — RENAME COLUMN as a METADATA-ONLY commit: enable assigns every
+    field a stable ``columnMapping.id``/``physicalName`` and raises
+    the protocol gate to (2, 5); the rename changes the LOGICAL name
+    in schemaString only, so the table's data files are never
+    rewritten (the operation that renames a column on a 100 TB table
+    without touching a byte).  Readers remap physical -> logical
+    centrally; writers land new files under the PHYSICAL name; stats
+    skipping translates logical predicates to the physical stats
+    keys; DML and the change feed speak logical names throughout.
+
+    Fixture: orders as four key-range files -> enable mapping ->
+    rename ``o_totalprice`` to ``price_usd`` -> append (new logical
+    name) -> targeted UPDATE (+1 on the top key quarter,
+    stats-pruned).  The output row binds: the logical-name census
+    and cents checksum, a logical-name skipping read over the
+    renamed column, the THREE pre-rename files still live untouched
+    (the metadata-only proof), the physical name persisting inside a
+    post-rename data file (footer probe), and the protocol gate.
+
+    Scale shape: the rename is one metaData commit; every read since
+    pays one projection of renames — nothing else changes."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_colmap")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    k = mx // 4 + 1
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        key = F.col("o_orderkey")
+        half = orders.filter(key % 2 == 0)
+        deltalog.create_table(
+            spark, half.filter(key < k), base, n_files=1
+        )                                                           # v0
+        for i in range(1, 4):
+            deltalog.append(                                        # v1-3
+                spark,
+                half.filter((key >= i * k) & (key < (i + 1) * k)),
+                base,
+                n_files=1,
+            )
+        deltalog.enable_column_mapping(spark, base)                 # v4
+        deltalog.rename_column(
+            spark, base, "o_totalprice", "price_usd"
+        )                                                           # v5
+        deltalog.append(                                            # v6
+            spark,
+            orders.filter(key % 2 == 1).select(
+                "o_orderkey",
+                F.col("o_totalprice").alias("price_usd"),
+            ),
+            base,
+        )
+        deltalog.update_where(                                      # v7
+            spark,
+            base,
+            f"o_orderkey >= {3 * k}",
+            {"price_usd": "price_usd + 1.0"},
+            skipping=[("o_orderkey", ">=", 3 * k)],
+        )
+        _mark(base)
+
+    acts = deltalog.read_log_actions(spark, base)
+    lf = deltalog.live_files(acts)
+    first_add = (
+        acts.filter(F.col("add").isNotNull())
+        .groupBy(F.col("add.path").alias("path"))
+        .agg(F.min("version").alias("v0"))
+    )
+    pre_rename_live = (
+        lf.join(first_add, "path")
+        .filter(F.col("v0") <= 3)
+        .count()
+    )
+    # footer probe: the newest live file (the update rewrite) stores
+    # the PHYSICAL name, not the renamed logical one
+    import pyarrow.parquet as _pq
+
+    newest = (
+        lf.join(first_add, "path")
+        .orderBy(F.col("v0").desc())
+        .select("path")
+        .first()["path"]
+    )
+    phys_cols = _pq.ParquetFile(
+        os.path.join(base, newest)
+    ).schema_arrow.names
+    physical_persists = (
+        "o_totalprice" in phys_cols and "price_usd" not in phys_cols
+    )
+    rv, wv = (
+        acts.filter(F.col("protocol").isNotNull())
+        .agg(
+            F.max("protocol.minReaderVersion"),
+            F.max("protocol.minWriterVersion"),
+        )
+        .first()
+    )
+    cents = F.round(F.col("price_usd") * 100).cast("bigint")
+    snap = deltalog.read_snapshot(spark, base)
+    body = snap.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(cents).alias("price_cents"),
+    )
+    skim = deltalog.read_snapshot(
+        spark, base, skipping=[("price_usd", ">", 100000.0)]
+    ).agg(
+        F.count("*").cast("bigint").alias("n_expensive"),
+        F.sum("o_orderkey").cast("bigint").alias("expensive_keysum"),
+    )
+    return body.crossJoin(F.broadcast(skim)).select(
+        "n_rows",
+        "price_cents",
+        "n_expensive",
+        "expensive_keysum",
+        F.lit(pre_rename_live).cast("bigint").alias(
+            "pre_rename_files_untouched"
+        ),
+        F.lit(bool(physical_persists)).alias("physical_name_persists"),
+        F.lit(int(rv)).cast("bigint").alias("min_reader_version"),
+        F.lit(int(wv)).cast("bigint").alias("min_writer_version"),
+    )
+
+
+QUERIES["io_delta_column_mapping"] = q_delta_column_mapping
+
+ORACLE["io_delta_column_mapping"] = """
+WITH prm AS (
+  SELECT CAST(max(o_orderkey) AS BIGINT) // 4 + 1 AS k FROM orders),
+final AS (
+  SELECT o_orderkey AS okey,
+         CASE WHEN o_orderkey >= 3 * (SELECT k FROM prm)
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS p
+  FROM orders)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+  (SELECT CAST(count(*) AS BIGINT) FROM final WHERE p > 100000.0)
+    AS n_expensive,
+  (SELECT CAST(sum(okey) AS BIGINT) FROM final WHERE p > 100000.0)
+    AS expensive_keysum,
+  CAST(3 AS BIGINT) AS pre_rename_files_untouched,
+  TRUE AS physical_name_persists,
+  CAST(2 AS BIGINT) AS min_reader_version,
+  CAST(5 AS BIGINT) AS min_writer_version
+FROM final"""

@@ -363,3 +363,115 @@ def test_generated_column_computed_validated_and_evolved(
         .count()
         == 0
     )
+
+
+# --------------------------------------------------- column mapping
+
+
+def test_column_mapping_rename_is_metadata_only(spark, table_dir):
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    deltalog.create_table(spark, df, table_dir, n_files=2)
+    before = {
+        r.path
+        for r in deltalog.live_files(
+            deltalog.read_log_actions(spark, table_dir)
+        ).collect()
+    }
+    deltalog.enable_column_mapping(spark, table_dir)
+    deltalog.rename_column(spark, table_dir, "v", "amount")
+    after = {
+        r.path
+        for r in deltalog.live_files(
+            deltalog.read_log_actions(spark, table_dir)
+        ).collect()
+    }
+    assert before == after  # not a byte rewritten
+    snap = deltalog.read_snapshot(spark, table_dir)
+    assert snap.columns == ["k", "amount"]
+    assert snap.agg(F.sum("amount")).first()[0] == sum(
+        i * 1.0 for i in range(40)
+    )
+    # writes after the rename use the new logical name, land under
+    # the physical one, and read back logically
+    deltalog.append(
+        spark,
+        spark.createDataFrame([(100, 5.0)], "k bigint, amount double"),
+        table_dir,
+    )
+    assert (
+        deltalog.read_snapshot(spark, table_dir)
+        .filter("k = 100")
+        .first()["amount"]
+        == 5.0
+    )
+    # time travel BEFORE the rename serves the old logical name
+    old = deltalog.read_snapshot(spark, table_dir, version_as_of=0)
+    assert old.columns == ["k", "v"]
+
+
+def test_column_mapping_gates_and_guards(spark, table_dir):
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    deltalog.create_table(spark, df, table_dir)
+    with pytest.raises(ValueError, match="column mapping"):
+        deltalog.rename_column(spark, table_dir, "v", "w")
+    deltalog.add_constraint(spark, table_dir, "v_ok", "v >= 0.0")
+    deltalog.enable_column_mapping(spark, table_dir)
+    with pytest.raises(ValueError, match="constraint"):
+        deltalog.rename_column(spark, table_dir, "v", "w")
+    deltalog.drop_constraint(spark, table_dir, "v_ok")
+    deltalog.rename_column(spark, table_dir, "v", "w")
+    with pytest.raises(ValueError, match="already exists"):
+        deltalog.rename_column(spark, table_dir, "k", "w")
+    with pytest.raises(ValueError, match="no such column"):
+        deltalog.rename_column(spark, table_dir, "v", "z")
+    # double-enable refused; partitioned tables refused
+    with pytest.raises(ValueError, match="already enabled"):
+        deltalog.enable_column_mapping(spark, table_dir)
+
+
+def test_column_mapping_skipping_and_dml_logical(spark, table_dir):
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    deltalog.create_table(
+        spark,
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        table_dir,
+        n_files=4,
+    )
+    deltalog.enable_column_mapping(spark, table_dir)
+    deltalog.rename_column(spark, table_dir, "k", "key_id")
+    # skipping with the NEW logical name still prunes (stats keys
+    # are physical)
+    cand = deltalog.candidate_files(
+        spark, table_dir, [("key_id", "<", 50)]
+    )
+    assert cand.count() == 1
+    out = deltalog.read_snapshot(
+        spark, table_dir, skipping=[("key_id", "<", 50)]
+    )
+    assert out.count() == 50
+    deltalog.delete_where(
+        spark, table_dir, "key_id < 10", skipping=[("key_id", "<", 10)]
+    )
+    assert deltalog.read_snapshot(spark, table_dir).count() == 190
+    deltalog.update_where(spark, table_dir, "key_id = 50", {"v": "0.0"})
+    ch = deltalog.read_changes(spark, table_dir, starting_version=2)
+    assert "key_id" in ch.columns
+    v = deltalog.merge_into(
+        spark,
+        table_dir,
+        spark.createDataFrame([(500, 1.0)], "key_id bigint, nv double"),
+        "t.key_id = s.key_id",
+        when_not_matched_insert={"key_id": "s.key_id", "v": "s.nv"},
+    )
+    assert (
+        deltalog.read_snapshot(spark, table_dir)
+        .filter("key_id = 500")
+        .count()
+        == 1
+    )
