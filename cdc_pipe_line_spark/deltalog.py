@@ -1385,6 +1385,7 @@ def merge_into(
     n_files: int = 1,
     target_alias: str = "t",
     source_alias: str = "s",
+    schema_evolution: bool = False,
 ) -> int:
     """MERGE INTO the native Delta table — the statement the
     reference runs through delta-spark for SCD2
@@ -1415,10 +1416,16 @@ def merge_into(
 
     Clause conditions (``when_matched_update_condition`` etc.) gate
     their clause exactly as the delta-spark builder's ``condition=``
-    arguments do.  A lost version race restarts the whole attempt
-    from fresh state.  Returns the committed version; a merge that
-    touches nothing and inserts nothing is a no-op returning the
-    current version."""
+    arguments do.  ``schema_evolution=True`` (the builder's
+    ``withSchemaEvolution()``) lets the INSERT mapping bind columns
+    the target lacks: the merge commit carries a replacement
+    metaData whose schema appends them (types analyzed from the
+    source expressions) and existing rows null-fill — Delta's
+    documented automatic-evolution semantics; without it an unknown
+    INSERT or UPDATE column raises.  A lost version race restarts
+    the whole attempt from fresh state.  Returns the committed
+    version; a merge that touches nothing and inserts nothing is a
+    no-op returning the current version."""
     if not (
         when_matched_update
         or when_matched_delete_condition
@@ -1506,6 +1513,45 @@ def merge_into(
                         "source rows — the MERGE is ambiguous (the "
                         "Delta protocol's cardinality violation)"
                     )
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        declared = (
+            StructType.fromJson(_json.loads(meta["schemaString"]))
+            if meta and meta["schemaString"]
+            else None
+        )
+        known = set(
+            declared.fieldNames() if declared else tcols
+        ) | set(tcols)
+        unknown_upd = [
+            c for c in (when_matched_update or {}) if c not in known
+        ]
+        if unknown_upd:
+            raise ValueError(
+                f"UPDATE SET on unknown columns: {sorted(unknown_upd)}"
+            )
+        evolved = [
+            c
+            for c in (when_not_matched_insert or {})
+            if c not in known
+        ]
+        if evolved and not schema_evolution:
+            raise ValueError(
+                f"INSERT binds unknown columns {sorted(evolved)}; "
+                "pass schema_evolution=True (withSchemaEvolution) to "
+                "evolve the table"
+            )
+        evolved_types = {}
+        for c in evolved:
+            # type analysis only — no job runs
+            evolved_types[c] = (
+                src.alias(source_alias)
+                .select(F.expr(when_not_matched_insert[c]))
+                .schema[0]
+                .dataType
+            )
         parts: list[DataFrame] = []
         change_parts: list[DataFrame] = []
         if joined is not None:
@@ -1537,6 +1583,10 @@ def merge_into(
                     cols.append(
                         F.col(f"{target_alias}.{c}").alias(c)
                     )
+            for c in evolved:
+                cols.append(
+                    F.lit(None).cast(evolved_types[c]).alias(c)
+                )
             parts.append(joined.filter(keep).select(*cols))
             # row-level change feed (the spec's cdc action): deleted
             # rows, and pre/post images of updated-and-kept rows —
@@ -1581,25 +1631,20 @@ def merge_into(
             anti = anti.filter(
                 _gate(when_not_matched_insert_condition)
             )
-            import json as _json
-
-            from pyspark.sql.types import StructType
-
-            declared = (
-                StructType.fromJson(_json.loads(meta["schemaString"]))
-                if meta and meta["schemaString"]
-                else None
-            )
-            names = tcols or (
-                [f.name for f in declared.fields] if declared else []
-            )
+            names = (
+                tcols
+                or ([f.name for f in declared.fields] if declared else [])
+            ) + evolved
             ins_cols = []
             for c in names:
-                dt = (
-                    declared[c].dataType
-                    if declared and c in declared.fieldNames()
-                    else None
-                )
+                if c in evolved_types:
+                    dt = evolved_types[c]
+                else:
+                    dt = (
+                        declared[c].dataType
+                        if declared and c in declared.fieldNames()
+                        else None
+                    )
                 if c in when_not_matched_insert:
                     e = F.expr(when_not_matched_insert[c])
                     ins_cols.append(
@@ -1618,7 +1663,7 @@ def merge_into(
             return _next_version(table_dir) - 1
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p, allowMissingColumns=True)
         out = _apply_generated(spark, table_dir, out)
         _enforce_constraints(spark, table_dir, out)
         adds = _write_data_files(
@@ -1640,11 +1685,43 @@ def merge_into(
         removes = [
             {"remove": {"path": p, "dataChange": True}} for p in touched
         ]
+        meta_actions = []
+        if evolved and meta:
+            # the merge commit itself evolves the declared schema:
+            # append the new fields (evolved rows null-fill on read).
+            # Under column mapping the new fields keep their display
+            # name as physicalName (the same upgrade rule
+            # enable_column_mapping applies), so the central write
+            # mapping stays consistent.
+            schema_json = _json.loads(meta["schemaString"])
+            cfg = dict(meta["configuration"] or {})
+            mapped = cfg.get("delta.columnMapping.mode") == "name"
+            next_id = int(cfg.get("delta.columnMapping.maxColumnId", 0))
+            for c in evolved:
+                fld = _json.loads(
+                    StructType([]).add(c, evolved_types[c]).json()
+                )["fields"][0]
+                if mapped:
+                    next_id += 1
+                    fld.setdefault("metadata", {})[
+                        "delta.columnMapping.id"
+                    ] = next_id
+                    fld["metadata"][
+                        "delta.columnMapping.physicalName"
+                    ] = c
+                schema_json["fields"].append(fld)
+            if mapped:
+                cfg["delta.columnMapping.maxColumnId"] = str(next_id)
+            act = _meta_action_from(meta, cfg)
+            act["metaData"]["schemaString"] = _json.dumps(schema_json)
+            meta_actions.append(act)
         cdc_actions = []
         if change_parts:
             ch = change_parts[0]
             for p in change_parts[1:]:
-                ch = ch.unionByName(p)
+                # evolution: post-image/insert legs may carry the new
+                # columns the pre-image legs lack — null-fill
+                ch = ch.unionByName(p, allowMissingColumns=True)
             act = _write_change_data(ch, table_dir)
             if act:
                 cdc_actions.append(act)
@@ -1652,6 +1729,7 @@ def merge_into(
             return commit(
                 table_dir,
                 [
+                    *meta_actions,
                     *removes,
                     *adds,
                     *cdc_actions,
@@ -2490,6 +2568,11 @@ class _NativeMergeBuilder:
         self._del_cond = None
         self._ins = None
         self._ins_cond = None
+        self._evolve = False
+
+    def withSchemaEvolution(self):
+        self._evolve = True
+        return self
 
     def whenMatchedUpdate(self, condition: str | None = None, set=None):
         if self._upd is not None:
@@ -2525,6 +2608,7 @@ class _NativeMergeBuilder:
             target_alias=self._t._alias,
             source_alias=self._t._salias,
             n_files=self._t._n_files,
+            schema_evolution=self._evolve,
         )
 
 

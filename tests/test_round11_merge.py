@@ -201,3 +201,54 @@ def test_merge_requires_a_clause(spark, table_dir):
         deltalog.merge_into(
             spark, table_dir, spark.range(1), "t.id = s.id"
         )
+
+
+BATCH2_WIDE = [
+    ("e5", "update", "k1", "2024-01-03 00:00:00", {"v": "1b", "w": "9"}),
+    ("e6", "delete", "k2", "2024-01-03 00:00:00", None),
+    ("e7", "insert", "k4", "2024-01-03 00:00:00", {"w": "4"}),
+]
+
+
+def _rows_all(df):
+    cols = sorted(df.columns)
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def test_native_wide_merge_evolves_schema(spark, table_dir):
+    """build_scd2_merge_wide (withSchemaEvolution) as a REAL native
+    statement: the drifted batch's never-seen wide column is added
+    BY the merge commit, pre-existing rows null-fill, and the result
+    is row-identical to the map-based batch path projected wide —
+    the last recipe that could previously only run against
+    delta-spark or the protocol fake."""
+    from cdc_pipe_line_spark.delta_merge import (
+        build_scd2_merge_wide,
+        payload_columns,
+        scd2_merge_source_wide,
+        widen_scd2,
+    )
+
+    h1 = apply_scd2(None, _events(spark, BATCH1)).localCheckpoint()
+    keys1 = payload_columns(h1)
+    target = widen_scd2(h1, keys1).localCheckpoint()
+    deltalog.create_table(spark, target, table_dir)
+
+    src, cols = scd2_merge_source_wide(h1, _events(spark, BATCH2_WIDE))
+    assert "w" in cols
+    table = deltalog.NativeDeltaTable.forPath(spark, table_dir)
+    build_scd2_merge_wide(table, src, cols)
+
+    merged = deltalog.read_snapshot(spark, table_dir)
+    from cdc_pipe_line_spark.delta_merge import WIDE_BASE_COLUMNS
+
+    assert set(merged.columns) == set(WIDE_BASE_COLUMNS) | {"v", "w"}
+    ref = widen_scd2(
+        apply_scd2(h1, _events(spark, BATCH2_WIDE)),
+        [("v", "v"), ("w", "w")],
+    )
+    assert _rows_all(merged) == _rows_all(ref)
+    e3 = merged.filter("_event_id = 'e3'").collect()[0]
+    assert e3.w is None and e3.v == "3"
+    e7 = merged.filter("_event_id = 'e7'").collect()[0]
+    assert e7.w == "4" and e7.is_current
