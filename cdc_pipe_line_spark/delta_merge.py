@@ -140,30 +140,47 @@ def apply_scd2_delta(
 ) -> None:
     """Apply a CDC batch to a Delta SCD2 table at ``target_path``.
 
-    Requires delta-spark (``session.HAS_DELTA``); this image ships
-    without it, so here the call fails fast with the gate's message —
-    the recipe itself is exercised via the protocol fake in
-    tests/test_delta_merge.py and is a drop-in on a Delta cluster.
+    Backend selection (round 11): delta-spark's ``DeltaTable`` when
+    the package is installed, else
+    :class:`cdc_pipe_line_spark.deltalog.NativeDeltaTable` — the
+    same merge-builder protocol over the native log, so this call
+    runs END-TO-END in this container (previously it failed fast;
+    the recipe was only exercised through the test fake).  The
+    statement executed is byte-identical either way
+    (:func:`build_scd2_merge`).
     """
-    if not HAS_DELTA:  # pragma: no cover - the gate is the point
-        raise RuntimeError(
-            "delta-spark is not installed; use cdc.scd2.apply_scd2 (parquet "
-            "path) or install delta-spark to light up the MERGE path"
+    table_cls, read_hist, init_write = _delta_backend(spark, target_path)
+    if not table_cls.isDeltaTable(spark, target_path):
+        hist = scd2_merge_source(
+            None, events, ts_col=ts_col, payload_col=payload_col
         )
-    from delta.tables import DeltaTable  # type: ignore
-
-    if not DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
-        hist = scd2_merge_source(None, events, ts_col=ts_col, payload_col=payload_col)
-        hist.filter("__action = 'insert'").select(*SCD2_COLUMNS).write.format(
-            "delta"
-        ).save(target_path)
+        init_write(hist.filter("__action = 'insert'").select(*SCD2_COLUMNS))
         return
-    table = DeltaTable.forPath(spark, target_path)  # pragma: no cover
-    history = spark.read.format("delta").load(target_path)  # pragma: no cover
-    source = scd2_merge_source(  # pragma: no cover
-        history, events, ts_col=ts_col, payload_col=payload_col
+    table = table_cls.forPath(spark, target_path)
+    source = scd2_merge_source(
+        read_hist(), events, ts_col=ts_col, payload_col=payload_col
     )
-    build_scd2_merge(table, source)  # pragma: no cover
+    build_scd2_merge(table, source)
+
+
+def _delta_backend(spark: SparkSession, target_path: str):
+    """(table class, history reader, initial writer) — delta-spark
+    when installed, the native-log implementation otherwise."""
+    if HAS_DELTA:  # pragma: no cover - package absent in this image
+        from delta.tables import DeltaTable  # type: ignore
+
+        return (
+            DeltaTable,
+            lambda: spark.read.format("delta").load(target_path),
+            lambda df: df.write.format("delta").save(target_path),
+        )
+    from cdc_pipe_line_spark import deltalog
+
+    return (
+        deltalog.NativeDeltaTable,
+        lambda: deltalog.read_snapshot(spark, target_path),
+        lambda df: deltalog.create_table(spark, df, target_path),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -291,34 +308,31 @@ def apply_scd2_delta_wide(
     """Apply a CDC batch to a WIDE Delta SCD2 table, evolving its
     schema when the batch's payload carries new keys.
 
-    Environment-gated exactly like :func:`apply_scd2_delta`; the
-    recipe is exercised via the protocol fake
-    (tests/test_delta_merge.py) and is a drop-in where delta-spark is
-    installed.
+    Backend-selected exactly like :func:`apply_scd2_delta` — with
+    delta-spark absent the native merge executes the SAME
+    ``withSchemaEvolution`` statement (deltalog.merge_into's
+    evolution path), so drifted wide batches land end-to-end in this
+    container too.
     """
-    if not HAS_DELTA:  # pragma: no cover - the gate is the point
-        raise RuntimeError(
-            "delta-spark is not installed; use cdc.scd2.apply_scd2 (parquet "
-            "path) or install delta-spark to light up the MERGE path"
-        )
-    from delta.tables import DeltaTable  # type: ignore
-
-    if not DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
+    table_cls, read_hist, init_write = _delta_backend(spark, target_path)
+    if not table_cls.isDeltaTable(spark, target_path):
         src, _ = scd2_merge_source_wide(
             None, events, ts_col=ts_col, payload_col=payload_col
         )
-        src.filter("__action = 'insert'").drop(
-            "__mergeKey", "__action", "__first_ts"
-        ).write.format("delta").save(target_path)
+        init_write(
+            src.filter("__action = 'insert'").drop(
+                "__mergeKey", "__action", "__first_ts"
+            )
+        )
         return
-    table = DeltaTable.forPath(spark, target_path)  # pragma: no cover
-    history_wide = spark.read.format("delta").load(target_path)  # pragma: no cover
+    table = table_cls.forPath(spark, target_path)
+    history_wide = read_hist()
     # rebuild the map view the chaining layer needs from the wide
     # target: every non-base column IS a payload key
-    wide_cols = [  # pragma: no cover
+    wide_cols = [
         c for c in history_wide.columns if c not in WIDE_BASE_COLUMNS
     ]
-    history = history_wide.select(  # pragma: no cover
+    history = history_wide.select(
         *WIDE_BASE_COLUMNS,
         F.map_filter(
             F.create_map(
@@ -327,7 +341,7 @@ def apply_scd2_delta_wide(
             lambda _, v: v.isNotNull(),
         ).alias("data"),
     )
-    source, cols = scd2_merge_source_wide(  # pragma: no cover
+    source, cols = scd2_merge_source_wide(
         history, events, ts_col=ts_col, payload_col=payload_col
     )
-    build_scd2_merge_wide(table, source, cols)  # pragma: no cover
+    build_scd2_merge_wide(table, source, cols)

@@ -13,8 +13,11 @@ of round 9 this module carries BOTH halves without it: the reader
 (state reconstruction below) and a NATIVE WRITER
 (:func:`create_table` / :func:`append` / :func:`overwrite` /
 :func:`compact` — real parquet data files + protocol-conformant
-commits with put-if-absent version allocation); only the delta-spark
-MERGE statement itself remains env-gated in ``delta_merge.py``.
+commits with put-if-absent version allocation).  As of round 11
+NOTHING remains env-gated on delta-spark: MERGE (incl. schema
+evolution) executes natively through :func:`merge_into` /
+:class:`NativeDeltaTable`, and ``delta_merge.py``'s apply functions
+select that backend automatically when the package is absent.
 
 Semantics implemented (the core of the spec's state reconstruction):
 actions replay in version order, the LAST action per file path wins

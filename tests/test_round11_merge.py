@@ -252,3 +252,28 @@ def test_native_wide_merge_evolves_schema(spark, table_dir):
     assert e3.w is None and e3.v == "3"
     e7 = merged.filter("_event_id = 'e7'").collect()[0]
     assert e7.w == "4" and e7.is_current
+
+
+def test_apply_scd2_delta_runs_natively_end_to_end(spark, tmp_path):
+    """apply_scd2_delta / apply_scd2_delta_wide no longer fail fast
+    without delta-spark: the backend selector drops to
+    NativeDeltaTable and the whole reference flow (create from batch
+    1, MERGE batch 2) lands on a real native Delta table."""
+    from cdc_pipe_line_spark.delta_merge import (
+        apply_scd2_delta,
+        apply_scd2_delta_wide,
+    )
+
+    p1 = str(tmp_path / "narrow")
+    apply_scd2_delta(spark, p1, _events(spark, BATCH1))
+    apply_scd2_delta(spark, p1, _events(spark, BATCH2))
+    ref = apply_scd2(None, _events(spark, BATCH1 + BATCH2))
+    assert _rows(deltalog.read_snapshot(spark, p1)) == _rows(ref)
+
+    p2 = str(tmp_path / "wide")
+    apply_scd2_delta_wide(spark, p2, _events(spark, BATCH1))
+    apply_scd2_delta_wide(spark, p2, _events(spark, BATCH2_WIDE))
+    wide = deltalog.read_snapshot(spark, p2)
+    assert "v" in wide.columns and "w" in wide.columns
+    e7 = wide.filter("_event_id = 'e7'").collect()[0]
+    assert e7.w == "4" and e7.is_current
