@@ -2555,6 +2555,61 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL: one row — format, live-file census (count +
+    logged byte total), partition columns, the feature registries
+    (constraints, generated columns, column-mapping mode), protocol
+    gate, and commit count — the operator's one-stop table summary,
+    computed ENTIRELY from log metadata (no data file is opened)."""
+    import json as _json
+
+    acts = read_log_actions(spark, table_dir).localCheckpoint(
+        eager=True
+    )
+    lf = live_files(acts)
+    census = lf.agg(
+        F.count("*").cast("bigint").alias("num_files"),
+        F.coalesce(F.sum("size"), F.lit(0)).cast("bigint").alias(
+            "size_in_bytes"
+        ),
+    )
+    meta = _latest_meta(spark, table_dir)
+    cfg = (meta["configuration"] or {}) if meta else {}
+    n_cons = sum(1 for k in cfg if k.startswith(_CONSTRAINT_PREFIX))
+    n_gen = 0
+    if meta and meta["schemaString"]:
+        n_gen = sum(
+            1
+            for f in _json.loads(meta["schemaString"]).get("fields", [])
+            if (f.get("metadata") or {}).get("delta.generationExpression")
+        )
+    proto = (
+        acts.filter(F.col("protocol").isNotNull())
+        .agg(
+            F.max("protocol.minReaderVersion").alias("r"),
+            F.max("protocol.minWriterVersion").alias("w"),
+        )
+        .first()
+    )
+    n_commits = acts.agg(F.count_distinct("version")).first()[0]
+    return census.select(
+        F.lit("parquet").alias("format"),
+        "num_files",
+        "size_in_bytes",
+        F.lit(
+            ",".join(meta["partitionColumns"] or []) if meta else ""
+        ).alias("partition_columns"),
+        F.lit(n_cons).cast("bigint").alias("num_constraints"),
+        F.lit(n_gen).cast("bigint").alias("num_generated_columns"),
+        F.lit(
+            cfg.get("delta.columnMapping.mode", "none")
+        ).alias("column_mapping_mode"),
+        F.lit(int(proto["r"])).cast("bigint").alias("min_reader_version"),
+        F.lit(int(proto["w"])).cast("bigint").alias("min_writer_version"),
+        F.lit(int(n_commits)).cast("bigint").alias("num_commits"),
+    )
+
+
 class _NativeMergeBuilder:
     """Accumulates WHEN clauses delta-spark-builder style, executes
     through :func:`merge_into`.  One clause of each kind (the SCD2 /

@@ -89,6 +89,7 @@ _DRIVER_ROTATION = (
     "qa_delta_check_constraints",
     "io_delta_generated_partition",
     "io_delta_column_mapping",
+    "qa_delta_describe_detail",
 )
 
 

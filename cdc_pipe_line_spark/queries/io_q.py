@@ -3269,3 +3269,84 @@ SELECT
   CAST(2 AS BIGINT) AS min_reader_version,
   CAST(5 AS BIGINT) AS min_writer_version
 FROM final"""
+
+
+def q_delta_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL over the native log (`deltalog.table_detail`):
+    the operator's one-stop summary — live-file census (count + the
+    LOG's byte total, cross-checked against disk in one boolean so a
+    size drift fails the hash), partition columns, the feature
+    registries (constraints / generated columns / column-mapping
+    mode), protocol gate, commit count — computed entirely from
+    metadata; no data file is opened.  Runs over the four-commit
+    writer fixture (create → append → OPTIMIZE → append), whose
+    detail is closed-form."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_writer")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders")
+        m = F.col("o_orderkey") % 4
+        deltalog.create_table(spark, orders.filter(m == 0), base)
+        deltalog.append(spark, orders.filter(m == 1), base)
+        deltalog.compact(spark, base)
+        deltalog.append(spark, orders.filter(m == 2), base)
+        _mark(base)
+
+    detail = deltalog.table_detail(spark, base).first()
+    disk = sum(
+        os.path.getsize(os.path.join(base, f))
+        for f in os.listdir(base)
+        if f.endswith(".parquet")
+        and os.path.join(base, f)
+        in {
+            os.path.join(base, r.path)
+            for r in deltalog.live_files(
+                deltalog.read_log_actions(spark, base)
+            ).collect()
+        }
+    )
+    rows = deltalog.read_snapshot(spark, base).count()
+    return spark.createDataFrame(
+        [
+            (
+                detail["format"],
+                int(detail["num_files"]),
+                detail["partition_columns"],
+                int(detail["num_constraints"]),
+                int(detail["num_generated_columns"]),
+                detail["column_mapping_mode"],
+                int(detail["min_reader_version"]),
+                int(detail["min_writer_version"]),
+                int(detail["num_commits"]),
+                bool(int(detail["size_in_bytes"]) == disk),
+                int(rows),
+            )
+        ],
+        "format string, num_files bigint, partition_columns string, "
+        "num_constraints bigint, num_generated_columns bigint, "
+        "column_mapping_mode string, min_reader_version bigint, "
+        "min_writer_version bigint, num_commits bigint, "
+        "log_size_matches_disk boolean, n_rows bigint",
+    )
+
+
+QUERIES["qa_delta_describe_detail"] = q_delta_describe_detail
+
+ORACLE["qa_delta_describe_detail"] = """
+SELECT 'parquet' AS format,
+  CAST(2 AS BIGINT) AS num_files,
+  '' AS partition_columns,
+  CAST(0 AS BIGINT) AS num_constraints,
+  CAST(0 AS BIGINT) AS num_generated_columns,
+  'none' AS column_mapping_mode,
+  CAST(1 AS BIGINT) AS min_reader_version,
+  CAST(2 AS BIGINT) AS min_writer_version,
+  CAST(4 AS BIGINT) AS num_commits,
+  TRUE AS log_size_matches_disk,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+   WHERE o_orderkey % 4 <= 2) AS n_rows"""

@@ -475,3 +475,22 @@ def test_column_mapping_skipping_and_dml_logical(spark, table_dir):
         .count()
         == 1
     )
+
+
+def test_table_detail_reflects_feature_registries(spark, table_dir):
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    deltalog.create_table(
+        spark, df, table_dir, generated={"twice": "k * 2"}
+    )
+    deltalog.add_constraint(spark, table_dir, "k_ok", "k >= 0")
+    deltalog.enable_column_mapping(spark, table_dir)
+    d = deltalog.table_detail(spark, table_dir).first()
+    assert d["num_files"] == 1
+    assert d["num_constraints"] == 1
+    assert d["num_generated_columns"] == 1
+    assert d["column_mapping_mode"] == "name"
+    assert (d["min_reader_version"], d["min_writer_version"]) == (2, 5)
+    assert d["num_commits"] == 3
+    assert d["partition_columns"] == ""
