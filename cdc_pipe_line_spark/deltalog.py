@@ -579,6 +579,8 @@ def _enforce_constraints(
     violates only when the expression IS FALSE (NULL passes).  One
     bounded aggregate over the batch per commit, all constraints in
     a single pass."""
+    if not os.path.isdir(os.path.join(table_dir, "_delta_log")):
+        return  # bootstrap write: no table state to enforce yet
     cons = table_constraints(spark, table_dir)
     if not cons:
         return
@@ -806,6 +808,8 @@ def _apply_generated(
     generated partition column that disagreed with its source would
     silently corrupt partition pruning).  One bounded aggregate
     validates all supplied generated columns in a single pass."""
+    if not os.path.isdir(os.path.join(table_dir, "_delta_log")):
+        return df  # bootstrap write: no declared schema yet
     gens = generation_expressions(spark, table_dir)
     if not gens:
         return df
