@@ -1074,8 +1074,15 @@ def overwrite(
     raise AssertionError("unreachable")
 
 
-def compact(spark: SparkSession, table_dir: str) -> int:
-    """OPTIMIZE: rewrite all live files into as few as possible,
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    partition_filter: dict[str, str] | None = None,
+    target_file_bytes: int | None = None,
+    min_file_bytes: int | None = None,
+) -> int:
+    """OPTIMIZE: rewrite live files into as few as possible,
     dataChange=false on the tombstones (readers know content is
     unchanged).  A partitioned table stays partitioned — one compacted
     file per partition directory, each add carrying its
@@ -1084,7 +1091,22 @@ def compact(spark: SparkSession, table_dir: str) -> int:
     A lost version race restarts the WHOLE compaction (unstage, re-read
     snapshot, rewrite): a concurrent append's rows must land in the
     re-compacted files, so neither the stale tombstones nor the stale
-    data files may be re-committed (ADVICE r10 high)."""
+    data files may be re-committed (ADVICE r10 high).
+
+    The 100 TB shapes (round 11):
+
+    - ``partition_filter`` — ``OPTIMIZE ... WHERE partition = v``:
+      only the matching partition's files rewrite; compacting a
+      whole 100 TB table in one statement is not a thing, compacting
+      yesterday's partition is.
+    - ``min_file_bytes`` — only files SMALLER than this take part
+      (the small-file problem is the reason OPTIMIZE exists; already
+      right-sized files are not rewritten).
+    - ``target_file_bytes`` — bin-packing: the rewrite emits
+      ``ceil(selected_bytes / target)`` files instead of one.
+    """
+    import math as _math
+
     for attempt in range(5):
         meta = _latest_meta(spark, table_dir)
         partition_by = (
@@ -1092,13 +1114,42 @@ def compact(spark: SparkSession, table_dir: str) -> int:
             if meta and meta["partitionColumns"]
             else None
         )
-        snap = read_snapshot(spark, table_dir)
+        lf = live_files(read_log_actions(spark, table_dir))
+        if partition_filter:
+            for k, v in partition_filter.items():
+                lf = lf.filter(
+                    F.col("partitionValues").getItem(k) == v
+                )
+        if min_file_bytes is not None:
+            lf = lf.filter(F.col("size") < min_file_bytes)
+        selected = lf.select("path", "size").collect()
+        if len(selected) < 2:
+            # nothing to bin-pack: zero or one qualifying file is
+            # already optimal — no commit
+            return _next_version(table_dir) - 1
+        sel_paths = [r.path for r in selected]
+        n_files = 1
+        if target_file_bytes:
+            n_files = max(
+                1,
+                _math.ceil(
+                    sum(r.size for r in selected) / target_file_bytes
+                ),
+            )
+        snap = (
+            spark.read.option("basePath", table_dir)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(table_dir, p) for p in sel_paths])
+        )
+        snap = _align_declared(
+            snap, meta["schemaString"] if meta else None
+        )
         removes = [
             {"remove": {"path": p, "dataChange": False}}
-            for p in _live_file_names(spark, table_dir)
+            for p in sel_paths
         ]
         adds = _write_data_files(
-            snap, table_dir, n_files=1, partition_by=partition_by
+            snap, table_dir, n_files=n_files, partition_by=partition_by
         )
         for a in adds:
             # OPTIMIZE is a pure rewrite: its adds are dataChange=false

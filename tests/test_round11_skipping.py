@@ -324,3 +324,93 @@ def test_zorder_rejects_partitioned_table(spark, table_dir):
     deltalog.create_table(spark, df, table_dir, partition_by=["g"])
     with pytest.raises(ValueError, match="partitioned"):
         deltalog.optimize_zorder(spark, table_dir, ["id"])
+
+
+# ------------------------------------------------ targeted OPTIMIZE
+
+
+def test_compact_partition_scoped_and_binpacked(spark, table_dir):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    deltalog.create_table(spark, df, table_dir, partition_by=["g"])
+    for i in range(3):
+        deltalog.append(
+            spark,
+            spark.range(100 + i * 10, 110 + i * 10).select(
+                F.col("id"), (F.col("id") % 2).cast("string").alias("g")
+            ),
+            table_dir,
+        )
+    lf = deltalog.live_files(deltalog.read_log_actions(spark, table_dir))
+    per_g = {
+        r["g"]: r["n"]
+        for r in lf.groupBy(
+            F.col("partitionValues").getItem("g").alias("g")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_g == {"0": 4, "1": 4}
+    # OPTIMIZE WHERE g=0: partition 1's files must not be touched
+    deltalog.compact(spark, table_dir, partition_filter={"g": "0"})
+    lf2 = deltalog.live_files(
+        deltalog.read_log_actions(spark, table_dir)
+    )
+    per_g2 = {
+        r["g"]: r["n"]
+        for r in lf2.groupBy(
+            F.col("partitionValues").getItem("g").alias("g")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_g2 == {"0": 1, "1": 4}
+    assert deltalog.read_snapshot(spark, table_dir).count() == 130
+
+
+def test_compact_min_size_and_target_binpack(spark, table_dir):
+    deltalog.create_table(
+        spark, spark.range(10_000), table_dir, n_files=1
+    )
+    for i in range(4):
+        deltalog.append(
+            spark, spark.range(10_000 + i, 10_001 + i), table_dir
+        )
+    lf = deltalog.live_files(
+        deltalog.read_log_actions(spark, table_dir)
+    ).collect()
+    big = max(r.size for r in lf)
+    # only the four tiny files qualify; the big one is untouched
+    deltalog.compact(spark, table_dir, min_file_bytes=big)
+    lf2 = deltalog.live_files(
+        deltalog.read_log_actions(spark, table_dir)
+    ).collect()
+    assert len(lf2) == 2  # big + one packed file
+    assert {r.size for r in lf2} & {big}
+    assert deltalog.read_snapshot(spark, table_dir).count() == 10_004
+    # target_file_bytes splits the rewrite into several bins
+    deltalog.append(
+        spark, spark.range(20_000, 30_000), table_dir, n_files=1
+    )
+    sizes = {
+        r.path: r.size
+        for r in deltalog.live_files(
+            deltalog.read_log_actions(spark, table_dir)
+        ).collect()
+    }
+    total = sum(sizes.values())
+    deltalog.compact(
+        spark, table_dir, target_file_bytes=total // 3 + 1
+    )
+    n_after = deltalog.live_files(
+        deltalog.read_log_actions(spark, table_dir)
+    ).count()
+    assert 2 <= n_after <= 4
+    assert deltalog.read_snapshot(spark, table_dir).count() == 20_004
+
+
+def test_compact_single_file_is_noop(spark, table_dir):
+    v0 = deltalog.create_table(spark, spark.range(10), table_dir)
+    v = deltalog.compact(spark, table_dir)
+    assert v == v0
