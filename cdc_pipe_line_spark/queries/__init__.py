@@ -59,7 +59,12 @@ _MODULES = [
 #: primary/diagnostic swap (r10 verdict item 2), the functional-SCC
 #: rounds guard (item 4), everything on the reworked native-Delta
 #: writer/reader path (items 1/3/5/6 + ADVICE r10), and the round-11
-#: additions.  Regenerate with ``python tools/gen_rotation.py``.
+#: additions — session 2 appended the protocol-completion wave
+#: (stats/skipping, row-level DML, MERGE incl. schema evolution,
+#: cdc change feed batch+streaming, CHECK constraints, generated
+#: columns, column mapping, DESCRIBE DETAIL), whose queries extend
+#: the rotation and stay well inside the driver's ~50-query budget.
+#: Regenerate with ``python tools/gen_rotation.py``.
 _DRIVER_ROTATION = (
     "graph_clustering_coeff",
     "graph_clustering_coeff_exact_diagnostic",
