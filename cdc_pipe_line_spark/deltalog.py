@@ -57,7 +57,7 @@ LOG_SCHEMA = (
     "cdc struct<path: string, partitionValues: map<string, string>, "
     "size: bigint, dataChange: boolean>, "
     "txn struct<appId: string, version: bigint>, "
-    "commitInfo struct<operation: string>"
+    "commitInfo struct<operation: string, operationParameters: map<string, string>>"
 )
 
 
@@ -1322,7 +1322,14 @@ def _rewrite_where(
                     *removes,
                     *adds,
                     *cdc_actions,
-                    {"commitInfo": {"operation": operation}},
+                    {
+                        "commitInfo": {
+                            "operation": operation,
+                            "operationParameters": {
+                                "predicate": condition
+                            },
+                        }
+                    },
                 ],
             )
         except FileExistsError:
@@ -1791,7 +1798,24 @@ def merge_into(
                     *removes,
                     *adds,
                     *cdc_actions,
-                    {"commitInfo": {"operation": "MERGE"}},
+                    {
+                        "commitInfo": {
+                            "operation": "MERGE",
+                            "operationParameters": {
+                                "condition": on,
+                                "matchedUpdate": str(
+                                    bool(when_matched_update)
+                                ).lower(),
+                                "matchedDelete": str(
+                                    when_matched_delete_condition
+                                    is not None
+                                ).lower(),
+                                "notMatchedInsert": str(
+                                    when_not_matched_insert is not None
+                                ).lower(),
+                            },
+                        }
+                    },
                 ],
             )
         except FileExistsError:

@@ -494,3 +494,29 @@ def test_table_detail_reflects_feature_registries(spark, table_dir):
     assert (d["min_reader_version"], d["min_writer_version"]) == (2, 5)
     assert d["num_commits"] == 3
     assert d["partition_columns"] == ""
+
+
+def test_history_carries_operation_parameters(spark, table_dir):
+    deltalog.create_table(spark, spark.range(20), table_dir)
+    deltalog.delete_where(spark, table_dir, "id < 3")
+    deltalog.merge_into(
+        spark,
+        table_dir,
+        spark.createDataFrame([(100,)], "id bigint"),
+        "t.id = s.id",
+        when_not_matched_insert={"id": "s.id"},
+    )
+    acts = deltalog.read_log_actions(spark, table_dir)
+    params = {
+        r["operation"]: r["p"]
+        for r in acts.filter(F.col("commitInfo").isNotNull())
+        .select(
+            "commitInfo.operation",
+            F.col("commitInfo.operationParameters").alias("p"),
+        )
+        .collect()
+    }
+    assert params["DELETE"]["predicate"] == "id < 3"
+    assert params["MERGE"]["condition"] == "t.id = s.id"
+    assert params["MERGE"]["notMatchedInsert"] == "true"
+    assert params["MERGE"]["matchedDelete"] == "false"
