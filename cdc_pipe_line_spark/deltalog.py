@@ -57,7 +57,7 @@ LOG_SCHEMA = (
     "cdc struct<path: string, partitionValues: map<string, string>, "
     "size: bigint, dataChange: boolean>, "
     "txn struct<appId: string, version: bigint>, "
-    "commitInfo struct<operation: string, operationParameters: map<string, string>>"
+    "commitInfo struct<operation: string, operationParameters: map<string, string>, timestamp: bigint>"
 )
 
 
@@ -252,7 +252,21 @@ def commit(
     its LogStore equivalent (S3 conditional put); local/HDFS
     semantics hold here."""
     import json as _json
+    import time as _time
 
+    # IN-COMMIT TIMESTAMP: every commitInfo carries the commit wall
+    # clock (epoch ms) — what TIMESTAMP AS OF resolves against, and
+    # sturdier than file mtimes (which copies/restores rewrite)
+    now_ms = int(_time.time() * 1000)
+    stamped = [
+        (
+            {"commitInfo": {**a["commitInfo"], "timestamp": now_ms}}
+            if "commitInfo" in a
+            and "timestamp" not in a["commitInfo"]
+            else a
+        )
+        for a in actions
+    ]
     os.makedirs(os.path.join(table_dir, "_delta_log"), exist_ok=True)
     attempts = 1 if version is not None else retries + 1
     for attempt in range(attempts):
@@ -260,7 +274,7 @@ def commit(
         name = os.path.join(table_dir, "_delta_log", f"{v:020d}.json")
         try:
             with open(name, "x") as fh:  # put-if-absent
-                for a in actions:
+                for a in stamped:
                     fh.write(_json.dumps(a) + "\n")
             return v
         except FileExistsError:
@@ -2240,11 +2254,45 @@ def candidate_files(
     return lf.filter(_skipping_keep(skipping, mapping))
 
 
+def resolve_timestamp(
+    spark: SparkSession, table_dir: str, ts
+) -> int:
+    """TIMESTAMP AS OF resolution: the latest version whose
+    IN-COMMIT timestamp is at or before ``ts`` (epoch millis int or
+    a datetime).  Raises when ``ts`` precedes the earliest stamped
+    commit — the protocol's own out-of-range error — and when the
+    surviving log carries no timestamps at all (pre-round-11 logs)."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime):
+        ts = int(ts.timestamp() * 1000)
+    acts = read_log_actions(spark, table_dir, json_only=True)
+    stamped = acts.filter(F.col("commitInfo.timestamp").isNotNull())
+    row = stamped.agg(
+        F.max(
+            F.when(F.col("commitInfo.timestamp") <= ts, F.col("version"))
+        ).alias("v"),
+        F.count("*").alias("n"),
+    ).first()
+    if not row["n"]:
+        raise ValueError(
+            f"{table_dir}: no commit carries an in-commit timestamp "
+            f"(log predates timestamp support)"
+        )
+    if row["v"] is None:
+        raise ValueError(
+            f"timestamp {ts} precedes the earliest commit of "
+            f"{table_dir}"
+        )
+    return int(row["v"])
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
     *,
     version_as_of: int | None = None,
+    timestamp_as_of=None,
     partition_filter: dict[str, str] | None = None,
     skipping: list[tuple] | None = None,
 ) -> DataFrame:
@@ -2280,6 +2328,14 @@ def read_snapshot(
     planner has — and handed to ONE parquet scan so Spark plans
     splits/pushdown across all live files together.
     """
+    if timestamp_as_of is not None:
+        if version_as_of is not None:
+            raise ValueError(
+                "pass version_as_of OR timestamp_as_of, not both"
+            )
+        version_as_of = resolve_timestamp(
+            spark, table_dir, timestamp_as_of
+        )
     if version_as_of is not None:
         actions = read_snapshot_actions(
             spark, table_dir, version_as_of=version_as_of
@@ -2626,6 +2682,7 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
         .groupBy("version")
         .agg(
             F.max("commitInfo.operation").alias("operation"),
+            F.max("commitInfo.timestamp").alias("timestamp"),
             F.sum(F.col("add").isNotNull().cast("bigint")).alias("n_adds"),
             F.sum(F.col("remove").isNotNull().cast("bigint")).alias(
                 "n_removes"

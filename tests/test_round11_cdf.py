@@ -520,3 +520,48 @@ def test_history_carries_operation_parameters(spark, table_dir):
     assert params["MERGE"]["condition"] == "t.id = s.id"
     assert params["MERGE"]["notMatchedInsert"] == "true"
     assert params["MERGE"]["matchedDelete"] == "false"
+
+
+# --------------------------------------------- TIMESTAMP AS OF
+
+
+def test_timestamp_as_of_resolves_between_commits(spark, table_dir):
+    import json as _json
+    import os as _os
+
+    deltalog.create_table(spark, spark.range(5), table_dir)      # v0
+    deltalog.append(spark, spark.range(5, 8), table_dir)         # v1
+    deltalog.append(spark, spark.range(8, 9), table_dir)         # v2
+    # pin distinct, known in-commit timestamps (the commit stamps
+    # wall clock; rewrite them so the probe is deterministic)
+    log = _os.path.join(table_dir, "_delta_log")
+    for i, t in enumerate([1000, 2000, 3000]):
+        p = _os.path.join(log, f"{i:020d}.json")
+        lines = [
+            _json.loads(line) for line in open(p).read().splitlines()
+        ]
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = t
+        with open(p, "w") as fh:
+            for a in lines:
+                fh.write(_json.dumps(a) + "\n")
+    assert deltalog.resolve_timestamp(spark, table_dir, 1000) == 0
+    assert deltalog.resolve_timestamp(spark, table_dir, 2500) == 1
+    assert deltalog.resolve_timestamp(spark, table_dir, 9999) == 2
+    snap = deltalog.read_snapshot(
+        spark, table_dir, timestamp_as_of=2500
+    )
+    assert snap.count() == 8  # v1's state
+    with pytest.raises(ValueError, match="precedes"):
+        deltalog.resolve_timestamp(spark, table_dir, 500)
+    with pytest.raises(ValueError, match="not both"):
+        deltalog.read_snapshot(
+            spark, table_dir, version_as_of=1, timestamp_as_of=2500
+        )
+    # history surfaces the stamps
+    hist = {
+        r["version"]: r["timestamp"]
+        for r in deltalog.table_history(spark, table_dir).collect()
+    }
+    assert hist == {0: 1000, 1: 2000, 2: 3000}
