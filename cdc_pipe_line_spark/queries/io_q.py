@@ -3350,3 +3350,125 @@ SELECT 'parquet' AS format,
   TRUE AS log_size_matches_disk,
   (SELECT CAST(count(*) AS BIGINT) FROM orders
    WHERE o_orderkey % 4 <= 2) AS n_rows"""
+
+
+def q_delta_history_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY ``operationMetrics`` — the per-commit
+    telemetry the reference's own Delta log exposes (its SCD2 UPDATE
+    commit records numAddedFiles / numUpdatedRows / executionTimeMs,
+    ``data/delta/123/balance/delta_table/_delta_log/
+    00000000000000000005.json:1``), now recorded by every native
+    writer from metadata already in hand: file counts and byte sizes
+    from the commit's own actions, row counts from the add-actions'
+    footer stats, DML/MERGE row splits from the change-data file's
+    ``_change_type`` census — never an extra data scan.
+
+    Fixture: customer split ``c_custkey % 4`` — v0 CREATE (bucket 0),
+    v1 WRITE (bucket 1), v2 DELETE (keys divisible by 12), v3 UPDATE
+    (bucket-1 keys divisible by 5), v4 MERGE (update bucket-0
+    survivors, insert bucket 2).  One row per commit with the
+    deterministic metric fields (executionTimeMs and byte sizes are
+    real but non-reproducible, so excluded); the oracle recomputes
+    every count from the customer table plus the file-layout
+    constants the fixture pins."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_history_metrics")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    m = F.col("c_custkey") % 4
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        deltalog.create_table(spark, cust.filter(m == 0), base)   # v0
+        deltalog.append(spark, cust.filter(m == 1), base)         # v1
+        deltalog.delete_where(spark, base, "c_custkey % 12 = 0")  # v2
+        deltalog.update_where(                                    # v3
+            spark,
+            base,
+            "c_custkey % 4 = 1 AND c_custkey % 5 = 0",
+            {"c_acctbal": "c_acctbal + 10.0"},
+        )
+        deltalog.merge_into(                                      # v4
+            spark,
+            base,
+            cust.filter((m == 0) | (m == 2)),
+            "t.c_custkey = s.c_custkey",
+            when_matched_update={"c_acctbal": "s.c_acctbal + 1.0"},
+            when_not_matched_insert={
+                "c_custkey": "s.c_custkey",
+                "c_mktsegment": "s.c_mktsegment",
+                "c_acctbal": "s.c_acctbal",
+            },
+        )
+        _mark(base)
+
+    hist = deltalog.table_history(spark, base)
+
+    def _m(key):
+        return F.element_at(F.col("operationMetrics"), key).cast(
+            "bigint"
+        ).alias(key)
+
+    return (
+        hist.filter(F.col("version") <= 4)
+        .select(
+            F.col("version").cast("bigint").alias("version"),
+            "operation",
+            _m("numAddedFiles"),
+            _m("numRemovedFiles"),
+            _m("numOutputRows"),
+            _m("numDeletedRows"),
+            _m("numUpdatedRows"),
+            _m("numCopiedRows"),
+            _m("numTargetRowsInserted"),
+            _m("numTargetRowsUpdated"),
+            _m("numTargetRowsDeleted"),
+            _m("numTargetRowsCopied"),
+        )
+    )
+
+
+QUERIES["qa_delta_history_metrics"] = q_delta_history_metrics
+
+ORACLE["qa_delta_history_metrics"] = """
+WITH c AS (
+  SELECT CAST(count(*) FILTER (c_custkey % 4 = 0) AS BIGINT) AS b0,
+         CAST(count(*) FILTER (c_custkey % 4 = 1) AS BIGINT) AS b1,
+         CAST(count(*) FILTER (c_custkey % 4 = 2) AS BIGINT) AS b2,
+         CAST(count(*) FILTER (c_custkey % 12 = 0) AS BIGINT) AS del12,
+         CAST(count(*) FILTER (c_custkey % 4 = 1 AND c_custkey % 5 = 0)
+              AS BIGINT) AS upd15
+  FROM customer)
+SELECT CAST(0 AS BIGINT) AS version, 'CREATE TABLE' AS operation,
+  CAST(1 AS BIGINT) AS numAddedFiles, CAST(0 AS BIGINT) AS numRemovedFiles,
+  b0 AS numOutputRows,
+  CAST(NULL AS BIGINT) AS numDeletedRows,
+  CAST(NULL AS BIGINT) AS numUpdatedRows,
+  CAST(NULL AS BIGINT) AS numCopiedRows,
+  CAST(NULL AS BIGINT) AS numTargetRowsInserted,
+  CAST(NULL AS BIGINT) AS numTargetRowsUpdated,
+  CAST(NULL AS BIGINT) AS numTargetRowsDeleted,
+  CAST(NULL AS BIGINT) AS numTargetRowsCopied
+FROM c
+UNION ALL
+SELECT 1, 'WRITE', 1, 0, b1,
+  NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM c
+UNION ALL
+SELECT 2, 'DELETE', 1, 1, b0 - del12,
+  del12, NULL, b0 - del12, NULL, NULL, NULL, NULL
+FROM c
+UNION ALL
+SELECT 3, 'UPDATE', 1, 1, b1,
+  NULL, upd15, b1 - upd15, NULL, NULL, NULL, NULL
+FROM c
+UNION ALL
+-- the v2-deleted keys are in the merge source and NOT MATCHED, so
+-- they re-insert: inserted = bucket2 + the deleted twelves
+SELECT 4, 'MERGE', 1, 1, b0 + b2,
+  NULL, NULL, NULL, b2 + del12, b0 - del12, 0, 0
+FROM c"""
