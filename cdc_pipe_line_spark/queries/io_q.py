@@ -3472,3 +3472,309 @@ UNION ALL
 SELECT 4, 'MERGE', 1, 1, b0 + b2,
   NULL, NULL, NULL, b2 + del12, b0 - del12, 0, 0
 FROM c"""
+
+
+def q_delta_dv_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ row DML via DELETION VECTORS — the modern-Delta
+    feature that removes the copy-on-write amplification the
+    reference's own telemetry shows (19 s single-row SCD2 UPDATEs,
+    its ``_delta_log`` operationMetrics): the same fixture and
+    mutations as ``cdc_delta_row_dml``, but with
+    ``delta.enableDeletionVectors`` set, so the DELETE and UPDATE
+    write row-position sidecars under ``_deletion_vectors/`` and
+    re-commit the touched adds with the spec's ``deletionVector``
+    descriptor — NO data file is rewritten (the DELETE commit's
+    ``numAddedFiles`` metric is published and must be 0), the
+    UPDATE appends only its post-image rows, and every one of the
+    eight original files stays live byte-identical.
+
+    Readers mask the DV'd positions on both scan routes; the value
+    checksums here must equal the copy-on-write query's — the
+    strategies differ only in TOUCHED BYTES (DV-rows + post-images
+    vs whole files), which is the entire 100 TB point."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_dv_dml")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    mx = cust.agg(F.max("c_custkey")).first()[0]
+    k = mx // 8 + 1
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        key = F.col("c_custkey")
+        deltalog.create_table(
+            spark, cust.filter(key < k), base, n_files=1
+        )
+        for i in range(1, 8):
+            deltalog.append(
+                spark,
+                cust.filter((key >= i * k) & (key < (i + 1) * k)),
+                base,
+                n_files=1,
+            )
+        deltalog.enable_deletion_vectors(spark, base)                # v8
+        deltalog.delete_where(                                       # v9
+            spark,
+            base,
+            f"c_custkey % 3 = 0 AND c_custkey < {k}",
+            skipping=[("c_custkey", "<", k)],
+        )
+        deltalog.update_where(                                       # v10
+            spark,
+            base,
+            f"c_custkey >= {6 * k}",
+            {"c_acctbal": "c_acctbal + 100.0"},
+            skipping=[("c_custkey", ">=", 6 * k)],
+        )
+        _mark(base)
+
+    acts = deltalog.read_log_actions(spark, base)
+    lf = deltalog.live_files(acts)
+    first_add = (
+        acts.filter(F.col("add").isNotNull())
+        .groupBy(F.col("add.path").alias("path"))
+        .agg(F.min("version").alias("v0"))
+    )
+    census = lf.join(first_add, "path").agg(
+        F.count("*").cast("bigint").alias("n_live_files"),
+        F.sum((F.col("v0") <= 7).cast("bigint")).alias(
+            "n_live_originals"
+        ),
+        F.sum(
+            F.col("deletionVector").isNotNull().cast("bigint")
+        ).alias("n_files_with_dv"),
+        F.coalesce(
+            F.sum("deletionVector.cardinality"), F.lit(0)
+        ).cast("bigint").alias("dv_cardinality"),
+    )
+    del_files = (
+        deltalog.table_history(spark, base)
+        .filter(F.col("version") == 9)
+        .select(
+            F.element_at(
+                F.col("operationMetrics"), "numAddedFiles"
+            ).cast("bigint").alias("delete_added_files")
+        )
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    snap = deltalog.read_snapshot(spark, base)
+    body = snap.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("c_custkey") < k, cents)).alias(
+            "deleted_range_cents"
+        ),
+        F.sum(
+            F.when(
+                (F.col("c_custkey") >= k) & (F.col("c_custkey") < 6 * k),
+                cents,
+            )
+        ).alias("middle_cents"),
+        F.sum(F.when(F.col("c_custkey") >= 6 * k, cents)).alias(
+            "updated_range_cents"
+        ),
+    )
+    return (
+        body.crossJoin(F.broadcast(census))
+        .crossJoin(F.broadcast(del_files))
+        .select(
+            "n_rows",
+            "deleted_range_cents",
+            "middle_cents",
+            "updated_range_cents",
+            "n_live_originals",
+            "n_live_files",
+            "n_files_with_dv",
+            "dv_cardinality",
+            "delete_added_files",
+        )
+    )
+
+
+QUERIES["cdc_delta_dv_dml"] = q_delta_dv_dml
+
+ORACLE["cdc_delta_dv_dml"] = """
+WITH prm AS (
+  SELECT CAST(max(c_custkey) AS BIGINT) // 8 + 1 AS k FROM customer),
+final AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey >= 6 * (SELECT k FROM prm)
+              THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
+  FROM customer
+  WHERE NOT (c_custkey % 3 = 0 AND c_custkey < (SELECT k FROM prm)))
+SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN c_custkey < (SELECT k FROM prm)
+      THEN CAST(round(bal * 100) AS BIGINT) END) AS BIGINT)
+    AS deleted_range_cents,
+  CAST(sum(CASE WHEN c_custkey >= (SELECT k FROM prm)
+      AND c_custkey < 6 * (SELECT k FROM prm)
+      THEN CAST(round(bal * 100) AS BIGINT) END) AS BIGINT)
+    AS middle_cents,
+  CAST(sum(CASE WHEN c_custkey >= 6 * (SELECT k FROM prm)
+      THEN CAST(round(bal * 100) AS BIGINT) END) AS BIGINT)
+    AS updated_range_cents,
+  -- merge-on-read: every original file is STILL LIVE
+  CAST(8 AS BIGINT) AS n_live_originals,
+  -- 8 originals + the update's one post-image file
+  CAST(9 AS BIGINT) AS n_live_files,
+  -- bucket 0 (delete) + buckets 6 and 7 (update) carry DVs
+  CAST(3 AS BIGINT) AS n_files_with_dv,
+  (SELECT CAST(count(*) AS BIGINT) FROM customer
+    WHERE (c_custkey % 3 = 0 AND c_custkey < (SELECT k FROM prm))
+       OR c_custkey >= 6 * (SELECT k FROM prm)) AS dv_cardinality,
+  -- the DELETE rewrote NOTHING
+  CAST(0 AS BIGINT) AS delete_added_files
+FROM final"""
+
+
+def q_delta_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO under deletion vectors — the reference's SCD2
+    MERGE statement shape (``deltaprocessing.py:96-116``) executed
+    MERGE-ON-READ: matched rows are DV-deleted in place, update
+    post-images and inserts append as new files, and the unchanged
+    rows of touched files are NEVER re-emitted — the commit's
+    ``numTargetRowsCopied`` metric is published and must be 0 (the
+    copy-on-write MERGE's copied-rows cost is exactly what this
+    removes at 100 TB).
+
+    Fixture: customer split ``c_custkey % 4`` into four files, DVs
+    enabled; the source updates every key divisible by 6 (those land
+    in buckets 0 and 2 only — ``6k mod 4`` cycles {2, 0}) and
+    inserts 100 synthetic keys above the max.  Published: per-range
+    integer checksums, the live-file census (all four originals
+    still live), the DV census (2 files masked, cardinality = the
+    updated-key count), and the zero-copy metric."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_dv_merge")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    mx = cust.agg(F.max("c_custkey")).first()[0]
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        m = F.col("c_custkey") % 4
+        deltalog.create_table(spark, cust.filter(m == 0), base)
+        for i in range(1, 4):
+            deltalog.append(spark, cust.filter(m == i), base)
+        deltalog.enable_deletion_vectors(spark, base)               # v4
+        upd = cust.filter(F.col("c_custkey") % 6 == 0).select(
+            "c_custkey",
+            (F.col("c_acctbal") + 50.0).alias("new_bal"),
+        )
+        ins = spark.range(1, 101).select(
+            (F.lit(mx) + F.col("id")).cast("long").alias("c_custkey"),
+            F.lit(0.0).alias("new_bal"),
+        )
+        deltalog.merge_into(                                        # v5
+            spark,
+            base,
+            upd.unionByName(ins),
+            "t.c_custkey = s.c_custkey",
+            when_matched_update={"c_acctbal": "s.new_bal"},
+            when_not_matched_insert={
+                "c_custkey": "s.c_custkey",
+                "c_mktsegment": "'SYNTH'",
+                "c_acctbal": "s.new_bal",
+            },
+        )
+        _mark(base)
+
+    acts = deltalog.read_log_actions(spark, base)
+    lf = deltalog.live_files(acts)
+    first_add = (
+        acts.filter(F.col("add").isNotNull())
+        .groupBy(F.col("add.path").alias("path"))
+        .agg(F.min("version").alias("v0"))
+    )
+    census = lf.join(first_add, "path").agg(
+        F.count("*").cast("bigint").alias("n_live_files"),
+        F.sum((F.col("v0") <= 3).cast("bigint")).alias(
+            "n_live_originals"
+        ),
+        F.sum(
+            F.col("deletionVector").isNotNull().cast("bigint")
+        ).alias("n_files_with_dv"),
+        F.coalesce(
+            F.sum("deletionVector.cardinality"), F.lit(0)
+        ).cast("bigint").alias("dv_cardinality"),
+    )
+    copied = (
+        deltalog.table_history(spark, base)
+        .filter(F.col("version") == 5)
+        .select(
+            F.element_at(
+                F.col("operationMetrics"), "numTargetRowsCopied"
+            ).cast("bigint").alias("merge_copied_rows"),
+            F.element_at(
+                F.col("operationMetrics"), "numTargetRowsInserted"
+            ).cast("bigint").alias("merge_inserted_rows"),
+        )
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    snap = deltalog.read_snapshot(spark, base)
+    body = snap.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("c_custkey") % 6 == 0, cents)
+        ).alias("updated_cents"),
+        F.sum(
+            F.when(
+                (F.col("c_custkey") % 6 != 0)
+                & (F.col("c_custkey") <= mx),
+                cents,
+            )
+        ).alias("untouched_cents"),
+        F.sum(
+            F.when(F.col("c_custkey") > mx, F.lit(1)).cast("bigint")
+        ).alias("n_inserted"),
+    )
+    return body.crossJoin(F.broadcast(census)).crossJoin(
+        F.broadcast(copied)
+    ).select(
+        "n_rows",
+        "updated_cents",
+        "untouched_cents",
+        "n_inserted",
+        "n_live_originals",
+        "n_live_files",
+        "n_files_with_dv",
+        "dv_cardinality",
+        "merge_copied_rows",
+        "merge_inserted_rows",
+    )
+
+
+QUERIES["cdc_delta_dv_merge"] = q_delta_dv_merge
+
+ORACLE["cdc_delta_dv_merge"] = """
+WITH c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(count(*) FILTER (c_custkey % 6 = 0) AS BIGINT) AS n_upd,
+         CAST(sum(CASE WHEN c_custkey % 6 = 0
+             THEN CAST(round((c_acctbal + 50.0) * 100) AS BIGINT) END)
+           AS BIGINT) AS upd_cents,
+         CAST(sum(CASE WHEN c_custkey % 6 <> 0
+             THEN CAST(round(c_acctbal * 100) AS BIGINT) END)
+           AS BIGINT) AS untouched
+  FROM customer)
+SELECT n_all + 100 AS n_rows,
+  upd_cents AS updated_cents,
+  untouched AS untouched_cents,
+  CAST(100 AS BIGINT) AS n_inserted,
+  CAST(4 AS BIGINT) AS n_live_originals,
+  -- 4 originals + 1 merge output file (post-images + inserts)
+  CAST(5 AS BIGINT) AS n_live_files,
+  -- keys divisible by 6 land only in buckets 0 and 2 (6k mod 4)
+  CAST(2 AS BIGINT) AS n_files_with_dv,
+  n_upd AS dv_cardinality,
+  CAST(0 AS BIGINT) AS merge_copied_rows,
+  CAST(100 AS BIGINT) AS merge_inserted_rows
+FROM c"""

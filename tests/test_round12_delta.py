@@ -336,3 +336,85 @@ def test_explicit_parts_override(spark):
     parts = [f for f in os.listdir(log) if ".checkpoint." in f]
     assert len(parts) == 2
     assert deltalog.read_snapshot(spark, path).count() == 3
+
+
+# ---------------------------------------------- manifest-fed scans
+
+
+def test_manifest_scan_matches_native(spark):
+    path = _fresh("manifest_eq")
+    df = spark.createDataFrame(
+        [(i, "s%d" % i, float(i)) for i in range(60)],
+        "k int, s string, v double",
+    )
+    deltalog.create_table(spark, df.filter("k < 10"), path)
+    for lo in range(10, 60, 10):
+        deltalog.append(
+            spark, df.filter(f"k >= {lo} and k < {lo + 10}"), path
+        )
+    native = deltalog.read_snapshot(spark, path).orderBy("k").collect()
+    man = deltalog.read_snapshot(
+        spark, path, manifest_threshold=2
+    ).orderBy("k").collect()
+    assert native == man
+    assert len(man) == 60
+
+
+def test_manifest_scan_partitioned_evolved(spark):
+    path = _fresh("manifest_part")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "k int, part int, v double",
+    )
+    deltalog.create_table(
+        spark, df.filter("k < 15"), path, partition_by=["part"]
+    )
+    deltalog.append(spark, df.filter("k >= 15"), path)
+    deltalog.append_evolve(
+        spark,
+        spark.createDataFrame(
+            [(100, 1, 1.0, "x")], "k int, part int, v double, extra string"
+        ),
+        path,
+    )
+    native = deltalog.read_snapshot(spark, path).orderBy("k").collect()
+    man = deltalog.read_snapshot(
+        spark, path, manifest_threshold=1
+    ).orderBy("k").collect()
+    assert native == man
+    got = deltalog.read_snapshot(spark, path, manifest_threshold=1)
+    # declared types survive the manifest route (partition col re-typed)
+    assert dict(got.dtypes)["part"] == "int"
+
+
+def test_dml_through_manifest_census(spark):
+    """DELETE/UPDATE/MERGE locate their touched files through the
+    manifest route when the candidate census passes the threshold —
+    results identical to the driver-list path."""
+    path = _fresh("manifest_dml")
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(40)], "k int, s string, v double"
+    )
+    deltalog.create_table(spark, df.filter("k < 10"), path)
+    for lo in range(10, 40, 10):
+        deltalog.append(
+            spark, df.filter(f"k >= {lo} and k < {lo + 10}"), path
+        )
+    deltalog.delete_where(
+        spark, path, "k % 10 = 3", manifest_threshold=1
+    )
+    deltalog.update_where(
+        spark, path, "k % 10 = 5", {"v": "v + 1000.0"},
+        manifest_threshold=1,
+    )
+    src = spark.createDataFrame([(7, 7.7), (99, 9.9)], "k int, nv double")
+    deltalog.merge_into(
+        spark, path, src, "t.k = s.k",
+        when_matched_update={"v": "s.nv"},
+        when_not_matched_insert={"k": "s.k", "s": "'new'", "v": "s.nv"},
+        manifest_threshold=1,
+    )
+    got = {r.k: r.v for r in deltalog.read_snapshot(spark, path).collect()}
+    assert set(got) == (set(range(40)) - {3, 13, 23, 33}) | {99}
+    assert got[5] == 1005.0 and got[15] == 1015.0
+    assert got[7] == 7.7 and got[99] == 9.9

@@ -1,0 +1,253 @@
+"""Deletion vectors (merge-on-read DML) — VERDICT r11 missing-item 3
+/ next-item 2: DELETE/UPDATE/MERGE write row-position sidecars
+instead of rewriting files, readers mask on both scan routes, CDF
+stays row-exact, OPTIMIZE absorbs, vacuum respects references, and
+RESTORE carries descriptors."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark import deltalog
+
+BASE = "/tmp/cdc_r12_dv"
+
+
+def _fresh(leaf: str) -> str:
+    import shutil
+
+    path = os.path.join(BASE, leaf)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _stage(spark, path, n=20, files=2):
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(n)], "k int, s string, v double"
+    )
+    per = n // files
+    deltalog.create_table(spark, df.filter(F.col("k") < per), path)
+    for j in range(1, files):
+        deltalog.append(
+            spark,
+            df.filter(
+                (F.col("k") >= j * per) & (F.col("k") < (j + 1) * per)
+            ),
+            path,
+        )
+    deltalog.enable_deletion_vectors(spark, path)
+    return df
+
+
+def test_enable_sets_feature_protocol(spark):
+    path = _fresh("gate")
+    _stage(spark, path)
+    proto = deltalog._current_protocol(path)
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+    with pytest.raises(ValueError, match="already enabled"):
+        deltalog.enable_deletion_vectors(spark, path)
+
+
+def test_dv_delete_touches_no_data_file(spark):
+    path = _fresh("del_bytes")
+    _stage(spark, path)
+    before = {
+        f: os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    v = deltalog.delete_where(spark, path, "k % 5 = 0")
+    after = {
+        f: os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    # every original data file byte-identical in place
+    assert before == {f: after[f] for f in before}
+    assert sorted(
+        r.k for r in deltalog.read_snapshot(spark, path).collect()
+    ) == [k for k in range(20) if k % 5]
+    m = dict(
+        deltalog.table_history(spark, path)
+        .filter(F.col("version") == v)
+        .first()
+        .operationMetrics
+    )
+    assert m["numAddedFiles"] == "0"  # merge-on-read: nothing rewritten
+    assert m["numDeletedRows"] == "4"
+    assert int(m["numDeletionVectorsAdded"]) == 2
+
+
+def test_dv_merge_and_sequential_dvs(spark):
+    path = _fresh("merge")
+    _stage(spark, path)
+    deltalog.delete_where(spark, path, "k = 4")
+    src = spark.createDataFrame(
+        [
+            (3, 33.0, "upd"),
+            (4, 44.0, "ins"),   # was DV-deleted: must re-insert
+            (12, 0.0, "del"),
+            (99, 9.9, "ins"),
+        ],
+        "k int, nv double, what string",
+    )
+    deltalog.merge_into(
+        spark, path, src, "t.k = s.k",
+        when_matched_update={"v": "s.nv"},
+        when_matched_update_condition="s.what = 'upd'",
+        when_matched_delete_condition="s.what = 'del'",
+        when_not_matched_insert={"k": "s.k", "s": "s.what", "v": "s.nv"},
+    )
+    got = {r.k: r.v for r in deltalog.read_snapshot(spark, path).collect()}
+    assert got[3] == 33.0
+    assert got[4] == 44.0
+    assert 12 not in got
+    assert got[99] == 9.9
+    assert len(got) == 20  # 20 - del(4) - del(12) + ins(4) + ins(99)
+
+
+def test_dv_cdf_row_exact(spark):
+    path = _fresh("cdf")
+    _stage(spark, path)
+    v = deltalog.update_where(spark, path, "k = 11", {"v": "v + 100.0"})
+    ch = deltalog.read_changes(spark, path, starting_version=v - 1)
+    rows = sorted((r.k, r._change_type, r.v) for r in ch.collect())
+    assert rows == [
+        (11, "update_postimage", 111.0),
+        (11, "update_preimage", 11.0),
+    ]
+
+
+def test_dv_time_travel_and_checkpoint(spark):
+    path = _fresh("tt_ckpt")
+    _stage(spark, path)                                    # v0,v1,v2
+    deltalog.delete_where(spark, path, "k < 3")            # v3
+    deltalog.delete_where(spark, path, "k >= 17")          # v4
+    assert deltalog.read_snapshot(spark, path, version_as_of=2).count() == 20
+    assert deltalog.read_snapshot(spark, path, version_as_of=3).count() == 17
+    assert deltalog.read_snapshot(spark, path).count() == 14
+    # the checkpoint carries the DV descriptors; masks survive cleanup
+    deltalog.write_checkpoint(spark, path)
+    deltalog.cleanup_log_before_checkpoint(path)
+    assert deltalog.read_snapshot(spark, path).count() == 14
+    lf = deltalog.live_files(
+        deltalog.read_log_actions(spark, path)
+    ).collect()
+    assert sum(
+        r.deletionVector["cardinality"]
+        for r in lf
+        if r.deletionVector is not None
+    ) == 6
+
+
+def test_optimize_absorbs_dvs(spark):
+    path = _fresh("absorb")
+    _stage(spark, path)
+    deltalog.delete_where(spark, path, "k % 4 = 0")
+    deltalog.compact(spark, path)
+    lf = deltalog.live_files(
+        deltalog.read_log_actions(spark, path)
+    ).collect()
+    assert all(r.deletionVector is None for r in lf)
+    assert len(lf) == 1
+    assert sorted(
+        r.k for r in deltalog.read_snapshot(spark, path).collect()
+    ) == [k for k in range(20) if k % 4]
+
+
+def test_lone_dv_file_still_compacts(spark):
+    path = _fresh("absorb_lone")
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(10)], "k int, s string, v double"
+    )
+    deltalog.create_table(spark, df, path)
+    deltalog.enable_deletion_vectors(spark, path)
+    deltalog.delete_where(spark, path, "k = 5")
+    v = deltalog.compact(spark, path)
+    lf = deltalog.live_files(
+        deltalog.read_log_actions(spark, path)
+    ).collect()
+    assert len(lf) == 1 and lf[0].deletionVector is None
+    assert deltalog.read_snapshot(spark, path).count() == 9
+    assert v == 3
+
+
+def test_vacuum_keeps_referenced_sidecars(spark):
+    path = _fresh("vacuum")
+    _stage(spark, path)
+    deltalog.delete_where(spark, path, "k % 5 = 0")        # v3: DVs
+    victims = deltalog.vacuum(spark, path, retain_versions=0)
+    # current snapshot still reads correctly: its DV sidecars survive
+    assert sorted(
+        r.k for r in deltalog.read_snapshot(spark, path).collect()
+    ) == [k for k in range(20) if k % 5]
+    assert all("_deletion_vectors" not in v for v in victims)
+    # absorb, then vacuum: the orphaned sidecars go
+    deltalog.compact(spark, path)
+    victims2 = deltalog.vacuum(spark, path, retain_versions=0)
+    assert any("_deletion_vectors" in v for v in victims2)
+    assert not os.path.isdir(os.path.join(path, "_deletion_vectors")) or not os.listdir(
+        os.path.join(path, "_deletion_vectors")
+    )
+
+
+def test_restore_carries_dv_descriptors(spark):
+    path = _fresh("restore")
+    _stage(spark, path)                                    # v2 = clean
+    v3 = deltalog.delete_where(spark, path, "k % 5 = 0")   # DV state
+    deltalog.compact(spark, path)                          # v4: absorbed
+    deltalog.restore(spark, path, v3)
+    assert sorted(
+        r.k for r in deltalog.read_snapshot(spark, path).collect()
+    ) == [k for k in range(20) if k % 5]
+    lf = deltalog.live_files(
+        deltalog.read_log_actions(spark, path)
+    ).collect()
+    assert any(r.deletionVector is not None for r in lf)
+    # and restoring to the pre-DML version clears the masks
+    deltalog.restore(spark, path, 2)
+    assert deltalog.read_snapshot(spark, path).count() == 20
+
+
+def test_dv_via_manifest_route(spark):
+    path = _fresh("manifest")
+    _stage(spark, path, n=40, files=4)
+    deltalog.delete_where(
+        spark, path, "k % 3 = 0", manifest_threshold=1
+    )
+    native = sorted(
+        r.k for r in deltalog.read_snapshot(spark, path).collect()
+    )
+    man = sorted(
+        r.k
+        for r in deltalog.read_snapshot(
+            spark, path, manifest_threshold=1
+        ).collect()
+    )
+    assert native == man == [k for k in range(40) if k % 3]
+
+
+def test_dv_update_partitioned_keeps_layout(spark):
+    path = _fresh("part_upd")
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(20)],
+        "k int, part int, v double",
+    )
+    deltalog.create_table(spark, df, path, partition_by=["part"])
+    deltalog.enable_deletion_vectors(spark, path)
+    deltalog.update_where(spark, path, "k = 6", {"v": "v * 10.0"})
+    got = {r.k: (r.part, r.v) for r in deltalog.read_snapshot(spark, path).collect()}
+    assert got[6] == (0, 60.0)
+    assert len(got) == 20
+    # post-image landed in the Hive layout
+    lf = deltalog.live_files(deltalog.read_log_actions(spark, path)).collect()
+    for r in lf:
+        assert r.partitionValues and "part" in r.partitionValues
