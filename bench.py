@@ -73,6 +73,12 @@ EXTENDED = [
     # planning, or the copy-on-write rewrite is visible.
     # extended_total_sec steps up vs r10 by construction.
     "cdc_delta_merge_native",
+    # round-12 addition: the merge-on-read path — deletion-vector
+    # DELETE/UPDATE (sidecar writes, masked reads on both scan
+    # routes), tracked so a regression in the DV mask join or the
+    # sidecar write is visible.  extended_total_sec steps up vs r11
+    # by construction.
+    "cdc_delta_dv_dml",
 ]
 
 

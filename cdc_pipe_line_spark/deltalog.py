@@ -2178,13 +2178,16 @@ def _rewrite_where(
         )
         if not touched:
             return _next_version(table_dir) - 1
-        src = (
-            spark.read.option("basePath", table_dir)
-            .option("mergeSchema", "true")
-            .parquet(*[os.path.join(table_dir, p) for p in touched])
-        )
-        src = _align_declared(
-            src, meta["schemaString"] if meta else None
+        # the rewrite re-read is DV-MASKED too (a table can carry
+        # deletion vectors while a statement runs copy-on-write —
+        # use_dv=False): a raw file read would RESURRECT the DV'd
+        # rows into the replacement files.  The rewrite therefore
+        # also absorbs any DV the touched files carried.
+        src, _src_rel = _scan_live(
+            spark,
+            table_dir,
+            lf.filter(F.col("path").isin(touched)),
+            meta,
         )
         out = rewrite(src, cond)
         out = _apply_generated(spark, table_dir, out)
@@ -2555,17 +2558,15 @@ def merge_into(
                     manifest_threshold=manifest_threshold,
                 )
             else:
-                tscan = (
-                    spark.read.option("basePath", table_dir)
-                    .option("mergeSchema", "true")
-                    .parquet(
-                        *[os.path.join(table_dir, p) for p in touched]
-                    )
+                # masked for the same resurrection reason as the
+                # DML rewrite: a COW merge over DV'd files must not
+                # re-emit (or re-match) deleted rows
+                tscan, t_rel = _scan_live(
+                    spark,
+                    table_dir,
+                    lf.filter(F.col("path").isin(touched)),
+                    meta,
                 )
-                tscan = _align_declared(
-                    tscan, meta["schemaString"] if meta else None
-                )
-                t_rel = False
             tscan = tscan.withColumn(
                 "__tid", F.monotonically_increasing_id()
             ).localCheckpoint(eager=True)
@@ -2704,21 +2705,14 @@ def merge_into(
         if when_not_matched_insert is not None:
             if joined is not None:
                 # anti against the PRE-merge touched rows: any source
-                # row matching the table matches here.  DV mode MUST
-                # anti against the MASKED scan — a raw file read would
+                # row matching the table matches here — the MASKED
+                # tscan on both modes (a raw file read would
                 # resurrect DV-deleted rows and suppress their
-                # re-insert
-                pre_rows = (
-                    tscan.drop("__src", "__ridx", "__tid")
-                    if dv
-                    else spark.read.option("basePath", table_dir)
-                    .option("mergeSchema", "true")
-                    .parquet(
-                        *[os.path.join(table_dir, p) for p in touched]
-                    )
-                )
+                # re-insert)
                 anti = src.alias(source_alias).join(
-                    pre_rows.alias(target_alias),
+                    tscan.drop("__src", "__ridx", "__tid").alias(
+                        target_alias
+                    ),
                     on_cond,
                     "left_anti",
                 )

@@ -57,18 +57,19 @@ _MODULES = [
 #: names whose SEMANTICS or IMPLEMENTATION changed in round 11 and
 #: therefore need fresh external evidence: the clustering-coefficient
 #: primary/diagnostic swap (r10 verdict item 2), the functional-SCC
-#: rounds guard (item 4), everything on the reworked native-Delta
-#: writer/reader path (items 1/3/5/6 + ADVICE r10), and the round-11
-#: additions — session 2 appended the protocol-completion wave
-#: (stats/skipping, row-level DML, MERGE incl. schema evolution,
-#: cdc change feed batch+streaming, CHECK constraints, generated
-#: columns, column mapping, DESCRIBE DETAIL), whose queries extend
-#: the rotation and stay well inside the driver's ~50-query budget.
+#: Round-12 rotation: the three NEW queries (operationMetrics
+#: telemetry, deletion-vector DML, merge-on-read MERGE) lead, then
+#: every query whose execution path round 12 rewrote — the whole
+#: native-Delta family rides the reworked read census
+#: (_scan_live/manifest threshold + DV masking), monotonic in-commit
+#: timestamps, protocol-upgrade-never-downgrade, skipping-as-
+#: predicate DML semantics, and per-partition bin-packed OPTIMIZE —
+#: so each gets fresh external evidence against its oracle.
 #: Regenerate with ``python tools/gen_rotation.py``.
 _DRIVER_ROTATION = (
-    "graph_clustering_coeff",
-    "graph_clustering_coeff_exact_diagnostic",
-    "graph_scc_functional",
+    "qa_delta_history_metrics",
+    "cdc_delta_dv_dml",
+    "cdc_delta_dv_merge",
     "io_delta_native_writer",
     "io_delta_log_scan",
     "io_delta_time_travel",
@@ -78,10 +79,6 @@ _DRIVER_ROTATION = (
     "cdc_scd2_delta_native",
     "stream_delta_txn_sink",
     "qa_delta_invariants",
-    "llm_packed_loss_masks",
-    "mm_jpeg_progressive_dc",
-    "mm_jpeg_progressive_decode",
-    "mm_jpeg_scan_triage",
     "io_delta_vacuum_restore",
     "cdc_delta_changes",
     "stream_delta_source",

@@ -251,3 +251,38 @@ def test_dv_update_partitioned_keeps_layout(spark):
     lf = deltalog.live_files(deltalog.read_log_actions(spark, path)).collect()
     for r in lf:
         assert r.partitionValues and "part" in r.partitionValues
+
+
+def test_cow_statement_on_dv_table_does_not_resurrect(spark):
+    """A copy-on-write statement (use_dv=False) over files carrying
+    deletion vectors must NOT re-emit the masked rows into its
+    replacement files — the rewrite absorbs the DV instead."""
+    path = _fresh("cow_no_resurrect")
+    _stage(spark, path)
+    deltalog.delete_where(spark, path, "k = 3")            # DV on file 0
+    # force the COW path for an overlapping mutation of file 0
+    deltalog.delete_where(spark, path, "k = 5", use_dv=False)
+    left = sorted(
+        r.k for r in deltalog.read_snapshot(spark, path).collect()
+    )
+    assert left == [k for k in range(20) if k not in (3, 5)]
+    # the COW rewrite absorbed file 0's DV: no live file keeps one
+    lf = deltalog.live_files(deltalog.read_log_actions(spark, path)).collect()
+    assert sum(1 for r in lf if r.deletionVector is not None) == 0
+
+
+def test_cow_merge_on_dv_table_does_not_resurrect(spark):
+    path = _fresh("cow_merge_no_resurrect")
+    _stage(spark, path)
+    deltalog.delete_where(spark, path, "k = 2")            # DV on file 0
+    src = spark.createDataFrame([(4, 40.0), (2, 20.0)], "k int, nv double")
+    deltalog.merge_into(
+        spark, path, src, "t.k = s.k",
+        when_matched_update={"v": "s.nv"},
+        when_not_matched_insert={"k": "s.k", "s": "'new'", "v": "s.nv"},
+        use_dv=False,
+    )
+    got = {(r.k, r.s): r.v for r in deltalog.read_snapshot(spark, path).collect()}
+    assert got[(4, "x")] == 40.0
+    assert (2, "x") not in got          # stayed deleted
+    assert got[(2, "new")] == 20.0      # re-inserted as NOT MATCHED
