@@ -70,6 +70,7 @@ _DRIVER_ROTATION = (
     "qa_delta_history_metrics",
     "cdc_delta_dv_dml",
     "cdc_delta_dv_merge",
+    "qa_delta_dv_invariants",
     "io_delta_native_writer",
     "io_delta_log_scan",
     "io_delta_time_travel",

@@ -3778,3 +3778,170 @@ SELECT n_all + 100 AS n_rows,
   CAST(0 AS BIGINT) AS merge_copied_rows,
   CAST(100 AS BIGINT) AS merge_inserted_rows
 FROM c"""
+
+
+def q_delta_dv_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR INVARIANT AUDIT (the DV extension of
+    ``qa_delta_invariants`` — VERDICT r11 next-item 2's accounting
+    leg): on a table mutated merge-on-read it verifies that every
+    live add's DV sidecar exists on disk, every on-disk sidecar is
+    referenced by some add action (no orphans), each sidecar's
+    physical row count equals its descriptor's ``cardinality``, and
+    no cardinality exceeds its file's footer ``numRecords`` — next
+    to the masked-read row count and checksum the DuckDB oracle
+    recomputes relationally.
+
+    Fixture: orders buckets ``o_orderkey % 4 in (0,1,2)`` as three
+    files; DELETE every key divisible by 10 (lands in buckets 0 and
+    2 — ``10k mod 4`` cycles {2,0}), UPDATE ``+1.00`` every key
+    ``≡ 1 (mod 10)`` present (only ``≡ 1 (mod 20)``, bucket 1) —
+    so ALL THREE originals stay live carrying DVs plus one
+    post-image file."""
+    import json as _json
+
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_dv_invariants")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        m = F.col("o_orderkey") % 4
+        deltalog.create_table(spark, orders.filter(m == 0), base)
+        deltalog.append(spark, orders.filter(m == 1), base)
+        deltalog.append(spark, orders.filter(m == 2), base)
+        deltalog.enable_deletion_vectors(spark, base)            # v3
+        deltalog.delete_where(spark, base, "o_orderkey % 10 = 0")  # v4
+        deltalog.update_where(                                     # v5
+            spark,
+            base,
+            "o_orderkey % 10 = 1",
+            {"o_totalprice": "o_totalprice + 1.0"},
+        )
+        _mark(base)
+
+    acts = deltalog.read_log_actions(spark, base).localCheckpoint(
+        eager=True
+    )
+    lf = deltalog.live_files(acts)
+    # disk census of sidecars: bounded driver walk + footer counts
+    dv_dir = os.path.join(base, "_deletion_vectors")
+    import pyarrow.parquet as _pq
+
+    disk_rows = []
+    if os.path.isdir(dv_dir):
+        for f in sorted(os.listdir(dv_dir)):
+            if f.endswith(".parquet"):
+                full = os.path.join(dv_dir, f)
+                disk_rows.append(
+                    (
+                        os.path.join("_deletion_vectors", f),
+                        int(_pq.ParquetFile(full).metadata.num_rows),
+                    )
+                )
+    dv_disk = F.broadcast(
+        spark.createDataFrame(
+            disk_rows, "dv_path string, disk_rows bigint"
+        )
+    )
+    live_dv = lf.filter(F.col("deletionVector").isNotNull()).select(
+        F.col("deletionVector.pathOrInlineDv").alias("dv_path"),
+        F.col("deletionVector.cardinality").alias("card"),
+        F.get_json_object(F.col("stats"), "$.numRecords")
+        .cast("bigint")
+        .alias("n_rec"),
+    )
+    dv_checks = live_dv.join(dv_disk, "dv_path", "left").agg(
+        F.count("*").cast("bigint").alias("n_files_with_dv"),
+        F.sum("card").cast("bigint").alias("dv_cardinality"),
+        (
+            F.sum(F.col("disk_rows").isNull().cast("bigint")) == 0
+        ).alias("all_sidecars_on_disk"),
+        (
+            F.sum(
+                (
+                    F.col("disk_rows").isNotNull()
+                    & (F.col("disk_rows") != F.col("card"))
+                ).cast("bigint")
+            )
+            == 0
+        ).alias("sidecar_rows_match_cardinality"),
+        (
+            F.sum((F.col("card") > F.col("n_rec")).cast("bigint")) == 0
+        ).alias("cardinality_bounded_by_stats"),
+    )
+    referenced = (
+        acts.filter(F.col("add.deletionVector").isNotNull())
+        .select(
+            F.col("add.deletionVector.pathOrInlineDv").alias("dv_path")
+        )
+        .distinct()
+    )
+    orphans = dv_disk.join(referenced, "dv_path", "left_anti").agg(
+        (F.count("*") == 0).alias("no_orphan_sidecars")
+    )
+    first_add = (
+        acts.filter(F.col("add").isNotNull())
+        .groupBy(F.col("add.path").alias("path"))
+        .agg(F.min("version").alias("v0"))
+    )
+    census = lf.join(first_add, "path").agg(
+        F.count("*").cast("bigint").alias("n_live_files"),
+        F.sum((F.col("v0") <= 2).cast("bigint")).alias(
+            "n_live_originals"
+        ),
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    body = deltalog.read_snapshot(spark, base).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(cents).cast("bigint").alias("price_cents"),
+    )
+    return (
+        body.crossJoin(F.broadcast(census))
+        .crossJoin(F.broadcast(dv_checks))
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            "n_rows",
+            "price_cents",
+            "n_live_originals",
+            "n_live_files",
+            "n_files_with_dv",
+            "dv_cardinality",
+            "all_sidecars_on_disk",
+            "sidecar_rows_match_cardinality",
+            "cardinality_bounded_by_stats",
+            "no_orphan_sidecars",
+        )
+    )
+
+
+QUERIES["qa_delta_dv_invariants"] = q_delta_dv_invariants
+
+ORACLE["qa_delta_dv_invariants"] = """
+WITH t AS (
+  SELECT * FROM orders WHERE o_orderkey % 4 < 3),
+final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 1
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS price
+  FROM t WHERE o_orderkey % 10 <> 0)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+    AS price_cents,
+  CAST(3 AS BIGINT) AS n_live_originals,
+  -- three DV'd originals + the update's post-image file
+  CAST(4 AS BIGINT) AS n_live_files,
+  CAST(3 AS BIGINT) AS n_files_with_dv,
+  (SELECT CAST(count(*) AS BIGINT) FROM t
+    WHERE o_orderkey % 10 = 0 OR o_orderkey % 10 = 1)
+    AS dv_cardinality,
+  TRUE AS all_sidecars_on_disk,
+  TRUE AS sidecar_rows_match_cardinality,
+  TRUE AS cardinality_bounded_by_stats,
+  TRUE AS no_orphan_sidecars
+FROM final"""
