@@ -3915,6 +3915,12 @@ def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
         F.coalesce(F.sum("size"), F.lit(0)).cast("bigint").alias(
             "size_in_bytes"
         ),
+        F.sum(
+            F.col("deletionVector").isNotNull().cast("bigint")
+        ).alias("num_deletion_vectors"),
+        F.coalesce(
+            F.sum("deletionVector.cardinality"), F.lit(0)
+        ).cast("bigint").alias("dv_deleted_rows"),
     )
     meta = _latest_meta(spark, table_dir)
     cfg = (meta["configuration"] or {}) if meta else {}
@@ -3939,6 +3945,8 @@ def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
         F.lit("parquet").alias("format"),
         "num_files",
         "size_in_bytes",
+        "num_deletion_vectors",
+        "dv_deleted_rows",
         F.lit(
             ",".join(meta["partitionColumns"] or []) if meta else ""
         ).alias("partition_columns"),
