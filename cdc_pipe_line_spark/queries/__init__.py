@@ -71,6 +71,7 @@ _DRIVER_ROTATION = (
     "cdc_delta_dv_dml",
     "cdc_delta_dv_merge",
     "qa_delta_dv_invariants",
+    "cdc_scd2_dv_merge",
     "io_delta_native_writer",
     "io_delta_log_scan",
     "io_delta_time_travel",

@@ -3945,3 +3945,175 @@ SELECT
   TRUE AS cardinality_bounded_by_stats,
   TRUE AS no_orphan_sidecars
 FROM final"""
+
+
+def q_scd2_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SCD2 maintenance flow — expire-current +
+    insert-new-versions in one MERGE (``deltaprocessing.py:96-116``)
+    — executed MERGE-ON-READ: same staging and statement as
+    ``cdc_delta_merge_native``, but the table enables deletion
+    vectors first, so the expiry UPDATE leg lands as DV rows +
+    post-image appends and the merge re-emits ZERO unchanged rows
+    (``numTargetRowsCopied`` is published and must be 0).  This is
+    the head-to-head against the reference's own telemetry: its
+    per-row SCD2 UPDATEs pay file-rewrite amplification 1.4-19.3 s
+    PER ROW (BASELINE.md); here the whole batch's expiry cost is
+    DV-rows + post-images, one atomic commit.
+
+    Published: a digest of the final history (row/current counts,
+    integer cent checksums split by currency, microsecond-exact
+    valid_from binding) plus the DV census — cardinality equals the
+    expired-current count the oracle recomputes relationally — so
+    the hash binds both the SEMANTICS (incremental merge == one-shot
+    window ground truth) and the merge-on-read EVIDENCE."""
+    from cdc_pipe_line_spark import deltalog
+    from cdc_pipe_line_spark.cdc.scd2 import scd2_from_upserts
+
+    base, ready = _cache(sf_dir, "delta_scd2_dv")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        h1 = scd2_from_upserts(
+            ev.filter(F.col("ts") < cut), "user_id", "ts", ["value"]
+        )
+        deltalog.create_table(spark, h1, base, n_files=2)
+        deltalog.enable_deletion_vectors(spark, base)            # v1
+        b2 = ev.filter(F.col("ts") >= cut).select(
+            F.col("user_id").cast("string").alias("key_value"),
+            "ts",
+            "value",
+        )
+        chains = scd2_from_upserts(b2, "key_value", "ts", ["value"])
+        scd2_cols = [
+            "key_value", "value", "valid_from", "valid_to", "is_current",
+        ]
+        inserts = chains.select(
+            *scd2_cols,
+            F.lit(None).cast("string").alias("__mergeKey"),
+            F.lit("insert").alias("__action"),
+            F.lit(None).cast("timestamp").alias("__first_ts"),
+        )
+        expiries = (
+            b2.groupBy("key_value")
+            .agg(F.min("ts").alias("__first_ts"))
+            .select(
+                F.col("key_value"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(None).cast("timestamp").alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+                F.lit(None).cast("boolean").alias("is_current"),
+                F.col("key_value").alias("__mergeKey"),
+                F.lit("expire").alias("__action"),
+                "__first_ts",
+            )
+        )
+        source = inserts.unionByName(expiries)
+        table = deltalog.NativeDeltaTable.forPath(spark, base)
+        (
+            table.alias("t")
+            .merge(
+                source.alias("s"),
+                "t.key_value = s.__mergeKey AND t.is_current",
+            )
+            .whenMatchedUpdate(
+                condition="s.__action = 'expire'",
+                set={
+                    "valid_to": "s.__first_ts",
+                    "is_current": "false",
+                },
+            )
+            .whenNotMatchedInsert(
+                condition="s.__action = 'insert'",
+                values={c: f"s.{c}" for c in scd2_cols},
+            )
+            .execute()                                           # v2
+        )
+        _mark(base)
+
+    lf = deltalog.live_files(deltalog.read_log_actions(spark, base))
+    dv_census = lf.agg(
+        (
+            F.sum(F.col("deletionVector").isNotNull().cast("bigint"))
+            >= 1
+        ).alias("dv_present"),
+        F.coalesce(
+            F.sum("deletionVector.cardinality"), F.lit(0)
+        ).cast("bigint").alias("dv_cardinality"),
+    )
+    copied = (
+        deltalog.table_history(spark, base)
+        .filter(F.col("version") == 2)
+        .select(
+            F.element_at(
+                F.col("operationMetrics"), "numTargetRowsCopied"
+            ).cast("bigint").alias("merge_copied_rows")
+        )
+    )
+    snap = deltalog.read_snapshot(spark, base)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    body = snap.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("is_current").cast("bigint")).alias("n_current"),
+        F.sum(F.when(F.col("is_current"), cents)).alias(
+            "current_cents"
+        ),
+        F.sum(F.when(~F.col("is_current"), cents)).alias(
+            "expired_cents"
+        ),
+        # microsecond binding mod 1e9: the raw epoch_us sum overflows
+        # BIGINT at 2*10^4 rows (1.7e15 each)
+        F.sum(F.unix_micros(F.col("valid_from")) % 1000000000).alias(
+            "from_us_checksum"
+        ),
+    )
+    return body.crossJoin(F.broadcast(dv_census)).crossJoin(
+        F.broadcast(copied)
+    ).select(
+        "n_rows",
+        "n_current",
+        "current_cents",
+        "expired_cents",
+        "from_us_checksum",
+        "dv_present",
+        "dv_cardinality",
+        "merge_copied_rows",
+    )
+
+
+QUERIES["cdc_scd2_dv_merge"] = q_scd2_dv_merge
+
+ORACLE["cdc_scd2_dv_merge"] = """
+WITH history AS (
+  SELECT CAST(user_id AS VARCHAR) AS key_value, value, ts AS valid_from,
+    lead(ts) OVER w AS valid_to,
+    lead(ts) OVER w IS NULL AS is_current
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, value ASC)),
+expired AS (
+  -- keys current in batch 1 that batch 2 touches = the DV rows
+  SELECT count(*) AS n FROM (
+    SELECT DISTINCT user_id FROM events
+    WHERE ts <  TIMESTAMP '2024-01-16 00:00:00'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events
+    WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'))
+SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_current,
+  CAST(sum(CASE WHEN is_current
+      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+    AS current_cents,
+  CAST(sum(CASE WHEN NOT is_current
+      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+    AS expired_cents,
+  CAST(sum(epoch_us(valid_from) % 1000000000) AS BIGINT)
+    AS from_us_checksum,
+  TRUE AS dv_present,
+  (SELECT CAST(n AS BIGINT) FROM expired) AS dv_cardinality,
+  CAST(0 AS BIGINT) AS merge_copied_rows
+FROM history"""
