@@ -1462,6 +1462,7 @@ def compact(
     partition_filter: dict[str, str] | None = None,
     target_file_bytes: int | None = None,
     min_file_bytes: int | None = None,
+    dv_only: bool = False,
 ) -> int:
     """OPTIMIZE: rewrite live files into as few as possible,
     dataChange=false on the tombstones (readers know content is
@@ -1488,6 +1489,11 @@ def compact(
       partitioned table the target applies PER PARTITION (each
       partition's selected bytes choose its bin count — previously
       the parameter was silently ignored there, ADVICE r11 low).
+    - ``dv_only`` — REORG TABLE ... APPLY (PURGE): only files
+      carrying a DELETION VECTOR rewrite (masked, so the DV is
+      absorbed); clean files are never touched — the way
+      merge-on-read debt is paid down on a 100 TB table without
+      rewriting the clean majority.
     """
     import math as _math
     import time as _time
@@ -1508,11 +1514,14 @@ def compact(
                 )
         if min_file_bytes is not None:
             lf = lf.filter(F.col("size") < min_file_bytes)
+        if dv_only:
+            lf = lf.filter(F.col("deletionVector").isNotNull())
         selected = lf.select(
             "path", "size", "partitionValues", "deletionVector"
         ).collect()
-        if len(selected) < 2 and not any(
-            r.deletionVector is not None for r in selected
+        if not selected or (
+            len(selected) < 2
+            and not any(r.deletionVector is not None for r in selected)
         ):
             # nothing to bin-pack: zero or one qualifying CLEAN file
             # is already optimal — no commit (a lone DV'd file still
@@ -1574,7 +1583,9 @@ def compact(
                     *adds,
                     {
                         "commitInfo": {
-                            "operation": "OPTIMIZE",
+                            "operation": (
+                                "REORG (PURGE)" if dv_only else "OPTIMIZE"
+                            ),
                             "operationMetrics": _op_metrics(
                                 adds,
                                 removes,
@@ -3402,6 +3413,37 @@ def candidate_files(
     return lf.filter(_skipping_keep(skipping, mapping))
 
 
+#: what this reader IMPLEMENTS: protocol versions up to 3 and, at
+#: version 3, exactly these table features — the spec's reader gate
+#: exists so a reader that does not understand a feature REFUSES the
+#: table instead of silently returning wrong rows (e.g. ignoring
+#: deletion vectors would resurrect deleted data)
+MAX_READER_VERSION = 3
+SUPPORTED_READER_FEATURES = {"deletionVectors"}
+
+
+def _assert_reader_supported(proto) -> None:
+    """Raise when the snapshot's protocol gates the table on a reader
+    version or table feature this implementation does not have —
+    per-spec, reading anyway could silently produce wrong answers."""
+    if proto is None:
+        return
+    r = int(proto["minReaderVersion"] or 1)
+    if r > MAX_READER_VERSION:
+        raise ValueError(
+            f"table requires minReaderVersion {r}; this reader "
+            f"implements up to {MAX_READER_VERSION}"
+        )
+    unknown = set(proto["readerFeatures"] or []) - SUPPORTED_READER_FEATURES
+    if r >= 3 and unknown:
+        raise ValueError(
+            f"table requires reader features {sorted(unknown)} that "
+            f"this reader does not implement (supported: "
+            f"{sorted(SUPPORTED_READER_FEATURES)}) — refusing to read "
+            f"rather than silently mis-reconstructing"
+        )
+
+
 def resolve_timestamp(
     spark: SparkSession, table_dir: str, ts
 ) -> int:
@@ -3531,6 +3573,16 @@ def read_snapshot(
         actions.filter(F.col("metaData").isNotNull())
         .orderBy(F.col("version").desc())
         .select("metaData.schemaString", "metaData.partitionColumns")
+        .first()
+    )
+    # the spec's reader gate: refuse tables requiring features this
+    # implementation lacks — never silently mis-reconstruct
+    _assert_reader_supported(
+        actions.filter(F.col("protocol").isNotNull())
+        .orderBy(F.col("version").desc())
+        .select(
+            "protocol.minReaderVersion", "protocol.readerFeatures"
+        )
         .first()
     )
     # census strategy, provenance, and deletion-vector masking all

@@ -286,3 +286,75 @@ def test_cow_merge_on_dv_table_does_not_resurrect(spark):
     assert got[(4, "x")] == 40.0
     assert (2, "x") not in got          # stayed deleted
     assert got[(2, "new")] == 20.0      # re-inserted as NOT MATCHED
+
+
+def test_reorg_purge_rewrites_only_dv_files(spark):
+    """REORG (PURGE): dv_only compaction rewrites exactly the DV'd
+    files (absorbing their masks); clean files keep their bytes."""
+    path = _fresh("reorg")
+    _stage(spark, path, n=20, files=2)
+    deltalog.delete_where(spark, path, "k = 3")  # DV on file 0 only
+    lf0 = {
+        r.path: r.deletionVector
+        for r in deltalog.live_files(
+            deltalog.read_log_actions(spark, path)
+        ).collect()
+    }
+    clean_before = {p for p, dv in lf0.items() if dv is None}
+    v = deltalog.compact(spark, path, dv_only=True)
+    lf1 = deltalog.live_files(
+        deltalog.read_log_actions(spark, path)
+    ).collect()
+    assert all(r.deletionVector is None for r in lf1)
+    # the clean file survives untouched; the DV'd one was replaced
+    paths_after = {r.path for r in lf1}
+    assert clean_before <= paths_after
+    assert deltalog.read_snapshot(spark, path).count() == 19
+    hist = deltalog.table_history(spark, path).filter(
+        F.col("version") == v
+    ).first()
+    assert hist.operation == "REORG (PURGE)"
+
+
+def test_reorg_purge_noop_without_dvs(spark):
+    path = _fresh("reorg_noop")
+    _stage(spark, path)
+    v_before = deltalog._next_version(path) - 1
+    assert deltalog.compact(spark, path, dv_only=True) == v_before
+
+
+def test_reader_feature_gate_refuses_unknown_features(spark):
+    path = _fresh("gate_unknown")
+    _stage(spark, path)
+    deltalog.commit(
+        path,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                    "writerFeatures": ["deletionVectors", "v2Checkpoint"],
+                }
+            },
+            {"commitInfo": {"operation": "UPGRADE"}},
+        ],
+    )
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        deltalog.read_snapshot(spark, path)
+
+
+def test_reader_version_gate(spark):
+    path = _fresh("gate_version")
+    _stage(spark, path)
+    deltalog.commit(
+        path,
+        [
+            {"protocol": {"minReaderVersion": 9, "minWriterVersion": 9}},
+            {"commitInfo": {"operation": "UPGRADE"}},
+        ],
+    )
+    with pytest.raises(ValueError, match="minReaderVersion 9"):
+        deltalog.read_snapshot(spark, path)
+    # time travel to BEFORE the upgrade still reads (per-snapshot gate)
+    assert deltalog.read_snapshot(spark, path, version_as_of=2).count() == 20
