@@ -282,6 +282,7 @@ def commit(
     import json as _json
     import time as _time
 
+    _assert_writer_supported(table_dir, actions)
     os.makedirs(os.path.join(table_dir, "_delta_log"), exist_ok=True)
     attempts = 1 if version is not None else retries + 1
     for attempt in range(attempts):
@@ -1761,6 +1762,37 @@ def _dv_rows(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def set_table_properties(
+    spark: SparkSession, table_dir: str, props: dict[str, str]
+) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES: merge ``props`` into the
+    table configuration (one replacement metaData commit).  The
+    generic property surface — ``delta.appendOnly`` (enforced by
+    every subsequent commit: data-changing removes are refused),
+    retention knobs, or any custom key.  Feature-gating properties
+    with protocol requirements have dedicated upgrades
+    (:func:`enable_deletion_vectors`, :func:`enable_column_mapping`)."""
+    meta = _latest_meta(spark, table_dir)
+    if meta is None:
+        raise ValueError(f"no delta table at {table_dir}")
+    cfg = dict(meta["configuration"] or {})
+    cfg.update({k: str(v) for k, v in props.items()})
+    return commit(
+        table_dir,
+        [
+            _meta_action_from(meta, cfg),
+            {
+                "commitInfo": {
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": ",".join(sorted(props))
+                    },
+                }
+            },
+        ],
+    )
 
 
 def enable_deletion_vectors(spark: SparkSession, table_dir: str) -> int:
@@ -3419,7 +3451,59 @@ def candidate_files(
 #: table instead of silently returning wrong rows (e.g. ignoring
 #: deletion vectors would resurrect deleted data)
 MAX_READER_VERSION = 3
-SUPPORTED_READER_FEATURES = {"deletionVectors"}
+SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+
+#: the writer half: versions up to 7 and, at 7, these feature names —
+#: both our own (we write only deletionVectors) and the legacy
+#: features we enforce (constraints, generated columns, mapping,
+#: invariants, appendOnly), which a foreign table-features writer
+#: lists explicitly
+MAX_WRITER_VERSION = 7
+SUPPORTED_WRITER_FEATURES = {
+    "deletionVectors",
+    "invariants",
+    "checkConstraints",
+    "generatedColumns",
+    "columnMapping",
+    "changeDataFeed",
+    "appendOnly",
+}
+
+
+def _assert_writer_supported(table_dir: str, actions: list[dict]) -> None:
+    """Refuse to COMMIT to a table gated on writer features this
+    implementation does not have — a feature-unaware write could
+    corrupt the contract the feature guards (the exact failure mode
+    the spec's writer gate exists for).  Also enforces the
+    ``delta.appendOnly`` table property: a commit carrying a
+    data-changing ``remove`` on an append-only table is refused
+    (OPTIMIZE's dataChange=false rewrites stay legal).  Driver-side
+    metadata reads only."""
+    proto = _current_protocol(table_dir)
+    if not proto:
+        return
+    w = int(proto.get("minWriterVersion") or 1)
+    if w > MAX_WRITER_VERSION:
+        raise ValueError(
+            f"table requires minWriterVersion {w}; this writer "
+            f"implements up to {MAX_WRITER_VERSION}"
+        )
+    unknown = set(proto.get("writerFeatures") or []) - SUPPORTED_WRITER_FEATURES
+    if w >= 7 and unknown:
+        raise ValueError(
+            f"table requires writer features {sorted(unknown)} that "
+            f"this writer does not implement — refusing to commit "
+            f"rather than corrupting the feature's contract"
+        )
+    if _current_table_config(table_dir).get("delta.appendOnly") == "true":
+        for a in actions:
+            rm = a.get("remove")
+            if rm and rm.get("dataChange"):
+                raise ValueError(
+                    "table is append-only (delta.appendOnly=true): "
+                    "DELETE/UPDATE/MERGE/overwrite are refused; only "
+                    "appends and dataChange=false rewrites may commit"
+                )
 
 
 def _assert_reader_supported(proto) -> None:

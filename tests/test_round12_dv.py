@@ -358,3 +358,52 @@ def test_reader_version_gate(spark):
         deltalog.read_snapshot(spark, path)
     # time travel to BEFORE the upgrade still reads (per-snapshot gate)
     assert deltalog.read_snapshot(spark, path, version_as_of=2).count() == 20
+
+
+def test_writer_feature_gate_refuses_unknown_features(spark):
+    path = _fresh("wgate_unknown")
+    _stage(spark, path)
+    deltalog.commit(
+        path,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors", "identityColumns"],
+                }
+            },
+            {"commitInfo": {"operation": "UPGRADE"}},
+        ],
+    )
+    with pytest.raises(ValueError, match="identityColumns"):
+        deltalog.append(
+            spark,
+            spark.createDataFrame([(99, "z", 0.0)], "k int, s string, v double"),
+            path,
+        )
+    # reads stay fine (reader features are all supported)
+    assert deltalog.read_snapshot(spark, path).count() == 20
+
+
+def test_append_only_property_enforced(spark):
+    path = _fresh("append_only")
+    _stage(spark, path)
+    deltalog.set_table_properties(spark, path, {"delta.appendOnly": "true"})
+    deltalog.append(
+        spark,
+        spark.createDataFrame([(99, "z", 0.0)], "k int, s string, v double"),
+        path,
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        deltalog.delete_where(spark, path, "k = 1")
+    with pytest.raises(ValueError, match="append-only"):
+        deltalog.overwrite(
+            spark,
+            spark.createDataFrame([(1, "a", 1.0)], "k int, s string, v double"),
+            path,
+        )
+    # dataChange=false rewrites (OPTIMIZE) stay legal
+    deltalog.compact(spark, path)
+    assert deltalog.read_snapshot(spark, path).count() == 21
