@@ -407,3 +407,39 @@ def test_append_only_property_enforced(spark):
     # dataChange=false rewrites (OPTIMIZE) stay legal
     deltalog.compact(spark, path)
     assert deltalog.read_snapshot(spark, path).count() == 21
+
+
+def test_dv_with_skipping_and_partition_filter(spark):
+    """Stats skipping, partition pruning, and DV masking compose on
+    one read: pruning narrows candidate files, the DV mask drops
+    deleted positions, the row filter keeps exactness."""
+    path = _fresh("combo")
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(40)],
+        "k int, part int, v double",
+    )
+    deltalog.create_table(spark, df, path, partition_by=["part"])
+    deltalog.enable_deletion_vectors(spark, path)
+    deltalog.delete_where(spark, path, "k % 4 = 0")
+    got = sorted(
+        r.k
+        for r in deltalog.read_snapshot(
+            spark,
+            path,
+            partition_filter={"part": "0"},
+            skipping=[("k", "<", 20)],
+        ).collect()
+    )
+    assert got == [k for k in range(20) if k % 2 == 0 and k % 4 != 0]
+    # same through the manifest route
+    got2 = sorted(
+        r.k
+        for r in deltalog.read_snapshot(
+            spark,
+            path,
+            partition_filter={"part": "0"},
+            skipping=[("k", "<", 20)],
+            manifest_threshold=0,
+        ).collect()
+    )
+    assert got2 == got
