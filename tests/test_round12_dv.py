@@ -443,3 +443,39 @@ def test_dv_with_skipping_and_partition_filter(spark):
         ).collect()
     )
     assert got2 == got
+
+
+def test_streaming_cdf_over_dv_table(spark):
+    """The streaming change feed serves DV-mode DML row-level: a DV
+    DELETE commit streams exactly the deleted rows (from its cdc
+    file), never the re-added file's surviving rows."""
+    from cdc_pipe_line_spark.pydatasource import DeltaStreamDataSource
+
+    path = _fresh("stream_cdf")
+    _stage(spark, path)
+    deltalog.delete_where(spark, path, "k % 7 = 0")  # v3, DV + cdc
+    try:
+        spark.dataSource.register(DeltaStreamDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("r12_dv_cdf")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT k, _change_type, _commit_version FROM r12_dv_cdf "
+        "WHERE _commit_version = 3"
+    ).collect()
+    assert sorted((r.k, r._change_type) for r in rows) == [
+        (0, "delete"), (7, "delete"), (14, "delete"),
+    ]
