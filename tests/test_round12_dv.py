@@ -479,3 +479,32 @@ def test_streaming_cdf_over_dv_table(spark):
     assert sorted((r.k, r._change_type) for r in rows) == [
         (0, "delete"), (7, "delete"), (14, "delete"),
     ]
+
+
+def test_dv_merge_with_schema_evolution(spark):
+    """Merge-on-read MERGE + withSchemaEvolution: the evolved column
+    appends to the declared schema, DV'd originals null-fill it, and
+    post-images/inserts carry it."""
+    path = _fresh("evolve")
+    _stage(spark, path)
+    src = spark.createDataFrame(
+        [(3, 33.0, "eu"), (99, 9.9, "us")], "k int, nv double, region string"
+    )
+    deltalog.merge_into(
+        spark, path, src, "t.k = s.k",
+        when_matched_update={"v": "s.nv"},
+        when_not_matched_insert={
+            "k": "s.k", "s": "'new'", "v": "s.nv", "region": "s.region"
+        },
+        schema_evolution=True,
+    )
+    snap = deltalog.read_snapshot(spark, path)
+    assert "region" in snap.columns
+    got = {r.k: (r.v, r.region) for r in snap.collect()}
+    assert got[3] == (33.0, None)     # updated post-image (no region bound)
+    assert got[99] == (9.9, "us")     # evolved insert
+    assert got[5] == (5.0, None)      # untouched original null-fills
+    assert len(got) == 21
+    # and the masked originals still carry their DV through the scan
+    lf = deltalog.live_files(deltalog.read_log_actions(spark, path)).collect()
+    assert any(r.deletionVector is not None for r in lf)
