@@ -3481,7 +3481,8 @@ def q_delta_dv_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     its ``_delta_log`` operationMetrics): the same fixture and
     mutations as ``cdc_delta_row_dml``, but with
     ``delta.enableDeletionVectors`` set, so the DELETE and UPDATE
-    write row-position sidecars under ``_deletion_vectors/`` and
+    write spec-encoded deletion vectors (roaring bitmaps, inline or
+    ``deletion_vector_*.bin``) and
     re-commit the touched adds with the spec's ``deletionVector``
     descriptor — NO data file is rewritten (the DELETE commit's
     ``numAddedFiles`` metric is published and must be 0), the
@@ -3784,12 +3785,15 @@ def q_delta_dv_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETION-VECTOR INVARIANT AUDIT (the DV extension of
     ``qa_delta_invariants`` — VERDICT r11 next-item 2's accounting
     leg): on a table mutated merge-on-read it verifies that every
-    live add's DV sidecar exists on disk, every on-disk sidecar is
-    referenced by some add action (no orphans), each sidecar's
-    physical row count equals its descriptor's ``cardinality``, and
-    no cardinality exceeds its file's footer ``numRecords`` — next
-    to the masked-read row count and checksum the DuckDB oracle
-    recomputes relationally.
+    live add's deletion vector DECODES through the spec codec
+    (RoaringBitmapArray payload, CRC-32, z85 naming — r13), every
+    on-disk ``deletion_vector_*.bin`` is referenced by some add
+    action (no orphans), each decoded vector's row count equals its
+    descriptor's ``cardinality`` and stays inside the file's footer
+    ``numRecords``, and the descriptors are spec-shaped (storage
+    type ``u``/``i``, z85 path, offset) — next to the masked-read
+    row count and checksum the DuckDB oracle recomputes
+    relationally.
 
     Fixture: orders buckets ``o_orderkey % 4 in (0,1,2)`` as three
     files; DELETE every key divisible by 10 (lands in buckets 0 and
@@ -3828,61 +3832,97 @@ def q_delta_dv_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     lf = deltalog.live_files(acts)
-    # disk census of sidecars: bounded driver walk + footer counts
-    dv_dir = os.path.join(base, "_deletion_vectors")
-    import pyarrow.parquet as _pq
+    from cdc_pipe_line_spark import dvbitmap as _dvb
 
-    disk_rows = []
-    if os.path.isdir(dv_dir):
-        for f in sorted(os.listdir(dv_dir)):
-            if f.endswith(".parquet"):
-                full = os.path.join(dv_dir, f)
-                disk_rows.append(
-                    (
-                        os.path.join("_deletion_vectors", f),
-                        int(_pq.ParquetFile(full).metadata.num_rows),
-                    )
-                )
-    dv_disk = F.broadcast(
-        spark.createDataFrame(
-            disk_rows, "dv_path string, disk_rows bigint"
-        )
-    )
-    live_dv = lf.filter(F.col("deletionVector").isNotNull()).select(
-        F.col("deletionVector.pathOrInlineDv").alias("dv_path"),
-        F.col("deletionVector.cardinality").alias("card"),
-        F.get_json_object(F.col("stats"), "$.numRecords")
-        .cast("bigint")
-        .alias("n_rec"),
-    )
-    dv_checks = live_dv.join(dv_disk, "dv_path", "left").agg(
-        F.count("*").cast("bigint").alias("n_files_with_dv"),
-        F.sum("card").cast("bigint").alias("dv_cardinality"),
-        (
-            F.sum(F.col("disk_rows").isNull().cast("bigint")) == 0
-        ).alias("all_sidecars_on_disk"),
-        (
-            F.sum(
-                (
-                    F.col("disk_rows").isNotNull()
-                    & (F.col("disk_rows") != F.col("card"))
-                ).cast("bigint")
-            )
-            == 0
-        ).alias("sidecar_rows_match_cardinality"),
-        (
-            F.sum((F.col("card") > F.col("n_rec")).cast("bigint")) == 0
-        ).alias("cardinality_bounded_by_stats"),
-    )
-    referenced = (
-        acts.filter(F.col("add.deletionVector").isNotNull())
+    # LIVE descriptor census: bounded (one row per DV-carrying add).
+    # Each vector is DECODED through the spec codec — read_dv
+    # validates CRC-32 / sizeInBytes / cardinality, so a vector that
+    # decodes at all has a consistent descriptor; spec shape is
+    # audited explicitly (storage type, z85 path, offset).
+    live_rows = (
+        lf.filter(F.col("deletionVector").isNotNull())
         .select(
-            F.col("add.deletionVector.pathOrInlineDv").alias("dv_path")
+            F.col("deletionVector").alias("dv"),
+            F.get_json_object(F.col("stats"), "$.numRecords")
+            .cast("bigint")
+            .alias("n_rec"),
         )
-        .distinct()
+        .collect()
     )
-    orphans = dv_disk.join(referenced, "dv_path", "left_anti").agg(
-        (F.count("*") == 0).alias("no_orphan_sidecars")
+    n_files_with_dv = len(live_rows)
+    dv_cardinality = 0
+    all_readable = True
+    decoded_match = True
+    bounded = True
+    spec_shaped = True
+    for r in live_rows:
+        d = {k: v for k, v in r.dv.asDict().items() if v is not None}
+        dv_cardinality += int(d["cardinality"])
+        st = d.get("storageType")
+        if st == "u":
+            enc = d["pathOrInlineDv"]
+            if len(enc) < 20 or d.get("offset") is None:
+                spec_shaped = False
+        elif st != "i":
+            spec_shaped = False
+        try:
+            idx = _dvb.read_dv(base, d)
+        except ValueError:
+            all_readable = False
+            continue
+        if idx.size != int(d["cardinality"]):
+            decoded_match = False
+        if r.n_rec is not None and idx.size and int(idx.max()) >= int(
+            r.n_rec
+        ):
+            bounded = False
+    # disk census: every on-disk vector file must be referenced by
+    # some add action in the log (no orphans) — bounded driver walk
+    referenced = set()
+    for r in (
+        acts.filter(F.col("add.deletionVector").isNotNull())
+        .select(F.col("add.deletionVector").alias("dv"))
+        .distinct()
+        .collect()
+    ):
+        rel = _dvb.dv_file_relpath(
+            {k: v for k, v in r.dv.asDict().items() if v is not None}
+        )
+        if rel:
+            referenced.add(rel)
+    on_disk = set()
+    for root, _dirs, files in os.walk(base):
+        if "_delta_log" in root:
+            continue
+        for f in files:
+            if (
+                f.startswith("deletion_vector_") and f.endswith(".bin")
+            ) or (f.endswith(".parquet") and "_deletion_vectors" in root):
+                on_disk.add(os.path.relpath(os.path.join(root, f), base))
+    no_orphans = not (on_disk - referenced)
+    dv_checks = F.broadcast(
+        spark.createDataFrame(
+            [
+                (
+                    n_files_with_dv,
+                    dv_cardinality,
+                    all_readable,
+                    decoded_match,
+                    bounded,
+                    spec_shaped,
+                )
+            ],
+            "n_files_with_dv bigint, dv_cardinality bigint, "
+            "all_vectors_readable boolean, "
+            "decoded_rows_match_cardinality boolean, "
+            "cardinality_bounded_by_stats boolean, "
+            "descriptors_spec_shaped boolean",
+        )
+    )
+    orphans = F.broadcast(
+        spark.createDataFrame(
+            [(no_orphans,)], "no_orphan_dv_files boolean"
+        )
     )
     first_add = (
         acts.filter(F.col("add").isNotNull())
@@ -3911,10 +3951,11 @@ def q_delta_dv_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_live_files",
             "n_files_with_dv",
             "dv_cardinality",
-            "all_sidecars_on_disk",
-            "sidecar_rows_match_cardinality",
+            "all_vectors_readable",
+            "decoded_rows_match_cardinality",
             "cardinality_bounded_by_stats",
-            "no_orphan_sidecars",
+            "descriptors_spec_shaped",
+            "no_orphan_dv_files",
         )
     )
 
@@ -3940,10 +3981,11 @@ SELECT
   (SELECT CAST(count(*) AS BIGINT) FROM t
     WHERE o_orderkey % 10 = 0 OR o_orderkey % 10 = 1)
     AS dv_cardinality,
-  TRUE AS all_sidecars_on_disk,
-  TRUE AS sidecar_rows_match_cardinality,
+  TRUE AS all_vectors_readable,
+  TRUE AS decoded_rows_match_cardinality,
   TRUE AS cardinality_bounded_by_stats,
-  TRUE AS no_orphan_sidecars
+  TRUE AS descriptors_spec_shaped,
+  TRUE AS no_orphan_dv_files
 FROM final"""
 
 

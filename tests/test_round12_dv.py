@@ -180,22 +180,28 @@ def test_lone_dv_file_still_compacts(spark):
     assert v == 3
 
 
-def test_vacuum_keeps_referenced_sidecars(spark):
+def test_vacuum_keeps_referenced_dv_files(spark):
+    # big enough that the vector exceeds the inline budget and lands
+    # as an on-disk deletion_vector_*.bin (the spec's "u" storage)
     path = _fresh("vacuum")
-    _stage(spark, path)
-    deltalog.delete_where(spark, path, "k % 5 = 0")        # v3: DVs
+    _stage(spark, path, n=2000, files=2)
+    deltalog.delete_where(spark, path, "k % 3 = 0")        # v3: DVs
+    dv_bins = [
+        f for f in os.listdir(path) if f.startswith("deletion_vector_")
+    ]
+    assert dv_bins, "fixture should have produced on-disk vectors"
     victims = deltalog.vacuum(spark, path, retain_versions=0)
-    # current snapshot still reads correctly: its DV sidecars survive
-    assert sorted(
-        r.k for r in deltalog.read_snapshot(spark, path).collect()
-    ) == [k for k in range(20) if k % 5]
-    assert all("_deletion_vectors" not in v for v in victims)
-    # absorb, then vacuum: the orphaned sidecars go
+    # current snapshot still reads correctly: its DV files survive
+    assert deltalog.read_snapshot(spark, path).count() == sum(
+        1 for k in range(2000) if k % 3
+    )
+    assert all("deletion_vector_" not in v for v in victims)
+    # absorb, then vacuum: the orphaned vector files go
     deltalog.compact(spark, path)
     victims2 = deltalog.vacuum(spark, path, retain_versions=0)
-    assert any("_deletion_vectors" in v for v in victims2)
-    assert not os.path.isdir(os.path.join(path, "_deletion_vectors")) or not os.listdir(
-        os.path.join(path, "_deletion_vectors")
+    assert any("deletion_vector_" in v for v in victims2)
+    assert not any(
+        f.startswith("deletion_vector_") for f in os.listdir(path)
     )
 
 

@@ -1,0 +1,282 @@
+"""Spec-encoded deletion vectors wired through the native Delta layer
+(VERDICT r12 next-items 2+3): DML writes inline / z85-named roaring
+vectors, sequential mutations merge, corrupt vectors RAISE on both
+scan routes, legacy parquet sidecars stay readable, and checkpoints
+carry the full descriptor."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark import deltalog, dvbitmap
+
+BASE = "/tmp/cdc_r13_dvspec"
+
+
+def _fresh(leaf: str) -> str:
+    import shutil
+
+    path = os.path.join(BASE, leaf)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _stage(spark, path, n=20, files=2):
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(n)], "k int, s string, v double"
+    )
+    per = n // files
+    deltalog.create_table(spark, df.filter(F.col("k") < per), path)
+    for j in range(1, files):
+        deltalog.append(
+            spark,
+            df.filter(
+                (F.col("k") >= j * per) & (F.col("k") < (j + 1) * per)
+            ),
+            path,
+        )
+    deltalog.enable_deletion_vectors(spark, path)
+    return df
+
+
+def _live_dvs(spark, path):
+    return {
+        r.path: {
+            k: v for k, v in r.deletionVector.asDict().items()
+            if v is not None
+        }
+        for r in deltalog.live_files(
+            deltalog.read_log_actions(spark, path)
+        ).collect()
+        if r.deletionVector is not None
+    }
+
+
+def test_tiny_dml_inlines_vector(spark):
+    path = _fresh("inline")
+    _stage(spark, path)
+    deltalog.delete_where(spark, path, "k % 5 = 0")
+    dvs = _live_dvs(spark, path)
+    assert len(dvs) == 2
+    for d in dvs.values():
+        assert d["storageType"] == "i"
+        assert "offset" not in d
+        # inline payload decodes through the z85 + roaring codec
+        idx = dvbitmap.read_dv(path, d)
+        assert idx.size == d["cardinality"]
+    # nothing on disk: no .bin, no legacy sidecar dir
+    assert not any(
+        f.startswith("deletion_vector_") for f in os.listdir(path)
+    )
+    assert not os.path.isdir(os.path.join(path, "_deletion_vectors"))
+    assert sorted(
+        r.k for r in deltalog.read_snapshot(spark, path).collect()
+    ) == [k for k in range(20) if k % 5]
+
+
+def test_large_dml_writes_z85_named_bin(spark):
+    path = _fresh("bin")
+    _stage(spark, path, n=4000, files=2)
+    deltalog.delete_where(spark, path, "k % 3 = 0")
+    dvs = _live_dvs(spark, path)
+    assert len(dvs) == 2
+    for d in dvs.values():
+        assert d["storageType"] == "u"
+        assert d["offset"] == 1
+        assert len(d["pathOrInlineDv"]) == 20  # bare z85 uuid
+        rel = dvbitmap.dv_file_relpath(d)
+        assert os.path.basename(rel).startswith("deletion_vector_")
+        assert rel.endswith(".bin")
+        assert os.path.exists(os.path.join(path, rel))
+        idx = dvbitmap.read_dv(path, d)
+        assert idx.size == d["cardinality"]
+    assert deltalog.read_snapshot(spark, path).count() == sum(
+        1 for k in range(4000) if k % 3
+    )
+
+
+def test_sequential_dml_merges_vectors(spark):
+    path = _fresh("merge_seq")
+    _stage(spark, path)
+    deltalog.delete_where(spark, path, "k = 4")
+    deltalog.delete_where(spark, path, "k = 8")
+    deltalog.delete_where(spark, path, "k in (2, 16)")
+    dvs = _live_dvs(spark, path)
+    total = sum(d["cardinality"] for d in dvs.values())
+    assert total == 4
+    assert sorted(
+        r.k for r in deltalog.read_snapshot(spark, path).collect()
+    ) == [k for k in range(20) if k not in (2, 4, 8, 16)]
+
+
+def test_inline_grows_into_bin_on_merge(spark):
+    path = _fresh("grow")
+    _stage(spark, path, n=4000, files=1)
+    deltalog.delete_where(spark, path, "k = 7")  # tiny → inline
+    (d0,) = _live_dvs(spark, path).values()
+    assert d0["storageType"] == "i"
+    deltalog.delete_where(spark, path, "k % 3 = 0")  # big → .bin
+    (d1,) = _live_dvs(spark, path).values()
+    assert d1["storageType"] == "u"
+    assert d1["cardinality"] == 1 + sum(
+        1 for k in range(4000) if k % 3 == 0 and k != 7
+    )
+    assert deltalog.read_snapshot(spark, path).count() == 4000 - d1[
+        "cardinality"
+    ]
+
+
+def test_corrupt_bin_raises_on_both_routes(spark):
+    path = _fresh("corrupt")
+    _stage(spark, path, n=4000, files=2)
+    deltalog.delete_where(spark, path, "k % 3 = 0")
+    dvs = _live_dvs(spark, path)
+    rel = dvbitmap.dv_file_relpath(next(iter(dvs.values())))
+    full = os.path.join(path, rel)
+    raw = bytearray(open(full, "rb").read())
+    raw[60] ^= 0xFF
+    open(full, "wb").write(bytes(raw))
+    with pytest.raises(Exception, match="CRC|corrupt"):
+        deltalog.read_snapshot(spark, path).count()
+    with pytest.raises(Exception, match="CRC|corrupt"):
+        deltalog.read_snapshot(spark, path, manifest_threshold=1).count()
+
+
+def test_out_of_range_index_raises_on_both_routes(spark):
+    path = _fresh("oob")
+    _stage(spark, path, n=20, files=1)
+    # hand-commit a descriptor whose vector points past the file's end
+    lf = deltalog.live_files(
+        deltalog.read_log_actions(spark, path)
+    ).collect()
+    (row,) = lf
+    bad = dvbitmap.make_descriptor(path, np.array([999], dtype=np.uint64))
+    deltalog.commit(
+        path,
+        [
+            {"remove": {"path": row.path, "dataChange": True}},
+            {
+                "add": {
+                    "path": row.path,
+                    "size": row.size,
+                    "dataChange": True,
+                    "stats": row.stats,
+                    "deletionVector": bad,
+                }
+            },
+            {"commitInfo": {"operation": "TEST OOB"}},
+        ],
+    )
+    with pytest.raises(Exception, match="out of range"):
+        deltalog.read_snapshot(spark, path).count()
+    with pytest.raises(Exception, match="out of range"):
+        deltalog.read_snapshot(spark, path, manifest_threshold=0).count()
+
+
+def test_wrong_cardinality_raises(spark):
+    path = _fresh("badcard")
+    _stage(spark, path, n=20, files=1)
+    lf = deltalog.live_files(
+        deltalog.read_log_actions(spark, path)
+    ).collect()
+    (row,) = lf
+    d = dvbitmap.make_descriptor(path, np.array([1, 3], dtype=np.uint64))
+    d["cardinality"] = 5  # lies about the vector's size
+    deltalog.commit(
+        path,
+        [
+            {"remove": {"path": row.path, "dataChange": True}},
+            {
+                "add": {
+                    "path": row.path,
+                    "size": row.size,
+                    "dataChange": True,
+                    "stats": row.stats,
+                    "deletionVector": d,
+                }
+            },
+            {"commitInfo": {"operation": "TEST BADCARD"}},
+        ],
+    )
+    with pytest.raises(Exception, match="cardinality"):
+        deltalog.read_snapshot(spark, path).count()
+
+
+def test_legacy_parquet_sidecar_table_reads(spark):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = _fresh("legacy")
+    _stage(spark, path, n=20, files=1)
+    lf = deltalog.live_files(
+        deltalog.read_log_actions(spark, path)
+    ).collect()
+    (row,) = lf
+    os.makedirs(os.path.join(path, "_deletion_vectors"))
+    rel = os.path.join("_deletion_vectors", "dv-legacy.parquet")
+    pq.write_table(
+        pa.table({"row_index": pa.array([0, 5], type=pa.int64())}),
+        os.path.join(path, rel),
+    )
+    legacy = {
+        "storageType": "u",
+        "pathOrInlineDv": rel,
+        "sizeInBytes": os.path.getsize(os.path.join(path, rel)),
+        "cardinality": 2,
+    }
+    deltalog.commit(
+        path,
+        [
+            {"remove": {"path": row.path, "dataChange": True}},
+            {
+                "add": {
+                    "path": row.path,
+                    "size": row.size,
+                    "dataChange": True,
+                    "stats": row.stats,
+                    "deletionVector": legacy,
+                }
+            },
+            {"commitInfo": {"operation": "TEST LEGACY"}},
+        ],
+    )
+    got = sorted(
+        r.k for r in deltalog.read_snapshot(spark, path).collect()
+    )
+    assert got == [k for k in range(20) if k not in (0, 5)]
+    # a FURTHER mutation merges the legacy rows into a spec vector
+    deltalog.delete_where(spark, path, "k = 9")
+    (d,) = _live_dvs(spark, path).values()
+    assert d["cardinality"] == 3
+    assert not d["pathOrInlineDv"].endswith(".parquet")
+    assert deltalog.read_snapshot(spark, path).count() == 17
+
+
+def test_checkpoint_and_restore_carry_spec_descriptors(spark):
+    path = _fresh("ckpt")
+    _stage(spark, path, n=4000, files=2)
+    v = deltalog.delete_where(spark, path, "k % 3 = 0")
+    expect = sum(1 for k in range(4000) if k % 3)
+    deltalog.write_checkpoint(spark, path)
+    deltalog.cleanup_log_before_checkpoint(path)
+    assert deltalog.read_snapshot(spark, path).count() == expect
+    dvs = _live_dvs(spark, path)
+    assert all(
+        d["storageType"] == "u" and d["offset"] == 1 for d in dvs.values()
+    )
+    # restore on top of the checkpointed state keeps descriptors exact
+    deltalog.append(
+        spark,
+        spark.createDataFrame(
+            [(9999, "z", 1.0)], "k int, s string, v double"
+        ),
+        path,
+    )
+    deltalog.restore(spark, path, v)
+    assert deltalog.read_snapshot(spark, path).count() == expect
