@@ -1813,47 +1813,25 @@ def _scan_live(
     if not probe:
         return None, False
     if len(probe) <= threshold:
-        dv_files = (
-            [(r.path, r.dv, r.stats) for r in probe if r.dv is not None]
-            if dv_possible
-            else []
-        )
-        need_meta_cols = bool(dv_files) or with_row_idx
-        scan = (
-            spark.read.option("basePath", table_dir)
-            .option("mergeSchema", "true")
-            .parquet(*[os.path.join(table_dir, r.path) for r in probe])
-        )
-        keep: list[str] = []
-        if need_meta_cols:
-            # __src must derive from _metadata HERE: input_file_name
-            # is illegal after the DV anti-join introduces a second
-            # file source (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
-            scan = scan.withColumn(
-                "__fname",
-                F.substring_index(F.col("_metadata.file_path"), "/", -1),
-            ).withColumn("__ridx", F.col("_metadata.row_index"))
-            keep = ["__fname", "__ridx"]
-            if with_src:
-                scan = scan.withColumn(
-                    "__src", F.col("_metadata.file_path")
-                )
-                keep.append("__src")
-        if dv_files:
-            scan = scan.join(
-                F.broadcast(_dv_rows(spark, table_dir, dv_files)),
-                ["__fname", "__ridx"],
-                "left_anti",
+        items = [
+            (
+                r.path,
+                r.dv if dv_possible else None,
+                r.stats if dv_possible else None,
             )
-        if with_src and not need_meta_cols:
-            scan = scan.withColumn("__src", F.input_file_name())
-            keep.append("__src")
-        scan = _align_declared(scan, schema_string, keep=tuple(keep))
-        if not with_row_idx and "__ridx" in scan.columns:
-            scan = scan.drop("__ridx", "__fname")
-        elif "__fname" in scan.columns:
-            scan = scan.drop("__fname")
-        return scan, False
+            for r in probe
+        ]
+        return (
+            _plan_native_scan(
+                spark,
+                table_dir,
+                items,
+                schema_string,
+                with_src=with_src,
+                with_row_idx=with_row_idx,
+            ),
+            False,
+        )
     scan = _ms.scan_live_files(
         spark,
         table_dir,
@@ -1868,6 +1846,59 @@ def _scan_live(
         _align_declared(scan, schema_string, keep=("__src", "__ridx")),
         True,
     )
+
+
+def _plan_native_scan(
+    spark: SparkSession,
+    table_dir: str,
+    items: list[tuple],
+    schema_string: str | None,
+    *,
+    with_src: bool = False,
+    with_row_idx: bool = False,
+) -> DataFrame:
+    """Plan ONE native parquet scan over ``items`` — (relative path,
+    deletionVector descriptor or None, add-stats JSON or None) — with
+    DV anti-join masking, provenance columns, and declared-schema
+    alignment.  Shared by :func:`_scan_live` (items from the
+    live-file frame probe) and the small-log driver replay
+    (:func:`_replay_log_driver`), which reaches here with ZERO Spark
+    metadata jobs."""
+    dv_files = [it for it in items if it[1] is not None]
+    need_meta_cols = bool(dv_files) or with_row_idx
+    scan = (
+        spark.read.option("basePath", table_dir)
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(table_dir, it[0]) for it in items])
+    )
+    keep: list[str] = []
+    if need_meta_cols:
+        # __src must derive from _metadata HERE: input_file_name
+        # is illegal after the DV anti-join introduces a second
+        # file source (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
+        scan = scan.withColumn(
+            "__fname",
+            F.substring_index(F.col("_metadata.file_path"), "/", -1),
+        ).withColumn("__ridx", F.col("_metadata.row_index"))
+        keep = ["__fname", "__ridx"]
+        if with_src:
+            scan = scan.withColumn("__src", F.col("_metadata.file_path"))
+            keep.append("__src")
+    if dv_files:
+        scan = scan.join(
+            F.broadcast(_dv_rows(spark, table_dir, dv_files)),
+            ["__fname", "__ridx"],
+            "left_anti",
+        )
+    if with_src and not need_meta_cols:
+        scan = scan.withColumn("__src", F.input_file_name())
+        keep.append("__src")
+    scan = _align_declared(scan, schema_string, keep=tuple(keep))
+    if not with_row_idx and "__ridx" in scan.columns:
+        scan = scan.drop("__ridx", "__fname")
+    elif "__fname" in scan.columns:
+        scan = scan.drop("__fname")
+    return scan
 
 
 def _dv_rows(
@@ -1896,9 +1927,8 @@ def _dv_rows(
         n_rec = None
         if stats:
             n_rec = _json.loads(stats).get("numRecords")
-        desc = {
-            k: v for k, v in dv.asDict().items() if v is not None
-        }
+        as_dict = dv.asDict() if hasattr(dv, "asDict") else dict(dv)
+        desc = {k: v for k, v in as_dict.items() if v is not None}
         rows.append(
             (
                 os.path.basename(data),
@@ -3819,6 +3849,174 @@ def resolve_timestamp(
     return int(row["v"])
 
 
+#: total log bytes (checkpoint parts + JSON tail) up to which state
+#: reconstruction happens DRIVER-SIDE with zero Spark jobs; past it
+#: the distributed replay takes over
+DRIVER_REPLAY_MAX_BYTES = 8 << 20
+
+
+def _replay_log_driver(
+    table_dir: str,
+    *,
+    version_as_of: int | None = None,
+    max_bytes: int = DRIVER_REPLAY_MAX_BYTES,
+) -> dict | None:
+    """DRIVER-SIDE state reconstruction for SMALL logs — the shape a
+    production Delta reader has: log replay is a metadata operation,
+    so below :data:`DRIVER_REPLAY_MAX_BYTES` of checkpoint + JSON
+    tail it runs as plain file reads with ZERO Spark jobs (measured:
+    each metadata job on a vanilla session costs 0.3-0.7 s of pure
+    scheduling — the dominant cost of reading a small table, and the
+    root of the r12 steady-read regression).  Returns ``{"adds":
+    [add dicts], "meta": metaData dict | None, "proto": protocol
+    dict | None}`` replayed with the same last-action-wins
+    ``(version, is_add)`` rule as :func:`live_files`, or ``None``
+    when the log exceeds the byte budget (callers fall back to the
+    distributed replay, which scales to 10⁶ actions).
+
+    Time travel matches :func:`read_snapshot_actions`: versions at or
+    past the checkpoint reconstruct from checkpoint + filtered tail;
+    below it the raw JSON must survive or this raises the same
+    log-cleanup error."""
+    import json as _json
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        return None
+    jsons = sorted(
+        f
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    )
+    ck = _checkpoint_version(table_dir)
+    use_ck = ck is not None and (
+        version_as_of is None or version_as_of >= ck
+    )
+    if ck is not None and not use_ck:
+        if f"{0:020d}.json" not in set(jsons):
+            raise ValueError(
+                f"version {version_as_of} of {table_dir} is no longer "
+                f"reconstructable: log cleanup removed the JSON commits "
+                f"before checkpoint {ck}"
+            )
+    total = 0
+    ck_paths: list[str] = []
+    if use_ck:
+        ck_paths = _checkpoint_parts(log_dir, ck)
+        total += sum(os.path.getsize(p) for p in ck_paths)
+        tail = [f for f in jsons if int(f.split(".")[0]) > ck]
+    else:
+        tail = jsons
+    if version_as_of is not None:
+        tail = [f for f in tail if int(f.split(".")[0]) <= version_as_of]
+    total += sum(os.path.getsize(os.path.join(log_dir, f)) for f in tail)
+    if total > max_bytes:
+        return None
+    if not ck_paths and not tail:
+        return None  # nothing to replay — let callers raise their way
+    best: dict[str, tuple] = {}
+    meta: dict | None = None
+    proto: dict | None = None
+    meta_v = proto_v = -1
+
+    def _apply(act: dict, v: int) -> None:
+        nonlocal meta, proto, meta_v, proto_v
+        md = act.get("metaData")
+        if md is not None and v >= meta_v:
+            meta, meta_v = md, v
+        pr = act.get("protocol")
+        if pr is not None and v >= proto_v:
+            proto, proto_v = pr, v
+        a = act.get("add")
+        if a is not None:
+            key = (v, True)
+            p = a["path"]
+            if p not in best or key > best[p][0]:
+                best[p] = (key, a)
+            return
+        r = act.get("remove")
+        if r is not None:
+            key = (v, False)
+            p = r["path"]
+            if p not in best or key > best[p][0]:
+                best[p] = (key, None)
+
+    if ck_paths:
+        import pyarrow.parquet as _pq
+
+        for part in ck_paths:
+            for rec in _pq.read_table(part).to_pylist():
+                act = {k: v for k, v in rec.items() if v is not None}
+                a = act.get("add")
+                if a is not None:
+                    # pyarrow renders parquet MAP columns as
+                    # [(key, value), ...] lists — normalize to the
+                    # dict shape the JSON branch produces
+                    for mk in ("partitionValues",):
+                        if isinstance(a.get(mk), list):
+                            a[mk] = dict(a[mk])
+                _apply(act, ck)
+    for f in tail:
+        v = int(f.split(".")[0])
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                if line.strip():
+                    _apply(_json.loads(line), v)
+    adds = [a for (_k, a) in best.values() if a is not None]
+    return {"adds": adds, "meta": meta, "proto": proto}
+
+
+def _skipping_keep_py(
+    stats: str | None,
+    skipping: list[tuple],
+    mapping: dict[str, str] | None = None,
+) -> bool:
+    """Python mirror of :func:`_skipping_keep` for the driver-replay
+    path — identical envelope semantics: missing stats, a missing
+    column entry, or an unparsable bound always KEEP the file."""
+    if not stats:
+        return True
+    import json as _json
+
+    try:
+        st = _json.loads(stats)
+    except ValueError:
+        return True
+    mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
+    for col, op, lit in skipping:
+        col = (mapping or {}).get(col, col)
+        if op not in _SKIP_OPS:
+            raise ValueError(f"unsupported skipping op: {op!r}")
+        if isinstance(lit, bool) or not isinstance(lit, (int, float, str)):
+            raise ValueError(
+                f"skipping literal must be numeric or string: {lit!r}"
+            )
+        mn, mx = mins.get(col), maxs.get(col)
+        if mn is None or mx is None:
+            continue
+        if isinstance(lit, str):
+            mn, mx, lv = str(mn), str(mx), lit
+        else:
+            try:
+                mn, mx = float(mn), float(mx)
+            except (TypeError, ValueError):
+                continue
+            lv = float(lit)
+        if op in ("==", "="):
+            hit = mn <= lv <= mx
+        elif op == ">":
+            hit = mx > lv
+        elif op == ">=":
+            hit = mx >= lv
+        elif op == "<":
+            hit = mn < lv
+        else:
+            hit = mn <= lv
+        if not hit:
+            return False
+    return True
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -3875,6 +4073,73 @@ def read_snapshot(
         version_as_of = resolve_timestamp(
             spark, table_dir, timestamp_as_of
         )
+    # SMALL-LOG FAST PATH: state reconstruction driver-side, zero
+    # Spark metadata jobs — the dominant cost of reading a small
+    # table is otherwise pure job scheduling (three metadata jobs at
+    # 0.3-0.7 s each on a vanilla session).  An explicit
+    # manifest_threshold override (tests exercising the manifest
+    # route) bypasses it, as does any log past the byte budget.
+    state = (
+        _replay_log_driver(table_dir, version_as_of=version_as_of)
+        if manifest_threshold is None
+        else None
+    )
+    if state is not None:
+        meta = state["meta"]
+        proto = state["proto"]
+        _assert_reader_supported(
+            {
+                "minReaderVersion": proto.get("minReaderVersion"),
+                "readerFeatures": proto.get("readerFeatures"),
+            }
+            if proto
+            else None
+        )
+        dv_possible = proto is not None and "deletionVectors" in (
+            proto.get("readerFeatures") or []
+        )
+        adds = state["adds"]
+        if partition_filter:
+            adds = [
+                a
+                for a in adds
+                if all(
+                    (a.get("partitionValues") or {}).get(k) == str(v)
+                    for k, v in partition_filter.items()
+                )
+            ]
+        schema_string = meta["schemaString"] if meta else None
+        if skipping:
+            mapping = _mapping_from(schema_string)
+            adds = [
+                a
+                for a in adds
+                if _skipping_keep_py(a.get("stats"), skipping, mapping)
+            ]
+        if not adds:
+            if skipping:
+                import json as _json
+
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(_json.loads(schema_string))
+                )
+            raise ValueError(
+                f"delta log at {table_dir} has no live files"
+            )
+        items = [
+            (
+                a["path"],
+                a.get("deletionVector") if dv_possible else None,
+                a.get("stats") if dv_possible else None,
+            )
+            for a in adds
+        ]
+        out = _plan_native_scan(spark, table_dir, items, schema_string)
+        if skipping:
+            out = _skipping_row_filter(out, skipping)
+        return out
     if version_as_of is not None:
         actions = read_snapshot_actions(
             spark, table_dir, version_as_of=version_as_of
@@ -3898,23 +4163,28 @@ def read_snapshot(
             )
         )
     # the metaData AS OF the resolved version (time travel reads the
-    # then-declared schema, not today's)
-    meta = (
-        actions.filter(F.col("metaData").isNotNull())
-        .orderBy(F.col("version").desc())
-        .select("metaData.schemaString", "metaData.partitionColumns")
-        .first()
-    )
+    # then-declared schema, not today's) and the protocol gate in ONE
+    # aggregate job — the log would otherwise be re-scanned per
+    # lookup, a measured fixed cost on every snapshot read (the r12
+    # bench regression on cdc_delta_merge_native's steady read)
+    top = actions.agg(
+        F.max_by(
+            F.struct(
+                "metaData.schemaString", "metaData.partitionColumns"
+            ),
+            F.when(F.col("metaData").isNotNull(), F.col("version")),
+        ).alias("meta"),
+        F.max_by(
+            F.struct(
+                "protocol.minReaderVersion", "protocol.readerFeatures"
+            ),
+            F.when(F.col("protocol").isNotNull(), F.col("version")),
+        ).alias("proto"),
+    ).first()
+    meta = top["meta"]
+    proto_row = top["proto"]
     # the spec's reader gate: refuse tables requiring features this
     # implementation lacks — never silently mis-reconstruct
-    proto_row = (
-        actions.filter(F.col("protocol").isNotNull())
-        .orderBy(F.col("version").desc())
-        .select(
-            "protocol.minReaderVersion", "protocol.readerFeatures"
-        )
-        .first()
-    )
     _assert_reader_supported(proto_row)
     # census strategy, provenance, and deletion-vector masking all
     # live in _scan_live: driver path list + native pushdown below
@@ -4188,6 +4458,13 @@ def read_changes(
     the touched files' unchanged passthrough churn — the spec's own
     "use cdc actions when present" rule.
 
+    File-level legs are DELETION-VECTOR aware (ADVICE r12 medium):
+    an add carrying a vector (RESTORE of a DV'd file) masks its
+    insert leg, and a remove of a file that was live with a vector
+    (OVERWRITE over DV'd files) masks its delete leg by the
+    PREDECESSOR version's descriptor — already-deleted rows are never
+    double-reported.
+
     One bounded metadata pass plans the per-(version, type) file
     lists; the data reads are plain parquet scans unioned per commit
     — plan legs bounded by the version range, never by data size."""
@@ -4219,31 +4496,98 @@ def read_changes(
         .collect()
     )
     cdc_versions = {int(r.version) for r in cdc_rows}
-    changed = (
+    adds_changed = (
         span.select(
             "version",
             F.col("add.path").alias("path"),
-            F.lit("insert").alias("_change_type"),
+            F.col("add.deletionVector").alias("dv"),
+            F.col("add.stats").alias("stats"),
         )
-        .filter(
-            F.col("path").isNotNull() & F.col("add.dataChange")
-        )
-        .unionByName(
-            span.select(
-                "version",
-                F.col("remove.path").alias("path"),
-                F.lit("delete").alias("_change_type"),
-            ).filter(
-                F.col("path").isNotNull() & F.col("remove.dataChange")
-            )
-        )
+        .filter(F.col("path").isNotNull() & F.col("add.dataChange"))
         .collect()
     )
-    if not changed and not cdc_rows:
+    removes_changed = (
+        span.select(
+            "version", F.col("remove.path").alias("path")
+        )
+        .filter(F.col("path").isNotNull() & F.col("remove.dataChange"))
+        .collect()
+    )
+    if not adds_changed and not removes_changed and not cdc_rows:
         raise ValueError(
             f"no data-changing commits in ({starting_version}, {hi}] "
             f"of {table_dir}"
         )
+    # DELETION-VECTOR awareness on the FILE-LEVEL legs (ADVICE r12
+    # medium): an add carrying a vector (RESTORE re-adding a DV'd
+    # file) must not re-emit its masked rows as inserts, and a remove
+    # tombstoning a file that was live WITH a vector (OVERWRITE over
+    # DV'd files) must not re-emit the already-deleted rows — those
+    # deletions were surfaced by the DV-DML commit's own cdc file.
+    # The predecessor state of each removed path is its latest add
+    # BELOW the remove's version; the lookup runs only when the
+    # protocol has ever allowed vectors and only over the removed
+    # paths (bounded by the feed's own file census).
+    rm_prior: dict[tuple[str, int], tuple] = {}
+    rm_versions = [
+        int(r.version)
+        for r in removes_changed
+        if int(r.version) not in cdc_versions
+    ]
+    if rm_versions and _dv_feature_present(table_dir):
+        rm_paths = sorted(
+            {
+                r.path
+                for r in removes_changed
+                if int(r.version) not in cdc_versions
+            }
+        )
+        prior = (
+            actions.filter(F.col("add.path").isin(rm_paths))
+            .select(
+                "version",
+                F.col("add.path").alias("path"),
+                F.col("add.deletionVector").alias("dv"),
+                F.col("add.stats").alias("stats"),
+            )
+            .collect()
+        )
+        by_path: dict[str, list] = {}
+        for p in prior:
+            by_path.setdefault(p.path, []).append(p)
+        for r in removes_changed:
+            v = int(r.version)
+            if v in cdc_versions:
+                continue
+            below = [
+                p for p in by_path.get(r.path, []) if int(p.version) < v
+            ]
+            if below:
+                latest = max(below, key=lambda p: int(p.version))
+                rm_prior[(r.path, v)] = (latest.dv, latest.stats)
+
+    def _file_leg(path: str, dv, stats) -> DataFrame:
+        scan = spark.read.parquet(os.path.join(table_dir, path))
+        if dv is not None:
+            scan = (
+                scan.withColumn(
+                    "__fname",
+                    F.substring_index(
+                        F.col("_metadata.file_path"), "/", -1
+                    ),
+                )
+                .withColumn("__ridx", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(
+                        _dv_rows(spark, table_dir, [(path, dv, stats)])
+                    ),
+                    ["__fname", "__ridx"],
+                    "left_anti",
+                )
+                .drop("__fname", "__ridx")
+            )
+        return scan
+
     mapping = _mapping_from(_current_schema_string(table_dir))
     legs = []
     for r in cdc_rows:
@@ -4257,17 +4601,26 @@ def read_changes(
                 "_commit_version", F.lit(int(r.version)).cast("bigint")
             )
         )
-    for r in changed:
+    for r in adds_changed:
         if int(r.version) in cdc_versions:
             continue  # served row-level above
         legs.append(
-            _to_logical(
-                spark.read.parquet(os.path.join(table_dir, r.path)),
-                mapping,
-            )
-            .withColumn("_change_type", F.lit(r._change_type))
+            _to_logical(_file_leg(r.path, r.dv, r.stats), mapping)
+            .withColumn("_change_type", F.lit("insert"))
             .withColumn(
                 "_commit_version", F.lit(int(r.version)).cast("bigint")
+            )
+        )
+    for r in removes_changed:
+        v = int(r.version)
+        if v in cdc_versions:
+            continue
+        dv, stats = rm_prior.get((r.path, v), (None, None))
+        legs.append(
+            _to_logical(_file_leg(r.path, dv, stats), mapping)
+            .withColumn("_change_type", F.lit("delete"))
+            .withColumn(
+                "_commit_version", F.lit(v).cast("bigint")
             )
         )
     out = legs[0]

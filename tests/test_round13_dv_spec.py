@@ -280,3 +280,47 @@ def test_checkpoint_and_restore_carry_spec_descriptors(spark):
     )
     deltalog.restore(spark, path, v)
     assert deltalog.read_snapshot(spark, path).count() == expect
+
+
+def test_cdf_masks_restored_dv_file_insert_leg(spark):
+    # RESTORE re-adds a DV-carrying file in a commit WITHOUT cdc
+    # actions: the insert leg must mask the vector's rows, not
+    # re-emit them (ADVICE r12 medium)
+    path = _fresh("cdf_restore")
+    _stage(spark, path, n=20, files=1)                     # v0..v2
+    v_dml = deltalog.delete_where(spark, path, "k < 5")    # v3: DV
+    big = spark.createDataFrame(
+        [(100 + i, "o", 0.0) for i in range(3)],
+        "k int, s string, v double",
+    )
+    deltalog.overwrite(spark, big, path)                   # v4
+    v_restore = deltalog.restore(spark, path, v_dml)       # v5: re-add
+    ch = deltalog.read_changes(spark, path, starting_version=v_restore - 1)
+    ins = sorted(
+        r.k for r in ch.filter("_change_type = 'insert'").collect()
+    )
+    assert ins == list(range(5, 20))  # masked rows never re-emitted
+    assert deltalog.read_snapshot(spark, path).count() == 15
+
+
+def test_cdf_masks_overwrite_delete_leg_over_dv_file(spark):
+    # OVERWRITE tombstones a file that was live WITH a vector: the
+    # delete leg reports only the rows live at the predecessor
+    # version — the DV'd rows' deletion was already surfaced by the
+    # DV-DML commit's cdc file
+    path = _fresh("cdf_ow")
+    _stage(spark, path, n=20, files=1)                     # v0..v2
+    deltalog.delete_where(spark, path, "k < 5")            # v3: DV
+    big = spark.createDataFrame(
+        [(200, "o", 0.0)], "k int, s string, v double"
+    )
+    v_ow = deltalog.overwrite(spark, big, path)            # v4
+    ch = deltalog.read_changes(
+        spark, path, starting_version=v_ow - 1, ending_version=v_ow
+    )
+    dels = sorted(
+        r.k for r in ch.filter("_change_type = 'delete'").collect()
+    )
+    assert dels == list(range(5, 20))
+    ins = [r.k for r in ch.filter("_change_type = 'insert'").collect()]
+    assert ins == [200]

@@ -18,10 +18,13 @@ QUERIES = ["cdc_delta_merge_native", "cdc_scd2_delta_native"]
 
 
 def main() -> None:
-    roots = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = sys.argv[1:]
     passes = 4
-    if "--passes" in sys.argv:
-        passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    if "--passes" in args:
+        i = args.index("--passes")
+        passes = int(args[i + 1])
+        del args[i : i + 2]
+    roots = args
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, roots[0])
     from cdc_pipe_line_spark import get_spark
@@ -39,7 +42,9 @@ def main() -> None:
                 del sys.modules[mod]
             sys.path.insert(0, root)
             try:
-                from cdc_pipe_line_spark.queries import QUERIES as REG
+                from cdc_pipe_line_spark.queries import all_queries
+
+                REG = all_queries()
                 for q in QUERIES:
                     t0 = time.perf_counter()
                     REG[q](spark, sf_dir).write.format("noop").mode(
