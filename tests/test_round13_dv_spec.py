@@ -324,3 +324,63 @@ def test_cdf_masks_overwrite_delete_leg_over_dv_file(spark):
     assert dels == list(range(5, 20))
     ins = [r.k for r in ch.filter("_change_type = 'insert'").collect()]
     assert ins == [200]
+
+
+def test_manifest_lifecycle_no_orphans_after_dml(spark):
+    # over-threshold DML censuses plan manifests; the statement must
+    # release them on return — success AND failure (VERDICT r12
+    # what's-wrong 4)
+    from cdc_pipe_line_spark import manifest_scan as ms
+
+    path = _fresh("man_life")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k int, v double"
+    )
+    deltalog.create_table(spark, df.filter("k < 20"), path)
+    deltalog.append(spark, df.filter("k >= 20"), path)
+    before = set(os.listdir(ms.MANIFEST_ROOT)) if os.path.isdir(
+        ms.MANIFEST_ROOT
+    ) else set()
+    deltalog.delete_where(spark, path, "k % 4 = 0", manifest_threshold=1)
+    after = set(os.listdir(ms.MANIFEST_ROOT)) if os.path.isdir(
+        ms.MANIFEST_ROOT
+    ) else set()
+    assert after - before == set()
+    assert deltalog.read_snapshot(spark, path).count() == 30
+    # failure path: a constraint violation aborts the statement
+    # mid-flight; the finally still releases its manifests
+    deltalog.add_constraint(spark, path, "v_cap", "v < 1000")
+    with pytest.raises(ValueError, match="v_cap"):
+        deltalog.update_where(
+            spark, path, "k = 1", {"v": "9999.0"}, manifest_threshold=1
+        )
+    after2 = set(os.listdir(ms.MANIFEST_ROOT)) if os.path.isdir(
+        ms.MANIFEST_ROOT
+    ) else set()
+    assert after2 - before == set()
+
+
+def test_manifest_ttl_sweep_and_session_cleanup(spark):
+    from cdc_pipe_line_spark import manifest_scan as ms
+
+    path = _fresh("man_ttl")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k int, v double"
+    )
+    deltalog.create_table(spark, df.filter("k < 20"), path)
+    deltalog.append(spark, df.filter("k >= 20"), path)
+    mark = ms.manifest_mark()
+    snap = deltalog.read_snapshot(spark, path, manifest_threshold=1)
+    assert snap.count() == 40
+    created = ms._SESSION_MANIFESTS[mark:]
+    assert created and all(os.path.isdir(d) for d in created)
+    # an aged dir is swept by the NEXT scan (TTL route)
+    old = os.path.join(ms.MANIFEST_ROOT, "aged-fixture")
+    os.makedirs(old, exist_ok=True)
+    os.utime(old, (1, 1))
+    deltalog.read_snapshot(spark, path, manifest_threshold=1).count()
+    assert not os.path.isdir(old)
+    # session cleanup removes everything this process registered
+    ms._cleanup_session()
+    assert not any(os.path.isdir(d) for d in created)
+    assert ms.manifest_mark() == 0
