@@ -57,31 +57,32 @@ _MODULES = [
 #: names whose SEMANTICS or IMPLEMENTATION changed in round 11 and
 #: therefore need fresh external evidence: the clustering-coefficient
 #: primary/diagnostic swap (r10 verdict item 2), the functional-SCC
-#: Round-12 rotation: the three NEW queries (operationMetrics
-#: telemetry, deletion-vector DML, merge-on-read MERGE) lead, then
-#: every query whose execution path round 12 rewrote — the whole
-#: native-Delta family rides the reworked read census
-#: (_scan_live/manifest threshold + DV masking), monotonic in-commit
-#: timestamps, protocol-upgrade-never-downgrade, skipping-as-
-#: predicate DML semantics, and per-partition bin-packed OPTIMIZE —
-#: so each gets fresh external evidence against its oracle.
-#: Regenerate with ``python tools/gen_rotation.py``.
+#: Round-13 rotation: the NEW query (DV-aware change-feed legs over
+#: OVERWRITE/RESTORE) leads, then every query whose execution path
+#: round 13 rewrote — the whole native-Delta family now rides
+#: spec-encoded deletion vectors (roaring bitmap + z85 + inline),
+#: validated decode on both scan routes, the non-DV scan fast path,
+#: driver-side small-log replay (snapshot reads, metadata lookups,
+#: TIMESTAMP AS OF), consistent checkpoint part sets, and the
+#: manifest lifecycle — so each gets fresh external evidence against
+#: its oracle.  Regenerate with ``python tools/gen_rotation.py``.
 _DRIVER_ROTATION = (
-    "qa_delta_history_metrics",
+    "cdc_delta_cdf_restore",
+    "qa_delta_dv_invariants",
     "cdc_delta_dv_dml",
     "cdc_delta_dv_merge",
-    "qa_delta_dv_invariants",
     "cdc_scd2_dv_merge",
+    "io_delta_vacuum_restore",
+    "io_delta_time_travel",
+    "qa_delta_history_metrics",
     "io_delta_native_writer",
     "io_delta_log_scan",
-    "io_delta_time_travel",
     "io_delta_checkpoint",
     "io_delta_partitioned_prune",
     "io_delta_schema_evolution",
     "cdc_scd2_delta_native",
     "stream_delta_txn_sink",
     "qa_delta_invariants",
-    "io_delta_vacuum_restore",
     "cdc_delta_changes",
     "stream_delta_source",
     "io_delta_stats_skipping",

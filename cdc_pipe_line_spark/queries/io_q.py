@@ -4159,3 +4159,93 @@ SELECT
   (SELECT CAST(n AS BIGINT) FROM expired) AS dv_cardinality,
   CAST(0 AS BIGINT) AS merge_copied_rows
 FROM history"""
+
+
+def q_delta_cdf_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE FEED over OVERWRITE + RESTORE of a DELETION-VECTOR
+    table — the round-13 DV-aware file-level legs (ADVICE r12
+    medium): commits WITHOUT ``cdc`` actions serve changes from the
+    touched files, and when those files carry deletion vectors the
+    legs must mask them — an OVERWRITE tombstoning a DV'd file
+    reports only the rows live at the predecessor version as
+    deletes, and a RESTORE re-adding the file reports only the
+    surviving rows as inserts.  Without the masking every DV-deleted
+    row is double-counted by downstream CDC consumers (its deletion
+    was already surfaced by the DV-DML commit's own cdc file).
+
+    Fixture: orders as one file (v0) → enable DVs (v1) → DELETE
+    ``o_orderkey % 10 = 0`` merge-on-read (v2) → OVERWRITE with one
+    sentinel row (v3) → RESTORE to v2 (v4).  Published: per
+    (commit_version, change_type) row counts + key and cents
+    checksums over the feed ``(2, 4]`` — all four legs closed-form
+    for the oracle.  Scale shape: the feed plans one file scan per
+    touched file with the mask as a broadcast anti-join keyed by
+    decoded vector rows; cost tracks mutated files, never table
+    size."""
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_cdf_restore")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        deltalog.create_table(spark, orders, base, n_files=1)      # v0
+        deltalog.enable_deletion_vectors(spark, base)              # v1
+        deltalog.delete_where(spark, base, "o_orderkey % 10 = 0")  # v2
+        repl = spark.range(1).select(
+            F.lit(900000001)
+            .cast(orders.schema["o_orderkey"].dataType)
+            .alias("o_orderkey"),
+            F.lit(10.0)
+            .cast(orders.schema["o_totalprice"].dataType)
+            .alias("o_totalprice"),
+        )
+        deltalog.overwrite(spark, repl, base)                      # v3
+        deltalog.restore(spark, base, 2)                           # v4
+        _mark(base)
+    ch = deltalog.read_changes(
+        spark, base, starting_version=2, ending_version=4
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        ch.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.sum(cents).cast("bigint").alias("cents_sum"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+QUERIES["cdc_delta_cdf_restore"] = q_delta_cdf_restore
+
+ORACLE["cdc_delta_cdf_restore"] = """
+WITH kept AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % 10 <> 0),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents_sum
+  FROM kept)
+SELECT * FROM (
+  SELECT CAST(3 AS BIGINT) AS commit_version, 'delete' AS change_type,
+         n, key_sum, cents_sum FROM agg
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'insert', CAST(1 AS BIGINT),
+         CAST(900000001 AS BIGINT), CAST(1000 AS BIGINT)
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), 'delete', CAST(1 AS BIGINT),
+         CAST(900000001 AS BIGINT), CAST(1000 AS BIGINT)
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), 'insert', n, key_sum, cents_sum FROM agg
+) ORDER BY commit_version, change_type"""
