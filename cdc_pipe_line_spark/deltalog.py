@@ -3470,9 +3470,46 @@ def last_txn_version(
 ) -> int | None:
     """Highest committed ``txn.version`` for ``app_id`` — the
     exactly-once handshake a streaming sink reads before applying a
-    micro-batch (the protocol's SetTransaction action)."""
-    if not os.path.isdir(os.path.join(table_dir, "_delta_log")):
+    micro-batch (the protocol's SetTransaction action).  Driver-side
+    on small logs (every micro-batch pays this lookup; a Spark job
+    here is pure scheduling overhead), distributed past the replay
+    byte budget."""
+    import json as _json
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
         return None
+    jsons = [
+        f
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    ]
+    ck = _checkpoint_version(table_dir)
+    ck_paths = _checkpoint_parts(log_dir, ck) if ck is not None else []
+    total = sum(os.path.getsize(p) for p in ck_paths) + sum(
+        os.path.getsize(os.path.join(log_dir, f)) for f in jsons
+    )
+    if total <= DRIVER_REPLAY_MAX_BYTES:
+        best = None
+        if ck_paths:
+            import pyarrow.parquet as _pq
+
+            for part in ck_paths:
+                for r in _pq.read_table(
+                    part, columns=["txn"]
+                ).to_pylist():
+                    t = r.get("txn")
+                    if t and t.get("appId") == app_id:
+                        v = int(t["version"])
+                        best = v if best is None else max(best, v)
+        for f in jsons:
+            with open(os.path.join(log_dir, f)) as fh:
+                for line in fh:
+                    t = _json.loads(line).get("txn")
+                    if t and t.get("appId") == app_id:
+                        v = int(t["version"])
+                        best = v if best is None else max(best, v)
+        return best
     row = (
         read_log_actions(spark, table_dir)
         .filter(F.col("txn.appId") == app_id)
