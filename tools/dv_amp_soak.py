@@ -31,7 +31,11 @@ def _tree_bytes(path: str) -> dict[str, int]:
         if "_delta_log" in root:
             continue
         for f in files:
-            if f.endswith(".parquet"):
+            # data files + deletion-vector payloads (spec .bin since
+            # r13; inline vectors live in the log and cost ~0 bytes)
+            if f.endswith(".parquet") or (
+                f.startswith("deletion_vector_") and f.endswith(".bin")
+            ):
                 full = os.path.join(root, f)
                 out[os.path.relpath(full, path)] = os.path.getsize(full)
     return out
