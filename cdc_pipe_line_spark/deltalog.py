@@ -2031,18 +2031,53 @@ def _dv_rows(
     abs_table = os.path.abspath(table_dir)
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rows = []
+    descs = []
+    total_bytes = 0
     for data, dv, stats in dv_files:
         n_rec = None
         if stats:
             n_rec = _json.loads(stats).get("numRecords")
         as_dict = dv.asDict() if hasattr(dv, "asDict") else dict(dv)
         desc = {k: v for k, v in as_dict.items() if v is not None}
+        total_bytes += int(desc.get("sizeInBytes") or 0)
+        descs.append((os.path.basename(data), desc, n_rec))
         rows.append(
             (
                 os.path.basename(data),
                 _json.dumps(desc),
                 int(n_rec) if n_rec is not None else None,
             )
+        )
+    if total_bytes <= 4 << 20:
+        # SMALL vectors decode DRIVER-SIDE (same validation): a few
+        # MB of roaring payload is microseconds of numpy, while the
+        # mapInPandas route pays a Python-worker + Arrow spin-up on
+        # the hot read path of every small DV table
+        import numpy as _np
+        import pandas as _pd
+
+        from cdc_pipe_line_spark import dvbitmap as _dvb
+
+        frames = []
+        for fname, desc, n_rec in descs:
+            idx = _dvb.read_dv(abs_table, desc)
+            if n_rec is not None and idx.size and int(idx.max()) >= int(
+                n_rec
+            ):
+                raise ValueError(
+                    f"deletion vector of {fname}: row index "
+                    f"{int(idx.max())} out of range (file has "
+                    f"{int(n_rec)} rows) — the vector or its "
+                    f"descriptor is corrupt"
+                )
+            frames.append(
+                _pd.DataFrame(
+                    {"__fname": fname, "__ridx": idx.astype(_np.int64)}
+                )
+            )
+        return spark.createDataFrame(
+            _pd.concat(frames, ignore_index=True),
+            "__fname string, __ridx bigint",
         )
     desc_df = spark.createDataFrame(
         rows, "__fname string, __desc string, __nrec bigint"
