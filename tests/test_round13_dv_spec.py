@@ -384,3 +384,74 @@ def test_manifest_ttl_sweep_and_session_cleanup(spark):
     ms._cleanup_session()
     assert not any(os.path.isdir(d) for d in created)
     assert ms.manifest_mark() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("delete"),
+            st.integers(min_value=2, max_value=7),
+            st.integers(min_value=0, max_value=6),
+        ),
+        st.tuples(
+            st.just("update"),
+            st.integers(min_value=2, max_value=7),
+            st.integers(min_value=0, max_value=6),
+        ),
+        st.tuples(st.just("compact"), st.just(0), st.just(0)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_random_dv_dml_sequences_match_pandas_model(spark, ops):
+    """Randomized DELETE/UPDATE/OPTIMIZE sequences on a DV-enabled
+    table must equal a pandas replay — final snapshot AND time travel
+    to every committed version (the merge-on-read layer's masks,
+    merged vectors, and absorb-on-compact all under one oracle)."""
+    import pandas as pd
+
+    path = _fresh("prop_seq")
+    n = 60
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(n)], "k int, v double"
+    )
+    deltalog.create_table(spark, df.filter(F.col("k") < n // 2), path)
+    deltalog.append(spark, df.filter(F.col("k") >= n // 2), path)
+    deltalog.enable_deletion_vectors(spark, path)
+    state = pd.DataFrame({"k": range(n), "v": [float(i) for i in range(n)]})
+    snapshots = {}
+    for op, m, r in ops:
+        if op == "delete":
+            ver = deltalog.delete_where(spark, path, f"k % {m} = {r}")
+            state = state[(state.k % m) != r]
+        elif op == "update":
+            ver = deltalog.update_where(
+                spark, path, f"k % {m} = {r}", {"v": "v + 100.0"}
+            )
+            state = state.copy()
+            state.loc[(state.k % m) == r, "v"] += 100.0
+        else:
+            ver = deltalog.compact(spark, path)
+        snapshots[ver] = state.copy()
+
+    def _check(got_df, want: pd.DataFrame):
+        got = sorted((r.k, r.v) for r in got_df.collect())
+        want_rows = sorted(zip(want.k.tolist(), want.v.tolist()))
+        assert got == want_rows
+
+    _check(deltalog.read_snapshot(spark, path), state)
+    for ver, snap in snapshots.items():
+        _check(
+            deltalog.read_snapshot(spark, path, version_as_of=ver), snap
+        )
