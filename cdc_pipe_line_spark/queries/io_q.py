@@ -2233,6 +2233,241 @@ SELECT
 FROM orders"""
 
 
+def q_delta_ict_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEC IN-COMMIT TIMESTAMPS end-to-end (the ``inCommitTimestamp``
+    writer feature, Delta PROTOCOL.md): a five-commit lifecycle —
+    create (%4==0) → append (%4==1) → ENABLE ICT → append (%4==2) →
+    DELETE (key%8==2) — with the two PRE-enablement commit files
+    pinned to known mtimes.  Published in one row: row counts time
+    travelled BY TIMESTAMP on both sides of the enablement boundary
+    (mtime resolution before it, ``commitInfo.inCommitTimestamp``
+    binary-searched at and past it — the exact split a Delta 3.x
+    reader applies), a key checksum binding the post-DML state, and
+    the spec's structural contract probed from the raw log: pre-
+    enablement commits carry NO ICT, every post-enablement commit's
+    FIRST action is its stamped commitInfo, stamps are strictly
+    monotonic, the enablement version/timestamp properties and the
+    writer-feature protocol gate are recorded, and every DESCRIBE
+    HISTORY timestamp ROUND-TRIPS through resolve_timestamp back to
+    its own version (history and time travel share one timeline).
+
+    Scale shape: resolution is pure driver metadata — one directory
+    scan plus O(log n) one-line commit reads — zero Spark jobs at
+    any log size; the snapshots are the ordinary pruned parquet
+    scans."""
+    import json as _json
+
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_ict")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        m = F.col("o_orderkey") % 4
+        deltalog.create_table(spark, orders.filter(m == 0), base)    # v0
+        deltalog.append(spark, orders.filter(m == 1), base)          # v1
+        deltalog.enable_in_commit_timestamps(spark, base)            # v2
+        deltalog.append(spark, orders.filter(m == 2), base)          # v3
+        deltalog.delete_where(spark, base, "o_orderkey % 8 = 2")     # v4
+        # pin the PRE-enablement mtimes (their resolution clock) so
+        # the mtime-side probe is deterministic
+        log = os.path.join(base, "_delta_log")
+        os.utime(os.path.join(log, f"{0:020d}.json"), (1.0, 1.0))
+        os.utime(os.path.join(log, f"{1:020d}.json"), (2.0, 2.0))
+        _mark(base)
+
+    log = os.path.join(base, "_delta_log")
+    icts: dict[int, int | None] = {
+        v: deltalog._read_commit_ict(base, v) for v in range(5)
+    }
+    pre_unstamped = icts[0] is None and icts[1] is None
+    post = [icts[2], icts[3], icts[4]]
+    ict_monotonic = (
+        all(i is not None for i in post) and post == sorted(post)
+        and len(set(post)) == 3
+    )
+    ci_first = True
+    for v in (2, 3, 4):
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            first = _json.loads(fh.readline())
+        ci_first = ci_first and "commitInfo" in first and (
+            first["commitInfo"].get("inCommitTimestamp") is not None
+        )
+    cfg = deltalog._current_table_config(base)
+    props_ok = (
+        cfg.get("delta.enableInCommitTimestamps") == "true"
+        and cfg.get("delta.inCommitTimestampEnablementVersion") == "2"
+        and cfg.get("delta.inCommitTimestampEnablementTimestamp")
+        == str(icts[2])
+    )
+    proto = deltalog._current_protocol(base)
+    feature_gated = int(proto.get("minWriterVersion") or 0) == 7 and (
+        "inCommitTimestamp" in (proto.get("writerFeatures") or [])
+    )
+    hist_roundtrip = all(
+        deltalog.resolve_timestamp(spark, base, r["timestamp"])
+        == r["version"]
+        for r in deltalog.table_history(spark, base).collect()
+    )
+    mtime_v1 = deltalog.read_snapshot(
+        spark, base, timestamp_as_of=2500
+    ).agg(F.count("*").cast("bigint").alias("n_rows_mtime_v1"))
+    ict_v3 = deltalog.read_snapshot(
+        spark, base, timestamp_as_of=icts[3]
+    ).agg(F.count("*").cast("bigint").alias("n_rows_ict_v3"))
+    ict_v4 = deltalog.read_snapshot(
+        spark, base, timestamp_as_of=icts[4]
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows_ict_v4"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_ict_v4"),
+    )
+    return (
+        mtime_v1.crossJoin(F.broadcast(ict_v3))
+        .crossJoin(F.broadcast(ict_v4))
+        .select(
+            "n_rows_mtime_v1",
+            "n_rows_ict_v3",
+            "n_rows_ict_v4",
+            "checksum_ict_v4",
+            F.lit(pre_unstamped).alias("pre_commits_unstamped"),
+            F.lit(ict_monotonic).alias("ict_strictly_monotonic"),
+            F.lit(ci_first).alias("commitinfo_first_and_stamped"),
+            F.lit(props_ok).alias("enablement_props_ok"),
+            F.lit(feature_gated).alias("feature_gated"),
+            F.lit(hist_roundtrip).alias("history_ts_roundtrip"),
+        )
+    )
+
+
+def q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 CHECKPOINT read path (the spec's ``v2Checkpoint`` reader
+    feature): create (%4==0) → append (%4==1) → classic checkpoint →
+    log cleanup → CONVERT the checkpoint to the spec's V2 shape
+    (UUID-named manifest + ``_sidecars/`` parquet files holding the
+    add/remove actions, ``deltalog.convert_checkpoint_to_v2``) →
+    append (%4==2).  The pre-checkpoint JSON is gone and the classic
+    checkpoint file is deleted, so the published row-count/checksum
+    probes — current state AND ``version_as_of`` the checkpoint —
+    provably reconstruct through the manifest + sidecars, alongside a
+    structural census (exactly one UUID-named manifest, two sidecar
+    files, one surviving JSON commit, no classic file).
+
+    Scale shape: sidecars are ordinary parquet legs of the same
+    bounded log scan; the manifest parse is one driver-side
+    metadata-sized read.  Read-side only — the engine still writes
+    classic checkpoints and refuses tables that GATE WRITES on
+    v2Checkpoint (VERDICT r13 next-item 2)."""
+    import re as _re
+
+    from cdc_pipe_line_spark import deltalog
+
+    base, ready = _cache(sf_dir, "delta_v2ckpt")
+    if not ready:
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        m = F.col("o_orderkey") % 4
+        deltalog.create_table(spark, orders.filter(m == 0), base)   # v0
+        deltalog.append(spark, orders.filter(m == 1), base)         # v1
+        deltalog.write_checkpoint(spark, base)
+        deltalog.cleanup_log_before_checkpoint(base)
+        deltalog.convert_checkpoint_to_v2(base, fmt="parquet")
+        deltalog.append(spark, orders.filter(m == 2), base)         # v2
+        _mark(base)
+
+    log_dir = os.path.join(base, "_delta_log")
+    names = os.listdir(log_dir)
+    n_json = sum(
+        1 for f in names if f.endswith(".json") and f.split(".")[0].isdigit()
+    )
+    manifests = [
+        f
+        for f in names
+        if _re.fullmatch(
+            r"\d{20}\.checkpoint\.[0-9a-f]{32}\.(parquet|json)", f
+        )
+    ]
+    classic_absent = not any(
+        _re.fullmatch(r"\d{20}\.checkpoint(\.\d+\.\d+)?\.parquet", f)
+        for f in names
+    )
+    side_dir = os.path.join(log_dir, "_sidecars")
+    n_sidecars = (
+        len([f for f in os.listdir(side_dir) if f.endswith(".parquet")])
+        if os.path.isdir(side_dir)
+        else 0
+    )
+    cur = deltalog.read_snapshot(spark, base).agg(
+        F.count("*").cast("bigint").alias("n_rows_current"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_current"),
+    )
+    ck = deltalog._checkpoint_version(base)
+    at_ck = deltalog.read_snapshot(spark, base, version_as_of=ck).agg(
+        F.count("*").cast("bigint").alias("n_rows_at_ckpt"),
+        F.sum("o_orderkey").cast("bigint").alias("checksum_at_ckpt"),
+    )
+    return cur.crossJoin(F.broadcast(at_ck)).select(
+        "n_rows_current",
+        "checksum_current",
+        "n_rows_at_ckpt",
+        "checksum_at_ckpt",
+        F.lit(len(manifests)).cast("bigint").alias("n_v2_manifests"),
+        F.lit(n_sidecars).cast("bigint").alias("n_sidecar_files"),
+        F.lit(n_json).cast("bigint").alias("n_json_commits"),
+        F.lit(classic_absent).alias("classic_absent"),
+    )
+
+
+QUERIES["io_delta_v2_checkpoint"] = q_delta_v2_checkpoint
+
+ORACLE["io_delta_v2_checkpoint"] = """
+SELECT
+  CAST(count(CASE WHEN o_orderkey % 4 IN (0, 1, 2) THEN 1 END)
+    AS BIGINT) AS n_rows_current,
+  CAST(sum(CASE WHEN o_orderkey % 4 IN (0, 1, 2) THEN o_orderkey END)
+    AS BIGINT) AS checksum_current,
+  CAST(count(CASE WHEN o_orderkey % 4 IN (0, 1) THEN 1 END) AS BIGINT)
+    AS n_rows_at_ckpt,
+  CAST(sum(CASE WHEN o_orderkey % 4 IN (0, 1) THEN o_orderkey END)
+    AS BIGINT) AS checksum_at_ckpt,
+  CAST(1 AS BIGINT) AS n_v2_manifests,
+  CAST(2 AS BIGINT) AS n_sidecar_files,
+  CAST(1 AS BIGINT) AS n_json_commits,
+  TRUE AS classic_absent
+FROM orders"""
+
+
+QUERIES["io_delta_ict_time_travel"] = q_delta_ict_time_travel
+
+ORACLE["io_delta_ict_time_travel"] = """
+SELECT
+  CAST(count(CASE WHEN o_orderkey % 4 IN (0, 1) THEN 1 END) AS BIGINT)
+    AS n_rows_mtime_v1,
+  CAST(count(CASE WHEN o_orderkey % 4 IN (0, 1, 2) THEN 1 END)
+    AS BIGINT) AS n_rows_ict_v3,
+  CAST(count(CASE WHEN o_orderkey % 4 IN (0, 1, 2)
+    AND o_orderkey % 8 <> 2 THEN 1 END) AS BIGINT) AS n_rows_ict_v4,
+  CAST(sum(CASE WHEN o_orderkey % 4 IN (0, 1, 2)
+    AND o_orderkey % 8 <> 2 THEN o_orderkey END) AS BIGINT)
+    AS checksum_ict_v4,
+  TRUE AS pre_commits_unstamped,
+  TRUE AS ict_strictly_monotonic,
+  TRUE AS commitinfo_first_and_stamped,
+  TRUE AS enablement_props_ok,
+  TRUE AS feature_gated,
+  TRUE AS history_ts_roundtrip
+FROM orders"""
+
+
 def q_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED over the native Delta log
     (``deltalog.read_changes`` — the table_changes read): a

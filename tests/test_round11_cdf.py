@@ -526,26 +526,19 @@ def test_history_carries_operation_parameters(spark, table_dir):
 
 
 def test_timestamp_as_of_resolves_between_commits(spark, table_dir):
-    import json as _json
     import os as _os
 
     deltalog.create_table(spark, spark.range(5), table_dir)      # v0
     deltalog.append(spark, spark.range(5, 8), table_dir)         # v1
     deltalog.append(spark, spark.range(8, 9), table_dir)         # v2
-    # pin distinct, known in-commit timestamps (the commit stamps
-    # wall clock; rewrite them so the probe is deterministic)
+    # non-ICT tables resolve by COMMIT-FILE MODIFICATION TIME (the
+    # spec reader's default); pin distinct, known mtimes so the
+    # probe is deterministic
     log = _os.path.join(table_dir, "_delta_log")
     for i, t in enumerate([1000, 2000, 3000]):
-        p = _os.path.join(log, f"{i:020d}.json")
-        lines = [
-            _json.loads(line) for line in open(p).read().splitlines()
-        ]
-        for a in lines:
-            if "commitInfo" in a:
-                a["commitInfo"]["timestamp"] = t
-        with open(p, "w") as fh:
-            for a in lines:
-                fh.write(_json.dumps(a) + "\n")
+        _os.utime(
+            _os.path.join(log, f"{i:020d}.json"), (t / 1000, t / 1000)
+        )
     assert deltalog.resolve_timestamp(spark, table_dir, 1000) == 0
     assert deltalog.resolve_timestamp(spark, table_dir, 2500) == 1
     assert deltalog.resolve_timestamp(spark, table_dir, 9999) == 2

@@ -198,9 +198,11 @@ def test_in_commit_timestamps_clamped_monotonic(spark, monkeypatch):
                     stamps.append(a["commitInfo"]["timestamp"])
     assert stamps == sorted(stamps)
     assert len(set(stamps)) == len(stamps)  # strictly increasing
-    # and TIMESTAMP AS OF resolution stays version-ordered
-    v = deltalog.resolve_timestamp(spark, path, stamps[-1])
-    assert v == 1
+    # and TIMESTAMP AS OF resolution stays version-ordered: a future
+    # timestamp resolves to the latest version (resolution is
+    # mtime-based on this non-ICT table — spec reader semantics)
+    future = int((real + 3600) * 1000)
+    assert deltalog.resolve_timestamp(spark, path, future) == 1
 
 
 def test_resolve_timestamp_post_cleanup_wording(spark):

@@ -23,19 +23,29 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def main(cap: int = 60) -> None:
     from cdc_pipe_line_spark.queries import all_queries
 
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.split("_r")[1].split(".")[0])
         with open(path) as fh:
-            seen |= set(json.load(fh))
-    never = [n for n in all_queries() if n not in seen]
-    print(f"# {len(never)} never-driver-checked of {len(all_queries())} "
-          f"registered ({len(seen)} names seen across "
-          f"{len(glob.glob('CORRECTNESS_r*.json'))} rounds)")
+            for n in json.load(fh):
+                last[n] = max(last.get(n, 0), rnd)
+    reg = list(all_queries())
+    # never-checked first (newest surface needs evidence most), then
+    # ASCENDING by last-checked round — the driver's ~50-name budget
+    # lands on the stalest external evidence (VERDICT r13 next-item 5)
+    order = sorted(
+        reg, key=lambda n: (last.get(n, -1), reg.index(n))
+    )[:cap]
+    from collections import Counter
+
+    vintage = Counter(last.get(n, 0) for n in order)
+    print(f"# rotation = {len(order)} of {len(reg)} registered; "
+          f"last-checked-round histogram {dict(sorted(vintage.items()))}")
     print("_DRIVER_ROTATION = (")
-    for n in never:
+    for n in order:
         print(f'    "{n}",')
     print(")")
 
