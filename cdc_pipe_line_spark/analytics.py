@@ -654,21 +654,37 @@ def khop_reach(
     edge list: returns ``(node, hop)`` with the MINIMUM hop count
     (<= k) at which each node is first reached (seed itself = hop 0).
 
-    Shape: k rounds of frontier-join + anti-join dedup — each round
-    shuffles only the *frontier* (nodes first reached last round),
-    never the visited set, and the visited set is pinned per round so
-    Catalyst doesn't replay the whole chain (lineage depth stays
-    linear, plan reuse via localCheckpoint like :func:`pagerank`).
-    The oracle replays this as a bounded RECURSIVE CTE.
+    Shape: the edge list is packed ONCE into an adjacency table
+    (``collect_set`` per source — dedups parallel edges in the same
+    exchange), then k rounds of frontier-join + anti-join dedup — each
+    round joins the (tiny, broadcastable) frontier against the
+    NODE-count-sized adjacency table instead of re-scanning the
+    edge-count-sized list, explodes only the matched neighbor sets,
+    and pins the new frontier so Catalyst doesn't replay the chain
+    (lineage depth stays linear, plan reuse via localCheckpoint like
+    :func:`pagerank`).  The oracle replays this as a bounded
+    RECURSIVE CTE.
+
+    ``seed=None`` seeds from the minimum source node (a one-row
+    driver scalar off the pinned adjacency — the documented bounded
+    tiny-reduce pattern), which lets callers avoid deriving the seed
+    from the un-pinned edge subtree (measured: a seed derived from
+    the pair-build lineage re-ran the whole edge materialization a
+    second time).
     """
-    e = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__d")
-    ).localCheckpoint(eager=True)
+    adj = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .groupBy("__s")
+        .agg(F.collect_set("__d").alias("__nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    if seed is None:
+        seed = adj.agg(F.min("__s")).first()[0]
     seed_df = (
-        e.sparkSession.createDataFrame([(seed, 0)], ["node", "hop"])
+        adj.sparkSession.createDataFrame([(seed, 0)], ["node", "hop"])
         if not isinstance(seed, DataFrame)
-        else seed
-    ).localCheckpoint(eager=True)
+        else seed.localCheckpoint(eager=True)
+    )
     # visited is kept as the UNION of per-round checkpointed
     # frontiers, never re-materialized: checkpointing the accumulated
     # set each round costs O(rounds x |visited|) storage passes
@@ -683,8 +699,8 @@ def khop_reach(
         for fr in frames[1:]:
             visited = visited.unionByName(fr)
         new = (
-            frontier.join(e, frontier["node"] == e["__s"])
-            .select(F.col("__d").alias("node"))
+            frontier.join(adj, frontier["node"] == adj["__s"])
+            .select(F.explode("__nbrs").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("hop", F.lit(hop))

@@ -517,29 +517,46 @@ def q_khop_reach(spark, sf_dir):
     undirected co-occurrence graph: nodes first reached at each hop.
     The iterative frontier-expansion shape (k bounded rounds, each
     shuffling only the frontier); the oracle replays it as a bounded
-    RECURSIVE CTE."""
+    RECURSIVE CTE.
+
+    Edge build (optimization r14): ONE ``collect_set`` aggregate packs
+    each order's distinct parts, and the directed co-occurrence pairs
+    come from an in-array nested transform — identical edge SET to the
+    previous distinct-projection + self-join + distinct chain
+    (oracle-verified), but with zero joins and one fewer shuffle; the
+    cross-order dedup rides the adjacency ``collect_set`` inside
+    :func:`khop_reach` instead of paying its own exchange.  The seed
+    (global min co-occurring part = min ``src``, since every node
+    appears as a source in the undirected edge list) is derived inside
+    khop_reach off the pinned adjacency — deriving it from the pair
+    lineage re-ran the whole edge build a second time (measured
+    0.76 s of the old 6.7 s at sf0.1)."""
     from cdc_pipe_line_spark.analytics import khop_reach
 
     li = _t(spark, sf_dir, "lineitem")
-    op = (
-        li.select("l_orderkey", F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    sets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
     )
-    pairs = (
-        op.alias("x")
-        .join(op.alias("y"), "l_orderkey")
-        .filter(F.col("x.p") < F.col("y.p"))
-        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
-        .distinct()
+    und = (
+        sets.filter(F.size("ps") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x: F.transform(
+                            F.filter(F.col("ps"), lambda y: y != x),
+                            lambda y: F.struct(
+                                x.alias("src"), y.alias("dst")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("ed")
+        )
+        .select("ed.src", "ed.dst")
     )
-    und = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).union(pairs.select(F.col("b"), F.col("a")))
-    seed = pairs.agg(F.min("a").alias("node")).withColumn(
-        "hop", F.lit(0)
-    )
-    reached = khop_reach(und, seed, k=3)
+    reached = khop_reach(und, None, k=3)
     return reached.groupBy("hop").agg(F.count("*").alias("n_reached"))
 
 

@@ -2237,8 +2237,24 @@ def q_winnowing(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     k, w = 8, 4
+    # Optimization r14: the gram count is closed-form in length(text)
+    # (it IS the transform's sequence bound), so the full-window cutoff
+    # no longer needs a second, unbounded-frame Window pass
+    # (max(pos) over (partition by doc_id)) -- one Window operator
+    # instead of two on the exploded gram stream, same (doc_id, fp)
+    # set (verified exceptAll() == 0 both ways and oracle hash-match).
+    # A per-doc array formulation (no explode or Window at all) was
+    # measured SLOWER (2.6-3.4 s vs ~1.0 s at sf0.1): Catalyst
+    # evaluates slice/array_min/least lambdas interpretively per
+    # element, and an Arrow sliding-min UDF pays more in gram-array
+    # transfer than the Window saves -- both rejected on measurement,
+    # see OPTIMIZATION_r14.md.
     grams = docs.select(
         "doc_id",
+        # pos is 0-based; the last full window starts at n_grams - w
+        (F.greatest(F.length("text") - (k - 1), F.lit(1)) - 1).alias(
+            "maxpos"
+        ),
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, greatest(length(text) - {k - 1},"
@@ -2246,16 +2262,16 @@ def q_winnowing(spark, sf_dir):
                 " 1, 8), 16, 10))"
             )
         ).alias("pos", "h"),
-    ).select("doc_id", "pos", F.col("h").cast("bigint").alias("h"))
+    ).select(
+        "doc_id", "maxpos", "pos", F.col("h").cast("bigint").alias("h")
+    )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
         0, w - 1
     )
-    n_wins = Window.partitionBy("doc_id")
     fps = (
         grams.withColumn("wmin", F.min("h").over(win))
-        .withColumn("n", F.max("pos").over(n_wins))
-        # only full windows (pos <= n - w + 1) emit a fingerprint
-        .filter(F.col("pos") <= F.col("n") - (w - 1))
+        # only full windows (pos <= maxpos - w + 1) emit a fingerprint
+        .filter(F.col("pos") <= F.col("maxpos") - (w - 1))
         .select("doc_id", F.col("wmin").alias("fp"))
         .distinct()
         .localCheckpoint(eager=True)

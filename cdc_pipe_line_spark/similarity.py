@@ -39,6 +39,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the two vector norms PRECOMPUTED.
+
+    Bit-identical arithmetic to ``cosine(a, b)`` (same dot fold, same
+    ``norm(a) * norm(b)`` product, same division), but the norms are
+    read from columns evaluated once per VECTOR in a projection below
+    the join instead of re-folded per PAIR — higher-order-function
+    lambdas are interpreted by Catalyst, so on an n x K assignment
+    sweep or an O(n^1.5) within-cluster pair scan the two norm folds
+    were two thirds of the interpreted work (optimization r14,
+    measured on dedup_semantic / sim_knn_bruteforce)."""
+    return dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -56,19 +70,26 @@ def brute_force_topk(
     fit in a broadcast (the usual ANN-serving shape).  Excludes
     self-matches when ids collide.
     """
+    # norms once per side (projections below the join) instead of per
+    # (query, corpus) pair — optimization r14, bit-identical arithmetic
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     c = corpus.select(
         F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("__cid") != F.col("__qid"))
         .select(
             F.col("__qid").alias(query_id),
             F.col("__cid").alias(corpus_id),
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                ),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -375,10 +396,21 @@ def semantic_assign(
         .orderBy("__h", "cent_id")
         .limit(n_centroids)
         .drop("__h")
+        # norm once per SEED (K rows) instead of per (vector, seed)
+        .withColumn("__ncv", norm(F.col("__cv")))
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("__cv")), 4)
+    sim = F.round(
+        cosine_pre(
+            F.col(vec_col), F.col("__cv"), F.col("__nv"), F.col("__ncv")
+        ),
+        4,
+    )
     return (
+        # norm once per VECTOR in the below-join projection (a Project
+        # under the join is not collapsed across it, so this evaluates
+        # n times, not n x K)
         corpus.select(id_col, vec_col)
+        .withColumn("__nv", norm(F.col(vec_col)))
         .join(F.broadcast(seeds))
         .select(id_col, vec_col, "cent_id", sim.alias("__sim"))
         .groupBy(id_col)
@@ -441,23 +473,38 @@ def semantic_dedup(
 
     if n_centroids is None:
         n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
-    assigned = semantic_assign(
-        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    assigned = (
+        semantic_assign(
+            corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+        )
+        # norm once per vector, MATERIALIZED by the checkpoint below so
+        # the within-cluster pair scan reads it instead of re-folding
+        # two norms per pair (optimization r14 — the interpreted-HOF
+        # norm folds were ~2/3 of the pair work)
+        .withColumn("__n", norm(F.col(vec_col)))
         # referenced three times below (both pair sides + the size
         # aggregate): pin it, or Catalyst re-plans the n*K assignment
         # sweep per reference (the measured self-derivation trap)
-    ).localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)
+    )
     a = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
     )
     b = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
-    pair_sim = F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+    pair_sim = F.round(
+        cosine_pre(
+            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+        ),
+        4,
+    )
     pairs = (
         a.join(b, on="cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))

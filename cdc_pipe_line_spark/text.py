@@ -1141,10 +1141,20 @@ def lm_bigram_model(
     words = df.select(
         F.split(normalize_text(F.col(text_col)), " ").alias("__w")
     ).filter(F.size("__w") >= 2)
+    # Pinned LAZILY: ``uni`` feeds BOTH the model's c1 join and the
+    # vocab count below — without the pin the vocab aggregate re-ran
+    # the whole tokenize+explode+agg corpus pass a second time
+    # (optimization r14).  Lazy, not eager: the first consumer
+    # materializes it in its own job (usually the vocab broadcast
+    # build), so no extra serialized job is added — measured
+    # local-neutral at sf0.1 (duplicate stages ran in parallel on
+    # idle cores there) while halving the tokenize passes a busy
+    # cluster actually pays for.
     uni = (
         words.select(F.explode("__w").alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=False)
     )
     bg = words.select(
         F.explode(
