@@ -3787,12 +3787,17 @@ def q_delta_dv_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("deletionVector.cardinality"), F.lit(0)
         ).cast("bigint").alias("dv_cardinality"),
     )
+    # operationMetrics straight off the already-parsed actions frame:
+    # table_history() built the full mtime timeline + a broadcast join
+    # only for this one scalar (optimization r14 — same value, the
+    # version-9 commitInfo row is unique).
     del_files = (
-        deltalog.table_history(spark, base)
-        .filter(F.col("version") == 9)
+        acts.filter(
+            (F.col("version") == 9) & F.col("commitInfo").isNotNull()
+        )
         .select(
             F.element_at(
-                F.col("operationMetrics"), "numAddedFiles"
+                F.col("commitInfo.operationMetrics"), "numAddedFiles"
             ).cast("bigint").alias("delete_added_files")
         )
     )
