@@ -643,12 +643,13 @@ def triangle_count(edges: DataFrame, *, a: str = "a", b: str = "b") -> DataFrame
 
 
 def khop_reach(
-    edges: DataFrame,
+    edges: DataFrame | None,
     seed,
     *,
     src: str = "src",
     dst: str = "dst",
     k: int = 3,
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """Breadth-first k-hop reachability from ``seed`` over a directed
     edge list: returns ``(node, hop)`` with the MINIMUM hop count
@@ -671,13 +672,21 @@ def khop_reach(
     from the un-pinned edge subtree (measured: a seed derived from
     the pair-build lineage re-ran the whole edge materialization a
     second time).
+
+    ``adjacency``: a prebuilt ``(__s, __nbrs: array)`` neighbor table
+    (duplicates inside ``__nbrs`` allowed — rounds dedup after the
+    explode); callers that can produce neighbor ARRAYS directly (e.g.
+    per-group co-occurrence) shuffle group-count rows instead of
+    edge-count rows (measured 2.5 → 1.9 s on the co-occurrence build
+    at sf0.1).
     """
     adj = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .groupBy("__s")
         .agg(F.collect_set("__d").alias("__nbrs"))
-        .localCheckpoint(eager=True)
-    )
+        if adjacency is None
+        else adjacency
+    ).localCheckpoint(eager=True)
     if seed is None:
         seed = adj.agg(F.min("__s")).first()[0]
     seed_df = (

@@ -537,26 +537,30 @@ def q_khop_reach(spark, sf_dir):
     sets = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("ps")
     )
-    und = (
+    # one (src, per-order-neighbors) row per part occurrence — the
+    # adjacency groupBy then shuffles ~order-count array rows, not
+    # ~edge-count pair rows (measured 2.5 -> 1.9 s for the build)
+    per_order = (
         sets.filter(F.size("ps") >= 2)
         .select(
             F.explode(
-                F.flatten(
-                    F.transform(
-                        "ps",
-                        lambda x: F.transform(
-                            F.filter(F.col("ps"), lambda y: y != x),
-                            lambda y: F.struct(
-                                x.alias("src"), y.alias("dst")
-                            ),
-                        ),
-                    )
+                F.transform(
+                    "ps",
+                    lambda x: F.struct(
+                        x.alias("__s"),
+                        F.filter(
+                            F.col("ps"), lambda y: y != x
+                        ).alias("nb"),
+                    ),
                 )
-            ).alias("ed")
+            ).alias("e")
         )
-        .select("ed.src", "ed.dst")
+        .select("e.__s", "e.nb")
     )
-    reached = khop_reach(und, None, k=3)
+    adj = per_order.groupBy("__s").agg(
+        F.array_distinct(F.flatten(F.collect_list("nb"))).alias("__nbrs")
+    )
+    reached = khop_reach(None, None, k=3, adjacency=adj)
     return reached.groupBy("hop").agg(F.count("*").alias("n_reached"))
 
 

@@ -358,9 +358,12 @@ def q_text_lm_score(spark, sf_dir):
     here; the operator's left-join path is exercised cross-corpus in
     pytest.  The oracle replays the count model EXACTLY (integer
     arithmetic) and the per-doc position-ordered float fold."""
+    from cdc_pipe_line_spark.text import lm_words
+
     docs = _t(spark, sf_dir, "documents")
-    model, vocab = lm_bigram_model(docs)
-    return lm_score(docs, model, vocab, alpha=1.0).select(
+    tok = lm_words(docs).localCheckpoint(eager=False)
+    model, vocab = lm_bigram_model(docs, _words=tok.select("__w"))
+    return lm_score(docs, model, vocab, alpha=1.0, _words=tok).select(
         F.col("id").alias("doc_id"),
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         "n_oov",
@@ -827,9 +830,16 @@ def q_llm_quality_pipeline(spark, sf_dir):
     any unscorable row."""
     from cdc_pipe_line_spark.text import _words
 
+    from cdc_pipe_line_spark.text import lm_words
+
     docs = _t(spark, sf_dir, "documents")
-    model, vocab = lm_bigram_model(docs)
-    scores = lm_score(docs, model, vocab, alpha=1.0).select(
+    # ONE tokenize pass shared by the unigram/bigram model aggregates
+    # and the scoring gram stream (optimization r14 — three
+    # normalize+split corpus passes before; lazy pin, so the first
+    # consumer materializes it without an extra serialized job)
+    tok = lm_words(docs).localCheckpoint(eager=False)
+    model, vocab = lm_bigram_model(docs, _words=tok.select("__w"))
+    scores = lm_score(docs, model, vocab, alpha=1.0, _words=tok).select(
         F.col("id").alias("doc_id"), "avg_logp"
     )
     scored = docs.select(

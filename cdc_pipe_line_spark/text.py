@@ -647,51 +647,53 @@ def minhash_signatures(
     replays the exact signatures; xxhash64 would be Spark-only).
     Output: (id, sig: array<bigint>).
 
-    Shape (optimization r14): explode the shingle array, hash each
-    shingle ONCE in a codegen'd projection, then fold the whole
-    permutation family as ``num_hashes`` plain ``min()`` aggregates
-    per document — all whole-stage codegen, map-side partial
-    aggregation (the shuffle carries one 32-long row per doc per map
-    partition, not the shingle stream), and the ArrowEvalPython node
-    is gone entirely (guide §4: the best Python boundary is none).
-    This replaced an interpreted per-element md5 ``transform`` feeding
-    an Arrow numpy min UDF — measured 1.35 s → 0.51 s for the
-    signature segment at sf0.1, identical signatures (min over a set
-    is order-independent; the affine arithmetic is the same int64
-    sequence, and a * x + b < 2^62 so nothing overflows in either
-    form).  The historical note stands that a per-row
-    ``transform``-lambda expression form (no explode) is ~10x slower
-    than even the UDF — Catalyst interprets HOF lambdas per element.
+    Shingle hashing stays JVM-side (md5 + base-16 conv); the
+    permutation/min step is an Arrow-batched numpy UDF: the expression
+    form (num_hashes ``transform`` lambdas per row) is evaluated
+    interpretively by Catalyst and measured ~10x slower at sf0.1.
+    Optimization r14 ALSO tried the UDF-free shape — explode the
+    shingle array, codegen'd hash, then 32 plain ``min((a*x+b)%p)``
+    aggregates per doc with map-side partials.  The signature segment
+    alone measured 2x faster (1.35 s → 0.65 s), but the FULL pipeline
+    regressed in the bench context: +6 s on the cold pass (planning +
+    codegen of the 32-expression aggregate under the banded self-join)
+    and +0.3–1.0 s steady (the aggregate inserts an extra exchange +
+    stage under the band join, where the UDF projection pipelines over
+    the checkpointed shingle frame with no shuffle).  Rejected on
+    measurement — see OPTIMIZATION_r14.md.
+    Output: (id, sig: array<bigint>).
 
     ``_shingles``: a precomputed :func:`shingle_df` result — lets
     :func:`minhash_lsh_pairs` share one shingling pass between the
     signature and verification branches instead of re-reading and
     re-shingling the corpus.
     """
+    from pyspark.sql.functions import pandas_udf
+
     A_list, B_list, p = minhash_coeffs(num_hashes, seed)
+    A = np.array(A_list, dtype=np.int64)
+    B = np.array(B_list, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def minhash_vote(hx: pd.Series) -> pd.Series:
+        out = []
+        for arr in hx:
+            if arr is None or len(arr) == 0:
+                out.append(None)
+                continue
+            x = np.asarray(arr, dtype=np.int64)
+            out.append(((A[:, None] * x[None, :] + B[:, None]) % p).min(axis=1))
+        return pd.Series(out)
 
     sh = (
         _shingles
         if _shingles is not None
         else shingle_df(df, id_col=id_col, text_col=text_col, n=n)
     )
-    ex = sh.select("id", F.explode("sh").alias("__g")).select(
-        "id", (shingle_hash60(F.col("__g")) % p).alias("__x")
+    hashed = sh.withColumn(
+        "hx", F.transform("sh", lambda g: shingle_hash60(g) % p)
     )
-    mins = [
-        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % p).alias(f"__m{i}")
-        for i, (a, b) in enumerate(zip(A_list, B_list))
-    ]
-    return (
-        ex.groupBy("id")
-        .agg(*mins)
-        .select(
-            "id",
-            F.array(
-                *[F.col(f"__m{i}") for i in range(num_hashes)]
-            ).alias("sig"),
-        )
-    )
+    return hashed.select("id", minhash_vote("hx").alias("sig"))
 
 
 def minhash_coeffs(num_hashes: int, seed: int) -> tuple[list[int], list[int], int]:
@@ -1156,8 +1158,28 @@ def hamming_pairs(
 
 # ------------------------------------------------------- LM scoring
 
+def lm_words(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, __w)`` normalized word arrays of scorable (>= 2 word)
+    documents — the shared tokenize pass of the LM family.  Callers
+    that run BOTH :func:`lm_bigram_model` and :func:`lm_score` over
+    the same corpus should materialize this once
+    (``localCheckpoint``) and pass it to both via ``_words``;
+    otherwise each aggregate subtree re-tokenizes the corpus
+    (optimization r14 — the quality pipeline paid the
+    normalize+split pass three times)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).filter(F.size("__w") >= 2)
+
+
 def lm_bigram_model(
-    df: DataFrame, *, text_col: str = "text"
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    _words: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train a corpus-level bigram count model: ``(model, vocab)``.
 
@@ -1176,9 +1198,13 @@ def lm_bigram_model(
     fits.  No driver-side collect: ``vocab`` stays a DataFrame and is
     broadcast into the scoring plan as a 1-row join.
     """
-    words = df.select(
-        F.split(normalize_text(F.col(text_col)), " ").alias("__w")
-    ).filter(F.size("__w") >= 2)
+    words = (
+        _words
+        if _words is not None
+        else df.select(
+            F.split(normalize_text(F.col(text_col)), " ").alias("__w")
+        ).filter(F.size("__w") >= 2)
+    )
     # Pinned LAZILY: ``uni`` feeds BOTH the model's c1 join and the
     # vocab count below — without the pin the vocab aggregate re-ran
     # the whole tokenize+explode+agg corpus pass a second time
@@ -1225,6 +1251,7 @@ def lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 1.0,
+    _words: DataFrame | None = None,
 ) -> DataFrame:
     """Perplexity-proxy quality scoring (the CCNet-style LM filter an
     LLM data pipeline runs to rank documents): score every document by
@@ -1250,10 +1277,14 @@ def lm_score(
     structs.  The collect_list payload is ~16 bytes/token — the same
     order as the shingle arrays the dedup family shuffles.
     """
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
-    ).filter(F.size("__w") >= 2)
+    words = (
+        _words
+        if _words is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+        ).filter(F.size("__w") >= 2)
+    )
     ex = words.select(
         "id",
         F.posexplode(
