@@ -142,15 +142,19 @@ def lsh_topk(
     construction; pair with multiple tables for production recall.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
+    # norms once per side, below the join (optimization r14 —
+    # bit-identical to cosine(), see cosine_pre)
     qb = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(vec_col).alias("__qv"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     cb = corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(vec_col).alias("__cv"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         cb.join(F.broadcast(qb), "__bucket")
@@ -158,7 +162,12 @@ def lsh_topk(
         .select(
             F.col("__qid").alias(query_id),
             F.col("__cid").alias(corpus_id),
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                ),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
@@ -230,9 +239,20 @@ def _assign(
     corpus_id: str,
     vec_col: str,
 ) -> DataFrame:
-    """Nearest-centroid (cosine) assignment via broadcast argmax."""
-    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", cosine(F.col(vec_col), F.col("centroid"))
+    """Nearest-centroid (cosine) assignment via broadcast argmax.
+    Norms once per vector / per centroid (bit-identical, see
+    cosine_pre)."""
+    scored = (
+        corpus.withColumn("__vn", norm(F.col(vec_col)))
+        .crossJoin(
+            F.broadcast(cents.withColumn("__cn", norm(F.col("centroid"))))
+        )
+        .withColumn(
+            "__sim",
+            cosine_pre(
+                F.col(vec_col), F.col("centroid"), F.col("__vn"), F.col("__cn")
+            ),
+        )
     )
     w = Window.partitionBy(corpus_id).orderBy(
         F.desc("__sim"), F.asc("centroid_id")
@@ -240,7 +260,7 @@ def _assign(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sim", "centroid")
+        .drop("__rn", "__sim", "centroid", "__vn", "__cn")
     )
 
 
@@ -277,10 +297,22 @@ def ivf_topk(
         F.col(corpus_id).alias("__cid"),
         F.col(vec_col).alias("__cv"),
         "centroid_id",
+        norm(F.col(vec_col)).alias("__cn"),
     )
     qprobe = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine(F.col(vec_col), F.col("centroid")))
+        queries.withColumn("__qn", norm(F.col(vec_col)))
+        .crossJoin(
+            F.broadcast(cents.withColumn("__ctn", norm(F.col("centroid"))))
+        )
+        .withColumn(
+            "__sim",
+            cosine_pre(
+                F.col(vec_col),
+                F.col("centroid"),
+                F.col("__qn"),
+                F.col("__ctn"),
+            ),
+        )
         .withColumn(
             "__rn",
             F.row_number().over(
@@ -294,6 +326,7 @@ def ivf_topk(
             F.col(query_id).alias("__qid"),
             F.col(vec_col).alias("__qv"),
             "centroid_id",
+            "__qn",
         )
     )
     scored = (
@@ -302,7 +335,12 @@ def ivf_topk(
         .select(
             F.col("__qid").alias(query_id),
             F.col("__cid").alias(corpus_id),
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                ),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
@@ -337,18 +375,28 @@ def cosine_near_dup_pairs(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
+    ).withColumn("__na", norm(F.col("va")))
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
+    ).withColumn("__nb", norm(F.col("vb")))
     cond = F.col("id_a") < F.col("id_b")
     on = ["blk"] if block_col else None
     joined = a.join(b, on=on) if on else a.crossJoin(b)
     return (
         joined.filter(cond)
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        # norms once per vector below the join (optimization r14 --
+        # bit-identical, see cosine_pre)
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_pre(
+                    F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+                ),
+                4,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -651,17 +699,23 @@ def sq8_topk(
     )
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     cand = (
         coded.withColumn("__deq", _sq8_deq(F.col("__codes")))
+        # dequantized-vector norm once per CODE ROW, not per (q, code)
+        # pair (optimization r14 — bit-identical, see cosine_pre)
+        .withColumn("__dn", norm(F.col("__deq")))
         .crossJoin(F.broadcast(q))
         .filter(F.col("__cid") != F.col("__qid"))
         .select(
             "__qid",
             "__cid",
-            F.round(cosine(F.col("__qv"), F.col("__deq")), 4).alias(
-                "approx_sim"
-            ),
+            F.round(
+                cosine_pre(
+                    F.col("__qv"), F.col("__deq"), F.col("__qn"), F.col("__dn")
+                ),
+                4,
+            ).alias("approx_sim"),
         )
         .withColumn(
             "__rn",
@@ -746,8 +800,19 @@ def ivf_sq8_topk(
         )
     )
     qprobe = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine(F.col(vec_col), F.col("centroid")))
+        queries.withColumn("__qn", norm(F.col(vec_col)))
+        .crossJoin(
+            F.broadcast(cents.withColumn("__ctn", norm(F.col("centroid"))))
+        )
+        .withColumn(
+            "__sim",
+            cosine_pre(
+                F.col(vec_col),
+                F.col("centroid"),
+                F.col("__qn"),
+                F.col("__ctn"),
+            ),
+        )
         .withColumn(
             "__rn",
             F.row_number().over(
@@ -761,18 +826,23 @@ def ivf_sq8_topk(
             F.col(query_id).alias("__qid"),
             F.col(vec_col).alias("__qv"),
             "centroid_id",
+            "__qn",
         )
     )
     cand = (
         lists.withColumn("__deq", _sq8_deq(F.col("__codes")))
+        .withColumn("__dn", norm(F.col("__deq")))
         .join(F.broadcast(qprobe), "centroid_id")
         .filter(F.col("__cid") != F.col("__qid"))
         .select(
             "__qid",
             "__cid",
-            F.round(cosine(F.col("__qv"), F.col("__deq")), 4).alias(
-                "approx_sim"
-            ),
+            F.round(
+                cosine_pre(
+                    F.col("__qv"), F.col("__deq"), F.col("__qn"), F.col("__dn")
+                ),
+                4,
+            ).alias("approx_sim"),
         )
         .withColumn(
             "__rn",
@@ -839,17 +909,25 @@ def lsh_range_search(
         F.col(query_id).alias("__qid"),
         F.col(vec_col).alias("__qv"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     cb = corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(vec_col).alias("__cv"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
     return (
         cb.join(F.broadcast(qb), "__bucket")
         .filter(F.col("__cid") != F.col("__qid"))
         .withColumn(
-            "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 4)
+            "cos_sim",
+            F.round(
+                cosine_pre(
+                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                ),
+                4,
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select(
@@ -1044,15 +1122,24 @@ def pq_topk(
         )
         .select("qid", "sid")
     )
-    qv = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv"))
-    cv = corpus.select(F.col(corpus_id).alias("sid"), F.col(vec_col).alias("__cv"))
+    qv = queries.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", norm(F.col("__qv")))
+    cv = corpus.select(
+        F.col(corpus_id).alias("sid"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", norm(F.col("__cv")))
     scored = (
         short.join(F.broadcast(qv), "qid")
         .join(cv, "sid")
         .select(
             F.col("qid").alias(query_id),
             F.col("sid").alias(corpus_id),
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                ),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
@@ -1087,11 +1174,13 @@ def filtered_topk(
         F.col(query_id).alias("__qid"),
         F.col(filter_col).alias("__f"),
         F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(filter_col).alias("__f"),
         F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), "__f")
@@ -1100,9 +1189,12 @@ def filtered_topk(
             F.col("__qid").alias(query_id),
             F.col("__f").alias(filter_col),
             F.col("__cid").alias(corpus_id),
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias(
-                "cos_sim"
-            ),
+            F.round(
+                cosine_pre(
+                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                ),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(

@@ -1383,7 +1383,15 @@ def kneser_ney_score(
     # pinned once: the exploded stream feeds the model aggregates AND
     # the scoring join (4 consumers otherwise re-explode the corpus)
     bg = bg.localCheckpoint(eager=True)
-    grams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # lazily pinned (optimization r14): ``grams`` feeds four consumers
+    # (n1v, nw, nt, the model join) — unpinned, each re-aggregated the
+    # pinned-but-600k-row bigram stream; the pinned frame is
+    # vocab²-bounded
+    grams = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     c1b = bg.groupBy("w1").agg(F.count("*").alias("c1b"))
     n1v = grams.groupBy("w1").agg(F.count("*").alias("n1v"))
     nw = grams.groupBy("w2").agg(F.count("*").alias("nw"))
