@@ -330,6 +330,10 @@ def test_reorg_purge_noop_without_dvs(spark):
 
 
 def test_reader_feature_gate_refuses_unknown_features(spark):
+    # v2Checkpoint moved into SUPPORTED_READER_FEATURES in round 14
+    # (read-side v2 checkpoints), so the gate probe uses a feature
+    # that stays genuinely unknown — the test's intent is that an
+    # UNRECOGNIZED reader feature refuses, not any particular name.
     path = _fresh("gate_unknown")
     _stage(spark, path)
     deltalog.commit(
@@ -339,14 +343,14 @@ def test_reader_feature_gate_refuses_unknown_features(spark):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors", "v2Checkpoint"],
-                    "writerFeatures": ["deletionVectors", "v2Checkpoint"],
+                    "readerFeatures": ["deletionVectors", "futureMagicFeature"],
+                    "writerFeatures": ["deletionVectors", "futureMagicFeature"],
                 }
             },
             {"commitInfo": {"operation": "UPGRADE"}},
         ],
     )
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="futureMagicFeature"):
         deltalog.read_snapshot(spark, path)
 
 
