@@ -689,6 +689,10 @@ def khop_reach(
     ).localCheckpoint(eager=True)
     if seed is None:
         seed = adj.agg(F.min("__s")).first()[0]
+        if seed is None:  # empty adjacency: no edges -> nothing reached
+            return adj.sparkSession.createDataFrame(
+                [], "node bigint, hop bigint"
+            )
     seed_df = (
         adj.sparkSession.createDataFrame([(seed, 0)], ["node", "hop"])
         if not isinstance(seed, DataFrame)

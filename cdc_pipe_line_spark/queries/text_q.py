@@ -828,9 +828,7 @@ def q_llm_quality_pipeline(spark, sf_dir):
     token budgets over the survivors in md5 order.  The oracle replays
     the full composition; single-word docs drop at the LM stage like
     any unscorable row."""
-    from cdc_pipe_line_spark.text import _words
-
-    from cdc_pipe_line_spark.text import lm_words
+    from cdc_pipe_line_spark.text import _words, lm_words
 
     docs = _t(spark, sf_dir, "documents")
     # ONE tokenize pass shared by the unigram/bigram model aggregates

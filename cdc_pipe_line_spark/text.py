@@ -645,7 +645,6 @@ def minhash_signatures(
     ``seed`` AND reproducible in ANSI SQL (both the base hash and the
     affine family are plain integer arithmetic, so the DuckDB oracle
     replays the exact signatures; xxhash64 would be Spark-only).
-    Output: (id, sig: array<bigint>).
 
     Shingle hashing stays JVM-side (md5 + base-16 conv); the
     permutation/min step is an Arrow-batched numpy UDF: the expression
@@ -1033,20 +1032,15 @@ def simhash_df(
 ) -> DataFrame:
     """``(id, h: bigint)`` SimHash via the materialized shingle path.
 
-    Shape (optimization r14): explode the shingle array, build the
-    64-bit shingle hash ONCE per shingle in a codegen'd projection
-    (one md5 — subexpression elimination shares it between the two
-    32-bit halves), then run the bit vote as 64 plain ``sum((h >> b)
-    & 1)`` aggregates + a count per document — whole-stage codegen
-    with map-side partials, no Python boundary.  Replaces two
-    INTERPRETED per-element md5 ``transform`` lambdas feeding an
-    Arrow numpy vote UDF (the r7 note that the numpy vote beats 64
-    ``aggregate`` HOF lambdas still holds — this shape beats both).
-    Bit-identical: the vote ``2*ones - n`` is the same integer
-    arithmetic, and the signature is a sum of DISJOINT bit literals
-    (bit 63 as Long.MIN_VALUE), which equals numpy's bitwise-or with
-    the int64 sign wrap.  Measured ~2x on the signature segment at
-    sf0.1, identical signatures."""
+    Shape (optimization r14): the shingle md5 is computed ONCE per
+    shingle in its own projection, and BOTH 32-bit halves parse that
+    same hex string (the previous shape ran the interpreted md5
+    lambda twice per shingle — once for each half).  The bit vote
+    stays the Arrow-batched numpy UDF: a 64-sum codegen aggregate
+    (``sum((h >> b) & 1)`` per bit) was measured ~8x SLOWER because
+    the 65-buffer aggregate update function blows the JIT method
+    budget, re-confirming the r7 finding that the numpy vote beats
+    expression forms from the other direction too."""
     sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n)
     # md5 ONCE per shingle in its own projection (multiply-referenced
     # below, so CollapseProject keeps it materialized), then the two

@@ -409,3 +409,16 @@ def test_pii_surface_is_gated():
 
     assert "text_pii_audit" in all_queries()
     assert "text_pii_audit" in all_oracles()
+
+
+# --------------------------------------------------- round-14 ADVICE locks
+def test_khop_empty_adjacency_returns_empty(spark):
+    """ADVICE r14 item 3: khop_reach(seed=None) over an EMPTY edge
+    list must degrade to an empty (node, hop) frame — not raise a
+    type-inference ValueError on the None min-scalar."""
+    from cdc_pipe_line_spark.analytics import khop_reach
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    out = khop_reach(edges, None, k=3)
+    assert out.columns == ["node", "hop"]
+    assert out.count() == 0
