@@ -18,7 +18,6 @@ from cdc_pipe_line_spark.text import (
     duplicate_spans,
     fingerprint,
     incremental_minhash_dedup,
-    language_id,
     levenshtein_pairs,
     lm_bigram_model,
     lm_score,
@@ -26,8 +25,6 @@ from cdc_pipe_line_spark.text import (
     ngram_jaccard_pairs,
     shingle_df,
     simhash_pairs,
-    text_stats,
-    token_counts,
     train_split,
 )
 
@@ -39,40 +36,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q_text_profile(spark, sf_dir):
-    """Per-document profile in one narrow codegen'd pass: quality
-    stats (length/punct/stopword ratios), whitespace + BPE-ish token
-    counts, heuristic language ID, Gopher-style repetition signals
-    (duplicate-line / duplicate-bigram fractions), and URL/email scrub
-    counts.  The five feature families chain as withColumns over the
-    same scan — one stage, no shuffle, no UDF."""
-    from cdc_pipe_line_spark.text import _words, repetition_stats, scrub_counts
+    """Per-document profile: quality stats (length/punct/stopword
+    ratios), whitespace + BPE-ish token counts, heuristic language ID,
+    Gopher-style repetition signals (duplicate-line / duplicate-bigram
+    fractions), and URL/email scrub counts.
+
+    Shape (optimization r15, guide §4.2): ONE narrow ``mapInArrow``
+    pass computes every integer count per document in the Python
+    worker; the ratio/rounding arithmetic stays in the same JVM
+    expressions as the per-feature operators, so the values are
+    bit-identical to chaining text_stats/token_counts/language_id/
+    repetition_stats/scrub_counts over shared word arrays (the pre-r15
+    shape — still the composable operators, and the parity reference
+    in tests/test_round15_profile.py).  The expression chain's cost
+    was interpreted HOF lambdas per word, re-measured at ~0.7 s of the
+    1.1 s slot at sf0.1; the Arrow pass runs the same counts in
+    compiled regex/set code at ~1.55x on the slot."""
+    from cdc_pipe_line_spark.text import profile_features
 
     docs = _t(spark, sf_dir, "documents")
-    # materialize the word array ONCE (and its lowercased twin) in
-    # their own projections — no CSE inside HOF lambdas, so without
-    # this the split runs 6+ times per row across the families
-    w = docs.select("*", _words(F.col("text")).alias("__w"))
-    w = w.select("*", F.transform("__w", F.lower).alias("__lw"))
-    profiled = language_id(
-        token_counts(text_stats(w, words_col="__w"), words_col="__w"),
-        lower_words_col="__lw",
-    )
-    profiled = scrub_counts(repetition_stats(profiled, words_col="__w"))
-    return profiled.select(
-        "doc_id",
-        "n_words",
-        "avg_word_len",
-        "punct_ratio",
-        "stopword_ratio",
-        "ws_tokens",
-        "bpe_tokens",
-        "lang",
-        "lang_pred",
-        "dup_line_frac",
-        "dup_bigram_frac",
-        "n_urls",
-        "n_emails",
-    )
+    return profile_features(docs)
 
 
 def q_exact_dedup(spark, sf_dir):

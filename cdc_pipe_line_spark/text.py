@@ -14,6 +14,8 @@ Everything here is built for the 100 TB posture:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -196,6 +198,154 @@ def scrub_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.regexp_extract_all(t, F.lit(EMAIL_REGEX), 0)
             ).cast("bigint"),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow profile pass (optimization r15): the five expression families
+# above are the composable per-feature operators; q_text_profile runs
+# all of them over the same scan, where the cost is interpreted
+# higher-order-function lambdas per word (no CSE inside HOF lambdas,
+# 5 families x several array passes each).  One ``mapInArrow`` pass
+# computes every INTEGER count per document in the Python worker
+# (regexes precompiled once per worker at module import — guide §4.5)
+# and leaves ALL float arithmetic (ratios + round(x, 4)) to the same
+# JVM expressions as before, so the floating-point results are
+# bit-identical by construction: same integer inputs, same division
+# AST, same BigDecimal HALF_UP rounding.  Measured 1.12 -> 0.67 s on
+# the bench slot at sf0.1 (the expression-tuning alternative was also
+# measured — see OPTIMIZATION_r15.md).
+#
+# Exact-parity notes (locked by tests/test_round15_profile.py):
+# - ``re.ASCII`` makes Python's \s/\w the same ASCII classes as Java
+#   regex defaults ([ \t\n\x0B\f\r] and [a-zA-Z_0-9]);
+# - Spark ``trim`` strips 0x20 only -> ``str.strip(" ")``;
+# - Spark ``split`` keeps leading/trailing empty tokens (limit -1),
+#   like ``re.split``;
+# - NULL text propagates NULL counts (size(NULL) is NULL) EXCEPT the
+#   bigram pair (the ``otherwise(array())`` branch makes them 0, so
+#   dup_bigram_frac is 1.0) and lang_pred (NULL > 0 is false -> 'und').
+
+_PROF_WS_RE = re.compile(r"\s+", re.ASCII)
+_PROF_PUNCT_RE = re.compile(r"[^\w\s]", re.ASCII)
+_PROF_TOKEN_RE = re.compile(TOKEN_REGEX, re.ASCII)
+_PROF_URL_RE = re.compile(URL_REGEX, re.ASCII)
+_PROF_EMAIL_RE = re.compile(EMAIL_REGEX, re.ASCII)
+_PROF_LANGS = sorted(LANG_LEXICON)
+_PROF_LEX = {lang: frozenset(LANG_LEXICON[lang]) for lang in _PROF_LANGS}
+_PROF_EN = _PROF_LANGS.index("en")
+
+_PROF_COUNT_COLS = (
+    "n_chars", "n_words", "n_nospace", "n_punct", "stop_hits",
+    "bpe_tokens", "lang_pred", "n_lines", "n_dist_lines",
+    "n_bigrams", "n_dist_bigrams", "n_urls", "n_emails",
+)
+
+PROFILE_COUNTS_SCHEMA = (
+    "doc_id long, lang string, n_chars long, n_words long, "
+    "n_nospace long, n_punct long, stop_hits long, bpe_tokens long, "
+    "lang_pred string, n_lines long, n_dist_lines long, "
+    "n_bigrams long, n_dist_bigrams long, n_urls long, n_emails long"
+)
+
+
+def _profile_count_batches(it):
+    """mapInArrow kernel: (doc_id, text, lang) batches -> integer
+    profile counts.  Lives at module level so local-mode Python
+    workers unpickle it by reference (importable from the shipped
+    package, not a closure)."""
+    import pyarrow as pa
+
+    for batch in it:
+        ids, texts, langs = batch.column(0), batch.column(1), batch.column(2)
+        out: dict[str, list] = {k: [] for k in _PROF_COUNT_COLS}
+        for t in texts.to_pylist():
+            if t is None:
+                for k in _PROF_COUNT_COLS:
+                    out[k].append(None)
+                # size(NULL)>=2 is NULL -> otherwise(array()) -> size 0
+                out["n_bigrams"][-1] = 0
+                out["n_dist_bigrams"][-1] = 0
+                out["lang_pred"][-1] = "und"  # NULL hits > 0 -> otherwise
+                continue
+            words = _PROF_WS_RE.split(t.strip(" "))
+            n_words = len(words)
+            lw = [w.lower() for w in words]
+            hits = [
+                sum(1 for w in lw if w in _PROF_LEX[lg]) for lg in _PROF_LANGS
+            ]
+            best_hits, best_lang = max(zip(hits, _PROF_LANGS))
+            lines = [x for x in t.split("\n") if x.strip(" ") != ""]
+            if n_words >= 2:
+                bigrams = [
+                    words[i] + " " + words[i + 1] for i in range(n_words - 1)
+                ]
+            else:
+                bigrams = []
+            out["n_chars"].append(len(t))
+            out["n_words"].append(n_words)
+            out["n_nospace"].append(len(_PROF_WS_RE.sub("", t)))
+            out["n_punct"].append(len(_PROF_PUNCT_RE.findall(t)))
+            out["stop_hits"].append(hits[_PROF_EN])
+            out["bpe_tokens"].append(len(_PROF_TOKEN_RE.findall(t)))
+            out["lang_pred"].append(best_lang if best_hits > 0 else "und")
+            out["n_lines"].append(len(lines))
+            out["n_dist_lines"].append(len(set(lines)))
+            out["n_bigrams"].append(len(bigrams))
+            out["n_dist_bigrams"].append(len(set(bigrams)))
+            out["n_urls"].append(len(_PROF_URL_RE.findall(t)))
+            out["n_emails"].append(len(_PROF_EMAIL_RE.findall(t)))
+        yield pa.RecordBatch.from_arrays(
+            [ids, langs]
+            + [
+                pa.array(
+                    out[k],
+                    type=pa.string() if k == "lang_pred" else pa.int64(),
+                )
+                for k in _PROF_COUNT_COLS
+            ],
+            names=["doc_id", "lang", *_PROF_COUNT_COLS],
+        )
+
+
+def profile_features(df: DataFrame) -> DataFrame:
+    """The full per-document profile (quality stats, token counts,
+    language ID, repetition signals, scrub counts) in ONE narrow
+    ``mapInArrow`` pass over ``(doc_id, text, lang)`` plus a JVM
+    ratio/rounding projection.  Result columns and values are
+    identical to chaining :func:`text_stats` / :func:`token_counts` /
+    :func:`language_id` / :func:`repetition_stats` /
+    :func:`scrub_counts` over shared word arrays (the pre-r15 shape,
+    kept as the composable per-feature operators and as the parity
+    reference in tests)."""
+    counts = df.select("doc_id", "text", "lang").mapInArrow(
+        _profile_count_batches, PROFILE_COUNTS_SCHEMA
+    )
+    gw = F.greatest(F.col("n_words"), F.lit(1))
+    return counts.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_nospace") / gw, 4).alias("avg_word_len"),
+        F.round(
+            F.col("n_punct") / F.greatest(F.col("n_chars"), F.lit(1)), 4
+        ).alias("punct_ratio"),
+        F.round(F.col("stop_hits") / gw, 4).alias("stopword_ratio"),
+        F.col("n_words").alias("ws_tokens"),
+        "bpe_tokens",
+        "lang",
+        "lang_pred",
+        F.round(
+            1 - F.col("n_dist_lines") / F.greatest(F.col("n_lines"), F.lit(1)),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            1
+            - F.col("n_dist_bigrams")
+            / F.greatest(F.col("n_bigrams"), F.lit(1)),
+            4,
+        ).alias("dup_bigram_frac"),
+        "n_urls",
+        "n_emails",
     )
 
 

@@ -121,17 +121,18 @@ def test_ivf_build_never_single_partition(spark):
 
 
 def test_text_profile_single_pass(spark):
-    """text_profile's five feature families must stay ONE narrow
-    codegen'd pass: no shuffle (the only Exchange is load_table's
-    round-robin fan-out), no Python eval, and at most 4 Projects (the
-    word-array + lowercase materializations are deliberate — the
-    no-CSE-in-HOF-lambdas pitfall — but nothing may re-split the
-    word array beyond them)."""
+    """text_profile must stay ONE narrow pass: no shuffle (the only
+    Exchange is load_table's round-robin fan-out), exactly one Arrow
+    boundary (the r15 mapInArrow integer-count kernel — guide §4.2;
+    never a row-at-a-time BatchEvalPython), and the scan pruned to the
+    three columns the kernel reads (doc_id, text, lang) — an opaque
+    map over ``*`` would silently disable column pruning."""
     plan = _plan(spark, "text_profile")
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert plan.count("Project") <= 4, plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInArrow") == 1, plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string,lang:string>", plan), plan
 
 
 def test_quota_sample_uses_group_limit(spark):

@@ -1,0 +1,84 @@
+"""Round-15 optimization locks: the Arrow text-profile kernel must be
+value-identical to the expression-family chain it replaced.
+
+q_text_profile (optimization r15) computes its integer counts in one
+``mapInArrow`` pass and leaves ratio/rounding arithmetic to the JVM.
+The pre-r15 expression chain (text_stats / token_counts / language_id /
+repetition_stats / scrub_counts over shared word arrays) remains in the
+library as the composable operators — and serves here as the parity
+reference, on a corpus built to hit every divergence candidate between
+Java regex and Python ``re.ASCII`` semantics (whitespace classes incl.
+\\x0B, trim-is-space-only, empty/blank/single-word docs, NULL text,
+unicode case, URLs/emails/punctuation, duplicate lines and bigrams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_pipe_line_spark.text import (
+    _words,
+    language_id,
+    profile_features,
+    repetition_stats,
+    scrub_counts,
+    text_stats,
+    token_counts,
+)
+
+NASTY = [
+    (1, "the  quick\tbrown\nfox,  jumps!  over http://x.y/z a@b.co", "en"),
+    (2, "", "en"),
+    (3, "   ", "en"),
+    (4, "word", "en"),
+    (5, "el la de los, el la \n\n el la\x0bde", "es"),
+    (6, "a b a b a b", "de"),
+    (7, "Line1\nLine1\n  \nLine2\tx", "fr"),
+    (8, "café über straße İstanbul Kelvin", "de"),
+    (9, "a@b.co c@d.org https://e.f/g?h=1 i123 456j !!", "en"),
+    (10, None, "en"),
+    (11, "der die das und ist ein le les des et est une", "de"),
+    (12, "THE A AND OF TO IN IS", "en"),
+    (13, "x " * 300, "en"),
+    (14, " nbsp sep the", "en"),
+    (15, "tab\x0bonly\x0cseps\rhere", "en"),
+    (16, "the the the\nthe the\nthe the", "en"),
+]
+
+
+def _expression_profile(docs):
+    """The pre-r15 expression-family chain (the parity oracle)."""
+    w = docs.select("*", _words(F.col("text")).alias("__w"))
+    w = w.select("*", F.transform("__w", F.lower).alias("__lw"))
+    profiled = language_id(
+        token_counts(text_stats(w, words_col="__w"), words_col="__w"),
+        lower_words_col="__lw",
+    )
+    profiled = scrub_counts(repetition_stats(profiled, words_col="__w"))
+    return profiled.select(
+        "doc_id", "n_words", "avg_word_len", "punct_ratio",
+        "stopword_ratio", "ws_tokens", "bpe_tokens", "lang", "lang_pred",
+        "dup_line_frac", "dup_bigram_frac", "n_urls", "n_emails",
+    )
+
+
+def test_arrow_profile_matches_expression_chain(spark):
+    docs = spark.createDataFrame(
+        NASTY, "doc_id long, text string, lang string"
+    )
+    old = _expression_profile(docs)
+    new = profile_features(docs)
+    assert old.schema == new.schema
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+def test_arrow_profile_matches_on_fixture_corpus(spark):
+    from cdc_pipe_line_spark.queries import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old = _expression_profile(docs)
+    new = profile_features(docs)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
