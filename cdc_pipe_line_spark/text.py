@@ -845,6 +845,101 @@ def minhash_signatures(
     return hashed.select("id", minhash_vote("hx").alias("sig"))
 
 
+def _py_norm_words(t: str) -> list[str]:
+    """Python parity of ``_words(normalize_text(text))`` (the shingle
+    tokenizer): lowercase, collapse ASCII whitespace runs to one
+    space, strip 0x20 only (Spark ``trim``), split on whitespace.
+    ``re.ASCII`` makes \\s the same ASCII class as Java regex
+    defaults; parity is locked by tests/test_round15_profile.py."""
+    return _PROF_WS_RE.split(_PROF_WS_RE.sub(" ", t.lower()).strip(" "))
+
+
+def shingle_sig_df(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, sh: array<string>, sig: array<bigint>)`` — the shingle
+    array AND its MinHash signature in ONE ``mapInArrow`` pass
+    (optimization r15, guide §4.2).
+
+    :func:`minhash_lsh_pairs` previously ran three passes over the
+    corpus-scale stream: the shingle build (interpreted slice +
+    concat_ws + array_distinct HOF lambdas, checkpointed), the
+    per-shingle md5 hash (another interpreted ``transform``), and the
+    Arrow numpy min vote (a second Python boundary).  This kernel does
+    tokenize -> ordered-distinct shingles -> md5/60-bit hash -> affine
+    min in compiled Python/numpy per batch, crossing the boundary
+    once, and emits BOTH columns so one checkpoint serves the banding
+    branch and the exact-Jaccard verification branch.
+
+    Value parity (same results as shingle_df + minhash_signatures,
+    locked by tests/test_round15_profile.py):
+    - tokenizer: :func:`_py_norm_words` (ASCII classes = Java regex);
+    - shingles keep first-occurrence order (``array_distinct``);
+    - docs with < n words are dropped (no shingles), NULL text too;
+    - hash: ``int(md5(utf8).hexdigest()[:15], 16) % p`` == Spark
+      ``conv(substring(md5(g), 1, 15), 16, 10) % p`` (md5 of the
+      UTF-8 bytes in both engines);
+    - signature: the same int64 numpy ``((A*x + B) % p).min`` as
+      :func:`minhash_signatures` (products < 2^62, no overflow).
+    """
+    A_list, B_list, p = minhash_coeffs(num_hashes, seed)
+    A = np.array(A_list, dtype=np.int64)[:, None]
+    B = np.array(B_list, dtype=np.int64)[:, None]
+
+    def batches(it):
+        import hashlib
+
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_id: list[int] = []
+            out_sh: list[list[str]] = []
+            out_sig: list[list[int]] = []
+            for i, t in zip(ids, texts):
+                if t is None:
+                    continue
+                words = _py_norm_words(t)
+                if len(words) < n:
+                    continue
+                grams = list(
+                    dict.fromkeys(
+                        " ".join(words[j : j + n])
+                        for j in range(len(words) - n + 1)
+                    )
+                )
+                hx = np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % p
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                out_id.append(i)
+                out_sh.append(grams)
+                out_sig.append(((A * hx[None, :] + B) % p).min(axis=1).tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.int64()),
+                    pa.array(out_sh, type=pa.list_(pa.string())),
+                    pa.array(out_sig, type=pa.list_(pa.int64())),
+                ],
+                names=["id", "sh", "sig"],
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    ).mapInArrow(batches, "id long, sh array<string>, sig array<bigint>")
+
+
 def minhash_coeffs(num_hashes: int, seed: int) -> tuple[list[int], list[int], int]:
     """The (A, B, p) affine-permutation constants for
     :func:`minhash_signatures` — exposed so the SQL oracle can embed
@@ -892,23 +987,25 @@ def minhash_lsh_pairs(
     bounds on collision probability tuned by (bands, rows).
     """
     rows_per_band = num_hashes // bands
-    # One shingling pass feeds BOTH the signature/banding branch and
-    # the Jaccard verification branch.  Materialize it (memory+disk
-    # blocks, spillable) — without this the corpus is read, normalized
-    # and shingled twice, the single most expensive step of the whole
-    # pipeline.
-    sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
-        eager=True
-    )
-    sigs = minhash_signatures(
+    # ONE fused Arrow pass (optimization r15) computes shingles AND
+    # signatures; the checkpoint feeds both the banding branch and the
+    # Jaccard verification branch.  Previously: a checkpointed shingle
+    # pass (interpreted slice/concat/array_distinct lambdas), an
+    # interpreted per-shingle md5 transform, and a separate Arrow min
+    # vote — three corpus passes and two Python boundaries (measured
+    # 0.88 + 0.65 s of the 2.3 s pipeline at sf0.1; the fused kernel
+    # runs the same counts in one boundary).  Values are identical —
+    # see :func:`shingle_sig_df`.
+    ss = shingle_sig_df(
         df,
         id_col=id_col,
         text_col=text_col,
         n=n,
         num_hashes=num_hashes,
         seed=seed,
-        _shingles=sh,
-    )
+    ).localCheckpoint(eager=True)
+    sh = ss.select("id", "sh")
+    sigs = ss.select("id", "sig")
     banded = sigs.select(
         "id",
         F.explode(
@@ -1926,16 +2023,22 @@ def incremental_minhash_dedup(
     only.  Same md5/affine recipe as :func:`minhash_lsh_pairs`, so
     the whole incremental pipeline replays in SQL.
     """
-    sh_e = shingle_df(existing, id_col=id_col, text_col=text_col, n=n)
-    sh_i = shingle_df(incoming, id_col=id_col, text_col=text_col, n=n)
-    sig_e = minhash_signatures(
+    # Fused shingle+signature Arrow pass per side (optimization r15,
+    # same kernel as minhash_lsh_pairs), pinned because each side
+    # feeds TWO consumers (band keys + the Jaccard verify) — unpinned,
+    # each consumer re-ran the whole shingle/hash subtree.
+    ss_e = shingle_sig_df(
         existing, id_col=id_col, text_col=text_col, n=n,
-        num_hashes=num_hashes, seed=seed, _shingles=sh_e,
-    )
-    sig_i = minhash_signatures(
+        num_hashes=num_hashes, seed=seed,
+    ).localCheckpoint(eager=True)
+    ss_i = shingle_sig_df(
         incoming, id_col=id_col, text_col=text_col, n=n,
-        num_hashes=num_hashes, seed=seed, _shingles=sh_i,
-    )
+        num_hashes=num_hashes, seed=seed,
+    ).localCheckpoint(eager=True)
+    sh_e = ss_e.select("id", "sh")
+    sh_i = ss_i.select("id", "sh")
+    sig_e = ss_e.select("id", "sig")
+    sig_i = ss_i.select("id", "sig")
     idx = minhash_band_keys(sig_e, num_hashes=num_hashes, bands=bands)
     new_keys = minhash_band_keys(sig_i, num_hashes=num_hashes, bands=bands)
     cand = (

@@ -82,3 +82,39 @@ def test_arrow_profile_matches_on_fixture_corpus(spark):
     new = profile_features(docs)
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
+
+
+MINHASH_NASTY = [
+    (1, "the  quick\tbrown\nfox,  jumps!  over the lazy dog now"),
+    (2, ""),
+    (3, "   "),
+    (4, "one two three four"),  # < n words: dropped
+    (5, "a b c d e"),
+    (6, "a b c d e f"),
+    (7, None),
+    (8, "café über straße İstanbul Kelvin x y z"),
+    (9, "w1\x0bw2\x0cw3\rw4\nw5 w6"),
+    (10, "dup dup dup dup dup dup dup dup dup"),
+    (11, "The Quick BROWN fox JUMPS over THE LAZY dog NOW"),
+]
+
+
+def test_fused_shingle_sig_matches_expression_path(spark):
+    """The r15 fused shingle+signature Arrow kernel must emit exactly
+    the shingle arrays (content AND first-occurrence order) and MinHash
+    signatures of the shingle_df + minhash_signatures expression path,
+    including the drop rules (NULL text, < n words)."""
+    from cdc_pipe_line_spark.text import (
+        minhash_signatures,
+        shingle_df,
+        shingle_sig_df,
+    )
+
+    docs = spark.createDataFrame(MINHASH_NASTY, "doc_id long, text string")
+    old_sh = shingle_df(docs, id_col="doc_id", text_col="text", n=5)
+    old_sig = minhash_signatures(docs, n=5, _shingles=old_sh)
+    ss = shingle_sig_df(docs, n=5)
+    for old, new in ((old_sh, ss.select("id", "sh")),
+                     (old_sig, ss.select("id", "sig"))):
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
