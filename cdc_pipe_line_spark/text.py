@@ -1277,34 +1277,72 @@ def simhash64(text: Column, n: int = 3) -> Column:
 def simhash_df(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """``(id, h: bigint)`` SimHash via the materialized shingle path.
+    """``(id, h: bigint)`` SimHash in ONE fused ``mapInArrow`` pass
+    (optimization r15, the :func:`shingle_sig_df` treatment applied to
+    the SimHash leg).
 
-    Shape (optimization r14): the shingle md5 is computed ONCE per
-    shingle in its own projection, and BOTH 32-bit halves parse that
-    same hex string (the previous shape ran the interpreted md5
-    lambda twice per shingle — once for each half).  The bit vote
-    stays the Arrow-batched numpy UDF: a 64-sum codegen aggregate
-    (``sum((h >> b) & 1)`` per bit) was measured ~8x SLOWER because
-    the 65-buffer aggregate update function blows the JIT method
-    budget, re-confirming the r7 finding that the numpy vote beats
-    expression forms from the other direction too."""
-    sh = shingle_df(df, id_col=id_col, text_col=text_col, n=n)
-    # md5 ONCE per shingle in its own projection (multiply-referenced
-    # below, so CollapseProject keeps it materialized), then the two
-    # 32-bit halves parse the SAME hex string — the previous shape ran
-    # the interpreted md5 lambda twice per shingle (hi and lo each
-    # re-hashed).  The vote stays the Arrow numpy UDF: a 64-sum
-    # codegen aggregate was measured ~8x SLOWER (the 65-buffer update
-    # function blows the JIT method budget), re-confirming the r7
-    # finding from the other direction.
-    hexed = sh.select("id", F.transform("sh", F.md5).alias("__m"))
-    half = lambda start: F.transform(
-        "__m",
-        lambda s: F.conv(F.substring(s, start, 8), 16, 10).cast("bigint"),
-    )
-    return hexed.select(
-        "id", _simhash_vote_udf()(half(1), half(9)).alias("h")
-    )
+    History of this shape: the r7/r14 form ran the shingle build as
+    interpreted HOF lambdas, one interpreted md5 ``transform``, and an
+    Arrow numpy bit-vote UDF (two expression passes + one Python
+    boundary; a 64-sum codegen aggregate vote was measured ~8x slower
+    — JIT method budget — and rejected in r14).  The fused kernel does
+    tokenize -> ordered-distinct n-grams -> md5 -> 32-bit halves ->
+    bit vote in compiled Python/numpy per batch, crossing the boundary
+    once.  Bit-identical by construction: same tokenizer parity as
+    :func:`_py_norm_words`, ``int(md5(utf8).hexdigest()[a:b], 16)`` ==
+    ``conv(substring(md5(g), a+1, 8), 16, 10)``, and the identical
+    numpy vote arithmetic (``2*ones - n`` votes, or-reduce of disjoint
+    bit literals, bit 63 wrapping into the int64 sign); docs with < n
+    words and NULL text drop exactly as shingle_df dropped them.
+    Locked by tests/test_round15_profile.py."""
+
+    def batches(it):
+        import hashlib
+
+        import pyarrow as pa
+
+        shifts = np.arange(64, dtype=np.uint64)
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_id: list[int] = []
+            out_h: list[int] = []
+            for i, t in zip(ids, texts):
+                if t is None:
+                    continue
+                words = _py_norm_words(t)
+                if len(words) < n:
+                    continue
+                grams = dict.fromkeys(
+                    " ".join(words[j : j + n])
+                    for j in range(len(words) - n + 1)
+                )
+                hx = np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
+                        for g in grams
+                    ),
+                    dtype=np.uint64,
+                    count=len(grams),
+                )
+                ones = ((hx[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                votes = 2 * ones.astype(np.int64) - len(hx)
+                sig = np.bitwise_or.reduce(
+                    np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0))
+                )
+                out_id.append(i)
+                out_h.append(int(sig.astype(np.int64)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.int64()),
+                    pa.array(out_h, type=pa.int64()),
+                ],
+                names=["id", "h"],
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    ).mapInArrow(batches, "id long, h long")
 
 
 def simhash_pairs(

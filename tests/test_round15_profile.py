@@ -118,3 +118,38 @@ def test_fused_shingle_sig_matches_expression_path(spark):
                      (old_sig, ss.select("id", "sig"))):
         assert old.exceptAll(new).count() == 0
         assert new.exceptAll(old).count() == 0
+
+
+def test_fused_simhash_matches_expression_path(spark):
+    """The r15 fused SimHash Arrow kernel must emit exactly the
+    (id, h) rows of the r14 shape (shingle_df + md5-once projection +
+    Arrow numpy vote), including the drop rules."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark.text import (
+        _simhash_vote_udf,
+        shingle_df,
+        simhash_df,
+    )
+
+    rows = [(i, t) for i, t in enumerate([
+        "the  quick\tbrown\nfox,  jumps!  over the lazy dog now",
+        "", "   ", "one two", "a b c", "a b c d", None,
+        "café über straße İstanbul Kelvin x y z",
+        "w1\x0bw2\x0cw3\rw4\nw5 w6", "dup dup dup dup dup",
+        "The Quick BROWN fox JUMPS over THE LAZY dog NOW",
+    ])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_df(docs, id_col="doc_id", text_col="text", n=3)
+    hexed = sh.select("id", F.transform("sh", F.md5).alias("__m"))
+
+    def half(start):
+        return F.transform(
+            "__m",
+            lambda s: F.conv(F.substring(s, start, 8), 16, 10).cast("bigint"),
+        )
+
+    old = hexed.select("id", _simhash_vote_udf()(half(1), half(9)).alias("h"))
+    new = simhash_df(docs, n=3)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
