@@ -650,6 +650,7 @@ def khop_reach(
     dst: str = "dst",
     k: int = 3,
     adjacency: DataFrame | None = None,
+    skew_buckets: int = 16,
 ) -> DataFrame:
     """Breadth-first k-hop reachability from ``seed`` over a directed
     edge list: returns ``(node, hop)`` with the MINIMUM hop count
@@ -674,16 +675,32 @@ def khop_reach(
     second time).
 
     ``adjacency``: a prebuilt ``(__s, __nbrs: array)`` neighbor table
-    (duplicates inside ``__nbrs`` allowed — rounds dedup after the
-    explode); callers that can produce neighbor ARRAYS directly (e.g.
-    per-group co-occurrence) shuffle group-count rows instead of
-    edge-count rows (measured 2.5 → 1.9 s on the co-occurrence build
-    at sf0.1).
+    (duplicates inside ``__nbrs`` allowed AND multiple rows per source
+    allowed — rounds dedup after the explode); callers that can
+    produce neighbor ARRAYS directly (e.g. per-group co-occurrence)
+    shuffle group-count rows instead of edge-count rows (measured
+    2.5 → 1.9 s on the co-occurrence build at sf0.1).
+
+    ``skew_buckets`` (optimization r15, guide §2.5): the built-in edge
+    packing salts its ``collect_set`` by ``pmod(xxhash64(dst), B)``,
+    so a hub node's neighbor set lands in up to B bounded ROWS instead
+    of one row holding the entire set — at 100 TB one celebrity vertex
+    otherwise concentrates a multi-GB array (and its whole aggregation
+    state) in a single task.  The salt key is derived from the DATA
+    (deterministic, never rand() — retried map tasks must re-produce
+    the same assignment), rides the same single exchange (still
+    join-free), and the union of a node's rows is the identical
+    neighbor set; the BFS rounds' explode+distinct already dedup
+    across rows.
     """
     adj = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-        .groupBy("__s")
+        .groupBy(
+            "__s",
+            F.pmod(F.xxhash64("__d"), F.lit(skew_buckets)).alias("__b"),
+        )
         .agg(F.collect_set("__d").alias("__nbrs"))
+        .drop("__b")
         if adjacency is None
         else adjacency
     ).localCheckpoint(eager=True)

@@ -557,6 +557,19 @@ def q_khop_reach(spark, sf_dir):
         )
         .select("e.__s", "e.nb")
     )
+    # Skew posture (optimization r15, VERDICT r14 item 4): the hub-row
+    # hazard (one node concentrating a giant neighbor array) CANNOT
+    # materialize on this graph family — per-key degree is bounded by
+    # the data model (<= 7 parts per order, ~constant appearances per
+    # part), and the sf1 soak measured max degree EXACTLY 222 at both
+    # sf0.1 and sf1 (10x nodes, same degree distribution; evidence in
+    # OPTIMIZATION_r15.md).  A salted multi-row aggregate was built,
+    # verified edge-identical, and measured: it costs ~0.5 s locally
+    # (weakened cross-order dedup: 20k -> 269k adjacency rows) for a
+    # hazard this query cannot hit, so the UNSALTED single-exchange
+    # aggregate stays.  Arbitrary graphs get the guard inside
+    # :func:`khop_reach` (``skew_buckets``), whose generic edge path
+    # salts its collect_set by default.
     adj = per_order.groupBy("__s").agg(
         F.array_distinct(F.flatten(F.collect_list("nb"))).alias("__nbrs")
     )

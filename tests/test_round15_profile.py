@@ -153,3 +153,25 @@ def test_fused_simhash_matches_expression_path(spark):
     new = simhash_df(docs, n=3)
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
+
+
+def test_khop_salted_adjacency_identical(spark):
+    """The r15 skew guard in khop_reach's generic edge path (salted
+    multi-row collect_set, bounded per-row neighbor arrays) must not
+    change reachability: same (node, hop) set as an unsalted run, and
+    per-source rows stay bounded by the bucket count."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cdc_pipe_line_spark.analytics import khop_reach
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(40), rnd.randrange(40)) for _ in range(400)]
+    # one hub with every node as neighbor (the row-size hazard shape)
+    edges += [(99, i) for i in range(40)] + [(i, 99) for i in range(40)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    salted = khop_reach(e, 99, k=3, skew_buckets=4)
+    unsalted = khop_reach(e, 99, k=3, skew_buckets=1)
+    assert salted.exceptAll(unsalted).count() == 0
+    assert unsalted.exceptAll(salted).count() == 0
