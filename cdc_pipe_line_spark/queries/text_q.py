@@ -2224,47 +2224,33 @@ def q_winnowing(spark, sf_dir):
     carried) — the cap's data loss is an oracle-checked OUTPUT, not
     a log line, the same observability contract the dedup families'
     ``max_df`` follows."""
-    from pyspark.sql.window import Window
+    from cdc_pipe_line_spark.text import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
     k, w = 8, 4
-    # Optimization r14: the gram count is closed-form in length(text)
-    # (it IS the transform's sequence bound), so the full-window cutoff
-    # no longer needs a second, unbounded-frame Window pass
-    # (max(pos) over (partition by doc_id)) -- one Window operator
-    # instead of two on the exploded gram stream, same (doc_id, fp)
-    # set (verified exceptAll() == 0 both ways and oracle hash-match).
-    # A per-doc array formulation (no explode or Window at all) was
-    # measured SLOWER (2.6-3.4 s vs ~1.0 s at sf0.1): Catalyst
-    # evaluates slice/array_min/least lambdas interpretively per
-    # element, and an Arrow sliding-min UDF pays more in gram-array
-    # transfer than the Window saves -- both rejected on measurement,
-    # see OPTIMIZATION_r14.md.
-    grams = docs.select(
-        "doc_id",
-        # pos is 0-based; the last full window starts at n_grams - w
-        (F.greatest(F.length("text") - (k - 1), F.lit(1)) - 1).alias(
-            "maxpos"
-        ),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(text) - {k - 1},"
-                f" 1)), i -> conv(substring(md5(substring(text, i, {k})),"
-                " 1, 8), 16, 10))"
-            )
-        ).alias("pos", "h"),
-    ).select(
-        "doc_id", "maxpos", "pos", F.col("h").cast("bigint").alias("h")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        0, w - 1
-    )
+    # Optimization r15: the fingerprint pass is ONE fused mapInArrow
+    # kernel (hash every k-gram, sliding min, per-doc dedup) — see
+    # :func:`text.winnow_fingerprints`.  The r14 expression shape
+    # exploded 1.45M md5-per-position rows through a
+    # partitionBy(doc_id) Window (hash exchange + sort) and a global
+    # distinct (second exchange); both exchanges and the interpreted
+    # md5 stream are gone (plans/r15/text_winnowing_fps_segment_*).
+    # Same (doc_id, fp) set — verified exceptAll() == 0 both ways and
+    # oracle hash-match; r14's partial-Arrow attempt (sliding min
+    # only, gram arrays shipped) lost on transfer and is superseded by
+    # fusing the hashing into the kernel.
+    #
+    # The fingerprint set is structurally ~w-fold smaller than its
+    # input (winnowing's whole point), so pack ~w input partitions per
+    # checkpointed partition — keeps partition SIZE near what the scan
+    # chose at ANY scale (data-proportional, guide §2.2), and the five
+    # downstream jobs over the pinned frame stop paying w-fold task
+    # overhead (measured: identical tail 1.81 s over 32 checkpointed
+    # partitions vs 0.92 s over 8 at sf0.1).
+    n_in = docs.rdd.getNumPartitions()
     fps = (
-        grams.withColumn("wmin", F.min("h").over(win))
-        # only full windows (pos <= maxpos - w + 1) emit a fingerprint
-        .filter(F.col("pos") <= F.col("maxpos") - (w - 1))
-        .select("doc_id", F.col("wmin").alias("fp"))
-        .distinct()
+        winnow_fingerprints(docs, k=k, w=w)
+        .coalesce(max(1, n_in // w))
         .localCheckpoint(eager=True)
     )
     hot = (

@@ -175,3 +175,38 @@ def test_khop_salted_adjacency_identical(spark):
     unsalted = khop_reach(e, 99, k=3, skew_buckets=1)
     assert salted.exceptAll(unsalted).count() == 0
     assert unsalted.exceptAll(salted).count() == 0
+
+
+def test_winnow_kernel_matches_expression_shape(spark):
+    """The r15 winnowing fingerprint kernel must emit exactly the
+    (doc_id, fp) set of the exploded expression shape (md5 per char
+    position, sliding-window min, full windows only), including the
+    short-doc (< k chars, < w grams), empty and NULL edge rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cdc_pipe_line_spark.text import winnow_fingerprints
+
+    k, w = 8, 4
+    rows = [(i, t) for i, t in enumerate([
+        "abcdefghijk", "abcdefghij", "short", "", None, "x" * 200,
+        "the quick brown fox jumps over the lazy dog",
+        "caféüberstraße İstanbul plus unicode padding here",
+        "a b a b a b a b a b a b a b",
+    ])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = docs.select(
+        "doc_id",
+        (F.greatest(F.length("text") - (k - 1), F.lit(1)) - 1).alias("maxpos"),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, greatest(length(text) - {k - 1},"
+            f" 1)), i -> conv(substring(md5(substring(text, i, {k})),"
+            " 1, 8), 16, 10))")).alias("pos", "h"),
+    ).select("doc_id", "maxpos", "pos", F.col("h").cast("bigint").alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    old = (grams.withColumn("wmin", F.min("h").over(win))
+           .filter(F.col("pos") <= F.col("maxpos") - (w - 1))
+           .select("doc_id", F.col("wmin").alias("fp")).distinct())
+    new = winnow_fingerprints(docs, k=k, w=w)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
