@@ -11,6 +11,7 @@ Catalyst higher-order functions, codegen'd JVM-side.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -516,7 +517,199 @@ def semantic_dedup(
     Returns one row per cluster: size, candidate-pair count, dropped
     count and an id checksum over dropped vectors — per-cluster skew
     is thereby an oracle-checked OUTPUT, not a silent assumption.
+
+    Shape (optimization r15, guide §4.2): TWO Arrow kernels replace
+    the expression pipeline — (1) the n x K assignment sweep runs in
+    numpy against the broadcast K-row seed matrix (each vector crosses
+    the Python boundary ONCE; the r14 rejected variant shipped vectors
+    per PAIR, which is why it lost), and (2) the within-cluster pair
+    scan is one ``applyInArrow`` per cluster that emits the per-cluster
+    stats row directly — replacing a checkpointed self-join plus three
+    aggregate-join legs with ONE shuffle of (cluster, vector) rows.
+    Float parity with the expression form is exact and locked by
+    tests/test_round15_profile.py: dot/norm folds run dimension-
+    sequentially (vectorized across rows, same IEEE op order as the
+    ``aggregate`` lambdas), ``round(x, 4)`` ties resolve through the
+    same HALF_UP rule (rounding is monotone, so only raw sims within
+    ±1e-4 of a candidate boundary need the exact decimal check), and
+    NaN keeps Spark's larger-than-everything comparison semantics.
+    The old expression form is kept as ``_semantic_dedup_exprs`` (the
+    parity reference).
     """
+    import math
+
+    if n_centroids is None:
+        n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
+    # K hash-ranked seeds, collected: bounded by the SUBLINEAR budget
+    # (sqrt(n) rows — the documented bounded tiny-reduce pattern), the
+    # rank still executes as TakeOrderedAndProject in its own job.
+    seed_hash = (
+        (F.col(id_col) % F.lit(_SEED_PRIME)) * F.lit(_SEED_MULT)
+    ) % F.lit(_SEED_MOD)
+    seed_rows = (
+        corpus.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("__cv"),
+            seed_hash.alias("__h"),
+        )
+        .orderBy("__h", "cent_id")
+        .limit(n_centroids)
+        .drop("__h")
+        .collect()
+    )
+    spark = corpus.sparkSession
+    if not seed_rows:
+        return spark.createDataFrame(
+            [],
+            "cluster_id long, n_vecs long, n_pairs long, "
+            "n_dropped long, dropped_id_sum long",
+        )
+    cent_ids = np.array([r["cent_id"] for r in seed_rows], dtype=np.int64)
+    C = np.array([list(r["__cv"]) for r in seed_rows], dtype=np.float64)
+    dim = C.shape[1]
+    ncv = np.zeros(len(cent_ids))
+    for j in range(dim):  # dimension-sequential fold == norm()'s AST
+        ncv += C[:, j] * C[:, j]
+    ncv = np.sqrt(ncv)
+    bc = spark.sparkContext.broadcast((cent_ids, C, ncv))
+
+    def assign_batches(it):
+        import pyarrow as pa
+
+        ids_c, cm, cn = bc.value
+        K = len(ids_c)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0 or K == 0:
+                continue
+            V = np.array(batch.column(1).to_pylist(), dtype=np.float64)
+            nv = np.zeros(n)
+            for j in range(dim):
+                nv += V[:, j] * V[:, j]
+            nv = np.sqrt(nv)
+            S = np.zeros((n, K))
+            for j in range(dim):  # same left-to-right fold per pair
+                S += V[:, j, None] * cm[None, :, j]
+            S = S / (nv[:, None] * cn[None, :])
+            # Spark compares the ROUNDED sim; NaN sorts above all.
+            R = np.where(np.isnan(S), np.inf, S)
+            mx = R.max(axis=1)
+            clusters = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                cand = np.nonzero(R[i] >= mx[i] - 0.000101)[0]
+                if len(cand) == 1:
+                    clusters[i] = ids_c[cand[0]]
+                else:
+                    key = max(
+                        (
+                            (
+                                np.inf
+                                if np.isnan(S[i, c])
+                                else _java_round4(S[i, c]),
+                                -ids_c[c],
+                            )
+                            for c in cand
+                        )
+                    )
+                    clusters[i] = -key[1]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(clusters, type=pa.int64()),
+                    batch.column(0),
+                    batch.column(1),
+                    pa.array(nv, type=pa.float64()),
+                ],
+                names=["cluster_id", "__id", "__v", "__n"],
+            )
+
+    vec_type = dict(corpus.dtypes)[vec_col]
+    assigned = corpus.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInArrow(
+        assign_batches,
+        f"cluster_id long, __id long, __v {vec_type}, __n double",
+    )
+
+    thr = float(threshold)
+
+    def cluster_stats(table):
+        import pyarrow as pa
+
+        cid = table.column("cluster_id")[0].as_py()
+        ids = np.array(table.column("__id").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = len(ids)
+        n_pairs = 0
+        n_dropped = 0
+        dropped_sum = 0
+        if m >= 2:
+            V = np.array(table.column("__v").to_pylist(), dtype=np.float64)[
+                order
+            ]
+            nv = np.array(table.column("__n").to_pylist(), dtype=np.float64)[
+                order
+            ]
+            S = np.zeros((m, m))
+            for j in range(V.shape[1]):
+                S += V[:, j, None] * V[None, :, j]
+            S = S / (nv[:, None] * nv[None, :])
+            iu, ju = np.triu_indices(m, 1)
+            vals = S[iu, ju]
+            nanq = np.isnan(vals)  # NaN >= thr is TRUE in Spark SQL
+            qual = nanq | (vals >= thr + 0.000101)
+            band = (~qual) & (~nanq) & (vals >= thr - 0.000101)
+            for idx in np.nonzero(band)[0]:
+                if _java_round4(float(vals[idx])) >= thr:
+                    qual[idx] = True
+            n_pairs = int(qual.sum())
+            if n_pairs:
+                uniq_b = np.unique(ju[qual])
+                n_dropped = int(len(uniq_b))
+                dropped_sum = int(ids[uniq_b].sum())
+        return pa.table(
+            {
+                "cluster_id": pa.array([cid], type=pa.int64()),
+                "n_vecs": pa.array([m], type=pa.int64()),
+                "n_pairs": pa.array([n_pairs], type=pa.int64()),
+                "n_dropped": pa.array([n_dropped], type=pa.int64()),
+                "dropped_id_sum": pa.array([dropped_sum], type=pa.int64()),
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInArrow(
+        cluster_stats,
+        "cluster_id long, n_vecs long, n_pairs long, "
+        "n_dropped long, dropped_id_sum long",
+    )
+
+
+def _java_round4(x: float) -> float:
+    """Spark ``round(x, 4)`` parity: HALF_UP over the shortest decimal
+    rendering (BigDecimal semantics); non-finite values pass through
+    like Spark's Round."""
+    import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not _math.isfinite(x):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _semantic_dedup_exprs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """The pre-r15 expression-pipeline form of :func:`semantic_dedup`
+    (checkpointed assignment + within-cluster self-join + aggregate
+    joins) — kept as the float-parity reference for the Arrow kernels
+    (tests/test_round15_profile.py) and as the UDF-free fallback."""
     import math
 
     if n_centroids is None:
@@ -525,14 +718,7 @@ def semantic_dedup(
         semantic_assign(
             corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
         )
-        # norm once per vector, MATERIALIZED by the checkpoint below so
-        # the within-cluster pair scan reads it instead of re-folding
-        # two norms per pair (optimization r14 — the interpreted-HOF
-        # norm folds were ~2/3 of the pair work)
         .withColumn("__n", norm(F.col(vec_col)))
-        # referenced three times below (both pair sides + the size
-        # aggregate): pin it, or Catalyst re-plans the n*K assignment
-        # sweep per reference (the measured self-derivation trap)
         .localCheckpoint(eager=True)
     )
     a = assigned.select(

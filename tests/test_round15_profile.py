@@ -210,3 +210,30 @@ def test_winnow_kernel_matches_expression_shape(spark):
     new = winnow_fingerprints(docs, k=k, w=w)
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
+
+
+def test_semantic_dedup_kernels_match_expression_path(spark):
+    """The r15 dedup_semantic Arrow kernels (broadcast-seed numpy
+    argmax + per-cluster applyInArrow pair scan) must reproduce the
+    expression pipeline exactly, including round-to-4dp tie-breaks to
+    the lowest centroid id and near-threshold boundary pairs.  (Zero-
+    norm vectors are outside the operator's domain: ANSI mode raises
+    DIVIDE_BY_ZERO in both forms.)"""
+    import random
+
+    from cdc_pipe_line_spark.similarity import (
+        _semantic_dedup_exprs,
+        semantic_dedup,
+    )
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    rows += [(200, [1e-30] * 8), (201, [1e-30] * 8)]  # tiny norms
+    rows += [(202, [1.0] + [0.0] * 7), (203, [2.0] + [0.0] * 7),
+             (204, [0.5] + [0.0] * 7)]  # exact duplicate directions
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for thr in (0.35, 0.9999):
+        old = _semantic_dedup_exprs(df, n_centroids=9, threshold=thr)
+        new = semantic_dedup(df, n_centroids=9, threshold=thr)
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
