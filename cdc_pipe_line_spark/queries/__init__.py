@@ -51,75 +51,75 @@ _MODULES = [
     quality_q,
 ]
 
-#: Round-14 rotation (regenerated by ``python tools/gen_rotation.py``,
-#: VERDICT r13 next-item 5): the two NEW round-14 queries lead (spec
-#: in-commit timestamps, read-side v2 checkpoints — never externally
-#: checked), then the registry names with the STALEST external
-#: evidence, ascending — 36 names last driver-checked in round 4 and
-#: 22 in round 5 — so the driver's ~50-name budget refreshes the
-#: oldest rows of the cumulative correctness ledger instead of
-#: re-checking recently-verified families.
+#: Round-15 rotation (optimization round 2): the queries whose CODE
+#: PATHS this round and round 14 rewrote lead — the r15 Arrow-kernel
+#: rewrites (text_profile, the MinHash/SimHash/winnowing fused kernels
+#: and every query sharing them, the SemDeDup kernels, khop) and then
+#: the r14-touched ANN/LM family that never got external verification
+#: (VERDICT r14 item 6) — so the driver's ~50-name budget lands on the
+#: code that changed, not on already-fresh rows.  The remainder keeps
+#: the stalest-evidence-ascending discipline (tools/gen_rotation.py).
 _DRIVER_ROTATION = (
-    "io_delta_v2_checkpoint",
-    "io_delta_ict_time_travel",
-    "stream_windowed_counts",
-    "stream_joins",
-    "stream_hygiene",
-    "stream_scd2_current",
-    "stream_every_n_trigger",
-    "ts_rolling_zscore",
-    "ts_asof_sessionize",
-    "cdc_diff_summary",
-    "cdc_diff_events",
-    "io_text_roundtrip",
-    "io_partitioned_prune",
-    "io_office_ingest",
-    "io_zip_consolidated",
-    "io_jdbc_roundtrip",
-    "scd2_history",
-    "scd2_point_views",
-    "reshape_unpivot_roundtrip",
-    "reshape_union_drift",
-    "reshape_lineage_columns",
-    "reshape_event_flatten",
-    "agg_pricing_summary",
-    "join_bucketed_colocated",
-    "agg_sketch_sample_profile",
-    "agg_multi_grouping",
-    "window_analytics",
-    "join_range_buckets",
-    "agg_salted_skewed_events",
-    "agg_recent_events_rollup",
-    "agg_daily_distinct_users",
-    "join_revenue_by_region",
-    "join_semi_anti",
-    "window_top_latest",
-    "set_ops",
-    "proj_pipeline",
-    "scalar_showcase",
-    "scalar_temporal_json",
-    "text_corpus_datacard",
-    "text_dup_spans",
-    "llm_quality_pipeline",
-    "text_strip_spans",
-    "text_hash_embed_knn",
+    "text_profile",
+    "dedup_minhash_lsh",
     "dedup_incremental",
-    "text_scrub_apply",
-    "text_chunking",
-    "text_gopher_rules",
+    "dedup_simhash",
     "text_winnowing",
-    "llm_length_buckets",
-    "text_pmi_cooccur",
-    "llm_epoch_shuffle",
-    "text_langid_eval",
-    "sim_range_search",
-    "mm_image_resize",
-    "sim_knn_bruteforce",
+    "dedup_semantic",
+    "graph_khop_reach",
+    "text_cross_dedup_matrix",
+    "dedup_ngram_containment",
+    "text_dedup_savings",
+    "cdc_delta_dv_dml",
+    "text_lm_score",
+    "text_lm_kneser_ney",
+    "sim_cosine_near_dup",
     "sim_knn_lsh",
     "sim_knn_ivf",
-    "sim_knn_pq",
     "sim_knn_sq8",
     "sim_knn_ivf_sq8",
+    "sim_knn_mips",
+    "sim_knn_filtered",
+    "sim_range_search",
+    "sim_knn_bruteforce",
+    "llm_quality_pipeline",
+    "llm_epoch_shuffle",
+    "text_langid_eval",
+    "mm_image_resize",
+    "sim_knn_pq",
+    "mm_audio_stats",
+    "mm_audio_decimate",
+    "mm_gif_decode",
+    "mm_mp4_samples",
+    "mm_media_pipeline",
+    "mm_media_embed_knn",
+    "mm_image_channel_stats",
+    "sim_source_centroids",
+    "sim_recall_at_k",
+    "stream_doc_gate",
+    "stream_sliding_trending",
+    "ts_ohlc_bars",
+    "ts_interpolate_gaps",
+    "ts_dow_seasonality",
+    "ts_ewma",
+    "ts_holt_trend",
+    "ts_anomaly_mad",
+    "ts_time_to_convert",
+    "ts_cross_corr",
+    "ts_cusum_changepoint",
+    "ts_holt_backtest",
+    "ts_autocorrelation",
+    "ts_rolling_median",
+    "ts_peak_concurrency",
+    "cdc_changelog_compact",
+    "join_fact_scd2_enrich",
+    "cdc_bitemporal_asof",
+    "scd3_prev_current",
+    "cdc_sequence_gap_audit",
+    "cdc_column_churn",
+    "io_dpp_join",
+    "io_mergeschema_scan",
+    "io_csv_quarantine",
 )
 
 
