@@ -160,6 +160,7 @@ def test_multi_grouping_single_fact_scan(spark):
     assert "Expand" not in plan  # cube shuffle already paid upstream
 
 
+@pytest.mark.slow
 def test_no_shuffle_cartesian_in_any_batch_query(spark):
     """Global plan-hygiene net: no registered batch query may plan a
     shuffle-based CartesianProduct — the refactor accident (a dropped
@@ -562,6 +563,7 @@ def test_semantic_dedup_seed_broadcast_bounded_by_budget(spark):
     assert assigned.select("cluster_id").distinct().count() <= 7
 
 
+@pytest.mark.slow
 def test_no_unpartitioned_window_over_unbounded_frame(spark):
     """Global plan-hygiene net (VERDICT r7 item 3): an unpartitioned
     Window funnels its whole input through ONE task

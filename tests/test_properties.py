@@ -6,6 +6,8 @@ disjoint key sets (SURVEY.md §5 golden semantics).
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st_
 from pyspark.sql import functions as F
@@ -51,6 +53,7 @@ tables = st_.lists(row, max_size=8).map(_dedup_keys)
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(v1=tables, v2=tables)
+@pytest.mark.slow
 def test_diff_reconstructs_v2(spark, v1, v2):
     df1 = spark.createDataFrame(v1, SCHEMA)
     df2 = spark.createDataFrame(v2, SCHEMA)
@@ -93,6 +96,7 @@ events_strategy = st_.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(evs=events_strategy)
+@pytest.mark.slow
 def test_scd2_apply_invariants_random_batches(spark, evs):
     """For ANY batch of events (multiple per key, any type mix):
     at most one current row per key; every non-current row is closed;
@@ -151,6 +155,7 @@ def test_scd2_apply_invariants_random_batches(spark, evs):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(evs=events_strategy, split=st_.integers(min_value=0, max_value=12))
+@pytest.mark.slow
 def test_delta_merge_equals_batch_path_random(spark, evs, split):
     """For ANY event sequence split into two batches — multiple events
     per key, any insert/update/delete mix, out-of-order timestamps
@@ -199,6 +204,7 @@ def test_delta_merge_equals_batch_path_random(spark, evs, split):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(evs=events_strategy, split=st_.integers(min_value=0, max_value=12))
+@pytest.mark.slow
 def test_delta_merge_wide_drift_random(spark, evs, split):
     """Wide-table MERGE with schema evolution vs the batch path, under
     random drift: each event's payload key depends on its timestamp
@@ -433,6 +439,7 @@ def test_diff_dedup_adds_no_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
 
 
+@pytest.mark.slow
 def test_connected_components_long_chain_and_random_graphs(spark):
     """Pointer jumping must converge in O(log diameter): a 120-node
     path (diameter 119) far exceeds what plain min-label propagation
@@ -490,6 +497,7 @@ def test_connected_components_long_chain_and_random_graphs(spark):
     )
 )
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_duplicate_spans_invariants_random(spark, texts):
     """Random small-vocab corpora (dense n-gram collisions): spans per
     doc are disjoint, ordered, within bounds, each at least n words
@@ -521,6 +529,7 @@ def test_duplicate_spans_invariants_random(spark, texts):
     budget=st_.integers(min_value=1, max_value=200),
 )
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_domain_mix_budget_bound_random(spark, toks, budget):
     """Taken tokens never exceed budget + (last doc - 1): the greedy
     fill stops as soon as the exclusive running sum reaches the
@@ -660,6 +669,7 @@ _edge_lists = st_.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(edges=_edge_lists)
+@pytest.mark.slow
 def test_triangle_count_matches_bruteforce(spark, edges):
     """Distributed wedge-closure enumeration == O(n^3) reference on
     arbitrary small graphs (canonical a<b orientation)."""
@@ -688,6 +698,7 @@ def test_triangle_count_matches_bruteforce(spark, edges):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(edges=_edge_lists, k=st_.integers(min_value=1, max_value=3))
+@pytest.mark.slow
 def test_khop_matches_bfs(spark, edges, k):
     """Frontier iteration == textbook BFS hop levels from node 1."""
     from collections import deque
@@ -729,6 +740,7 @@ def test_khop_matches_bfs(spark, edges, k):
         st_.integers(min_value=0, max_value=50), min_size=2, max_size=20
     )
 )
+@pytest.mark.slow
 def test_cusum_matches_reference(spark, vals):
     """applyInPandas CUSUM == a pure-python reference recursion on
     arbitrary integer series (one group, ordered days)."""

@@ -97,6 +97,7 @@ def test_append_and_overwrite_still_file_level(spark, table_dir):
     assert counts[(2, "insert")] == 2
 
 
+@pytest.mark.slow
 def test_vacuum_keeps_retained_change_files_drops_aged(
     spark, table_dir
 ):
@@ -433,6 +434,7 @@ def test_column_mapping_gates_and_guards(spark, table_dir):
         deltalog.enable_column_mapping(spark, table_dir)
 
 
+@pytest.mark.slow
 def test_column_mapping_skipping_and_dml_logical(spark, table_dir):
     df = spark.range(200).select(
         F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")

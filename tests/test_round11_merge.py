@@ -66,6 +66,7 @@ def _rows(df):
     )
 
 
+@pytest.mark.slow
 def test_native_merge_recipe_equals_batch_path(spark, table_dir):
     h1 = apply_scd2(None, _events(spark, BATCH1)).localCheckpoint()
     deltalog.create_table(spark, h1, table_dir)
@@ -254,6 +255,7 @@ def test_native_wide_merge_evolves_schema(spark, table_dir):
     assert e7.w == "4" and e7.is_current
 
 
+@pytest.mark.slow
 def test_apply_scd2_delta_runs_natively_end_to_end(spark, tmp_path):
     """apply_scd2_delta / apply_scd2_delta_wide no longer fail fast
     without delta-spark: the backend selector drops to

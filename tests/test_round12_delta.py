@@ -287,6 +287,7 @@ def test_compact_partitioned_honors_target_bytes(spark):
 # -------------------------------------------------- multi-part checkpoint
 
 
+@pytest.mark.slow
 def test_multipart_checkpoint_roundtrip(spark):
     path = _fresh("ckpt_multi")
     _mk(spark, path)
@@ -343,6 +344,7 @@ def test_explicit_parts_override(spark):
 # ---------------------------------------------- manifest-fed scans
 
 
+@pytest.mark.slow
 def test_manifest_scan_matches_native(spark):
     path = _fresh("manifest_eq")
     df = spark.createDataFrame(
@@ -389,6 +391,7 @@ def test_manifest_scan_partitioned_evolved(spark):
     assert dict(got.dtypes)["part"] == "int"
 
 
+@pytest.mark.slow
 def test_dml_through_manifest_census(spark):
     """DELETE/UPDATE/MERGE locate their touched files through the
     manifest route when the candidate census passes the threshold —

@@ -86,6 +86,7 @@ def test_dv_delete_touches_no_data_file(spark):
     assert int(m["numDeletionVectorsAdded"]) == 2
 
 
+@pytest.mark.slow
 def test_dv_merge_and_sequential_dvs(spark):
     path = _fresh("merge")
     _stage(spark, path)
@@ -126,6 +127,7 @@ def test_dv_cdf_row_exact(spark):
     ]
 
 
+@pytest.mark.slow
 def test_dv_time_travel_and_checkpoint(spark):
     path = _fresh("tt_ckpt")
     _stage(spark, path)                                    # v0,v1,v2
@@ -148,6 +150,7 @@ def test_dv_time_travel_and_checkpoint(spark):
     ) == 6
 
 
+@pytest.mark.slow
 def test_optimize_absorbs_dvs(spark):
     path = _fresh("absorb")
     _stage(spark, path)
@@ -180,6 +183,7 @@ def test_lone_dv_file_still_compacts(spark):
     assert v == 3
 
 
+@pytest.mark.slow
 def test_vacuum_keeps_referenced_dv_files(spark):
     # big enough that the vector exceeds the inline budget and lands
     # as an on-disk deletion_vector_*.bin (the spec's "u" storage)
@@ -205,6 +209,7 @@ def test_vacuum_keeps_referenced_dv_files(spark):
     )
 
 
+@pytest.mark.slow
 def test_restore_carries_dv_descriptors(spark):
     path = _fresh("restore")
     _stage(spark, path)                                    # v2 = clean
@@ -223,6 +228,7 @@ def test_restore_carries_dv_descriptors(spark):
     assert deltalog.read_snapshot(spark, path).count() == 20
 
 
+@pytest.mark.slow
 def test_dv_via_manifest_route(spark):
     path = _fresh("manifest")
     _stage(spark, path, n=40, files=4)
@@ -259,6 +265,7 @@ def test_dv_update_partitioned_keeps_layout(spark):
         assert r.partitionValues and "part" in r.partitionValues
 
 
+@pytest.mark.slow
 def test_cow_statement_on_dv_table_does_not_resurrect(spark):
     """A copy-on-write statement (use_dv=False) over files carrying
     deletion vectors must NOT re-emit the masked rows into its
@@ -277,6 +284,7 @@ def test_cow_statement_on_dv_table_does_not_resurrect(spark):
     assert sum(1 for r in lf if r.deletionVector is not None) == 0
 
 
+@pytest.mark.slow
 def test_cow_merge_on_dv_table_does_not_resurrect(spark):
     path = _fresh("cow_merge_no_resurrect")
     _stage(spark, path)
@@ -294,6 +302,7 @@ def test_cow_merge_on_dv_table_does_not_resurrect(spark):
     assert got[(2, "new")] == 20.0      # re-inserted as NOT MATCHED
 
 
+@pytest.mark.slow
 def test_reorg_purge_rewrites_only_dv_files(spark):
     """REORG (PURGE): dv_only compaction rewrites exactly the DV'd
     files (absorbing their masks); clean files keep their bytes."""
@@ -397,6 +406,7 @@ def test_writer_feature_gate_refuses_unknown_features(spark):
     assert deltalog.read_snapshot(spark, path).count() == 20
 
 
+@pytest.mark.slow
 def test_append_only_property_enforced(spark):
     path = _fresh("append_only")
     _stage(spark, path)

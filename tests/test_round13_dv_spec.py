@@ -258,6 +258,7 @@ def test_legacy_parquet_sidecar_table_reads(spark):
     assert deltalog.read_snapshot(spark, path).count() == 17
 
 
+@pytest.mark.slow
 def test_checkpoint_and_restore_carry_spec_descriptors(spark):
     path = _fresh("ckpt")
     _stage(spark, path, n=4000, files=2)
@@ -303,6 +304,7 @@ def test_cdf_masks_restored_dv_file_insert_leg(spark):
     assert deltalog.read_snapshot(spark, path).count() == 15
 
 
+@pytest.mark.slow
 def test_cdf_masks_overwrite_delete_leg_over_dv_file(spark):
     # OVERWRITE tombstones a file that was live WITH a vector: the
     # delete leg reports only the rows live at the predecessor
@@ -326,6 +328,7 @@ def test_cdf_masks_overwrite_delete_leg_over_dv_file(spark):
     assert ins == [200]
 
 
+@pytest.mark.slow
 def test_manifest_lifecycle_no_orphans_after_dml(spark):
     # over-threshold DML censuses plan manifests; the statement must
     # release them on return — success AND failure (VERDICT r12
@@ -360,6 +363,7 @@ def test_manifest_lifecycle_no_orphans_after_dml(spark):
     assert after2 - before == set()
 
 
+@pytest.mark.slow
 def test_manifest_ttl_sweep_and_session_cleanup(spark):
     from cdc_pipe_line_spark import manifest_scan as ms
 
@@ -414,6 +418,7 @@ _ops = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_ops)
+@pytest.mark.slow
 def test_random_dv_dml_sequences_match_pandas_model(spark, ops):
     """Randomized DELETE/UPDATE/OPTIMIZE sequences on a DV-enabled
     table must equal a pandas replay — final snapshot AND time travel

@@ -211,6 +211,7 @@ def test_history_surfaces_ict(spark):
     assert rows[2].timestamp == rows[2].inCommitTimestamp
 
 
+@pytest.mark.slow
 def test_dml_on_ict_table(spark):
     # the whole DML surface keeps stamping through the ICT path
     path = _fresh("dml")

@@ -48,6 +48,7 @@ def _stage(spark, path):
 
 
 @pytest.mark.parametrize("fmt", ["parquet", "json"])
+@pytest.mark.slow
 def test_v2_checkpoint_reads_identical_to_classic(spark, fmt):
     path = _fresh(f"roundtrip_{fmt}")
     _stage(spark, path)
@@ -80,6 +81,7 @@ def test_v2_checkpoint_reads_identical_to_classic(spark, fmt):
     assert n == len(before)
 
 
+@pytest.mark.slow
 def test_v2_checkpoint_single_sidecar_and_dml(spark):
     path = _fresh("dml")
     _stage(spark, path)

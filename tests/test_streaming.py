@@ -16,6 +16,7 @@ def test_streaming_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(df, duck, streaming_q.ORACLE[name])
 
 
+@pytest.mark.slow
 def test_stream_restart_resumes_exactly_once(spark, tmp_path):
     """Kill the SCD2 stream after its first micro-batch, restart from
     the same checkpoint: committed batches must NOT re-apply (no
@@ -133,6 +134,7 @@ def test_load_table_normalizes_ts_and_staging_parses(spark, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_stream_torn_between_data_and_marker(spark, tmp_path, monkeypatch):
     """Fault injection at the sink's NON-atomic seam (T2/T5): crash
     AFTER a batch's bucket data is appended but BEFORE its
@@ -411,6 +413,7 @@ def test_kafka_wiring_raises_clear_error_without_connector(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_scd2_append_log_compaction_bounds_segments(spark, tmp_path):
     """The SCD2 sink appends O(batch) rows per trigger and compacts a
     bucket once its segment count exceeds max_segments — segment files
@@ -472,6 +475,7 @@ def test_scd2_append_log_compaction_bounds_segments(spark, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_stream_crash_between_append_and_marker(spark, tmp_path, monkeypatch):
     """The NASTIER replay window (VERDICT r6 item 5): crash after the
     data append but BEFORE the committed-batch marker.  On restart the
